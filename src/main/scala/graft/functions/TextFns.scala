@@ -1,0 +1,83 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for the large-scale training-data pipeline:
+  * tokenization, shingling, quality scoring, language-ID heuristic, token counting,
+  * fingerprinting. All pure built-in column expressions (codegen'd, no UDFs) so they
+  * run inside whole-stage codegen over 100 TB of documents without serialization
+  * overhead.
+  */
+object TextFns {
+
+  /** Whitespace tokenization, lowercased, empty tokens dropped. */
+  def words(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => length(w) > 0)
+
+  /** Word n-gram shingles (space-joined). Documents shorter than n words yield an
+    * empty array. Used by n-gram Jaccard / MinHash dedup. */
+  def wordShingles(ws: Column, n: Int): Column =
+    when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + 1, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** BPE-ish token count: letters runs, digit singletons, or single non-space symbols —
+    * a deterministic proxy for subword token counts. */
+  val bpeTokenPattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(bpeTokenPattern), lit(0)))
+
+  /** Count of tokens found in `stops`. */
+  def stopwordCount(ws: Column, stops: Seq[String]): Column = {
+    val stopArr = array(stops.map(lit): _*)
+    size(filter(ws, w => array_contains(stopArr, w)))
+  }
+
+  /** Quality metrics for filtering: word count, mean word length (chars), stopword
+    * ratio. Ratios are exact integer divisions rendered as doubles, so they are
+    * bit-reproducible across engines. */
+  def qualityStruct(text: Column, stops: Seq[String]): Column = {
+    val ws = words(text)
+    val nWords = size(ws)
+    val charSum = aggregate(ws, lit(0), (acc, w) => acc + length(w))
+    struct(
+      nWords.cast("long").as("n_words"),
+      (charSum.cast("double") / nWords.cast("double")).as("mean_word_len"),
+      (stopwordCount(ws, stops).cast("double") / nWords.cast("double")).as("stop_ratio"))
+  }
+
+  /** Language-ID heuristic: marker-stopword hit counts per language, argmax with a
+    * fixed priority order on ties. A lightweight n-gram-free heuristic in the spirit of
+    * stopword-profile language identifiers; scores are exposed so downstream filters
+    * can threshold on confidence. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "y", "que", "es"),
+    "fr" -> Seq("le", "la", "et", "les", "est"),
+    "zh" -> Seq("的", "是", "了"))
+
+  /** Predicted language code: argmax of marker scores where earlier languages (in
+    * `langMarkers` order) win ties — a nested CASE, reproducible verbatim in ANSI
+    * SQL: CASE WHEN s_en >= max(s_de..s_zh) THEN 'en' WHEN ... ELSE 'zh' END. */
+  def langIdPredict(text: Column): Column = {
+    val ws = words(text)
+    val scores = langMarkers.map { case (code, stops) => code -> stopwordCount(ws, stops) }
+    def build(rem: List[(String, Column)]): Column = rem match {
+      case (code, _) :: Nil => lit(code)
+      case (code, s) :: tail =>
+        val laterMax = tail.map(_._2).reduce((a, b) => greatest(a, b))
+        when(s >= laterMax, lit(code)).otherwise(build(tail))
+      case Nil => lit(null)
+    }
+    build(scores.toList)
+  }
+
+  /** Document fingerprint: sha256 over the sorted distinct token set — a canonical
+    * content id robust to word order and repetition (bag-of-words identity). */
+  def fingerprintSha(text: Column): Column =
+    sha2(array_join(array_sort(array_distinct(words(text))), " "), 256)
+}

@@ -1,0 +1,69 @@
+package graft.jobs
+
+import graft.ops.TimeSeriesOps._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's pipelines restated as single lazy plans (SURVEY.md §3).
+  * Each builder is a pure plan function — no side effects, no collects — so Catalyst
+  * sees the whole tree: the reference's 22-iteration join loop and 114-catchment
+  * nested merge loop each collapse into one shuffle
+  * (ref: inputs/gen_mike_input_rf_linux.py:155-162,180-202).
+  */
+object MikeJobs {
+
+  /** 3.1 rainfall input: long obs series + coefficient dim -> per-catchment 15-min
+    * wide matrix.
+    * series:  (obs_id, time, value)   raw 5-min observations
+    * coeffs:  (name, obs_id, coefficient)  204-row dim -> broadcast
+    * Steps: cleanse negatives (P3) -> right-closed 15-min resample (A1) -> row-mean
+    * impute (W4) -> weighted catchment fold (A3) -> pivot wide (R1). */
+  def rainfallInput(spark: SparkSession, series: DataFrame, coeffs: DataFrame,
+                    startTs: String, endTs: String,
+                    catchments: Seq[String] = Nil): DataFrame = {
+    val spine = timeSpine(spark, startTs, endTs, 15)
+    val clean = cleanseNegatives(series, "value")
+    val res = resampleSum(clean, "time", 900L, Seq("obs_id"), "value")
+    // align on the 15-min spine so imputation sees explicit gaps
+    val ids = coeffs.select(col("obs_id")).distinct()
+    val grid = broadcast(spine).crossJoin(broadcast(ids))
+    val aligned = grid.join(res, Seq("obs_id", "time"), "left")
+    val imputed = imputeRowMean(aligned, "time", "value")
+    val folded = weightedGroupSum(imputed, coeffs, "obs_id",
+      "name", "time", "value", "coefficient")
+    pivotWide(folded.withColumn("value", round(col("value"), 1)),
+      "time", "name", "value", catchments)
+  }
+
+  /** 3.2 extract-to-warehouse: wide MIKE result matrix -> long fact rows with
+    * deterministic series ids and fgt versioning, plus the unmatched-station branch
+    * (anti-join) the reference logs (ref: outputs/extract_water_level.py:103-104).
+    * Returns (facts, unmatched). */
+  def extractToWarehouse(wide: DataFrame, stationDim: DataFrame, fgt: String,
+                         simTag: String, model: String, variable: String,
+                         unit: String): (DataFrame, DataFrame) = {
+    val long = unpivotLong(wide, Seq("time"), "station", "value")
+      .withColumn("value", round(col("value"), 3))
+    val joined = long.join(broadcast(stationDim), Seq("station"), "left")
+    val matched = joined.filter(col("station_id").isNotNull)
+      .withColumn("tms_id", seriesId(lit(simTag), lit(model), lit(variable),
+        lit(unit), col("station_id")))
+      .withColumn("fgt", lit(fgt).cast("timestamp_ntz"))
+      .select(col("tms_id"), col("time"), col("fgt"), col("value"))
+    val unmatched = joined.filter(col("station_id").isNull)
+      .select(col("station")).distinct()
+    (matched, unmatched)
+  }
+
+  /** 3.3 discharge/tide input: single long series -> spine-aligned, sentinel-cleansed,
+    * last-row-patched headerless series (the minimum end-to-end slice, SURVEY.md §7.2;
+    * ref: inputs/gen_mike_input_tide_linux.py:88-115). */
+  def tideInput(spark: SparkSession, series: DataFrame,
+                startTs: String, endTs: String, stepMinutes: Int = 15): DataFrame = {
+    val spine = timeSpine(spark, startTs, endTs, stepMinutes)
+    val aligned = alignToSpine(broadcast(spine), series)
+    val clean = cleanseSentinel(aligned, "value")
+    val patched = patchLastRow(clean, "time", "value")
+    patched.na.drop(Seq("value"))
+  }
+}

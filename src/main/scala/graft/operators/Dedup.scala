@@ -1,0 +1,161 @@
+package graft.operators
+
+import graft.functions.TextFns
+import graft.functions.VectorFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data pipeline, exact and approximate.
+  *
+  * Scale design: every variant is expressed so the expensive comparison only happens
+  * inside small candidate groups produced by a hash-partitionable blocking key —
+  * exact dedup groups by content hash; MinHash-LSH groups by (band, bandHash);
+  * SimHash groups by 16-bit signature bands; embedding dedup groups by label/LSH
+  * bucket. No operator ever materializes the full O(n²) pair space, so each is one
+  * or two shuffles regardless of corpus size.
+  */
+object Dedup {
+
+  /** Exact dedup by normalized content hash: keeps the lowest-id row per group.
+    * One hash aggregate (sha-bucket shuffle); survivors carry the group size. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = sha2(lower(trim(col(textCol))), 256)
+    docs.withColumn("__h", norm)
+      .groupBy(col("__h").as("content_sha"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
+  }
+
+  /** Near-dup pairs by exact n-gram Jaccard within blocking groups.
+    * `blockCols` bounds the candidate space (e.g. language + length bucket) — at
+    * 100 TB this is the difference between a feasible shuffle join and an O(n²)
+    * explosion. Returns (id_a, id_b, jaccard) with id_a < id_b. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double,
+                        blockCols: Seq[String]): DataFrame = {
+    val withSh = docs.select(
+      (col(idCol).as("__id") +: col(textCol).as("__text") +: blockCols.map(col)): _*)
+      .withColumn("__sh", array_distinct(
+        TextFns.wordShingles(TextFns.words(col("__text")), n)))
+      .filter(size(col("__sh")) > 0)
+      .drop("__text")
+    val a = withSh.select(col("__id").as("id_a") +: col("__sh").as("sh_a") +:
+      blockCols.map(col): _*)
+    val b = withSh.select(col("__id").as("id_b") +: col("__sh").as("sh_b") +:
+      blockCols.map(col): _*)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") -
+      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: `numHashes` permutations simulated with seeded xxhash64 over
+    * distinct word shingles. One explode + one hash aggregate (k min() aggs computed
+    * map-side). */
+  def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int, numHashes: Int): DataFrame = {
+    val shingled = docs.select(col(idCol).as("__id"),
+      explode(array_distinct(TextFns.wordShingles(
+        TextFns.words(col(textCol)), shingleN))).as("__sh"))
+    val minAggs = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("__sh"))).as(s"h$i"))
+    shingled.groupBy(col("__id")).agg(minAggs.head, minAggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding: signatures split into `bands` bands of
+    * `numHashes / bands` rows; docs sharing any band hash become candidate pairs,
+    * then candidates are verified with exact Jaccard. Standard (b, r) S-curve
+    * banding. Returns (id_a, id_b, jaccard >= threshold). */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    val sig = minhashSignature(docs, idCol, textCol, shingleN, numHashes)
+    val bandHashes = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64((b * r until (b + 1) * r).map(i => col(s"h$i")): _*).as("bh"))
+    }
+    val buckets = sig.select(col("__id"),
+      explode(array(bandHashes: _*)).as("bb"))
+      .select(col("__id"), col("bb.band"), col("bb.bh"))
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .distinct()
+    // verify candidates with exact shingle Jaccard
+    val sh = docs.select(col(idCol).as("__vid"), array_distinct(
+      TextFns.wordShingles(TextFns.words(col(textCol)), shingleN)).as("__vsh"))
+    val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
+    val union = (size(col("sha")) + size(col("shb"))).cast("double") - inter
+    cand
+      .join(sh.select(col("__vid").as("id_a"), col("__vsh").as("sha")), "id_a")
+      .join(sh.select(col("__vid").as("id_b"), col("__vsh").as("shb")), "id_b")
+      .withColumn("jaccard", inter / union)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash per document: sign-sum of per-token hash bits. Computed with 64
+    * conditional-sum aggregates in ONE hash aggregate pass (no per-bit shuffles). */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokens = docs.select(col(idCol).as("__id"),
+      explode(TextFns.words(col(textCol))).as("__w"))
+      .withColumn("__h", xxhash64(col("__w")))
+    val bitAggs = (0 until 64).map { j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$j")
+    }
+    val sums = tokens.groupBy(col("__id")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sim = (0 until 64).map(j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))).reduce(_ + _)
+    sums.select(col("__id").as(idCol), sim.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: candidates must share one of four 16-bit bands (so any
+    * pair within Hamming distance 3 is guaranteed caught), verified by exact Hamming
+    * distance <= maxHamming. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sig = simhash64(docs, idCol, textCol)
+    val banded = sig.select(col(idCol).as("__id"), col("simhash"),
+      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("bh"))): _*))
+        .as("bb"))
+      .select(col("__id"), col("simhash"), col("bb.band"), col("bb.bh"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.__id") < col("y.__id"))
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-dup pairs: cosine >= threshold within blocking groups (e.g. an
+    * LSH bucket or coarse label). Vectors are quantized and norm'd ONCE per row
+    * before the pair join, so the per-pair cost is a single integer dot fold —
+    * the O(n) prep is hoisted out of the O(n²) loop. */
+  def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double, blockCols: Seq[String]): DataFrame = {
+    val base = embs.select(
+      (col(idCol).as("__id") +: VectorFns.quantize(col(vecCol)).as("__q") +:
+        blockCols.map(col)): _*)
+      .withColumn("__n", VectorFns.normLong(col("__q")))
+    val a = base.select(col("__id").as("id_a") +: col("__q").as("qa") +:
+      col("__n").as("na") +: blockCols.map(col): _*)
+    val b = base.select(col("__id").as("id_b") +: col("__q").as("qb") +:
+      col("__n").as("nb") +: blockCols.map(col): _*)
+    a.join(b, blockCols)
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", VectorFns.cosineFromQuantized(
+        col("qa"), col("qb"), col("na"), col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

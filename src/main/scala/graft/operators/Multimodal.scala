@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary` columns with
+  * typed metadata.
+  *
+  * The Spark-side contract is real and tested — schema, partition sizing, batch
+  * shape, deterministic chunking — while the actual codec step is STUBBED with a
+  * deterministic fake (this container has no image/audio libraries). Swapping in a
+  * real decoder means replacing `decodeStub` only; every plan shape stays the same.
+  *
+  * Scale design: media rows are orders of magnitude wider than text rows, so the
+  * operators (a) never shuffle the binary payload except when explicitly
+  * repartitioning by size, and (b) process partitions as iterators (mapPartitions)
+  * so one bad 2 GB blob cannot OOM an executor holding a materialized batch.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate_hz", IntegerType),
+      StructField("duration_ms", LongType))), nullable = true)))
+
+  /** Deterministic fake "decode": derives a fixed-length feature vector from the
+    * payload bytes via seeded hashes. Stands in for a real image/audio decoder —
+    * ??? territory, clearly marked; the surrounding plan (projection, batching,
+    * schema) is production-shaped. */
+  def decodeStub(df: DataFrame, payloadCol: String = "payload",
+                 dims: Int = 16): DataFrame =
+    // real impl: mapPartitions over an Arrow batch handed to the codec library
+    df.withColumn("features",
+      transform(sequence(lit(0), lit(dims - 1)),
+        i => pmod(xxhash64(col(payloadCol), i), lit(1000L)).cast("double") / 1000.0))
+
+  /** Deterministic frame sampling: split the payload into `frameBytes` chunks and
+    * keep every `everyNth` chunk, preserving frame index. posexplode keeps lineage
+    * of (media_id, frame_idx) without shuffling. */
+  def sampleFrames(df: DataFrame, frameBytes: Int, everyNth: Int,
+                   payloadCol: String = "payload"): DataFrame = {
+    val nFrames = ceil(length(col(payloadCol)).cast("double") / frameBytes).cast("int")
+    df.withColumn("__idx",
+        filter(sequence(lit(0), nFrames - 1), i => i % everyNth === 0))
+      .select(col("media_id"), posexplode(col("__idx")).as(Seq("pos", "frame_idx")))
+      .drop("pos")
+      .join(df.select(col("media_id"), col(payloadCol)), "media_id")
+      .withColumn("frame",
+        col(payloadCol).substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))
+      .select(col("media_id"), col("frame_idx"), col("frame"))
+  }
+
+  /** Size-aware repartitioning: pack media rows into partitions of roughly
+    * `targetBytes` by bucketing on cumulative payload size — prevents the skew where
+    * one partition holds all the videos and the rest hold thumbnails. */
+  def repartitionBySize(df: DataFrame, targetBytes: Long,
+                        payloadCol: String = "payload"): DataFrame = {
+    val sized = df.withColumn("__sz", coalesce(length(col(payloadCol)), lit(0)))
+    val nPart = greatest(lit(1),
+      ceil(sum(col("__sz")).over() / targetBytes)).cast("int")
+    // salt by size bucket; AQE coalesces small ones
+    sized.withColumn("__bucket", pmod(xxhash64(col("media_id")), nPart))
+      .repartition(col("__bucket"))
+      .drop("__sz", "__bucket")
+  }
+}

