@@ -1,6 +1,6 @@
 package graft.io
 
-import java.sql.{Connection, DriverManager}
+import java.sql.DriverManager
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
@@ -14,87 +14,106 @@ import org.apache.spark.sql.functions._
   * the same `(tms_id, time, fgt)` keys overwrites identical values
   * (ref semantics: outputs/extract_water_level.py:96-97, `insert_data(..., upsert=True)`).
   *
-  * Dialect note: MySQL (what the reference warehouse runs) uses
-  * `INSERT ... ON DUPLICATE KEY UPDATE`; the tests run against embedded Derby which
-  * needs ANSI `MERGE`. The statement template is pluggable per dialect.
-  */
+  * Dialects: MySQL (the reference's warehouse, ref: requirements.txt:6 PyMySQL) gets
+  * a single-statement `INSERT ... ON DUPLICATE KEY UPDATE` batch; the generic/Derby
+  * path uses UPDATE-then-INSERT (Derby's MERGE cannot take a VALUES source). */
 object JdbcUpsert {
 
-  sealed trait Dialect {
-    def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String]): String
+  sealed trait Dialect
+  /** Single-statement upsert, batched. Param order: all columns. */
+  case object MySqlDialect extends Dialect
+  /** Two statements: UPDATE (params: non-keys then keys); if no row matched,
+    * INSERT (params: all columns). Works on any ANSI JDBC target incl. Derby. */
+  case object UpdateInsertDialect extends Dialect
+
+  private def mysqlSql(table: String, cols: Seq[String], keyCols: Seq[String]) = {
+    val updates = cols.filterNot(keyCols.contains)
+      .map(c => s"$c = VALUES($c)").mkString(", ")
+    s"""INSERT INTO $table (${cols.mkString(", ")})
+       |VALUES (${cols.map(_ => "?").mkString(", ")})
+       |ON DUPLICATE KEY UPDATE $updates""".stripMargin
   }
 
-  /** MySQL / MariaDB: INSERT ... ON DUPLICATE KEY UPDATE (the reference's warehouse,
-    * ref: requirements.txt:6 PyMySQL). */
-  case object MySqlDialect extends Dialect {
-    def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String]): String = {
-      val updates = cols.filterNot(keyCols.contains)
-        .map(c => s"$c = VALUES($c)").mkString(", ")
-      s"""INSERT INTO $table (${cols.mkString(", ")})
-         |VALUES (${cols.map(_ => "?").mkString(", ")})
-         |ON DUPLICATE KEY UPDATE $updates""".stripMargin
+  private def updateSql(table: String, cols: Seq[String], keyCols: Seq[String]) = {
+    val sets = cols.filterNot(keyCols.contains).map(c => s"$c = ?").mkString(", ")
+    val where = keyCols.map(c => s"$c = ?").mkString(" AND ")
+    s"UPDATE $table SET $sets WHERE $where"
+  }
+
+  private def insertSql(table: String, cols: Seq[String]) =
+    s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+
+  private def jdbcValue(v: Any): AnyRef = (v match {
+    case t: java.time.LocalDateTime => java.sql.Timestamp.valueOf(t)
+    case t: java.time.Instant => java.sql.Timestamp.from(t)
+    case other => other
+  }).asInstanceOf[AnyRef]
+
+  private def bind(ps: java.sql.PreparedStatement, row: Row,
+                   fields: Seq[String], schema: Seq[String]): Unit =
+    fields.zipWithIndex.foreach { case (f, i) =>
+      ps.setObject(i + 1, jdbcValue(row.get(schema.indexOf(f))))
     }
-  }
 
-  /** ANSI MERGE (Derby, and most warehouses). */
-  case object AnsiMergeDialect extends Dialect {
-    def upsertSql(table: String, cols: Seq[String], keyCols: Seq[String]): String = {
-      val on = keyCols.map(c => s"t.$c = v.$c").mkString(" AND ")
-      val updates = cols.filterNot(keyCols.contains)
-        .map(c => s"t.$c = v.$c").mkString(", ")
-      s"""MERGE INTO $table t
-         |USING (VALUES (${cols.map(_ => "?").mkString(", ")}))
-         |  AS v (${cols.mkString(", ")})
-         |ON $on
-         |WHEN MATCHED THEN UPDATE SET $updates
-         |WHEN NOT MATCHED THEN INSERT (${cols.mkString(", ")})
-         |  VALUES (${cols.map(c => s"v.$c").mkString(", ")})""".stripMargin
-    }
-  }
-
-  private def bind(ps: java.sql.PreparedStatement, row: Row): Unit = {
-    var i = 0
-    while (i < row.length) {
-      ps.setObject(i + 1, row.get(i) match {
-        case t: java.time.LocalDateTime => java.sql.Timestamp.valueOf(t)
-        case v => v
-      })
-      i += 1
-    }
-  }
-
-  /** S11: batched fact upsert keyed `keyCols`. One connection + one batch stream per
-    * partition; `batchSize` bounds memory. */
+  /** S11: batched fact upsert keyed `keyCols`. One connection per partition;
+    * `batchSize` bounds buffered statements. */
   def upsert(df: DataFrame, url: String, table: String, keyCols: Seq[String],
-             dialect: Dialect = AnsiMergeDialect, batchSize: Int = 1000): Unit = {
+             dialect: Dialect = UpdateInsertDialect, batchSize: Int = 1000): Unit = {
     val cols = df.columns.toSeq
-    val sql = dialect.upsertSql(table, cols, keyCols)
-    df.foreachPartition { (rows: Iterator[Row]) =>
-      if (rows.nonEmpty) {
-        val conn = DriverManager.getConnection(url)
-        try {
-          conn.setAutoCommit(false)
-          val ps = conn.prepareStatement(sql)
-          var n = 0
-          rows.foreach { r =>
-            bind(ps, r); ps.addBatch(); n += 1
-            if (n % batchSize == 0) ps.executeBatch()
+    val nonKeys = cols.filterNot(keyCols.contains)
+    dialect match {
+      case MySqlDialect =>
+        val sql = mysqlSql(table, cols, keyCols)
+        df.foreachPartition { (rows: Iterator[Row]) =>
+          if (rows.nonEmpty) {
+            val conn = DriverManager.getConnection(url)
+            try {
+              conn.setAutoCommit(false)
+              val ps = conn.prepareStatement(sql)
+              var n = 0
+              rows.foreach { r =>
+                bind(ps, r, cols, cols); ps.addBatch(); n += 1
+                if (n % batchSize == 0) ps.executeBatch()
+              }
+              ps.executeBatch()
+              conn.commit()
+            } finally conn.close()
           }
-          ps.executeBatch()
-          conn.commit()
-        } finally conn.close()
-      }
+        }
+      case UpdateInsertDialect =>
+        val uSql = updateSql(table, cols, keyCols)
+        val iSql = insertSql(table, cols)
+        df.foreachPartition { (rows: Iterator[Row]) =>
+          if (rows.nonEmpty) {
+            val conn = DriverManager.getConnection(url)
+            try {
+              conn.setAutoCommit(false)
+              val up = conn.prepareStatement(uSql)
+              val ins = conn.prepareStatement(iSql)
+              var n = 0
+              rows.foreach { r =>
+                bind(up, r, nonKeys ++ keyCols, cols)
+                if (up.executeUpdate() == 0) {
+                  bind(ins, r, cols, cols); ins.addBatch(); n += 1
+                  if (n % batchSize == 0) ins.executeBatch()
+                }
+              }
+              ins.executeBatch()
+              conn.commit()
+            } finally conn.close()
+          }
+        }
     }
   }
 
   /** S12: idempotent dimension get-or-create — insert the key-rows that do not yet
     * exist (left-anti join against the current dim), then return the full dim.
     * Ids are deterministic content hashes (TimeSeriesOps.seriesId), so concurrent
-    * writers converge on identical rows without an id-allocator; the upsert makes the
-    * race a benign overwrite-with-equal-values. */
+    * writers converge on identical rows without an id-allocator; the upsert makes
+    * the race a benign overwrite-with-equal-values. */
   def getOrCreateDim(spark: SparkSession, candidates: DataFrame, url: String,
                      table: String, keyCols: Seq[String],
-                     dialect: Dialect = AnsiMergeDialect): DataFrame = {
+                     dialect: Dialect = UpdateInsertDialect): DataFrame = {
     val existing = spark.read.format("jdbc")
       .option("url", url).option("dbtable", table).load()
     val missing = candidates.join(existing.select(keyCols.map(col): _*),

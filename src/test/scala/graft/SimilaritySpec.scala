@@ -1,0 +1,32 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  val corpus = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.7f, 0.3f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("bruteForceTopK returns nearest-by-cosine, self excluded, ranked") {
+    val out = Similarity.bruteForceTopK(corpus.filter($"vec_id" === 0), corpus, 2)
+      .orderBy($"rank")
+      .select($"neighbor_id", $"rank").as[(Long, Int)].collect()
+    assert(out.toSeq == Seq((1L, 1), (2L, 2)))
+  }
+
+  test("lshTopK recall: exact-duplicate vectors always share a bucket") {
+    val withDup = corpus.union(Seq((5L, Array(1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding"))
+    val out = Similarity.lshTopK(withDup.filter($"vec_id" === 5), withDup, 3,
+      nPlanes = 6)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(out.contains(0L)) // identical vector -> identical signature -> found
+  }
+}

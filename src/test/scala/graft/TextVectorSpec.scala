@@ -1,0 +1,94 @@
+package graft
+
+import graft.functions.{RollingHash64, TextFns, VectorFns}
+import org.apache.spark.sql.functions._
+
+class TextVectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("words lowercases, trims, drops empties") {
+    val w = Seq("  The  quick   Fox ").toDF("t")
+      .select(TextFns.words($"t").as("w")).as[Seq[String]].head()
+    assert(w == Seq("the", "quick", "fox"))
+  }
+
+  test("wordShingles yields n-grams; short docs yield empty") {
+    val sh = Seq("a b c d").toDF("t")
+      .select(TextFns.wordShingles(TextFns.words($"t"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(sh == Seq("a b c", "b c d"))
+    val short = Seq("a b").toDF("t")
+      .select(TextFns.wordShingles(TextFns.words($"t"), 3).as("s"))
+      .as[Seq[String]].head()
+    assert(short.isEmpty)
+  }
+
+  test("tokenCount: letter runs + digit singletons + symbols") {
+    val n = Seq("Hello world42 x!").toDF("t")
+      .select(TextFns.tokenCount($"t").as("n")).as[Int].head()
+    // hello, world, 4, 2, x, ! -> 6
+    assert(n == 6)
+  }
+
+  test("langIdPredict: earlier language wins ties; markers score") {
+    val p1 = Seq("der und die x").toDF("t")
+      .select(TextFns.langIdPredict($"t")).as[String].head()
+    assert(p1 == "de")
+    val tie = Seq("xyz qrs").toDF("t") // all scores 0 -> first lang wins
+      .select(TextFns.langIdPredict($"t")).as[String].head()
+    assert(tie == "en")
+  }
+
+  test("fingerprintSha is word-order and repetition insensitive") {
+    val fps = Seq("b a a b", "a b").toDF("t")
+      .select(TextFns.fingerprintSha($"t").as("f")).as[String].collect()
+    assert(fps(0) == fps(1))
+  }
+
+  test("quantized cosine ~ exact double cosine; self-cosine == 1") {
+    val a = Array(0.1f, 0.2f, 0.3f)
+    val b = Array(0.3f, 0.1f, 0.2f)
+    val df = Seq((a, b)).toDF("a", "b")
+      .select(VectorFns.cosine($"a", $"b").as("ab"),
+        VectorFns.cosine($"a", $"a").as("aa"))
+    val (ab, aa) = df.as[(Double, Double)].head()
+    val exact = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    assert(math.abs(ab - exact) < 1e-5)
+    assert(math.abs(aa - 1.0) < 1e-12)
+  }
+
+  test("cosineFromQuantized is bit-identical to cosine on raw vectors") {
+    val vecs = Seq(
+      (Array(0.11f, -0.52f, 0.33f, 0.9f), Array(0.77f, 0.2f, -0.4f, 0.01f)))
+      .toDF("a", "b")
+    val plain = vecs.select(VectorFns.cosine($"a", $"b")).as[Double].head()
+    val fast = vecs.select(
+      VectorFns.cosineFromQuantized(
+        VectorFns.quantize($"a"), VectorFns.quantize($"b"),
+        VectorFns.normLong(VectorFns.quantize($"a")),
+        VectorFns.normLong(VectorFns.quantize($"b")))).as[Double].head()
+    assert(plain == fast) // exactly equal, not approximately
+  }
+
+  test("rolling_hash64: eval == codegen == reference impl; SQL registration") {
+    RollingHash64.register(spark)
+    val expected = RollingHash64.hashBytes("hello".getBytes("UTF-8"))
+    val viaSql = spark.sql("SELECT rolling_hash64('hello') AS h")
+      .as[Long].head()
+    assert(viaSql == expected)
+    // codegen path over a column (whole-stage codegen on)
+    val viaCol = Seq("hello", "world").toDF("t")
+      .selectExpr("rolling_hash64(t) AS h").as[Long].collect()
+    assert(viaCol(0) == expected)
+    assert(viaCol(1) == RollingHash64.hashBytes("world".getBytes("UTF-8")))
+    // null safety
+    val n = Seq(Option.empty[String]).toDF("t")
+      .selectExpr("rolling_hash64(t)").collect()
+    assert(n(0).isNullAt(0))
+  }
+}
