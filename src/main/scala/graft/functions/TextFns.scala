@@ -23,6 +23,18 @@ object TextFns {
         i => array_join(slice(ws, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
+  /** Distinct word n-gram shingles hashed to longs. Set operations (Jaccard
+    * intersections, MinHash) over 8-byte longs are ~10× cheaper than over shingle
+    * strings — both per-comparison and in shuffle payload — and set SIZES are
+    * identical to the string version barring a ~1e-15 xxhash64 collision. */
+  def hashedShingles(text: Column, n: Int): Column =
+    transform(array_distinct(wordShingles(words(text), n)), s => xxhash64(s))
+
+  /** Sorted variant: the required input form for `SortedIntersectCount`'s
+    * allocation-free merge intersections. Sort cost is per document, not per pair. */
+  def sortedHashedShingles(text: Column, n: Int): Column =
+    array_sort(hashedShingles(text, n))
+
   /** BPE-ish token count: letters runs, digit singletons, or single non-space symbols —
     * a deterministic proxy for subword token counts. */
   val bpeTokenPattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"

@@ -29,26 +29,44 @@ object Dedup {
   /** Near-dup pairs by exact n-gram Jaccard within blocking groups.
     * `blockCols` bounds the candidate space (e.g. language + length bucket) — at
     * 100 TB this is the difference between a feasible shuffle join and an O(n²)
-    * explosion. Returns (id_a, id_b, jaccard) with id_a < id_b. */
+    * explosion. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Scale mechanics: blocking keys are usually low-cardinality (5 languages = 5
+    * tasks), so side A is salted by id and side B replicated across the salt space —
+    * the expensive intersect work then spreads over `salts` × blocks tasks with
+    * identical results. The Jaccard threshold is applied as an integer cross-multiply
+    * (inter·(1+t) ≥ t·(|A|+|B|) scaled to exact longs) so the intersection is
+    * computed once and no division runs in the hot filter. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
-                        blockCols: Seq[String]): DataFrame = {
+                        blockCols: Seq[String], salts: Int = 16): DataFrame = {
     val withSh = docs.select(
       (col(idCol).as("__id") +: col(textCol).as("__text") +: blockCols.map(col)): _*)
-      .withColumn("__sh", array_distinct(
-        TextFns.wordShingles(TextFns.words(col("__text")), n)))
+      .withColumn("__sh", TextFns.sortedHashedShingles(col("__text"), n))
       .filter(size(col("__sh")) > 0)
       .drop("__text")
     val a = withSh.select(col("__id").as("id_a") +: col("__sh").as("sh_a") +:
-      blockCols.map(col): _*)
+      size(col("__sh")).cast("long").as("sa") +: pmod(col("__id"), lit(salts))
+        .as("__salt") +: blockCols.map(col): _*)
     val b = withSh.select(col("__id").as("id_b") +: col("__sh").as("sh_b") +:
-      blockCols.map(col): _*)
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val union = (size(col("sh_a")) + size(col("sh_b"))).cast("double") -
-      size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    a.join(b, blockCols)
+      size(col("__sh")).cast("long").as("sb") +: blockCols.map(col): _*)
+      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
+    // integer threshold: inter/union >= t  <=>  inter*(1+t)*S >= t*S*(sa+sb)
+    // with S scaling t to an exact integer (t assumed a short decimal)
+    graft.functions.SortedIntersectCount.register(docs.sparkSession)
+    val S = 1000000L
+    val tS = math.round(threshold * S)
+    val inter = graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b"))
+    // the replicated side broadcasts, so probe-side parallelism would collapse to
+    // the file-scan partition count (often 1 file = 1 task); spread the probe side
+    // across the (block, salt) space explicitly before the join
+    a.repartition((blockCols :+ "__salt").map(col): _*)
+      .join(b, blockCols :+ "__salt")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("jaccard", inter / union)
+      .withColumn("inter", inter)
+      .filter(col("inter") * (S + tS) >= lit(tS) * (col("sa") + col("sb")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("sa") + col("sb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -59,8 +77,7 @@ object Dedup {
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, numHashes: Int): DataFrame = {
     val shingled = docs.select(col(idCol).as("__id"),
-      explode(array_distinct(TextFns.wordShingles(
-        TextFns.words(col(textCol)), shingleN))).as("__sh"))
+      explode(TextFns.hashedShingles(col(textCol), shingleN)).as("__sh"))
     val minAggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("__sh"))).as(s"h$i"))
     shingled.groupBy(col("__id")).agg(minAggs.head, minAggs.tail: _*)
@@ -88,15 +105,17 @@ object Dedup {
           col("x.__id") < col("y.__id"))
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
       .distinct()
-    // verify candidates with exact shingle Jaccard
-    val sh = docs.select(col(idCol).as("__vid"), array_distinct(
-      TextFns.wordShingles(TextFns.words(col(textCol)), shingleN)).as("__vsh"))
-    val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
-    val union = (size(col("sha")) + size(col("shb"))).cast("double") - inter
+    // verify candidates with exact shingle Jaccard (intersect computed once,
+    // over hashed shingles)
+    graft.functions.SortedIntersectCount.register(docs.sparkSession)
+    val sh = docs.select(col(idCol).as("__vid"),
+      TextFns.sortedHashedShingles(col(textCol), shingleN).as("__vsh"))
     cand
       .join(sh.select(col("__vid").as("id_a"), col("__vsh").as("sha")), "id_a")
       .join(sh.select(col("__vid").as("id_b"), col("__vsh").as("shb")), "id_b")
-      .withColumn("jaccard", inter / union)
+      .withColumn("inter", graft.functions.SortedIntersectCount(col("sha"), col("shb")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
