@@ -1,0 +1,32 @@
+package graft
+
+import graft.functions.{RollingHash64, SortedIntersectCount}
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Catalyst integration point: registers the engine's native expressions so they are
+  * usable from plain SQL in any session created with
+  * `spark.sql.extensions=graft.GraftExtensions` (or
+  * `SparkSession.builder().withExtensions(new GraftExtensions)`):
+  *
+  *   SELECT rolling_hash64(text)             -- codegen'd FNV-style rolling hash
+  *   SELECT sorted_intersect_count(a, b)     -- allocation-free sorted-set intersect
+  *
+  * Injected via the extensions API (not per-session temp functions) so the functions
+  * exist on every executor/session of a cluster deployment without driver-side
+  * registration calls. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("rolling_hash64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[RollingHash64].getName, "rolling_hash64"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        RollingHash64(exprs.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedIntersectCount(exprs.head, exprs(1))))
+  }
+}

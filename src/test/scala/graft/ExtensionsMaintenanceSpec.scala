@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.time.Instant
+import java.time.temporal.ChronoUnit
+
+import graft.jobs.Maintenance
+import org.apache.spark.sql.SparkSession
+
+class ExtensionsMaintenanceSpec extends SparkSpec {
+
+  test("GraftExtensions: native functions available from plain SQL") {
+    // getOrCreate would return the suite's session (extensions ignored) — clear the
+    // default so a genuinely new session is built with the extensions installed,
+    // then restore the suite session afterwards
+    val base = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder().master("local[2]")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    try {
+      runExtensionChecks(s2)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  private def runExtensionChecks(s2: SparkSession): Unit = {
+    val r = s2.sql(
+      """SELECT rolling_hash64('abc') AS h,
+        |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS i""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == graft.functions.RollingHash64.hashBytes("abc".getBytes("UTF-8")))
+    assert(r.getLong(1) == 2L)
+  }
+
+  test("S13 idempotence gate: second tick skips") {
+    val dir = Files.createTempDirectory("gate").toString
+    val out = s"$dir/RF_2024.csv"
+    var runs = 0
+    assert(Maintenance.runIdempotent(out) { Files.writeString(Paths.get(out), "x"); runs += 1 })
+    assert(!Maintenance.runIdempotent(out) { runs += 1 })
+    assert(runs == 1)
+  }
+
+  test("S14 TTL retention deletes only expired artifacts") {
+    val dir = Files.createTempDirectory("flush")
+    val old = dir.resolve("old.csv"); val fresh = dir.resolve("fresh.csv")
+    Files.writeString(old, "o"); Files.writeString(fresh, "f")
+    Files.setLastModifiedTime(old, java.nio.file.attribute.FileTime.from(
+      Instant.now().minus(61, ChronoUnit.DAYS)))
+    val deleted = Maintenance.flushOlderThan(dir.toString, 60)
+    assert(deleted.map(_.getFileName.toString) == Seq("old.csv"))
+    assert(!Files.exists(old) && Files.exists(fresh))
+  }
+}

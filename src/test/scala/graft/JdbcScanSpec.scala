@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** S3/S4: JDBC point-range and filtered dimension scans with predicate pushdown —
+  * the engine's replacement for the adapter's get_timeseries / run-dim lookups
+  * (SURVEY.md §0.1), against embedded Derby. */
+class JdbcScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val url = "jdbc:derby:memory:scantest;create=true"
+
+  private lazy val setup: Unit = {
+    val c = java.sql.DriverManager.getConnection(url)
+    c.createStatement().execute(
+      """CREATE TABLE series (tms_id VARCHAR(64) NOT NULL, t TIMESTAMP NOT NULL,
+        |  v DOUBLE, PRIMARY KEY (tms_id, t))""".stripMargin)
+    val ps = c.prepareStatement("INSERT INTO series VALUES (?, ?, ?)")
+    for (id <- Seq("aaa", "bbb"); m <- 0 until 60 by 5) {
+      ps.setString(1, id)
+      ps.setTimestamp(2, java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00"))
+      ps.setDouble(3, m.toDouble)
+      ps.addBatch()
+    }
+    ps.executeBatch()
+    c.close()
+  }
+
+  test("S3: point-range scan pushes id + time-range predicates to the database") {
+    setup
+    val df = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "series").load()
+      .filter($"tms_id" === "aaa" &&
+        $"t" >= java.sql.Timestamp.valueOf("2024-01-01 00:10:00") &&
+        $"t" <= java.sql.Timestamp.valueOf("2024-01-01 00:30:00"))
+    assert(df.count() == 5)
+    // predicates must reach the JDBC source, not run client-side
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters") && physical.contains("TMS_ID"))
+  }
+
+  test("S4: freshness-filtered dim scan (obs_end >= watermark) pushes down") {
+    setup
+    val latest = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "series").load()
+      .groupBy($"tms_id").agg(max($"t").as("obs_end")) // A6 get_obs_end
+      .filter($"obs_end" >= java.sql.Timestamp.valueOf("2024-01-01 00:55:00"))
+    assert(latest.count() == 2)
+  }
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mediaDf = {
+    val rows = Seq(
+      Row(1L, "image", Array.fill[Byte](100)(7),
+        Row(10, 10, null, null)),
+      Row(2L, "audio", Array.fill[Byte](250)(3),
+        Row(null, null, 16000, 4000L)),
+      Row(3L, "image", null, null))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+  }
+
+  test("decodeStub: deterministic fixed-length features; null payload -> null-safe") {
+    val out = Multimodal.decodeStub(mediaDf)
+    val feats = out.filter($"media_id" === 1L)
+      .select($"features").as[Seq[Double]].head()
+    assert(feats.length == 16)
+    assert(feats.forall(f => f >= 0.0 && f < 1.0))
+    // deterministic: same payload -> same features on re-evaluation
+    val again = Multimodal.decodeStub(mediaDf)
+      .filter($"media_id" === 1L).select($"features").as[Seq[Double]].head()
+    assert(feats == again)
+  }
+
+  test("sampleFrames: deterministic chunking keeps every Nth frame with lineage") {
+    val frames = Multimodal.sampleFrames(mediaDf.filter($"media_id" === 2L),
+      frameBytes = 50, everyNth = 2)
+    val idx = frames.orderBy($"frame_idx").select($"frame_idx").as[Int].collect()
+    assert(idx.toSeq == Seq(0, 2, 4)) // 250 bytes -> 5 frames -> keep 0,2,4
+    val f0len = frames.filter($"frame_idx" === 0)
+      .select(length($"frame")).as[Int].head()
+    assert(f0len == 50)
+  }
+}
