@@ -100,7 +100,13 @@ object SparkEntry {
     "q31_embedding_dedup" -> qEmbeddingDedup,
     "q32_sessionize" -> qSessionize,
     "q33_mike_pipeline" -> ((s: SparkSession, d: String) => qMikePipeline(s, d)),
-    "q34_scan_stats" -> qScanStats)
+    "q34_scan_stats" -> qScanStats,
+    "q35_asof_prior" -> qAsofPrior,
+    "q36_rollup" -> qRollup,
+    "q37_scalar_subquery" -> qScalarSubquery,
+    "q38_set_ops" -> qSetOps,
+    "q39_json_extract" -> qJsonExtract,
+    "q40_date_parts" -> qDateParts)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -495,6 +501,70 @@ object SparkEntry {
         date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("min_ship"),
         countDistinct(col("l_orderkey")).as("n_orders"))
 
+  /** As-of (point-in-time) join semantics via a running conditional max — each event
+    * sees the latest purchase at-or-before its own time in the same series. The
+    * window form avoids a range-join shuffle entirely: one sort per partition key. */
+  private def qAsofPrior(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "events")
+      .withColumn("pp_us",
+        max(when(col("event_type") === "purchase", tsUs)).over(w))
+      .select(col("event_id"), col("user_id"),
+        date_format(timestamp_micros(col("pp_us")), "yyyy-MM-dd HH:mm:ss")
+          .as("prior_purchase_time"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Rollup (hierarchical grouping sets) with grouping id. */
+  private def qRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+
+  /** Scalar subquery: orders above the global mean price (mean via exact ints). */
+  private def qScalarSubquery(s: SparkSession, dir: String): DataFrame = {
+    val thr = t(s, dir, "orders").agg(
+      (sum(cents(col("o_totalprice"))).cast("double") /
+        count(lit(1)).cast("double")).as("thr"))
+    t(s, dir, "orders")
+      .crossJoin(broadcast(thr))
+      .filter(cents(col("o_totalprice")).cast("double") > col("thr"))
+      .select(col("o_orderkey"), money(cents(col("o_totalprice"))).as("total_2dp"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** INTERSECT / EXCEPT set ops: nations with customers vs with suppliers. */
+  private def qSetOps(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+    val su = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+    c.intersect(su).withColumn("kind", lit("both"))
+      .union(c.except(su).withColumn("kind", lit("customers_only")))
+      .orderBy(col("kind"), col("nk"))
+  }
+
+  /** F10: attribute extraction from the JSON-ish props payload (regex form — engine
+    * and oracle share RE2/Java-compatible syntax). */
+  private def qJsonExtract(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .select(col("event_id"),
+        regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("long").as("k_val"))
+      .orderBy(col("event_id"))
+
+  /** F3: date-part extraction with explicit cross-engine weekday convention
+    * (Spark dayofweek is 1=Sunday; emitted as Sunday=0 to match DuckDB dow). */
+  private def qDateParts(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders").filter(col("o_orderkey") < 200)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dayofmonth(col("o_orderdate")).cast("long").as("d"),
+        (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow_sun0"))
+      .orderBy(col("o_orderkey"))
+
   // ---------- DuckDB oracles ----------
 
   def oracleSql: Map[String, String] = Map(
@@ -830,5 +900,50 @@ object SparkEntry {
         |  strftime(MAX(l_shipdate), '%Y-%m-%d') AS max_ship,
         |  strftime(MIN(l_shipdate), '%Y-%m-%d') AS min_ship,
         |  COUNT(DISTINCT l_orderkey) AS n_orders
-        |FROM lineitem""".stripMargin)
+        |FROM lineitem""".stripMargin,
+    "q35_asof_prior" ->
+      """SELECT event_id, user_id,
+        |  strftime(make_timestamp(
+        |    MAX(CASE WHEN event_type = 'purchase'
+        |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |    '%Y-%m-%d %H:%M:%S') AS prior_purchase_time
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q36_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty, COUNT(*) AS n,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "q37_scalar_subquery" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS DOUBLE)/100.0 AS total_2dp
+        |FROM orders
+        |WHERE CAST(CAST(ROUND(o_totalprice*100) AS BIGINT) AS DOUBLE) >
+        |  (SELECT CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS DOUBLE)
+        |     / CAST(COUNT(*) AS DOUBLE) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q38_set_ops" ->
+      """SELECT nk, kind FROM (
+        |  SELECT nk, 'both' AS kind FROM
+        |    (SELECT c_nationkey AS nk FROM customer
+        |     INTERSECT SELECT s_nationkey FROM supplier)
+        |  UNION ALL
+        |  SELECT nk, 'customers_only' AS kind FROM
+        |    (SELECT c_nationkey AS nk FROM customer
+        |     EXCEPT SELECT s_nationkey FROM supplier))
+        |ORDER BY kind, nk""".stripMargin,
+    "q39_json_extract" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k_val
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q40_date_parts" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin)
 }
