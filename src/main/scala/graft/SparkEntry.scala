@@ -106,7 +106,8 @@ object SparkEntry {
     "q37_scalar_subquery" -> qScalarSubquery,
     "q38_set_ops" -> qSetOps,
     "q39_json_extract" -> qJsonExtract,
-    "q40_date_parts" -> qDateParts)
+    "q40_date_parts" -> qDateParts,
+    "q41_try_cast" -> qTryCast)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -565,6 +566,16 @@ object SparkEntry {
         (dayofweek(col("o_orderdate")) - 1).cast("long").as("dow_sun0"))
       .orderBy(col("o_orderkey"))
 
+  /** F8: float/int-parse guard — the reference's `isfloat` try/except becomes
+    * `try_cast` (parse failure -> NULL, no job abort). */
+  private def qTryCast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .withColumn("s",
+        when(pmod(col("event_id"), lit(2)) === 0, col("user_id").cast("string"))
+          .otherwise(col("event_type")))
+      .selectExpr("event_id", "s", "try_cast(s AS BIGINT) AS parsed")
+      .orderBy(col("event_id"))
+
   // ---------- DuckDB oracles ----------
 
   def oracleSql: Map[String, String] = Map(
@@ -945,5 +956,12 @@ object SparkEntry {
         |  CAST(month(o_orderdate) AS BIGINT) AS m,
         |  CAST(day(o_orderdate) AS BIGINT) AS d,
         |  CAST(dayofweek(o_orderdate) AS BIGINT) AS dow_sun0
-        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin)
+        |FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey""".stripMargin,
+    "q41_try_cast" ->
+      """SELECT event_id, s, TRY_CAST(s AS BIGINT) AS parsed FROM (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 2 = 0 THEN CAST(user_id AS VARCHAR)
+        |         ELSE event_type END AS s
+        |  FROM events)
+        |ORDER BY event_id""".stripMargin)
 }
