@@ -393,6 +393,7 @@ object SparkEntry {
   /** Text quality scoring: word stats + stopword ratio (exact integer ratios). */
   private def qTextQuality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .withColumn("q", TextFns.qualityStruct(col("text"),
         Seq("the", "a", "of", "and", "is")))
       .select(col("doc_id"), col("q.n_words").as("n_words"),
@@ -407,6 +408,7 @@ object SparkEntry {
       TextFns.stopwordCount(ws, stops).cast("long").as(s"s_$code")
     }
     t(s, dir, "documents")
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select((col("doc_id") +: scoreCols :+
         TextFns.langIdPredict(col("text")).as("pred_lang")): _*)
       .orderBy(col("doc_id"))
@@ -423,6 +425,7 @@ object SparkEntry {
   /** Bag-of-words sha fingerprint (order/repetition-insensitive content id). */
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("doc_id"), TextFns.fingerprintSha(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 

@@ -40,8 +40,12 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
                         blockCols: Seq[String], salts: Int = 16): DataFrame = {
+    // repartition BEFORE the per-doc shingle computation: document corpora often
+    // arrive as few large-ish files, and without the exchange the whole
+    // tokenize+hash+sort pipeline runs at file-count parallelism (measured: 1 task)
     val withSh = docs.select(
       (col(idCol).as("__id") +: col(textCol).as("__text") +: blockCols.map(col)): _*)
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .withColumn("__sh", TextFns.sortedHashedShingles(col("__text"), n))
       .filter(size(col("__sh")) > 0)
       .drop("__text")
@@ -76,8 +80,12 @@ object Dedup {
     * map-side). */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, numHashes: Int): DataFrame = {
-    val shingled = docs.select(col(idCol).as("__id"),
-      explode(TextFns.hashedShingles(col(textCol), shingleN)).as("__sh"))
+    // repartition before the explode: shingle hashing + 64 map-side min-aggs are the
+    // expensive part and must not run at file-count parallelism
+    val shingled = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol).as("__id"),
+        explode(TextFns.hashedShingles(col(textCol), shingleN)).as("__sh"))
     val minAggs = (0 until numHashes).map(i =>
       min(xxhash64(lit(i), col("__sh"))).as(s"h$i"))
     shingled.groupBy(col("__id")).agg(minAggs.head, minAggs.tail: _*)
@@ -108,8 +116,10 @@ object Dedup {
     // verify candidates with exact shingle Jaccard (intersect computed once,
     // over hashed shingles)
     graft.functions.SortedIntersectCount.register(docs.sparkSession)
-    val sh = docs.select(col(idCol).as("__vid"),
-      TextFns.sortedHashedShingles(col(textCol), shingleN).as("__vsh"))
+    val sh = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol).as("__vid"),
+        TextFns.sortedHashedShingles(col(textCol), shingleN).as("__vsh"))
     cand
       .join(sh.select(col("__vid").as("id_a"), col("__vsh").as("sha")), "id_a")
       .join(sh.select(col("__vid").as("id_b"), col("__vsh").as("shb")), "id_b")
@@ -123,8 +133,10 @@ object Dedup {
   /** 64-bit SimHash per document: sign-sum of per-token hash bits. Computed with 64
     * conditional-sum aggregates in ONE hash aggregate pass (no per-bit shuffles). */
   def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = docs.select(col(idCol).as("__id"),
-      explode(TextFns.words(col(textCol))).as("__w"))
+    val tokens = docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol).as("__id"),
+        explode(TextFns.words(col(textCol))).as("__w"))
       .withColumn("__h", xxhash64(col("__w")))
     val bitAggs = (0 until 64).map { j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1).otherwise(-1))
@@ -162,9 +174,11 @@ object Dedup {
     * the O(n) prep is hoisted out of the O(n²) loop. */
   def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, blockCols: Seq[String]): DataFrame = {
-    val base = embs.select(
-      (col(idCol).as("__id") +: VectorFns.quantize(col(vecCol)).as("__q") +:
-        blockCols.map(col)): _*)
+    val base = embs
+      .repartition(embs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(
+        (col(idCol).as("__id") +: VectorFns.quantize(col(vecCol)).as("__q") +:
+          blockCols.map(col)): _*)
       .withColumn("__n", VectorFns.normLong(col("__q")))
     val a = base.select(col("__id").as("id_a") +: col("__q").as("qa") +:
       col("__n").as("na") +: blockCols.map(col): _*)
