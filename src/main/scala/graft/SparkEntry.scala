@@ -107,7 +107,8 @@ object SparkEntry {
     "q38_set_ops" -> qSetOps,
     "q39_json_extract" -> qJsonExtract,
     "q40_date_parts" -> qDateParts,
-    "q41_try_cast" -> qTryCast)
+    "q41_try_cast" -> qTryCast,
+    "q42_curation_pipeline" -> qCuration)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -579,6 +580,32 @@ object SparkEntry {
       .selectExpr("event_id", "s", "try_cast(s AS BIGINT) AS parsed")
       .orderBy(col("event_id"))
 
+  /** Training-data curation pipeline: quality gate -> exact dedup (keep lowest id
+    * per content hash) -> top-5 per language by an exact-integer quality score.
+    * Composes text analysis, dedup and ranking the way a real corpus-curation job
+    * would; every stage is one hash-partitionable pass. */
+  private def qCuration(s: SparkSession, dir: String): DataFrame = {
+    val ws = TextFns.words(col("text"))
+    val base = t(s, dir, "documents")
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .withColumn("n_words", size(ws).cast("long"))
+      .withColumn("stop_cnt",
+        TextFns.stopwordCount(ws, Seq("the", "a", "of", "and", "is")).cast("long"))
+      .withColumn("sha", sha2(lower(trim(col("text"))), 256))
+      .filter(col("n_words") >= 20)
+    val dedup = base.withColumn("rn",
+        row_number().over(Window.partitionBy(col("sha")).orderBy(col("doc_id"))))
+      .filter(col("rn") === 1)
+    // quality: fewer stopwords per word is "denser"; exact rational as double
+    val score = (col("stop_cnt") * 10000L).cast("double") / col("n_words").cast("double")
+    dedup.withColumn("score", score)
+      .withColumn("rank", row_number().over(Window.partitionBy(col("lang"))
+        .orderBy(col("score").asc, col("n_words").desc, col("doc_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("doc_id"), col("n_words"), col("score"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   // ---------- DuckDB oracles ----------
 
   def oracleSql: Map[String, String] = Map(
@@ -966,5 +993,29 @@ object SparkEntry {
         |    CASE WHEN event_id % 2 = 0 THEN CAST(user_id AS VARCHAR)
         |         ELSE event_type END AS s
         |  FROM events)
-        |ORDER BY event_id""".stripMargin)
+        |ORDER BY event_id""".stripMargin,
+    "q42_curation_pipeline" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> len(w) > 0)) AS BIGINT) AS n_words,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> list_contains(['the','a','of','and','is'], w))) AS BIGINT) AS stop_cnt,
+        |    sha256(lower(trim(text))) AS sha
+        |  FROM documents),
+        |filtered AS (SELECT * FROM base WHERE n_words >= 20),
+        |dedup AS (
+        |  SELECT * FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY sha
+        |    ORDER BY doc_id) AS rn FROM filtered) WHERE rn = 1),
+        |scored AS (
+        |  SELECT doc_id, lang, n_words,
+        |    CAST(stop_cnt * 10000 AS DOUBLE) / CAST(n_words AS DOUBLE) AS score
+        |  FROM dedup),
+        |ranked AS (
+        |  SELECT lang, doc_id, n_words, score,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY score ASC, n_words DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT lang, rank, doc_id, n_words, score
+        |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)
 }

@@ -33,7 +33,9 @@ object EventStream {
   def windowedCounts(spark: SparkSession, dir: String,
                      windowLen: String = "15 minutes",
                      watermark: String = "1 hour"): DataFrame =
-    spark.readStream.schema(eventSchema).parquet(dir)
+    spark.readStream.schema(eventSchema)
+      .option("pathGlobFilter", "events*.parquet") // the sf dirs hold ALL tables
+      .parquet(dir)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), windowLen), col("event_type"))
