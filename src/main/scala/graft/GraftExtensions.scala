@@ -28,5 +28,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SortedIntersectCount(exprs.head, exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sketch"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.MinHashSketch].getName, "minhash_sketch"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.MinHashSketch(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Number].intValue())))
   }
 }

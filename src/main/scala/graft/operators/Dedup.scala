@@ -75,20 +75,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signatures: `numHashes` permutations simulated with seeded xxhash64 over
-    * distinct word shingles. One explode + one hash aggregate (k min() aggs computed
-    * map-side). */
+  /** MinHash signatures via the native `MinHashSketch` TypedImperativeAggregate:
+    * one fixed-size buffer per doc instead of `numHashes` separate min() aggregate
+    * expressions; partial aggregation map-side, partition-invariant result.
+    * Returns (__id, sig: array<bigint>[numHashes]). */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, numHashes: Int): DataFrame = {
-    // repartition before the explode: shingle hashing + 64 map-side min-aggs are the
-    // expensive part and must not run at file-count parallelism
+    graft.functions.MinHashSketch.register(docs.sparkSession)
+    // repartition before the explode: shingle hashing is the expensive part and
+    // must not run at file-count parallelism
     val shingled = docs
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col(idCol).as("__id"),
         explode(TextFns.hashedShingles(col(textCol), shingleN)).as("__sh"))
-    val minAggs = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("__sh"))).as(s"h$i"))
-    shingled.groupBy(col("__id")).agg(minAggs.head, minAggs.tail: _*)
+    shingled.groupBy(col("__id"))
+      .agg(graft.functions.MinHashSketch(col("__sh"), numHashes).as("sig"))
   }
 
   /** MinHash + LSH banding: signatures split into `bands` bands of
@@ -103,7 +104,7 @@ object Dedup {
     val sig = minhashSignature(docs, idCol, textCol, shingleN, numHashes)
     val bandHashes = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((b * r until (b + 1) * r).map(i => col(s"h$i")): _*).as("bh"))
+        xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))
     }
     val buckets = sig.select(col("__id"),
       explode(array(bandHashes: _*)).as("bb"))
