@@ -145,6 +145,52 @@ object TimeSeriesOps {
     * id-allocator, so dimension get-or-create is coordination-free on a cluster. */
   def seriesId(cols: Column*): Column = sha2(concat_ws(":", cols: _*), 256)
 
+  /** As-of join (point-in-time lookup): for every left row, the LATEST right row
+    * with the same key and `rightTime <= leftTime` (within `toleranceSeconds` if
+    * given). The reference approximates this with dense-spine alignment (J1); this
+    * is the general, scale-path form.
+    *
+    * Implementation: tag + union both sides, ONE sort per key partition, forward-fill
+    * the right-side values with `last(ignoreNulls)` — a single shuffle on the key,
+    * no range-join explosion, no per-row binary search. At equal timestamps the
+    * right row sorts first, so a same-instant right row is visible to the left row.
+    * Right value columns are returned with their own names; both inputs must share
+    * ONLY `keyCols` + `timeCol`.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               timeCol: String, toleranceSeconds: Long = -1L): DataFrame = {
+    val rightVals = right.columns.filterNot((keyCols :+ timeCol).contains).toSeq
+    val leftVals = left.columns.filterNot((keyCols :+ timeCol).contains).toSeq
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__rt", lit(null).cast("timestamp_ntz"))
+    val r = right.withColumn("__side", lit(0))
+      .withColumn("__rt", col(timeCol).cast("timestamp_ntz"))
+    val lAligned = l.select((keyCols :+ timeCol).map(col) ++
+      leftVals.map(col) ++ rightVals.map(c => lit(null).cast(
+        right.schema(c).dataType).as(c)) ++ Seq(col("__side"), col("__rt")): _*)
+    val rAligned = r.select((keyCols :+ timeCol).map(col) ++
+      leftVals.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+      rightVals.map(col) ++ Seq(col("__side"), col("__rt")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = lAligned.unionByName(rAligned)
+      .withColumn("__lastRt", last(col("__rt"), ignoreNulls = true).over(w))
+    val withVals = rightVals.foldLeft(filled)((d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w)))
+    val tolerated = if (toleranceSeconds >= 0) {
+      val stale = col("__lastRt").isNull ||
+        (unix_micros(col(timeCol).cast("timestamp")) -
+          unix_micros(col("__lastRt").cast("timestamp"))) >
+          toleranceSeconds * 1000000L
+      rightVals.foldLeft(withVals)((d, c) =>
+        d.withColumn(c, when(stale, lit(null)).otherwise(col(c))))
+    } else withVals
+    tolerated.filter(col("__side") === 1)
+      .withColumnRenamed("__lastRt", "asof_time")
+      .drop("__side", "__rt")
+  }
+
   /** W3: prioritized coalesce across neighbor series (gap-fill cascade from 1st then
     * 2nd nearest neighbor). `neighbors` maps key -> (n1key, n2key); series is long
     * layout. ref: inputs/gen_mike_input_rf_linux_all_stations_raw.py:277-284.
