@@ -56,17 +56,17 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"), col("frame"))
   }
 
-  /** Size-aware repartitioning: pack media rows into partitions of roughly
-    * `targetBytes` by bucketing on cumulative payload size — prevents the skew where
-    * one partition holds all the videos and the rest hold thumbnails. */
+  /** Size-aware repartitioning: choose the partition count from the TOTAL payload
+    * size so each partition holds ~`targetBytes`, then spread rows by id hash —
+    * prevents the skew where one partition holds all the videos and the rest hold
+    * thumbnails. The total is a driver-side scalar (a planning decision, one cheap
+    * aggregate) — NOT a global window, which would funnel every row through a single
+    * partition. */
   def repartitionBySize(df: DataFrame, targetBytes: Long,
                         payloadCol: String = "payload"): DataFrame = {
-    val sized = df.withColumn("__sz", coalesce(length(col(payloadCol)), lit(0)))
-    val nPart = greatest(lit(1),
-      ceil(sum(col("__sz")).over() / targetBytes)).cast("int")
-    // salt by size bucket; AQE coalesces small ones
-    sized.withColumn("__bucket", pmod(xxhash64(col("media_id")), nPart))
-      .repartition(col("__bucket"))
-      .drop("__sz", "__bucket")
+    val total = df.agg(sum(coalesce(length(col(payloadCol)), lit(0))))
+      .first() match { case r if r.isNullAt(0) => 0L; case r => r.getLong(0) }
+    val nPart = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    df.repartition(nPart, col("media_id"))
   }
 }

@@ -30,6 +30,13 @@ class MultimodalSpec extends SparkSpec {
     assert(feats == again)
   }
 
+  test("repartitionBySize packs by total payload bytes") {
+    val out = Multimodal.repartitionBySize(mediaDf, targetBytes = 120)
+    // 100 + 250 + 0 bytes => ceil(350/120) = 3 partitions
+    assert(out.rdd.getNumPartitions == 3)
+    assert(out.count() == 3)
+  }
+
   test("sampleFrames: deterministic chunking keeps every Nth frame with lineage") {
     val frames = Multimodal.sampleFrames(mediaDf.filter($"media_id" === 2L),
       frameBytes = 50, everyNth = 2)
