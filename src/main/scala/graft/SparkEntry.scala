@@ -108,7 +108,8 @@ object SparkEntry {
     "q39_json_extract" -> qJsonExtract,
     "q40_date_parts" -> qDateParts,
     "q41_try_cast" -> qTryCast,
-    "q42_curation_pipeline" -> qCuration)
+    "q42_curation_pipeline" -> qCuration,
+    "q43_ann_ivf_topk" -> qAnnIvf)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -604,6 +605,17 @@ object SparkEntry {
       .filter(col("rank") <= 5)
       .select(col("lang"), col("rank"), col("doc_id"), col("n_words"), col("score"))
       .orderBy(col("lang"), col("rank"))
+  }
+
+  /** IVF-bucketed ANN — the scale path beside q26's exact baseline (no SQL oracle:
+    * cell structure is engine-specific; recall vs brute force is spec-verified). */
+  private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+      nCentroids = 16, nProbe = 4)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine_6dp"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   // ---------- DuckDB oracles ----------

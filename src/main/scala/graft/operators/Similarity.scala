@@ -39,6 +39,63 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
+  /** IVF (inverted-file) top-k — the classic ANN scale path: the corpus is
+    * partitioned into `nCentroids` Voronoi cells around deterministically-sampled
+    * centroid vectors; a query scores only the cells of its `nProbe` nearest
+    * centroids. At 100 TB the cell assignment is one broadcast pass over the corpus
+    * (written once, reused across queries), and each query touches
+    * ~nProbe/nCentroids of the data instead of all of it.
+    *
+    * Centroid selection is id-hash ordered (deterministic, no k-means iterations) —
+    * a trained quantizer can replace `pickCentroids` without changing the plan
+    * shape. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val prepped = corpus
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol).as("neighbor_id"),
+        VectorFns.quantize(col(vecCol)).as("cv"))
+      .withColumn("cn", VectorFns.normLong(col("cv")))
+    val centroids = prepped
+      .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id")).limit(nCentroids)
+      .select(col("neighbor_id").as("centroid_id"), col("cv").as("centv"),
+        col("cn").as("centn"))
+    // one pass: every corpus vector -> its nearest centroid's cell
+    val wAssign = Window.partitionBy(col("neighbor_id"))
+      .orderBy(round(col("ccos"), 6).desc, col("centroid_id"))
+    val cells = prepped.crossJoin(broadcast(centroids))
+      .withColumn("ccos", VectorFns.cosineFromQuantized(
+        col("cv"), col("centv"), col("cn"), col("centn")))
+      .withColumn("crank", row_number().over(wAssign))
+      .filter(col("crank") === 1)
+      .select(col("neighbor_id"), col("cv"), col("cn"),
+        col("centroid_id").as("cell"))
+    // each query probes its nProbe nearest cells
+    val q = queries.select(col(idCol).as("query_id"),
+        VectorFns.quantize(col(vecCol)).as("qv"))
+      .withColumn("qn", VectorFns.normLong(col("qv")))
+    val wProbe = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("pcos"), 6).desc, col("centroid_id"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("pcos", VectorFns.cosineFromQuantized(
+        col("qv"), col("centv"), col("qn"), col("centn")))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("qn"),
+        col("centroid_id").as("cell"))
+    // score only inside probed cells
+    val wRank = Window.partitionBy(col("query_id"))
+      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", VectorFns.cosineFromQuantized(
+        col("qv"), col("cv"), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
   /** LSH-bucketed top-k: candidates limited to rows whose hyperplane signature
     * matches the query's (exact bucket only; callers trade recall for cost via
     * `nPlanes`). Same deterministic ranking as brute force. */

@@ -21,6 +21,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1), (2L, 2)))
   }
 
+  test("ivfTopK: good recall vs brute force on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(queries, emb, 5, nCentroids = 8, nProbe = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    // probing half the cells must recover a solid fraction of the exact top-5
+    val recall = ivf.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF recall $recall too low")
+    assert(ivf.size == exact.size) // still returns k per query
+  }
+
   test("lshTopK recall: exact-duplicate vectors always share a bucket") {
     val withDup = corpus.union(Seq((5L, Array(1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding"))
