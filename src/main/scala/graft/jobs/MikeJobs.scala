@@ -57,7 +57,18 @@ object MikeJobs {
 
   /** 3.3 discharge/tide input: single long series -> spine-aligned, sentinel-cleansed,
     * last-row-patched headerless series (the minimum end-to-end slice, SURVEY.md §7.2;
-    * ref: inputs/gen_mike_input_tide_linux.py:88-115). */
+    * ref: inputs/gen_mike_input_tide_linux.py:88-115).
+    *
+    * divergence: the reference's discharge variant calls `dropna()` without
+    * assigning the result (inputs/gen_mike_input_dis_linux.py:108 — a no-op bug);
+    * the engine implements the INTENDED drop. Likewise the reference computes
+    * `round(1)` and discards it (inputs/gen_mike_input_rf_linux.py:204) — the
+    * engine applies the intended rounding in rainfallInput. The reference's
+    * `finally: destroy_Pool(pool)` on a possibly-unbound pool
+    * (inputs/gen_mike_input_dis_linux.py:115) and the `'%M' not in ('00')`
+    * substring quirk (inputs/gen_mike_input_rf_obs_win.py:90) have no analog here:
+    * resource lifetimes are Spark-managed and window validation is explicit
+    * (RainfallInputJob.validateWindowTs). */
   def tideInput(spark: SparkSession, series: DataFrame,
                 startTs: String, endTs: String, stepMinutes: Int = 15): DataFrame = {
     val spine = timeSpine(spark, startTs, endTs, stepMinutes)
