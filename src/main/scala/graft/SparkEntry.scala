@@ -109,7 +109,8 @@ object SparkEntry {
     "q40_date_parts" -> qDateParts,
     "q41_try_cast" -> qTryCast,
     "q42_curation_pipeline" -> qCuration,
-    "q43_ann_ivf_topk" -> qAnnIvf)
+    "q43_ann_ivf_topk" -> qAnnIvf,
+    "q44_rolling_window" -> qRollingWindow)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -618,6 +619,20 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Range-frame rolling accumulation (the rolling-rainfall extension SURVEY.md §2.5
+    * anticipates): per event_type, the trailing 1-hour sum at every event — a VALUE
+    * range frame (rangeBetween on epoch micros), not a row frame. Integer cents keep
+    * it exact. */
+  private def qRollingWindow(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    t(s, dir, "events")
+      .withColumn("us", tsUs)
+      .withColumn("rolling_1h_cents", sum(cents(col("value"))).over(w))
+      .select(col("event_id"), col("event_type"), col("rolling_1h_cents"))
+      .orderBy(col("event_id"))
+  }
+
   // ---------- DuckDB oracles ----------
 
   def oracleSql: Map[String, String] = Map(
@@ -1029,5 +1044,11 @@ object SparkEntry {
         |      ORDER BY score ASC, n_words DESC, doc_id) AS rank
         |  FROM scored)
         |SELECT lang, rank, doc_id, n_words, score
-        |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)
+        |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    "q44_rolling_window" ->
+      """SELECT event_id, event_type,
+        |  SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+        |    PARTITION BY event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS rolling_1h_cents
+        |FROM events ORDER BY event_id""".stripMargin)
 }
