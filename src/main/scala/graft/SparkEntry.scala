@@ -110,7 +110,8 @@ object SparkEntry {
     "q41_try_cast" -> qTryCast,
     "q42_curation_pipeline" -> qCuration,
     "q43_ann_ivf_topk" -> qAnnIvf,
-    "q44_rolling_window" -> qRollingWindow)
+    "q44_rolling_window" -> qRollingWindow,
+    "q45_median_argmax" -> qMedianArgmax)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -633,6 +634,21 @@ object SparkEntry {
       .orderBy(col("event_id"))
   }
 
+  /** Exact median (interpolated percentile at 0.5 over integer cents — the only
+    * interpolation point where Spark's and DuckDB's formulas are bit-identical) and
+    * a deterministic argmax via integer pair-encoding (max of value*1e7+id decodes
+    * to the highest-value event with the LARGEST id on value ties — encode-order
+    * determinism where a bare max_by would be tie-unstable). */
+  private def qMedianArgmax(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        expr("percentile(cast(round(value*100) as bigint), 0.5)").as("median_cents"),
+        (max(cents(col("value")) * 10000000L + col("event_id")) % 10000000L)
+          .as("top_event_id"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   // ---------- DuckDB oracles ----------
 
   def oracleSql: Map[String, String] = Map(
@@ -1050,5 +1066,12 @@ object SparkEntry {
         |  SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
         |    PARTITION BY event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
         |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS rolling_1h_cents
-        |FROM events ORDER BY event_id""".stripMargin)
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q45_median_argmax" ->
+      """SELECT event_type,
+        |  quantile_cont(CAST(ROUND(value*100) AS BIGINT), 0.5) AS median_cents,
+        |  MAX(CAST(ROUND(value*100) AS BIGINT) * 10000000 + event_id) % 10000000
+        |    AS top_event_id,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
 }
