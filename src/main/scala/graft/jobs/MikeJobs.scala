@@ -55,6 +55,46 @@ object MikeJobs {
     (matched, unmatched)
   }
 
+  /** 3.3 raw rainfall input with spatial gap-fill — the reference's
+    * `gen_mike_input_rf_linux_all_stations_raw.py` pipeline: per-station 15-min
+    * right-closed resample, negatives cleansed, gaps filled from the 1st then 2nd
+    * nearest station (≤ maxKm, k-NN over great-circle distance), remaining gaps
+    * row-mean imputed, rounded to 1 decimal, pivoted wide by station NAME
+    * (ref: :257-294). The k-NN map is computed once from the tiny station dim
+    * (broadcast); every fill is a column-level coalesce — no iterative driver loops.
+    *
+    * stations: (obs_id, station_name, latitude, longitude). */
+  def rawRainfallInput(spark: SparkSession, series: DataFrame, stations: DataFrame,
+                       startTs: String, endTs: String,
+                       k: Int = 3, maxKm: Double = 100.0): DataFrame = {
+    // faithful ordering (ref :268-277): raw -> dense 5-min spine (gaps -> NaN) ->
+    // 15-min right-closed resample where an all-NaN bucket sums to 0.0 (the pandas
+    // 0.25 quirk — missing data reads as ZERO rain) -> negatives -> NaN. Only the
+    // negative-reading gaps are then neighbor-filled.
+    val spine5 = timeSpine(spark, startTs, endTs, 5)
+    val ids = stations.select(col("obs_id"))
+    val grid5 = broadcast(spine5).crossJoin(broadcast(ids))
+    val aligned5 = grid5.join(series, Seq("obs_id", "time"), "left")
+    val res = resampleSum(aligned5, "time", 900L, Seq("obs_id"), "value",
+      nullAsZero = true)
+    val aligned = cleanseNegatives(res, "value")
+    // neighbor map: rank-1 and rank-2 nearest stations within maxKm
+    val knn = graft.ops.GeoOps.knnJoin(
+      stations.select(col("obs_id").as("id"), col("latitude"), col("longitude")),
+      stations.select(col("obs_id").as("id"), col("latitude"), col("longitude")),
+      k = 2, maxKm = maxKm)
+    val neighbors = knn.groupBy(col("origin_id").as("obs_id"))
+      .pivot("rank", Seq(1, 2))
+      .agg(first(col("neighbor_id")))
+      .select(col("obs_id"), col("1").as("n1"), col("2").as("n2"))
+    val filled = neighborCoalesce(aligned, neighbors, "obs_id", "time", "value")
+    val imputed = imputeRowMean(filled, "time", "value")
+    val named = imputed.join(broadcast(
+        stations.select(col("obs_id"), col("station_name"))), "obs_id")
+    pivotWide(named.withColumn("value", round(col("value"), 1)),
+      "time", "station_name", "value")
+  }
+
   /** 3.3 discharge/tide input: single long series -> spine-aligned, sentinel-cleansed,
     * last-row-patched headerless series (the minimum end-to-end slice, SURVEY.md §7.2;
     * ref: inputs/gen_mike_input_tide_linux.py:88-115).
