@@ -67,6 +67,11 @@ object Dedup {
     a.repartition((blockCols :+ "__salt").map(col): _*)
       .join(b, blockCols :+ "__salt")
       .filter(col("id_a") < col("id_b"))
+      // size filtering (SSJoin-style): jaccard >= t forces
+      // min(|A|,|B|)/max(|A|,|B|) >= t — an exact necessary condition checked on two
+      // ints, pruning pairs BEFORE any intersection is computed
+      .filter(col("sa") * S >= lit(tS) * col("sb") &&
+        col("sb") * S >= lit(tS) * col("sa"))
       .withColumn("inter", inter)
       .filter(col("inter") * (S + tS) >= lit(tS) * (col("sa") + col("sb")))
       .withColumn("jaccard", col("inter").cast("double") /
