@@ -701,9 +701,9 @@ object SparkEntry {
         |WHERE rn <= 3 ORDER BY l_orderkey, rn""".stripMargin,
     "q08_running_sum" ->
       """SELECT event_id, user_id,
-        |  SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (PARTITION BY user_id
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |    AS running_cents
+        |    AS BIGINT) AS running_cents
         |FROM events ORDER BY event_id""".stripMargin,
     "q09_pivot_wide" ->
       """SELECT l_linestatus,
@@ -726,7 +726,7 @@ object SparkEntry {
         |    TIMESTAMP '2024-01-30 23:00:00', INTERVAL 1 HOUR)) AS hour),
         |agg AS (
         |  SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
-        |    COUNT(*) AS n, SUM(CAST(ROUND(value*100) AS BIGINT)) AS c
+        |    COUNT(*) AS n, CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS c
         |  FROM events GROUP BY 1)
         |SELECT s.hour, COALESCE(a.n, 0) AS n_events, COALESCE(a.c, 0) AS value_cents
         |FROM spine s LEFT JOIN agg a ON s.hour = a.hour ORDER BY s.hour""".stripMargin,
@@ -737,7 +737,7 @@ object SparkEntry {
         |    event_type, value
         |  FROM events)
         |SELECT bucket, event_type, COUNT(*) AS n,
-        |  SUM(CAST(ROUND(value*100) AS BIGINT)) AS value_cents
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
         |FROM b GROUP BY bucket, event_type ORDER BY bucket, event_type""".stripMargin,
     "q13_cleanse_impute" ->
       """WITH c AS (
@@ -901,8 +901,8 @@ object SparkEntry {
         |FROM scores ORDER BY doc_id""".stripMargin,
     "q29_token_count" ->
       """SELECT source, COUNT(*) AS n_docs,
-        |  SUM(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT))
-        |    AS total_tokens
+        |  CAST(SUM(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS BIGINT))
+        |    AS BIGINT) AS total_tokens
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
     "q30_fingerprint" ->
       """WITH toks AS (
@@ -1063,9 +1063,9 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "q44_rolling_window" ->
       """SELECT event_id, event_type,
-        |  SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) OVER (
         |    PARTITION BY event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
-        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS rolling_1h_cents
+        |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_1h_cents
         |FROM events ORDER BY event_id""".stripMargin,
     "q45_median_argmax" ->
       """SELECT event_type,

@@ -56,11 +56,15 @@ object JdbcUpsert {
     }
 
   /** S11: batched fact upsert keyed `keyCols`. One connection per partition;
-    * `batchSize` bounds buffered statements. */
+    * `batchSize` bounds buffered statements. Returns the number of rows written,
+    * counted inside the writer via a LongAccumulator — the plan executes ONCE
+    * (callers must not re-count with a second action; at 100× a re-run of the
+    * CSV→unpivot→join pipeline doubles the job). */
   def upsert(df: DataFrame, url: String, table: String, keyCols: Seq[String],
-             dialect: Dialect = UpdateInsertDialect, batchSize: Int = 1000): Unit = {
+             dialect: Dialect = UpdateInsertDialect, batchSize: Int = 1000): Long = {
     val cols = df.columns.toSeq
     val nonKeys = cols.filterNot(keyCols.contains)
+    val written = df.sparkSession.sparkContext.longAccumulator("graft.upserted")
     dialect match {
       case MySqlDialect =>
         val sql = mysqlSql(table, cols, keyCols)
@@ -72,7 +76,7 @@ object JdbcUpsert {
               val ps = conn.prepareStatement(sql)
               var n = 0
               rows.foreach { r =>
-                bind(ps, r, cols, cols); ps.addBatch(); n += 1
+                bind(ps, r, cols, cols); ps.addBatch(); n += 1; written.add(1L)
                 if (n % batchSize == 0) ps.executeBatch()
               }
               ps.executeBatch()
@@ -93,6 +97,7 @@ object JdbcUpsert {
               var n = 0
               rows.foreach { r =>
                 bind(up, r, nonKeys ++ keyCols, cols)
+                written.add(1L)
                 if (up.executeUpdate() == 0) {
                   bind(ins, r, cols, cols); ins.addBatch(); n += 1
                   if (n % batchSize == 0) ins.executeBatch()
@@ -104,6 +109,7 @@ object JdbcUpsert {
           }
         }
     }
+    written.value
   }
 
   /** S12: idempotent dimension get-or-create — insert the key-rows that do not yet
@@ -120,5 +126,31 @@ object JdbcUpsert {
       keyCols, "left_anti")
     upsert(missing, url, table, keyCols, dialect)
     spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+  }
+
+  /** T5: run-dimension bookkeeping — the reference's `insert_run` /
+    * `update_start_date` / `update_latest_fgt` triple
+    * (ref: outputs/extract_water_level.py:90-97): a new series gets a run row with
+    * `start_date = fgt` ONCE, at creation; every tick advances `latest_fgt` for all
+    * series it touched. This is what lets the warehouse answer "latest forecast for
+    * series X" without scanning facts.
+    *
+    * `runs` carries one row per tms_id plus whatever metadata columns the run table
+    * holds (sim_tag, source_id, ...); it is dim-sized (thousands of rows at most),
+    * so both passes are trivially cheap next to the fact upsert. */
+  def maintainRuns(spark: SparkSession, runs: DataFrame, url: String, table: String,
+                   fgt: String, dialect: Dialect = UpdateInsertDialect): Unit = {
+    val fgtTs = lit(fgt).cast("timestamp_ntz")
+    val existing = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).load().select("tms_id")
+    // insert_run + update_start_date: only for series not yet registered
+    val missing = runs.join(existing, Seq("tms_id"), "left_anti")
+      .withColumn("start_date", fgtTs)
+      .withColumn("latest_fgt", fgtTs)
+    upsert(missing, url, table, Seq("tms_id"), dialect)
+    // update_latest_fgt: every tick, all touched series (start_date untouched —
+    // the 2-column frame updates only latest_fgt)
+    val tick = runs.select(col("tms_id")).withColumn("latest_fgt", fgtTs)
+    upsert(tick, url, table, Seq("tms_id"), dialect)
   }
 }

@@ -41,20 +41,59 @@ object ExtractToWarehouseJob {
     finally spark.stop()
   }
 
-  /** Returns (facts upserted, unmatched station names). */
+  private def opt(cfg: org.apache.spark.sql.Row, field: String, default: String) =
+    if (cfg.schema.fieldNames.contains(field) && !cfg.isNullAt(cfg.fieldIndex(field)))
+      cfg.getString(cfg.fieldIndex(field))
+    else default
+
+  /** Returns (facts upserted, unmatched station names).
+    *
+    * Full reference shape (outputs/extract_water_level.py:200-240 + 90-97):
+    *  1. resolve source/variable/unit dims get-or-create (ids are deterministic
+    *     content hashes, so there is no id-allocator to coordinate);
+    *  2. register CSV stations into the warehouse station dim get-or-create and
+    *     join facts against the WAREHOUSE dim (stations already known to the
+    *     warehouse keep working even if dropped from the CSV);
+    *  3. upsert facts keyed (tms_id, time, fgt) — row count from inside the
+    *     writer, the plan executes once;
+    *  4. run bookkeeping: insert_run/update_start_date once per new series,
+    *     update_latest_fgt every tick. */
   def run(spark: SparkSession, cfgPath: String, fgt: String): (Long, Seq[String]) = {
     val cfg = spark.read.option("multiLine", true).json(cfgPath).first()
+    val url = cfg.getAs[String]("jdbc_url")
+    val (simTag, model) = (cfg.getAs[String]("sim_tag"), cfg.getAs[String]("model"))
+    val (variable, unit) = (cfg.getAs[String]("variable"), cfg.getAs[String]("unit"))
     val wide = MikeCsv.readWideCsv(spark, cfg.getAs[String]("results_csv"))
-    val dim = MikeCsv.readDimCsv(spark, cfg.getAs[String]("stations_csv"),
+    val csvDim = MikeCsv.readDimCsv(spark, cfg.getAs[String]("stations_csv"),
       stationSchema)
+    // dim get-or-create (S12/J7; ref outputs/extract_water_level.py:217-223)
+    import graft.ops.TimeSeriesOps.seriesId
+    import spark.implicits._
+    JdbcUpsert.getOrCreateDim(spark,
+      Seq(model).toDF("model")
+        .select(seriesId(lit("source"), col("model")).as("source_id"), col("model")),
+      url, opt(cfg, "source_table", "source_dim"), Seq("model"))
+    JdbcUpsert.getOrCreateDim(spark,
+      Seq(variable).toDF("variable")
+        .select(seriesId(lit("variable"), col("variable")).as("variable_id"), col("variable")),
+      url, opt(cfg, "variable_table", "variable_dim"), Seq("variable"))
+    JdbcUpsert.getOrCreateDim(spark,
+      Seq(unit).toDF("unit")
+        .select(seriesId(lit("unit"), col("unit")).as("unit_id"), col("unit")),
+      url, opt(cfg, "unit_table", "unit_dim"), Seq("unit"))
+    val dim = JdbcUpsert.getOrCreateDim(spark, csvDim,
+        url, opt(cfg, "station_table", "station_dim"), Seq("station_id"))
+      .select("station", "station_id", "latitude", "longitude")
     val (facts, unmatched) = MikeJobs.extractToWarehouse(wide, dim, fgt,
-      cfg.getAs[String]("sim_tag"), cfg.getAs[String]("model"),
-      cfg.getAs[String]("variable"), cfg.getAs[String]("unit"))
-    JdbcUpsert.upsert(facts, cfg.getAs[String]("jdbc_url"),
+      simTag, model, variable, unit)
+    val n = JdbcUpsert.upsert(facts, url,
       cfg.getAs[String]("fact_table"), Seq("tms_id", "time", "fgt"))
+    // T5 run bookkeeping (ref :90-97)
+    JdbcUpsert.maintainRuns(spark, MikeJobs.runMeta(wide, dim, simTag, model,
+      variable, unit), url, opt(cfg, "run_table", "run"), fgt)
     val missing = unmatched.collect().map(_.getString(0)).toSeq
     // ref behavior: log stations absent from the dim (extract_water_level.py:103-104)
     missing.foreach(m => System.err.println(s"[extract] station not in dim: $m"))
-    (facts.count(), missing)
+    (n, missing)
   }
 }

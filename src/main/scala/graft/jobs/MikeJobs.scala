@@ -55,6 +55,25 @@ object MikeJobs {
     (matched, unmatched)
   }
 
+  /** T5: run-dimension rows for the series this extract touches — one row per
+    * matched station, carrying the same deterministic tms_id as the facts plus the
+    * resolved dim ids (ref run_meta: outputs/extract_water_level.py:226-238).
+    * Station membership comes from the wide frame's COLUMN LIST (driver-known
+    * schema), so building this frame scans no data at all. */
+  def runMeta(wide: DataFrame, stationDim: DataFrame, simTag: String, model: String,
+              variable: String, unit: String): DataFrame = {
+    val stationCols = wide.columns.filterNot(_ == "time").toSeq
+    stationDim.filter(col("station").isin(stationCols: _*))
+      .select(
+        seriesId(lit(simTag), lit(model), lit(variable), lit(unit),
+          col("station_id")).as("tms_id"),
+        lit(simTag).as("sim_tag"),
+        seriesId(lit("source"), lit(model)).as("source_id"),
+        seriesId(lit("variable"), lit(variable)).as("variable_id"),
+        seriesId(lit("unit"), lit(unit)).as("unit_id"),
+        col("station_id"))
+  }
+
   /** 3.3 raw rainfall input with spatial gap-fill — the reference's
     * `gen_mike_input_rf_linux_all_stations_raw.py` pipeline: per-station 15-min
     * right-closed resample, negatives cleansed, gaps filled from the 1st then 2nd

@@ -41,16 +41,19 @@ object Multimodal {
         i => pmod(xxhash64(col(payloadCol), i), lit(1000L)).cast("double") / 1000.0))
 
   /** Deterministic frame sampling: split the payload into `frameBytes` chunks and
-    * keep every `everyNth` chunk, preserving frame index. posexplode keeps lineage
-    * of (media_id, frame_idx) without shuffling. */
+    * keep every `everyNth` chunk, preserving frame index. The payload stays in-row
+    * through the posexplode — per-file contract: the binary column is never joined
+    * or shuffled, each frame is sliced out of the blob in the partition that read
+    * it. */
   def sampleFrames(df: DataFrame, frameBytes: Int, everyNth: Int,
                    payloadCol: String = "payload"): DataFrame = {
     val nFrames = ceil(length(col(payloadCol)).cast("double") / frameBytes).cast("int")
     df.withColumn("__idx",
-        filter(sequence(lit(0), nFrames - 1), i => i % everyNth === 0))
-      .select(col("media_id"), posexplode(col("__idx")).as(Seq("pos", "frame_idx")))
-      .drop("pos")
-      .join(df.select(col("media_id"), col(payloadCol)), "media_id")
+        when(nFrames > 0,
+          filter(sequence(lit(0), nFrames - 1), i => i % everyNth === 0))
+          .otherwise(array().cast("array<int>")))
+      .select(col("media_id"), col(payloadCol),
+        posexplode(col("__idx")).as(Seq("pos", "frame_idx")))
       .withColumn("frame",
         col(payloadCol).substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)))
       .select(col("media_id"), col("frame_idx"), col("frame"))

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFns
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -61,29 +61,33 @@ object Similarity {
       .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id")).limit(nCentroids)
       .select(col("neighbor_id").as("centroid_id"), col("cv").as("centv"),
         col("cn").as("centn"))
-    // one pass: every corpus vector -> its nearest centroid's cell
-    val wAssign = Window.partitionBy(col("neighbor_id"))
-      .orderBy(round(col("ccos"), 6).desc, col("centroid_id"))
-    val cells = prepped.crossJoin(broadcast(centroids))
-      .withColumn("ccos", VectorFns.cosineFromQuantized(
-        col("cv"), col("centv"), col("cn"), col("centn")))
-      .withColumn("crank", row_number().over(wAssign))
-      .filter(col("crank") === 1)
-      .select(col("neighbor_id"), col("cv"), col("cn"),
-        col("centroid_id").as("cell"))
-    // each query probes its nProbe nearest cells
+    // All centroids packed into ONE broadcast row: cell assignment becomes a
+    // map-side argmax over the in-row array — no crossJoin row amplification, no
+    // window, no Exchange of the corpus. (The old plan crossJoined corpus ×
+    // nCentroids then ranked with a window partitioned by neighbor_id — a shuffle
+    // of a 16×-amplified corpus, fatal at 100 TB.)
+    val centroidArr = centroids
+      .agg(collect_list(struct(col("centroid_id"), col("centv"), col("centn")))
+        .as("cents"))
+    // argmax by (cosine rounded 1e-6 desc, centroid_id asc) — identical tie-break
+    // semantics to the previous window ordering.
+    def nearestCells(v: Column, n: Column, take: Int): Column = slice(
+      array_sort(transform(col("cents"), c => struct(
+        (-round(VectorFns.cosineFromQuantized(v, c("centv"), n, c("centn")), 6))
+          .as("negcos"),
+        c("centroid_id").as("cid")))),
+      1, take)
+    val cells = prepped.crossJoin(broadcast(centroidArr))
+      .withColumn("cell", nearestCells(col("cv"), col("cn"), 1)(0)("cid"))
+      .select(col("neighbor_id"), col("cv"), col("cn"), col("cell"))
+    // each query probes its nProbe nearest cells — same map-side array argmax
     val q = queries.select(col(idCol).as("query_id"),
         VectorFns.quantize(col(vecCol)).as("qv"))
       .withColumn("qn", VectorFns.normLong(col("qv")))
-    val wProbe = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("pcos"), 6).desc, col("centroid_id"))
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("pcos", VectorFns.cosineFromQuantized(
-        col("qv"), col("centv"), col("qn"), col("centn")))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= nProbe)
-      .select(col("query_id"), col("qv"), col("qn"),
-        col("centroid_id").as("cell"))
+    val probes = q.crossJoin(broadcast(centroidArr))
+      .withColumn("cell",
+        explode(nearestCells(col("qv"), col("qn"), nProbe)("cid")))
+      .select(col("query_id"), col("qv"), col("qn"), col("cell"))
     // score only inside probed cells
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))

@@ -54,6 +54,7 @@ object EventStream {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.io.JdbcUpsert.upsert(batch, url, table,
           Seq("window_start", "event_type"))
+        ()
       }
       .start()
 }

@@ -49,14 +49,34 @@ class IoJobsSpec extends SparkSpec {
         |  v DOUBLE, PRIMARY KEY (tms_id, t))""".stripMargin)
     conn.close()
     val df1 = Seq(("a", 1, 1.0), ("a", 2, 2.0)).toDF("tms_id", "t", "v")
-    JdbcUpsert.upsert(df1, url, "facts", Seq("tms_id", "t"))
-    JdbcUpsert.upsert(df1, url, "facts", Seq("tms_id", "t")) // re-run: no-op
+    assert(JdbcUpsert.upsert(df1, url, "facts", Seq("tms_id", "t")) == 2L)
+    assert(JdbcUpsert.upsert(df1, url, "facts", Seq("tms_id", "t")) == 2L) // re-run: no-op
     val df2 = Seq(("a", 2, 20.0), ("a", 3, 3.0)).toDF("tms_id", "t", "v")
     JdbcUpsert.upsert(df2, url, "facts", Seq("tms_id", "t")) // update + insert
     val out = spark.read.format("jdbc").option("url", url)
       .option("dbtable", "facts").load()
       .orderBy($"t").select($"v").as[Double].collect()
     assert(out.toSeq == Seq(1.0, 20.0, 3.0))
+  }
+
+  test("getOrCreateDim: insert-if-missing, stable ids, re-run no-op (S12/J7)") {
+    val url = "jdbc:derby:memory:dimgc;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    conn.createStatement().execute(
+      "CREATE TABLE dim (k VARCHAR(32) NOT NULL PRIMARY KEY, id VARCHAR(64))")
+    conn.close()
+    def cand(ks: String*) = ks.toDF("k")
+      .select(sha2(concat_ws(":", lit("dim"), $"k"), 256).as("id"), $"k")
+    val d1 = JdbcUpsert.getOrCreateDim(spark, cand("a", "b"), url, "dim", Seq("k"))
+    assert(d1.count() == 2)
+    val idB = d1.filter($"k" === "b").select($"id").as[String].head()
+    // overlapping second call: only "c" is created, "b" keeps its id
+    val d2 = JdbcUpsert.getOrCreateDim(spark, cand("b", "c"), url, "dim", Seq("k"))
+    assert(d2.count() == 3)
+    assert(d2.filter($"k" === "b").select($"id").as[String].head() == idB)
+    // exact re-run: no-op
+    assert(JdbcUpsert.getOrCreateDim(spark, cand("b", "c"), url, "dim", Seq("k"))
+      .count() == 3)
   }
 
   test("rainfallInput: golden end-to-end (cleanse+resample+impute+fold+pivot)") {

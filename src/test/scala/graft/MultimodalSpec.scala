@@ -45,5 +45,15 @@ class MultimodalSpec extends SparkSpec {
     val f0len = frames.filter($"frame_idx" === 0)
       .select(length($"frame")).as[Int].head()
     assert(f0len == 50)
+    // payload stays in-row: no join (= no shuffle of the binary column) in the plan
+    val plan = frames.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("join"), s"unexpected join in plan:\n$plan")
+  }
+
+  test("sampleFrames: empty payload yields zero frames") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(9L, "video", Array.empty[Byte], null))),
+      Multimodal.mediaSchema)
+    assert(Multimodal.sampleFrames(empty, frameBytes = 50, everyNth = 1).count() == 0)
   }
 }

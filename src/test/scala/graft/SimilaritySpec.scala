@@ -34,6 +34,19 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.size == exact.size) // still returns k per query
   }
 
+  test("ivfTopK cell assignment is map-side: no window/exchange before the cells") {
+    // the ONLY windows in the whole plan are the final per-query rank — cell
+    // assignment (corpus side) must be an in-row array argmax over the broadcast
+    // centroid set, never a corpus-wide shuffle of nCentroids-amplified rows
+    val plan = Similarity.ivfTopK(corpus.limit(1), corpus, 2, nCentroids = 2)
+      .queryExecution.executedPlan.toString
+    val windows = plan.split("\n").count(_.trim.startsWith("+- Window ["))
+    assert(windows <= 1, s"expected at most the final ranking window:\n$plan")
+    // and the corpus is never hash-exchanged on its own id (the old 16x-amplified
+    // crossJoin+row_number cell assignment did exactly that)
+    assert(!plan.contains("hashpartitioning(neighbor_id"), plan)
+  }
+
   test("lshTopK recall: exact-duplicate vectors always share a bucket") {
     val withDup = corpus.union(Seq((5L, Array(1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding"))

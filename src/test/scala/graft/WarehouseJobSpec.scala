@@ -8,14 +8,28 @@ import org.apache.spark.sql.functions._
 class WarehouseJobSpec extends SparkSpec {
   import spark.implicits._
 
-  test("ExtractToWarehouseJob: CSV -> unpivot -> dim join -> Derby upsert, idempotent") {
+  private def readTable(url: String, table: String) =
+    spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+
+  test("ExtractToWarehouseJob: CSV -> dims get-or-create -> upsert + run bookkeeping") {
     val dir = Files.createTempDirectory("exjob")
     val url = s"jdbc:derby:memory:exjob;create=true"
     val c = java.sql.DriverManager.getConnection(url)
-    c.createStatement().execute(
+    Seq(
       """CREATE TABLE facts (tms_id VARCHAR(64) NOT NULL, time TIMESTAMP NOT NULL,
         |  fgt TIMESTAMP NOT NULL, value DOUBLE,
-        |  PRIMARY KEY (tms_id, time, fgt))""".stripMargin)
+        |  PRIMARY KEY (tms_id, time, fgt))""".stripMargin,
+      // T5 run dim ("run" is a Derby reserved word; config points at "runs")
+      """CREATE TABLE runs (tms_id VARCHAR(64) NOT NULL PRIMARY KEY,
+        |  sim_tag VARCHAR(64), source_id VARCHAR(64), variable_id VARCHAR(64),
+        |  unit_id VARCHAR(64), station_id INT,
+        |  start_date TIMESTAMP, latest_fgt TIMESTAMP)""".stripMargin,
+      "CREATE TABLE source_dim (source_id VARCHAR(64), model VARCHAR(64) NOT NULL PRIMARY KEY)",
+      "CREATE TABLE variable_dim (variable_id VARCHAR(64), variable VARCHAR(64) NOT NULL PRIMARY KEY)",
+      "CREATE TABLE unit_dim (unit_id VARCHAR(64), unit VARCHAR(32) NOT NULL PRIMARY KEY)",
+      """CREATE TABLE station_dim (station VARCHAR(64), station_id INT NOT NULL PRIMARY KEY,
+        |  latitude DOUBLE, longitude DOUBLE)""".stripMargin
+    ).foreach(c.createStatement().execute)
     c.close()
     // wide result CSV: 2 timesteps x (1 known station + 1 ghost)
     Files.writeString(dir.resolve("res.csv"),
@@ -27,20 +41,40 @@ class WarehouseJobSpec extends SparkSpec {
       "station,station_id,latitude,longitude\nNagalagam Street,1,6.95,79.87\n")
     Files.writeString(dir.resolve("cfg.json"),
       s"""{"results_csv": "$dir/res.csv", "stations_csv": "$dir/stations.csv",
-         | "jdbc_url": "$url", "fact_table": "facts", "sim_tag": "evening_18:00",
+         | "jdbc_url": "$url", "fact_table": "facts", "run_table": "runs",
+         | "sim_tag": "evening_18:00",
          | "model": "mike11_2016", "variable": "WaterLevel", "unit": "m"}""".stripMargin)
     val (n1, missing1) = ExtractToWarehouseJob.run(spark, s"$dir/cfg.json",
       "2024-01-01 01:00:00")
     assert(n1 == 2 && missing1 == Seq("Ghost Station"))
-    // re-run with the same fgt: upsert, not append
+    // dims were get-or-created from config + CSV
+    assert(readTable(url, "source_dim").count() == 1)
+    assert(readTable(url, "variable_dim").count() == 1)
+    assert(readTable(url, "unit_dim").count() == 1)
+    assert(readTable(url, "station_dim").count() == 1)
+    // T5: one run row, registered at first sight: start_date == latest_fgt == fgt1
+    val run1 = readTable(url, "runs").collect()
+    assert(run1.length == 1)
+    val fgt1 = java.sql.Timestamp.valueOf("2024-01-01 01:00:00")
+    assert(run1.head.getAs[java.sql.Timestamp]("START_DATE") == fgt1)
+    assert(run1.head.getAs[java.sql.Timestamp]("LATEST_FGT") == fgt1)
+    assert(run1.head.getAs[Int]("STATION_ID") == 1)
+    // re-run with the same fgt: upsert, not append; run row unchanged
     ExtractToWarehouseJob.run(spark, s"$dir/cfg.json", "2024-01-01 01:00:00")
-    val facts = spark.read.format("jdbc").option("url", url)
-      .option("dbtable", "facts").load()
-    assert(facts.count() == 2)
-    // a NEW fgt versions the same series/time instead of overwriting (T4)
+    assert(readTable(url, "facts").count() == 2)
+    assert(readTable(url, "runs").count() == 1)
+    // a NEW fgt versions the same series/time instead of overwriting (T4), and
+    // advances latest_fgt while start_date stays at first registration (T5)
     ExtractToWarehouseJob.run(spark, s"$dir/cfg.json", "2024-01-01 02:00:00")
-    assert(spark.read.format("jdbc").option("url", url)
-      .option("dbtable", "facts").load().count() == 4)
+    assert(readTable(url, "facts").count() == 4)
+    val run2 = readTable(url, "runs").collect()
+    assert(run2.length == 1)
+    assert(run2.head.getAs[java.sql.Timestamp]("START_DATE") == fgt1)
+    assert(run2.head.getAs[java.sql.Timestamp]("LATEST_FGT") ==
+      java.sql.Timestamp.valueOf("2024-01-01 02:00:00"))
+    // the run row's tms_id matches the fact rows' (join key integrity)
+    assert(readTable(url, "facts").select("tms_id").distinct()
+      .join(readTable(url, "runs"), Seq("tms_id")).count() == 1)
   }
 
   test("TideInputJob: config -> spine-aligned cleansed patched headerless CSV") {
