@@ -111,7 +111,8 @@ object SparkEntry {
     "q42_curation_pipeline" -> qCuration,
     "q43_ann_ivf_topk" -> qAnnIvf,
     "q44_rolling_window" -> qRollingWindow,
-    "q45_median_argmax" -> qMedianArgmax)
+    "q45_median_argmax" -> qMedianArgmax,
+    "q46_embedding_dedup_lsh" -> qEmbeddingDedupLsh)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -437,6 +438,15 @@ object SparkEntry {
   private def qEmbeddingDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
       threshold = 0.3, blockCols = Seq("label"))
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_6dp"))
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** Embedding near-dup at scale: banded hyperplane-LSH blocking + exact cosine
+    * verify — the sub-quadratic path q31 documents (no SQL oracle: LSH candidate
+    * membership is hash-specific; subset-of-exact + recall pinned by DedupSpec). */
+  private def qEmbeddingDedupLsh(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.4, blockCols = Nil, lshPlanes = 4, lshBands = 16)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_6dp"))
       .orderBy(col("id_a"), col("id_b"))
 

@@ -93,16 +93,84 @@ object MinHashSketch {
   private val seeds: Array[Long] = Array.tabulate(MaxHashes)(i => mix(i.toLong))
   def seed(i: Int): Long = seeds(i)
 
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_sketch", exprs => {
         val k = exprs(1).eval(null).asInstanceOf[Number].intValue()
         require(k > 0 && k <= MaxHashes, s"numHashes must be in (0, $MaxHashes]")
         MinHashSketch(exprs.head, k)
       }, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_signature", exprs => {
+        val k = exprs(1).eval(null).asInstanceOf[Number].intValue()
+        require(k > 0 && k <= MaxHashes, s"numHashes must be in (0, $MaxHashes]")
+        MinHashSignature(exprs.head, k)
+      }, "built-in")
+  }
 
   /** Column form; requires `register(spark)` in this session. */
   def apply(hashedShingle: Column, numHashes: Int): Column =
     call_function("minhash_sketch", hashedShingle,
       org.apache.spark.sql.functions.lit(numHashes))
+
+  /** Referenced from `MinHashSignature` generated code: signature of one
+    * hashed-shingle array. Identical values to the aggregate form (same mix/seed),
+    * wrap-around arithmetic native to the JVM (no ANSI overflow concerns). */
+  def sigFromArray(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                   k: Int): GenericArrayData = {
+    val out = Array.fill(k)(Long.MaxValue)
+    val n = arr.numElements()
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < k) {
+        val p = mix(h ^ seed(i))
+        if (p < out(i)) out(i) = p
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** In-row signature over a hashed-shingle ARRAY column: sig[i] = min over
+    * shingles h of mix(h ^ seed(i)) — the exact values the `MinHashSketch`
+    * aggregate produces, but computed per row with zero explode and zero shuffle
+    * (`MinHashSignature` native expression). Use this form when the shingles are
+    * already an array column (the LSH dedup path); use the aggregate when shingle
+    * rows arrive exploded. Equality of the two forms is pinned by spec.
+    * Requires `register(spark)`. */
+  def sketchCol(hashedShingles: Column, numHashes: Int): Column =
+    call_function("minhash_signature", hashedShingles,
+      org.apache.spark.sql.functions.lit(numHashes))
+}
+
+/** Native codegen expression: MinHash signature (array<bigint>[numHashes]) of a
+  * hashed-shingle array, one inlined double loop per row — the shuffle-free
+  * signature path for LSH dedup (SURVEY.md §2.10 altitude: native Expression over
+  * UDF over driver logic). */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"minhash_signature requires array<bigint>, got ${t.simpleString(10)}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSketch.sigFromArray(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.MinHashSketch.sigFromArray($c, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
 }

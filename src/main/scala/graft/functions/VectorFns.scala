@@ -51,8 +51,9 @@ object VectorFns {
     * components are derived from `xxhash64(planeIdx * 4099 + dimIdx)` so every
     * executor materializes identical planes with zero driver coordination or
     * broadcast payload. Returns an int bucket id in [0, 2^nPlanes). */
-  def hyperplaneBucket(vec: Column, nPlanes: Int): Column = {
-    val bits = (0 until nPlanes).map { p =>
+  def hyperplaneBucket(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column = {
+    val bits = (0 until nPlanes).map { pl =>
+      val p = pl + planeOffset // plane family index; offset gives independent bands
       // plane_p[d] = (xxhash64(p*4099+d) mod 2001) - 1000  (zero-mean integer plane)
       val dot = aggregate(
         zip_with(vec,
@@ -60,7 +61,7 @@ object VectorFns {
             d => pmod(xxhash64(lit(p) * lit(4099) + d), lit(2001L)) - lit(1000L)),
           (x, plane) => round(x.cast("double") * Scale).cast("long") * plane),
         lit(0L), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      when(dot >= 0, lit(1L << pl)).otherwise(lit(0L))
     }
     bits.reduce(_ + _).cast("int")
   }

@@ -1,19 +1,26 @@
 package graft.operators
 
-import graft.functions.TextFns
-import graft.functions.VectorFns
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import graft.functions.{MinHashSketch, TextFns, VectorFns}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Deduplication operators for the training-data pipeline, exact and approximate.
   *
-  * Scale design: every variant is expressed so the expensive comparison only happens
-  * inside small candidate groups produced by a hash-partitionable blocking key —
-  * exact dedup groups by content hash; MinHash-LSH groups by (band, bandHash);
-  * SimHash groups by 16-bit signature bands; embedding dedup groups by label/LSH
-  * bucket. No operator ever materializes the full O(n²) pair space, so each is one
-  * or two shuffles regardless of corpus size.
+  * Scale design: no operator enumerates the O(n²) pair space. Every variant works
+  * in three stages — (1) a per-row pass derives a compact blocking key (content
+  * hash, shingle prefix, MinHash band, SimHash band, hyperplane bucket); (2) a
+  * hash-partitionable equi-join on the key yields a candidate pair set that is
+  * sub-quadratic whenever true duplicates are sparse; (3) an exact kernel
+  * (sorted-intersect Jaccard / Hamming / integer cosine) verifies candidates.
+  * For the Jaccard family the candidate set is a PROVEN superset of the true pairs
+  * (prefix-filter pigeonhole), so the output is exact, not approximate.
+  *
+  * The candidate pair set — the only frame referenced by multiple downstream
+  * branches — is persisted (MEMORY_AND_DISK); it is two longs per candidate,
+  * bounded by design. Verify passes re-tokenize only the documents that appear in
+  * candidates (semi-join against the raw corpus), so the full corpus is tokenized
+  * exactly once per operator regardless of how many verify branches run.
   */
 object Dedup {
 
@@ -26,53 +33,49 @@ object Dedup {
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_copies"))
   }
 
-  /** Near-dup pairs by exact n-gram Jaccard within blocking groups.
-    * `blockCols` bounds the candidate space (e.g. language + length bucket) — at
-    * 100 TB this is the difference between a feasible shuffle join and an O(n²)
-    * explosion. Returns (id_a, id_b, jaccard) with id_a < id_b.
+  private val S = 1000000L
+
+  /** One tokenize pass per operator: (__id, __sh sorted hashed shingles, __sz,
+    * blockCols...), PERSISTED, empty-shingle docs filtered. The shingle frame is
+    * referenced by both the candidate-generation self-join and the verify joins;
+    * without the persist each reference re-tokenizes the corpus (measured round 2:
+    * the prefix self-join alone doubled the dominant cost). MEMORY_AND_DISK: at
+    * cluster scale this is one corpus-sized spill to executor-local disk — the
+    * same currency a shuffle pays, bought once instead of per-reference.
     *
-    * Scale mechanics: blocking keys are usually low-cardinality (5 languages = 5
-    * tasks), so side A is salted by id and side B replicated across the salt space —
-    * the expensive intersect work then spreads over `salts` × blocks tasks with
-    * identical results. The Jaccard threshold is applied as an integer cross-multiply
-    * (inter·(1+t) ≥ t·(|A|+|B|) scaled to exact longs) so the intersection is
-    * computed once and no division runs in the hot filter. */
-  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int, threshold: Double,
-                        blockCols: Seq[String], salts: Int = 16): DataFrame = {
-    // repartition BEFORE the per-doc shingle computation: document corpora often
-    // arrive as few large-ish files, and without the exchange the whole
-    // tokenize+hash+sort pipeline runs at file-count parallelism (measured: 1 task)
-    val withSh = docs.select(
+    * The empty filter is applied ON TOP of the persisted frame, never below it:
+    * a plain `.filter(size(__sh) > 0)` in the build plan gets pushed through the
+    * repartition into the parquet scan, where it evaluates the whole
+    * tokenize+hash+sort pipeline at FILE-count parallelism (measured: the scan ran
+    * it single-task, 10× the cost of the distributed projection). */
+  private def shingleFrame(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, blockCols: Seq[String]): DataFrame =
+    docs.select(
       (col(idCol).as("__id") +: col(textCol).as("__text") +: blockCols.map(col)): _*)
+      // repartition BEFORE the per-doc shingle computation: corpora often arrive
+      // as few large files, and without the exchange the whole tokenize+hash+sort
+      // pipeline runs at file-count parallelism (measured round 1: 1 task)
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .withColumn("__sh", TextFns.sortedHashedShingles(col("__text"), n))
-      .filter(size(col("__sh")) > 0)
+      .withColumn("__sz", size(col("__sh")).cast("long"))
       .drop("__text")
-    val a = withSh.select(col("__id").as("id_a") +: col("__sh").as("sh_a") +:
-      size(col("__sh")).cast("long").as("sa") +: pmod(col("__id"), lit(salts))
-        .as("__salt") +: blockCols.map(col): _*)
-    val b = withSh.select(col("__id").as("id_b") +: col("__sh").as("sh_b") +:
-      size(col("__sh")).cast("long").as("sb") +: blockCols.map(col): _*)
-      .withColumn("__salt", explode(sequence(lit(0), lit(salts - 1))))
-    // integer threshold: inter/union >= t  <=>  inter*(1+t)*S >= t*S*(sa+sb)
-    // with S scaling t to an exact integer (t assumed a short decimal)
-    graft.functions.SortedIntersectCount.register(docs.sparkSession)
-    val S = 1000000L
+      .persist(StorageLevel.MEMORY_AND_DISK)
+      .filter(col("__sz") > 0)
+
+  /** Exact Jaccard verify over a candidate pair superset: one sorted-merge
+    * intersection per pair, integer cross-multiplied threshold before the final
+    * double jaccard. `sh` must be the (persisted) shingle frame. */
+  private def verifyJaccard(sh: DataFrame, threshold: Double,
+                            cand: DataFrame): DataFrame = {
+    graft.functions.SortedIntersectCount.register(sh.sparkSession)
     val tS = math.round(threshold * S)
-    val inter = graft.functions.SortedIntersectCount(col("sh_a"), col("sh_b"))
-    // the replicated side broadcasts, so probe-side parallelism would collapse to
-    // the file-scan partition count (often 1 file = 1 task); spread the probe side
-    // across the (block, salt) space explicitly before the join
-    a.repartition((blockCols :+ "__salt").map(col): _*)
-      .join(b, blockCols :+ "__salt")
-      .filter(col("id_a") < col("id_b"))
-      // size filtering (SSJoin-style): jaccard >= t forces
-      // min(|A|,|B|)/max(|A|,|B|) >= t — an exact necessary condition checked on two
-      // ints, pruning pairs BEFORE any intersection is computed
-      .filter(col("sa") * S >= lit(tS) * col("sb") &&
-        col("sb") * S >= lit(tS) * col("sa"))
-      .withColumn("inter", inter)
+    cand
+      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sha")), "id_a")
+      .join(sh.select(col("__id").as("id_b"), col("__sh").as("shb")), "id_b")
+      .withColumn("sa", size(col("sha")).cast("long"))
+      .withColumn("sb", size(col("shb")).cast("long"))
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount(col("sha"), col("shb")))
       .filter(col("inter") * (S + tS) >= lit(tS) * (col("sa") + col("sb")))
       .withColumn("jaccard", col("inter").cast("double") /
         (col("sa") + col("sb") - col("inter")).cast("double"))
@@ -80,15 +83,72 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** PPJoin-style prefix-filter candidates for Jaccard >= t — an EXACT superset,
+    * sub-quadratic without sacrificing a single true pair.
+    *
+    * Global token order = the hashed shingle value (arrays arrive sorted). A doc
+    * with |A| shingles needs only its first p = |A| - ceil(t·|A|) + 1 as join
+    * keys: J(A,B) >= t forces |A ∩ B| >= ceil(t·|A|) (since |B| >= |A∩B| gives
+    * O(1+t) >= t(|A|+|B|) >= t(|A|+O)), and if none of A's first p tokens were in
+    * B, the >= ceil(t·|A|) shared tokens would all sit in A's last
+    * ceil(t·|A|) - 1 positions — pigeonhole-impossible. So joining on
+    * (block, prefix-token) with the |A|·t <= |B| <= |A|/t length filter inlined
+    * is a guaranteed superset of the true pairs. ceil is exact integer
+    * arithmetic ((tS·s + S-1) div S), no float round-off can shave the prefix.
+    *
+    * At 100 TB the join partitions by (block, token): work is proportional to
+    * Σ bucket², driven by token sharing among NEAR-DUPLICATES — not corpus² (the
+    * old all-pairs-within-block candidate space). */
+  /** Prefix-filter candidate join over a prepared shingle frame. */
+  private def prefixCandidates(sh: DataFrame, threshold: Double,
+                               blockCols: Seq[String]): DataFrame = {
+    val tS = math.round(threshold * S)
+    val pref = sh
+      .withColumn("__alpha", expr(s"($tS * __sz + ${S - 1}) div $S"))
+      .withColumn("__p", (col("__sz") - col("__alpha") + 1).cast("int"))
+      .select(
+        (col("__id") +: col("__sz") +:
+          explode(slice(col("__sh"), lit(1), col("__p"))).as("__tok") +:
+          blockCols.map(col)): _*)
+    val cond = blockCols
+      .map(c => col(s"x.$c") === col(s"y.$c"))
+      .foldLeft(
+        col("x.__tok") === col("y.__tok") && col("x.__id") < col("y.__id") &&
+          // SSJoin length filter at candidate time: t·max(|A|,|B|) <= min(|A|,|B|)
+          col("x.__sz") * S >= lit(tS) * col("y.__sz") &&
+          col("y.__sz") * S >= lit(tS) * col("x.__sz"))(_ && _)
+    pref.as("x").join(pref.as("y"), cond)
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      .distinct()
+  }
+
+  def ngramPrefixCandidates(docs: DataFrame, idCol: String, textCol: String,
+                            n: Int, threshold: Double,
+                            blockCols: Seq[String]): DataFrame =
+    prefixCandidates(shingleFrame(docs, idCol, textCol, n, blockCols), threshold,
+      blockCols)
+
+  /** Near-dup pairs by EXACT n-gram Jaccard: prefix-filter candidates (superset)
+    * + sorted-intersect verify. Output identical to all-pairs enumeration, plan
+    * sub-quadratic. Returns (id_a, id_b, jaccard) with id_a < id_b. */
+  def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, threshold: Double,
+                        blockCols: Seq[String]): DataFrame = {
+    val sh = shingleFrame(docs, idCol, textCol, n, blockCols)
+    verifyJaccard(sh, threshold, prefixCandidates(sh, threshold, blockCols))
+  }
+
   /** MinHash signatures via the native `MinHashSketch` TypedImperativeAggregate:
     * one fixed-size buffer per doc instead of `numHashes` separate min() aggregate
     * expressions; partial aggregation map-side, partition-invariant result.
-    * Returns (__id, sig: array<bigint>[numHashes]). */
+    * Returns (__id, sig: array<bigint>[numHashes]).
+    *
+    * Prefer `MinHashSketch.sketchCol` (identical values, zero shuffle) when the
+    * shingles are already an array column; this exploded/aggregate form exists for
+    * layouts where shingle rows arrive as a stream. */
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, numHashes: Int): DataFrame = {
     graft.functions.MinHashSketch.register(docs.sparkSession)
-    // repartition before the explode: shingle hashing is the expensive part and
-    // must not run at file-count parallelism
     val shingled = docs
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col(idCol).as("__id"),
@@ -100,40 +160,37 @@ object Dedup {
   /** MinHash + LSH banding: signatures split into `bands` bands of
     * `numHashes / bands` rows; docs sharing any band hash become candidate pairs,
     * then candidates are verified with exact Jaccard. Standard (b, r) S-curve
-    * banding. Returns (id_a, id_b, jaccard >= threshold). */
+    * banding. Returns (id_a, id_b, jaccard >= threshold).
+    *
+    * One corpus pass total: signatures are computed IN-ROW from the shingle array
+    * (`MinHashSketch.sketchCol` — no explode, no aggregate shuffle), and the
+    * verify pass re-tokenizes only candidate docs. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
-    val sig = minhashSignature(docs, idCol, textCol, shingleN, numHashes)
-    val bandHashes = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * r + 1, r)).as("bh"))
-    }
-    val buckets = sig.select(col("__id"),
-      explode(array(bandHashes: _*)).as("bb"))
-      .select(col("__id"), col("bb.band"), col("bb.bh"))
+    MinHashSketch.register(docs.sparkSession)
+    val sh = shingleFrame(docs, idCol, textCol, shingleN, Nil)
+    // band hashes as an in-row ARRAY (small: `bands` longs) so the banded
+    // self-join can match pairs on their FIRST shared band — each candidate pair
+    // is emitted exactly once and no distinct/shuffle-dedupe is needed
+    val sig = sh.select(col("__id"),
+        MinHashSketch.sketchCol(col("__sh"), numHashes).as("sig"))
+      .withColumn("__bhs", array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), b * r + 1, r))): _*))
+      .select(col("__id"), col("__bhs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = sig.select(col("__id"), col("__bhs"),
+      posexplode(col("__bhs")).as(Seq("band", "bh")))
+    val noEarlierBand = size(filter(
+      slice(zip_with(col("x.__bhs"), col("y.__bhs"), (a, b) => a === b),
+        lit(1), col("x.band")), p => p)) === 0
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.__id") < col("y.__id"))
+          col("x.__id") < col("y.__id") && noEarlierBand)
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
-      .distinct()
-    // verify candidates with exact shingle Jaccard (intersect computed once,
-    // over hashed shingles)
-    graft.functions.SortedIntersectCount.register(docs.sparkSession)
-    val sh = docs
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
-      .select(col(idCol).as("__vid"),
-        TextFns.sortedHashedShingles(col(textCol), shingleN).as("__vsh"))
-    cand
-      .join(sh.select(col("__vid").as("id_a"), col("__vsh").as("sha")), "id_a")
-      .join(sh.select(col("__vid").as("id_b"), col("__vsh").as("shb")), "id_b")
-      .withColumn("inter", graft.functions.SortedIntersectCount(col("sha"), col("shb")))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sha")) + size(col("shb")) - col("inter")).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    verifyJaccard(sh, threshold, cand)
   }
 
   /** 64-bit SimHash per document: sign-sum of per-token hash bits. Computed with 64
@@ -154,47 +211,124 @@ object Dedup {
     sums.select(col("__id").as(idCol), sim.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: candidates must share one of four 16-bit bands (so any
-    * pair within Hamming distance 3 is guaranteed caught), verified by exact Hamming
-    * distance <= maxHamming. */
+  /** SimHash near-dup pairs with a RECALL GUARANTEE: the 64-bit signature is split
+    * into `maxHamming + 1` bands (widths 64/(r+1), ±1 bit), so any pair within
+    * Hamming distance maxHamming differs in at most maxHamming bands and must
+    * share at least one band unchanged (pigeonhole) — every such pair becomes a
+    * candidate, then exact `bit_count(xor)` keeps true ones.
+    *
+    * Cost curve (inherent to Hamming pigeonhole banding): radius r ⇒ r+1 bands of
+    * ~64/(r+1) bits, so bucket cardinality shrinks exponentially with r — r <= ~8
+    * keeps 7+-bit buckets; beyond that expect candidate growth and prefer MinHash
+    * banding on shingles instead. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
-    val sig = simhash64(docs, idCol, textCol)
+                   maxHamming: Int = 3): DataFrame =
+    simhashBandPairs(simhash64(docs, idCol, textCol), idCol, maxHamming)
+
+  /** Banding stage of `simhashPairs` over a precomputed (id, simhash) frame —
+    * public so the pigeonhole recall guarantee is verifiable on constructed
+    * signatures.
+    *
+    * Both sides carry the full 64-bit signature (one long), so the join emits
+    * each pair only from its FIRST shared band ("no earlier band equal" is a cheap
+    * bit-compare predicate) and applies the exact Hamming radius inside the join —
+    * no distinct, no second shuffle, duplicate-free by construction. */
+  def simhashBandPairs(sig: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val bands = maxHamming + 1
+    val bounds = (0 to bands).map(i => i * 64 / bands)
+    def bandVal(sim: Column, b: Int): Column = {
+      val lo = bounds(b)
+      val w = bounds(b + 1) - lo
+      val mask = if (w >= 64) -1L else (1L << w) - 1L
+      shiftright(sim, lo).bitwiseAND(lit(mask))
+    }
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"), bandVal(col("simhash"), b).as("bh")))
     val banded = sig.select(col(idCol).as("__id"), col("simhash"),
-      explode(array((0 until 4).map(b => struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 16).bitwiseAND(0xffffL).as("bh"))): _*))
-        .as("bb"))
+      explode(array(bandStructs: _*)).as("bb"))
       .select(col("__id"), col("simhash"), col("bb.band"), col("bb.bh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val noEarlierBand = (0 until bands - 1).map { b =>
+      col("x.band") <= b ||
+        bandVal(col("x.simhash"), b) =!= bandVal(col("y.simhash"), b)
+    }.reduceOption(_ && _).getOrElse(lit(true))
     banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.__id") < col("y.__id"))
+          col("x.__id") < col("y.__id") &&
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHamming &&
+          noEarlierBand)
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding near-dup pairs: cosine >= threshold within blocking groups (e.g. an
-    * LSH bucket or coarse label). Vectors are quantized and norm'd ONCE per row
-    * before the pair join, so the per-pair cost is a single integer dot fold —
-    * the O(n) prep is hoisted out of the O(n²) loop. */
+  /** Embedding near-dup pairs: cosine >= threshold. Vectors are quantized and
+    * norm'd ONCE per row before any pair join, so the per-pair cost is a single
+    * integer dot fold.
+    *
+    * Blocking: with `lshPlanes = 0` candidates are all pairs within `blockCols`
+    * — EXACT output, quadratic per block (fine for dim-sized blocks or as a
+    * verify oracle). With `lshPlanes > 0`, each of `lshBands` independent
+    * hyperplane-signature families adds a bucket blocking key: candidates are
+    * pairs agreeing on some band's full `lshPlanes`-bit signature — the scale
+    * path. That is APPROXIMATE: a pair at angle θ survives with
+    * 1 - (1 - (1-θ/π)^planes)^bands, so it is the right tool for the near-dup
+    * regime (threshold -> 1, misses vanishingly rare), not for low thresholds. */
   def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
-                           threshold: Double, blockCols: Seq[String]): DataFrame = {
+                           threshold: Double, blockCols: Seq[String],
+                           lshPlanes: Int = 0, lshBands: Int = 4): DataFrame = {
     val base = embs
       .repartition(embs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(
-        (col(idCol).as("__id") +: VectorFns.quantize(col(vecCol)).as("__q") +:
-          blockCols.map(col)): _*)
+        (col(idCol).as("__id") +: col(vecCol).as("__v") +: blockCols.map(col)): _*)
+      .withColumn("__q", VectorFns.quantize(col("__v")))
       .withColumn("__n", VectorFns.normLong(col("__q")))
-    val a = base.select(col("__id").as("id_a") +: col("__q").as("qa") +:
-      col("__n").as("na") +: blockCols.map(col): _*)
-    val b = base.select(col("__id").as("id_b") +: col("__q").as("qb") +:
-      col("__n").as("nb") +: blockCols.map(col): _*)
-    a.join(b, blockCols)
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorFns.cosineFromQuantized(
-        col("qa"), col("qb"), col("na"), col("nb")))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+    if (lshPlanes <= 0) {
+      // exact within blockCols: one block-partitioned join, vectors in-row
+      val a = base.select(col("__id").as("id_a") +: col("__q").as("qa") +:
+        col("__n").as("na") +: blockCols.map(col): _*)
+      val b = base.select(col("__id").as("id_b") +: col("__q").as("qb") +:
+        col("__n").as("nb") +: blockCols.map(col): _*)
+      val joined = if (blockCols.isEmpty)
+        a.crossJoin(b) else a.join(b, blockCols)
+      joined.filter(col("id_a") < col("id_b"))
+        .withColumn("cosine", VectorFns.cosineFromQuantized(
+          col("qa"), col("qb"), col("na"), col("nb")))
+        .filter(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    } else {
+      // scale path: the banded self-join carries only (id, band buckets, blocks) —
+      // never the vectors — and emits each pair from its FIRST shared band, so the
+      // candidate set is duplicate-free with no dropDuplicates shuffle. Vectors are
+      // fetched for candidates only, from the persisted prep frame.
+      val prep = base.withColumn("__bkts", array((0 until lshBands).map(b =>
+          VectorFns.hyperplaneBucket(col("__v"), lshPlanes, b * lshPlanes)
+            .cast("long")): _*))
+        .select((col("__id") +: col("__q") +: col("__n") +: col("__bkts") +:
+          blockCols.map(col)): _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val slim = prep.select(
+        (col("__id") +: col("__bkts") +:
+          posexplode(col("__bkts")).as(Seq("__band", "__bh")) +:
+          blockCols.map(col)): _*)
+      val noEarlierBand = size(filter(
+        slice(zip_with(col("x.__bkts"), col("y.__bkts"), (p, q) => p === q),
+          lit(1), col("x.__band")), p => p)) === 0
+      val cond = blockCols.map(c => col(s"x.$c") === col(s"y.$c"))
+        .foldLeft(col("x.__band") === col("y.__band") &&
+          col("x.__bh") === col("y.__bh") &&
+          col("x.__id") < col("y.__id") && noEarlierBand)(_ && _)
+      val cand = slim.as("x").join(slim.as("y"), cond)
+        .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      cand
+        .join(prep.select(col("__id").as("id_a"), col("__q").as("qa"),
+          col("__n").as("na")), "id_a")
+        .join(prep.select(col("__id").as("id_b"), col("__q").as("qb"),
+          col("__n").as("nb")), "id_b")
+        .withColumn("cosine", VectorFns.cosineFromQuantized(
+          col("qa"), col("qb"), col("na"), col("nb")))
+        .filter(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }
   }
 }

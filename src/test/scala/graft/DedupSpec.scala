@@ -53,6 +53,71 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("ngram jaccard output identical to all-pairs enumeration (prefix superset proof)") {
+    // brute-force expectation: every pair in the same lang, exact jaccard >= t
+    graft.functions.SortedIntersectCount.register(spark)
+    val sh = docs.select($"doc_id", $"lang",
+      graft.functions.TextFns.sortedHashedShingles($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+    val brute = sh.as("x").join(sh.as("y"),
+        $"x.lang" === $"y.lang" && $"x.doc_id" < $"y.doc_id")
+      .withColumn("inter",
+        graft.functions.SortedIntersectCount($"x.sh", $"y.sh"))
+      .withColumn("j", $"inter".cast("double") /
+        (size($"x.sh") + size($"y.sh") - $"inter").cast("double"))
+      .filter($"j" >= 0.5)
+      .select($"x.doc_id", $"y.doc_id", round($"j", 9))
+      .as[(Long, Long, Double)].collect().toSet
+    val fast = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, Seq("lang"))
+      .select($"id_a", $"id_b", round($"jaccard", 9))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast == brute)
+  }
+
+  test("prefix-filter candidate generation is sub-quadratic on unrelated docs") {
+    // 60 unrelated docs in ONE block: all-pairs would enumerate 1770 candidates;
+    // prefix filtering joins on shared shingle tokens, of which there are none
+    val unrelated = (0 until 60).map(i =>
+      (i.toLong, s"alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i", "en"))
+      .toDF("doc_id", "text", "lang")
+    val cand = Dedup.ngramPrefixCandidates(unrelated, "doc_id", "text", 3, 0.5,
+      Seq("lang"))
+    assert(cand.count() == 0)
+    // sanity: injecting one near-dup makes exactly that candidate (+its verify hit)
+    val withDup = unrelated.union(Seq(
+      (100L, "alpha7 beta7 gamma7 delta7 epsilon7 zeta7 theta", "en"))
+      .toDF("doc_id", "text", "lang"))
+    val cand2 = Dedup.ngramPrefixCandidates(withDup, "doc_id", "text", 3, 0.5,
+      Seq("lang")).as[(Long, Long)].collect().toSet
+    assert(cand2.contains((7L, 100L)) && cand2.size < 10)
+  }
+
+  test("simhash banding recall guarantee holds for wide radii (pigeonhole bands)") {
+    // distance-10 pair engineered to differ in EVERY 16-bit quarter — the old
+    // fixed 4x16 banding missed it; maxHamming+1 pigeonhole bands must catch it
+    val bitsApart = Seq(0, 1, 2, 16, 17, 32, 33, 48, 49, 50)
+    val y = bitsApart.map(1L << _).reduce(_ | _)
+    val sig = Seq((1L, 0L), (2L, y)).toDF("doc_id", "simhash")
+    val pairs = Dedup.simhashBandPairs(sig, "doc_id", maxHamming = 12)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L, 10L)))
+    // and the exact Hamming filter still rejects pairs beyond the radius
+    assert(Dedup.simhashBandPairs(sig, "doc_id", maxHamming = 9).count() == 0)
+  }
+
+  test("minhash in-row signature (sketchCol) == MinHashSketch aggregate") {
+    graft.functions.MinHashSketch.register(spark)
+    val viaAgg = Dedup.minhashSignature(docs, "doc_id", "text", 3, 64)
+      .select($"__id", $"sig")
+    val viaCol = docs.select($"doc_id".as("__id"),
+        graft.functions.TextFns.sortedHashedShingles($"text", 3).as("sh"))
+      .filter(size($"sh") > 0)
+      .select($"__id", graft.functions.MinHashSketch.sketchCol($"sh", 64).as("sig"))
+    val agg = viaAgg.as[(Long, Seq[Long])].collect().toMap
+    val col = viaCol.as[(Long, Seq[Long])].collect().toMap
+    assert(agg == col)
+  }
+
   test("embedding cosine pairs: injected duplicate vector found, blocking respected") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
@@ -63,5 +128,24 @@ class DedupSpec extends SparkSpec {
     val pairs = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", 0.95,
       Seq("label")).select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L))) // (1,4) blocked away, (1,3) dissimilar
+  }
+
+  test("embedding LSH blocking: subset of exact pairs, near-identical vectors kept") {
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(200)
+    val exact = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", 0.9, Nil)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", 0.9, Nil,
+      lshPlanes = 6, lshBands = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // candidates verified by the same exact kernel
+    // identical vectors agree on every hyperplane — always recovered
+    val dup = Seq(
+      (9001L, Array.fill(8)(0.5f)), (9002L, Array.fill(8)(0.5f)))
+      .toDF("vec_id", "embedding")
+    val found = Dedup.embeddingCosinePairs(dup, "vec_id", "embedding", 0.99, Nil,
+      lshPlanes = 6, lshBands = 8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(found == Set((9001L, 9002L)))
   }
 }
