@@ -136,4 +136,28 @@ object MikeJobs {
     val patched = patchLastRow(clean, "time", "value")
     patched.na.drop(Seq("value"))
   }
+
+  /** 3.3 discharge input — `prepare_mike_dis_input`
+    * (ref: inputs/gen_mike_input_dis_linux.py:166-186): 15-min spine left-join
+    * (no resample — discharge is already on the grid), last-row patch (NaN or
+    * negative -> 0), then the INTENDED dropna (the reference calls `dropna()`
+    * without assigning, ref :182 — a no-op bug; divergence documented on
+    * `tideInput`). Unlike tide there is no sentinel cleanse. */
+  def dischargeInput(spark: SparkSession, series: DataFrame,
+                     startTs: String, endTs: String,
+                     stepMinutes: Int = 15): DataFrame = {
+    val spine = timeSpine(spark, startTs, endTs, stepMinutes)
+    val aligned = alignToSpine(broadcast(spine), series)
+    val patched = patchLastRow(aligned, "time", "value")
+    patched.na.drop(Seq("value"))
+  }
+
+  /** A6: `get_obs_end` — the latest observed timestamp of a series, used by the
+    * discharge job as its `latest_fgt` tag
+    * (ref: inputs/gen_mike_input_dis_linux.py:176). One max aggregate. */
+  def getObsEnd(series: DataFrame, timeCol: String = "time"): Option[java.time.LocalDateTime] =
+    series.agg(max(col(timeCol))).first() match {
+      case r if r.isNullAt(0) => None
+      case r => Some(r.getAs[java.time.LocalDateTime](0))
+    }
 }

@@ -77,6 +77,65 @@ class WarehouseJobSpec extends SparkSpec {
       .join(readTable(url, "runs"), Seq("tms_id")).count() == 1)
   }
 
+  test("DischargeInputJob: spine align + last-row patch + obs-end latest_fgt") {
+    val dir = Files.createTempDirectory("disjob")
+    Seq(("2024-01-01 00:00:00", 12.5), ("2024-01-01 00:15:00", 11.0),
+      ("2024-01-01 00:45:00", -3.0)) // gap at 00:30 (dropped), negative last row
+      .toDF("s", "value")
+      .select(to_timestamp($"s").cast("timestamp_ntz").as("time"), $"value")
+      .write.parquet(s"$dir/series")
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"series_path": "$dir/series", "output_path": "$dir/out"}""")
+    val (ran, fgt) = graft.jobs.DischargeInputJob.run(spark, s"$dir/cfg.json",
+      "2024-01-01 00:00:00", "2024-01-01 00:45:00")
+    assert(ran)
+    // get_obs_end-derived latest_fgt = max observed time in window (ref dis :176)
+    assert(fgt.contains(java.time.LocalDateTime.parse("2024-01-01T00:45:00")))
+    val csv = new java.io.File(s"$dir/out").listFiles
+      .filter(_.getName.endsWith(".csv")).head
+    val lines = Files.readAllLines(csv.toPath)
+    // no sentinel cleanse for discharge; 00:30 gap dropped; last row patched to 0
+    assert(lines.size() == 3)
+    assert(lines.get(0) == "2024-01-01 00:00:00,12.5")
+    assert(lines.get(1) == "2024-01-01 00:15:00,11.0")
+    assert(lines.get(2) == "2024-01-01 00:45:00,0.0")
+    // S13 idempotence: second tick with existing artifact is a no-op
+    val (ran2, _) = graft.jobs.DischargeInputJob.run(spark, s"$dir/cfg.json",
+      "2024-01-01 00:00:00", "2024-01-01 00:45:00")
+    assert(!ran2)
+  }
+
+  test("RawRainfallInputJob: active-station gate + neighbor fill + name pivot CSV") {
+    val dir = Files.createTempDirectory("rawrfjob")
+    // station 3 has NO data in the window -> the S5 active gate must exclude it
+    Seq((1, "2024-01-01 00:05:00", 1.0), (1, "2024-01-01 00:10:00", 2.0),
+      (1, "2024-01-01 00:15:00", 3.0), (2, "2024-01-01 00:05:00", 4.0),
+      (3, "2023-12-01 00:05:00", 9.0))
+      .toDF("obs_id", "s", "value")
+      .select($"obs_id", to_timestamp($"s").cast("timestamp_ntz").as("time"), $"value")
+      .write.parquet(s"$dir/series")
+    Files.writeString(dir.resolve("stations.csv"),
+      """obs_id,station_name,latitude,longitude
+        |1,Colombo,6.93,79.85
+        |2,Kandy,7.29,80.63
+        |3,Galle,6.05,80.22
+        |""".stripMargin)
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"series_path": "$dir/series", "stations_csv": "$dir/stations.csv",
+         | "output_path": "$dir/out"}""".stripMargin)
+    assert(graft.jobs.RawRainfallInputJob.run(spark, s"$dir/cfg.json",
+      "2024-01-01 00:00:00", "2024-01-01 00:15:00"))
+    val csv = new java.io.File(s"$dir/out").listFiles
+      .filter(_.getName.endsWith(".csv")).head
+    val lines = Files.readAllLines(csv.toPath)
+    // header: time + the two ACTIVE stations by name; Galle gated out (S5)
+    assert(lines.get(0) == "time,Colombo,Kandy")
+    // 00:00 bucket is all-NaN for both -> 0.0 (pandas zero quirk)
+    assert(lines.get(1) == "2024-01-01 00:00:00,0.0,0.0")
+    // Colombo 15-min bucket = 1+2+3 = 6.0; Kandy = 4.0
+    assert(lines.get(2) == "2024-01-01 00:15:00,6.0,4.0")
+  }
+
   test("TideInputJob: config -> spine-aligned cleansed patched headerless CSV") {
     val dir = Files.createTempDirectory("tidejob")
     Seq(("2024-01-01 00:00:00", 1.0), ("2024-01-01 00:15:00", -99999.0),
