@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Dedup, Similarity}
+import graft.operators.{Contamination, Dedup, Similarity}
 import graft.ops.{GeoOps, TimeSeriesOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -112,7 +112,10 @@ object SparkEntry {
     "q43_ann_ivf_topk" -> qAnnIvf,
     "q44_rolling_window" -> qRollingWindow,
     "q45_median_argmax" -> qMedianArgmax,
-    "q46_embedding_dedup_lsh" -> qEmbeddingDedupLsh)
+    "q46_embedding_dedup_lsh" -> qEmbeddingDedupLsh,
+    "q47_contamination" -> qContamination,
+    "q48_repetition_quality" -> qRepetition,
+    "q49_dedup_clusters" -> qDedupClusters)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -449,6 +452,40 @@ object SparkEntry {
       threshold = 0.4, blockCols = Nil, lshPlanes = 4, lshBands = 16)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_6dp"))
       .orderBy(col("id_a"), col("id_b"))
+
+  /** Benchmark contamination: corpus docs sharing 5-gram shingles with a held-out
+    * benchmark slice (doc_id % 97 == 0 plays the benchmark role). Broadcast the
+    * distinct benchmark gram set; the corpus pass is map-side. */
+  private def qContamination(s: SparkSession, dir: String): DataFrame = {
+    val all = t(s, dir, "documents")
+    Contamination.sharedNgrams(
+      all.filter(col("doc_id") % 97 =!= 0),
+      all.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 5)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style repetition quality signals: distinct-word and top-bigram
+    * multiplicities as one narrow in-row projection (no explode, no per-doc
+    * groupBy — the fold runs inside the scan stage at any corpus size). */
+  private def qRepetition(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .repartition(s.sessionState.conf.numShufflePartitions)
+      .withColumn("r", TextFns.repetitionStruct(col("text")))
+      .select(col("doc_id"), col("r.n_words").as("n_words"),
+        col("r.n_distinct_words").as("n_distinct_words"),
+        col("r.n_bigrams").as("n_bigrams"),
+        col("r.top_bigram_n").as("top_bigram_n"))
+      .orderBy(col("doc_id"))
+
+  /** Duplicate-cluster resolution: near-dup pairs (q23's exact Jaccard set) ->
+    * connected components -> min-id cluster labels, the "keep one survivor per
+    * cluster" step after pairwise dedup. */
+  private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(t(s, dir, "documents").filter(col("doc_id") < 2000),
+        "doc_id", "text", n = 3, threshold = 0.5, blockCols = Seq("lang")))
+      .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
 
   /** Sessionization: gap > 30 min starts a new session (lag + running count). */
   private def qSessionize(s: SparkSession, dir: String): DataFrame = {
@@ -1083,5 +1120,70 @@ object SparkEntry {
         |  MAX(CAST(ROUND(value*100) AS BIGINT) * 10000000 + event_id) % 10000000
         |    AS top_event_id,
         |  COUNT(*) AS n
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q47_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+        |    i -> array_to_string(ws[i:i+4], ' ')))) AS g
+        |  FROM toks WHERE len(ws) >= 5),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        |hits AS (
+        |  SELECT doc_id, COUNT(*) AS shared_ngrams
+        |  FROM grams JOIN bench USING (g) WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(h.shared_ngrams, 0) AS BIGINT) AS shared_ngrams,
+        |  COALESCE(h.shared_ngrams, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id""".stripMargin,
+    "q48_repetition_quality" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, ws,
+        |    CASE WHEN len(ws) >= 2 THEN
+        |      list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS bgs
+        |  FROM toks),
+        |cnt AS (
+        |  SELECT doc_id, g, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(bgs) AS g FROM bg) GROUP BY doc_id, g),
+        |top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n FROM cnt GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CAST(len(b.ws) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(b.ws)) AS BIGINT) AS n_distinct_words,
+        |  CAST(len(b.bgs) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(t.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+        |FROM bg b LEFT JOIN top t USING (doc_id) ORDER BY b.doc_id""".stripMargin,
+    "q49_dedup_clusters" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents WHERE doc_id < 2000),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id)
+        |SELECT id AS doc_id, MIN(comp) AS component
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
 }

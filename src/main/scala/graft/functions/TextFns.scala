@@ -92,4 +92,32 @@ object TextFns {
     * content id robust to word order and repetition (bag-of-words identity). */
   def fingerprintSha(text: Column): Column =
     sha2(array_join(array_sort(array_distinct(words(text))), " "), 256)
+
+  /** Longest run of equal values in a SORTED array — i.e. the max multiplicity of
+    * any element. One in-row fold with a (prev, run, best) accumulator: no
+    * explode, no per-doc groupBy, stays a narrow projection at any corpus size.
+    * Empty arrays yield 0. */
+  def maxRunLength(sortedArr: Column): Column =
+    aggregate(sortedArr,
+      struct(lit(Long.MinValue).as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val newRun = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), newRun.as("run"),
+          greatest(acc("best"), newRun).as("best"))
+      },
+      acc => acc("best"))
+
+  /** Gopher-style repetition signals per document: word/distinct-word counts and
+    * the multiplicity of the most repeated bigram (all exact longs; downstream
+    * filters threshold on the ratios). `top_bigram_n` folds over the sorted
+    * hashed bigram array in-row — the whole struct is one narrow projection. */
+  def repetitionStruct(text: Column): Column = {
+    val ws = words(text)
+    val bg = wordShingles(ws, 2)
+    struct(
+      size(ws).cast("long").as("n_words"),
+      size(array_distinct(ws)).cast("long").as("n_distinct_words"),
+      size(bg).cast("long").as("n_bigrams"),
+      maxRunLength(array_sort(transform(bg, g => xxhash64(g)))).as("top_bigram_n"))
+  }
 }

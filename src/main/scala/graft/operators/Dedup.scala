@@ -274,6 +274,49 @@ object Dedup {
     * path. That is APPROXIMATE: a pair at angle θ survives with
     * 1 - (1 - (1-θ/π)^planes)^bands, so it is the right tool for the near-dup
     * regime (threshold -> 1, misses vanishingly rare), not for low thresholds. */
+  /** Connected components over a near-dup pair set: every doc gets the MIN id of
+    * its transitive duplicate cluster — the "keep one survivor per cluster" step
+    * that follows any pairwise dedup. Deterministic min-label propagation:
+    * labels spread one hop per iteration (O(cluster diameter) rounds, each one
+    * distributed join + min-aggregate), with per-round persist to truncate
+    * lineage and an early stop when the label sum stops decreasing (labels only
+    * ever decrease, so the sum is a complete change detector). Near-dup clusters
+    * are short-diameter in practice; for adversarially long chains swap in the
+    * large-star/small-star variant — same interface.
+    *
+    * Returns (id, component) for every id that appears in `pairs`. */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+                          idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def compSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("comp")), lit(0L))).first().getLong(0)
+    var prevSum = compSum(labels)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, col("dst") === col("id"))
+        .groupBy(col("src")).agg(min(col("comp")).as("__nbr"))
+      val next = labels.join(nbrMin, col("id") === col("src"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("__nbr"), col("comp"))).as("comp"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val nextSum = compSum(next)
+      labels.unpersist()
+      labels = next
+      converged = nextSum == prevSum
+      prevSum = nextSum
+      i += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("comp").as("component"))
+  }
+
   def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, blockCols: Seq[String],
                            lshPlanes: Int = 0, lshBands: Int = 4): DataFrame = {

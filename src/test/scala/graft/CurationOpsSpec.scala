@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.TextFns
+import graft.operators.{Contamination, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Specs for the corpus-curation operators added round 2: benchmark contamination,
+  * repetition quality signals, duplicate-cluster resolution. */
+class CurationOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("contamination: shared n-grams counted, clean docs zero, short docs zero") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      // shares exactly "alpha beta gamma delta epsilon" with the benchmark
+      (1L, "alpha beta gamma delta epsilon other words here"),
+      (2L, "totally different words with no overlap at all"),
+      (3L, "tiny doc")) // < 5 words -> no grams
+      .toDF("doc_id", "text")
+    val out = Contamination.sharedNgrams(corpus, bench, "doc_id", "text", 5)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq((1L, 1L, true), (2L, 0L, false), (3L, 0L, false)))
+  }
+
+  test("maxRunLength: sorted multiplicities; empty array is 0") {
+    val out = Seq(
+      (1L, Seq(1L, 1L, 1L, 2L, 3L, 3L)),
+      (2L, Seq(5L)),
+      (3L, Seq.empty[Long]))
+      .toDF("id", "arr")
+      .select($"id", TextFns.maxRunLength($"arr").as("m"))
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 3L), (2L, 1L), (3L, 0L)))
+  }
+
+  test("repetitionStruct: word/bigram multiplicities for a repetitive doc") {
+    val out = Seq((1L, "spam spam spam spam eggs"), (2L, "one"), (3L, "all unique words here"))
+      .toDF("doc_id", "text")
+      .withColumn("r", TextFns.repetitionStruct($"text"))
+      .select($"doc_id", $"r.n_words", $"r.n_distinct_words", $"r.n_bigrams",
+        $"r.top_bigram_n")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // "spam spam" bigram occurs 3 times; single-word doc has no bigrams
+    assert(out == Seq((1L, 5L, 2L, 4L, 3L), (2L, 1L, 1L, 0L, 0L),
+      (3L, 4L, 4L, 3L, 1L)))
+  }
+
+  test("connectedComponents: chains collapse to min-id label, deterministic") {
+    // components: {1,2,3,4} via chain, {10,11}, pairs only
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs)
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L)))
+    // empty pair set -> empty labels, no crash
+    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+      .count() == 0)
+  }
+}
