@@ -39,19 +39,47 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
 
-  /** IVF (inverted-file) top-k — the classic ANN scale path: the corpus is
-    * partitioned into `nCentroids` Voronoi cells around deterministically-sampled
-    * centroid vectors; a query scores only the cells of its `nProbe` nearest
-    * centroids. At 100 TB the cell assignment is one broadcast pass over the corpus
-    * (written once, reused across queries), and each query touches
-    * ~nProbe/nCentroids of the data instead of all of it.
-    *
-    * Centroid selection is id-hash ordered (deterministic, no k-means iterations) —
-    * a trained quantizer can replace `pickCentroids` without changing the plan
-    * shape. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              nCentroids: Int = 16, nProbe: Int = 4,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+  /** A built inverted-file index: `cells` = the corpus with quantized vectors,
+    * norms, and Voronoi cell assignment (corpus-sized — write to parquet and
+    * reuse across query batches); `centroids` = the tiny (centroid_id, centv,
+    * centn) frame the probe side needs. Both are plain-typed frames, so
+    * `save`/`load` round-trip through parquet — build once, serve many. */
+  final case class IvfIndex(cells: DataFrame, centroids: DataFrame) {
+    def save(dir: String): Unit = {
+      // cells partitioned BY CELL: a probe of nProbe cells prunes to nProbe
+      // directories at the file index — the ANN equivalent of date-partitioned
+      // fact tables
+      cells.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+      centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    }
+  }
+
+  object IvfIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex =
+      IvfIndex(spark.read.parquet(s"$dir/cells"),
+        spark.read.parquet(s"$dir/centroids"))
+  }
+
+  /** Nearest `take` centroids of vector (v, n) as an in-row argmax over the
+    * packed centroid array column `cents` — argmax by (cosine rounded 1e-6 desc,
+    * centroid_id asc). Map-side: no window, no shuffle, no row amplification. */
+  private def nearestCells(cents: Column, v: Column, n: Column,
+                           take: Int): Column = slice(
+    array_sort(transform(cents, c => struct(
+      (-round(VectorFns.cosineFromQuantized(v, c("centv"), n, c("centn")), 6))
+        .as("negcos"),
+      c("centroid_id").as("cid")))),
+    1, take)
+
+  /** Build the IVF index: pick `nCentroids` deterministic (id-hash ordered)
+    * centroids, then assign every corpus vector to its nearest centroid's cell in
+    * ONE broadcast pass — all centroids packed into a single broadcast row, cell
+    * assignment an in-row array argmax. (A crossJoin+window formulation shuffles
+    * an nCentroids-amplified corpus — fatal at 100 TB.) A trained k-means
+    * quantizer can replace the centroid pick without changing any plan shape. */
+  def buildIvfIndex(corpus: DataFrame, nCentroids: Int = 16,
+                    idCol: String = "vec_id",
+                    vecCol: String = "embedding"): IvfIndex = {
     val prepped = corpus
       .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col(idCol).as("neighbor_id"),
@@ -61,37 +89,36 @@ object Similarity {
       .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id")).limit(nCentroids)
       .select(col("neighbor_id").as("centroid_id"), col("cv").as("centv"),
         col("cn").as("centn"))
-    // All centroids packed into ONE broadcast row: cell assignment becomes a
-    // map-side argmax over the in-row array — no crossJoin row amplification, no
-    // window, no Exchange of the corpus. (The old plan crossJoined corpus ×
-    // nCentroids then ranked with a window partitioned by neighbor_id — a shuffle
-    // of a 16×-amplified corpus, fatal at 100 TB.)
     val centroidArr = centroids
       .agg(collect_list(struct(col("centroid_id"), col("centv"), col("centn")))
         .as("cents"))
-    // argmax by (cosine rounded 1e-6 desc, centroid_id asc) — identical tie-break
-    // semantics to the previous window ordering.
-    def nearestCells(v: Column, n: Column, take: Int): Column = slice(
-      array_sort(transform(col("cents"), c => struct(
-        (-round(VectorFns.cosineFromQuantized(v, c("centv"), n, c("centn")), 6))
-          .as("negcos"),
-        c("centroid_id").as("cid")))),
-      1, take)
     val cells = prepped.crossJoin(broadcast(centroidArr))
-      .withColumn("cell", nearestCells(col("cv"), col("cn"), 1)(0)("cid"))
+      .withColumn("cell",
+        nearestCells(col("cents"), col("cv"), col("cn"), 1)(0)("cid"))
       .select(col("neighbor_id"), col("cv"), col("cn"), col("cell"))
-    // each query probes its nProbe nearest cells — same map-side array argmax
+    IvfIndex(cells, centroids)
+  }
+
+  /** Serve a query batch from a built index: each query probes its `nProbe`
+    * nearest cells (same in-row argmax), scores only inside those cells, ranks
+    * deterministically. The query side is broadcast — the corpus-side cells
+    * frame is only ever probed, never shuffled. */
+  def ivfSearch(index: IvfIndex, queries: DataFrame, k: Int, nProbe: Int = 4,
+                idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val centroidArr = index.centroids
+      .agg(collect_list(struct(col("centroid_id"), col("centv"), col("centn")))
+        .as("cents"))
     val q = queries.select(col(idCol).as("query_id"),
         VectorFns.quantize(col(vecCol)).as("qv"))
       .withColumn("qn", VectorFns.normLong(col("qv")))
     val probes = q.crossJoin(broadcast(centroidArr))
       .withColumn("cell",
-        explode(nearestCells(col("qv"), col("qn"), nProbe)("cid")))
+        explode(nearestCells(col("cents"), col("qv"), col("qn"), nProbe)("cid")))
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
-    // score only inside probed cells
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
-    cells.join(broadcast(probes), Seq("cell"))
+    index.cells.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFns.cosineFromQuantized(
         col("qv"), col("cv"), col("qn"), col("cn")))
@@ -99,6 +126,14 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
   }
+
+  /** One-shot IVF top-k (build + search). For repeated query batches build the
+    * index once (`buildIvfIndex` + `IvfIndex.save`) and `ivfSearch` against it. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfSearch(buildIvfIndex(corpus, nCentroids, idCol, vecCol), queries, k,
+      nProbe, idCol, vecCol)
 
   /** LSH-bucketed top-k: candidates limited to rows whose hyperplane signature
     * matches the query's (exact bucket only; callers trade recall for cost via

@@ -47,6 +47,25 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning(neighbor_id"), plan)
   }
 
+  test("IvfIndex save/load round-trip serves identical results to a fresh build") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter($"vec_id" < 5)
+    val fresh = Similarity.buildIvfIndex(emb, nCentroids = 8)
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString
+    fresh.save(dir)
+    val loaded = Similarity.IvfIndex.load(spark, dir)
+    // cell-partitioned parquet: a probe prunes cell directories at the file index
+    assert(new java.io.File(s"$dir/cells").listFiles
+      .count(_.getName.startsWith("cell=")) == 8)
+    val a = Similarity.ivfSearch(fresh, queries, 5)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val b = Similarity.ivfSearch(loaded, queries, 5)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("lshTopK recall: exact-duplicate vectors always share a bucket") {
     val withDup = corpus.union(Seq((5L, Array(1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding"))
