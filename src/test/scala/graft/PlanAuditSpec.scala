@@ -1,0 +1,61 @@
+package graft
+
+/** Physical-plan audit across the ENTIRE query surface — the 100 TB guardrails,
+  * asserted, not assumed. Every `SparkEntry.queries` entry is planned (and
+  * AQE-finalized by a noop execution) at sf0.001 and swept for anti-patterns:
+  *
+  *  - CartesianProduct: an unconditioned non-broadcast cross join anywhere in the
+  *    surface is a scale bug, full stop.
+  *  - BroadcastNestedLoopJoin: legitimate ONLY for the deliberate
+  *    tiny-broadcast-side patterns (packed centroid/config rows, small-dim theta
+  *    joins); every other occurrence means a join lost its equi-keys.
+  *  - Non-broadcast SortMergeJoin on a dim-sized side is tolerated (AQE converts
+  *    at runtime), but the dedicated specs pin broadcasts where they matter.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // queries whose DESIGN includes a broadcast nested-loop join of a deliberately
+  // tiny side: packed 1-row centroid arrays (IVF), all-pairs spatial dims (knn,
+  // raw-rainfall neighbor map), brute-force ANN over a broadcast query set,
+  // LSH-blocked embedding dedup (1-row plane config), scalar subqueries
+  private val bnljAllowed = Set(
+    "q14_knn_spatial", "q26_ann_cosine_topk", "q31_embedding_dedup",
+    "q33_mike_pipeline", "q37_scalar_subquery", "q43_ann_ivf_topk",
+    "q46_embedding_dedup_lsh")
+
+  test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where designed") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val df = fn(spark, dir)
+        df.write.format("noop").mode("overwrite").save() // finalize AQE plan
+        val plan = df.queryExecution.executedPlan.toString
+        val cartesian = plan.contains("CartesianProduct")
+        val bnlj = plan.contains("BroadcastNestedLoopJoin") &&
+          !bnljAllowed.contains(name)
+        if (cartesian) Some(s"$name: CartesianProduct")
+        else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+        else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("narrow projections prune parquet columns at the scan (ReadSchema)") {
+    // q02 projects 4 of lineitem's 16 columns; the scan must not read the rest
+    val df = SparkEntry.queries("q02_filter_project")(spark, dir)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("ReadSchema"))
+    val readSchema = scan.substring(scan.indexOf("ReadSchema"))
+    assert(!readSchema.contains("l_comment"),
+      s"q02 scan reads unprojected columns: $readSchema")
+  }
+
+  test("filters reach the parquet scan as PushedFilters (q02)") {
+    val df = SparkEntry.queries("q02_filter_project")(spark, dir)
+    val scan = df.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PushedFilters: [") &&
+      !scan.replaceAll(".*PushedFilters: \\[([^\\]]*)\\].*\n?.*", "$1").trim.isEmpty,
+      s"no pushed filters in q02 scan: $scan")
+  }
+}
