@@ -46,8 +46,12 @@ object DedupProbe {
     }
     time("q46.embedding-lsh") {
       val emb = spark.read.parquet(s"$dir/embeddings.parquet")
-      Dedup.embeddingCosinePairs(emb, "vec_id", "embedding",
-        threshold = 0.4, blockCols = Nil, lshPlanes = 4, lshBands = 16).count()
+      val jit = emb.select((col("vec_id") + 1000000L).as("vec_id"),
+        transform(col("embedding"), e => e + lit(0.02f)).as("embedding"))
+      Dedup.embeddingCosinePairs(
+        emb.select(col("vec_id"), col("embedding")).unionByName(jit),
+        "vec_id", "embedding",
+        threshold = 0.98, blockCols = Nil, lshPlanes = 12, lshBands = 8).count()
     }
     time("q24.sig-only") {
       graft.functions.MinHashSketch.register(spark)

@@ -115,7 +115,9 @@ object SparkEntry {
     "q46_embedding_dedup_lsh" -> qEmbeddingDedupLsh,
     "q47_contamination" -> qContamination,
     "q48_repetition_quality" -> qRepetition,
-    "q49_dedup_clusters" -> qDedupClusters)
+    "q49_dedup_clusters" -> qDedupClusters,
+    "q50_data_mixture" -> qDataMixture,
+    "q51_pii_redact" -> qPiiRedact)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -446,12 +448,25 @@ object SparkEntry {
 
   /** Embedding near-dup at scale: banded hyperplane-LSH blocking + exact cosine
     * verify — the sub-quadratic path q31 documents (no SQL oracle: LSH candidate
-    * membership is hash-specific; subset-of-exact + recall pinned by DedupSpec). */
-  private def qEmbeddingDedupLsh(s: SparkSession, dir: String): DataFrame =
-    Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-      threshold = 0.4, blockCols = Nil, lshPlanes = 4, lshBands = 16)
+    * membership is hash-specific; subset-of-exact + recall pinned by DedupSpec).
+    *
+    * The synthetic corpus has no natural near-dups, so it is doubled with a
+    * deterministic +0.02 perturbation of every vector (cosine vs the original
+    * ~0.999) — the regime LSH is FOR: 12-plane buckets make random collisions
+    * ~2^-12 per band (candidate checks ~1e5, not ~1e7), while true near-dups
+    * agree on nearly every plane. A low-threshold variant of this query is the
+    * wrong tool by design: at cosine 0.4 the per-plane agreement is ~0.63 and
+    * no plane/band choice gives both recall and a sub-quadratic candidate set. */
+  private def qEmbeddingDedupLsh(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings")
+    val jittered = base.select((col("vec_id") + 1000000L).as("vec_id"),
+      transform(col("embedding"), e => e + lit(0.02f)).as("embedding"))
+    Dedup.embeddingCosinePairs(base.select(col("vec_id"), col("embedding"))
+        .unionByName(jittered), "vec_id", "embedding",
+      threshold = 0.98, blockCols = Nil, lshPlanes = 12, lshBands = 8)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_6dp"))
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** Benchmark contamination: corpus docs sharing 5-gram shingles with a held-out
     * benchmark slice (doc_id % 97 == 0 plays the benchmark role). Broadcast the
@@ -485,6 +500,25 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents").filter(col("doc_id") < 2000),
         "doc_id", "text", n = 3, threshold = 0.5, blockCols = Seq("lang")))
       .select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+
+  /** Deterministic data-mixture report: per-source totals vs Knuth-hash sampled
+    * counts — reproducible corpus re-weighting with zero RNG, a narrow filter at
+    * any scale. */
+  private def qDataMixture(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataMix.mixtureReport(t(s, dir, "documents"), "doc_id",
+      "source", Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25),
+      defaultFraction = 0.1)
+      .orderBy(col("source"))
+
+  /** PII scrub: email/IP/phone redaction over deterministically augmented text
+    * (the synthetic corpus is clean, so each doc is salted with a known
+    * email+phone+IP suffix — both engines redact the same material). */
+  private def qPiiRedact(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .withColumn("aug", concat(col("text"), lit(" contact user"), col("doc_id"),
+        lit("@example.com or 077-123-4567 at 192.168.0.1")))
+      .select(col("doc_id"), TextFns.redactPii(col("aug")).as("redacted"))
       .orderBy(col("doc_id"))
 
   /** Sessionization: gap > 30 min starts a new session (lag + running count). */
@@ -1185,5 +1219,26 @@ object SparkEntry {
         |  UNION
         |  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id)
         |SELECT id AS doc_id, MIN(comp) AS component
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q50_data_mixture" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) / 4294967296.0 AS h,
+        |    CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+        |      WHEN 'src2' THEN 0.25 ELSE 0.1 END AS frac
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_total,
+        |  CAST(COUNT(CASE WHEN h < frac THEN 1 END) AS BIGINT) AS n_sampled
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
+    "q51_pii_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        text || ' contact user' || doc_id ||
+        |          '@example.com or 077-123-4567 at 192.168.0.1',
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
+        |    '[0-9]{3}[- ][0-9]{3}[- ]?[0-9]{4}', '[PHONE]', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin)
 }

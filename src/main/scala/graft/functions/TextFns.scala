@@ -107,6 +107,24 @@ object TextFns {
       },
       acc => acc("best"))
 
+  /** PII redaction patterns: kept deliberately simple (no lookaround, no
+    * back-references) so the same pattern strings run identically under Java
+    * regex (Spark) and RE2 (DuckDB/ripgrep-family engines). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "[0-9]{3}[- ][0-9]{3}[- ]?[0-9]{4}"
+  val ipv4Pattern =
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Redact emails, phone numbers, and IPv4 literals to fixed placeholder tags —
+    * the standard pre-training scrub. Three chained regexp_replace projections:
+    * codegen'd, order fixed (email first so its digits cannot be re-matched). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "[EMAIL]"),
+        ipv4Pattern, "[IP]"),
+      phonePattern, "[PHONE]")
+
   /** Gopher-style repetition signals per document: word/distinct-word counts and
     * the multiplicity of the most repeated bigram (all exact longs; downstream
     * filters threshold on the ratios). `top_bigram_n` folds over the sorted

@@ -48,6 +48,40 @@ class CurationOpsSpec extends SparkSpec {
       (3L, 4L, 4L, 3L, 1L)))
   }
 
+  test("stratifiedSample: deterministic membership, exact re-run agreement") {
+    val df = (0L until 1000L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val fr = Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.0)
+    val s1 = graft.operators.DataMix.stratifiedSample(df, "id", "src", fr, 0.1)
+      .as[(Long, String)].collect().toSet
+    val s2 = graft.operators.DataMix.stratifiedSample(df, "id", "src", fr, 0.1)
+      .as[(Long, String)].collect().toSet
+    assert(s1 == s2) // byte-for-byte reproducible, no RNG
+    val bySrc = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc("src0") == 250)          // fraction 1.0 keeps everything
+    assert(!bySrc.contains("src2"))       // fraction 0.0 keeps nothing
+    assert(bySrc("src1") > 75 && bySrc("src1") < 175)  // ~0.5 of 250
+    assert(bySrc("src3") > 5 && bySrc("src3") < 60)    // default 0.1 of 250
+    val report = graft.operators.DataMix.mixtureReport(df, "id", "src", fr, 0.1)
+      .orderBy($"src").as[(String, Long, Long)].collect()
+    assert(report.map(_._2).sum == 1000)
+    assert(report.map(_._3).sum == s1.size) // report agrees with the sample
+  }
+
+  test("redactPii: emails, phones, IPv4 replaced; clean text untouched") {
+    val out = Seq(
+      (1L, "write to john.doe+x@mail.example.org today"),
+      (2L, "call 077-123-4567 or 011 555-1234 now"),
+      (3L, "host 10.0.255.7 responded"),
+      (4L, "nothing sensitive here"))
+      .toDF("id", "text")
+      .select($"id", TextFns.redactPii($"text").as("r"))
+      .orderBy($"id").as[(Long, String)].collect().toMap
+    assert(out(1L) == "write to [EMAIL] today")
+    assert(out(2L) == "call [PHONE] or [PHONE] now")
+    assert(out(3L) == "host [IP] responded")
+    assert(out(4L) == "nothing sensitive here")
+  }
+
   test("connectedComponents: chains collapse to min-id label, deterministic") {
     // components: {1,2,3,4} via chain, {10,11}, pairs only
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
