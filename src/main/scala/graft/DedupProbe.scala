@@ -53,6 +53,12 @@ object DedupProbe {
         "vec_id", "embedding",
         threshold = 0.98, blockCols = Nil, lshPlanes = 12, lshBands = 8).count()
     }
+    time("q47.contamination-1") {
+      SparkEntry.queries("q47_contamination")(spark, dir).count()
+    }
+    time("q47.contamination-2") {
+      SparkEntry.queries("q47_contamination")(spark, dir).count()
+    }
     time("q24.sig-only") {
       graft.functions.MinHashSketch.register(spark)
       docs.repartition(32)

@@ -31,10 +31,14 @@ class ExtensionsMaintenanceSpec extends SparkSpec {
   private def runExtensionChecks(s2: SparkSession): Unit = {
     val r = s2.sql(
       """SELECT rolling_hash64('abc') AS h,
-        |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS i""".stripMargin)
+        |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS i,
+        |  minhash_signature(array(7L), 4) AS sig""".stripMargin)
       .collect().head
     assert(r.getLong(0) == graft.functions.RollingHash64.hashBytes("abc".getBytes("UTF-8")))
     assert(r.getLong(1) == 2L)
+    val expected = (0 until 4).map(i => graft.functions.MinHashSketch.mix(
+      7L ^ graft.functions.MinHashSketch.seed(i)))
+    assert(r.getSeq[Long](2) == expected)
   }
 
   test("S13 idempotence gate: second tick skips") {
