@@ -48,6 +48,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("prefix-filter exactness: ngramJaccardPairs == brute force on random corpora") {
+    // random small-vocab docs (high shingle collision rate — the adversarial case
+    // for prefix filtering) must yield EXACTLY the brute-force pair set
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val docGen = Gen.listOfN(20, Gen.choose(3, 12).flatMap(len =>
+      Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+    graft.functions.SortedIntersectCount.register(spark)
+    for (texts <- samples(docGen, 3)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "x") }
+        .toDF("doc_id", "text", "lang")
+      val sh = docs.select($"doc_id", $"lang",
+          graft.functions.TextFns.sortedHashedShingles($"text", 2).as("sh"))
+        .filter(size($"sh") > 0)
+      val brute = sh.as("x").join(sh.as("y"),
+          $"x.lang" === $"y.lang" && $"x.doc_id" < $"y.doc_id")
+        .withColumn("inter",
+          graft.functions.SortedIntersectCount($"x.sh", $"y.sh"))
+        .withColumn("j", $"inter".cast("double") /
+          (size($"x.sh") + size($"y.sh") - $"inter").cast("double"))
+        .filter($"j" >= 0.6)
+        .select($"x.doc_id", $"y.doc_id").as[(Long, Long)].collect().toSet
+      val fast = graft.operators.Dedup
+        .ngramJaccardPairs(docs, "doc_id", "text", 2, 0.6, Seq("lang"))
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(fast == brute, s"prefix filter diverged from brute force")
+    }
+  }
+
+  test("simhash pigeonhole recall: band pairs == brute-force Hamming pairs") {
+    val sigGen = Gen.listOfN(12, Gen.choose(Long.MinValue, Long.MaxValue))
+    for ((sigs, radius) <- samples(sigGen, 3).zip(Seq(3, 7, 12))) {
+      val sig = sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+        .toDF("doc_id", "simhash")
+      val brute = (for {
+        (a, i) <- sigs.zipWithIndex; (b, j) <- sigs.zipWithIndex
+        if i < j && java.lang.Long.bitCount(a ^ b) <= radius
+      } yield (i.toLong, j.toLong)).toSet
+      val banded = graft.operators.Dedup.simhashBandPairs(sig, "doc_id", radius)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(banded == brute, s"radius $radius: banding missed or invented pairs")
+    }
+  }
+
+  test("stratified sampling is a pure function of (id, stratum): subset stability") {
+    // removing rows never changes the membership decision of surviving rows
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "src")
+    val fr = Map("s0" -> 0.5, "s1" -> 0.2)
+    val full = graft.operators.DataMix.stratifiedSample(df, "id", "src", fr, 0.8)
+      .as[(Long, String)].collect().toSet
+    val half = graft.operators.DataMix.stratifiedSample(
+        df.filter($"id" % 2 === 0), "id", "src", fr, 0.8)
+      .as[(Long, String)].collect().toSet
+    assert(half == full.filter(_._1 % 2 == 0))
+  }
+
   test("pivot . unpivot == identity on deduplicated (time,key) pairs") {
     val gen = Gen.nonEmptyListOf(for {
       t <- Gen.oneOf("t1", "t2", "t3"); k <- Gen.oneOf("a", "b")
