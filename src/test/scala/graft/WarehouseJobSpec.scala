@@ -136,6 +136,33 @@ class WarehouseJobSpec extends SparkSpec {
     assert(lines.get(2) == "2024-01-01 00:15:00,6.0,4.0")
   }
 
+  test("PrepMikeInputsJob: one session runs all configured steps; failures isolate") {
+    val dir = Files.createTempDirectory("prepjob")
+    Seq(("2024-01-01 00:00:00", 1.0), ("2024-01-01 00:15:00", 2.0))
+      .toDF("s", "value")
+      .select(to_timestamp($"s").cast("timestamp_ntz").as("time"), $"value")
+      .write.parquet(s"$dir/series")
+    Files.writeString(dir.resolve("tide.json"),
+      s"""{"series_path": "$dir/series", "output_path": "$dir/tide_out"}""")
+    Files.writeString(dir.resolve("dis.json"),
+      s"""{"series_path": "$dir/series", "output_path": "$dir/dis_out"}""")
+    // rainfall step points at a MISSING config -> must fail without stopping others
+    Files.writeString(dir.resolve("prep.json"),
+      s"""{"rainfall_config": "$dir/nope.json", "tide_config": "$dir/tide.json",
+         | "discharge_config": "$dir/dis.json"}""".stripMargin)
+    val status = graft.jobs.PrepMikeInputsJob.run(spark, s"$dir/prep.json",
+      "2024-01-01 00:00:00", "2024-01-01 00:15:00")
+      .map(s => s._1 -> s._2).toMap
+    // raw_rainfall unconfigured -> skipped entirely; rainfall failed; rest ran
+    assert(status == Map("rainfall" -> false, "tide" -> true, "discharge" -> true))
+    assert(new java.io.File(s"$dir/tide_out").exists)
+    assert(new java.io.File(s"$dir/dis_out").exists)
+    // default horizon is day-aligned now-3d .. now+2d (T6)
+    val (s0, e0) = graft.jobs.PrepMikeInputsJob.defaultWindow(
+      java.time.LocalDateTime.parse("2024-06-10T14:37:22"))
+    assert(s0 == "2024-06-07 00:00:00" && e0 == "2024-06-12 00:00:00")
+  }
+
   test("TideInputJob: config -> spine-aligned cleansed patched headerless CSV") {
     val dir = Files.createTempDirectory("tidejob")
     Seq(("2024-01-01 00:00:00", 1.0), ("2024-01-01 00:15:00", -99999.0),
