@@ -117,7 +117,9 @@ object SparkEntry {
     "q48_repetition_quality" -> qRepetition,
     "q49_dedup_clusters" -> qDedupClusters,
     "q50_data_mixture" -> qDataMixture,
-    "q51_pii_redact" -> qPiiRedact)
+    "q51_pii_redact" -> qPiiRedact,
+    "q52_sequence_packing" -> qSequencePacking,
+    "q53_doc_chunking" -> qDocChunking)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -520,6 +522,21 @@ object SparkEntry {
         lit("@example.com or 077-123-4567 at 192.168.0.1")))
       .select(col("doc_id"), TextFns.redactPii(col("aug")).as("redacted"))
       .orderBy(col("doc_id"))
+
+  /** Sharded sequence packing: per-source exclusive-prefix token sums -> bin
+    * ids. The window runs per shard, never globally — the corpus-wide running
+    * sum that would serialize on one task does not exist in this plan. */
+  private def qSequencePacking(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.packBins(t(s, dir, "documents"), "doc_id", "text",
+      Seq("source"), tokenBudget = 256L)
+      .orderBy(col("doc_id"))
+
+  /** In-row doc chunking into 16-token training chunks (sequence+slice+
+    * posexplode — a narrow projection; chunk payload carried as sha). */
+  private def qDocChunking(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
+      chunkSize = 16)
+      .orderBy(col("doc_id"), col("chunk_idx"))
 
   /** Sessionization: gap > 30 min starts a new session (lag + running count). */
   private def qSessionize(s: SparkSession, dir: String): DataFrame = {
@@ -1240,5 +1257,28 @@ object SparkEntry {
         |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
         |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g'),
         |    '[0-9]{3}[- ][0-9]{3}[- ]?[0-9]{4}', '[PHONE]', 'g') AS redacted
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q52_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> len(w) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, source, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    // 256 AS bin_id
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q53_doc_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(ws[chunk_idx*16+1 : chunk_idx*16+16]) AS BIGINT) AS n_chunk_tokens,
+        |  sha256(array_to_string(ws[chunk_idx*16+1 : chunk_idx*16+16], ' ')) AS chunk_sha
+        |FROM (SELECT doc_id, ws,
+        |        unnest(range(0, CAST(ceil(len(ws) / 16.0) AS INT))) AS chunk_idx
+        |      FROM toks WHERE len(ws) > 0)
+        |ORDER BY doc_id, chunk_idx""".stripMargin)
 }

@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.functions.TextFns
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence chunking and packing — the last mile of a training-data pipeline:
+  * long documents are split into context-window-sized chunks, and short
+  * documents are packed together so a batch of fixed-length sequences wastes no
+  * tokens.
+  *
+  * Scale design: chunking is fully in-row (sequence + slice + posexplode — a
+  * narrow projection, no shuffle, no per-doc state). Packing needs a running
+  * token total, which is a window — so it is SHARDED: the cumulative sum runs
+  * per shard (source, date, hash bucket...), bins are (shard, local bin), and no
+  * single partition ever sees more than one shard's rows. An unsharded global
+  * cumsum would funnel the corpus through one task — the classic window
+  * scale-killer this operator exists to avoid. */
+object Packing {
+
+  /** Split each doc's token stream into `chunkSize`-token chunks, in-row.
+    * Returns (id, chunk_idx, n_chunk_tokens, chunk_sha) — the sha stands in for
+    * the chunk payload so downstream joins stay narrow; swap the projection for
+    * the raw chunk text when materializing training rows. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int): DataFrame = {
+    val ws = TextFns.words(col(textCol))
+    val nChunks = ceil(size(ws).cast("double") / chunkSize).cast("int")
+    docs
+      .select(col(idCol), ws.as("__ws"), nChunks.as("__n"))
+      .filter(col("__n") > 0)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__n") - 1),
+          i => slice(col("__ws"), i * chunkSize + 1, lit(chunkSize))))
+          .as(Seq("chunk_idx", "__chunk")))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+        sha2(array_join(col("__chunk"), " "), 256).as("chunk_sha"))
+  }
+
+  /** Deterministic sharded packing: within each shard (ordered by id), a doc's
+    * bin is floor(exclusive-prefix-token-sum / tokenBudget) — consecutive docs
+    * share a bin until the budget boundary is crossed. Bins are exact, stable
+    * under re-runs, and never require cross-shard coordination. Docs longer than
+    * the budget simply span bins (chunk them first with `chunkTokens`). */
+  def packBins(docs: DataFrame, idCol: String, textCol: String,
+               shardCols: Seq[String], tokenBudget: Long): DataFrame = {
+    val w = Window.partitionBy(shardCols.map(col): _*).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select((col(idCol) +: shardCols.map(col) :+
+        size(TextFns.words(col(textCol))).cast("long").as("n_tokens")): _*)
+      .withColumn("__prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("bin_id", floor(col("__prior") / tokenBudget).cast("long"))
+      .drop("__prior")
+  }
+}

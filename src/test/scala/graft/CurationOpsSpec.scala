@@ -82,6 +82,35 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(4L) == "nothing sensitive here")
   }
 
+  test("chunkTokens: in-row chunks, last chunk truncated, empty docs dropped") {
+    val out = graft.operators.Packing.chunkTokens(
+      Seq((1L, "a b c d e f g"), (2L, "x y"), (3L, "   "))
+        .toDF("doc_id", "text"), "doc_id", "text", chunkSize = 3)
+      .select($"doc_id", $"chunk_idx", $"n_chunk_tokens")
+      .orderBy($"doc_id", $"chunk_idx")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(out == Seq((1L, 0, 3L), (1L, 1, 3L), (1L, 2, 1L), (2L, 0, 2L)))
+    // no join, no shuffle: chunking is a narrow projection
+    val plan = graft.operators.Packing.chunkTokens(
+      Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("packBins: budget boundaries per shard, shards independent") {
+    val docs = Seq(
+      (1L, "w w w w", "s0"),   // 4 tokens, prior 0  -> bin 0
+      (2L, "w w w", "s0"),     // prior 4            -> bin 0
+      (3L, "w w", "s0"),       // prior 7            -> bin 1 (budget 6)
+      (4L, "w w w w w", "s1")) // other shard: prior 0 -> bin 0
+      .toDF("doc_id", "text", "source")
+    val out = graft.operators.Packing.packBins(docs, "doc_id", "text",
+      Seq("source"), tokenBudget = 6L)
+      .select($"doc_id", $"n_tokens", $"bin_id")
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 4L, 0L), (2L, 3L, 0L), (3L, 2L, 1L), (4L, 5L, 0L)))
+  }
+
   test("connectedComponents: chains collapse to min-id label, deterministic") {
     // components: {1,2,3,4} via chain, {10,11}, pairs only
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
