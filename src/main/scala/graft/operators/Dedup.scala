@@ -16,11 +16,12 @@ import org.apache.spark.storage.StorageLevel
   * For the Jaccard family the candidate set is a PROVEN superset of the true pairs
   * (prefix-filter pigeonhole), so the output is exact, not approximate.
   *
-  * The candidate pair set — the only frame referenced by multiple downstream
-  * branches — is persisted (MEMORY_AND_DISK); it is two longs per candidate,
-  * bounded by design. Verify passes re-tokenize only the documents that appear in
-  * candidates (semi-join against the raw corpus), so the full corpus is tokenized
-  * exactly once per operator regardless of how many verify branches run.
+  * The per-row prep frame (shingles / signatures / buckets) is the one frame
+  * referenced by multiple downstream branches, so it is persisted
+  * (MEMORY_AND_DISK) — each operator tokenizes the corpus exactly once no matter
+  * how many candidate/verify branches read it. Banded joins carry both sides'
+  * band material and emit each pair only from its FIRST shared band, so
+  * candidate sets are duplicate-free with no distinct shuffle.
   */
 object Dedup {
 
@@ -98,8 +99,8 @@ object Dedup {
     *
     * At 100 TB the join partitions by (block, token): work is proportional to
     * Σ bucket², driven by token sharing among NEAR-DUPLICATES — not corpus² (the
-    * old all-pairs-within-block candidate space). */
-  /** Prefix-filter candidate join over a prepared shingle frame. */
+    * old all-pairs-within-block candidate space). `sh` is a prepared shingle
+    * frame (see `shingleFrame`). */
   private def prefixCandidates(sh: DataFrame, threshold: Double,
                                blockCols: Seq[String]): DataFrame = {
     val tS = math.round(threshold * S)
@@ -163,8 +164,9 @@ object Dedup {
     * banding. Returns (id_a, id_b, jaccard >= threshold).
     *
     * One corpus pass total: signatures are computed IN-ROW from the shingle array
-    * (`MinHashSketch.sketchCol` — no explode, no aggregate shuffle), and the
-    * verify pass re-tokenizes only candidate docs. */
+    * (`MinHashSketch.sketchCol` — no explode, no aggregate shuffle), and both the
+    * banded self-join and the verify joins read the persisted shingle/signature
+    * frames rather than re-tokenizing. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
                       threshold: Double = 0.7): DataFrame = {
