@@ -55,6 +55,33 @@ class ReferenceFixturesSpec extends SparkSpec {
     assert(facts.select($"tms_id").distinct().count() == 47)
   }
 
+  test("S10/3.3 discharge fixture: engine round-trips the real Discharge.txt") {
+    // the reference's committed discharge input: 481 rows (5-day 15-min spine,
+    // both endpoints inclusive), headerless time,value — parse with the engine's
+    // reader, verify the spine law holds on the REAL artifact, and re-emit an
+    // identical series through the engine's discharge pipeline + sink
+    val disc = MikeCsv.readHeaderlessSeries(spark,
+      "/root/reference/resources/Discharge.txt")
+    assert(disc.count() == 481)
+    val span = disc.agg(min($"time").cast("string"), max($"time").cast("string"))
+      .as[(String, String)].head()
+    assert(span._1 == "2019-05-26 00:00:00" && span._2 == "2019-05-31 00:00:00")
+    // exactly the engine's timeSpine over the same window — cadence law
+    val spine = graft.ops.TimeSeriesOps.timeSpine(spark,
+      "2019-05-26 00:00:00", "2019-05-31 00:00:00", 15)
+    assert(spine.count() == 481)
+    assert(disc.join(spine, Seq("time"), "left_anti").count() == 0)
+    // dischargeInput over the fixture is the identity (no gaps, no negatives,
+    // last row 32.32 > 0 -> unpatched): the engine reproduces the artifact
+    val out = MikeJobs.dischargeInput(spark, disc,
+      "2019-05-26 00:00:00", "2019-05-31 00:00:00")
+    assert(out.count() == 481)
+    assert(out.join(disc.withColumnRenamed("value", "v0"), Seq("time"))
+      .filter($"value" =!= $"v0").count() == 0)
+    val obsEnd = MikeJobs.getObsEnd(disc)
+    assert(obsEnd.contains(java.time.LocalDateTime.parse("2019-05-31T00:00:00")))
+  }
+
   test("S1/R1 shape conformance: generated wide RF matrix matches RF.txt layout") {
     // the reference's committed rainfall input: header 'Times' + 114 catchments
     val rf = spark.read.option("header", true).csv("/root/reference/resources/RF.txt")
