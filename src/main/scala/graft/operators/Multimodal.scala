@@ -59,6 +59,50 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"), col("frame"))
   }
 
+  /** The decoder contract a real codec plugs into: called once per PARTITION with
+    * an iterator of (media_id, kind, payload) — the codec library (expensive to
+    * initialize, native-memory-backed) is constructed once per partition inside
+    * the function, never serialized from the driver, and streams rows so one
+    * oversized blob cannot force a materialized batch. Returns (media_id,
+    * features). */
+  type BatchDecoder =
+    Iterator[(Long, String, Array[Byte])] => Iterator[(Long, Array[Double])]
+
+  /** Deterministic stand-in decoder with the EXACT shape a real one has —
+    * per-partition "codec" setup happens inside the closure; features are seeded
+    * hashes of the payload bytes (matches `decodeStub`'s distribution: 16 dims in
+    * [0, 1)). Swap this value for a JNI/FFmpeg/libvips-backed implementation and
+    * nothing else in the plan changes. */
+  def stubBatchDecoder(dims: Int = 16): BatchDecoder = rows => {
+    val codec = new scala.util.hashing.MurmurHash3.ArrayHashing[Byte] // "init" once per partition
+    rows.map { case (id, _, payload) =>
+      val feats = Array.tabulate(dims) { d =>
+        if (payload == null) 0.0
+        else {
+          val h = scala.util.hashing.MurmurHash3.bytesHash(payload, d)
+          ((h & 0x7fffffff) % 1000) / 1000.0
+        }
+      }
+      val _ = codec // silence unused: real codecs close() in a finally here
+      (id, feats)
+    }
+  }
+
+  /** mapPartitions decode path (SURVEY.md §2.10 altitude note: this is the ONE
+    * place imperative per-partition logic is the right tool — a native codec
+    * cannot be a Catalyst expression). The media frame is decoded
+    * partition-by-partition with `decoder`; pair with `repartitionBySize` first
+    * so partitions are byte-balanced, not row-balanced. */
+  def decodePartitions(df: DataFrame, decoder: BatchDecoder,
+                       payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("media_id").cast("long"), col("kind"), col(payloadCol))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(decoder)
+      .toDF("media_id", "features")
+  }
+
   /** Size-aware repartitioning: choose the partition count from the TOTAL payload
     * size so each partition holds ~`targetBytes`, then spread rows by id hash —
     * prevents the skew where one partition holds all the videos and the rest hold

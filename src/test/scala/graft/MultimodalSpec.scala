@@ -50,6 +50,25 @@ class MultimodalSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("join"), s"unexpected join in plan:\n$plan")
   }
 
+  test("decodePartitions: per-partition batch decode, deterministic, null-safe") {
+    val out = Multimodal.decodePartitions(mediaDf, Multimodal.stubBatchDecoder())
+    assert(out.count() == 3)
+    val feats = out.filter($"media_id" === 1L)
+      .select($"features").as[Seq[Double]].head()
+    assert(feats.length == 16 && feats.forall(f => f >= 0.0 && f < 1.0))
+    // partition-count independent: same rows regardless of how batches split
+    val one = Multimodal.decodePartitions(mediaDf.repartition(1),
+      Multimodal.stubBatchDecoder())
+      .as[(Long, Seq[Double])].collect().toSet
+    val many = Multimodal.decodePartitions(mediaDf.repartition(3),
+      Multimodal.stubBatchDecoder())
+      .as[(Long, Seq[Double])].collect().toSet
+    assert(one == many)
+    // null payload (media 3) decodes to the zero vector, not a crash
+    assert(out.filter($"media_id" === 3L)
+      .select($"features").as[Seq[Double]].head().forall(_ == 0.0))
+  }
+
   test("sampleFrames: empty payload yields zero frames") {
     val empty = spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(Row(9L, "video", Array.empty[Byte], null))),
