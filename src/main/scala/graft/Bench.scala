@@ -39,7 +39,13 @@ object Bench {
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val two = (1 to 2).map(_ => once(name, fn)).min
-      name -> (if (two > 3.0) math.min(two, once(name, fn)) else two)
+      val best = if (two > 3.0) math.min(two, once(name, fn)) else two
+      // drop this query's operator-internal caches before the next query: the
+      // runs of ONE query legitimately share them (that is the operator design),
+      // but 53 queries x persisted shingle/signature frames otherwise accumulate
+      // block-manager pressure that bleeds into the tail of the suite
+      spark.catalog.clearCache()
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -53,11 +53,10 @@ object DedupProbe {
         "vec_id", "embedding",
         threshold = 0.98, blockCols = Nil, lshPlanes = 12, lshBands = 8).count()
     }
-    time("q47.contamination-1") {
-      SparkEntry.queries("q47_contamination")(spark, dir).count()
-    }
-    time("q47.contamination-2") {
-      SparkEntry.queries("q47_contamination")(spark, dir).count()
+    for (i <- 1 to 5) time(s"q48.repetition-$i") {
+      val df = SparkEntry.queries("q48_repetition_quality")(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      1L
     }
     time("q24.sig-only") {
       graft.functions.MinHashSketch.register(spark)
