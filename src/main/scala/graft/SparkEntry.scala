@@ -119,7 +119,8 @@ object SparkEntry {
     "q50_data_mixture" -> qDataMixture,
     "q51_pii_redact" -> qPiiRedact,
     "q52_sequence_packing" -> qSequencePacking,
-    "q53_doc_chunking" -> qDocChunking)
+    "q53_doc_chunking" -> qDocChunking,
+    "q54_range_join" -> qRangeJoin)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -537,6 +538,21 @@ object SparkEntry {
     graft.operators.Packing.chunkTokens(t(s, dir, "documents"), "doc_id", "text",
       chunkSize = 16)
       .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Bucketed interval join: event cent-values against overlapping per-nation
+    * bands. The bucketed plan is a hash join on the grid cell — the naive
+    * BETWEEN join would be a BroadcastNestedLoopJoin (PlanAuditSpec bans it,
+    * and q54 is deliberately NOT on its allowlist). */
+  private def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val pts = t(s, dir, "events").select(col("event_id"), cents(col("value")).as("v"))
+    val ivals = t(s, dir, "nation").select(col("n_nationkey"),
+      (col("n_nationkey") * 1500L).as("lo"),
+      (col("n_nationkey") * 1500L + 2000L).as("hi"))
+    graft.ops.RangeJoin.pointInInterval(pts, ivals, "v", "lo", "hi",
+      bucketWidth = 1000L)
+      .select(col("event_id"), col("n_nationkey"), col("v"))
+      .orderBy(col("event_id"), col("n_nationkey"))
+  }
 
   /** Sessionization: gap > 30 min starts a new session (lag + running count). */
   private def qSessionize(s: SparkSession, dir: String): DataFrame = {
@@ -1280,5 +1296,12 @@ object SparkEntry {
         |FROM (SELECT doc_id, ws,
         |        unnest(range(0, CAST(ceil(len(ws) / 16.0) AS INT))) AS chunk_idx
         |      FROM toks WHERE len(ws) > 0)
-        |ORDER BY doc_id, chunk_idx""".stripMargin)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q54_range_join" ->
+      """SELECT e.event_id, n.n_nationkey,
+        |  CAST(ROUND(e.value * 100) AS BIGINT) AS v
+        |FROM events e JOIN nation n
+        |  ON CAST(ROUND(e.value * 100) AS BIGINT)
+        |     BETWEEN n.n_nationkey * 1500 AND n.n_nationkey * 1500 + 2000
+        |ORDER BY event_id, n_nationkey""".stripMargin)
 }
