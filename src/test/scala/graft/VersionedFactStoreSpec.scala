@@ -1,0 +1,63 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.io.VersionedFactStore
+import org.apache.spark.sql.functions._
+
+/** The lake-native warehouse honors the same T4/T5 contract as the JDBC sink:
+  * idempotent ticks, fgt versioning, latest-wins reads, time travel. */
+class VersionedFactStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tick(fgt: String, rows: (String, String, Double)*) =
+    rows.toSeq.toDF("tms_id", "t", "value")
+      .select($"tms_id", to_timestamp($"t").cast("timestamp_ntz").as("time"),
+        to_timestamp(lit(fgt)).cast("timestamp_ntz").as("fgt"), $"value")
+
+  test("idempotent ticks, latest-wins read, time travel, per-series fgt") {
+    val dir = Files.createTempDirectory("vfs").toString + "/facts"
+    val t1 = "2024-01-01 01:00:00"
+    val t2 = "2024-01-01 02:00:00"
+    VersionedFactStore.appendTick(
+      tick(t1, ("a", "2024-01-01 00:00:00", 1.0), ("a", "2024-01-01 00:15:00", 2.0),
+        ("b", "2024-01-01 00:00:00", 5.0)), dir)
+    // T4: re-running the SAME tick replaces its partition — no duplicates
+    VersionedFactStore.appendTick(
+      tick(t1, ("a", "2024-01-01 00:00:00", 1.0), ("a", "2024-01-01 00:15:00", 2.0),
+        ("b", "2024-01-01 00:00:00", 5.0)), dir)
+    assert(spark.read.parquet(dir).count() == 3)
+    // a newer tick revises one fact and adds one; older ticks untouched
+    VersionedFactStore.appendTick(
+      tick(t2, ("a", "2024-01-01 00:00:00", 10.0), ("a", "2024-01-01 00:30:00", 3.0)),
+      dir)
+    assert(spark.read.parquet(dir).count() == 5) // full history retained
+    val latest = VersionedFactStore.readLatest(spark, dir)
+      .select($"tms_id", $"time".cast("string"), $"value")
+      .as[(String, String, Double)].collect().toSet
+    assert(latest == Set(
+      ("a", "2024-01-01 00:00:00", 10.0), // t2 wins
+      ("a", "2024-01-01 00:15:00", 2.0),  // only in t1
+      ("a", "2024-01-01 00:30:00", 3.0),  // only in t2
+      ("b", "2024-01-01 00:00:00", 5.0)))
+    // time travel to t1 sees the pre-revision value and not t2's addition
+    val asOf = VersionedFactStore.readAsOf(spark, dir, t1)
+      .select($"tms_id", $"time".cast("string"), $"value")
+      .as[(String, String, Double)].collect().toSet
+    assert(asOf == Set(
+      ("a", "2024-01-01 00:00:00", 1.0),
+      ("a", "2024-01-01 00:15:00", 2.0),
+      ("b", "2024-01-01 00:00:00", 5.0)))
+    // the asOf filter must prune newer fgt partitions at the file index
+    val scan = VersionedFactStore.readAsOf(spark, dir, t1)
+      .queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("fgt"), scan)
+    // T5 read pattern: latest fgt per series
+    val fgts = VersionedFactStore.latestFgtPerSeries(spark, dir)
+      .select($"tms_id", $"latest_fgt".cast("string"))
+      .as[(String, String)].collect().toMap
+    assert(fgts == Map("a" -> t2, "b" -> t1))
+    // layout: one directory per tick
+    assert(new java.io.File(dir).listFiles.count(_.getName.startsWith("fgt=")) == 2)
+  }
+}
