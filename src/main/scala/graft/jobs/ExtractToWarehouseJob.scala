@@ -1,6 +1,6 @@
 package graft.jobs
 
-import graft.io.{JdbcUpsert, MikeCsv}
+import graft.io.{JdbcUpsert, MikeCsv, VersionedFactStore}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -84,8 +84,16 @@ object ExtractToWarehouseJob {
     val dim = JdbcUpsert.getOrCreateDim(spark, csvDim,
         url, opt(cfg, "station_table", "station_dim"), Seq("station_id"))
       .select("station", "station_id", "latitude", "longitude")
-    val (facts, unmatched) = MikeJobs.extractToWarehouse(wide, dim, fgt,
+    val (facts0, unmatched) = MikeJobs.extractToWarehouse(wide, dim, fgt,
       simTag, model, variable, unit)
+    // optional lake sink (100 TB path): fgt-partitioned versioned parquet deltas
+    // alongside (or ahead of) the relational warehouse. Both sinks are actions,
+    // so the fact plan is persisted when it feeds two of them.
+    val lakeDir = opt(cfg, "lake_dir", "")
+    val facts = if (lakeDir.nonEmpty)
+      facts0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else facts0
+    if (lakeDir.nonEmpty) VersionedFactStore.appendTick(facts, lakeDir)
     val n = JdbcUpsert.upsert(facts, url,
       cfg.getAs[String]("fact_table"), Seq("tms_id", "time", "fgt"))
     // T5 run bookkeeping (ref :90-97)

@@ -42,7 +42,7 @@ class WarehouseJobSpec extends SparkSpec {
     Files.writeString(dir.resolve("cfg.json"),
       s"""{"results_csv": "$dir/res.csv", "stations_csv": "$dir/stations.csv",
          | "jdbc_url": "$url", "fact_table": "facts", "run_table": "runs",
-         | "sim_tag": "evening_18:00",
+         | "lake_dir": "$dir/lake", "sim_tag": "evening_18:00",
          | "model": "mike11_2016", "variable": "WaterLevel", "unit": "m"}""".stripMargin)
     val (n1, missing1) = ExtractToWarehouseJob.run(spark, s"$dir/cfg.json",
       "2024-01-01 01:00:00")
@@ -75,6 +75,10 @@ class WarehouseJobSpec extends SparkSpec {
     // the run row's tms_id matches the fact rows' (join key integrity)
     assert(readTable(url, "facts").select("tms_id").distinct()
       .join(readTable(url, "runs"), Seq("tms_id")).count() == 1)
+    // the lake sink received both ticks and latest-wins agrees with the JDBC
+    // warehouse's row count contract (2 times x latest version each)
+    assert(graft.io.VersionedFactStore.readLatest(spark, s"$dir/lake").count() == 2)
+    assert(spark.read.parquet(s"$dir/lake").count() == 4) // full fgt history
   }
 
   test("DischargeInputJob: spine align + last-row patch + obs-end latest_fgt") {
