@@ -293,8 +293,12 @@ object Dedup {
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("comp", col("id"))
+    // seed with min(self, direct neighbors): pair and star clusters — the
+    // overwhelming shape of near-dup graphs — converge on the seed itself, so
+    // the loop only runs its single confirmation round
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("__m"))
+      .select(col("src").as("id"), least(col("__m"), col("src")).as("comp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     def compSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("comp")), lit(0L))).first().getLong(0)
