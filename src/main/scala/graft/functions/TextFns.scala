@@ -23,17 +23,31 @@ object TextFns {
         i => array_join(slice(ws, i + 1, lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct word n-gram shingles hashed to longs. Set operations (Jaccard
-    * intersections, MinHash) over 8-byte longs are ~10× cheaper than over shingle
-    * strings — both per-comparison and in shuffle payload — and set SIZES are
-    * identical to the string version barring a ~1e-15 xxhash64 collision. */
-  def hashedShingles(text: Column, n: Int): Column =
-    transform(array_distinct(wordShingles(words(text), n)), s => xxhash64(s))
-
-  /** Sorted variant: the required input form for `SortedIntersectCount`'s
-    * allocation-free merge intersections. Sort cost is per document, not per pair. */
+  /** Distinct word n-gram shingles hashed to longs, SORTED — the required input
+    * form for `SortedIntersectCount`'s allocation-free merge intersections (sort
+    * cost per document, not per pair). Set operations (Jaccard intersections,
+    * MinHash) over 8-byte longs are ~10× cheaper than over shingle strings —
+    * both per-comparison and in shuffle payload — and set SIZES are identical to
+    * the string version barring a ~1e-15 xxhash64 collision.
+    *
+    * Backed by the native `SortedHashedShinglesExpr` (one compiled loop per row);
+    * `sortedHashedShinglesCols` is the equivalent higher-order-function column
+    * pipeline, kept as the reference implementation the equivalence spec pins
+    * the native expression against (HOF lambdas evaluate interpreted — measured
+    * ~6× slower). */
   def sortedHashedShingles(text: Column, n: Int): Column =
-    array_sort(hashedShingles(text, n))
+    SortedHashedShinglesExpr(text, n)
+
+  /** Reference column-expression implementation of `sortedHashedShingles`. */
+  def sortedHashedShinglesCols(text: Column, n: Int): Column =
+    array_sort(transform(array_distinct(wordShingles(words(text), n)),
+      s => xxhash64(s)))
+
+  /** Alias of `sortedHashedShingles` for set-consumers (explode/agg/join) that
+    * don't care about order — all consumers are order-insensitive, so both
+    * names share the native sorted-distinct implementation. */
+  def hashedShingles(text: Column, n: Int): Column =
+    sortedHashedShingles(text, n)
 
   /** BPE-ish token count: letters runs, digit singletons, or single non-space symbols —
     * a deterministic proxy for subword token counts. */

@@ -12,6 +12,36 @@ class TextVectorSpec extends SparkSpec {
     assert(w == Seq("the", "quick", "fox"))
   }
 
+  test("native sorted_hashed_shingles == HOF column pipeline (incl. non-ASCII)") {
+    val texts = Seq(
+      "The quick brown Fox jumps over the lazy dog",
+      "  leading and trailing   whitespace\tand\ttabs  ",
+      "der schnelle braune Fuchs springt über den FLUSS",
+      "这 是 一个 中文 文本 的 测试 样本",
+      "repeat repeat repeat repeat repeat",
+      "two words",
+      "one",
+      "")
+    for (n <- Seq(1, 2, 3)) {
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+      val both = df.select($"id",
+          TextFns.sortedHashedShingles($"t", n).as("native"),
+          TextFns.sortedHashedShinglesCols($"t", n).as("cols"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"n=$n id=${r.getLong(0)}: native != column pipeline")
+      }
+    }
+    // real corpus sweep: every document at sf0.001 agrees
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = docs.select(
+        TextFns.sortedHashedShingles($"text", 3).as("a"),
+        TextFns.sortedHashedShinglesCols($"text", 3).as("b"))
+      .filter($"a" =!= $"b").count()
+    assert(diff == 0)
+  }
+
   test("wordShingles yields n-grams; short docs yield empty") {
     val sh = Seq("a b c d").toDF("t")
       .select(TextFns.wordShingles(TextFns.words($"t"), 3).as("s"))
