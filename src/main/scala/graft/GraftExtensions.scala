@@ -36,6 +36,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         graft.functions.MinHashSketch(exprs.head,
           exprs(1).eval(null).asInstanceOf[Number].intValue())))
     ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_hashed_shingles"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.SortedHashedShinglesExpr].getName,
+        "sorted_hashed_shingles"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SortedHashedShinglesExpr(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Number].intValue())))
+    ext.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_signature"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.functions.MinHashSignature].getName, "minhash_signature"),

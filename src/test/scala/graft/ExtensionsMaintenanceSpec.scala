@@ -32,8 +32,10 @@ class ExtensionsMaintenanceSpec extends SparkSpec {
     val r = s2.sql(
       """SELECT rolling_hash64('abc') AS h,
         |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS i,
-        |  minhash_signature(array(7L), 4) AS sig""".stripMargin)
+        |  minhash_signature(array(7L), 4) AS sig,
+        |  sorted_hashed_shingles('a b c', 2) AS sh""".stripMargin)
       .collect().head
+    assert(r.getSeq[Long](3).length == 2) // "a b", "b c"
     assert(r.getLong(0) == graft.functions.RollingHash64.hashBytes("abc".getBytes("UTF-8")))
     assert(r.getLong(1) == 2L)
     val expected = (0 until 4).map(i => graft.functions.MinHashSketch.mix(
