@@ -23,8 +23,13 @@ object VectorFns {
   def quantize(v: Column): Column =
     transform(v, x => round(x.cast("double") * Scale).cast("long"))
 
-  /** Dot product of two pre-quantized long vectors (exact integer). */
-  def dotLong(a: Column, b: Column): Column =
+  /** Dot product of two pre-quantized long vectors (exact integer). Native
+    * fused-loop expression — the column form (`dotLongCols`) evaluates its
+    * lambdas interpreted per pair and is kept as the spec-pinned reference. */
+  def dotLong(a: Column, b: Column): Column = QuantizedDot(a, b)
+
+  /** Reference column-expression implementation of `dotLong`. */
+  def dotLongCols(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Euclidean norm of a pre-quantized vector, as a deterministic double. */

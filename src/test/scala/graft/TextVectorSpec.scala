@@ -42,6 +42,18 @@ class TextVectorSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native quantized_dot == HOF column form on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50)
+      .select(graft.functions.VectorFns.quantize($"embedding").as("q"))
+    val pairs = emb.as("x").crossJoin(emb.as("y"))
+    val diff = pairs.select(
+        graft.functions.VectorFns.dotLong($"x.q", $"y.q").as("native"),
+        graft.functions.VectorFns.dotLongCols($"x.q", $"y.q").as("cols"))
+      .filter($"native" =!= $"cols").count()
+    assert(diff == 0)
+  }
+
   test("wordShingles yields n-grams; short docs yield empty") {
     val sh = Seq("a b c d").toDF("t")
       .select(TextFns.wordShingles(TextFns.words($"t"), 3).as("s"))
