@@ -323,6 +323,20 @@ object Dedup {
     labels.select(col("id"), col("comp").as("component"))
   }
 
+  /** End-to-end corpus dedup — the composite pipelines actually call: exact
+    * n-gram Jaccard pairs (prefix-filtered), transitive cluster resolution,
+    * keep the min-id survivor of every cluster. Rows never paired survive
+    * untouched (left-anti against the non-canonical cluster members). */
+  def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int, threshold: Double,
+                    blockCols: Seq[String]): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, n, threshold, blockCols)
+    val doomed = connectedComponents(pairs)
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    docs.join(doomed, Seq(idCol), "left_anti")
+  }
+
   def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, blockCols: Seq[String],
                            lshPlanes: Int = 0, lshBands: Int = 4): DataFrame = {

@@ -118,6 +118,13 @@ class DedupSpec extends SparkSpec {
     assert(agg == col)
   }
 
+  test("dedupedCorpus keeps one survivor per near-dup cluster, min id wins") {
+    val out = Dedup.dedupedCorpus(docs, "doc_id", "text", 3, 0.5, Seq("lang"))
+      .select($"doc_id").as[Long].collect().toSet
+    // {1,2,3} cluster -> survivor 1; 4 and 5 unpaired -> survive
+    assert(out == Set(1L, 4L, 5L))
+  }
+
   test("embedding cosine pairs: injected duplicate vector found, blocking respected") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
