@@ -64,15 +64,35 @@ object TextFns {
 
   /** Quality metrics for filtering: word count, mean word length (chars), stopword
     * ratio. Ratios are exact integer divisions rendered as doubles, so they are
-    * bit-reproducible across engines. */
+    * bit-reproducible across engines.
+    *
+    * Backed by the native `TextStatsExpr` (one compiled loop per row);
+    * `qualityStructCols` is the equivalent higher-order-function column pipeline,
+    * kept as the reference implementation the equivalence spec pins the native
+    * expression against (HOF lambdas evaluate interpreted). Catalyst's
+    * subexpression elimination collapses the repeated field accesses into a
+    * single `text_stats` evaluation per row. */
   def qualityStruct(text: Column, stops: Seq[String]): Column = {
+    val st = TextStatsExpr(text, stops)
+    // nullif denominator: zero-word docs get NULL ratios (ANSI forbids the
+    // divide; NULL is the portable answer both Spark and DuckDB agree on)
+    val denom = nullif(st("n_words"), lit(0L)).cast("double")
+    struct(
+      st("n_words").as("n_words"),
+      (st("char_sum").cast("double") / denom).as("mean_word_len"),
+      (st("stop_count").cast("double") / denom).as("stop_ratio"))
+  }
+
+  /** Reference column-expression implementation of `qualityStruct`. */
+  def qualityStructCols(text: Column, stops: Seq[String]): Column = {
     val ws = words(text)
     val nWords = size(ws)
+    val denom = nullif(nWords.cast("long"), lit(0L)).cast("double")
     val charSum = aggregate(ws, lit(0), (acc, w) => acc + length(w))
     struct(
       nWords.cast("long").as("n_words"),
-      (charSum.cast("double") / nWords.cast("double")).as("mean_word_len"),
-      (stopwordCount(ws, stops).cast("double") / nWords.cast("double")).as("stop_ratio"))
+      (charSum.cast("double") / denom).as("mean_word_len"),
+      (stopwordCount(ws, stops).cast("double") / denom).as("stop_ratio"))
   }
 
   /** Language-ID heuristic: marker-stopword hit counts per language, argmax with a
@@ -141,9 +161,21 @@ object TextFns {
 
   /** Gopher-style repetition signals per document: word/distinct-word counts and
     * the multiplicity of the most repeated bigram (all exact longs; downstream
-    * filters threshold on the ratios). `top_bigram_n` folds over the sorted
-    * hashed bigram array in-row — the whole struct is one narrow projection. */
+    * filters threshold on the ratios). The whole struct is one narrow projection
+    * — no explode, no per-doc groupBy — backed by the native `TextStatsExpr`
+    * compiled loop; `repetitionStructCols` is the interpreted column reference
+    * the equivalence spec pins it against. */
   def repetitionStruct(text: Column): Column = {
+    val st = TextStatsExpr(text, Nil)
+    struct(
+      st("n_words").as("n_words"),
+      st("n_distinct_words").as("n_distinct_words"),
+      st("n_bigrams").as("n_bigrams"),
+      st("top_bigram_n").as("top_bigram_n"))
+  }
+
+  /** Reference column-expression implementation of `repetitionStruct`. */
+  def repetitionStructCols(text: Column): Column = {
     val ws = words(text)
     val bg = wordShingles(ws, 2)
     struct(
