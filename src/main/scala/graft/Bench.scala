@@ -29,28 +29,46 @@ object Bench {
     // two runs usually measures the engine rather than the neighbor tenants; when
     // a stall window covers BOTH runs (min still > 3s) one more attempt bounds
     // the damage without inflating total bench time in the common case.
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed query must NOT read as a (fast) timing: each run returns either a
+    // duration or the error, failures are excluded from the total and reported
+    // under "failed" in the JSON line — a broken query can't hide in the bench.
+    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
+          .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
       }
-      (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val two = (1 to 2).map(_ => once(name, fn)).min
-      val best = if (two > 3.0) math.min(two, once(name, fn)) else two
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val best = (once(name, fn), once(name, fn)) match {
+        case (Left(e), _) => Left(e)
+        case (_, Left(e)) => Left(e)
+        case (Right(a), Right(b)) =>
+          val two = math.min(a, b)
+          if (two > 3.0) once(name, fn).map(math.min(two, _)) else Right(two)
+      }
       // drop this query's operator-internal caches before the next query: the
       // runs of ONE query legitimately share them (that is the operator design),
-      // but 53 queries x persisted shingle/signature frames otherwise accumulate
+      // but 54 queries x persisted shingle/signature frames otherwise accumulate
       // block-manager pressure that bleeds into the tail of the suite
       spark.catalog.clearCache()
-      name -> best
+      best match {
+        case Right(t) => Some(name -> t)
+        case Left(e) => failures += name -> e; None
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fs = failures.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"failed_count":${failures.size},"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) sys.exit(1)
   }
 }
