@@ -83,3 +83,75 @@ object SortedIntersectCount {
   def apply(a: Column, b: Column): Column =
     call_function("sorted_intersect_count", a, b)
 }
+
+/** Native Catalyst expression: the SMALLEST common element of two SORTED long
+  * arrays (NULL if disjoint) — the same zero-allocation merge walk as
+  * `SortedIntersectCount`, stopped at the first hit.
+  *
+  * This is the "first shared band" trick transplanted to the PPJoin prefix
+  * join: a candidate pair sharing k prefix tokens is matched k times by the
+  * token equi-join, and gating the emit on `tok == sorted_intersect_min(prefA,
+  * prefB)` keeps exactly one of those matches — candidate sets are
+  * duplicate-free by construction, with no distinct/shuffle-dedupe stage. */
+case class SortedIntersectMin(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_min requires array<bigint> args, got " +
+          s"${l.simpleString(10)}, ${r.simpleString(10)}")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "sorted_intersect_min"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    var i = 0; var j = 0
+    val an = a.numElements(); val bn = b.numElements()
+    while (i < an && j < bn) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) return x
+      else if (x < y) i += 1
+      else j += 1
+    }
+    null
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val an = ctx.freshName("an"); val bn = ctx.freshName("bn")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $i = 0; int $j = 0;
+         |final int $an = $a.numElements();
+         |final int $bn = $b.numElements();
+         |${ev.isNull} = true;
+         |while ($i < $an && $j < $bn) {
+         |  final long $x = $a.getLong($i);
+         |  final long $y = $b.getLong($j);
+         |  if ($x == $y) { ${ev.value} = $x; ${ev.isNull} = false; break; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |""".stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): SortedIntersectMin =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectMin {
+  /** Column form — direct expression construction, no registry required. */
+  def apply(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      SortedIntersectMin(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+}

@@ -107,9 +107,14 @@ object Dedup {
     val pref = sh
       .withColumn("__alpha", expr(s"($tS * __sz + ${S - 1}) div $S"))
       .withColumn("__p", (col("__sz") - col("__alpha") + 1).cast("int"))
+      // both sides carry their full (sorted) prefix array so a pair sharing k
+      // prefix tokens is emitted only from the SMALLEST shared one — the
+      // first-shared-band trick of the MinHash/SimHash joins, which replaces
+      // the old `.distinct()` dedupe shuffle on the candidate pair set
+      .withColumn("__pref", slice(col("__sh"), lit(1), col("__p")))
       .select(
-        (col("__id") +: col("__sz") +:
-          explode(slice(col("__sh"), lit(1), col("__p"))).as("__tok") +:
+        (col("__id") +: col("__sz") +: col("__pref") +:
+          explode(col("__pref")).as("__tok") +:
           blockCols.map(col)): _*)
     val cond = blockCols
       .map(c => col(s"x.$c") === col(s"y.$c"))
@@ -117,10 +122,11 @@ object Dedup {
         col("x.__tok") === col("y.__tok") && col("x.__id") < col("y.__id") &&
           // SSJoin length filter at candidate time: t·max(|A|,|B|) <= min(|A|,|B|)
           col("x.__sz") * S >= lit(tS) * col("y.__sz") &&
-          col("y.__sz") * S >= lit(tS) * col("x.__sz"))(_ && _)
+          col("y.__sz") * S >= lit(tS) * col("x.__sz") &&
+          col("x.__tok") === graft.functions.SortedIntersectMin(
+            col("x.__pref"), col("y.__pref")))(_ && _)
     pref.as("x").join(pref.as("y"), cond)
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
-      .distinct()
   }
 
   def ngramPrefixCandidates(docs: DataFrame, idCol: String, textCol: String,
@@ -280,9 +286,13 @@ object Dedup {
     * its transitive duplicate cluster — the "keep one survivor per cluster" step
     * that follows any pairwise dedup. Deterministic min-label propagation:
     * labels spread one hop per iteration (O(cluster diameter) rounds, each one
-    * distributed join + min-aggregate), with per-round persist to truncate
-    * lineage and an early stop when the label sum stops decreasing (labels only
-    * ever decrease, so the sum is a complete change detector). Near-dup clusters
+    * distributed join + min-aggregate), with a per-round eager localCheckpoint —
+    * persist alone keeps the LOGICAL lineage growing one join deeper per round,
+    * which blows up plan analysis/rendering on long chains (measured: driver OOM
+    * in AQE's explain at ~29 rounds); checkpointing truncates the plan to the
+    * materialized blocks — and an early stop when a round changes zero labels
+    * (counted directly — a label-SUM probe would overflow Long at ~10^10 rows ×
+    * 64-bit ids, and a wrapped equal sum could mask a real change). Near-dup clusters
     * are short-diameter in practice; for adversarially long chains swap in the
     * large-star/small-star variant — same interface.
     *
@@ -296,27 +306,32 @@ object Dedup {
     // seed with min(self, direct neighbors): pair and star clusters — the
     // overwhelming shape of near-dup graphs — converge on the seed itself, so
     // the loop only runs its single confirmation round
+    // free a round's checkpoint blocks once the next round is materialized
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = false))
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("__m"))
       .select(col("src").as("id"), least(col("__m"), col("src")).as("comp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    def compSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("comp")), lit(0L))).first().getLong(0)
-    var prevSum = compSum(labels)
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, col("dst") === col("id"))
         .groupBy(col("src")).agg(min(col("comp")).as("__nbr"))
+      // carry the previous label so convergence is a changed-row COUNT on the
+      // same materialized frame (no extra pass, no overflow-prone arithmetic)
       val next = labels.join(nbrMin, col("id") === col("src"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("__prev"),
           least(col("comp"), coalesce(col("__nbr"), col("comp"))).as("comp"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val nextSum = compSum(next)
-      labels.unpersist()
-      labels = next
-      converged = nextSum == prevSum
-      prevSum = nextSum
+        .localCheckpoint()
+      val changed = next
+        .agg(coalesce(sum(when(col("comp") =!= col("__prev"), 1L).otherwise(0L)),
+          lit(0L))).first().getLong(0)
+      freeCheckpoint(labels)
+      labels = next.select(col("id"), col("comp"))
+      converged = changed == 0L
       i += 1
     }
     edges.unpersist()

@@ -123,4 +123,16 @@ class CurationOpsSpec extends SparkSpec {
     assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
       .count() == 0)
   }
+
+  test("connectedComponents: adversarial long chain with near-Long.MaxValue ids") {
+    // 31-node chain, diameter 30 (> default maxIter) with ids whose label sum
+    // overflows Long many times over — exercises both the multi-round
+    // propagation loop and the overflow-safe changed-count convergence probe
+    val base = Long.MaxValue - 1000L
+    val pairs = (0 until 30).map(i => (base + i, base + i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, maxIter = 40)
+      .orderBy($"id").as[(Long, Long)].collect().toSeq
+    assert(out.size == 31)
+    assert(out.forall { case (_, comp) => comp == base })
+  }
 }

@@ -118,6 +118,23 @@ class DedupSpec extends SparkSpec {
     assert(agg == col)
   }
 
+  test("prefix candidates are duplicate-free without any distinct/aggregate stage") {
+    // real corpus, q23's config: near-dup pairs share MANY prefix tokens, so the
+    // token equi-join matches each pair repeatedly — the first-shared-token gate
+    // must emit exactly one candidate per pair with no dedupe shuffle in the plan
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .filter($"doc_id" < 2000)
+    val cand = Dedup.ngramPrefixCandidates(corpus, "doc_id", "text", 3, 0.5, Seq("lang"))
+    val pairs = cand.as[(Long, Long)].collect().toSeq
+    assert(pairs.nonEmpty)
+    assert(pairs.size == pairs.toSet.size, "duplicate candidate pairs emitted")
+    val aggs = cand.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      case d: org.apache.spark.sql.catalyst.plans.logical.Distinct => d
+    }
+    assert(aggs.isEmpty, s"candidate plan contains a dedupe stage: $aggs")
+  }
+
   test("dedupedCorpus keeps one survivor per near-dup cluster, min id wins") {
     val out = Dedup.dedupedCorpus(docs, "doc_id", "text", 3, 0.5, Seq("lang"))
       .select($"doc_id").as[Long].collect().toSet
