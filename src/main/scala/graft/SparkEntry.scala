@@ -120,7 +120,10 @@ object SparkEntry {
     "q51_pii_redact" -> qPiiRedact,
     "q52_sequence_packing" -> qSequencePacking,
     "q53_doc_chunking" -> qDocChunking,
-    "q54_range_join" -> qRangeJoin)
+    "q54_range_join" -> qRangeJoin,
+    "q55_dedup_corpus" -> qDedupCorpus,
+    "q56_embedding_dedup_corpus" -> qEmbeddingDedupCorpus,
+    "q57_lsh_containment" -> qLshContainment)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -442,10 +445,15 @@ object SparkEntry {
       .select(col("doc_id"), TextFns.fingerprintSha(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
-  /** Embedding near-dup pairs within label blocks (quantized cosine). */
+  /** Embedding near-dup pairs within label blocks (quantized cosine).
+    * `lshPlanes = 0` pins the EXACT all-pairs-within-block route on purpose:
+    * this query is the deterministic verify oracle of the cosine-dedup family
+    * (and at threshold 0.3 — far below the near-dup regime — hyperplane LSH is
+    * the wrong tool by design; see `Dedup.embeddingCosinePairs`). The default
+    * scale path is exercised by q46/q56. */
   private def qEmbeddingDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingCosinePairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-      threshold = 0.3, blockCols = Seq("label"))
+      threshold = 0.3, blockCols = Seq("label"), lshPlanes = 0)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine_6dp"))
       .orderBy(col("id_a"), col("id_b"))
 
@@ -504,6 +512,50 @@ object SparkEntry {
         "doc_id", "text", n = 3, threshold = 0.5, blockCols = Seq("lang")))
       .select(col("id").as("doc_id"), col("component"))
       .orderBy(col("doc_id"))
+
+  /** End-to-end Jaccard corpus dedup (the composite pipelines call): exact
+    * prefix-filtered pairs -> connected components -> min-id survivors. Exact
+    * Jaccard makes the survivor set deterministic, so this is the oracle-able
+    * TWIN of the hash-internal MinHash/SimHash family (q24/q25): DuckDB
+    * reproduces it with the q49 recursive-CTE closure + an anti-join. */
+  private def qDedupCorpus(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupedCorpus(t(s, dir, "documents").filter(col("doc_id") < 2000),
+      "doc_id", "text", n = 3, threshold = 0.5, blockCols = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  /** End-to-end embedding corpus dedup through the EXACT pair route
+    * (`lshPlanes = 0` — the deterministic oracle of the cosine composite;
+    * the default banded-LSH route is pinned equal to this one on a
+    * duplicate-injected corpus by DedupSpec). */
+  private def qEmbeddingDedupCorpus(s: SparkSession, dir: String): DataFrame =
+    Dedup.dedupedCorpusByEmbedding(t(s, dir, "embeddings"), "vec_id", "embedding",
+      threshold = 0.3, blockCols = Seq("label"), lshPlanes = 0)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+
+  /** Hard correctness signal for the MinHash-LSH family (q24 has no SQL oracle:
+    * candidate membership is hash-permutation-specific): every LSH-surfaced pair
+    * must appear in the exact prefix-filtered Jaccard pair set at the same
+    * threshold, and none may carry a below-threshold jaccard. Both invariant
+    * counts are structurally zero — if banding or verification ever emitted a
+    * false pair, the Spark side goes non-zero and this row turns red. */
+  private def qLshContainment(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, blockCols = Nil)
+    val missing = lsh.select(col("id_a"), col("id_b"))
+      .join(exact, Seq("id_a", "id_b"), "left_anti")
+    val below = lsh.filter(col("jaccard") < 0.5)
+    missing.agg(count(lit(1)).as("violations"))
+      .withColumn("invariant", lit("lsh_pair_not_in_exact"))
+      .unionByName(below.agg(count(lit(1)).as("violations"))
+        .withColumn("invariant", lit("lsh_jaccard_below_threshold")))
+      .select(col("invariant"), col("violations"))
+      .orderBy(col("invariant"))
+  }
 
   /** Deterministic data-mixture report: per-source totals vs Knuth-hash sampled
     * counts — reproducible corpus re-weighting with zero RNG, a narrow filter at
@@ -1303,5 +1355,69 @@ object SparkEntry {
         |FROM events e JOIN nation n
         |  ON CAST(ROUND(e.value * 100) AS BIGINT)
         |     BETWEEN n.n_nationkey * 1500 AND n.n_nationkey * 1500 + 2000
-        |ORDER BY event_id, n_nationkey""".stripMargin)
+        |ORDER BY event_id, n_nationkey""".stripMargin,
+    "q55_dedup_corpus" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents WHERE doc_id < 2000),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+        |doomed AS (
+        |  SELECT id FROM (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id) t
+        |  WHERE id <> comp)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id < 2000 AND d.doc_id NOT IN (SELECT id FROM doomed)
+        |ORDER BY d.doc_id""".stripMargin,
+    "q56_embedding_dedup_corpus" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE CAST(list_sum(list_transform(range(1, len(a.embedding) + 1), i ->
+        |      CAST(ROUND(CAST(a.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) *
+        |      CAST(ROUND(CAST(b.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE) /
+        |    (sqrt(CAST(list_sum(list_transform(range(1, len(a.embedding) + 1), i ->
+        |      CAST(ROUND(CAST(a.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) *
+        |      CAST(ROUND(CAST(a.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE)) *
+        |     sqrt(CAST(list_sum(list_transform(range(1, len(b.embedding) + 1), i ->
+        |      CAST(ROUND(CAST(b.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) *
+        |      CAST(ROUND(CAST(b.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE)))
+        |    >= 0.3),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+        |doomed AS (
+        |  SELECT id FROM (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id) t
+        |  WHERE id <> comp)
+        |SELECT e.vec_id, e.label FROM embeddings e
+        |WHERE e.vec_id NOT IN (SELECT id FROM doomed)
+        |ORDER BY e.vec_id""".stripMargin,
+    "q57_lsh_containment" ->
+      """SELECT * FROM (
+        |  SELECT 'lsh_jaccard_below_threshold' AS invariant, CAST(0 AS BIGINT) AS violations
+        |  UNION ALL
+        |  SELECT 'lsh_pair_not_in_exact' AS invariant, CAST(0 AS BIGINT) AS violations)
+        |ORDER BY invariant""".stripMargin)
 }

@@ -270,18 +270,6 @@ object Dedup {
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
   }
 
-  /** Embedding near-dup pairs: cosine >= threshold. Vectors are quantized and
-    * norm'd ONCE per row before any pair join, so the per-pair cost is a single
-    * integer dot fold.
-    *
-    * Blocking: with `lshPlanes = 0` candidates are all pairs within `blockCols`
-    * — EXACT output, quadratic per block (fine for dim-sized blocks or as a
-    * verify oracle). With `lshPlanes > 0`, each of `lshBands` independent
-    * hyperplane-signature families adds a bucket blocking key: candidates are
-    * pairs agreeing on some band's full `lshPlanes`-bit signature — the scale
-    * path. That is APPROXIMATE: a pair at angle θ survives with
-    * 1 - (1 - (1-θ/π)^planes)^bands, so it is the right tool for the near-dup
-    * regime (threshold -> 1, misses vanishingly rare), not for low thresholds. */
   /** Connected components over a near-dup pair set: every doc gets the MIN id of
     * its transitive duplicate cluster — the "keep one survivor per cluster" step
     * that follows any pairwise dedup. Deterministic min-label propagation:
@@ -344,17 +332,53 @@ object Dedup {
     * untouched (left-anti against the non-canonical cluster members). */
   def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String,
                     n: Int, threshold: Double,
-                    blockCols: Seq[String]): DataFrame = {
-    val pairs = ngramJaccardPairs(docs, idCol, textCol, n, threshold, blockCols)
+                    blockCols: Seq[String]): DataFrame =
+    survivors(docs, idCol,
+      ngramJaccardPairs(docs, idCol, textCol, n, threshold, blockCols))
+
+  /** End-to-end EMBEDDING dedup: cosine near-dup pairs → transitive cluster
+    * resolution → keep the min-id survivor of every cluster. The default route
+    * is the banded hyperplane-LSH candidate generator with exact integer-dot
+    * verify (sub-quadratic — the 100 TB path); pass `lshPlanes = 0` for the
+    * exact all-pairs-within-block route, which doubles as the deterministic
+    * SQL-reproducible oracle of the composite. */
+  def dedupedCorpusByEmbedding(embs: DataFrame, idCol: String, vecCol: String,
+                               threshold: Double, blockCols: Seq[String] = Nil,
+                               lshPlanes: Int = 12, lshBands: Int = 8): DataFrame =
+    survivors(embs, idCol,
+      embeddingCosinePairs(embs, idCol, vecCol, threshold, blockCols,
+        lshPlanes, lshBands))
+
+  /** Cluster-resolution + survivor-selection tail shared by the composites:
+    * rows never paired survive untouched (left-anti against the non-canonical
+    * cluster members). */
+  private def survivors(items: DataFrame, idCol: String,
+                        pairs: DataFrame): DataFrame = {
     val doomed = connectedComponents(pairs)
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
-    docs.join(doomed, Seq(idCol), "left_anti")
+    items.join(doomed, Seq(idCol), "left_anti")
   }
 
+  /** Embedding near-dup pairs: cosine >= threshold. Vectors are quantized and
+    * norm'd ONCE per row before any pair join, so the per-pair cost is a single
+    * integer dot fold.
+    *
+    * The DEFAULT is the scale path: `lshBands` independent `lshPlanes`-bit
+    * hyperplane-signature families as bucket blocking keys — candidates are
+    * pairs agreeing on some band's full signature, work ∝ Σ bucket², never
+    * corpus². Candidate recall is APPROXIMATE (a pair at angle θ survives with
+    * 1 - (1 - (1-θ/π)^planes)^bands): right for the near-dup regime
+    * (threshold → 1, misses vanishingly rare; identical vectors are ALWAYS
+    * recovered since they agree on every plane), wrong for low thresholds.
+    *
+    * `lshPlanes = 0` selects the exact route — all pairs within `blockCols`,
+    * quadratic per block. That is the VERIFY ORACLE (deterministic,
+    * SQL-reproducible) and the low-threshold tool for dim-sized blocks; it is
+    * deliberately not the default a naive caller gets at corpus scale. */
   def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
-                           threshold: Double, blockCols: Seq[String],
-                           lshPlanes: Int = 0, lshBands: Int = 4): DataFrame = {
+                           threshold: Double, blockCols: Seq[String] = Nil,
+                           lshPlanes: Int = 12, lshBands: Int = 8): DataFrame = {
     val base = embs
       .repartition(embs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(

@@ -150,14 +150,36 @@ class DedupSpec extends SparkSpec {
       (4L, Array(1.0f, 0.0f, 0.0f, 0.0f), 1))    // dup of 1 but other block
       .toDF("vec_id", "embedding", "label")
     val pairs = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", 0.95,
-      Seq("label")).select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      Seq("label"), lshPlanes = 0)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L))) // (1,4) blocked away, (1,3) dissimilar
+  }
+
+  test("cosine dedupedCorpus: default LSH route == exact route on duplicate corpus") {
+    // duplicate-injected corpus: every vector appears twice (identical copies
+    // agree on every hyperplane, so the banded route recovers them
+    // deterministically); survivor sets of the default (LSH) and exact
+    // (lshPlanes = 0) routes must be identical
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(150).select($"vec_id", $"embedding")
+    val corpus = base.unionByName(
+      base.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+    val viaLsh = Dedup.dedupedCorpusByEmbedding(corpus, "vec_id", "embedding",
+      threshold = 0.999)
+      .select($"vec_id").as[Long].collect().toSet
+    val viaExact = Dedup.dedupedCorpusByEmbedding(corpus, "vec_id", "embedding",
+      threshold = 0.999, Nil, lshPlanes = 0)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(viaLsh == viaExact)
+    // every injected copy is doomed; every original survives
+    assert(viaLsh == base.select($"vec_id").as[Long].collect().toSet)
   }
 
   test("embedding LSH blocking: subset of exact pairs, near-identical vectors kept") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(200)
-    val exact = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", 0.9, Nil)
+    val exact = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", 0.9, Nil,
+      lshPlanes = 0)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     val lsh = Dedup.embeddingCosinePairs(embs, "vec_id", "embedding", 0.9, Nil,
       lshPlanes = 6, lshBands = 8)
