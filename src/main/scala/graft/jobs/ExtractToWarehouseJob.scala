@@ -18,6 +18,14 @@ import org.apache.spark.sql.types._
   *   "sim_tag": "...", "model": "mike11_2016", "variable": "WaterLevel", "unit": "m"
   * }
   * Usage: ExtractToWarehouseJob <config.json> -f "yyyy-MM-dd HH:mm:ss"   (fgt)
+  *    or: ExtractToWarehouseJob <config.json> --gated
+  *
+  * `--gated` runs the reference's cron front-gate instead of taking an
+  * explicit fgt (T3; `outputs/extract_mike_data_to_db.sh:5-32` via
+  * `RunDirGate`): every run directory under config `outputs_root` named with
+  * today's (UTC+5:30) date whose result CSV is fresher than
+  * `max_age_minutes` (default 40) is extracted with the fgt parsed from the
+  * directory name.
   */
 object ExtractToWarehouseJob {
 
@@ -29,16 +37,19 @@ object ExtractToWarehouseJob {
 
   def main(args: Array[String]): Unit = {
     val cfgPath = args(0)
+    val gated = args.contains("--gated")
     val fgt = args.sliding(2, 1).collectFirst { case Array("-f", v) => v }
-      .getOrElse(sys.error("missing -f <fgt timestamp>"))
+    if (!gated && fgt.isEmpty) sys.error("missing -f <fgt timestamp> (or --gated)")
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    try run(spark, cfgPath, fgt)
-    finally spark.stop()
+    try {
+      if (gated) runGated(spark, cfgPath)
+      else run(spark, cfgPath, fgt.get)
+    } finally spark.stop()
   }
 
   private def opt(cfg: org.apache.spark.sql.Row, field: String, default: String) =
@@ -60,10 +71,40 @@ object ExtractToWarehouseJob {
     *     update_latest_fgt every tick. */
   def run(spark: SparkSession, cfgPath: String, fgt: String): (Long, Seq[String]) = {
     val cfg = spark.read.option("multiLine", true).json(cfgPath).first()
+    runWithCfg(spark, cfg, cfg.getAs[String]("results_csv"), fgt)
+  }
+
+  /** T3 gated mode (ref `outputs/extract_mike_data_to_db.sh:5-32`): one
+    * extract per fresh today-named run directory, fgt from the dirname.
+    * `nowMs`/`todayOverride` injectable for tests and replays. Returns
+    * (directory, facts upserted) per admitted run. */
+  def runGated(spark: SparkSession, cfgPath: String,
+               nowMs: Long = System.currentTimeMillis(),
+               todayOverride: Option[String] = None): Seq[(String, Long)] = {
+    val cfg = spark.read.option("multiLine", true).json(cfgPath).first()
+    val dirs = RunDirGate.freshRunDirs(
+      cfg.getAs[String]("outputs_root"),
+      resultFile = opt(cfg, "result_file", "resmike11_WL.csv"),
+      // JSON numbers arrive as Long, not String — go through Any
+      maxAgeMinutes =
+        if (cfg.schema.fieldNames.contains("max_age_minutes") &&
+          !cfg.isNullAt(cfg.fieldIndex("max_age_minutes")))
+          cfg.get(cfg.fieldIndex("max_age_minutes")).toString.toLong
+        else 40L,
+      nowMs = nowMs, todayOverride = todayOverride)
+    dirs.map { rd =>
+      System.err.println(s"[extract] gated run: ${rd.dir} fgt=${rd.fgt}")
+      val (n, _) = runWithCfg(spark, cfg, rd.resultCsv, rd.fgt)
+      rd.dir -> n
+    }
+  }
+
+  private def runWithCfg(spark: SparkSession, cfg: org.apache.spark.sql.Row,
+                         resultsCsv: String, fgt: String): (Long, Seq[String]) = {
     val url = cfg.getAs[String]("jdbc_url")
     val (simTag, model) = (cfg.getAs[String]("sim_tag"), cfg.getAs[String]("model"))
     val (variable, unit) = (cfg.getAs[String]("variable"), cfg.getAs[String]("unit"))
-    val wide = MikeCsv.readWideCsv(spark, cfg.getAs[String]("results_csv"))
+    val wide = MikeCsv.readWideCsv(spark, resultsCsv)
     val csvDim = MikeCsv.readDimCsv(spark, cfg.getAs[String]("stations_csv"),
       stationSchema)
     // dim get-or-create (S12/J7; ref outputs/extract_water_level.py:217-223)
