@@ -152,6 +152,42 @@ object MikeJobs {
     patched.na.drop(Seq("value"))
   }
 
+  /** 3.5 obs-window rainfall generator — `prepare_mike_rf_input`
+    * (ref: inputs/gen_mike_input_rf_obs_win.py:130-182): per-station custom
+    * N-min re-bucket (A7/S6, the per-station `extract_obs_rain_custom_min_intervals`
+    * loop collapsed into ONE hash aggregate) -> spine left-merge where gaps stay
+    * NULL and render as blank cells (this generator has no pandas 0-quirk: the
+    * re-bucketed series are MERGED onto the spine, not resampled over it) ->
+    * negative sums -> NULL (P3, ref :112-115 applied at :164) -> the pandas
+    * object-dtype ROUND QUIRK (ref :170-171: `fillna('')` first turns every
+    * gap-bearing station column to dtype object, which `DataFrame.round(1)`
+    * silently skips — so only gap-FREE stations are rounded to 1 decimal; gap
+    * stations keep full precision) -> station_id -> station_name rename via the
+    * dim (J5, ref :174-175) -> pivot wide (R1).
+    *
+    * `stationOrder` pins the reference's column order (stations-CSV row order);
+    * empty = Spark's sorted pivot keys. The gap-flag window partitions by
+    * station — dim-scale cardinality, not data-scale. */
+  def obsRainfallInput(spark: SparkSession, series: DataFrame, stations: DataFrame,
+                       startTs: String, endTs: String, stepMinutes: Int = 15,
+                       stationOrder: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spine = timeSpine(spark, startTs, endTs, stepMinutes)
+    val res = resampleSum(series, "time", stepMinutes * 60L, Seq("hash_id"), "value",
+      nullAsZero = false)
+    val grid = broadcast(spine).crossJoin(broadcast(stations.select(col("hash_id"))))
+    val aligned = grid.join(res, Seq("hash_id", "time"), "left")
+    val cleansed = cleanseNegatives(aligned, "value")
+    val gapFlag = max(when(col("value").isNull, 1).otherwise(0))
+      .over(Window.partitionBy(col("hash_id")))
+    val rounded = cleansed.withColumn("__gaps", gapFlag)
+      .withColumn("value",
+        when(col("__gaps") === 0, round(col("value"), 1)).otherwise(col("value")))
+    val named = rounded.join(broadcast(
+      stations.select(col("hash_id"), col("station_name"))), "hash_id")
+    pivotWide(named, "time", "station_name", "value", stationOrder)
+  }
+
   /** A6: `get_obs_end` — the latest observed timestamp of a series, used by the
     * discharge job as its `latest_fgt` tag
     * (ref: inputs/gen_mike_input_dis_linux.py:176). One max aggregate. */
