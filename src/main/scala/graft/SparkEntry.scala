@@ -530,7 +530,7 @@ object SparkEntry {
     * duplicate-injected corpus by DedupSpec). */
   private def qEmbeddingDedupCorpus(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupedCorpusByEmbedding(t(s, dir, "embeddings"), "vec_id", "embedding",
-      threshold = 0.3, blockCols = Seq("label"), lshPlanes = 0)
+      threshold = 0.35, blockCols = Seq("label"), lshPlanes = 0)
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))
 
@@ -1400,7 +1400,7 @@ object SparkEntry {
         |     sqrt(CAST(list_sum(list_transform(range(1, len(b.embedding) + 1), i ->
         |      CAST(ROUND(CAST(b.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) *
         |      CAST(ROUND(CAST(b.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE)))
-        |    >= 0.3),
+        |    >= 0.35),
         |edges AS (
         |  SELECT id_a AS a, id_b AS b FROM pairs
         |  UNION SELECT id_b, id_a FROM pairs),

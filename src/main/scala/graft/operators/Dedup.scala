@@ -299,10 +299,12 @@ object Dedup {
       df.queryExecution.analyzed.collectFirst {
         case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
       }.foreach(_.unpersist(blocking = false))
+    // LAZY checkpoints: materialization rides the changed-count job below (one
+    // pass per round); eager would add a second full pass per round
     var labels = edges.groupBy(col("src"))
       .agg(min(col("dst")).as("__m"))
       .select(col("src").as("id"), least(col("__m"), col("src")).as("comp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -310,17 +312,35 @@ object Dedup {
         .groupBy(col("src")).agg(min(col("comp")).as("__nbr"))
       // carry the previous label so convergence is a changed-row COUNT on the
       // same materialized frame (no extra pass, no overflow-prone arithmetic)
-      val next = labels.join(nbrMin, col("id") === col("src"), "left")
+      val stepped = labels.join(nbrMin, col("id") === col("src"), "left")
         .select(col("id"), col("comp").as("__prev"),
           least(col("comp"), coalesce(col("__nbr"), col("comp"))).as("comp"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
+      // pointer jump (path halving): comp <- comp(comp). Labels only decrease
+      // and never leave the component, so correctness is untouched while chain
+      // convergence drops from O(diameter) toward O(log diameter) rounds — low
+      // similarity thresholds make near-dup graphs chain-shaped, and each
+      // round's fixed cost (the neighbor join + aggregate) dwarfs the small
+      // self-join this adds. ONE level of self-joined lazy checkpoint is safe;
+      // chaining a second self-join on an unmaterialized checkpoint was
+      // measured to deadlock/crawl (threads race to compute the same
+      // checkpoint partitions), so exactly one jump per round
+      val next = stepped.as("n").join(
+          stepped.select(col("id").as("__cid"), col("comp").as("__ccomp")),
+          col("n.comp") === col("__cid"), "left")
+        .select(col("n.id").as("id"), col("n.__prev").as("__prev"),
+          least(col("n.comp"), coalesce(col("__ccomp"), col("n.comp"))).as("comp"))
+        .localCheckpoint(eager = false)
       val changed = next
         .agg(coalesce(sum(when(col("comp") =!= col("__prev"), 1L).otherwise(0L)),
           lit(0L))).first().getLong(0)
       freeCheckpoint(labels)
+      freeCheckpoint(stepped)
       labels = next.select(col("id"), col("comp"))
       converged = changed == 0L
       i += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc] round $i changed=$changed")
     }
     edges.unpersist()
     labels.select(col("id"), col("comp").as("component"))
