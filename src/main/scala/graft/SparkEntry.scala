@@ -123,7 +123,8 @@ object SparkEntry {
     "q54_range_join" -> qRangeJoin,
     "q55_dedup_corpus" -> qDedupCorpus,
     "q56_embedding_dedup_corpus" -> qEmbeddingDedupCorpus,
-    "q57_lsh_containment" -> qLshContainment)
+    "q57_lsh_containment" -> qLshContainment,
+    "q58_ivf_full_probe" -> qIvfFullProbe)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -786,6 +787,21 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hard correctness signal for the IVF family (q43 has no SQL oracle: cell
+    * membership is engine-specific): probing ALL cells scores every corpus
+    * vector, so the result must reproduce the exact brute-force ranking — the
+    * oracle below IS q26's brute-force SQL. Any defect in cell assignment
+    * (a vector landing in no/two cells) or in ranking surfaces as a hash
+    * mismatch on this row. */
+  private def qIvfFullProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+      nCentroids = 16, nProbe = 16)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine_6dp"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Range-frame rolling accumulation (the rolling-rainfall extension SURVEY.md §2.5
     * anticipates): per event_type, the trailing 1-hour sum at every event — a VALUE
     * range frame (rangeBetween on epoch micros), not a row frame. Integer cents keep
@@ -816,6 +832,31 @@ object SparkEntry {
       .orderBy(col("event_type"))
 
   // ---------- DuckDB oracles ----------
+
+  /** Brute-force ANN ranking in DuckDB SQL — the oracle of BOTH q26 (the
+    * exact baseline) and q58 (IVF probing every cell must reproduce it). */
+  private val bruteForceAnnSql: String =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+        |pairs AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i ->
+        |      CAST(ROUND(CAST(q.qv[i] AS DOUBLE) * 1000000.0) AS BIGINT) *
+        |      CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE) /
+        |    (sqrt(CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i ->
+        |      CAST(ROUND(CAST(q.qv[i] AS DOUBLE) * 1000000.0) AS BIGINT) *
+        |      CAST(ROUND(CAST(q.qv[i] AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE)) *
+        |     sqrt(CAST(list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
+        |      CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) *
+        |      CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE)))
+        |      AS cosine
+        |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY round(cosine, 6) DESC, neighbor_id) AS rank
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_6dp, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -1012,28 +1053,9 @@ object SparkEntry {
         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
         |SELECT id_a, id_b, jaccard FROM pairs
         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
-    "q26_ann_cosine_topk" ->
-      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
-        |pairs AS (
-        |  SELECT q.query_id, e.vec_id AS neighbor_id,
-        |    CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i ->
-        |      CAST(ROUND(CAST(q.qv[i] AS DOUBLE) * 1000000.0) AS BIGINT) *
-        |      CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE) /
-        |    (sqrt(CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i ->
-        |      CAST(ROUND(CAST(q.qv[i] AS DOUBLE) * 1000000.0) AS BIGINT) *
-        |      CAST(ROUND(CAST(q.qv[i] AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE)) *
-        |     sqrt(CAST(list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
-        |      CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) *
-        |      CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE)))
-        |      AS cosine
-        |  FROM q, embeddings e WHERE e.vec_id != q.query_id),
-        |ranked AS (
-        |  SELECT query_id, neighbor_id, cosine,
-        |    ROW_NUMBER() OVER (PARTITION BY query_id
-        |      ORDER BY round(cosine, 6) DESC, neighbor_id) AS rank
-        |  FROM pairs)
-        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_6dp, rank
-        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q26_ann_cosine_topk" -> bruteForceAnnSql,
+    // probing every IVF cell must reproduce brute force EXACTLY (see qIvfFullProbe)
+    "q58_ivf_full_probe" -> bruteForceAnnSql,
     "q27_text_quality" ->
       """WITH toks AS (
         |  SELECT doc_id,
