@@ -2,12 +2,13 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Scratch profiling main for the text-stats queries (not part of the driver contract). */
+/** Scratch profiling main for hot queries (not part of the driver contract). */
 object TextProbe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .appName("text-probe").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -17,11 +18,12 @@ object TextProbe {
       f
       println(f"PROBE $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s")
     }
-    for (q <- Seq("q48_repetition_quality", "q27_text_quality", "q28_lang_id"); i <- 1 to 3)
+    val qs = if (args.nonEmpty) args.toSeq else Seq("q47_contamination", "q41_try_cast", "q28_lang_id")
+    for (q <- qs; i <- 1 to 3)
       time(s"$q-$i") {
         SparkEntry.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
       }
-    SparkEntry.queries("q48_repetition_quality")(spark, dir).explain("formatted")
     spark.stop()
   }
 }
