@@ -23,7 +23,9 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "q14_knn_spatial", "q26_ann_cosine_topk", "q31_embedding_dedup",
     "q33_mike_pipeline", "q37_scalar_subquery", "q43_ann_ivf_topk",
-    "q46_embedding_dedup_lsh")
+    "q46_embedding_dedup_lsh",
+    // q58: q43's packed 1-row centroid broadcast, probing every cell
+    "q58_ivf_full_probe")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where designed") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
