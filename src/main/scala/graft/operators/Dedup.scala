@@ -201,9 +201,24 @@ object Dedup {
     verifyJaccard(sh, threshold, cand)
   }
 
-  /** 64-bit SimHash per document: sign-sum of per-token hash bits. Computed with 64
-    * conditional-sum aggregates in ONE hash aggregate pass (no per-bit shuffles). */
-  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  /** 64-bit SimHash per document: sign-sum of per-token hash bits, computed
+    * IN-ROW by the native `SimHash64Expr` compiled loop — a scan-stage
+    * projection with zero shuffle (the signature is a pure per-document
+    * function; exploding tokens through an aggregate shuffles every token
+    * occurrence of the corpus). Token-less documents yield no row, matching
+    * the aggregate reference form `simhash64Agg` (equivalence spec-pinned). */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol),
+        graft.functions.SimHash64Expr(col(textCol)).as("simhash"))
+      .filter(col("simhash").isNotNull)
+
+  /** Reference relational implementation of `simhash64` (64 conditional-sum
+    * aggregates over exploded tokens) — kept for layouts where token rows
+    * arrive as a stream, and as the form the equivalence spec pins the native
+    * expression against. */
+  def simhash64Agg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tokens = docs
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col(idCol).as("__id"),

@@ -53,6 +53,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("native in-row simhash64 == exploded-aggregate reference (incl. non-ASCII)") {
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text")
+      .unionByName(Seq(
+        (90001L, "emoji 😀 and 🚀 pairs"),
+        (90002L, "  "),          // token-less: must yield NO row in both forms
+        (90003L, "the the the"), // multiplicity matters
+        (90004L, "这 是 中文")).toDF("doc_id", "text"))
+    val nat = Dedup.simhash64(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    val ref = Dedup.simhash64Agg(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(nat == ref)
+    assert(!nat.contains(90002L))
+  }
+
   test("ngram jaccard output identical to all-pairs enumeration (prefix superset proof)") {
     // brute-force expectation: every pair in the same lang, exact jaccard >= t
     graft.functions.SortedIntersectCount.register(spark)

@@ -33,7 +33,9 @@ class ExtensionsMaintenanceSpec extends SparkSpec {
       """SELECT rolling_hash64('abc') AS h,
         |  sorted_intersect_count(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS i,
         |  minhash_signature(array(7L), 4) AS sig,
-        |  sorted_hashed_shingles('a b c', 2) AS sh""".stripMargin)
+        |  sorted_hashed_shingles('a b c', 2) AS sh,
+        |  simhash64('a b c') AS sim,
+        |  text_stats('a b a').n_distinct_words AS ndw""".stripMargin)
       .collect().head
     assert(r.getSeq[Long](3).length == 2) // "a b", "b c"
     assert(r.getLong(0) == graft.functions.RollingHash64.hashBytes("abc".getBytes("UTF-8")))
@@ -41,6 +43,10 @@ class ExtensionsMaintenanceSpec extends SparkSpec {
     val expected = (0 until 4).map(i => graft.functions.MinHashSketch.mix(
       7L ^ graft.functions.MinHashSketch.seed(i)))
     assert(r.getSeq[Long](2) == expected)
+    assert(r.getLong(4) ==
+      graft.functions.SimHash64Expr.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString("a b c")).longValue())
+    assert(r.getLong(5) == 2L)
   }
 
   test("S13 idempotence gate: second tick skips") {
