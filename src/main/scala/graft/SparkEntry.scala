@@ -418,16 +418,16 @@ object SparkEntry {
         col("q.stop_ratio").as("stop_ratio"))
       .orderBy(col("doc_id"))
 
-  /** Language-ID heuristic: marker-stopword scores, fixed-priority argmax. */
+  /** Language-ID heuristic: marker-stopword scores, fixed-priority argmax.
+    * One native `stop_counts` pass scores all 5 languages (the per-language
+    * filter lambdas of the column form evaluate interpreted). */
   private def qLangId(s: SparkSession, dir: String): DataFrame = {
-    val ws = TextFns.words(col("text"))
-    val scoreCols = TextFns.langMarkers.map { case (code, stops) =>
-      TextFns.stopwordCount(ws, stops).cast("long").as(s"s_$code")
-    }
+    val scores = TextFns.langScores(col("text"))
+    val scoreCols = scores.map { case (code, sc) => sc.cast("long").as(s"s_$code") }
     t(s, dir, "documents")
       .repartition(s.sessionState.conf.numShufflePartitions)
       .select((col("doc_id") +: scoreCols :+
-        TextFns.langIdPredict(col("text")).as("pred_lang")): _*)
+        TextFns.langIdFromScores(scores).as("pred_lang")): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -755,12 +755,13 @@ object SparkEntry {
     * Composes text analysis, dedup and ranking the way a real corpus-curation job
     * would; every stage is one hash-partitionable pass. */
   private def qCuration(s: SparkSession, dir: String): DataFrame = {
-    val ws = TextFns.words(col("text"))
+    // one native text_stats pass supplies both word count and stopword hits
+    val st = graft.functions.TextStatsExpr(col("text"),
+      Seq("the", "a", "of", "and", "is"))
     val base = t(s, dir, "documents")
       .repartition(s.sessionState.conf.numShufflePartitions)
-      .withColumn("n_words", size(ws).cast("long"))
-      .withColumn("stop_cnt",
-        TextFns.stopwordCount(ws, Seq("the", "a", "of", "and", "is")).cast("long"))
+      .withColumn("n_words", st("n_words"))
+      .withColumn("stop_cnt", st("stop_count"))
       .withColumn("sha", sha2(lower(trim(col("text"))), 256))
       .filter(col("n_words") >= 20)
     val dedup = base.withColumn("rn",

@@ -106,12 +106,22 @@ object TextFns {
     "fr" -> Seq("le", "la", "et", "les", "est"),
     "zh" -> Seq("的", "是", "了"))
 
+  /** Per-language marker scores in ONE tokenize pass (native `StopCountsExpr`
+    * compiled loop — the column form runs one interpreted filter lambda PER
+    * LANGUAGE per row). Returns (code, score column) pairs. */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val sc = StopCountsExpr(text, langMarkers.map(_._2))
+    langMarkers.zipWithIndex.map { case ((code, _), i) => code -> sc.getItem(i) }
+  }
+
   /** Predicted language code: argmax of marker scores where earlier languages (in
     * `langMarkers` order) win ties — a nested CASE, reproducible verbatim in ANSI
     * SQL: CASE WHEN s_en >= max(s_de..s_zh) THEN 'en' WHEN ... ELSE 'zh' END. */
-  def langIdPredict(text: Column): Column = {
-    val ws = words(text)
-    val scores = langMarkers.map { case (code, stops) => code -> stopwordCount(ws, stops) }
+  def langIdPredict(text: Column): Column =
+    langIdFromScores(langScores(text))
+
+  /** The tie-broken argmax CASE over precomputed score columns. */
+  def langIdFromScores(scores: Seq[(String, Column)]): Column = {
     def build(rem: List[(String, Column)]): Column = rem match {
       case (code, _) :: Nil => lit(code)
       case (code, s) :: tail =>
@@ -120,6 +130,13 @@ object TextFns {
       case Nil => lit(null)
     }
     build(scores.toList)
+  }
+
+  /** Reference column-expression implementation of `langIdPredict`. */
+  def langIdPredictCols(text: Column): Column = {
+    val ws = words(text)
+    langIdFromScores(
+      langMarkers.map { case (code, stops) => code -> stopwordCount(ws, stops) })
   }
 
   /** Document fingerprint: sha256 over the sorted distinct token set — a canonical

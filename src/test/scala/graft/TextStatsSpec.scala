@@ -73,6 +73,22 @@ class TextStatsSpec extends SparkSpec {
     assert(q == 0)
   }
 
+  test("native stop_counts / langIdPredict == HOF column references on corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .unionByName(texts.toDF("text"))
+    val markers = TextFns.langMarkers
+    val sc = graft.functions.StopCountsExpr($"text", markers.map(_._2))
+    val ws = TextFns.words($"text")
+    val refCounts = array(markers.map { case (_, m) =>
+      TextFns.stopwordCount(ws, m).cast("long") }: _*)
+    val diff = docs.select(sc.as("nat"), refCounts.as("ref"),
+        TextFns.langIdPredict($"text").as("pnat"),
+        TextFns.langIdPredictCols($"text").as("pref"))
+      .filter($"nat" =!= $"ref" || $"pnat" =!= $"pref").count()
+    assert(diff == 0)
+  }
+
   test("top_bigram_n counts the dominant bigram multiplicity") {
     // "x y x y x y" bigrams: (x y)x3, (y x)x2 -> top = 3
     val r = Seq("x y x y x y").toDF("t")
