@@ -140,8 +140,14 @@ object TextFns {
   }
 
   /** Document fingerprint: sha256 over the sorted distinct token set — a canonical
-    * content id robust to word order and repetition (bag-of-words identity). */
+    * content id robust to word order and repetition (bag-of-words identity).
+    * The canonical string builds in the native `BagOfWordsExpr` compiled loop;
+    * `fingerprintShaCols` is the spec-pinned column reference. */
   def fingerprintSha(text: Column): Column =
+    sha2(BagOfWordsExpr(text), 256)
+
+  /** Reference column-expression implementation of `fingerprintSha`. */
+  def fingerprintShaCols(text: Column): Column =
     sha2(array_join(array_sort(array_distinct(words(text))), " "), 256)
 
   /** Longest run of equal values in a SORTED array — i.e. the max multiplicity of

@@ -89,6 +89,17 @@ class TextStatsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native bag_of_words fingerprint == HOF column reference on corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text")
+      .unionByName(texts.toDF("text"))
+    val diff = docs.select(
+        TextFns.fingerprintSha($"text").as("nat"),
+        TextFns.fingerprintShaCols($"text").as("ref"))
+      .filter($"nat" =!= $"ref").count()
+    assert(diff == 0)
+  }
+
   test("top_bigram_n counts the dominant bigram multiplicity") {
     // "x y x y x y" bigrams: (x y)x3, (y x)x2 -> top = 3
     val r = Seq("x y x y x y").toDF("t")
