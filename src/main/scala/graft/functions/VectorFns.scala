@@ -55,8 +55,18 @@ object VectorFns {
     * the LSH bucketing primitive for approximate nearest neighbor at scale. Plane
     * components are derived from `xxhash64(planeIdx * 4099 + dimIdx)` so every
     * executor materializes identical planes with zero driver coordination or
-    * broadcast payload. Returns an int bucket id in [0, 2^nPlanes). */
-  def hyperplaneBucket(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column = {
+    * broadcast payload. Returns an int bucket id in [0, 2^nPlanes).
+    *
+    * Backed by the native `HyperplaneBucketExpr` compiled loop;
+    * `hyperplaneBucketCols` is the interpreted column reference the
+    * equivalence spec pins it against (the column form nests
+    * aggregate/zip_with/transform lambdas per plane — 96 interpreted folds
+    * per row at 12 planes × 8 bands). */
+  def hyperplaneBucket(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column =
+    HyperplaneBucketExpr(vec, nPlanes, planeOffset)
+
+  /** Reference column-expression implementation of `hyperplaneBucket`. */
+  def hyperplaneBucketCols(vec: Column, nPlanes: Int, planeOffset: Int = 0): Column = {
     val bits = (0 until nPlanes).map { pl =>
       val p = pl + planeOffset // plane family index; offset gives independent bands
       // plane_p[d] = (xxhash64(p*4099+d) mod 2001) - 1000  (zero-mean integer plane)

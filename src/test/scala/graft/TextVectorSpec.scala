@@ -42,6 +42,17 @@ class TextVectorSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native hyperplane_bucket == HOF column form on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    for ((planes, off) <- Seq((6, 0), (12, 24))) {
+      val diff = emb.select(
+          VectorFns.hyperplaneBucket($"embedding", planes, off).as("nat"),
+          VectorFns.hyperplaneBucketCols($"embedding", planes, off).as("ref"))
+        .filter($"nat" =!= $"ref").count()
+      assert(diff == 0, s"planes=$planes offset=$off")
+    }
+  }
+
   test("native quantized_dot == HOF column form on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(50)
