@@ -69,6 +69,69 @@ object DedupStream {
         min(col("corpus_id")).as("matched_corpus_id"))
   }
 
+  /** Static corpus index for EMBEDDING admission: (corpus_id, band, bh, cv, cn) —
+    * one row per (vector, band), carrying the quantized vector and norm so the
+    * stream side can verify exact cosine in-flight with no second join. Payload
+    * is bands × corpus vectors — the price of a self-contained probe table;
+    * store slim (drop cv/cn) and re-join against the vector frame if the
+    * duplication matters more than the extra stream-side join. Buckets come
+    * from the same native `hyperplaneBucket` signatures as the batch LSH dedup,
+    * so stream and batch agree bit-for-bit on candidates. */
+  def corpusBucketIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                        lshPlanes: Int = 12, lshBands: Int = 8): DataFrame = {
+    import graft.functions.VectorFns
+    val prepped = corpus
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol).as("corpus_id"), col(vecCol).as("__v"))
+      .withColumn("cv", VectorFns.quantize(col("__v")))
+      .withColumn("cn", VectorFns.normLong(col("cv")))
+      // buckets from the RAW vector, exactly like the batch LSH dedup prep;
+      // the full band array rides along so the probe join can emit each
+      // (stream, corpus) pair from its FIRST shared band only
+      .withColumn("cbkts", array((0 until lshBands).map(b =>
+        VectorFns.hyperplaneBucket(col("__v"), lshPlanes, b * lshPlanes)
+          .cast("long")): _*))
+    prepped.select(col("corpus_id"), col("cv"), col("cn"), col("cbkts"),
+        posexplode(col("cbkts")).as(Seq("band", "bh")))
+      .select(col("corpus_id"), col("band"), col("bh"), col("cbkts"),
+        col("cv"), col("cn"))
+  }
+
+  /** Flag streaming embeddings whose cosine against SOME corpus vector meets
+    * `threshold`: candidates from the stream-static band join (no state store),
+    * verified with the exact integer-dot cosine before flagging — unlike the
+    * MinHash text path, the flag here is a VERIFIED near-dup, not a candidate.
+    * Returns (idCol, n_corpus_matches, matched_corpus_id = min matching id,
+    * best_cosine). Zero-match vectors do not appear. */
+  def nearDupEmbeddingFlags(vecs: DataFrame, corpusIndex: DataFrame,
+                            idCol: String, vecCol: String, threshold: Double,
+                            lshPlanes: Int = 12, lshBands: Int = 8): DataFrame = {
+    import graft.functions.VectorFns
+    val q = vecs.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("qv", VectorFns.quantize(col("__v")))
+      .withColumn("qn", VectorFns.normLong(col("qv")))
+      .withColumn("qbkts", array((0 until lshBands).map(b =>
+        VectorFns.hyperplaneBucket(col("__v"), lshPlanes, b * lshPlanes)
+          .cast("long")): _*))
+    // a (stream vec, corpus vec) pair sharing k bands is matched k times by the
+    // band join; the first-shared-band gate keeps exactly one of them (streams
+    // forbid distinct aggregation, and the batch operators use the same trick)
+    val noEarlierBand = size(filter(
+      slice(zip_with(col("qbkts"), col("cbkts"), (a, b) => a === b),
+        lit(1), col("band")), p => p)) === 0
+    q.select(col(idCol), col("qv"), col("qn"), col("qbkts"),
+        posexplode(col("qbkts")).as(Seq("band", "bh")))
+      .join(corpusIndex, Seq("band", "bh")) // stream-static: no state store
+      .filter(noEarlierBand)
+      .withColumn("cosine", VectorFns.cosineFromQuantized(
+        col("qv"), col("cv"), col("qn"), col("cn")))
+      .filter(col("cosine") >= threshold)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_corpus_matches"),
+        min(col("corpus_id")).as("matched_corpus_id"),
+        max(col("cosine")).as("best_cosine"))
+  }
+
   /** Exact-duplicate admission control on a stream: keep the FIRST arrival of
     * each normalized content hash, drop repeats arriving within the watermark.
     * `dropDuplicatesWithinWatermark` bounds the dedup state store by event time —

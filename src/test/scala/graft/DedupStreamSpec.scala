@@ -38,6 +38,37 @@ class DedupStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static embedding admission verifies exact cosine in-flight") {
+    val corpus = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f, 0.0f, 1.0f, 0.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 1.0f, 0.0f, 0.0f, 0.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val index = DedupStream.corpusBucketIndex(corpus, "vec_id", "embedding",
+      lshPlanes = 8, lshBands = 8)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Seq[Float])]
+    val flags = DedupStream.nearDupEmbeddingFlags(
+      input.toDF().toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>")),
+      index, "vec_id", "embedding", threshold = 0.98,
+      lshPlanes = 8, lshBands = 8)
+    val q = flags.writeStream.outputMode("complete")
+      .format("memory").queryName("eflags").start()
+    try {
+      input.addData(
+        (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f, 1.0f, 0.0f, 0.0f, 0.0f)),  // copy of 100
+        (2L, Seq(0.99f, 0.01f, 0.0f, 0.0f, 1.0f, 0.0f, 0.0f, 0.0f)),// near-dup of 100
+        (3L, Seq(-1.0f, 0.5f, 0.5f, -0.5f, 0.0f, 0.0f, 1.0f, 0.0f)))// unrelated
+      q.processAllAvailable()
+      val out = spark.sql(
+          "SELECT vec_id, matched_corpus_id, best_cosine FROM eflags")
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(out.get(1L).exists { case (m, c) => m == 100L && c > 0.9999 })
+      assert(out.get(2L).exists { case (m, c) => m == 100L && c >= 0.98 })
+      assert(!out.contains(3L)) // candidate or not, it cannot pass the verify
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark admits only first arrival of same content") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, java.sql.Timestamp)]
