@@ -60,16 +60,25 @@ object Similarity {
         spark.read.parquet(s"$dir/centroids"))
   }
 
-  /** Nearest `take` centroids of vector (v, n) as an in-row argmax over the
-    * packed centroid array column `cents` — argmax by (cosine rounded 1e-6 desc,
-    * centroid_id asc). Map-side: no window, no shuffle, no row amplification. */
-  private def nearestCells(cents: Column, v: Column, n: Column,
-                           take: Int): Column = slice(
+  /** Ids of the nearest `take` centroids of vector (v, n) as an in-row argmax
+    * over the packed centroid array column `cents` — argmax by (cosine rounded
+    * 1e-6 desc, centroid_id asc). Map-side: no window, no shuffle, no row
+    * amplification. Backed by the native `NearestCellsExpr` compiled loop —
+    * cell assignment runs once per corpus vector at index build, and the
+    * column form (`nearestCellIdsCols`, the spec-pinned reference) evaluates
+    * its transform/sort lambdas interpreted. */
+  private[graft] def nearestCellIds(cents: Column, v: Column, n: Column,
+                                    take: Int): Column =
+    graft.functions.NearestCellsExpr(cents, v, n, take)
+
+  /** Reference column-expression implementation of `nearestCellIds`. */
+  private[graft] def nearestCellIdsCols(cents: Column, v: Column, n: Column,
+                                        take: Int): Column = slice(
     array_sort(transform(cents, c => struct(
       (-round(VectorFns.cosineFromQuantized(v, c("centv"), n, c("centn")), 6))
         .as("negcos"),
       c("centroid_id").as("cid")))),
-    1, take)
+    1, take)("cid")
 
   /** Build the IVF index: pick `nCentroids` deterministic (id-hash ordered)
     * centroids, then assign every corpus vector to its nearest centroid's cell in
@@ -94,7 +103,7 @@ object Similarity {
         .as("cents"))
     val cells = prepped.crossJoin(broadcast(centroidArr))
       .withColumn("cell",
-        nearestCells(col("cents"), col("cv"), col("cn"), 1)(0)("cid"))
+        nearestCellIds(col("cents"), col("cv"), col("cn"), 1)(0))
       .select(col("neighbor_id"), col("cv"), col("cn"), col("cell"))
     IvfIndex(cells, centroids)
   }
@@ -114,7 +123,7 @@ object Similarity {
       .withColumn("qn", VectorFns.normLong(col("qv")))
     val probes = q.crossJoin(broadcast(centroidArr))
       .withColumn("cell",
-        explode(nearestCells(col("cents"), col("qv"), col("qn"), nProbe)("cid")))
+        explode(nearestCellIds(col("cents"), col("qv"), col("qn"), nProbe)))
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
     val wRank = Window.partitionBy(col("query_id"))
       .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))

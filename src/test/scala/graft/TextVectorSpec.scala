@@ -53,6 +53,24 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("native nearest_cells == HOF column form on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val prepped = emb.select($"vec_id",
+        graft.functions.VectorFns.quantize($"embedding").as("cv"))
+      .withColumn("cn", graft.functions.VectorFns.normLong($"cv"))
+    val cents = prepped.orderBy(xxhash64($"vec_id"), $"vec_id").limit(16)
+      .select($"vec_id".as("centroid_id"), $"cv".as("centv"), $"cn".as("centn"))
+      .agg(collect_list(struct($"centroid_id", $"centv", $"centn")).as("cents"))
+    for (take <- Seq(1, 4, 16)) {
+      val diff = prepped.crossJoin(broadcast(cents))
+        .select(
+          graft.operators.Similarity.nearestCellIds($"cents", $"cv", $"cn", take).as("nat"),
+          graft.operators.Similarity.nearestCellIdsCols($"cents", $"cv", $"cn", take).as("ref"))
+        .filter($"nat" =!= $"ref").count()
+      assert(diff == 0, s"take=$take")
+    }
+  }
+
   test("native quantized_dot == HOF column form on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(50)
