@@ -89,7 +89,8 @@ object CurationJob {
     // 4. optional deterministic mixture sampling
     val mixCol = str("mix_strata_col", "")
     val mixed =
-      if (mixCol.nonEmpty) {
+      if (mixCol.nonEmpty && cfg.schema.fieldNames.contains("mix_fractions") &&
+        !cfg.isNullAt(cfg.fieldIndex("mix_fractions"))) {
         val fracRow = cfg.getStruct(cfg.fieldIndex("mix_fractions"))
         val fractions = fracRow.schema.fieldNames.map(k =>
           k -> fracRow.get(fracRow.fieldIndex(k)).toString.toDouble).toMap

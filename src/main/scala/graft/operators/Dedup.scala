@@ -302,8 +302,11 @@ object Dedup {
     * Returns (id, component) for every id that appears in `pairs`. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+    // persist the incoming pair frame: the two union branches below would
+    // otherwise evaluate the (often join-heavy) pair subtree twice
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = p.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(p.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // seed with min(self, direct neighbors): pair and star clusters — the
@@ -358,6 +361,7 @@ object Dedup {
         System.err.println(s"[cc] round $i changed=$changed")
     }
     edges.unpersist()
+    p.unpersist()
     labels.select(col("id"), col("comp").as("component"))
   }
 
