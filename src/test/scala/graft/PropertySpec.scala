@@ -103,6 +103,37 @@ class PropertySpec extends SparkSpec {
     assert(half == full.filter(_._1 % 2 == 0))
   }
 
+  test("native text kernels == column references on random unicode text") {
+    import graft.functions.TextFns
+    // mixed alphabets, emoji (surrogate pairs), odd whitespace runs, repeats
+    val tokenGen = Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(6)),
+      Gen.oneOf("the", "und", "la", "的", "flüsse", "café", "😀", "🚀x", "İstanbul"),
+      Gen.const(""))
+    val sepGen = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val textGen = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, tokenGen)
+      seps <- Gen.listOfN(math.max(n - 1, 0), sepGen)
+      lead <- sepGen; trail <- sepGen
+    } yield toks.zipAll(seps, "", "").map { case (t, s) => t + s }
+      .mkString(lead, "", trail)
+    val docs = samples(textGen, 40).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    val stops = Seq("the", "und", "la")
+    val bad = docs.select(
+        TextFns.repetitionStruct($"t").as("r1"),
+        TextFns.repetitionStructCols($"t").as("r2"),
+        graft.functions.SimHash64Expr($"t").as("s1"),
+        TextFns.fingerprintSha($"t").as("f1"),
+        TextFns.fingerprintShaCols($"t").as("f2"),
+        graft.functions.StopCountsExpr($"t", Seq(stops)).as("c1"),
+        array(TextFns.stopwordCount(TextFns.words($"t"), stops).cast("long")).as("c2"))
+      .filter($"r1" =!= $"r2" || $"f1" =!= $"f2" || $"c1" =!= $"c2")
+      .count()
+    assert(bad == 0)
+  }
+
   test("pivot . unpivot == identity on deduplicated (time,key) pairs") {
     val gen = Gen.nonEmptyListOf(for {
       t <- Gen.oneOf("t1", "t2", "t3"); k <- Gen.oneOf("a", "b")
