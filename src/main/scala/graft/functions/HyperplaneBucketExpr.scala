@@ -59,8 +59,14 @@ object HyperplaneBucketExpr {
     var d = 0
     while (d < dims) {
       val x = if (elemIsFloat) vec.getFloat(d).toDouble else vec.getDouble(d)
-      val q = java.math.BigDecimal.valueOf(x * VectorFns.Scale)
-        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      val scaled = x * VectorFns.Scale
+      // non-finite components quantize to 0, matching VectorFns.quantize —
+      // BigDecimal.valueOf(NaN) would throw and kill the job, and saturated
+      // longs would overflow the plane multiplication
+      val q =
+        if (java.lang.Double.isNaN(scaled) || java.lang.Double.isInfinite(scaled)) 0L
+        else java.math.BigDecimal.valueOf(scaled)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
       var pl = 0
       while (pl < nPlanes) {
         // the column form feeds xxhash64 an INT expression — IntegerType and

@@ -72,8 +72,13 @@ object NearestCellsExpr {
         d += 1
       }
       val cos = dot.toDouble / (norm * row.getDouble(2))
-      negcos(c) = -java.math.BigDecimal.valueOf(cos)
-        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      // Spark's RoundBase passes NaN/Infinity through untouched;
+      // BigDecimal.valueOf would throw on them (zero-norm degenerate vectors)
+      val rounded =
+        if (java.lang.Double.isNaN(cos) || java.lang.Double.isInfinite(cos)) cos
+        else java.math.BigDecimal.valueOf(cos)
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      negcos(c) = -rounded
       cids(c) = row.getLong(0)
       c += 1
     }

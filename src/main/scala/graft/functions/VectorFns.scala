@@ -17,11 +17,24 @@ object VectorFns {
 
   val Scale = 1000000.0
 
+  /** `round(x·1e6)` as long, with non-finite components (NaN/±Inf) mapped to 0.
+    * A bare `.cast("long")` throws CAST_OVERFLOW under ANSI on one degenerate
+    * component and kills the whole job; saturating to Long.Min/Max instead
+    * would overflow the downstream plane/dot multiplications. Zero is the one
+    * value that is crash-free through every consumer, and the native kernel
+    * (`HyperplaneBucketExpr.compute`) applies the identical rule. */
+  private def quantizeComponent(x: Column): Column = {
+    val s = x.cast("double") * Scale
+    when(isnan(s) || s === Double.PositiveInfinity ||
+        s === Double.NegativeInfinity, lit(0L))
+      .otherwise(round(s).cast("long"))
+  }
+
   /** Quantize a float/double vector to longs: round(x_i·1e6). Do this ONCE per row
     * before any pairwise join — quantizing inside an O(n²) candidate loop was
     * measured 6× slower (higher-order functions evaluate interpreted). */
   def quantize(v: Column): Column =
-    transform(v, x => round(x.cast("double") * Scale).cast("long"))
+    transform(v, quantizeComponent(_))
 
   /** Dot product of two pre-quantized long vectors (exact integer). Native
     * fused-loop expression — the column form (`dotLongCols`) evaluates its
@@ -74,7 +87,7 @@ object VectorFns {
         zip_with(vec,
           transform(sequence(lit(0), size(vec) - 1),
             d => pmod(xxhash64(lit(p) * lit(4099) + d), lit(2001L)) - lit(1000L)),
-          (x, plane) => round(x.cast("double") * Scale).cast("long") * plane),
+          (x, plane) => quantizeComponent(x) * plane),
         lit(0L), (acc, x) => acc + x)
       when(dot >= 0, lit(1L << pl)).otherwise(lit(0L))
     }

@@ -71,6 +71,42 @@ class TextVectorSpec extends SparkSpec {
     }
   }
 
+  test("degenerate vectors (zero-norm, NaN/Inf components) don't crash the native kernels") {
+    // zero-norm corpus vector → cos = 0/0 = NaN inside nearest_cells;
+    // NaN/Inf components hit the quantizer in hyperplane_bucket. The column
+    // references pass NaN through (Spark round) — the native kernels must
+    // complete, not throw NumberFormatException from BigDecimal.valueOf.
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f, 0.0f)),
+      (2L, Array(Float.NaN, 1.0f, 2.0f)),
+      (3L, Array(Float.PositiveInfinity, -1.0f, 0.5f)),
+      (4L, Array(0.1f, 0.2f, 0.3f))).toDF("vec_id", "embedding")
+    // hyperplane_bucket over all rows completes and is deterministic
+    val buckets = vecs.select($"vec_id",
+        VectorFns.hyperplaneBucket($"embedding", 12, 0).as("b"))
+      .orderBy($"vec_id").as[(Long, Int)].collect()
+    assert(buckets.length == 4)
+    // and still agrees with the column reference (both saturate NaN→0, ±Inf→min/max)
+    val diff = vecs.select(
+        VectorFns.hyperplaneBucket($"embedding", 12, 0).as("nat"),
+        VectorFns.hyperplaneBucketCols($"embedding", 12, 0).as("ref"))
+      .filter($"nat" =!= $"ref").count()
+    assert(diff == 0)
+    // nearest_cells with a zero-norm query AND a zero-norm centroid completes
+    val prepped = vecs.select($"vec_id",
+        VectorFns.quantize($"embedding").as("cv"))
+      .withColumn("cn", VectorFns.normLong($"cv"))
+    val cents = prepped
+      .select($"vec_id".as("centroid_id"), $"cv".as("centv"), $"cn".as("centn"))
+      .agg(collect_list(struct($"centroid_id", $"centv", $"centn")).as("cents"))
+    val assigned = prepped.crossJoin(broadcast(cents))
+      .select($"vec_id",
+        graft.operators.Similarity.nearestCellIds($"cents", $"cv", $"cn", 2).as("cells"))
+      .collect()
+    assert(assigned.length == 4)
+    assigned.foreach(r => assert(r.getSeq[Long](1).length == 2))
+  }
+
   test("native quantized_dot == HOF column form on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(50)
