@@ -124,7 +124,9 @@ object SparkEntry {
     "q55_dedup_corpus" -> qDedupCorpus,
     "q56_embedding_dedup_corpus" -> qEmbeddingDedupCorpus,
     "q57_lsh_containment" -> qLshContainment,
-    "q58_ivf_full_probe" -> qIvfFullProbe)
+    "q58_ivf_full_probe" -> qIvfFullProbe,
+    "q59_simhash_containment" -> qSimhashContainment,
+    "q60_embedding_dedup_lsh_corpus" -> qEmbeddingDedupLshCorpus)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -526,11 +528,16 @@ object SparkEntry {
       .orderBy(col("doc_id"))
 
   /** End-to-end embedding corpus dedup through the EXACT pair route
-    * (`lshPlanes = 0` — the deterministic oracle of the cosine composite;
-    * the default banded-LSH route is pinned equal to this one on a
-    * duplicate-injected corpus by DedupSpec). */
+    * (`lshPlanes = 0` — the deterministic oracle of the cosine composite; the
+    * default banded-LSH route is hash-green on its own via q60). The exact
+    * route is quadratic per label block BY DESIGN, so the input is capped to a
+    * deterministic slice (vec_id < 2000, like q55's doc slice): the one
+    * quadratic query in the bench stays O(slice²) at every scale factor
+    * instead of growing ~sf² with corpus size. */
   private def qEmbeddingDedupCorpus(s: SparkSession, dir: String): DataFrame =
-    Dedup.dedupedCorpusByEmbedding(t(s, dir, "embeddings"), "vec_id", "embedding",
+    Dedup.dedupedCorpusByEmbedding(
+      t(s, dir, "embeddings").filter(col("vec_id") < 2000),
+      "vec_id", "embedding",
       threshold = 0.35, blockCols = Seq("label"), lshPlanes = 0)
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))
@@ -543,8 +550,12 @@ object SparkEntry {
     * false pair, the Spark side goes non-zero and this row turns red. */
   private def qLshContainment(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
+    // persisted: the full LSH pipeline (shingle → signature → band join →
+    // verify) feeds BOTH invariant branches below — without the persist each
+    // branch recomputes it end to end (multi-branch recompute trap)
     val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text",
-      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
       n = 3, threshold = 0.5, blockCols = Nil)
     val missing = lsh.select(col("id_a"), col("id_b"))
@@ -556,6 +567,65 @@ object SparkEntry {
         .withColumn("invariant", lit("lsh_jaccard_below_threshold")))
       .select(col("invariant"), col("violations"))
       .orderBy(col("invariant"))
+  }
+
+  /** Hard correctness signal for the SimHash family (q25 has no SQL oracle:
+    * signature-derived band membership is hash-specific): over the SAME
+    * in-engine signature frame, the banded pair set must EQUAL the brute-force
+    * `bit_count(xor) <= maxHamming` pair set — a missing pair breaks the
+    * pigeonhole recall guarantee, an extra pair breaks the exact Hamming
+    * verify, a duplicate breaks the first-shared-band single-emission
+    * contract. All three counts are structurally zero (oracle = the constant
+    * table, like q57). The brute side is a broadcast of the bounded
+    * signature slice (doc_id < 2000 — one long per doc), so the quadratic
+    * reference stays O(slice²) at any corpus scale. */
+  private def qSimhashContainment(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val maxHamming = 12 // q25's family parameterization
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
+    val sig = Dedup.simhash64(docs, "doc_id", "text")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val band = Dedup.simhashBandPairs(sig, "doc_id", maxHamming)
+      .select(col("id_a"), col("id_b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val brute = sig.select(col("doc_id").as("id_a"), col("simhash").as("ha"))
+      .join(broadcast(sig.select(col("doc_id").as("id_b"), col("simhash").as("hb"))),
+        col("id_a") < col("id_b") &&
+          bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .select(col("id_a"), col("id_b"))
+    val missing = brute.join(band, Seq("id_a", "id_b"), "left_anti")
+    val extra = band.join(brute, Seq("id_a", "id_b"), "left_anti")
+    missing.agg(count(lit(1)).as("violations"))
+      .withColumn("invariant", lit("brute_pair_missing_from_bands"))
+      .unionByName(extra.agg(count(lit(1)).as("violations"))
+        .withColumn("invariant", lit("band_pair_not_in_brute")))
+      .unionByName(band.agg((count(lit(1)) -
+          count_distinct(struct(col("id_a"), col("id_b")))).as("violations"))
+        .withColumn("invariant", lit("band_pair_duplicates")))
+      .select(col("invariant"), col("violations"))
+      .orderBy(col("invariant"))
+  }
+
+  /** The cosine composite's PRODUCTION route — default `lshPlanes = 12` —
+    * hash-green (q56 pins the composite through the exact oracle route only).
+    * The corpus is injected with deterministic duplicates: every odd vec_id
+    * takes its even neighbor's vector, so each near-dup pair is an
+    * IDENTICAL-vector pair, which hyperplane LSH recovers with CERTAINTY
+    * (identical vectors agree on every plane — recall is structural here, not
+    * probabilistic; jittered-vector recall is pinned separately by q46 +
+    * DedupSpec). At threshold 0.98 no natural pair qualifies (max natural
+    * cosine ~0.51 on this corpus), so the survivor set is exactly what the
+    * recursive-CTE exact oracle computes. */
+  private def qEmbeddingDedupLshCorpus(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings")
+    val corpus = emb.select(col("vec_id"), col("label"),
+        (col("vec_id") - pmod(col("vec_id"), lit(2L))).as("__pid"))
+      .join(emb.select(col("vec_id").as("__pid"), col("embedding")), "__pid")
+      .select(col("vec_id"), col("label"), col("embedding"))
+    Dedup.dedupedCorpusByEmbedding(corpus, "vec_id", "embedding",
+      threshold = 0.98, blockCols = Nil) // lshPlanes DEFAULT — the scale path
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
   }
 
   /** Deterministic data-mixture report: per-source totals vs Knuth-hash sampled
@@ -1414,7 +1484,8 @@ object SparkEntry {
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND a.vec_id < b.vec_id
-        |  WHERE CAST(list_sum(list_transform(range(1, len(a.embedding) + 1), i ->
+        |  WHERE a.vec_id < 2000 AND b.vec_id < 2000
+        |    AND CAST(list_sum(list_transform(range(1, len(a.embedding) + 1), i ->
         |      CAST(ROUND(CAST(a.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) *
         |      CAST(ROUND(CAST(b.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE) /
         |    (sqrt(CAST(list_sum(list_transform(range(1, len(a.embedding) + 1), i ->
@@ -1435,12 +1506,50 @@ object SparkEntry {
         |  SELECT id FROM (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id) t
         |  WHERE id <> comp)
         |SELECT e.vec_id, e.label FROM embeddings e
-        |WHERE e.vec_id NOT IN (SELECT id FROM doomed)
+        |WHERE e.vec_id < 2000 AND e.vec_id NOT IN (SELECT id FROM doomed)
         |ORDER BY e.vec_id""".stripMargin,
     "q57_lsh_containment" ->
       """SELECT * FROM (
         |  SELECT 'lsh_jaccard_below_threshold' AS invariant, CAST(0 AS BIGINT) AS violations
         |  UNION ALL
         |  SELECT 'lsh_pair_not_in_exact' AS invariant, CAST(0 AS BIGINT) AS violations)
-        |ORDER BY invariant""".stripMargin)
+        |ORDER BY invariant""".stripMargin,
+    "q59_simhash_containment" ->
+      """SELECT * FROM (
+        |  SELECT 'band_pair_duplicates' AS invariant, CAST(0 AS BIGINT) AS violations
+        |  UNION ALL
+        |  SELECT 'band_pair_not_in_brute' AS invariant, CAST(0 AS BIGINT) AS violations
+        |  UNION ALL
+        |  SELECT 'brute_pair_missing_from_bands' AS invariant, CAST(0 AS BIGINT) AS violations)
+        |ORDER BY invariant""".stripMargin,
+    "q60_embedding_dedup_lsh_corpus" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT a.vec_id, a.label, b.embedding
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id - a.vec_id % 2),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE CAST(list_sum(list_transform(range(1, len(a.embedding) + 1), i ->
+        |      CAST(ROUND(CAST(a.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) *
+        |      CAST(ROUND(CAST(b.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE) /
+        |    (sqrt(CAST(list_sum(list_transform(range(1, len(a.embedding) + 1), i ->
+        |      CAST(ROUND(CAST(a.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) *
+        |      CAST(ROUND(CAST(a.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE)) *
+        |     sqrt(CAST(list_sum(list_transform(range(1, len(b.embedding) + 1), i ->
+        |      CAST(ROUND(CAST(b.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) *
+        |      CAST(ROUND(CAST(b.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE)))
+        |    >= 0.98),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+        |doomed AS (
+        |  SELECT id FROM (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id) t
+        |  WHERE id <> comp)
+        |SELECT c.vec_id, c.label FROM corpus c
+        |WHERE c.vec_id NOT IN (SELECT id FROM doomed)
+        |ORDER BY c.vec_id""".stripMargin)
 }

@@ -61,7 +61,12 @@ object Dedup {
       .withColumn("__sz", size(col("__sh")).cast("long"))
       .drop("__text")
       .persist(StorageLevel.MEMORY_AND_DISK)
-      .filter(col("__sz") > 0)
+
+  /** The empty-shingle filter, applied ON TOP of the persisted shingle frame
+    * (never inside its build plan — see `shingleFrame`'s pushdown note). Kept
+    * separate so composites hold the PERSISTED handle and can unpersist it
+    * once cluster resolution has materialized. */
+  private def liveShingles(sh: DataFrame): DataFrame = sh.filter(col("__sz") > 0)
 
   /** Exact Jaccard verify over a candidate pair superset: one sorted-merge
     * intersection per pair, integer cross-multiplied threshold before the final
@@ -132,7 +137,8 @@ object Dedup {
   def ngramPrefixCandidates(docs: DataFrame, idCol: String, textCol: String,
                             n: Int, threshold: Double,
                             blockCols: Seq[String]): DataFrame =
-    prefixCandidates(shingleFrame(docs, idCol, textCol, n, blockCols), threshold,
+    prefixCandidates(
+      liveShingles(shingleFrame(docs, idCol, textCol, n, blockCols)), threshold,
       blockCols)
 
   /** Near-dup pairs by EXACT n-gram Jaccard: prefix-filter candidates (superset)
@@ -140,9 +146,18 @@ object Dedup {
     * sub-quadratic. Returns (id_a, id_b, jaccard) with id_a < id_b. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
-                        blockCols: Seq[String]): DataFrame = {
+                        blockCols: Seq[String]): DataFrame =
+    ngramJaccardPairsManaged(docs, idCol, textCol, n, threshold, blockCols)._1
+
+  /** `ngramJaccardPairs` plus the handle composites use to free the operator's
+    * internal persisted shingle frame once the pair set has been consumed. */
+  private def ngramJaccardPairsManaged(
+      docs: DataFrame, idCol: String, textCol: String, n: Int,
+      threshold: Double, blockCols: Seq[String]): (DataFrame, () => Unit) = {
     val sh = shingleFrame(docs, idCol, textCol, n, blockCols)
-    verifyJaccard(sh, threshold, prefixCandidates(sh, threshold, blockCols))
+    val live = liveShingles(sh)
+    (verifyJaccard(live, threshold, prefixCandidates(live, threshold, blockCols)),
+      () => sh.unpersist(blocking = false))
   }
 
   /** MinHash signatures via the native `MinHashSketch` TypedImperativeAggregate:
@@ -179,7 +194,7 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     MinHashSketch.register(docs.sparkSession)
-    val sh = shingleFrame(docs, idCol, textCol, shingleN, Nil)
+    val sh = liveShingles(shingleFrame(docs, idCol, textCol, shingleN, Nil))
     // band hashes as an in-row ARRAY (small: `bands` longs) so the banded
     // self-join can match pairs on their FIRST shared band — each candidate pair
     // is emitted exactly once and no distinct/shuffle-dedupe is needed
@@ -371,9 +386,11 @@ object Dedup {
     * untouched (left-anti against the non-canonical cluster members). */
   def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String,
                     n: Int, threshold: Double,
-                    blockCols: Seq[String]): DataFrame =
-    survivors(docs, idCol,
-      ngramJaccardPairs(docs, idCol, textCol, n, threshold, blockCols))
+                    blockCols: Seq[String]): DataFrame = {
+    val (pairs, free) =
+      ngramJaccardPairsManaged(docs, idCol, textCol, n, threshold, blockCols)
+    survivors(docs, idCol, pairs, free)
+  }
 
   /** End-to-end EMBEDDING dedup: cosine near-dup pairs → transitive cluster
     * resolution → keep the min-id survivor of every cluster. The default route
@@ -383,21 +400,42 @@ object Dedup {
     * SQL-reproducible oracle of the composite. */
   def dedupedCorpusByEmbedding(embs: DataFrame, idCol: String, vecCol: String,
                                threshold: Double, blockCols: Seq[String] = Nil,
-                               lshPlanes: Int = 12, lshBands: Int = 8): DataFrame =
-    survivors(embs, idCol,
-      embeddingCosinePairs(embs, idCol, vecCol, threshold, blockCols,
-        lshPlanes, lshBands))
+                               lshPlanes: Int = 12, lshBands: Int = 8): DataFrame = {
+    val (pairs, free) = embeddingCosinePairsManaged(embs, idCol, vecCol,
+      threshold, blockCols, lshPlanes, lshBands)
+    survivors(embs, idCol, pairs, free)
+  }
 
   /** Cluster-resolution + survivor-selection tail shared by the composites:
     * rows never paired survive untouched (left-anti against the non-canonical
-    * cluster members). */
-  private def survivors(items: DataFrame, idCol: String,
-                        pairs: DataFrame): DataFrame = {
-    val doomed = connectedComponents(pairs)
+    * cluster members).
+    *
+    * `connectedComponents` is EAGER (its convergence loop runs an action per
+    * round) and its labels are checkpoint-truncated, so by the time it returns,
+    * the pair subtree — including any operator-internal persisted prep frames —
+    * has been fully consumed: `freeUpstream` unpersists those frames HERE
+    * instead of leaking them to the caller's session. The one block set the
+    * returned (lazy) frame still pins is the final labels checkpoint; callers
+    * that are done with the result free it with `Dedup.release`. */
+  private def survivors(items: DataFrame, idCol: String, pairs: DataFrame,
+                        freeUpstream: () => Unit = () => ()): DataFrame = {
+    val labels = connectedComponents(pairs)
+    freeUpstream()
+    val doomed = labels
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     items.join(doomed, Seq(idCol), "left_anti")
   }
+
+  /** Free the checkpoint blocks a CONSUMED dedup-composite result still pins
+    * (the final connected-components labels ride along as a lineage-truncated
+    * LogicalRDD, which `spark.catalog.clearCache()` does not cover). Call after
+    * the final action on the returned frame; the frame cannot be recomputed
+    * afterwards. */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+    }.foreach(_.unpersist(blocking = false))
 
   /** Embedding near-dup pairs: cosine >= threshold. Vectors are quantized and
     * norm'd ONCE per row before any pair join, so the per-pair cost is a single
@@ -417,7 +455,17 @@ object Dedup {
     * deliberately not the default a naive caller gets at corpus scale. */
   def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, blockCols: Seq[String] = Nil,
-                           lshPlanes: Int = 12, lshBands: Int = 8): DataFrame = {
+                           lshPlanes: Int = 12, lshBands: Int = 8): DataFrame =
+    embeddingCosinePairsManaged(embs, idCol, vecCol, threshold, blockCols,
+      lshPlanes, lshBands)._1
+
+  /** `embeddingCosinePairs` plus the handle the composite uses to free the
+    * LSH route's persisted prep frame once the pair set has been consumed
+    * (the exact route persists nothing — its cleanup is a no-op). */
+  private def embeddingCosinePairsManaged(
+      embs: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      blockCols: Seq[String], lshPlanes: Int,
+      lshBands: Int): (DataFrame, () => Unit) = {
     val base = embs
       .repartition(embs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(
@@ -432,11 +480,12 @@ object Dedup {
         col("__n").as("nb") +: blockCols.map(col): _*)
       val joined = if (blockCols.isEmpty)
         a.crossJoin(b) else a.join(b, blockCols)
-      joined.filter(col("id_a") < col("id_b"))
+      (joined.filter(col("id_a") < col("id_b"))
         .withColumn("cosine", VectorFns.cosineFromQuantized(
           col("qa"), col("qb"), col("na"), col("nb")))
         .filter(col("cosine") >= threshold)
-        .select(col("id_a"), col("id_b"), col("cosine"))
+        .select(col("id_a"), col("id_b"), col("cosine")),
+        () => ())
     } else {
       // scale path: the banded self-join carries only (id, band buckets, blocks) —
       // never the vectors — and emits each pair from its FIRST shared band, so the
@@ -461,7 +510,7 @@ object Dedup {
           col("x.__id") < col("y.__id") && noEarlierBand)(_ && _)
       val cand = slim.as("x").join(slim.as("y"), cond)
         .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
-      cand
+      (cand
         .join(prep.select(col("__id").as("id_a"), col("__q").as("qa"),
           col("__n").as("na")), "id_a")
         .join(prep.select(col("__id").as("id_b"), col("__q").as("qb"),
@@ -469,7 +518,8 @@ object Dedup {
         .withColumn("cosine", VectorFns.cosineFromQuantized(
           col("qa"), col("qb"), col("na"), col("nb")))
         .filter(col("cosine") >= threshold)
-        .select(col("id_a"), col("id_b"), col("cosine"))
+        .select(col("id_a"), col("id_b"), col("cosine")),
+        () => prep.unpersist(blocking = false))
     }
   }
 }

@@ -191,6 +191,32 @@ class DedupSpec extends SparkSpec {
     assert(viaLsh == base.select($"vec_id").as[Long].collect().toSet)
   }
 
+  test("composites free their internal caches; release() frees the labels checkpoint") {
+    // clean slate: earlier specs may legitimately leave session-lifetime caches
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    // compose BOTH dedup families in one session, materializing each result
+    val jacOut = Dedup.dedupedCorpus(docs, "doc_id", "text", 3, 0.5, Seq("lang"))
+    assert(jacOut.count() == 3)
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(100).select($"vec_id", $"embedding")
+    val corpus = base.unionByName(
+      base.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+    val embOut = Dedup.dedupedCorpusByEmbedding(corpus, "vec_id", "embedding",
+      threshold = 0.999)
+    assert(embOut.count() == 100)
+    // the operators freed their own shingle/prep frames when cluster resolution
+    // consumed them; the only blocks left are the two results' final label
+    // checkpoints, which release() frees once the caller is done
+    Dedup.release(jacOut)
+    Dedup.release(embOut)
+    def residual = spark.sparkContext.getPersistentRDDs.values.toSeq
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (residual.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(residual.isEmpty,
+      s"residual cached blocks after release: ${residual.map(_.toString)}")
+  }
+
   test("embedding LSH blocking: subset of exact pairs, near-identical vectors kept") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(200)

@@ -25,7 +25,11 @@ class PlanAuditSpec extends SparkSpec {
     "q33_mike_pipeline", "q37_scalar_subquery", "q43_ann_ivf_topk",
     "q46_embedding_dedup_lsh",
     // q58: q43's packed 1-row centroid broadcast, probing every cell
-    "q58_ivf_full_probe")
+    "q58_ivf_full_probe",
+    // q59: the brute-force Hamming reference side IS a designed broadcast
+    // nested-loop over the bounded signature slice (one long per doc) — the
+    // quadratic oracle the banded pair set is checked against
+    "q59_simhash_containment")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where designed") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
