@@ -179,6 +179,58 @@ object Dedup {
       .agg(graft.functions.MinHashSketch(col("__sh"), numHashes).as("sig"))
   }
 
+  /** Skew guard for the banded self-joins: split the exploded band frame into
+    * normal buckets (all-pairs join, unchanged semantics) and OVERSIZED
+    * (band, hash) buckets, which collapse to star-topology candidates — every
+    * member against the bucket's min id. A flood of identical documents puts
+    * the whole corpus into ONE bucket of every band; the equi self-join then
+    * builds k²/2 pairs inside a single shuffle partition (AQE's skew-join
+    * splitting covers sort-merge row duplication, not a quadratic pair
+    * EXPLOSION — splitting the partition does not shrink the output), a
+    * straggler that dominates the stage at any cluster size. The star keeps
+    * candidate generation linear in the bucket and preserves exactly what the
+    * downstream composites consume — cluster CONNECTIVITY (members that verify
+    * against the representative land in one component) — at the documented
+    * cost of not enumerating every intra-bucket pair. Buckets only exceed a
+    * 4096-row cap when thousands of docs share a 64-bit band hash, i.e. a
+    * near-identical flood, the very case where all-pairs output is quadratic
+    * waste (exact-dedup-first remains the primary upstream mitigation).
+    * Returns (normal-bucket rows, star candidate pairs); the star set is
+    * distinct()-deduped — it is O(corpus), not O(pairs), so the dedupe is
+    * cheap, unlike the candidate-set distinct the first-shared-band trick
+    * removed. */
+  private def splitOversizedBuckets(slim: DataFrame, keyCols: Seq[String],
+                                    maxBucket: Int,
+                                    repPayload: Seq[String] = Nil): (DataFrame, DataFrame) = {
+    if (maxBucket <= 0) return (slim, null)
+    val keys = keyCols.map(col)
+    // ADAPTIVE two-phase guard: one eager map-side-combinable count job finds
+    // the oversized buckets FIRST. In the overwhelmingly common no-flood case
+    // the list is empty and the operator's plan is returned UNCHANGED — the
+    // guard costs one cheap aggregate job and zero plan rewrites (a stats
+    // JOIN woven into the plan was measured to triple the banded self-join's
+    // cost at sf0.1, because every branch re-evaluated the join subtree).
+    val aggs = count(lit(1)).as("__bn") +: min(col("__id")).as("__bmin") +:
+      repPayload.map(p => min_by(col(p), col("__id")).as(s"__bmin_$p"))
+    val statsQuery = slim.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+      .filter(col("__bn") > maxBucket)
+      .limit(100001)
+    val hot = statsQuery.collect()
+    require(hot.length <= 100000,
+      s"more than 100k oversized (> $maxBucket rows) buckets — raise maxBucket " +
+        "or exact-dedup the corpus first; refusing to broadcast the hot list")
+    if (hot.isEmpty) return (slim, null)
+    // flood detected: broadcast the (tiny) hot-bucket list both ways — the
+    // normal path drops hot-bucket rows map-side, the star path keeps only
+    // them, anchored at the bucket representative carried on the list
+    val hotDf = broadcast(slim.sparkSession.createDataFrame(
+      java.util.Arrays.asList(hot: _*), statsQuery.schema))
+    val normal = slim.join(hotDf.select(keys: _*), keyCols, "left_anti")
+    val star = slim.join(hotDf, keyCols)
+      .filter(col("__id") =!= col("__bmin"))
+    (normal, star)
+  }
+
   /** MinHash + LSH banding: signatures split into `bands` bands of
     * `numHashes / bands` rows; docs sharing any band hash become candidate pairs,
     * then candidates are verified with exact Jaccard. Standard (b, r) S-curve
@@ -190,7 +242,7 @@ object Dedup {
     * frames rather than re-tokenizing. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.7): DataFrame = {
+                      threshold: Double = 0.7, maxBucket: Int = 4096): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val r = numHashes / bands
     MinHashSketch.register(docs.sparkSession)
@@ -206,13 +258,18 @@ object Dedup {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val buckets = sig.select(col("__id"), col("__bhs"),
       posexplode(col("__bhs")).as(Seq("band", "bh")))
+    val (normal, star) =
+      splitOversizedBuckets(buckets, Seq("band", "bh"), maxBucket)
     val noEarlierBand = size(filter(
       slice(zip_with(col("x.__bhs"), col("y.__bhs"), (a, b) => a === b),
         lit(1), col("x.band")), p => p)) === 0
-    val cand = buckets.as("x").join(buckets.as("y"),
+    val selfCand = normal.as("x").join(normal.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.__id") < col("y.__id") && noEarlierBand)
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+    val cand = if (star == null) selfCand
+      else selfCand.unionByName(star
+        .select(col("__bmin").as("id_a"), col("__id").as("id_b")).distinct())
     verifyJaccard(sh, threshold, cand)
   }
 
@@ -260,8 +317,9 @@ object Dedup {
     * keeps 7+-bit buckets; beyond that expect candidate growth and prefer MinHash
     * banding on shingles instead. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame =
-    simhashBandPairs(simhash64(docs, idCol, textCol), idCol, maxHamming)
+                   maxHamming: Int = 3, maxBucket: Int = 0): DataFrame =
+    simhashBandPairs(simhash64(docs, idCol, textCol), idCol, maxHamming,
+      maxBucket)
 
   /** Banding stage of `simhashPairs` over a precomputed (id, simhash) frame —
     * public so the pigeonhole recall guarantee is verifiable on constructed
@@ -270,8 +328,15 @@ object Dedup {
     * Both sides carry the full 64-bit signature (one long), so the join emits
     * each pair only from its FIRST shared band ("no earlier band equal" is a cheap
     * bit-compare predicate) and applies the exact Hamming radius inside the join —
-    * no distinct, no second shuffle, duplicate-free by construction. */
-  def simhashBandPairs(sig: DataFrame, idCol: String, maxHamming: Int): DataFrame = {
+    * no distinct, no second shuffle, duplicate-free by construction.
+    *
+    * `maxBucket` (default OFF) enables the oversized-bucket star collapse for
+    * identical-document floods — see `splitOversizedBuckets`. It is off by
+    * default because this operator's contract is the EXACT within-radius pair
+    * set (q59 pins banded == brute force); enable it when feeding cluster
+    * resolution, where star connectivity is all that is consumed. */
+  def simhashBandPairs(sig: DataFrame, idCol: String, maxHamming: Int,
+                       maxBucket: Int = 0): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val bands = maxHamming + 1
     val bounds = (0 to bands).map(i => i * 64 / bands)
@@ -287,17 +352,26 @@ object Dedup {
       explode(array(bandStructs: _*)).as("bb"))
       .select(col("__id"), col("simhash"), col("bb.band"), col("bb.bh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val (normal, star) = splitOversizedBuckets(banded, Seq("band", "bh"),
+      maxBucket, repPayload = Seq("simhash"))
     val noEarlierBand = (0 until bands - 1).map { b =>
       col("x.band") <= b ||
         bandVal(col("x.simhash"), b) =!= bandVal(col("y.simhash"), b)
     }.reduceOption(_ && _).getOrElse(lit(true))
-    banded.as("x").join(banded.as("y"),
+    val selfPairs = normal.as("x").join(normal.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.__id") < col("y.__id") &&
           bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHamming &&
           noEarlierBand)
       .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
         bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+    if (star == null) selfPairs
+    else selfPairs.unionByName(star
+      .filter(bit_count(col("__bmin_simhash").bitwiseXOR(col("simhash")))
+        <= maxHamming)
+      .select(col("__bmin").as("id_a"), col("__id").as("id_b"),
+        bit_count(col("__bmin_simhash").bitwiseXOR(col("simhash"))).as("hamming"))
+      .distinct())
   }
 
   /** Connected components over a near-dup pair set: every doc gets the MIN id of
@@ -455,17 +529,18 @@ object Dedup {
     * deliberately not the default a naive caller gets at corpus scale. */
   def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, blockCols: Seq[String] = Nil,
-                           lshPlanes: Int = 12, lshBands: Int = 8): DataFrame =
+                           lshPlanes: Int = 12, lshBands: Int = 8,
+                           maxBucket: Int = 4096): DataFrame =
     embeddingCosinePairsManaged(embs, idCol, vecCol, threshold, blockCols,
-      lshPlanes, lshBands)._1
+      lshPlanes, lshBands, maxBucket)._1
 
   /** `embeddingCosinePairs` plus the handle the composite uses to free the
     * LSH route's persisted prep frame once the pair set has been consumed
     * (the exact route persists nothing — its cleanup is a no-op). */
   private def embeddingCosinePairsManaged(
       embs: DataFrame, idCol: String, vecCol: String, threshold: Double,
-      blockCols: Seq[String], lshPlanes: Int,
-      lshBands: Int): (DataFrame, () => Unit) = {
+      blockCols: Seq[String], lshPlanes: Int, lshBands: Int,
+      maxBucket: Int = 4096): (DataFrame, () => Unit) = {
     val base = embs
       .repartition(embs.sparkSession.sessionState.conf.numShufflePartitions)
       .select(
@@ -501,6 +576,8 @@ object Dedup {
         (col("__id") +: col("__bkts") +:
           posexplode(col("__bkts")).as(Seq("__band", "__bh")) +:
           blockCols.map(col)): _*)
+      val (normal, star) = splitOversizedBuckets(slim,
+        Seq("__band", "__bh") ++ blockCols, maxBucket)
       val noEarlierBand = size(filter(
         slice(zip_with(col("x.__bkts"), col("y.__bkts"), (p, q) => p === q),
           lit(1), col("x.__band")), p => p)) === 0
@@ -508,8 +585,11 @@ object Dedup {
         .foldLeft(col("x.__band") === col("y.__band") &&
           col("x.__bh") === col("y.__bh") &&
           col("x.__id") < col("y.__id") && noEarlierBand)(_ && _)
-      val cand = slim.as("x").join(slim.as("y"), cond)
+      val selfCand = normal.as("x").join(normal.as("y"), cond)
         .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+      val cand = if (star == null) selfCand
+        else selfCand.unionByName(star
+          .select(col("__bmin").as("id_a"), col("__id").as("id_b")).distinct())
       (cand
         .join(prep.select(col("__id").as("id_a"), col("__q").as("qa"),
           col("__n").as("na")), "id_a")

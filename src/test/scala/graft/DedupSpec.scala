@@ -191,6 +191,42 @@ class DedupSpec extends SparkSpec {
     assert(viaLsh == base.select($"vec_id").as[Long].collect().toSet)
   }
 
+  test("oversized-bucket star collapse: identical-doc flood stays linear (MinHash)") {
+    // 10^4 identical docs put the whole corpus into ONE (band, hash) bucket of
+    // every band — all-pairs would be 5*10^7 candidates in a single shuffle
+    // partition. The star collapse emits k-1 representative-anchored pairs.
+    val flood = spark.range(10000).select($"id".as("doc_id"),
+      lit("the same document text repeated verbatim across this flood corpus").as("text"))
+    val pairs = Dedup.minhashLshPairs(flood, "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, threshold = 0.5, maxBucket = 256)
+      .select($"id_a", $"id_b", $"jaccard")
+    val rows = pairs.collect()
+    assert(rows.length == 9999) // linear star, not the quadratic pair space
+    assert(rows.forall(r => r.getLong(0) == 0L)) // anchored at the min-id rep
+    assert(rows.forall(r => r.getDouble(2) == 1.0))
+  }
+
+  test("oversized-bucket star collapse fires by DEFAULT in the cosine composite") {
+    val vec = Array.tabulate(8)(i => 0.1f * (i + 1))
+    val flood = spark.range(10000).select($"id".as("vec_id"),
+      typedLit(vec).as("embedding"))
+    // default maxBucket = 4096 < 10^4: the flood takes the star path and the
+    // composite resolves the one cluster without enumerating 5*10^7 pairs
+    val out = Dedup.dedupedCorpusByEmbedding(flood, "vec_id", "embedding",
+      threshold = 0.98)
+    assert(out.select($"vec_id").as[Long].collect().toSeq == Seq(0L))
+  }
+
+  test("simhash star collapse (opt-in) emits within-radius representative pairs") {
+    val flood = spark.range(5000).select($"id".as("doc_id"),
+      lit("identical content for the simhash flood pathological case").as("text"))
+    val pairs = Dedup.simhashPairs(flood, "doc_id", "text",
+      maxHamming = 3, maxBucket = 128)
+    val rows = pairs.select($"id_a", $"id_b", $"hamming").collect()
+    assert(rows.length == 4999)
+    assert(rows.forall(r => r.getLong(0) == 0L && r.getInt(2) == 0))
+  }
+
   test("composites free their internal caches; release() frees the labels checkpoint") {
     // clean slate: earlier specs may legitimately leave session-lifetime caches
     spark.catalog.clearCache()
