@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * flatter the numbers dishonestly). */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -17,6 +17,27 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_MULTIFILE=N (opt-in): rewrite each table as N parquet files
+    // in /tmp and bench against that — cluster corpora arrive as many files,
+    // while the driver's tables are single-file; this mode checks that the
+    // explicit repartitions (added for single-file parallelism) don't turn
+    // into regressions on realistic multi-file layouts. Untimed, cached by a
+    // marker file. Default off: BENCH_r* numbers stay comparable to BASELINE.
+    val sfDir = sys.env.get("SPARK_GRAFT_MULTIFILE").map(_.trim.toInt) match {
+      case Some(n) if n > 1 =>
+        val tgt = s"/tmp/graft_multifile_${new java.io.File(srcDir).getName}_$n"
+        val marker = new java.io.File(tgt, "_DONE")
+        if (!marker.exists()) {
+          for (f <- new java.io.File(srcDir).listFiles
+               if f.getName.endsWith(".parquet")) {
+            spark.read.parquet(f.getPath).repartition(n)
+              .write.mode("overwrite").parquet(s"$tgt/${f.getName}")
+          }
+          marker.createNewFile()
+        }
+        tgt
+      case _ => srcDir
+    }
     // untimed warm-up: JVM/codegen/parquet-footer caches, so the first measured
     // query is not charged for session startup
     Seq("lineitem", "orders", "events", "documents", "embeddings").foreach { n =>

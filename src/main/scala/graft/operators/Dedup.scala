@@ -36,6 +36,20 @@ object Dedup {
 
   private val S = 1000000L
 
+  /** Repartition to the session shuffle parallelism ONLY when the input's
+    * file layout cannot already feed it. The explicit exchanges in the prep
+    * stages exist because single-file corpora (the driver's tables — and any
+    * `coalesce(1)` upstream) run the expensive per-doc projections at
+    * file-count parallelism; a real multi-thousand-file corpus needs no such
+    * shuffle, and skipping it removes a full corpus pass. `inputFiles` is a
+    * plan-only probe (no job); non-scan inputs report few/no files and keep
+    * the exchange — conservative in the safe direction. */
+  private def ensureParallel(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    val files = try df.inputFiles.length catch { case _: Throwable => 0 }
+    if (files >= math.max(2, target / 2)) df else df.repartition(target)
+  }
+
   /** One tokenize pass per operator: (__id, __sh sorted hashed shingles, __sz,
     * blockCols...), PERSISTED, empty-shingle docs filtered. The shingle frame is
     * referenced by both the candidate-generation self-join and the verify joins;
@@ -51,12 +65,11 @@ object Dedup {
     * it single-task, 10× the cost of the distributed projection). */
   private def shingleFrame(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, blockCols: Seq[String]): DataFrame =
-    docs.select(
-      (col(idCol).as("__id") +: col(textCol).as("__text") +: blockCols.map(col)): _*)
-      // repartition BEFORE the per-doc shingle computation: corpora often arrive
-      // as few large files, and without the exchange the whole tokenize+hash+sort
-      // pipeline runs at file-count parallelism (measured round 1: 1 task)
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+    ensureParallel(docs.select(
+      (col(idCol).as("__id") +: col(textCol).as("__text") +: blockCols.map(col)): _*))
+      // exchange (when needed) BEFORE the per-doc shingle computation: without
+      // it the whole tokenize+hash+sort pipeline runs at file-count
+      // parallelism (measured round 1: 1 task on the single-file corpus)
       .withColumn("__sh", TextFns.sortedHashedShingles(col("__text"), n))
       .withColumn("__sz", size(col("__sh")).cast("long"))
       .drop("__text")
@@ -171,8 +184,7 @@ object Dedup {
   def minhashSignature(docs: DataFrame, idCol: String, textCol: String,
                        shingleN: Int, numHashes: Int): DataFrame = {
     graft.functions.MinHashSketch.register(docs.sparkSession)
-    val shingled = docs
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+    val shingled = ensureParallel(docs)
       .select(col(idCol).as("__id"),
         explode(TextFns.hashedShingles(col(textCol), shingleN)).as("__sh"))
     shingled.groupBy(col("__id"))
@@ -280,8 +292,7 @@ object Dedup {
     * occurrence of the corpus). Token-less documents yield no row, matching
     * the aggregate reference form `simhash64Agg` (equivalence spec-pinned). */
   def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+    ensureParallel(docs)
       .select(col(idCol),
         graft.functions.SimHash64Expr(col(textCol)).as("simhash"))
       .filter(col("simhash").isNotNull)
@@ -291,8 +302,7 @@ object Dedup {
     * arrive as a stream, and as the form the equivalence spec pins the native
     * expression against. */
   def simhash64Agg(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokens = docs
-      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+    val tokens = ensureParallel(docs)
       .select(col(idCol).as("__id"),
         explode(TextFns.words(col(textCol))).as("__w"))
       .withColumn("__h", xxhash64(col("__w")))
@@ -451,7 +461,94 @@ object Dedup {
     }
     edges.unpersist()
     p.unpersist()
+    lastRounds = i
     labels.select(col("id"), col("comp").as("component"))
+  }
+
+  /** Rounds the last connectedComponents / connectedComponentsStar call took —
+    * test observability for the convergence-bound specs, nothing else. */
+  @volatile private[graft] var lastRounds: Int = 0
+
+  /** Alternating large-star / small-star connected components (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — same interface
+    * and output contract as `connectedComponents`, provably O(log² n) rounds on
+    * ANY graph shape. The default min-label loop (with its one pointer jump per
+    * round) converges in ~O(log diameter) rounds and carries less per-round
+    * shuffle, so it stays the composites' default; this variant is the tool for
+    * adversarially long chains / pathological topologies where a bound that
+    * does not depend on diameter at all is worth one extra shuffle per round.
+    *
+    * Round = large-star then small-star, each a groupBy-min + equi-join over
+    * the (checkpoint-truncated) edge set:
+    *  - large-star(u): attach every neighbor v > u to m = min(Γ(u) ∪ u)
+    *  - small-star(u): attach every neighbor v < u, and u itself, to
+    *    m = min(Γ⁻(u) ∪ u)
+    * Both only create edges toward smaller ids inside the component, so the
+    * edge set monotonically contracts onto per-component stars rooted at the
+    * component minimum; convergence is detected as edge-set fixpoint (count
+    * equal + empty anti-join, both on materialized checkpoints). */
+  def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
+                              idB: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    // checkpointed (not merely persisted): the returned labels frame reads it
+    // AFTER p is unpersisted below, so it must not recompute the pair pipeline
+    val ids = p.select(col(idA).as("id"))
+      .union(p.select(col(idB).as("id"))).distinct()
+      .localCheckpoint(eager = false)
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectFirst {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }.foreach(_.unpersist(blocking = false))
+    // normalize: (u > v), no self loops, deduped
+    var edges = p.select(greatest(col(idA), col(idB)).as("u"),
+        least(col(idA), col(idB)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(eager = false)
+    ids.count() // materialize while p is cached
+    var cnt = edges.count() // materializes the checkpoint
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val minsL = sym.groupBy(col("u")).agg(min(col("v")).as("__mn"))
+        .select(col("u"), least(col("__mn"), col("u")).as("m"))
+      val large = sym.join(minsL, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(eager = false)
+      large.count() // materialize before the next self-referencing op
+      // every edge is oriented (bigger → smaller), so the symmetric view's
+      // v < u half IS the edge set itself: Γ⁻(u) = rows keyed by u directly
+      val smaller = large
+      val minsS = smaller.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val small = smaller.join(minsS, "u")
+        .select(col("v").as("u2"), col("m"))
+        .filter(col("u2") =!= col("m"))
+        .select(col("u2").as("u"), col("m").as("v"))
+        .unionByName(minsS.filter(col("u") =!= col("m"))
+          .select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(eager = false)
+      val nextCnt = small.count()
+      val changed = nextCnt != cnt ||
+        small.join(edges, Seq("u", "v"), "left_anti").limit(1).count() > 0
+      freeCheckpoint(edges)
+      freeCheckpoint(large)
+      edges = small
+      cnt = nextCnt
+      converged = !changed
+      i += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[cc-star] round $i edges=$cnt changed=$changed")
+    }
+    lastRounds = i
+    // converged star: every child has exactly one (child, root) edge; roots
+    // (and any node never demoted to child) label themselves
+    val labels = ids.join(edges.select(col("u").as("id"), col("v").as("__root")),
+        Seq("id"), "left")
+      .select(col("id"), coalesce(col("__root"), col("id")).as("component"))
+    p.unpersist(blocking = false)
+    labels
   }
 
   /** End-to-end corpus dedup — the composite pipelines actually call: exact
@@ -541,8 +638,7 @@ object Dedup {
       embs: DataFrame, idCol: String, vecCol: String, threshold: Double,
       blockCols: Seq[String], lshPlanes: Int, lshBands: Int,
       maxBucket: Int = 4096): (DataFrame, () => Unit) = {
-    val base = embs
-      .repartition(embs.sparkSession.sessionState.conf.numShufflePartitions)
+    val base = ensureParallel(embs)
       .select(
         (col(idCol).as("__id") +: col(vecCol).as("__v") +: blockCols.map(col)): _*)
       .withColumn("__q", VectorFns.quantize(col("__v")))

@@ -227,6 +227,37 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) == 0L && r.getInt(2) == 0))
   }
 
+  test("CC variants: adversarial 10^4-node chain converges in logarithmic rounds") {
+    // a path graph is the worst case for label propagation (diameter = n);
+    // pointer jumping bounds the default loop at ~log2(n) rounds and the
+    // large/small-star variant is O(log^2 n) regardless of diameter
+    val chain = spark.range(9999).select($"id".as("id_a"), ($"id" + 1L).as("id_b"))
+    val prop = Dedup.connectedComponents(chain, maxIter = 40)
+      .agg(count(lit(1)), sum(when($"component" === 0L, 0L).otherwise(1L)))
+      .as[(Long, Long)].head()
+    assert(prop == ((10000L, 0L)), "propagation labels wrong") // all -> root 0
+    val propRounds = Dedup.lastRounds
+    assert(propRounds <= 20, s"propagation took $propRounds rounds")
+    val star = Dedup.connectedComponentsStar(chain)
+      .agg(count(lit(1)), sum(when($"component" === 0L, 0L).otherwise(1L)))
+      .as[(Long, Long)].head()
+    assert(star == ((10000L, 0L)), "star labels wrong")
+    val starRounds = Dedup.lastRounds
+    assert(starRounds <= 20, s"star took $starRounds rounds")
+  }
+
+  test("CC star variant agrees with propagation on a multi-cluster pair graph") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L), (9L, 8L), (20L, 20L), (31L, 30L))
+      .toDF("id_a", "id_b")
+    val a = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val b = Dedup.connectedComponentsStar(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L,
+      20L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
   test("composites free their internal caches; release() frees the labels checkpoint") {
     // clean slate: earlier specs may legitimately leave session-lifetime caches
     spark.catalog.clearCache()

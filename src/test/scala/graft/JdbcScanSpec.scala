@@ -47,4 +47,26 @@ class JdbcScanSpec extends SparkSpec {
       .filter($"obs_end" >= java.sql.Timestamp.valueOf("2024-01-01 00:55:00"))
     assert(latest.count() == 2)
   }
+
+  test("A5/A6 probes push AGGREGATES into the database via the V2 catalog path") {
+    setup
+    val series = graft.io.JdbcScan.table(spark, url, "APP.SERIES")
+    // A6: max(obs_end) — the database must return one row per series, not the table
+    val obsEnd = series.groupBy($"TMS_ID").agg(max($"T").as("obs_end"))
+    val plan = obsEnd.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [MAX(T)]"),
+      s"max not pushed:\n$plan")
+    assert(plan.contains("PushedGroupByExpressions: [TMS_ID]"),
+      s"group-by not pushed:\n$plan")
+    assert(obsEnd.count() == 2)
+    assert(obsEnd.filter($"TMS_ID" === "aaa").select($"obs_end")
+      .as[java.sql.Timestamp].head() ===
+      java.sql.Timestamp.valueOf("2024-01-01 00:55:00"))
+    // A5: count(*) exists-gate — pushed as COUNT(*), one scalar over the wire
+    val gate = series.filter($"TMS_ID" === "aaa").agg(count(lit(1)).as("n"))
+    val gatePlan = gate.queryExecution.executedPlan.toString
+    assert(gatePlan.contains("PushedAggregates: [COUNT(*)]"),
+      s"count not pushed:\n$gatePlan")
+    assert(gate.as[Long].head() == 12L)
+  }
 }
