@@ -122,29 +122,54 @@ object Dedup {
   private def prefixCandidates(sh: DataFrame, threshold: Double,
                                blockCols: Seq[String]): DataFrame = {
     val tS = math.round(threshold * S)
-    val pref = sh
+    // Adaptive dedupe strategy. The dup-free join ships each doc's full prefix
+    // array on every exploded token row — O(p²) longs per doc through the
+    // self-join shuffle. With short prefixes (p ≈ tens, the common corpus) that
+    // payload is noise and beats a candidate-set dedupe shuffle outright; for
+    // LONG documents at low thresholds (p in the thousands) p² dwarfs what the
+    // dropDuplicates saves, so the probe (one agg over the already-persisted
+    // shingle frame, same pattern as the oversized-bucket guard) flips to the
+    // array-free emit + dropDuplicates form. Both strategies produce the same
+    // candidate SET — the choice is pure physics, invisible to the oracle.
+    val meanP = sh.agg(coalesce(avg(greatest(
+        col("__sz") - expr(s"($tS * __sz + ${S - 1}) div $S") + 1, lit(0L))),
+        lit(0.0)))
+      .first().getDouble(0)
+    val dupFree = meanP <= 256.0
+    val prefBase = sh
       .withColumn("__alpha", expr(s"($tS * __sz + ${S - 1}) div $S"))
       .withColumn("__p", (col("__sz") - col("__alpha") + 1).cast("int"))
-      // both sides carry their full (sorted) prefix array so a pair sharing k
-      // prefix tokens is emitted only from the SMALLEST shared one — the
-      // first-shared-band trick of the MinHash/SimHash joins, which replaces
-      // the old `.distinct()` dedupe shuffle on the candidate pair set
       .withColumn("__pref", slice(col("__sh"), lit(1), col("__p")))
-      .select(
-        (col("__id") +: col("__sz") +: col("__pref") +:
-          explode(col("__pref")).as("__tok") +:
-          blockCols.map(col)): _*)
-    val cond = blockCols
+    val lengthAndBlocks = blockCols
       .map(c => col(s"x.$c") === col(s"y.$c"))
       .foldLeft(
         col("x.__tok") === col("y.__tok") && col("x.__id") < col("y.__id") &&
           // SSJoin length filter at candidate time: t·max(|A|,|B|) <= min(|A|,|B|)
           col("x.__sz") * S >= lit(tS) * col("y.__sz") &&
-          col("y.__sz") * S >= lit(tS) * col("x.__sz") &&
+          col("y.__sz") * S >= lit(tS) * col("x.__sz"))(_ && _)
+    if (dupFree) {
+      // both sides carry their full (sorted) prefix array so a pair sharing k
+      // prefix tokens is emitted only from the SMALLEST shared one — the
+      // first-shared-band trick of the MinHash/SimHash joins, which replaces
+      // the old `.distinct()` dedupe shuffle on the candidate pair set
+      val pref = prefBase.select(
+        (col("__id") +: col("__sz") +: col("__pref") +:
+          explode(col("__pref")).as("__tok") +:
+          blockCols.map(col)): _*)
+      pref.as("x").join(pref.as("y"), lengthAndBlocks &&
           col("x.__tok") === graft.functions.SortedIntersectMin(
-            col("x.__pref"), col("y.__pref")))(_ && _)
-    pref.as("x").join(pref.as("y"), cond)
-      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+            col("x.__pref"), col("y.__pref")))
+        .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+    } else {
+      // long-document regime: rows carry one token, pairs dedupe after the join
+      val pref = prefBase.select(
+        (col("__id") +: col("__sz") +:
+          explode(col("__pref")).as("__tok") +:
+          blockCols.map(col)): _*)
+      pref.as("x").join(pref.as("y"), lengthAndBlocks)
+        .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+    }
   }
 
   def ngramPrefixCandidates(docs: DataFrame, idCol: String, textCol: String,

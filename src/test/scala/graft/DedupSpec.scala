@@ -227,6 +227,24 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) == 0L && r.getInt(2) == 0))
   }
 
+  test("long-document corpus flips to the array-free candidate strategy, same pairs") {
+    // 1200-word docs at t=0.5 give ~600-token prefixes: the dup-free join's
+    // O(p^2) per-doc array payload is the wrong trade there, so the probe
+    // switches to single-token rows + dropDuplicates. Same candidate SET:
+    // 3 groups of 60 identical docs must yield exactly the within-group pairs.
+    val words = (g: Int) => (0 until 1200).map(j => s"t${g}_$j").mkString(" ")
+    val docs = spark.range(180).select($"id".as("doc_id"),
+      when(pmod($"id", lit(3)) === 0, words(0))
+        .when(pmod($"id", lit(3)) === 1, words(1)).otherwise(words(2)).as("text"))
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      n = 3, threshold = 0.5, blockCols = Nil)
+    val rows = pairs.select($"id_a", $"id_b", $"jaccard").collect()
+    assert(rows.length == 3 * 60 * 59 / 2) // all within-group pairs, no dups
+    assert(rows.forall(_.getDouble(2) == 1.0))
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+    assert(rows.forall(r => (r.getLong(0) - r.getLong(1)) % 3 == 0)) // same group
+  }
+
   test("CC variants: adversarial 10^4-node chain converges in logarithmic rounds") {
     // a path graph is the worst case for label propagation (diameter = n);
     // pointer jumping bounds the default loop at ~log2(n) rounds and the
