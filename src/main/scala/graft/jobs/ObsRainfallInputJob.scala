@@ -92,9 +92,16 @@ object ObsRainfallInputJob {
       val stations = MikeCsv.readDimCsv(spark,
         cfg.getAs[String]("stations_csv"), stationSchema)
       // column order = stations-CSV row order, like the reference's insertion-
-      // ordered station_dict merge loop (dim-scale collect)
-      val order = stations.select(col("station_name"))
-        .collect().map(_.getString(0)).toSeq
+      // ordered station_dict merge loop (dim-scale collect). limit(n+1)-guarded
+      // like the other driver-side scalars: a mis-pointed config (series file
+      // as stations_csv) must fail loudly, not OOM the driver
+      val order = {
+        val rows = stations.select(col("station_name")).limit(10001).collect()
+        require(rows.length <= 10000,
+          s"stations_csv has > 10000 rows — expected a dim-scale station list; " +
+            s"is a series file pointed at stations_csv?")
+        rows.map(_.getString(0)).toSeq
+      }
       // readings contributing to right-closed buckets labeled in [start, end]
       val series = spark.read.parquet(cfg.getAs[String]("series_path"))
         .filter(col("time") > lit(start).cast("timestamp_ntz") -
