@@ -126,7 +126,9 @@ object SparkEntry {
     "q57_lsh_containment" -> qLshContainment,
     "q58_ivf_full_probe" -> qIvfFullProbe,
     "q59_simhash_containment" -> qSimhashContainment,
-    "q60_embedding_dedup_lsh_corpus" -> qEmbeddingDedupLshCorpus)
+    "q60_embedding_dedup_lsh_corpus" -> qEmbeddingDedupLshCorpus,
+    "q61_split_assign" -> qSplitAssign,
+    "q62_incremental_dedup" -> qIncrementalDedup)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -626,6 +628,35 @@ object SparkEntry {
       threshold = 0.98, blockCols = Nil) // lshPlanes DEFAULT — the scale path
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Deterministic train/val/test split assignment (Knuth-hash cumulative
+    * thresholds): membership is stable under any partitioning, engine, or
+    * incremental reload — a narrow projection, no shuffle, no RNG. */
+  private def qSplitAssign(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataMix.assignSplit(t(s, dir, "documents"), "doc_id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select(col("doc_id"), col("source"), col("split"))
+      .orderBy(col("doc_id"))
+
+  /** Batch incremental dedup — admission of a new batch against the EXISTING
+    * corpus (the streaming gate's batch twin): exact copies of corpus docs
+    * (id + 100000) must be rejected, genuinely novel docs (id + 200000,
+    * synthetic unique text) admitted. The candidate join runs incoming ×
+    * corpus only — a daily increment never re-dedups the lake. */
+  private def qIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").filter(col("doc_id") < 2000)
+    val corpus = base.filter(pmod(col("doc_id"), lit(7)) =!= 0)
+    val copies = base.filter(pmod(col("doc_id"), lit(7)) === 0)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"), col("lang"))
+    val fresh = base.filter(pmod(col("doc_id"), lit(7)) === 3)
+      .select((col("doc_id") + 200000L).as("doc_id"),
+        concat(lit("genuinely new content item "), col("doc_id")).as("text"),
+        lit("xx").as("lang"))
+    Dedup.admitNew(corpus, copies.unionByName(fresh), "doc_id", "text",
+      n = 3, threshold = 0.5, blockCols = Nil)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
   }
 
   /** Deterministic data-mixture report: per-source totals vs Knuth-hash sampled
@@ -1551,5 +1582,43 @@ object SparkEntry {
         |  WHERE id <> comp)
         |SELECT c.vec_id, c.label FROM corpus c
         |WHERE c.vec_id NOT IN (SELECT id FROM doomed)
-        |ORDER BY c.vec_id""".stripMargin)
+        |ORDER BY c.vec_id""".stripMargin,
+    "q61_split_assign" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN (doc_id * 2654435761) % 4294967296 / 4294967296.0 < 0.9
+        |         THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 4294967296 / 4294967296.0 < 0.95
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q62_incremental_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000 AND doc_id % 7 <> 0),
+        |inc AS (
+        |  SELECT doc_id + 100000 AS doc_id, text, lang
+        |  FROM documents WHERE doc_id < 2000 AND doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'genuinely new content item ' || doc_id, 'xx'
+        |  FROM documents WHERE doc_id < 2000 AND doc_id % 7 = 3),
+        |shc AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            w -> len(w) > 0) AS ws FROM corpus)),
+        |shi AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            w -> len(w) > 0) AS ws FROM inc)),
+        |matched AS (
+        |  SELECT DISTINCT i.doc_id
+        |  FROM shi i JOIN shc c ON len(i.sh) > 0 AND len(c.sh) > 0
+        |    AND CAST(len(list_intersect(i.sh, c.sh)) AS DOUBLE) /
+        |        CAST(len(i.sh) + len(c.sh) - len(list_intersect(i.sh, c.sh)) AS DOUBLE)
+        |        >= 0.5)
+        |SELECT i.doc_id, i.lang FROM inc i
+        |WHERE i.doc_id NOT IN (SELECT doc_id FROM matched)
+        |ORDER BY i.doc_id""".stripMargin)
 }

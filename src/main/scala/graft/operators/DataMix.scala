@@ -43,4 +43,25 @@ object DataMix {
       .agg(count(lit(1)).as("n_total"),
         count(when(hash01(col(idCol)) < frac, 1)).as("n_sampled"))
   }
+
+  /** Deterministic train/validation/test split assignment: each row lands in
+    * the first split whose cumulative fraction exceeds its id hash — the same
+    * Knuth arithmetic as sampling, so membership is stable under any
+    * partitioning, engine, or re-run, and incremental loads never move a row
+    * between splits (the property RNG-based splitters silently lack). A split
+    * column is a narrow projection: no shuffle, partition-pruning-friendly
+    * when written as a partition key. `splits` are (name, fraction) in
+    * declaration order; fractions must sum to ~1. */
+  def assignSplit(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $splits")
+    val h = hash01(col(idCol))
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val expr = splits.zip(cum).dropRight(1).foldRight(
+      lit(splits.last._1)) { case (((name, _), upper), acc) =>
+      when(h < upper, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", expr)
+  }
 }

@@ -85,12 +85,17 @@ object Dedup {
     * intersection per pair, integer cross-multiplied threshold before the final
     * double jaccard. `sh` must be the (persisted) shingle frame. */
   private def verifyJaccard(sh: DataFrame, threshold: Double,
-                            cand: DataFrame): DataFrame = {
-    graft.functions.SortedIntersectCount.register(sh.sparkSession)
+                            cand: DataFrame): DataFrame =
+    verifyJaccardBetween(sh, sh, threshold, cand)
+
+  /** Cross-corpus verify: `id_a` resolves against `shA`, `id_b` against `shB`. */
+  private def verifyJaccardBetween(shA: DataFrame, shB: DataFrame,
+                                   threshold: Double, cand: DataFrame): DataFrame = {
+    graft.functions.SortedIntersectCount.register(shA.sparkSession)
     val tS = math.round(threshold * S)
     cand
-      .join(sh.select(col("__id").as("id_a"), col("__sh").as("sha")), "id_a")
-      .join(sh.select(col("__id").as("id_b"), col("__sh").as("shb")), "id_b")
+      .join(shA.select(col("__id").as("id_a"), col("__sh").as("sha")), "id_a")
+      .join(shB.select(col("__id").as("id_b"), col("__sh").as("shb")), "id_b")
       .withColumn("sa", size(col("sha")).cast("long"))
       .withColumn("sb", size(col("shb")).cast("long"))
       .withColumn("inter",
@@ -120,7 +125,17 @@ object Dedup {
     * old all-pairs-within-block candidate space). `sh` is a prepared shingle
     * frame (see `shingleFrame`). */
   private def prefixCandidates(sh: DataFrame, threshold: Double,
-                               blockCols: Seq[String]): DataFrame = {
+                               blockCols: Seq[String]): DataFrame =
+    prefixCandidatesBetween(sh, sh, threshold, blockCols, self = true)
+
+  /** Cross-corpus form of the prefix-filter candidate join: candidates are
+    * (A-doc, B-doc) pairs — the incremental-dedup primitive (new batch vs
+    * existing corpus). `self = true` restores the one-corpus self-join with
+    * its `id_a < id_b` ordering. The superset proof is pairwise and holds
+    * unchanged across two corpora. */
+  private def prefixCandidatesBetween(shA: DataFrame, shB: DataFrame,
+                                      threshold: Double, blockCols: Seq[String],
+                                      self: Boolean): DataFrame = {
     val tS = math.round(threshold * S)
     // Adaptive dedupe strategy. The dup-free join ships each doc's full prefix
     // array on every exploded token row — O(p²) longs per doc through the
@@ -131,19 +146,21 @@ object Dedup {
     // shingle frame, same pattern as the oversized-bucket guard) flips to the
     // array-free emit + dropDuplicates form. Both strategies produce the same
     // candidate SET — the choice is pure physics, invisible to the oracle.
-    val meanP = sh.agg(coalesce(avg(greatest(
+    val probed = if (self) shA else shA.unionByName(shB)
+    val meanP = probed.agg(coalesce(avg(greatest(
         col("__sz") - expr(s"($tS * __sz + ${S - 1}) div $S") + 1, lit(0L))),
         lit(0.0)))
       .first().getDouble(0)
     val dupFree = meanP <= 256.0
-    val prefBase = sh
+    def prefBase(sh: DataFrame): DataFrame = sh
       .withColumn("__alpha", expr(s"($tS * __sz + ${S - 1}) div $S"))
       .withColumn("__p", (col("__sz") - col("__alpha") + 1).cast("int"))
       .withColumn("__pref", slice(col("__sh"), lit(1), col("__p")))
     val lengthAndBlocks = blockCols
       .map(c => col(s"x.$c") === col(s"y.$c"))
       .foldLeft(
-        col("x.__tok") === col("y.__tok") && col("x.__id") < col("y.__id") &&
+        col("x.__tok") === col("y.__tok") &&
+          (if (self) col("x.__id") < col("y.__id") else lit(true)) &&
           // SSJoin length filter at candidate time: t·max(|A|,|B|) <= min(|A|,|B|)
           col("x.__sz") * S >= lit(tS) * col("y.__sz") &&
           col("y.__sz") * S >= lit(tS) * col("x.__sz"))(_ && _)
@@ -152,21 +169,21 @@ object Dedup {
       // prefix tokens is emitted only from the SMALLEST shared one — the
       // first-shared-band trick of the MinHash/SimHash joins, which replaces
       // the old `.distinct()` dedupe shuffle on the candidate pair set
-      val pref = prefBase.select(
+      def pref(sh: DataFrame): DataFrame = prefBase(sh).select(
         (col("__id") +: col("__sz") +: col("__pref") +:
           explode(col("__pref")).as("__tok") +:
           blockCols.map(col)): _*)
-      pref.as("x").join(pref.as("y"), lengthAndBlocks &&
+      pref(shA).as("x").join(pref(shB).as("y"), lengthAndBlocks &&
           col("x.__tok") === graft.functions.SortedIntersectMin(
             col("x.__pref"), col("y.__pref")))
         .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
     } else {
       // long-document regime: rows carry one token, pairs dedupe after the join
-      val pref = prefBase.select(
+      def pref(sh: DataFrame): DataFrame = prefBase(sh).select(
         (col("__id") +: col("__sz") +:
           explode(col("__pref")).as("__tok") +:
           blockCols.map(col)): _*)
-      pref.as("x").join(pref.as("y"), lengthAndBlocks)
+      pref(shA).as("x").join(pref(shB).as("y"), lengthAndBlocks)
         .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
         .dropDuplicates("id_a", "id_b")
     }
@@ -197,6 +214,32 @@ object Dedup {
     (verifyJaccard(live, threshold, prefixCandidates(live, threshold, blockCols)),
       () => sh.unpersist(blocking = false))
   }
+
+  /** Incremental near-dup matches — the BATCH form of the streaming admission
+    * gate (`DedupStream`): every (incoming doc, existing-corpus doc) pair with
+    * exact n-gram Jaccard >= threshold. The prefix-filter candidate join runs
+    * CROSS-corpus (incoming tokens against corpus tokens, never corpus ×
+    * corpus), so a daily increment costs ∝ |increment| · bucket overlap, not a
+    * re-dedup of the lake. Returns (id_a = incoming, id_b = corpus, jaccard). */
+  def incrementalJaccardMatches(corpus: DataFrame, incoming: DataFrame,
+                                idCol: String, textCol: String, n: Int,
+                                threshold: Double,
+                                blockCols: Seq[String]): DataFrame = {
+    val shNew = liveShingles(shingleFrame(incoming, idCol, textCol, n, blockCols))
+    val shOld = liveShingles(shingleFrame(corpus, idCol, textCol, n, blockCols))
+    verifyJaccardBetween(shNew, shOld, threshold,
+      prefixCandidatesBetween(shNew, shOld, threshold, blockCols, self = false))
+  }
+
+  /** Admission filter: the incoming docs with NO near-dup already in the
+    * corpus — what actually gets appended to the lake. */
+  def admitNew(corpus: DataFrame, incoming: DataFrame, idCol: String,
+               textCol: String, n: Int, threshold: Double,
+               blockCols: Seq[String]): DataFrame =
+    incoming.join(
+      incrementalJaccardMatches(corpus, incoming, idCol, textCol, n, threshold,
+        blockCols).select(col("id_a").as(idCol)),
+      Seq(idCol), "left_anti")
 
   /** MinHash signatures via the native `MinHashSketch` TypedImperativeAggregate:
     * one fixed-size buffer per doc instead of `numHashes` separate min() aggregate

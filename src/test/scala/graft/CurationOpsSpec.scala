@@ -67,6 +67,45 @@ class CurationOpsSpec extends SparkSpec {
     assert(report.map(_._3).sum == s1.size) // report agrees with the sample
   }
 
+  test("assignSplit: exhaustive, disjoint, stable, fraction-faithful") {
+    val df = (0L until 10000L).map(i => Tuple1(i)).toDF("id")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val out = graft.operators.DataMix.assignSplit(df, "id", splits)
+      .as[(Long, String)].collect()
+    assert(out.length == 10000) // every row assigned exactly once
+    val byName = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    assert(byName("train") > 8700 && byName("train") < 9300)
+    assert(byName("val") > 300 && byName("val") < 700)
+    // re-run produces the identical assignment (no RNG)
+    val again = graft.operators.DataMix.assignSplit(df, "id", splits)
+      .as[(Long, String)].collect()
+    assert(out.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    intercept[IllegalArgumentException] {
+      graft.operators.DataMix.assignSplit(df, "id", Seq("a" -> 0.5, "b" -> 0.2))
+    }
+  }
+
+  test("admitNew: rejects incoming near-dups of the corpus, admits novel docs") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about databases and query engines"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog again and again"), // copy of 1
+      (102L, "the quick brown fox jumps over the lazy cat again and again"), // near-dup of 1
+      (103L, "entirely novel material nothing like the existing corpus rows"))
+      .toDF("doc_id", "text")
+    val admitted = graft.operators.Dedup.admitNew(corpus, incoming,
+      "doc_id", "text", n = 3, threshold = 0.5, blockCols = Nil)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(admitted == Set(103L))
+    val matches = graft.operators.Dedup.incrementalJaccardMatches(corpus, incoming,
+      "doc_id", "text", n = 3, threshold = 0.5, blockCols = Nil)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(matches == Set((101L, 1L), (102L, 1L)))
+  }
+
   test("redactPii: emails, phones, IPv4 replaced; clean text untouched") {
     val out = Seq(
       (1L, "write to john.doe+x@mail.example.org today"),
