@@ -128,7 +128,8 @@ object SparkEntry {
     "q59_simhash_containment" -> qSimhashContainment,
     "q60_embedding_dedup_lsh_corpus" -> qEmbeddingDedupLshCorpus,
     "q61_split_assign" -> qSplitAssign,
-    "q62_incremental_dedup" -> qIncrementalDedup)
+    "q62_incremental_dedup" -> qIncrementalDedup,
+    "q63_topk_heap" -> qTopkHeap)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -207,6 +208,18 @@ object SparkEntry {
         money(cents(col("l_extendedprice"))).as("price_2dp"), col("rn"))
       .orderBy(col("l_orderkey"), col("rn"))
   }
+
+  /** W1 at scale: the same top-3-per-order row set as q07, produced by the
+    * bounded-heap `TopKAgg` hash aggregate instead of a ranking window — the
+    * shuffle carries at most k rows per (group, mapper), not the corpus, and
+    * no per-group sort exists in the plan. Shares q07's oracle verbatim. */
+  private def qTopkHeap(s: SparkSession, dir: String): DataFrame =
+    graft.ops.TopK.topKPerGroup(t(s, dir, "lineitem"), Seq("l_orderkey"),
+      cents(col("l_extendedprice")), col("l_linenumber").cast("long"),
+      Seq(col("l_linenumber")), k = 3)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        money(col("__sort")).as("price_2dp"), col("rn"))
+      .orderBy(col("l_orderkey"), col("rn"))
 
   /** Cumulative (running) sum per key — frame-spec window; integer cents so the
     * running total is exact under any execution order. */
@@ -1620,5 +1633,12 @@ object SparkEntry {
         |        >= 0.5)
         |SELECT i.doc_id, i.lang FROM inc i
         |WHERE i.doc_id NOT IN (SELECT doc_id FROM matched)
-        |ORDER BY i.doc_id""".stripMargin)
+        |ORDER BY i.doc_id""".stripMargin,
+    // q63 is q07's row set produced by the heap aggregate — same oracle
+    "q63_topk_heap" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS DOUBLE)/100.0 AS price_2dp, rn
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |        ORDER BY l_extendedprice DESC, l_linenumber) AS rn FROM lineitem)
+        |WHERE rn <= 3 ORDER BY l_orderkey, rn""".stripMargin)
 }
