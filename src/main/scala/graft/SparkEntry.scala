@@ -129,7 +129,8 @@ object SparkEntry {
     "q60_embedding_dedup_lsh_corpus" -> qEmbeddingDedupLshCorpus,
     "q61_split_assign" -> qSplitAssign,
     "q62_incremental_dedup" -> qIncrementalDedup,
-    "q63_topk_heap" -> qTopkHeap)
+    "q63_topk_heap" -> qTopkHeap,
+    "q64_kmeans_assign" -> qKmeansAssign)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -208,6 +209,16 @@ object SparkEntry {
         money(cents(col("l_extendedprice"))).as("price_2dp"), col("rn"))
       .orderBy(col("l_orderkey"), col("rn"))
   }
+
+  /** K-means (Lloyd) assignment step over quantized embeddings — the trained
+    * quantizer behind `buildIvfIndex(refineIters > 0)`: Knuth-hash seed pick
+    * (SQL-reproducible), broadcast packed-centroid in-row argmax assignment,
+    * native `VectorSumAgg` per-cell integer component sums (no posexplode of
+    * the corpus by its dimensionality). The L1 of the exact integer sums is a
+    * single BIGINT that moves if any component of any assignment moves. */
+  private def qKmeansAssign(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansAssignReport(t(s, dir, "embeddings"), nCentroids = 16)
+      .orderBy(col("cell"))
 
   /** W1 at scale: the same top-3-per-order row set as q07, produced by the
     * bounded-heap `TopKAgg` hash aggregate instead of a ranking window — the
@@ -1640,5 +1651,36 @@ object SparkEntry {
         |  CAST(CAST(ROUND(l_extendedprice*100) AS BIGINT) AS DOUBLE)/100.0 AS price_2dp, rn
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
         |        ORDER BY l_extendedprice DESC, l_linenumber) AS rn FROM lineitem)
-        |WHERE rn <= 3 ORDER BY l_orderkey, rn""".stripMargin)
+        |WHERE rn <= 3 ORDER BY l_orderkey, rn""".stripMargin,
+    "q64_kmeans_assign" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, qv,
+        |    sqrt(CAST(list_sum(list_transform(qv, x -> x * x)) AS DOUBLE)) AS nrm
+        |  FROM q),
+        |seeds AS (
+        |  SELECT vec_id AS centroid_id, qv AS centv, nrm AS centn FROM n
+        |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |ranked AS (
+        |  SELECT v.vec_id, s.centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |      ROUND(CAST(list_sum(list_transform(range(1, len(v.qv) + 1),
+        |          i -> v.qv[i] * s.centv[i])) AS DOUBLE) / (v.nrm * s.centn), 6)
+        |        DESC, s.centroid_id) AS rk
+        |  FROM n v CROSS JOIN seeds s),
+        |assign AS (SELECT vec_id, centroid_id AS cell FROM ranked WHERE rk = 1),
+        |dims AS (SELECT unnest(range(1, (SELECT max(len(qv)) FROM q) + 1)) AS i),
+        |sums AS (
+        |  SELECT a.cell, d.i, CAST(SUM(q.qv[d.i]) AS BIGINT) AS s
+        |  FROM assign a JOIN q USING (vec_id) CROSS JOIN dims d
+        |  GROUP BY a.cell, d.i)
+        |SELECT m.cell, m.n_members, l.l1_scaled
+        |FROM (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members
+        |      FROM assign GROUP BY cell) m
+        |JOIN (SELECT cell, CAST(SUM(ABS(s)) AS BIGINT) AS l1_scaled
+        |      FROM sums GROUP BY cell) l USING (cell)
+        |ORDER BY m.cell""".stripMargin)
 }

@@ -88,24 +88,124 @@ object Similarity {
     * quantizer can replace the centroid pick without changing any plan shape. */
   def buildIvfIndex(corpus: DataFrame, nCentroids: Int = 16,
                     idCol: String = "vec_id",
-                    vecCol: String = "embedding"): IvfIndex = {
+                    vecCol: String = "embedding",
+                    refineIters: Int = 0): IvfIndex = {
     val prepped = corpus
       .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
       .select(col(idCol).as("neighbor_id"),
         VectorFns.quantize(col(vecCol)).as("cv"))
       .withColumn("cn", VectorFns.normLong(col("cv")))
-    val centroids = prepped
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = prepped
       .orderBy(xxhash64(col("neighbor_id")), col("neighbor_id")).limit(nCentroids)
       .select(col("neighbor_id").as("centroid_id"), col("cv").as("centv"),
         col("cn").as("centn"))
-    val centroidArr = centroids
-      .agg(collect_list(struct(col("centroid_id"), col("centv"), col("centn")))
-        .as("cents"))
-    val cells = prepped.crossJoin(broadcast(centroidArr))
+    // refineIters > 0: Lloyd-refine the hash-picked seeds before the final
+    // assignment — tighter cells, fewer probes for the same recall
+    val centroids = if (refineIters > 0) lloyd(prepped, seeds, refineIters)
+      else seeds
+    val cells = prepped.crossJoin(broadcast(packed(centroids)))
       .withColumn("cell",
         nearestCellIds(col("cents"), col("cv"), col("cn"), 1)(0))
       .select(col("neighbor_id"), col("cv"), col("cn"), col("cell"))
     IvfIndex(cells, centroids)
+  }
+
+  /** Pack a centroid frame into the single broadcast row the in-row argmax
+    * probes. */
+  private def packed(centroids: DataFrame): DataFrame =
+    centroids.agg(collect_list(
+      struct(col("centroid_id"), col("centv"), col("centn"))).as("cents"))
+
+  /** Deterministic k-means (Lloyd) over quantized embeddings — the trained
+    * quantizer `buildIvfIndex`'s doc promises. No RNG anywhere:
+    *  - seeds = the first `nCentroids` corpus vectors in KNUTH-hash id order
+    *    (SQL-reproducible, unlike the engine-hash pick of the untrained build);
+    *  - assignment = the same broadcast packed-centroid in-row argmax as the
+    *    IVF build (rounded-cosine desc, centroid id asc) — no row amplification;
+    *  - accumulation = native `VectorSumAgg`: one long[] per cell, map-side
+    *    partials, NO posexplode of the corpus by its dimensionality — exact
+    *    integer sums, so centroids are bit-identical under any partitioning;
+    *  - new centroid = integer sums divided once at the end, re-quantized to
+    *    the 1e6 scale; cells that captured no vectors keep their centroid.
+    * Returns (centroid_id, centv, centn) — drop-in for `IvfIndex.centroids`. */
+  def kmeansCentroids(corpus: DataFrame, nCentroids: Int = 16, iters: Int = 2,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorSumAgg.register(corpus.sparkSession)
+    val prepped = corpus
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol).as("neighbor_id"),
+        VectorFns.quantize(col(vecCol)).as("cv"))
+      .withColumn("cn", VectorFns.normLong(col("cv")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val seeds = prepped
+      .orderBy(pmod(col("neighbor_id") * lit(2654435761L), lit(4294967296L)),
+        col("neighbor_id"))
+      .limit(nCentroids)
+      .select(col("neighbor_id").as("centroid_id"), col("cv").as("centv"),
+        col("cn").as("centn"))
+    val out = lloyd(prepped, seeds, iters)
+    prepped.unpersist(blocking = false)
+    out
+  }
+
+  /** The Lloyd refinement loop shared by `kmeansCentroids` and
+    * `buildIvfIndex(refineIters > 0)`. `prepped` must be (neighbor_id, cv, cn)
+    * and SHOULD be persisted by the caller (each iteration scans it once). */
+  private def lloyd(prepped: DataFrame, seeds: DataFrame,
+                    iters: Int): DataFrame = {
+    graft.functions.VectorSumAgg.register(prepped.sparkSession)
+    var centroids = seeds
+    for (_ <- 0 until iters) {
+      val cells = prepped.crossJoin(broadcast(packed(centroids)))
+        .withColumn("cell",
+          nearestCellIds(col("cents"), col("cv"), col("cn"), 1)(0))
+      val sums = cells.groupBy(col("cell"))
+        .agg(graft.functions.VectorSumAgg(col("cv")).as("sv"),
+          count(lit(1)).as("n"))
+      val fresh = sums.select(col("cell").as("centroid_id"),
+          transform(col("sv"),
+            x => round(x.cast("double") / col("n")).cast("long")).as("centv"))
+        .withColumn("centn", VectorFns.normLong(col("centv")))
+      // centroid frames are tiny; checkpoint truncates the per-iter lineage
+      centroids = centroids.as("old")
+        .join(fresh.as("new"), Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("new.centv"), col("old.centv")).as("centv"),
+          coalesce(col("new.centn"), col("old.centn")).as("centn"))
+        .localCheckpoint()
+    }
+    centroids
+  }
+
+  /** First-iteration k-means assignment report — the oracle-facing scalar
+    * projection of `kmeansCentroids`' inner loop: per cell, the member count
+    * and the L1 norm of the exact per-dimension integer sums (a single BIGINT
+    * that moves if ANY component of ANY assignment moves). */
+  def kmeansAssignReport(corpus: DataFrame, nCentroids: Int = 16,
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorSumAgg.register(corpus.sparkSession)
+    val prepped = corpus
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol).as("neighbor_id"),
+        VectorFns.quantize(col(vecCol)).as("cv"))
+      .withColumn("cn", VectorFns.normLong(col("cv")))
+    val seeds = prepped
+      .orderBy(pmod(col("neighbor_id") * lit(2654435761L), lit(4294967296L)),
+        col("neighbor_id"))
+      .limit(nCentroids)
+      .select(col("neighbor_id").as("centroid_id"), col("cv").as("centv"),
+        col("cn").as("centn"))
+    prepped.crossJoin(broadcast(packed(seeds)))
+      .withColumn("cell",
+        nearestCellIds(col("cents"), col("cv"), col("cn"), 1)(0))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        graft.functions.VectorSumAgg(col("cv")).as("sv"))
+      .select(col("cell"), col("n_members"),
+        aggregate(col("sv"), lit(0L), (acc, x) => acc + abs(x)).as("l1_scaled"))
   }
 
   /** Serve a query batch from a built index: each query probes its `nProbe`

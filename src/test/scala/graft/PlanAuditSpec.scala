@@ -29,7 +29,9 @@ class PlanAuditSpec extends SparkSpec {
     // q59: the brute-force Hamming reference side IS a designed broadcast
     // nested-loop over the bounded signature slice (one long per doc) — the
     // quadratic oracle the banded pair set is checked against
-    "q59_simhash_containment")
+    "q59_simhash_containment",
+    // q64: q43's packed 1-row centroid broadcast (k-means assignment)
+    "q64_kmeans_assign")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where designed") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -21,6 +21,33 @@ class SimilaritySpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, 1), (2L, 2)))
   }
 
+  test("kmeansAssignReport: partition-invariant exact integer sums, exhaustive") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = Similarity.kmeansAssignReport(emb.repartition(1), nCentroids = 8)
+      .orderBy($"cell").as[(Long, Long, Long)].collect().toSeq
+    val b = Similarity.kmeansAssignReport(emb.repartition(7), nCentroids = 8)
+      .orderBy($"cell").as[(Long, Long, Long)].collect().toSeq
+    assert(a == b) // integer sums: bit-identical under any partitioning
+    assert(a.map(_._2).sum == emb.count()) // every vector assigned exactly once
+    assert(a.forall(_._3 > 0L))
+  }
+
+  test("kmeans-refined IVF index: full probe still reproduces brute force") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val idx = Similarity.buildIvfIndex(emb, nCentroids = 8, refineIters = 2)
+    assert(idx.centroids.count() == 8) // empty cells keep their centroid
+    val queries = emb.filter($"vec_id" < 5)
+    // the q58 invariant is centroid-agnostic: probing every cell of ANY
+    // partitioning of the corpus must reproduce the exact ranking
+    val full = Similarity.ivfSearch(idx, queries, k = 5, nProbe = 8)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val brute = Similarity.bruteForceTopK(queries, emb, 5)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(full == brute)
+  }
+
   test("ivfTopK: good recall vs brute force on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val queries = emb.filter($"vec_id" < 5)
