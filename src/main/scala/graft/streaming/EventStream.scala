@@ -42,6 +42,25 @@ object EventStream {
       .agg(count(lit(1)).as("n"),
         sum(round(col("value") * 100).cast("long")).as("value_cents"))
 
+  /** Watermarked STREAM-STREAM interval join: each left event pairs with the
+    * right-stream events of the same key whose event time lies within
+    * [left - tolerance, left]. Both sides carry watermarks and the join
+    * condition bounds event-time distance, so Spark can expire buffered rows —
+    * state is O(key-rate × tolerance), never stream-length. This is the
+    * streaming form of the as-of/interval alignment the batch engine does with
+    * `TimeSeriesOps.asofJoin`/`RangeJoin` (e.g. correlating a sensor stream
+    * with its station's rain-gauge stream while both are in flight). */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+                   timeCol: String, tolerance: String = "30 minutes",
+                   watermark: String = "1 hour"): DataFrame = {
+    val l = left.withWatermark(timeCol, watermark).as("l")
+    val r = right.withWatermark(timeCol, watermark).as("r")
+    l.join(r,
+      col(s"l.$keyCol") === col(s"r.$keyCol") &&
+        col(s"r.$timeCol") >= col(s"l.$timeCol") - expr(s"interval $tolerance") &&
+        col(s"r.$timeCol") <= col(s"l.$timeCol"))
+  }
+
   /** foreachBatch upsert driver: each micro-batch lands via the idempotent JDBC
     * upsert keyed (window_start, event_type) — re-processing a batch is a no-op
     * mutation-wise, replicating T4/T5. */

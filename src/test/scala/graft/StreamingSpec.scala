@@ -19,4 +19,32 @@ class StreamingSpec extends SparkSpec {
       assert(out.getLong(1) == 1000) // every sf0.001 event counted exactly once
     } finally q.stop()
   }
+
+  test("stream-stream interval join: watermark-bounded state, exact pairs") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val lIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val rIn = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val left = lIn.toDF().toDF("k", "t", "lv")
+    val right = rIn.toDF().toDF("k", "t", "rv")
+    // tolerance 30 min: right events within [left.t - 30m, left.t] on the same key
+    val joined = graft.streaming.EventStream.intervalJoin(
+      left, right, "k", "t", "30 minutes")
+      .selectExpr("l.k AS k", "lv", "rv")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    try {
+      lIn.addData((1L, ts(40), 1.0), (2L, ts(40), 2.0))
+      rIn.addData(
+        (1L, ts(15), 10.0), // 25 min before left(1) -> joins
+        (1L, ts(45), 11.0), // after left(1) -> no
+        (2L, ts(5), 20.0))  // 35 min before left(2) -> outside tolerance
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT k, lv, rv FROM ssj")
+        .as[(Long, Double, Double)].collect().toSet
+      assert(rows == Set((1L, 1.0, 10.0)))
+    } finally q.stop()
+  }
 }
