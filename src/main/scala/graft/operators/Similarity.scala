@@ -19,6 +19,23 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** The ANN ranking step shared by every strategy: top-k per query_id by
+    * (cosine rounded 1e-6 DESC, neighbor_id ASC), produced by the bounded-heap
+    * `TopKAgg` instead of a ranking window. The window form fully SORTS every
+    * query's candidate set (the whole corpus, for brute force) after shuffling
+    * it; the heap keeps k entries per query with map-side partials, so the
+    * shuffle carries at most k rows per (query, mapper). Order is identical:
+    * `round(cosine, 6)` is exactly an integer at the 1e6 scale, so the long
+    * key (re-rounded once to erase the float multiply's 1e-10 error — and to
+    * normalize a rounded -0.0) sorts precisely like the rounded double, and
+    * neighbor_id is a unique tie-break. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    graft.ops.TopK.topKPerGroup(scored, Seq("query_id"),
+      round(round(col("cosine"), 6) * 1e6), col("neighbor_id"),
+      Seq(col("neighbor_id"), col("cosine")), k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"),
+        col("rn").as("rank"))
+
   /** Exact top-k: for each row of `queries`, the k most-cosine-similar rows of
     * `corpus` (self excluded). `queries` must be small (it is broadcast). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
@@ -29,14 +46,9 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"),
         VectorFns.quantize(col(vecCol)).as("cv"))
       .withColumn("cn", VectorFns.normLong(col("cv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
-    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+    rankTopK(c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFns.cosineFromQuantized(
-        col("qv"), col("cv"), col("qn"), col("cn")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        col("qv"), col("cv"), col("qn"), col("cn"))), k)
   }
 
   /** A built inverted-file index: `cells` = the corpus with quantized vectors,
@@ -225,15 +237,10 @@ object Similarity {
       .withColumn("cell",
         explode(nearestCellIds(col("cents"), col("qv"), col("qn"), nProbe)))
       .select(col("query_id"), col("qv"), col("qn"), col("cell"))
-    val wRank = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
-    index.cells.join(broadcast(probes), Seq("cell"))
+    rankTopK(index.cells.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFns.cosineFromQuantized(
-        col("qv"), col("cv"), col("qn"), col("cn")))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+        col("qv"), col("cv"), col("qn"), col("cn"))), k)
   }
 
   /** One-shot IVF top-k (build + search). For repeated query batches build the
@@ -253,13 +260,8 @@ object Similarity {
       VectorFns.hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       VectorFns.hyperplaneBucket(col(vecCol), nPlanes).as("bucket"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(round(col("cosine"), 6).desc, col("neighbor_id"))
-    c.join(broadcast(q), Seq("bucket"))
+    rankTopK(c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv"))), k)
   }
 }
