@@ -168,18 +168,29 @@ object SparkEntry {
         count(lit(1)).as("n_items"))
       .orderBy(col("p_brand"))
 
-  /** Multi-way join chain (dims broadcast, fact streams). */
-  private def qMultiwayJoin(s: SparkSession, dir: String): DataFrame =
-    t(s, dir, "lineitem")
+  /** Multi-way join chain (dims broadcast, fact streams). The per-line revenue
+    * aggregation is pushed BELOW the fact-fact join (partial-aggregation
+    * pushdown Catalyst does not perform): lineitem collapses to one exact
+    * integer partial per order first, so the orderkey shuffle carries order
+    * partials, not every line item — at 100 TB that is the join's dominant
+    * cost scaled down by the avg lines-per-order factor. The final group-by
+    * re-aggregates the partials after the (join-key-determined) dims attach. */
+  private def qMultiwayJoin(s: SparkSession, dir: String): DataFrame = {
+    val perOrder = t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(scaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 1e4))
+        .as("rev_scaled"),
+        count(lit(1)).as("n_lines"))
+    perOrder
       .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
       .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(money(sum(scaled(col("l_extendedprice") * (lit(1) - col("l_discount")), 1e4)), 1e4)
-        .as("revenue"),
-        count(lit(1)).as("n_items"))
+      .agg(money(sum(col("rev_scaled")), 1e4).as("revenue"),
+        sum(col("n_lines")).as("n_items"))
       .orderBy(col("r_name"), col("n_name"))
+  }
 
   /** J4-implicit anti-join branch ("station not in dim"): customers with no
     * high-value order. */
