@@ -130,7 +130,8 @@ object SparkEntry {
     "q61_split_assign" -> qSplitAssign,
     "q62_incremental_dedup" -> qIncrementalDedup,
     "q63_topk_heap" -> qTopkHeap,
-    "q64_kmeans_assign" -> qKmeansAssign)
+    "q64_kmeans_assign" -> qKmeansAssign,
+    "q65_doc_frequency" -> qDocFrequency)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -230,6 +231,15 @@ object SparkEntry {
   private def qKmeansAssign(s: SparkSession, dir: String): DataFrame =
     Similarity.kmeansAssignReport(t(s, dir, "embeddings"), nCentroids = 16)
       .orderBy(col("cell"))
+
+  /** Corpus document frequency (vocabulary construction): docs-per-token over
+    * in-row-distinct tokens — one map-combinable count; top-50 by
+    * (df desc, token asc), a total order. */
+  private def qDocFrequency(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TfIdf.documentFrequency(t(s, dir, "documents"),
+      "doc_id", "text")
+      .orderBy(col("df").desc, col("token"))
+      .limit(50)
 
   /** W1 at scale: the same top-3-per-order row set as q07, produced by the
     * bounded-heap `TopKAgg` hash aggregate instead of a ranking window — the
@@ -1693,5 +1703,14 @@ object SparkEntry {
         |      FROM assign GROUP BY cell) m
         |JOIN (SELECT cell, CAST(SUM(ABS(s)) AS BIGINT) AS l1_scaled
         |      FROM sums GROUP BY cell) l USING (cell)
-        |ORDER BY m.cell""".stripMargin)
+        |ORDER BY m.cell""".stripMargin,
+    "q65_doc_frequency" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_distinct(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0)) AS ws
+        |  FROM documents)
+        |SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        |FROM (SELECT unnest(ws) AS token FROM toks)
+        |GROUP BY token
+        |ORDER BY df DESC, token LIMIT 50""".stripMargin)
 }

@@ -106,6 +106,25 @@ class CurationOpsSpec extends SparkSpec {
     assert(matches == Set((101L, 1L), (102L, 1L)))
   }
 
+  test("tf-idf: document frequency exact; rare informative tokens outrank ubiquitous") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the dog sat on the log"),
+      (3L, "the bird flew over the rainbow zebra zebra zebra"))
+      .toDF("doc_id", "text")
+    val df = graft.operators.TfIdf.documentFrequency(docs, "doc_id", "text")
+      .as[(String, Long)].collect().toMap
+    assert(df("the") == 3 && df("sat") == 2 && df("zebra") == 1)
+    val top = graft.operators.TfIdf.topTfIdf(docs, "doc_id", "text",
+      k = 2, minDf = 1)
+    val d3 = top.filter($"doc_id" === 3L).orderBy($"rn")
+      .select($"token").as[String].collect()
+    assert(d3.head == "zebra") // tf 3 × rarest idf beats everything
+    // 'the' appears in every doc: idf = ln(1) = 0, never ranks above tied-at-0
+    val theScore = top.filter($"token" === "the").select($"score").as[Long].collect()
+    assert(theScore.forall(_ == 0L))
+  }
+
   test("redactPii: emails, phones, IPv4 replaced; clean text untouched") {
     val out = Seq(
       (1L, "write to john.doe+x@mail.example.org today"),
