@@ -8,9 +8,14 @@ import org.apache.spark.sql.types._
   * typed metadata.
   *
   * The Spark-side contract is real and tested — schema, partition sizing, batch
-  * shape, deterministic chunking — while the actual codec step is STUBBED with a
-  * deterministic fake (this container has no image/audio libraries). Swapping in a
-  * real decoder means replacing `decodeStub` only; every plan shape stays the same.
+  * shape, deterministic chunking. The codec layer is split honestly: the PNM
+  * image family (PPM/PGM — uncompressed rasters) gets a REAL pure-JVM decoder
+  * (`PnmCodec`: decode → nearest-neighbor resize → exact per-channel stats),
+  * proving the mapPartitions plumbing end-to-end with real pixels; compressed
+  * formats (JPEG/PNG/audio/video) remain STUBBED with a deterministic fake,
+  * because their codecs need native libraries this container does not have.
+  * Swapping one in means replacing the `BatchDecoder` value only; every plan
+  * shape stays the same.
   *
   * Scale design: media rows are orders of magnitude wider than text rows, so the
   * operators (a) never shuffle the binary payload except when explicitly
@@ -87,6 +92,24 @@ object Multimodal {
       (id, feats)
     }
   }
+
+  /** REAL decoder for the PNM image family (PPM/PGM — raw uncompressed rasters,
+    * decodable in pure JVM code with no native library): optional
+    * nearest-neighbor resize, then exact per-channel mean/variance + shape
+    * features (`PnmCodec`). Payloads that are not binary PNM are DROPPED —
+    * the curation semantic for undecodable media. Compressed formats still
+    * require the stub seam; this decoder proves the plumbing end-to-end with
+    * real pixels. */
+  def pnmBatchDecoder(resizeTo: Option[(Int, Int)] = None): BatchDecoder =
+    rows => rows.flatMap { case (id, _, payload) =>
+      PnmCodec.decode(payload).map { img =>
+        val prepped = resizeTo match {
+          case Some((tw, th)) => PnmCodec.resizeNearest(img, tw, th)
+          case None => img
+        }
+        (id, PnmCodec.features(prepped))
+      }
+    }
 
   /** mapPartitions decode path (SURVEY.md §2.10 altitude note: this is the ONE
     * place imperative per-partition logic is the right tool — a native codec

@@ -30,6 +30,49 @@ class MultimodalSpec extends SparkSpec {
     assert(feats == again)
   }
 
+  test("PNM codec: real decode/resize/features end-to-end through mapPartitions") {
+    import graft.operators.PnmCodec
+    // hand-built 2x2 P6: red, green / blue, white
+    def ppm(pix: Array[Byte], w: Int, h: Int): Array[Byte] =
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ pix
+    val checker = ppm(Array(
+      255.toByte, 0, 0,   0, 255.toByte, 0,
+      0, 0, 255.toByte,   255.toByte, 255.toByte, 255.toByte), 2, 2)
+    val gray = "P5\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 30)
+    val junk = Array[Byte](1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+    // direct codec checks: decode + exact integer stats
+    val img = PnmCodec.decode(checker).get
+    assert(img.width == 2 && img.height == 2 && img.channels == 3)
+    val f = PnmCodec.features(img)
+    assert(f(0) == 2.0 && f(1) == 2.0)
+    assert(f(3) == (255 + 0 + 0 + 255) / 4.0)   // R mean
+    assert(f(4) == (0 + 255 + 0 + 255) / 4.0)   // G mean
+    assert(f(5) == (0 + 0 + 255 + 255) / 4.0)   // B mean
+    // nearest-neighbor upscale doubles each pixel; corner pixels preserved
+    val up = PnmCodec.resizeNearest(img, 4, 4)
+    assert(up.width == 4 && up.height == 4)
+    assert((up.pixels(0) & 0xff) == 255 && (up.pixels(1) & 0xff) == 0) // (0,0) red
+    assert(PnmCodec.features(up).drop(3).sameElements(f.drop(3))) // means/vars invariant
+    // gray decodes with channel replication in features
+    val gf = PnmCodec.features(PnmCodec.decode(gray).get)
+    assert(gf(3) == 20.0 && gf(4) == 20.0 && gf(5) == 20.0)
+    // end-to-end: the mapPartitions plumbing with the REAL decoder; junk dropped
+    val rows = Seq(
+      Row(1L, "image", checker, null),
+      Row(2L, "image", gray, null),
+      Row(3L, "image", junk, null),
+      Row(4L, "image", null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val out = Multimodal.decodePartitions(df,
+        Multimodal.pnmBatchDecoder(resizeTo = Some((4, 4))))
+      .select($"media_id", $"features").as[(Long, Seq[Double])]
+      .collect().toMap
+    assert(out.keySet == Set(1L, 2L)) // undecodable payloads filtered
+    assert(out(1L)(0) == 4.0 && out(1L)(3) == 127.5)
+  }
+
   test("repartitionBySize packs by total payload bytes") {
     val out = Multimodal.repartitionBySize(mediaDf, targetBytes = 120)
     // 100 + 250 + 0 bytes => ceil(350/120) = 3 partitions
