@@ -111,6 +111,15 @@ object Multimodal {
       }
     }
 
+  /** REAL decoder for RIFF/WAVE PCM audio (`WavCodec`): exact-integer
+    * duration/RMS/zero-crossing/peak features; non-PCM payloads dropped.
+    * Together with `pnmBatchDecoder` this covers the uncompressed half of the
+    * media space with real codecs; only compressed formats stub. */
+  def wavBatchDecoder(): BatchDecoder =
+    rows => rows.flatMap { case (id, _, payload) =>
+      WavCodec.decode(payload).map(a => (id, WavCodec.features(a)))
+    }
+
   /** mapPartitions decode path (SURVEY.md §2.10 altitude note: this is the ONE
     * place imperative per-partition logic is the right tool — a native codec
     * cannot be a Catalyst expression). The media frame is decoded

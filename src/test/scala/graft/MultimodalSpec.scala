@@ -73,6 +73,43 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L)(0) == 4.0 && out(1L)(3) == 127.5)
   }
 
+  test("WAV codec: real PCM decode + exact features through mapPartitions") {
+    import graft.operators.WavCodec
+    // hand-built 16-bit mono WAV: 4 frames at 8000 Hz, a full square wave
+    def wav(samples: Array[Short], rate: Int, channels: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(rate)
+        .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    val square = wav(Array[Short](1000, -1000, 1000, -1000), 8000, 1)
+    val a = WavCodec.decode(square).get
+    assert(a.sampleRateHz == 8000 && a.channels == 1 && a.nFrames == 4)
+    val f = WavCodec.features(a)
+    assert(f(0) == 8000.0 && f(1) == 1.0)
+    assert(f(2) == 0.0)   // 4 frames / 8000 Hz -> 0 ms (integer division)
+    assert(f(3) == 1000.0) // RMS of a square wave == amplitude
+    assert(f(4) == 3.0)   // three sign changes
+    assert(f(5) == 1000.0)
+    // end-to-end: WAV rows decode, junk and PNM payloads drop
+    val rows = Seq(
+      Row(1L, "audio", square, null),
+      Row(2L, "audio", Array.fill[Byte](50)(9), null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val out = Multimodal.decodePartitions(df, Multimodal.wavBatchDecoder())
+      .select($"media_id", $"features").as[(Long, Seq[Double])].collect().toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L)(3) == 1000.0)
+  }
+
   test("repartitionBySize packs by total payload bytes") {
     val out = Multimodal.repartitionBySize(mediaDf, targetBytes = 120)
     // 100 + 250 + 0 bytes => ceil(350/120) = 3 partitions
