@@ -62,5 +62,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.TextStatsExpr].getName, "text_stats"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.TextStatsExpr(exprs.head, Nil)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("topk_struct"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.TopKAgg].getName, "topk_struct"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.TopKAgg(exprs.head,
+          exprs(1).eval(null).asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vector_sum"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.VectorSumAgg].getName, "vector_sum"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.VectorSumAgg(exprs.head)))
   }
 }

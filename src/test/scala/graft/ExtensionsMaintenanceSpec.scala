@@ -47,6 +47,18 @@ class ExtensionsMaintenanceSpec extends SparkSpec {
       graft.functions.SimHash64Expr.compute(
         org.apache.spark.unsafe.types.UTF8String.fromString("a b c")).longValue())
     assert(r.getLong(5) == 2L)
+    // aggregate functions injected by the extensions
+    val agg = s2.sql(
+      """SELECT g,
+        |  topk_struct(struct(v, id, v), 2) AS top,
+        |  vector_sum(arr) AS vs
+        |FROM VALUES ('a', 5L, 1L, array(1L, 2L)),
+        |            ('a', 9L, 2L, array(10L, 20L)),
+        |            ('a', 7L, 3L, array(100L, 200L)) AS t(g, v, id, arr)
+        |GROUP BY g""".stripMargin).collect().head
+    val top = agg.getSeq[org.apache.spark.sql.Row](1)
+    assert(top.map(_.getLong(0)) == Seq(9L, 7L)) // best two by v desc
+    assert(agg.getSeq[Long](2) == Seq(111L, 222L))
   }
 
   test("S13 idempotence gate: second tick skips") {
