@@ -131,7 +131,8 @@ object SparkEntry {
     "q62_incremental_dedup" -> qIncrementalDedup,
     "q63_topk_heap" -> qTopkHeap,
     "q64_kmeans_assign" -> qKmeansAssign,
-    "q65_doc_frequency" -> qDocFrequency)
+    "q65_doc_frequency" -> qDocFrequency,
+    "q66_source_quantiles" -> qSourceQuantiles)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -231,6 +232,30 @@ object SparkEntry {
   private def qKmeansAssign(s: SparkSession, dir: String): DataFrame =
     Similarity.kmeansAssignReport(t(s, dir, "embeddings"), nCentroids = 16)
       .orderBy(col("cell"))
+
+  /** Per-source corpus length statistics with EXACT rank-based quantiles
+    * (lower median, p90) — rank selection over a total (n_tokens, doc_id)
+    * order instead of interpolating percentiles, so both engines agree
+    * bit-for-bit. The window runs per source (stratum-scale partitions); at
+    * corpus scale this is the survey report run once per curation batch. */
+  private def qSourceQuantiles(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextFns.words(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_tokens"), col("doc_id"))
+    val ranked = toks
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("source"))))
+    ranked.groupBy(col("source"))
+      .agg(max(col("cnt")).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("n_tokens")))
+          .as("median_tokens"),
+        max(when(col("rn") === greatest(lit(1L), expr("(cnt * 9) div 10")),
+          col("n_tokens"))).as("p90_tokens"))
+      .orderBy(col("source"))
+  }
 
   /** Corpus document frequency (vocabulary construction): docs-per-token over
     * in-row-distinct tokens — one map-combinable count; top-50 by
@@ -1712,5 +1737,23 @@ object SparkEntry {
         |SELECT token, CAST(COUNT(*) AS BIGINT) AS df
         |FROM (SELECT unnest(ws) AS token FROM toks)
         |GROUP BY token
-        |ORDER BY df DESC, token LIMIT 50""".stripMargin)
+        |ORDER BY df DESC, token LIMIT 50""".stripMargin,
+    "q66_source_quantiles" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> len(w) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT source, n_tokens,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_tokens, doc_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS cnt
+        |  FROM toks)
+        |SELECT source, MAX(cnt) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  MAX(CASE WHEN rn = (cnt + 1) // 2 THEN n_tokens END) AS median_tokens,
+        |  MAX(CASE WHEN rn = GREATEST(1, (cnt * 9) // 10) THEN n_tokens END)
+        |    AS p90_tokens
+        |FROM ranked GROUP BY source ORDER BY source""".stripMargin)
 }
