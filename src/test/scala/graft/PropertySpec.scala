@@ -149,4 +149,27 @@ class PropertySpec extends SparkSpec {
       assert(back == dedup.toSet)
     }
   }
+
+  test("TopKAgg property: heap rows == window rows on random groups with ties") {
+    // heavy tie pressure: v drawn from a tiny domain, duplicate (g, id) pruned
+    val gen = Gen.listOfN(60, for {
+      g <- Gen.choose(0, 3)
+      id <- Gen.choose(0L, 40L)
+      v <- Gen.choose(0L, 4L)
+    } yield (s"g$g", id, v))
+    for ((rows, i) <- samples(gen, 5).zipWithIndex) {
+      val df = rows.distinctBy(r => (r._1, r._2)).toDF("g", "id", "v")
+        .repartition(3 + i) // vary partitioning: partials must merge identically
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"v".desc, $"id")
+      val win = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 3)
+        .select($"g", $"id", $"v", $"rn")
+        .as[(String, Long, Long, Int)].collect().toSet
+      val heap = graft.ops.TopK.topKPerGroup(df, Seq("g"), $"v", $"id",
+          Seq($"id".as("pid"), $"v".as("pv")), k = 3)
+        .select($"g", $"pid", $"pv", $"rn")
+        .as[(String, Long, Long, Int)].collect().toSet
+      assert(heap == win, s"sample $i diverged")
+    }
+  }
 }
