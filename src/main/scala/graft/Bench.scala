@@ -56,8 +56,13 @@ object Bench {
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        Right((System.nanoTime() - t0) / 1e9)
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // free the checkpoint blocks a consumed composite still pins (labels
+        // LogicalRDDs — clearCache below does not cover localCheckpoint RDDs)
+        graft.operators.Dedup.release(df)
+        Right(elapsed)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
         Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
