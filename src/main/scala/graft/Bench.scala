@@ -44,15 +44,20 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$n.parquet").count()
       catch { case _: Throwable => () }
     }
-    // best-of-2 per query (adaptive 3rd run): the host shows multi-second
-    // interference stalls that hit random queries (a trivial projection swings
-    // 0.5s -> 17s run-to-run with zero code change, measured round 2). The min of
-    // two runs usually measures the engine rather than the neighbor tenants; when
-    // a stall window covers BOTH runs (min still > 3s) one more attempt bounds
-    // the damage without inflating total bench time in the common case.
-    // A failed query must NOT read as a (fast) timing: each run returns either a
-    // duration or the error, failures are excluded from the total and reported
-    // under "failed" in the JSON line — a broken query can't hide in the bench.
+    // Best-of-2 per query, but the two attempts are DECORRELATED: the host
+    // shows multi-minute interference stall windows (a trivial projection
+    // swings 0.5s -> 17s run-to-run with zero code change, measured round 2;
+    // round 4's official record had a contiguous alphabetical stretch of
+    // "regressions" on unchanged code). Back-to-back best-of-2 loses to any
+    // stall longer than one query, so the suite runs as TWO FULL PASSES and
+    // each query takes the min across passes — a full pass (~tens of seconds
+    // to minutes) separates a query's two timings, so one stall window can no
+    // longer cover both. A query whose min across passes is still > 3s gets
+    // one adaptive third attempt to bound residual damage. Both pass totals
+    // are reported so interference is visible in the artifact itself.
+    // A failed query must NOT read as a (fast) timing: each run returns either
+    // a duration or the error, failures are excluded from the total and
+    // reported under "failed" in the JSON line — a broken query can't hide.
     def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {
@@ -62,38 +67,47 @@ object Bench {
         // free the checkpoint blocks a consumed composite still pins (labels
         // LogicalRDDs — clearCache below does not cover localCheckpoint RDDs)
         graft.operators.Dedup.release(df)
+        // drop this query's operator-internal persisted frames before the next
+        // query: 60+ queries x persisted shingle/signature frames otherwise
+        // accumulate block-manager pressure that bleeds into the suite's tail
+        spark.catalog.clearCache()
         Right(elapsed)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        spark.catalog.clearCache()
         Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
           .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200))
       }
     }
+    val suite = SparkEntry.queries.toSeq.sortBy(_._1)
+    def fullPass(): Seq[(String, Either[String, Double])] =
+      suite.map { case (name, fn) => name -> once(name, fn) }
+    val pass1 = fullPass()
+    val pass2 = fullPass()
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val best = (once(name, fn), once(name, fn)) match {
-        case (Left(e), _) => Left(e)
-        case (_, Left(e)) => Left(e)
-        case (Right(a), Right(b)) =>
-          val two = math.min(a, b)
-          if (two > 3.0) once(name, fn).map(math.min(two, _)) else Right(two)
-      }
-      // drop this query's operator-internal caches before the next query: the
-      // runs of ONE query legitimately share them (that is the operator design),
-      // but 54 queries x persisted shingle/signature frames otherwise accumulate
-      // block-manager pressure that bleeds into the tail of the suite
-      spark.catalog.clearCache()
-      best match {
-        case Right(t) => Some(name -> t)
-        case Left(e) => failures += name -> e; None
-      }
+    val results = pass1.zip(pass2).flatMap {
+      case ((name, r1), (_, r2)) =>
+        val best = (r1, r2) match {
+          case (Left(e), _) => Left(e)
+          case (_, Left(e)) => Left(e)
+          case (Right(a), Right(b)) =>
+            val two = math.min(a, b)
+            if (two > 3.0) once(name, suite.toMap.apply(name)).map(math.min(two, _))
+            else Right(two)
+        }
+        best match {
+          case Right(t) => Some(name -> t)
+          case Left(e) => failures += name -> e; None
+        }
     }
+    def passTotal(p: Seq[(String, Either[String, Double])]): Double =
+      p.collect { case (_, Right(t)) => t }.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failures.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"failed_count":${failures.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":[${passTotal(pass1)},${passTotal(pass2)}],"failed":$fs,"failed_count":${failures.size},"sf":"$sfDir"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

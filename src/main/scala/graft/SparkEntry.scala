@@ -234,26 +234,27 @@ object SparkEntry {
       .orderBy(col("cell"))
 
   /** Per-source corpus length statistics with EXACT rank-based quantiles
-    * (lower median, p90) — rank selection over a total (n_tokens, doc_id)
-    * order instead of interpolating percentiles, so both engines agree
-    * bit-for-bit. The window runs per source (stratum-scale partitions); at
-    * corpus scale this is the survey report run once per curation batch. */
+    * (lower median, p90) in histogram form: `groupBy(source, n_tokens)` counts
+    * (map-combinable, histogram-sized shuffle), then rank selection by an
+    * in-row fold over each source's sorted histogram. NO corpus-scale Window —
+    * the previous form ranked with `row_number().over(partitionBy(source))`,
+    * which shuffles every document of a source to one task; this plan's
+    * largest single-task payload is a source's DISTINCT-length histogram.
+    * Same integer-exact answers (rank semantics match row_number over
+    * (n_tokens, doc_id) because ranks select by n_tokens value only). */
   private def qSourceQuantiles(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
+      .select(col("source"),
         size(TextFns.words(col("text"))).cast("long").as("n_tokens"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("n_tokens"), col("doc_id"))
-    val ranked = toks
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("source"))))
-    ranked.groupBy(col("source"))
-      .agg(max(col("cnt")).as("n_docs"),
-        sum(col("n_tokens")).as("total_tokens"),
-        max(when(col("rn") === expr("(cnt + 1) div 2"), col("n_tokens")))
-          .as("median_tokens"),
-        max(when(col("rn") === greatest(lit(1L), expr("(cnt * 9) div 10")),
-          col("n_tokens"))).as("p90_tokens"))
+    graft.ops.Quantiles.strataStats(
+      toks, Seq("source"), col("n_tokens"),
+      ranks = Seq(
+        "median_tokens" -> (n => graft.ops.Quantiles.div(n + lit(1L), lit(2L))),
+        "p90_tokens" -> (n =>
+          greatest(lit(1L), graft.ops.Quantiles.div(n * lit(9L), lit(10L))))),
+      nName = "n_docs", sumName = "total_tokens")
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        col("median_tokens"), col("p90_tokens"))
       .orderBy(col("source"))
   }
 

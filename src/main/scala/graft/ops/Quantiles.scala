@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact rank-based per-stratum statistics in histogram form.
+  *
+  * The naive plan for "exact median per source" ranks every row with
+  * `row_number().over(Window.partitionBy(stratum).orderBy(value))` — which
+  * shuffles every document of a stratum to ONE task and sorts it there. With
+  * a handful of sources over a 100 TB corpus that is a multi-TB single-task
+  * sort. This helper computes the SAME integer-exact answers from the value
+  * histogram instead:
+  *
+  *   1. `groupBy(stratum, value).count()` — fully map-combinable; the shuffle
+  *      carries at most (strata x distinct values) rows, i.e. histogram-sized
+  *      data, regardless of corpus size.
+  *   2. Pack each stratum's histogram into one sorted array (bounded by the
+  *      number of DISTINCT values — e.g. token-length buckets — not by the
+  *      number of documents).
+  *   3. Select requested ranks with a single in-row fold over the cumulative
+  *      counts. No Window operator exists anywhere in the plan.
+  *
+  * Rank semantics match `row_number()` over `(value asc)`: the selected value
+  * for rank r is the value of the r-th row in that total order, so results are
+  * bit-for-bit identical to the window form (and to a SQL oracle using
+  * `row_number()`), for any integer rank expression such as lower-median
+  * `(n+1) div 2` or p90 `greatest(1, (n*9) div 10)`.
+  *
+  * Reference tie-in: the per-catchment summary shapes of
+  * `inputs/gen_mike_input_rf_linux.py:180-202` are exactly per-stratum survey
+  * statistics run once per batch.
+  */
+object Quantiles {
+
+  /** Exact integral division for rank arithmetic (`a div b` — Spark's `/` on
+    * longs is double division, which would round past 2^53). */
+  def div(a: Column, b: Column): Column = call_function("div", a, b)
+
+  /** Per-stratum count, sum, and exact rank-selected values.
+    *
+    * @param df      input frame
+    * @param strata  grouping column names (the strata)
+    * @param value   integral value column (counted, summed, rank-selected)
+    * @param ranks   output column name -> rank expression builder; the builder
+    *                receives the stratum's row count `n` (LongType column) and
+    *                must return a 1-based rank (LongType). The output column
+    *                holds the value at that rank in `(value asc)` order.
+    * @param nName   name for the per-stratum row count column
+    * @param sumName name for the per-stratum value sum column
+    */
+  def strataStats(
+      df: DataFrame,
+      strata: Seq[String],
+      value: Column,
+      ranks: Seq[(String, Column => Column)],
+      nName: String = "n",
+      sumName: String = "total"): DataFrame = {
+    val hist = df
+      .groupBy((strata.map(col) :+ value.cast("long").as("__v")): _*)
+      .agg(count(lit(1)).as("__c"))
+    val packed = hist
+      .groupBy(strata.map(col): _*)
+      .agg(
+        sum(col("__c")).as(nName),
+        sum(col("__v") * col("__c")).as(sumName),
+        // bounded by the number of distinct values in the stratum — the
+        // histogram, not the corpus; sorts lexicographically = by __v asc
+        sort_array(collect_list(struct(col("__v"), col("__c")))).as("__bins"))
+    val selected = ranks.foldLeft(packed) { case (acc, (name, rankOf)) =>
+      acc.withColumn(name, rankSelect(col("__bins"), rankOf(col(nName))))
+    }
+    selected.drop("__bins")
+  }
+
+  /** Value at 1-based `rank` in the (value asc) total order, read off a sorted
+    * histogram of `struct(__v, __c)` bins: the first bin whose cumulative
+    * count reaches the rank. A single in-row fold — codegen-friendly, no
+    * Window, no explode. */
+  private def rankSelect(bins: Column, rank: Column): Column =
+    aggregate(
+      bins,
+      struct(lit(0L).as("cum"), lit(null).cast("long").as("v")),
+      (acc, b) => struct(
+        (acc("cum") + b("__c")).as("cum"),
+        when(acc("v").isNull && acc("cum") + b("__c") >= rank, b("__v"))
+          .otherwise(acc("v")).as("v")),
+      acc => acc("v"))
+}

@@ -49,6 +49,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("q66 exact quantiles plan carries NO corpus-scale Window") {
+    // The survey-stats plan must be the histogram form: any Window operator
+    // here would mean per-source rank selection went back to shuffling every
+    // document of a source into one task (the round-4 scale defect).
+    val df = SparkEntry.queries("q66_source_quantiles")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q66 plan regressed to a Window-based rank selection:\n$plan")
+  }
+
   test("narrow projections prune parquet columns at the scan (ReadSchema)") {
     // q02 projects 4 of lineitem's 16 columns; the scan must not read the rest
     val df = SparkEntry.queries("q02_filter_project")(spark, dir)
