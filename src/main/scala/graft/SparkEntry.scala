@@ -132,7 +132,9 @@ object SparkEntry {
     "q63_topk_heap" -> qTopkHeap,
     "q64_kmeans_assign" -> qKmeansAssign,
     "q65_doc_frequency" -> qDocFrequency,
-    "q66_source_quantiles" -> qSourceQuantiles)
+    "q66_source_quantiles" -> qSourceQuantiles,
+    "q67_tfidf_keywords" -> qTfIdfKeywords,
+    "q68_incremental_embedding" -> qIncrementalEmbedding)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -257,6 +259,17 @@ object SparkEntry {
         col("median_tokens"), col("p90_tokens"))
       .orderBy(col("source"))
   }
+
+  /** Per-document top-k TF-IDF keywords (keyword extraction): exact integer
+    * scores (tf · round(ln(n/df)·1e6)), heap-ranked per doc with the FNV-1a
+    * token hash as tie-break — a total order BOTH engines can express, so the
+    * heap aggregate's ranking is hash-verified end-to-end (the oracle
+    * re-derives idf, score, and the FNV fold in plain SQL). */
+  private def qTfIdfKeywords(s: SparkSession, dir: String): DataFrame =
+    graft.operators.TfIdf.topTfIdf(t(s, dir, "documents"),
+      "doc_id", "text", k = 5, minDf = 2)
+      .select(col("doc_id"), col("rn"), col("token"), col("score"))
+      .orderBy(col("doc_id"), col("rn"))
 
   /** Corpus document frequency (vocabulary construction): docs-per-token over
     * in-row-distinct tokens — one map-combinable count; top-50 by
@@ -580,10 +593,10 @@ object SparkEntry {
       .orderBy(col("doc_id"))
 
   /** Duplicate-cluster resolution: near-dup pairs (q23's exact Jaccard set) ->
-    * connected components -> min-id cluster labels, the "keep one survivor per
-    * cluster" step after pairwise dedup. */
+    * connected components (unified entry, auto strategy) -> min-id cluster
+    * labels, the "keep one survivor per cluster" step after pairwise dedup. */
   private def qDedupClusters(s: SparkSession, dir: String): DataFrame =
-    Dedup.connectedComponents(
+    Dedup.components(
       Dedup.ngramJaccardPairs(t(s, dir, "documents").filter(col("doc_id") < 2000),
         "doc_id", "text", n = 3, threshold = 0.5, blockCols = Seq("lang")))
       .select(col("id").as("doc_id"), col("component"))
@@ -728,6 +741,29 @@ object SparkEntry {
       n = 3, threshold = 0.5, blockCols = Nil)
       .select(col("doc_id"), col("lang"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Incremental EMBEDDING admission — q62's cosine twin on the PRODUCTION
+    * LSH route (default lshPlanes = 12): exact copies of corpus vectors
+    * (id + 100000) must be rejected — an identical vector agrees on every
+    * hyperplane band, so LSH recall is structural here, not probabilistic —
+    * while held-out natural vectors (id + 200000) are admitted (max natural
+    * cross cosine ~0.51 << 0.98). The candidate join runs increment × corpus
+    * only; the oracle re-checks admission with the exact quadratic quantized
+    * cosine over the same bounded slice (vec_id < 2000, O(slice²) at any sf). */
+  private def qIncrementalEmbedding(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "embeddings").filter(col("vec_id") < 2000)
+    val corpus = base.filter(pmod(col("vec_id"), lit(5L)) =!= 0)
+    val copies = corpus.filter(pmod(col("vec_id"), lit(5L)) === 1)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("label"),
+        col("embedding"))
+    val fresh = base.filter(pmod(col("vec_id"), lit(5L)) === 0)
+      .select((col("vec_id") + 200000L).as("vec_id"), col("label"),
+        col("embedding"))
+    Dedup.admitNewByEmbedding(corpus, copies.unionByName(fresh),
+      "vec_id", "embedding", threshold = 0.98)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
   }
 
   /** Deterministic data-mixture report: per-source totals vs Knuth-hash sampled
@@ -1756,5 +1792,76 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = (cnt + 1) // 2 THEN n_tokens END) AS median_tokens,
         |  MAX(CASE WHEN rn = GREATEST(1, (cnt * 9) // 10) THEN n_tokens END)
         |    AS p90_tokens
-        |FROM ranked GROUP BY source ORDER BY source""".stripMargin)
+        |FROM ranked GROUP BY source ORDER BY source""".stripMargin,
+    // Re-derives the ENTIRE keyword pipeline in SQL: tokenization, tf, df
+    // (minDf floor), idf scaling, exact integer scores, and the FNV-1a 64-bit
+    // token hash (DuckDB HUGEINT fold over UTF-8 bytes via hex(encode())) so
+    // the (score desc, fnv asc) ranking is the same total order the heap
+    // aggregate uses — the tie-break itself is hash-verified.
+    "q67_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS token FROM toks)
+        |  GROUP BY doc_id, token),
+        |idf AS (
+        |  SELECT token, CAST(round(ln(CAST((SELECT COUNT(*) FROM documents)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) * 1000000.0) AS BIGINT)
+        |    AS idf_scaled
+        |  FROM (SELECT unnest(list_distinct(ws)) AS token, doc_id FROM toks)
+        |  GROUP BY token HAVING COUNT(*) >= 2),
+        |fnv AS (
+        |  SELECT token, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |      THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fnv
+        |  FROM (
+        |    SELECT token, list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(0, octet_length(encode(token))), i ->
+        |          CAST(strpos('123456789ABCDEF',
+        |                 hex(encode(token))[CAST(2*i+1 AS BIGINT)]) * 16
+        |             + strpos('123456789ABCDEF',
+        |                 hex(encode(token))[CAST(2*i+2 AS BIGINT)]) AS BIGINT))),
+        |      (h, byt) -> ((h - (h % 256)
+        |          + xor(CAST(h % 256 AS BIGINT), byt)::HUGEINT)
+        |        * 1099511628211::HUGEINT)
+        |        % 18446744073709551616::HUGEINT) AS h
+        |    FROM idf)),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf * idf.idf_scaled AS score,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf * idf.idf_scaled DESC, fnv.fnv) AS INT) AS rn
+        |  FROM tf JOIN idf USING (token) JOIN fnv USING (token))
+        |SELECT doc_id, rn, token, score FROM ranked
+        |WHERE rn <= 5 ORDER BY doc_id, rn""".stripMargin,
+    // Admission re-checked with the exact quadratic quantized cosine over the
+    // bounded slice: admitted = incoming with NO corpus match >= 0.98.
+    "q68_incremental_embedding" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, label, embedding FROM embeddings
+        |  WHERE vec_id < 2000 AND vec_id % 5 <> 0),
+        |inc AS (
+        |  SELECT vec_id + 100000 AS vec_id, label, embedding FROM corpus
+        |  WHERE vec_id % 5 = 1
+        |  UNION ALL
+        |  SELECT vec_id + 200000, label, embedding FROM embeddings
+        |  WHERE vec_id < 2000 AND vec_id % 5 = 0),
+        |matched AS (
+        |  SELECT DISTINCT i.vec_id
+        |  FROM inc i JOIN corpus c ON
+        |    CAST(list_sum(list_transform(range(1, len(i.embedding) + 1), k ->
+        |      CAST(ROUND(CAST(i.embedding[k] AS DOUBLE) * 1000000.0) AS BIGINT) *
+        |      CAST(ROUND(CAST(c.embedding[k] AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE) /
+        |    (sqrt(CAST(list_sum(list_transform(range(1, len(i.embedding) + 1), k ->
+        |      CAST(ROUND(CAST(i.embedding[k] AS DOUBLE) * 1000000.0) AS BIGINT) *
+        |      CAST(ROUND(CAST(i.embedding[k] AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE)) *
+        |     sqrt(CAST(list_sum(list_transform(range(1, len(c.embedding) + 1), k ->
+        |      CAST(ROUND(CAST(c.embedding[k] AS DOUBLE) * 1000000.0) AS BIGINT) *
+        |      CAST(ROUND(CAST(c.embedding[k] AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE)))
+        |    >= 0.98)
+        |SELECT vec_id, label FROM inc
+        |WHERE vec_id NOT IN (SELECT vec_id FROM matched)
+        |ORDER BY vec_id""".stripMargin)
 }

@@ -49,6 +49,11 @@ object RollingHash64 {
     h
   }
 
+  /** Column form — direct expression construction, no registry required. */
+  def apply(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      RollingHash64(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
   /** Register as a SQL function: `SELECT rolling_hash64(text)`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

@@ -241,6 +241,89 @@ object Dedup {
         blockCols).select(col("id_a").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Incremental EMBEDDING near-dup matches — the cosine twin of
+    * `incrementalJaccardMatches`: every (incoming, existing-corpus) pair with
+    * quantized cosine >= threshold. The hyperplane-band candidate join runs
+    * CROSS-corpus (incoming buckets probe corpus buckets, never corpus ×
+    * corpus), so re-admitting a rolling corpus's daily embedding batch costs
+    * ∝ |increment| · bucket overlap, not a re-dedup of the lake. Both sides
+    * hash with the SAME deterministic hyperplane family, so an identical
+    * vector is matched with certainty (it agrees on every band);
+    * `lshPlanes = 0` selects the exact per-block route (the verify oracle).
+    * Returns (id_a = incoming, id_b = corpus, cosine). */
+  def incrementalEmbeddingMatches(corpus: DataFrame, incoming: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  threshold: Double,
+                                  blockCols: Seq[String] = Nil,
+                                  lshPlanes: Int = 12,
+                                  lshBands: Int = 8): DataFrame = {
+    def prep(df: DataFrame): DataFrame = ensureParallel(df)
+      .select(
+        (col(idCol).as("__id") +: col(vecCol).as("__v") +: blockCols.map(col)): _*)
+      .withColumn("__q", graft.functions.VectorFns.quantize(col("__v")))
+      .withColumn("__n", graft.functions.VectorFns.normLong(col("__q")))
+    val newSide = prep(incoming)
+    val oldSide = prep(corpus)
+    val cosine = graft.functions.VectorFns.cosineFromQuantized(
+      col("qa"), col("qb"), col("na"), col("nb"))
+    if (lshPlanes <= 0) {
+      // exact within blockCols: increment × corpus, quadratic per block —
+      // the deterministic verify route, not the default
+      val a = newSide.select(col("__id").as("id_a") +: col("__q").as("qa") +:
+        col("__n").as("na") +: blockCols.map(col): _*)
+      val b = oldSide.select(col("__id").as("id_b") +: col("__q").as("qb") +:
+        col("__n").as("nb") +: blockCols.map(col): _*)
+      val joined = if (blockCols.isEmpty) a.crossJoin(b) else a.join(b, blockCols)
+      joined.withColumn("cosine", cosine)
+        .filter(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    } else {
+      // scale path: band the increment AND the corpus with the same plane
+      // family; candidates are cross-side bucket agreements, emitted from the
+      // FIRST shared band only (duplicate-free, no dropDuplicates shuffle)
+      def banded(side: DataFrame): DataFrame = side
+        .withColumn("__bkts", array((0 until lshBands).map(b =>
+          graft.functions.VectorFns.hyperplaneBucket(col("__v"), lshPlanes,
+            b * lshPlanes).cast("long")): _*))
+        .select((col("__id") +: col("__q") +: col("__n") +: col("__bkts") +:
+          blockCols.map(col)): _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      def slim(side: DataFrame): DataFrame = side.select(
+        (col("__id") +: col("__bkts") +:
+          posexplode(col("__bkts")).as(Seq("__band", "__bh")) +:
+          blockCols.map(col)): _*)
+      val prepNew = banded(newSide)
+      val prepOld = banded(oldSide)
+      val noEarlierBand = size(filter(
+        slice(zip_with(col("x.__bkts"), col("y.__bkts"), (p, q) => p === q),
+          lit(1), col("x.__band")), p => p)) === 0
+      val cond = blockCols.map(c => col(s"x.$c") === col(s"y.$c"))
+        .foldLeft(col("x.__band") === col("y.__band") &&
+          col("x.__bh") === col("y.__bh") && noEarlierBand)(_ && _)
+      slim(prepNew).as("x").join(slim(prepOld).as("y"), cond)
+        .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+        .join(prepNew.select(col("__id").as("id_a"), col("__q").as("qa"),
+          col("__n").as("na")), "id_a")
+        .join(prepOld.select(col("__id").as("id_b"), col("__q").as("qb"),
+          col("__n").as("nb")), "id_b")
+        .withColumn("cosine", cosine)
+        .filter(col("cosine") >= threshold)
+        .select(col("id_a"), col("id_b"), col("cosine"))
+    }
+  }
+
+  /** Admission filter for embedding batches: the incoming vectors with NO
+    * cosine near-dup already in the corpus — the embedding lake's append
+    * gate. */
+  def admitNewByEmbedding(corpus: DataFrame, incoming: DataFrame,
+                          idCol: String, vecCol: String, threshold: Double,
+                          blockCols: Seq[String] = Nil, lshPlanes: Int = 12,
+                          lshBands: Int = 8): DataFrame =
+    incoming.join(
+      incrementalEmbeddingMatches(corpus, incoming, idCol, vecCol, threshold,
+        blockCols, lshPlanes, lshBands).select(col("id_a").as(idCol)),
+      Seq(idCol), "left_anti")
+
   /** MinHash signatures via the native `MinHashSketch` TypedImperativeAggregate:
     * one fixed-size buffer per doc instead of `numHashes` separate min() aggregate
     * expressions; partial aggregation map-side, partition-invariant result.
@@ -530,12 +613,68 @@ object Dedup {
     edges.unpersist()
     p.unpersist()
     lastRounds = i
+    lastConverged = converged
     labels.select(col("id"), col("comp").as("component"))
   }
 
   /** Rounds the last connectedComponents / connectedComponentsStar call took —
     * test observability for the convergence-bound specs, nothing else. */
   @volatile private[graft] var lastRounds: Int = 0
+
+  /** Whether the last CC call reached its fixpoint inside the round budget —
+    * drives the `components("auto")` escape, plus test observability. */
+  @volatile private[graft] var lastConverged: Boolean = true
+
+  /** Unified cluster-resolution entry point — the one the composites call.
+    *
+    * Strategies:
+    *  - `"auto"` (default): min-label propagation with its pointer jump — the
+    *    low-shuffle path that real near-dup graphs (short diameter: pairs,
+    *    stars, small blobs) converge on in 1–3 rounds — ESCAPING to the
+    *    large/small-star algorithm when the round budget is exhausted without
+    *    a fixpoint: the partially-collapsed labels contract the graph (each
+    *    original edge is rewritten to its endpoints' current labels), star
+    *    finishes the tiny quotient graph under its O(log² n) any-topology
+    *    bound, and the final label composes the two. Callers no longer choose
+    *    blind: common graphs never pay star's extra per-round shuffle,
+    *    adversarial chains can no longer exhaust propagation.
+    *  - `"propagate"` / `"star"`: force one variant (benchmarks, specs).
+    *
+    * Same output contract as both variants: (id, component = min id of the
+    * transitive cluster) for every id appearing in `pairs`. */
+  def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                 strategy: String = "auto",
+                 propagateRounds: Int = 8): DataFrame = strategy match {
+    case "propagate" => connectedComponents(pairs, idA, idB)
+    case "star" => connectedComponentsStar(pairs, idA, idB)
+    case "auto" =>
+      val partial = connectedComponents(pairs, idA, idB,
+        maxIter = propagateRounds)
+      if (lastConverged) partial
+      else {
+        // pathological topology: contract through the partial labels and let
+        // star finish the quotient graph. The global component minimum m is a
+        // fixed point of propagation (comp(m) = m at every round), so quotient
+        // node ids are real ids and the quotient minimum IS the component
+        // minimum — composing labels preserves the min-id contract.
+        val quotient = pairs
+          .join(partial.select(col("id").as(idA), col("component").as("__qa")),
+            idA)
+          .join(partial.select(col("id").as(idB), col("component").as("__qb")),
+            idB)
+          .select(col("__qa").as("id_a"), col("__qb").as("id_b"))
+          .filter(col("id_a") =!= col("id_b"))
+        val roots = connectedComponentsStar(quotient)
+          .select(col("id").as("__q"), col("component").as("__root"))
+        lastConverged = true
+        partial.join(roots, col("component") === col("__q"), "left")
+          .select(col("id"),
+            coalesce(col("__root"), col("component")).as("component"))
+      }
+    case other =>
+      throw new IllegalArgumentException(
+        s"unknown CC strategy '$other' (auto|propagate|star)")
+  }
 
   /** Alternating large-star / small-star connected components (Kiveris et al.,
     * "Connected Components in MapReduce and Beyond", SoCC'14) — same interface
@@ -610,6 +749,7 @@ object Dedup {
         System.err.println(s"[cc-star] round $i edges=$cnt changed=$changed")
     }
     lastRounds = i
+    lastConverged = converged
     // converged star: every child has exactly one (child, root) edge; roots
     // (and any node never demoted to child) label themselves
     val labels = ids.join(edges.select(col("u").as("id"), col("v").as("__root")),
@@ -649,16 +789,17 @@ object Dedup {
     * rows never paired survive untouched (left-anti against the non-canonical
     * cluster members).
     *
-    * `connectedComponents` is EAGER (its convergence loop runs an action per
-    * round) and its labels are checkpoint-truncated, so by the time it returns,
-    * the pair subtree — including any operator-internal persisted prep frames —
-    * has been fully consumed: `freeUpstream` unpersists those frames HERE
-    * instead of leaking them to the caller's session. The one block set the
-    * returned (lazy) frame still pins is the final labels checkpoint; callers
-    * that are done with the result free it with `Dedup.release`. */
+    * `components` is EAGER (every strategy's convergence loop runs an action
+    * per round) and its labels are checkpoint-truncated, so by the time it
+    * returns, the pair subtree — including any operator-internal persisted
+    * prep frames — has been fully consumed: `freeUpstream` unpersists those
+    * frames HERE instead of leaking them to the caller's session. The block
+    * sets the returned (lazy) frame still pins are the final labels
+    * checkpoints; callers that are done with the result free them with
+    * `Dedup.release`. */
   private def survivors(items: DataFrame, idCol: String, pairs: DataFrame,
                         freeUpstream: () => Unit = () => ()): DataFrame = {
-    val labels = connectedComponents(pairs)
+    val labels = components(pairs)
     freeUpstream()
     val doomed = labels
       .filter(col("id") =!= col("component"))

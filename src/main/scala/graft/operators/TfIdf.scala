@@ -26,9 +26,10 @@ object TfIdf {
   /** Per-document top-`k` tokens by TF-IDF (tf · ln(nDocs / df)), keyword
     * extraction. Tokens below `minDf` documents are dropped before the
     * broadcast join. The score is an exact integer (tf · round(idf·1e6)) and
-    * equal scores tie-break on the token's 64-bit hash — fully deterministic
-    * under any partitioning (not lexicographic; the heap aggregate ranks on
-    * long keys). */
+    * equal scores tie-break on the token's FNV-1a 64-bit rolling hash — fully
+    * deterministic under any partitioning (the heap aggregate ranks on long
+    * keys), and reproducible in plain SQL (the q67 oracle re-derives the same
+    * (score desc, fnv asc) total order byte-for-byte). */
   def topTfIdf(docs: DataFrame, idCol: String, textCol: String, k: Int,
                minDf: Long = 2L): DataFrame = {
     val n = docs.count()
@@ -44,7 +45,7 @@ object TfIdf {
     val scored = tf.join(broadcast(idf), "token")
       .withColumn("score_scaled", col("tf") * col("idf_scaled"))
     graft.ops.TopK.topKPerGroup(scored, Seq(idCol),
-      col("score_scaled"), xxhash64(col("token")),
+      col("score_scaled"), graft.functions.RollingHash64(col("token")),
       Seq(col("token"), col("score_scaled").as("score")), k)
       .select(col(idCol), col("rn"), col("token"), col("score"))
   }

@@ -191,6 +191,32 @@ class DedupSpec extends SparkSpec {
     assert(viaLsh == base.select($"vec_id").as[Long].collect().toSet)
   }
 
+  test("incremental embedding admission: copies rejected, novel admitted, LSH == exact") {
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val corpus = base.filter($"vec_id" % 2 === 0)
+    val copies = corpus.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val novel = base.filter($"vec_id" % 2 === 1)
+      .select(($"vec_id" + 2000000L).as("vec_id"), $"embedding")
+    val incoming = copies.unionByName(novel)
+    // the production (banded) route and the exact route must agree: identical
+    // vectors agree on every hyperplane band, and at 0.98 no natural cross
+    // pair qualifies
+    val viaLsh = Dedup.admitNewByEmbedding(corpus, incoming, "vec_id",
+      "embedding", 0.98).select($"vec_id").as[Long].collect().toSet
+    val viaExact = Dedup.admitNewByEmbedding(corpus, incoming, "vec_id",
+      "embedding", 0.98, Nil, lshPlanes = 0)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(viaLsh == viaExact)
+    assert(viaLsh == novel.select($"vec_id").as[Long].collect().toSet)
+    // the matches frame points every copy at its corpus source
+    val m = Dedup.incrementalEmbeddingMatches(corpus, copies, "vec_id",
+      "embedding", 0.98).select($"id_a", $"id_b").as[(Long, Long)]
+      .collect().toSet
+    assert(m.map(_._1) == copies.select($"vec_id").as[Long].collect().toSet)
+    assert(m.forall { case (a, b) => a == b + 1000000L })
+  }
+
   test("oversized-bucket star collapse: identical-doc flood stays linear (MinHash)") {
     // 10^4 identical docs put the whole corpus into ONE (band, hash) bucket of
     // every band — all-pairs would be 5*10^7 candidates in a single shuffle
@@ -274,6 +300,71 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
     assert(a == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L, 9L -> 7L,
       20L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
+  test("components('auto'): exhausted propagation budget escapes to star, labels intact") {
+    // 500-node path with a 3-round budget: propagation (even with its pointer
+    // jump) cannot finish, so the unified entry must contract through the
+    // partial labels and let star finish the quotient — same labels as either
+    // full variant
+    val chain = spark.range(499).select($"id".as("id_a"), ($"id" + 1L).as("id_b"))
+    val auto = Dedup.components(chain, propagateRounds = 3)
+      .agg(count(lit(1)), sum(when($"component" === 0L, 0L).otherwise(1L)))
+      .as[(Long, Long)].head()
+    assert(auto == ((500L, 0L)), "auto labels wrong after star escape")
+    // common shape: converges inside the budget, star never runs
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id_a", "id_b")
+    val viaAuto = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(Dedup.lastConverged && Dedup.lastRounds <= 3)
+    assert(viaAuto == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+    // explicit strategies dispatch; unknown strategy refuses
+    assert(Dedup.components(pairs, strategy = "star")
+      .as[(Long, Long)].collect().toMap == viaAuto)
+    assert(Dedup.components(pairs, strategy = "propagate")
+      .as[(Long, Long)].collect().toMap == viaAuto)
+    assertThrows[IllegalArgumentException](
+      Dedup.components(pairs, strategy = "bogus"))
+  }
+
+  test("skew guard property: component structure invariant across random maxBucket (fuzz)") {
+    // random duplicate-GROUP corpora — the flood shape the guard exists for:
+    // identical copies share every band, so any maxBucket (including values
+    // small enough to trip the guard on most groups) must leave the verified
+    // pair set's CONNECTIVITY unchanged vs the guard-off run
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val vocab = Vector("alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+      "golf", "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+      "oscar", "papa", "quebec", "romeo", "sierra", "tango", "uniform",
+      "victor", "whiskey", "xray", "yankee", "zulu", "amber", "basalt",
+      "cobalt", "dune", "ember", "flint", "gneiss", "harbor", "inlet", "jade")
+    val corpusGen = for {
+      nGroups <- Gen.choose(4, 8)
+      sizes <- Gen.listOfN(nGroups, Gen.choose(1, 25))
+      texts <- Gen.listOfN(nGroups, Gen.choose(8, 15).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+      maxBucket <- Gen.choose(2, 40)
+    } yield (sizes.zip(texts), maxBucket)
+    val samples = (0 until 3).flatMap(i =>
+      corpusGen.apply(Gen.Parameters.default, Seed(1234L + i)))
+    for (((groups, maxBucket)) <- samples) {
+      val rows = groups.zipWithIndex.flatMap { case ((sz, text), g) =>
+        (0 until sz).map(c => (g * 1000L + c, text))
+      }
+      val corpus = rows.toDF("doc_id", "text")
+      def componentsAt(mb: Int): Map[Long, Long] = {
+        val pairs = Dedup.minhashLshPairs(corpus, "doc_id", "text",
+          shingleN = 3, numHashes = 64, bands = 16, threshold = 0.7,
+          maxBucket = mb)
+        Dedup.components(pairs).as[(Long, Long)].collect().toMap
+      }
+      val guarded = componentsAt(maxBucket)
+      val unguarded = componentsAt(0) // maxBucket <= 0 disables the guard
+      assert(guarded == unguarded,
+        s"connectivity drift at maxBucket=$maxBucket over groups=" +
+          groups.map(_._1).mkString(","))
+      spark.catalog.clearCache()
+    }
   }
 
   test("composites free their internal caches; release() frees the labels checkpoint") {
