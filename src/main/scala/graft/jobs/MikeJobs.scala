@@ -188,12 +188,27 @@ object MikeJobs {
     pivotWide(named, "time", "station_name", "value", stationOrder)
   }
 
+  /** A6 probe frame: the one-row MAX over the series' time column. Kept as a
+    * separate frame so callers (and the plan spec) can assert the physical
+    * plan: on a `JdbcScan.table` (DSv2) source this MAX compiles into the
+    * database (`PushedAggregates: [MAX(..)]`) — the cron-tick freshness probe
+    * costs the warehouse one scalar, not a table scan. */
+  def obsEndFrame(series: DataFrame, timeCol: String = "time"): DataFrame =
+    series.agg(max(col(timeCol)).as("obs_end"))
+
   /** A6: `get_obs_end` — the latest observed timestamp of a series, used by the
     * discharge job as its `latest_fgt` tag
-    * (ref: inputs/gen_mike_input_dis_linux.py:176). One max aggregate. */
+    * (ref: inputs/gen_mike_input_dis_linux.py:176). One max aggregate; temporal
+    * type depends on the source (parquet ntz vs JDBC TIMESTAMP), both map to
+    * the same wall-clock LocalDateTime under the UTC session. */
   def getObsEnd(series: DataFrame, timeCol: String = "time"): Option[java.time.LocalDateTime] =
-    series.agg(max(col(timeCol))).first() match {
+    obsEndFrame(series, timeCol).first() match {
       case r if r.isNullAt(0) => None
-      case r => Some(r.getAs[java.time.LocalDateTime](0))
+      case r => r.get(0) match {
+        case t: java.time.LocalDateTime => Some(t)
+        case t: java.sql.Timestamp => Some(t.toLocalDateTime)
+        case t: java.time.Instant =>
+          Some(java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC))
+      }
     }
 }

@@ -9,13 +9,14 @@ import org.apache.spark.sql.types._
   *
   * The Spark-side contract is real and tested — schema, partition sizing, batch
   * shape, deterministic chunking. The codec layer is split honestly: the PNM
-  * image family (PPM/PGM — uncompressed rasters) gets a REAL pure-JVM decoder
-  * (`PnmCodec`: decode → nearest-neighbor resize → exact per-channel stats),
-  * proving the mapPartitions plumbing end-to-end with real pixels; compressed
-  * formats (JPEG/PNG/audio/video) remain STUBBED with a deterministic fake,
-  * because their codecs need native libraries this container does not have.
-  * Swapping one in means replacing the `BatchDecoder` value only; every plan
-  * shape stays the same.
+  * image family (PPM/PGM — uncompressed rasters), non-interlaced 8-bit PNG
+  * (DEFLATE is in the JVM — `PngCodec`), and RIFF/WAVE PCM audio all get REAL
+  * pure-JVM decoders (decode → nearest-neighbor resize → exact per-channel
+  * stats), proving the mapPartitions plumbing end-to-end with real pixels and
+  * samples; only formats whose codecs genuinely need native libraries this
+  * container does not have (JPEG, compressed audio/video) remain STUBBED with
+  * a deterministic fake. Swapping one in means replacing the `BatchDecoder`
+  * value only; every plan shape stays the same.
   *
   * Scale design: media rows are orders of magnitude wider than text rows, so the
   * operators (a) never shuffle the binary payload except when explicitly
@@ -103,6 +104,23 @@ object Multimodal {
   def pnmBatchDecoder(resizeTo: Option[(Int, Int)] = None): BatchDecoder =
     rows => rows.flatMap { case (id, _, payload) =>
       PnmCodec.decode(payload).map { img =>
+        val prepped = resizeTo match {
+          case Some((tw, th)) => PnmCodec.resizeNearest(img, tw, th)
+          case None => img
+        }
+        (id, PnmCodec.features(prepped))
+      }
+    }
+
+  /** REAL decoder for non-interlaced 8-bit gray/RGB PNG (`PngCodec`): the
+    * JVM ships PNG's DEFLATE (`java.util.zip.Inflater`), so decode + per-row
+    * unfilter need no native library. Shares resize/features with the PNM
+    * path; undecodable or out-of-subset payloads (16-bit, palette, alpha,
+    * Adam7) are DROPPED. With this, the stub seam covers only JPEG and
+    * compressed audio/video. */
+  def pngBatchDecoder(resizeTo: Option[(Int, Int)] = None): BatchDecoder =
+    rows => rows.flatMap { case (id, _, payload) =>
+      PngCodec.decode(payload).map { img =>
         val prepped = resizeTo match {
           case Some((tw, th)) => PnmCodec.resizeNearest(img, tw, th)
           case None => img

@@ -4,11 +4,12 @@ package graft.operators
   *
   * The PNM family is header + raw samples with zero compression, so a real
   * decode/resize/feature pipeline needs no native library — which makes it the
-  * honest end of the multimodal story in this environment: PNM payloads get a
-  * REAL codec; compressed formats (JPEG/PNG/audio/video) still go through the
-  * documented stub seam (`Multimodal.stubBatchDecoder`), because their codecs
-  * do not exist in this container. Everything here is per-row pure functions —
-  * deterministic under any partitioning.
+  * honest end of the multimodal story in this environment: PNM (and, via
+  * `PngCodec`, non-interlaced 8-bit PNG) payloads get REAL codecs; formats
+  * whose codecs genuinely need native libraries (JPEG, compressed
+  * audio/video) still go through the documented stub seam
+  * (`Multimodal.stubBatchDecoder`). Everything here is per-row pure
+  * functions — deterministic under any partitioning.
   */
 object PnmCodec {
 

@@ -73,6 +73,104 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L)(0) == 4.0 && out(1L)(3) == 127.5)
   }
 
+  test("PNG codec: Deflater round-trip across all five filters; junk filtered") {
+    import graft.operators.{PngCodec, PnmCodec}
+    // hand-built encoder (java.util.zip.Deflater + CRC32): applies the chosen
+    // PNG filter per row, so decode exercises every unfilter branch
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    def png(w: Int, h: Int, channels: Int, pix: Array[Byte],
+            filterType: Int, bitDepth: Int = 8): Array[Byte] = {
+      val colorType = if (channels == 3) 2 else 0
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(bitDepth.toByte).put(colorType.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      val stride = w * channels
+      val raw = new Array[Byte]((stride + 1) * h)
+      for (y <- 0 until h) {
+        raw(y * (stride + 1)) = filterType.toByte
+        for (x <- 0 until stride) {
+          val cur = pix(y * stride + x) & 0xff
+          val left = if (x >= channels) pix(y * stride + x - channels) & 0xff else 0
+          val up = if (y > 0) pix((y - 1) * stride + x) & 0xff else 0
+          val ul = if (x >= channels && y > 0)
+            pix((y - 1) * stride + x - channels) & 0xff else 0
+          val enc = filterType match {
+            case 0 => cur
+            case 1 => cur - left
+            case 2 => cur - up
+            case 3 => cur - ((left + up) >> 1)
+            case 4 =>
+              val p = left + up - ul
+              val pa = math.abs(p - left); val pb = math.abs(p - up)
+              val pc = math.abs(p - ul)
+              cur - (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          }
+          raw(y * (stride + 1) + 1 + x) = (enc & 0xff).toByte
+        }
+      }
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1024)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.empty)
+    }
+    // deterministic 16x16 RGB test raster with structure in both axes
+    val w = 16; val h = 16
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; val c = i % 3
+      (((p % w) * 17 + (p / w) * 31 + c * 53) % 256).toByte
+    }
+    for (ft <- 0 to 4) {
+      val img = PngCodec.decode(png(w, h, 3, rgb, ft))
+        .getOrElse(fail(s"filter $ft did not decode"))
+      assert(img.width == w && img.height == h && img.channels == 3)
+      assert(img.pixels.sameElements(rgb), s"filter $ft round-trip mismatch")
+    }
+    // grayscale subset + feature parity with the PNM path (same Image type)
+    val grayPix = Array.tabulate(8 * 4)(i => (i * 7 % 256).toByte)
+    val gimg = PngCodec.decode(png(8, 4, 1, grayPix, 4)).get
+    assert(gimg.channels == 1)
+    assert(PnmCodec.features(gimg).sameElements(
+      PnmCodec.features(PnmCodec.Image(8, 4, 1, grayPix))))
+    // undecodable payloads: truncation, CRC corruption, unsupported depth,
+    // interlace, palette color type, PNM bytes, null
+    val good = png(w, h, 3, rgb, 0)
+    assert(PngCodec.decode(good.dropRight(15)).isEmpty, "truncated decoded")
+    val corrupt = good.clone(); corrupt(40) = (corrupt(40) ^ 0xff).toByte
+    assert(PngCodec.decode(corrupt).isEmpty, "CRC corruption decoded")
+    assert(PngCodec.decode(png(w, h, 3, rgb, 0, bitDepth = 16)).isEmpty,
+      "16-bit depth decoded") // header valid (CRC ok), subset check must reject
+    assert(PngCodec.decode("P6\n2 2\n255\n".getBytes("US-ASCII") ++
+      Array.fill[Byte](12)(1)).isEmpty)
+    assert(PngCodec.decode(null).isEmpty)
+    // end-to-end through the mapPartitions seam: PNGs decode, junk drops,
+    // resize shares the PNM path
+    val rows = Seq(
+      Row(1L, "image", good, null),
+      Row(2L, "image", png(8, 4, 1, grayPix, 2), null),
+      Row(3L, "image", Array.fill[Byte](64)(5), null),
+      Row(4L, "image", null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val out = Multimodal.decodePartitions(df,
+        Multimodal.pngBatchDecoder(resizeTo = Some((4, 4))))
+      .select($"media_id", $"features").as[(Long, Seq[Double])]
+      .collect().toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)(0) == 4.0 && out(1L)(1) == 4.0)
+  }
+
   test("WAV codec: real PCM decode + exact features through mapPartitions") {
     import graft.operators.WavCodec
     // hand-built 16-bit mono WAV: 4 frames at 8000 Hz, a full square wave

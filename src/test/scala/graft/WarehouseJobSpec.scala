@@ -109,6 +109,48 @@ class WarehouseJobSpec extends SparkSpec {
     assert(!ran2)
   }
 
+  test("DischargeInputJob from JDBC: freshness probe is a pushed MAX (DSv2)") {
+    val dir = Files.createTempDirectory("disjdbc")
+    val url = "jdbc:derby:memory:disjdbc;create=true"
+    val c = java.sql.DriverManager.getConnection(url)
+    c.createStatement().execute(
+      "CREATE TABLE dis_series (time TIMESTAMP NOT NULL, value DOUBLE)")
+    val ps = c.prepareStatement("INSERT INTO dis_series VALUES (?, ?)")
+    for ((s, v) <- Seq(("2024-01-01 00:00:00", 12.5),
+        ("2024-01-01 00:15:00", 11.0), ("2024-01-01 00:45:00", -3.0),
+        ("2024-02-01 00:00:00", 99.0))) { // out-of-window row must be filtered
+      ps.setTimestamp(1, java.sql.Timestamp.valueOf(s))
+      ps.setDouble(2, v)
+      ps.addBatch()
+    }
+    ps.executeBatch()
+    c.close()
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"series_jdbc_url": "$url", "series_jdbc_table": "APP.DIS_SERIES",
+         | "output_path": "$dir/out"}""".stripMargin)
+    // the job's ACTUAL probe composition (readSeries -> obsEndFrame): the MAX
+    // must compile into the database, not run client-side over the table
+    val cfg = spark.read.option("multiLine", true).json(s"$dir/cfg.json").first()
+    val probe = graft.jobs.MikeJobs.obsEndFrame(
+      graft.jobs.DischargeInputJob.readSeries(spark, cfg,
+        "2024-01-01 00:00:00", "2024-01-01 00:45:00"))
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [MAX("),
+      s"obs-end MAX not pushed into the database:\n$plan")
+    // end-to-end through run(): same artifact contract as the parquet twin
+    val (ran, fgt) = graft.jobs.DischargeInputJob.run(spark, s"$dir/cfg.json",
+      "2024-01-01 00:00:00", "2024-01-01 00:45:00")
+    assert(ran)
+    assert(fgt.contains(java.time.LocalDateTime.parse("2024-01-01T00:45:00")))
+    val csv = new java.io.File(s"$dir/out").listFiles
+      .filter(_.getName.endsWith(".csv")).head
+    val lines = Files.readAllLines(csv.toPath)
+    assert(lines.size() == 3)
+    assert(lines.get(0) == "2024-01-01 00:00:00,12.5")
+    assert(lines.get(1) == "2024-01-01 00:15:00,11.0")
+    assert(lines.get(2) == "2024-01-01 00:45:00,0.0") // negative last row patched
+  }
+
   test("RawRainfallInputJob: active-station gate + neighbor fill + name pivot CSV") {
     val dir = Files.createTempDirectory("rawrfjob")
     // station 3 has NO data in the window -> the S5 active gate must exclude it
