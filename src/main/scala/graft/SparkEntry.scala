@@ -134,7 +134,9 @@ object SparkEntry {
     "q65_doc_frequency" -> qDocFrequency,
     "q66_source_quantiles" -> qSourceQuantiles,
     "q67_tfidf_keywords" -> qTfIdfKeywords,
-    "q68_incremental_embedding" -> qIncrementalEmbedding)
+    "q68_incremental_embedding" -> qIncrementalEmbedding,
+    "q69_shared_windows" -> qSharedWindows,
+    "q70_pq_assign" -> qPqAssign)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -234,6 +236,24 @@ object SparkEntry {
   private def qKmeansAssign(s: SparkSession, dir: String): DataFrame =
     Similarity.kmeansAssignReport(t(s, dir, "embeddings"), nCentroids = 16)
       .orderBy(col("cell"))
+
+  /** Product-quantization assignment report (q64's PQ sibling): seed
+    * codebooks (Knuth-hash pick, iters = 0 — the SQL-reproducible
+    * configuration), encode every vector into m = 4 subspace codes via the
+    * exact-integer L2 argmin, then per (subspace, code) emit the member count
+    * and the exact id checksum. The oracle re-derives quantization, subspace
+    * slicing, seeding, and the (d2, centroid_id) argmin order bit-for-bit —
+    * pinning the encoding path `pqSearch` serves from. */
+  private def qPqAssign(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val books = Similarity.pqTrain(emb, m = 4, ksub = 16, iters = 0)
+    Similarity.pqEncode(emb, books, m = 4)
+      .select(col("neighbor_id").as("vec_id"),
+        posexplode(col("codes")).as(Seq("subspace", "code")))
+      .groupBy(col("subspace"), col("code"))
+      .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("id_sum"))
+      .orderBy(col("subspace"), col("code"))
+  }
 
   /** Per-source corpus length statistics with EXACT rank-based quantiles
     * (lower median, p90) in histogram form: `groupBy(source, n_tokens)` counts
@@ -764,6 +784,27 @@ object SparkEntry {
       "vec_id", "embedding", threshold = 0.98)
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Exact-substring dedup signal: pairs of documents sharing at least one
+    * exact 20-token window, with the count of distinct shared windows — the
+    * long-verbatim-overlap detector whole-document Jaccard dilutes away. The
+    * corpus is injected with deterministic concatenations (every 9th doc
+    * fused with its successor), so each synthetic doc shares every window of
+    * both parents; the oracle re-derives the window sets as strings (the
+    * 64-bit window hash is collision-free at any realistic scale, so
+    * hash-match counts == string-match counts). */
+  private def qSharedWindows(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      .select(col("doc_id"), col("text"))
+    val synth = base.as("a")
+      .join(base.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .filter(pmod(col("a.doc_id"), lit(9L)) === 1)
+      .select((col("a.doc_id") + 500000L).as("doc_id"),
+        concat_ws(" ", col("a.text"), col("b.text")).as("text"))
+    Dedup.sharedWindowPairs(base.unionByName(synth), "doc_id", "text",
+      windowTokens = 20)
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** Deterministic data-mixture report: per-source totals vs Knuth-hash sampled
@@ -1863,5 +1904,63 @@ object SparkEntry {
         |    >= 0.98)
         |SELECT vec_id, label FROM inc
         |WHERE vec_id NOT IN (SELECT vec_id FROM matched)
-        |ORDER BY vec_id""".stripMargin)
+        |ORDER BY vec_id""".stripMargin,
+    // Window sets re-derived as STRINGS (space-joined 20-grams, distinct per
+    // doc); the engine matches on xxhash64 of the same strings, so pair
+    // counts agree exactly barring a 64-bit collision.
+    "q69_shared_windows" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+        |synth AS (
+        |  SELECT a.doc_id + 500000 AS doc_id, a.text || ' ' || b.text AS text
+        |  FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 9 = 1),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM synth),
+        |toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM corpus),
+        |wins AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    list_transform(range(1, len(ws) - 18), i ->
+        |      array_to_string(list_slice(ws, i, i + 19), ' ')))) AS w
+        |  FROM toks WHERE len(ws) >= 20)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(COUNT(*) AS BIGINT) AS shared_windows
+        |FROM wins a JOIN wins b ON a.w = b.w AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
+    // Full PQ-encoding reimplementation: quantize to 1e6 longs, Knuth-hash
+    // seed pick with dense 0..15 ids, slice 64 dims into 4×16 subspaces
+    // (fixed by the testdata generator), L2 argmin |c|²−2·dot with
+    // (d2, centroid_id) tie order, then the per-(subspace, code) histogram.
+    "q70_pq_assign" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS cv
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY (vec_id * 2654435761) % 4294967296,
+        |      vec_id) - 1 AS centroid_id, cv
+        |  FROM q ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |sub AS (SELECT * FROM (VALUES (0, 1, 16), (1, 17, 16), (2, 33, 16),
+        |  (3, 49, 16)) AS t(s, off, len)),
+        |cand AS (
+        |  SELECT v.vec_id, r.s, sd.centroid_id,
+        |    list_sum(list_transform(range(1, r.len + 1), i ->
+        |      list_slice(sd.cv, r.off, r.off + r.len - 1)[i] *
+        |      list_slice(sd.cv, r.off, r.off + r.len - 1)[i]))
+        |    - 2 * list_sum(list_transform(range(1, r.len + 1), i ->
+        |      list_slice(v.cv, r.off, r.off + r.len - 1)[i] *
+        |      list_slice(sd.cv, r.off, r.off + r.len - 1)[i])) AS d2
+        |  FROM q v CROSS JOIN sub r CROSS JOIN seeds sd),
+        |assigned AS (
+        |  SELECT vec_id, s, centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id, s
+        |      ORDER BY d2, centroid_id) AS rn
+        |  FROM cand)
+        |SELECT CAST(s AS INT) AS subspace, CAST(centroid_id AS INT) AS code,
+        |  CAST(COUNT(*) AS BIGINT) AS n_members,
+        |  CAST(SUM(vec_id) AS BIGINT) AS id_sum
+        |FROM assigned WHERE rn = 1
+        |GROUP BY 1, 2 ORDER BY subspace, code""".stripMargin)
 }

@@ -241,6 +241,42 @@ object Dedup {
         blockCols).select(col("id_a").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Exact-substring near-dup signal: document pairs sharing at least one
+    * exact `windowTokens`-token span — the "shared 50-token window" dedup of
+    * the training-data literature, which catches long verbatim overlaps
+    * (licenses, boilerplate, quoted passages) that whole-document Jaccard
+    * dilutes away on long documents. Returns (id_a, id_b, shared_windows =
+    * number of DISTINCT window hashes the pair shares).
+    *
+    * Plan shape: each document's sorted DISTINCT window hashes are computed
+    * in-row by one compiled pass (`SortedHashedShinglesExpr`); the window hash
+    * IS the match key, so there is no candidate/verify split — one explode
+    * (O(total tokens) rows, never materialized driver-side), one equi
+    * self-join per hash, one count aggregate. The exploded frame is cheap to
+    * recompute (a scan + one projection), so it is deliberately NOT persisted
+    * at corpus scale. A boilerplate span shared by thousands of documents is
+    * the flood case: `splitOversizedBuckets` collapses those hash buckets to
+    * representative-anchored rows — star pairs are still EXACT matches (hash
+    * equality needs no verify), member↔member pairs inside the flooded bucket
+    * are the only omission, so cluster connectivity is preserved and emitted
+    * counts stay exact for every surviving pair. */
+  def sharedWindowPairs(docs: DataFrame, idCol: String, textCol: String,
+                        windowTokens: Int = 50,
+                        maxBucket: Int = 4096): DataFrame = {
+    val ex = ensureParallel(docs).select(col(idCol).as("__id"),
+      explode(TextFns.sortedHashedShingles(col(textCol), windowTokens))
+        .as("__wh"))
+    val (normal, star) = splitOversizedBuckets(ex, Seq("__wh"), maxBucket)
+    val normalPairs = normal.as("a").join(normal.as("b"),
+        col("a.__wh") === col("b.__wh") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+    val all = if (star == null) normalPairs
+      else normalPairs.unionByName(
+        star.select(col("__bmin").as("id_a"), col("__id").as("id_b")))
+    all.groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_windows"))
+  }
+
   /** Incremental EMBEDDING near-dup matches — the cosine twin of
     * `incrementalJaccardMatches`: every (incoming, existing-corpus) pair with
     * quantized cosine >= threshold. The hyperplane-band candidate join runs

@@ -251,6 +251,159 @@ object Similarity {
     ivfSearch(buildIvfIndex(corpus, nCentroids, idCol, vecCol), queries, k,
       nProbe, idCol, vecCol)
 
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search", IEEE TPAMI 2011) — the memory-compression half of a
+  // 100 TB ANN store: each vector is reduced to `m` small codes (one per
+  // contiguous dimension subspace), and queries score encoded vectors from
+  // per-subspace lookup tables (ADC) without touching the original floats.
+  // Deterministic throughout: quantized-integer arithmetic, Knuth-hash seed
+  // pick, L2 assignment with (distance, centroid_id) tie-breaks.
+  // ---------------------------------------------------------------------
+
+  /** Nearest codebook entry by L2 over pre-quantized subvectors, as an in-row
+    * argmin over a packed (centroid_id, centv, centn2) array: minimizing
+    * |x−c|² ≡ minimizing centn2 − 2·dot(x,c) (the |x|² term is constant per
+    * row). Exact integer keys, centroid_id tie-break — PQ assignment uses L2
+    * (reconstruction error), NOT the cosine argmax the IVF cells use. */
+  private def nearestCodeL2(cents: Column, v: Column): Column = slice(
+    array_sort(transform(cents, c => struct(
+      (c("centn2") - lit(2L) * VectorFns.dotLong(v, c("centv"))).as("d2"),
+      c("centroid_id").as("cid")))),
+    1, 1)(0)("cid")
+
+  /** Subspace slicing: `m` contiguous ranges over `dims` dimensions; the last
+    * subspace absorbs the remainder. Returns (offset, length) pairs (1-based
+    * offsets for `slice`). */
+  private def subRanges(dims: Int, m: Int): Seq[(Int, Int)] = {
+    require(m >= 1 && dims >= m, s"need at least m=$m dims, got $dims")
+    val base = dims / m
+    (0 until m).map(s =>
+      (s * base + 1, if (s == m - 1) dims - s * base else base))
+  }
+
+  /** Train PQ codebooks: per subspace, `ksub` centroids with dense ids
+    * 0..ksub-1 (seeded by the same deterministic Knuth-hash order as
+    * `kmeansCentroids`, then `iters` rounds of L2 Lloyd — `iters = 0` keeps
+    * the seed codebook, the SQL-oracle-reproducible configuration). Exact
+    * integer accumulation via `VectorSumAgg`; empty cells keep their
+    * centroid. Train on a sample at corpus scale — the codebook is
+    * vocabulary-sized, the corpus is not. Returns (subspace, centroid_id,
+    * centv, centn2 = exact squared norm). */
+  def pqTrain(corpus: DataFrame, m: Int = 4, ksub: Int = 16, iters: Int = 2,
+              idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    graft.functions.VectorSumAgg.register(corpus.sparkSession)
+    val prepped = corpus
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol).as("__id"), VectorFns.quantize(col(vecCol)).as("cv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dims = prepped.select(size(col("cv"))).first().getInt(0)
+    val books = subRanges(dims, m).zipWithIndex.map { case ((off, len), s) =>
+      val sub = prepped.select(col("__id"), slice(col("cv"), off, len).as("cv"))
+      // ksub rows: the single-partition window is bounded by the codebook size
+      val seeds = sub
+        .orderBy(pmod(col("__id") * lit(2654435761L), lit(4294967296L)),
+          col("__id"))
+        .limit(ksub)
+        .select((row_number().over(Window.orderBy(
+            pmod(col("__id") * lit(2654435761L), lit(4294967296L)),
+            col("__id"))) - 1).as("centroid_id"),
+          col("cv").as("centv"))
+        .withColumn("centn2", VectorFns.dotLong(col("centv"), col("centv")))
+      var cents = seeds.localCheckpoint()
+      for (_ <- 0 until iters) {
+        val packed = broadcast(cents.agg(collect_list(
+          struct(col("centroid_id"), col("centv"), col("centn2"))).as("cents")))
+        val sums = sub.crossJoin(packed)
+          .withColumn("code", nearestCodeL2(col("cents"), col("cv")))
+          .groupBy(col("code"))
+          .agg(graft.functions.VectorSumAgg(col("cv")).as("sv"),
+            count(lit(1)).as("n"))
+        val fresh = sums.select(col("code").as("centroid_id"),
+            transform(col("sv"),
+              x => round(x.cast("double") / col("n")).cast("long")).as("centv"))
+          .withColumn("centn2", VectorFns.dotLong(col("centv"), col("centv")))
+        cents = cents.as("old")
+          .join(fresh.as("new"), Seq("centroid_id"), "left")
+          .select(col("centroid_id"),
+            coalesce(col("new.centv"), col("old.centv")).as("centv"),
+            coalesce(col("new.centn2"), col("old.centn2")).as("centn2"))
+          .localCheckpoint()
+      }
+      cents.withColumn("subspace", lit(s))
+        .select(col("subspace"), col("centroid_id"), col("centv"), col("centn2"))
+    }
+    val out = books.reduce(_ unionByName _).localCheckpoint()
+    prepped.unpersist(blocking = false)
+    out
+  }
+
+  /** One broadcastable row packing every subspace's codebook, positions
+    * aligned: `bk(s)` is subspace s's centroid array sorted by centroid_id
+    * (dense 0..ksub-1, so position == code). */
+  private def packedBooks(books: DataFrame): DataFrame =
+    books.groupBy(col("subspace"))
+      .agg(sort_array(collect_list(
+        struct(col("centroid_id"), col("centv"), col("centn2")))).as("cents"))
+      .agg(sort_array(collect_list(struct(col("subspace"), col("cents"))))
+        .as("__sb"))
+      .select(transform(col("__sb"), e => e("cents")).as("bk"))
+
+  /** Encode the corpus: per vector, per subspace, the L2-nearest codebook id —
+    * `m` small ints instead of the float vector (for 64 dims × 4 bytes → 4
+    * codes, a 16-64× memory reduction in the serving store). One broadcast
+    * pass, no row amplification. Returns (neighbor_id, codes array<int>). */
+  def pqEncode(corpus: DataFrame, books: DataFrame, m: Int = 4,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val q = corpus.select(col(idCol).as("neighbor_id"),
+      VectorFns.quantize(col(vecCol)).as("cv"))
+    val dims = q.select(size(col("cv"))).first().getInt(0)
+    val ranges = subRanges(dims, m)
+    q.crossJoin(broadcast(packedBooks(books)))
+      .select(col("neighbor_id"),
+        array(ranges.zipWithIndex.map { case ((off, len), s) =>
+          nearestCodeL2(col("bk")(s), slice(col("cv"), off, len)).cast("int")
+        }: _*).as("codes"))
+  }
+
+  /** ADC (asymmetric distance computation) search: each query builds one
+    * dot-product lookup table per subspace against the codebooks (ksub·m
+    * integer dots — independent of corpus size), then every encoded vector is
+    * scored by `m` table lookups: cosine(q, reconstruction(codes)) =
+    * Σ_s dot(q_s, c_s) / (|q| · √Σ_s |c_s|²), exact integer numerators.
+    * Approximate by construction (quantization error), deterministic given the
+    * codebooks; rank ties break on neighbor_id like every ANN route here. The
+    * query side is broadcast; the encoded corpus is never shuffled. */
+  def pqSearch(books: DataFrame, encoded: DataFrame, queries: DataFrame,
+               k: Int, m: Int = 4, idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      VectorFns.quantize(col(vecCol)).as("qv"))
+    val dims = q.select(size(col("qv"))).first().getInt(0)
+    val ranges = subRanges(dims, m)
+    val tables = q.crossJoin(broadcast(packedBooks(books)))
+      .select(col("query_id"),
+        sqrt(VectorFns.dotLong(col("qv"), col("qv")).cast("double")).as("qn"),
+        array(ranges.zipWithIndex.map { case ((off, len), s) =>
+          transform(col("bk")(s), c =>
+            struct(VectorFns.dotLong(slice(col("qv"), off, len), c("centv"))
+                .as("dot"),
+              c("centn2").as("n2")))
+        }: _*).as("tabs"))
+    val scored = encoded.crossJoin(broadcast(tables))
+      .withColumn("__hits", zip_with(col("codes"), col("tabs"),
+        (code, tab) => element_at(tab, code + 1)))
+      .withColumn("cosine",
+        aggregate(col("__hits"), lit(0L), (acc, h) => acc + h("dot"))
+          .cast("double") /
+        (col("qn") * sqrt(aggregate(col("__hits"), lit(0L),
+          (acc, h) => acc + h("n2")).cast("double"))))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    rankTopK(scored, k)
+  }
+
   /** LSH-bucketed top-k: candidates limited to rows whose hyperplane signature
     * matches the query's (exact bucket only; callers trade recall for cost via
     * `nPlanes`). Same deterministic ranking as brute force. */

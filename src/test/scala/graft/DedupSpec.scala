@@ -302,6 +302,33 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 30L -> 30L, 31L -> 30L))
   }
 
+  test("sharedWindowPairs: exact k-token window overlap, exact counts, flood guard") {
+    val span = (0 until 20).map(i => s"w$i").mkString(" ") // one exact window
+    val span2 = (0 until 21).map(i => s"v$i").mkString(" ") // two windows (21 tokens)
+    val corpus = Seq(
+      (1L, s"intro text alpha beta $span trailing words here"),
+      (2L, s"completely different opening $span and another ending"),
+      (3L, s"$span2 padded"), // shares v-windows with 4 only
+      (4L, span2),
+      (5L, "no overlap with anything else at all in this document whatsoever"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sharedWindowPairs(corpus, "doc_id", "text",
+      windowTokens = 20)
+      .as[(Long, Long, Long)].collect().toSet
+    // (1,2) share exactly the one w-span window; (3,4) share the two v-windows
+    assert(pairs == Set((1L, 2L, 1L), (3L, 4L, 2L)))
+    // flood: 5000 identical docs put every window hash into one oversized
+    // bucket; the guard emits min-anchored pairs with EXACT counts instead of
+    // 12.5M all-pairs rows
+    val flood = spark.range(5000).select($"id".as("doc_id"),
+      lit((0 until 25).map(i => s"f$i").mkString(" ")).as("text")) // 6 windows
+    val guarded = Dedup.sharedWindowPairs(flood, "doc_id", "text",
+      windowTokens = 20, maxBucket = 256)
+    val rows = guarded.as[(Long, Long, Long)].collect()
+    assert(rows.length == 4999) // star: every member anchored at doc 0
+    assert(rows.forall { case (a, _, n) => a == 0L && n == 6L }) // counts exact
+  }
+
   test("components('auto'): exhausted propagation budget escapes to star, labels intact") {
     // 500-node path with a 3-round budget: propagation (even with its pointer
     // jump) cannot finish, so the unified entry must contract through the

@@ -31,7 +31,9 @@ class PlanAuditSpec extends SparkSpec {
     // quadratic oracle the banded pair set is checked against
     "q59_simhash_containment",
     // q64: q43's packed 1-row centroid broadcast (k-means assignment)
-    "q64_kmeans_assign")
+    "q64_kmeans_assign",
+    // q70: the same packed 1-row broadcast, PQ codebooks (encode argmin)
+    "q70_pq_assign")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where designed") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

@@ -93,6 +93,39 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("PQ: codebook shape, partition-invariant codes, duplicate retrieval") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val books = Similarity.pqTrain(emb, m = 4, ksub = 8, iters = 1)
+    // m complete codebooks with dense ids and exact squared norms
+    val shape = books.groupBy($"subspace")
+      .agg(count(lit(1)).as("k"), min($"centroid_id"), max($"centroid_id"))
+      .as[(Int, Long, Int, Int)].collect().toSet
+    assert(shape == (0 until 4).map(s => (s, 8L, 0, 7)).toSet)
+    assert(books.filter($"centn2" =!=
+      graft.functions.VectorFns.dotLong($"centv", $"centv")).count() == 0)
+    // codes are deterministic and partition-invariant (exact integer argmin)
+    val c1 = Similarity.pqEncode(emb.repartition(1), books, m = 4)
+      .as[(Long, Seq[Int])].collect().toMap
+    val c7 = Similarity.pqEncode(emb.repartition(7), books, m = 4)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(c1 == c7)
+    assert(c1.values.forall(cs => cs.length == 4 && cs.forall(c => c >= 0 && c < 8)))
+    // an exact duplicate shares all codes with its source, and ADC retrieves
+    // it at rank 1 (identical codes maximize the reconstruction cosine)
+    val dup = emb.filter($"vec_id" === 7L)
+      .select(lit(999999L).as("vec_id"), $"embedding")
+    val corpus2 = emb.unionByName(dup)
+    val books2 = Similarity.pqTrain(corpus2, m = 4, ksub = 8, iters = 1)
+    val enc = Similarity.pqEncode(corpus2, books2, m = 4)
+    val codes = enc.filter($"neighbor_id".isin(7L, 999999L))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(codes(7L) == codes(999999L))
+    val top = Similarity.pqSearch(books2, enc, dup, k = 3, m = 4)
+      .filter($"rank" === 1).select($"neighbor_id").as[Long].head()
+    assert(top == 7L) // its twin wins rank 1 (id tie-break among equal scores)
+  }
+
   test("lshTopK recall: exact-duplicate vectors always share a bucket") {
     val withDup = corpus.union(Seq((5L, Array(1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding"))
