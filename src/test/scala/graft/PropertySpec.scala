@@ -35,6 +35,34 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("histogram quantiles == sort-derived rank statistics on random strata") {
+    // Quantiles.strataStats must equal the literal rank definition (sort the
+    // stratum, take the value at rank r) for every stratum shape the generator
+    // produces: heavy ties, singletons, skewed sizes
+    val gen = Gen.nonEmptyListOf(for {
+      stratum <- Gen.choose(0, 3)
+      value <- Gen.choose(0L, 12L) // narrow domain -> dense ties
+    } yield (stratum, value))
+    for (rows <- samples(gen, 6)) {
+      val df = rows.toDF("s", "v")
+      val got = graft.ops.Quantiles.strataStats(df, Seq("s"), $"v",
+        ranks = Seq(
+          "med" -> (n => graft.ops.Quantiles.div(n + lit(1L), lit(2L))),
+          "p90" -> (n => greatest(lit(1L),
+            graft.ops.Quantiles.div(n * lit(9L), lit(10L))))))
+        .select($"s", $"n", $"total", $"med", $"p90")
+        .as[(Int, Long, Long, Long, Long)].collect().toSet
+      val want = rows.groupBy(_._1).map { case (s, g) =>
+        val sorted = g.map(_._2).sorted
+        val n = sorted.length.toLong
+        (s, n, sorted.sum,
+          sorted(((n + 1) / 2 - 1).toInt),
+          sorted((math.max(1L, n * 9 / 10) - 1).toInt))
+      }.toSet
+      assert(got == want)
+    }
+  }
+
   test("impute idempotence: imputing an already-imputed frame changes nothing") {
     val gen = Gen.listOfN(8, Gen.option(Gen.choose(0, 1000)))
     for (vals <- samples(gen, 5) if vals.exists(_.isDefined)) {
