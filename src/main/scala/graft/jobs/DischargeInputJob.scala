@@ -69,7 +69,9 @@ object DischargeInputJob {
       .find(_.name.equalsIgnoreCase("time")).map(_.dataType) match {
       case Some(org.apache.spark.sql.types.TimestampNTZType) => col("time")
       case _ =>
-        to_timestamp_ntz(date_format(col("time"), "yyyy-MM-dd HH:mm:ss"))
+        // .SSSSSS keeps microsecond precision — a plain seconds pattern would
+        // silently floor fractional-second series on the JDBC route only
+        to_timestamp_ntz(date_format(col("time"), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
     }
     val ran = Maintenance.runIdempotent(outputPath) {
       MikeCsv.writeHeaderlessSeries(

@@ -206,9 +206,16 @@ object MikeJobs {
       case r if r.isNullAt(0) => None
       case r => r.get(0) match {
         case t: java.time.LocalDateTime => Some(t)
-        case t: java.sql.Timestamp => Some(t.toLocalDateTime)
+        // via Instant + explicit UTC, NOT toLocalDateTime: the session runs
+        // UTC, but the JVM default zone may be anything (the reference's boxes
+        // run IST) — both external routes must agree on the same wall clock
+        case t: java.sql.Timestamp =>
+          Some(java.time.LocalDateTime.ofInstant(t.toInstant, java.time.ZoneOffset.UTC))
         case t: java.time.Instant =>
           Some(java.time.LocalDateTime.ofInstant(t, java.time.ZoneOffset.UTC))
+        case other => throw new IllegalArgumentException(
+          s"unsupported temporal type ${other.getClass.getName} in '$timeCol' " +
+            "(expected LocalDateTime, Timestamp, or Instant)")
       }
     }
 }

@@ -286,7 +286,13 @@ object Dedup {
     * hash with the SAME deterministic hyperplane family, so an identical
     * vector is matched with certainty (it agrees on every band);
     * `lshPlanes = 0` selects the exact per-block route (the verify oracle).
-    * Returns (id_a = incoming, id_b = corpus, cosine). */
+    * Returns (id_a = incoming, id_b = corpus, cosine).
+    *
+    * CACHE CONTRACT: the LSH route persists one prep frame per side
+    * (MEMORY_AND_DISK) that the lazy result keeps reading — they cannot be
+    * freed inside the operator. Long-lived sessions invoking this (or
+    * `admitNewByEmbedding`) repeatedly should `spark.catalog.clearCache()`
+    * between batches, as the Verify and Bench harnesses do. */
   def incrementalEmbeddingMatches(corpus: DataFrame, incoming: DataFrame,
                                   idCol: String, vecCol: String,
                                   threshold: Double,
@@ -350,7 +356,8 @@ object Dedup {
 
   /** Admission filter for embedding batches: the incoming vectors with NO
     * cosine near-dup already in the corpus — the embedding lake's append
-    * gate. */
+    * gate. Inherits `incrementalEmbeddingMatches`' cache contract: callers
+    * running many batches in one session should `clearCache()` between them. */
   def admitNewByEmbedding(corpus: DataFrame, incoming: DataFrame,
                           idCol: String, vecCol: String, threshold: Double,
                           blockCols: Seq[String] = Nil, lshPlanes: Int = 12,
@@ -588,6 +595,19 @@ object Dedup {
     * Returns (id, component) for every id that appears in `pairs`. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
                           idB: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val (labels, converged, rounds) = ccPropagate(pairs, idA, idB, maxIter)
+    lastRounds = rounds
+    lastConverged = converged
+    labels
+  }
+
+  /** `connectedComponents` with convergence threaded through the RETURN value
+    * — the form `components("auto")` branches on. Control flow never reads the
+    * shared `lastConverged` var, so concurrent CC runs in one JVM cannot
+    * interleave each other's escape decisions; the vars stay write-only test
+    * observability. */
+  private def ccPropagate(pairs: DataFrame, idA: String, idB: String,
+                          maxIter: Int): (DataFrame, Boolean, Int) = {
     // persist the incoming pair frame: the two union branches below would
     // otherwise evaluate the (often join-heavy) pair subtree twice
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
@@ -648,9 +668,7 @@ object Dedup {
     }
     edges.unpersist()
     p.unpersist()
-    lastRounds = i
-    lastConverged = converged
-    labels.select(col("id"), col("comp").as("component"))
+    (labels.select(col("id"), col("comp").as("component")), converged, i)
   }
 
   /** Rounds the last connectedComponents / connectedComponentsStar call took —
@@ -658,7 +676,8 @@ object Dedup {
   @volatile private[graft] var lastRounds: Int = 0
 
   /** Whether the last CC call reached its fixpoint inside the round budget —
-    * drives the `components("auto")` escape, plus test observability. */
+    * TEST OBSERVABILITY ONLY: `components("auto")`'s escape branches on its
+    * own run's return value (`ccPropagate`), never on this shared var. */
   @volatile private[graft] var lastConverged: Boolean = true
 
   /** Unified cluster-resolution entry point — the one the composites call.
@@ -684,9 +703,11 @@ object Dedup {
     case "propagate" => connectedComponents(pairs, idA, idB)
     case "star" => connectedComponentsStar(pairs, idA, idB)
     case "auto" =>
-      val partial = connectedComponents(pairs, idA, idB,
-        maxIter = propagateRounds)
-      if (lastConverged) partial
+      val (partial, converged, rounds) =
+        ccPropagate(pairs, idA, idB, propagateRounds)
+      lastRounds = rounds
+      lastConverged = converged
+      if (converged) partial
       else {
         // pathological topology: contract through the partial labels and let
         // star finish the quotient graph. The global component minimum m is a
@@ -732,6 +753,17 @@ object Dedup {
     * equal + empty anti-join, both on materialized checkpoints). */
   def connectedComponentsStar(pairs: DataFrame, idA: String = "id_a",
                               idB: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val (labels, converged, rounds) = ccStar(pairs, idA, idB, maxIter)
+    lastRounds = rounds
+    lastConverged = converged
+    labels
+  }
+
+  /** Return-value-threaded form of `connectedComponentsStar` (see
+    * `ccPropagate` for why convergence is not communicated via the shared
+    * vars). */
+  private def ccStar(pairs: DataFrame, idA: String, idB: String,
+                     maxIter: Int): (DataFrame, Boolean, Int) = {
     val p = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     // checkpointed (not merely persisted): the returned labels frame reads it
     // AFTER p is unpersisted below, so it must not recompute the pair pipeline
@@ -784,15 +816,13 @@ object Dedup {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc-star] round $i edges=$cnt changed=$changed")
     }
-    lastRounds = i
-    lastConverged = converged
     // converged star: every child has exactly one (child, root) edge; roots
     // (and any node never demoted to child) label themselves
     val labels = ids.join(edges.select(col("u").as("id"), col("v").as("__root")),
         Seq("id"), "left")
       .select(col("id"), coalesce(col("__root"), col("id")).as("component"))
     p.unpersist(blocking = false)
-    labels
+    (labels, converged, i)
   }
 
   /** End-to-end corpus dedup — the composite pipelines actually call: exact

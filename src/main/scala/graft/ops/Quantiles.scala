@@ -48,6 +48,14 @@ object Quantiles {
     *                holds the value at that rank in `(value asc)` order.
     * @param nName   name for the per-stratum row count column
     * @param sumName name for the per-stratum value sum column
+    * @param maxBinsPerStratum hard safety bound on a stratum's DISTINCT value
+    *                count. The whole plan's safety rests on the value column
+    *                being histogram-shaped (token lengths, bucketed scores);
+    *                a near-unique column (timestamps, raw floats) would pack a
+    *                corpus-sized array into one row — the same single-task
+    *                failure this helper exists to kill, rebuilt as an executor
+    *                OOM. An eager histogram-sized probe (the
+    *                `splitOversizedBuckets` pattern) fails loudly instead.
     */
   def strataStats(
       df: DataFrame,
@@ -55,10 +63,25 @@ object Quantiles {
       value: Column,
       ranks: Seq[(String, Column => Column)],
       nName: String = "n",
-      sumName: String = "total"): DataFrame = {
+      sumName: String = "total",
+      maxBinsPerStratum: Long = 4000000L): DataFrame = {
     val hist = df
       .groupBy((strata.map(col) :+ value.cast("long").as("__v")): _*)
       .agg(count(lit(1)).as("__c"))
+      // persisted so the eager cardinality probe below and the lazy packed
+      // result share one corpus scan; histogram-sized, so cache cost is tiny.
+      // Long-lived sessions clearCache() between batches (Verify/Bench do).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val worstBins = hist
+      .groupBy(strata.map(col): _*)
+      .agg(count(lit(1)).as("__bins"))
+      .agg(coalesce(max(col("__bins")), lit(0L)))
+      .first().getLong(0)
+    require(worstBins <= maxBinsPerStratum,
+      s"strataStats: a stratum has $worstBins distinct values of the rank " +
+        s"column (bound $maxBinsPerStratum) — the value column is too " +
+        "high-cardinality for an in-row histogram; bucket it first (e.g. " +
+        "cast to a coarser unit) or raise maxBinsPerStratum deliberately")
     val packed = hist
       .groupBy(strata.map(col): _*)
       .agg(

@@ -353,6 +353,35 @@ class DedupSpec extends SparkSpec {
       Dedup.components(pairs, strategy = "bogus"))
   }
 
+  test("components('auto') escape decision is correct under concurrent CC runs") {
+    // regression guard: the escape used to branch on a shared @volatile var
+    // (lastConverged) that a concurrently-converging run could overwrite
+    // between the propagate pass and the branch, silently skipping a needed
+    // star pass and returning partially-merged labels. Convergence is now
+    // threaded through ccPropagate's return value; hammer the old interleaving
+    // anyway: an escape-needing chain in one thread, instantly-converging
+    // graphs looping in another.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val chain = spark.range(399).select($"id".as("id_a"), ($"id" + 1L).as("id_b"))
+    val tiny = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val noisy = Future {
+      (0 until 6).map { _ =>
+        Dedup.components(tiny).as[(Long, Long)].collect().toMap
+      }
+    }
+    val escaped = Future {
+      Dedup.components(chain, propagateRounds = 3)
+        .agg(count(lit(1)), sum(when($"component" === 0L, 0L).otherwise(1L)))
+        .as[(Long, Long)].head()
+    }
+    assert(Await.result(escaped, 180.seconds) == ((400L, 0L)),
+      "escape-needing chain returned partially-merged labels under concurrency")
+    assert(Await.result(noisy, 180.seconds)
+      .forall(_ == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L)))
+  }
+
   test("skew guard property: component structure invariant across random maxBucket (fuzz)") {
     // random duplicate-GROUP corpora — the flood shape the guard exists for:
     // identical copies share every band, so any maxBucket (including values

@@ -63,6 +63,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("strataStats refuses a near-unique value column instead of packing it") {
+    // the histogram plan is only safe when the value column is
+    // histogram-shaped; a near-unique column would pack a corpus-sized array
+    // into one row (the r4 single-task failure as an executor OOM). The
+    // eager cardinality probe must fail loudly, before any packing runs.
+    val nearUnique = spark.range(50000)
+      .select(lit("one").as("s"), $"id".as("v"))
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.Quantiles.strataStats(nearUnique, Seq("s"), $"v",
+        ranks = Seq(
+          "med" -> (n => graft.ops.Quantiles.div(n + lit(1L), lit(2L)))),
+        maxBinsPerStratum = 10000L)
+    }
+    assert(ex.getMessage.contains("distinct values"))
+    spark.catalog.clearCache()
+    // the same frame bucketed to a coarse unit passes under the same bound
+    val bucketed = graft.ops.Quantiles.strataStats(nearUnique, Seq("s"),
+        graft.ops.Quantiles.div($"v", lit(100L)),
+        ranks = Seq(
+          "med" -> (n => graft.ops.Quantiles.div(n + lit(1L), lit(2L)))),
+        maxBinsPerStratum = 10000L)
+      .select($"n", $"med").as[(Long, Long)].head()
+    assert(bucketed == ((50000L, 249L))) // rank 25000, value 24999 div 100
+    spark.catalog.clearCache()
+  }
+
   test("impute idempotence: imputing an already-imputed frame changes nothing") {
     val gen = Gen.listOfN(8, Gen.option(Gen.choose(0, 1000)))
     for (vals <- samples(gen, 5) if vals.exists(_.isDefined)) {
