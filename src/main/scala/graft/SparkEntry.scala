@@ -136,7 +136,9 @@ object SparkEntry {
     "q67_tfidf_keywords" -> qTfIdfKeywords,
     "q68_incremental_embedding" -> qIncrementalEmbedding,
     "q69_shared_windows" -> qSharedWindows,
-    "q70_pq_assign" -> qPqAssign)
+    "q70_pq_assign" -> qPqAssign,
+    "q71_pq_search" -> qPqSearch,
+    "q72_ivfpq_full_probe" -> qIvfPqFullProbe)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -253,6 +255,43 @@ object SparkEntry {
       .groupBy(col("subspace"), col("code"))
       .agg(count(lit(1)).as("n_members"), sum(col("vec_id")).as("id_sum"))
       .orderBy(col("subspace"), col("code"))
+  }
+
+  /** PQ ADC search (q70's serving half): train seed codebooks (iters = 0, the
+    * SQL-reproducible configuration), encode the corpus to m = 4 subspace
+    * codes, then serve a 10-query batch from the CODES ALONE — each query
+    * builds per-subspace dot-product lookup tables against the codebooks
+    * (ksub·m integer dots, corpus-size-independent) and every encoded vector
+    * is scored by m table lookups. The oracle re-derives quantization,
+    * seeding, encoding, the per-query tables, AND the asymmetric cosine
+    * (exact integer numerator / qn·√Σcentn2) bit-for-bit, then ranks with the
+    * same (rounded cosine desc, neighbor_id asc) total order as q26. */
+  private def qPqSearch(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val books = Similarity.pqTrain(emb, m = 4, ksub = 16, iters = 0)
+    val encoded = Similarity.pqEncode(emb, books, m = 4)
+    Similarity.pqSearch(books, encoded, emb.filter(col("vec_id") < 10),
+        k = 5, m = 4)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine_6dp"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The composed IVF+PQ serving index at FULL probe: every coarse cell is
+    * probed, so the result must be exactly `pqSearch` over the whole encoded
+    * corpus (the coarse cells partition it) — which is exactly q71's oracle.
+    * The q58 invariant composed: oracle-pins the cell routing, the
+    * cells-carry-codes store, AND the ADC arithmetic in one row, while the
+    * partial-probe recall behavior is spec-pinned (SimilaritySpec). */
+  private def qIvfPqFullProbe(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val idx = Similarity.buildIvfPqIndex(emb, nCentroids = 16, m = 4,
+      ksub = 16, iters = 0)
+    Similarity.ivfPqSearch(idx, emb.filter(col("vec_id") < 10), k = 5,
+        nProbe = 16, m = 4)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine_6dp"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
   }
 
   /** Per-source corpus length statistics with EXACT rank-based quantiles
@@ -1962,5 +2001,71 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_members,
         |  CAST(SUM(vec_id) AS BIGINT) AS id_sum
         |FROM assigned WHERE rn = 1
-        |GROUP BY 1, 2 ORDER BY subspace, code""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY subspace, code""".stripMargin,
+    // Full ADC reimplementation on top of q70's encoding CTEs: subspace
+    // codebooks with exact squared norms, per-vector L2-argmin codes, then
+    // each query scored against the CODES ONLY — numerator = Σ_s dot(q_s,
+    // centroid(code_s)) exact integers, denominator = |q| · √Σ_s centn2 —
+    // ranked by the same (round(cosine,6) DESC, neighbor_id) order as q26.
+    "q71_pq_search" -> pqAdcSearchSql,
+    // The composed IVF+PQ index probing EVERY coarse cell must reproduce
+    // pqSearch over the whole encoded corpus (cells partition it), so the
+    // full-probe row shares q71's oracle — the q58 pattern, composed.
+    "q72_ivfpq_full_probe" -> pqAdcSearchSql)
+
+  private val pqAdcSearchSql: String =
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS cv
+        |  FROM embeddings),
+        |seeds AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY (vec_id * 2654435761) % 4294967296,
+        |      vec_id) - 1 AS centroid_id, cv
+        |  FROM q ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |sub AS (SELECT * FROM (VALUES (0, 1, 16), (1, 17, 16), (2, 33, 16),
+        |  (3, 49, 16)) AS t(s, off, len)),
+        |books AS (
+        |  SELECT r.s, sd.centroid_id,
+        |    list_slice(sd.cv, r.off, r.off + r.len - 1) AS centv,
+        |    list_sum(list_transform(list_slice(sd.cv, r.off, r.off + r.len - 1),
+        |      x -> x * x)) AS centn2
+        |  FROM seeds sd CROSS JOIN sub r),
+        |cand AS (
+        |  SELECT v.vec_id, b.s, b.centroid_id,
+        |    b.centn2 - 2 * list_sum(list_transform(range(1, r.len + 1), i ->
+        |      list_slice(v.cv, r.off, r.off + r.len - 1)[i] * b.centv[i])) AS d2
+        |  FROM q v CROSS JOIN sub r JOIN books b ON b.s = r.s),
+        |codes AS (
+        |  SELECT vec_id, s, centroid_id AS code FROM (
+        |    SELECT vec_id, s, centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s
+        |        ORDER BY d2, centroid_id) AS rn
+        |    FROM cand) WHERE rn = 1),
+        |queries AS (
+        |  SELECT vec_id AS query_id, cv,
+        |    sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE)) AS qn
+        |  FROM q WHERE vec_id < 10),
+        |hits AS (
+        |  SELECT qu.query_id, qu.qn, c.vec_id AS neighbor_id,
+        |    SUM(list_sum(list_transform(range(1, r.len + 1), i ->
+        |      list_slice(qu.cv, r.off, r.off + r.len - 1)[i] * b.centv[i])))
+        |      AS num,
+        |    SUM(b.centn2) AS cn2
+        |  FROM codes c
+        |  JOIN sub r ON r.s = c.s
+        |  JOIN books b ON b.s = c.s AND b.centroid_id = c.code
+        |  CROSS JOIN queries qu
+        |  WHERE qu.query_id != c.vec_id
+        |  GROUP BY 1, 2, 3),
+        |pairs AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(num AS DOUBLE) / (qn * sqrt(CAST(cn2 AS DOUBLE))) AS cosine
+        |  FROM hits),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY round(cosine, 6) DESC, neighbor_id) AS rank
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_6dp, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 }

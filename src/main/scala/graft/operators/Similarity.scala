@@ -359,13 +359,21 @@ object Similarity {
                vecCol: String = "embedding"): DataFrame = {
     val q = corpus.select(col(idCol).as("neighbor_id"),
       VectorFns.quantize(col(vecCol)).as("cv"))
+    encodeQuantized(q, books, m, keep = Nil)
+  }
+
+  /** `pqEncode` over an ALREADY-quantized frame (neighbor_id, cv, keep...) —
+    * shared by `pqEncode` and the IVF+PQ build, which encodes straight off the
+    * IVF cells frame so the corpus is quantized and scanned once, not twice. */
+  private def encodeQuantized(q: DataFrame, books: DataFrame, m: Int,
+                              keep: Seq[String]): DataFrame = {
     val dims = q.select(size(col("cv"))).first().getInt(0)
     val ranges = subRanges(dims, m)
     q.crossJoin(broadcast(packedBooks(books)))
-      .select(col("neighbor_id"),
+      .select(col("neighbor_id") +:
         array(ranges.zipWithIndex.map { case ((off, len), s) =>
           nearestCodeL2(col("bk")(s), slice(col("cv"), off, len)).cast("int")
-        }: _*).as("codes"))
+        }: _*).as("codes") +: keep.map(col): _*)
   }
 
   /** ADC (asymmetric distance computation) search: each query builds one
@@ -382,26 +390,119 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
       VectorFns.quantize(col(vecCol)).as("qv"))
     val dims = q.select(size(col("qv"))).first().getInt(0)
-    val ranges = subRanges(dims, m)
     val tables = q.crossJoin(broadcast(packedBooks(books)))
       .select(col("query_id"),
         sqrt(VectorFns.dotLong(col("qv"), col("qv")).cast("double")).as("qn"),
-        array(ranges.zipWithIndex.map { case ((off, len), s) =>
-          transform(col("bk")(s), c =>
-            struct(VectorFns.dotLong(slice(col("qv"), off, len), c("centv"))
-                .as("dot"),
-              c("centn2").as("n2")))
-        }: _*).as("tabs"))
-    val scored = encoded.crossJoin(broadcast(tables))
-      .withColumn("__hits", zip_with(col("codes"), col("tabs"),
-        (code, tab) => element_at(tab, code + 1)))
-      .withColumn("cosine",
-        aggregate(col("__hits"), lit(0L), (acc, h) => acc + h("dot"))
-          .cast("double") /
-        (col("qn") * sqrt(aggregate(col("__hits"), lit(0L),
-          (acc, h) => acc + h("n2")).cast("double"))))
-      .filter(col("query_id") =!= col("neighbor_id"))
-    rankTopK(scored, k)
+        adcDotTables(subRanges(dims, m)).as("tabs"),
+        adcNormTables(m).as("n2s"))
+    rankTopK(adcScore(encoded.crossJoin(broadcast(tables)))
+      .filter(col("query_id") =!= col("neighbor_id")), k)
+  }
+
+  /** The per-query ADC dot-product lookup tables, one array per subspace:
+    * dot(query slice, centroid) for every codebook entry. Evaluated against a
+    * `qv` column and a packed `bk` books column. (Two parallel primitive
+    * arrays instead of one struct array: the analyzer strips aliases inside
+    * higher-order-function lambdas in some projection shapes, so struct field
+    * names are not a stable contract here — positions are.) */
+  private def adcDotTables(ranges: Seq[(Int, Int)]): Column =
+    array(ranges.zipWithIndex.map { case ((off, len), s) =>
+      transform(col("bk")(s), c =>
+        VectorFns.dotLong(slice(col("qv"), off, len), c("centv")))
+    }: _*)
+
+  /** The query-independent squared-norm halves of the ADC tables (Σ |c_s|²
+    * per codebook entry), positions aligned with `adcDotTables`. */
+  private def adcNormTables(m: Int): Column =
+    array((0 until m).map(s => transform(col("bk")(s), c => c("centn2"))): _*)
+
+  /** ADC scoring: m table lookups per encoded row — cosine(q,
+    * reconstruction(codes)) = Σ_s dot(q_s, c_s) / (|q| · √Σ_s |c_s|²), exact
+    * integer numerator. Expects `codes`, `tabs`, `n2s`, and `qn` columns. */
+  private def adcScore(candidates: DataFrame): DataFrame = candidates
+    .withColumn("cosine",
+      aggregate(zip_with(col("codes"), col("tabs"),
+          (code, tab) => element_at(tab, code + 1)),
+        lit(0L), (acc, d) => acc + d).cast("double") /
+      (col("qn") * sqrt(aggregate(zip_with(col("codes"), col("n2s"),
+          (code, tab) => element_at(tab, code + 1)),
+        lit(0L), (acc, n2) => acc + n2).cast("double"))))
+
+  // ---------------------------------------------------------------------
+  // IVF + PQ — the composed serving index (the FAISS IVFPQ shape): the
+  // coarse quantizer routes each query to a handful of Voronoi cells, and
+  // candidates inside those cells are scored from their PQ codes alone via
+  // ADC lookup tables. At 100 TB neither half alone is the index: IVF
+  // bounds WHAT is scored (nProbe cells, file-pruned when persisted), PQ
+  // bounds what scoring COSTS (m table lookups per candidate, the float
+  // vectors never leave the build stage).
+  // ---------------------------------------------------------------------
+
+  /** A built IVF+PQ serving index. `cells` = (neighbor_id, codes, cell) —
+    * the PQ-compressed corpus keyed by coarse cell (the ONLY corpus-sized
+    * frame, and it carries codes instead of vectors: 16-64× smaller);
+    * `centroids` = the coarse quantizer; `books` = the PQ codebooks. All
+    * plain-typed frames — `save`/`load` round-trip through parquet, cells
+    * partitioned by cell so probes prune directories at the file index. */
+  final case class IvfPqIndex(cells: DataFrame, centroids: DataFrame,
+                              books: DataFrame) {
+    def save(dir: String): Unit = {
+      cells.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+      centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+      books.write.mode("overwrite").parquet(s"$dir/books")
+    }
+  }
+
+  object IvfPqIndex {
+    def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqIndex =
+      IvfPqIndex(spark.read.parquet(s"$dir/cells"),
+        spark.read.parquet(s"$dir/centroids"),
+        spark.read.parquet(s"$dir/books"))
+  }
+
+  /** Build the composed index: one IVF build (quantize + cell-assign the
+    * corpus), one PQ training pass, then the corpus is encoded STRAIGHT OFF
+    * the IVF cells frame — quantized once, scanned once, never re-read from
+    * the source. `refineIters`/`iters` Lloyd-train the coarse and product
+    * quantizers respectively (0 = deterministic seed pick). */
+  def buildIvfPqIndex(corpus: DataFrame, nCentroids: Int = 16, m: Int = 4,
+                      ksub: Int = 16, iters: Int = 2, refineIters: Int = 0,
+                      idCol: String = "vec_id",
+                      vecCol: String = "embedding"): IvfPqIndex = {
+    val ivf = buildIvfIndex(corpus, nCentroids, idCol, vecCol, refineIters)
+    val books = pqTrain(corpus, m, ksub, iters, idCol, vecCol)
+    val cells = encodeQuantized(
+      ivf.cells.select(col("neighbor_id"), col("cv"), col("cell")),
+      books, m, keep = Seq("cell"))
+    IvfPqIndex(cells, ivf.centroids, books)
+  }
+
+  /** Serve a query batch from the composed index: each query probes its
+    * `nProbe` nearest coarse cells (the same in-row argmax as `ivfSearch`)
+    * and carries its ADC tables into the probe, so candidates inside probed
+    * cells are scored by m table lookups — the PQ-encoded corpus is only
+    * ever probed on its cell key, never shuffled, and the original vectors
+    * are never touched. `nProbe >= nCentroids` degrades to exactly
+    * `pqSearch` over the whole encoded corpus (cells partition it). */
+  def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, k: Int,
+                  nProbe: Int = 4, m: Int = 4, idCol: String = "vec_id",
+                  vecCol: String = "embedding"): DataFrame = {
+    val centroidArr = index.centroids
+      .agg(collect_list(struct(col("centroid_id"), col("centv"), col("centn")))
+        .as("cents"))
+    val q = queries.select(col(idCol).as("query_id"),
+      VectorFns.quantize(col(vecCol)).as("qv"))
+    val dims = q.select(size(col("qv"))).first().getInt(0)
+    val probes = q.crossJoin(broadcast(centroidArr))
+      .crossJoin(broadcast(packedBooks(index.books)))
+      .select(col("query_id"),
+        explode(nearestCellIds(col("cents"), col("qv"),
+          VectorFns.normLong(col("qv")), nProbe)).as("cell"),
+        sqrt(VectorFns.dotLong(col("qv"), col("qv")).cast("double")).as("qn"),
+        adcDotTables(subRanges(dims, m)).as("tabs"),
+        adcNormTables(m).as("n2s"))
+    rankTopK(adcScore(index.cells.join(broadcast(probes), Seq("cell")))
+      .filter(col("query_id") =!= col("neighbor_id")), k)
   }
 
   /** LSH-bucketed top-k: candidates limited to rows whose hyperplane signature

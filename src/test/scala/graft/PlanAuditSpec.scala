@@ -33,7 +33,10 @@ class PlanAuditSpec extends SparkSpec {
     // q64: q43's packed 1-row centroid broadcast (k-means assignment)
     "q64_kmeans_assign",
     // q70: the same packed 1-row broadcast, PQ codebooks (encode argmin)
-    "q70_pq_assign")
+    "q70_pq_assign",
+    // q71/q72: the packed 1-row codebook broadcast again (encode argmin +
+    // per-query ADC tables); the corpus side is never shuffled
+    "q71_pq_search", "q72_ivfpq_full_probe")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where designed") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

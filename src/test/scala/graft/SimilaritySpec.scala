@@ -126,6 +126,74 @@ class SimilaritySpec extends SparkSpec {
     assert(top == 7L) // its twin wins rank 1 (id tie-break among equal scores)
   }
 
+  test("IVF+PQ: full probe degrades to pqSearch over the whole encoded corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < 5)
+    val idx = Similarity.buildIvfPqIndex(emb, nCentroids = 8, m = 4, ksub = 8,
+      iters = 1)
+    // the q58 pattern, composed: probing EVERY cell must reproduce pqSearch
+    // over everything — cells partition the corpus, so full probe scores each
+    // (query, neighbor) pair exactly once with the same ADC arithmetic
+    val full = Similarity.ivfPqSearch(idx, queries, k = 5, nProbe = 8, m = 4)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val flat = Similarity.pqSearch(idx.books,
+        Similarity.pqEncode(emb, idx.books, m = 4), queries, k = 5, m = 4)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(full == flat && full.nonEmpty)
+  }
+
+  test("IVF+PQ: planted duplicates retrieved at rank 1 under a partial probe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    // plant exact duplicates: identical vectors land in the same coarse cell
+    // (argmax ties break identically) and share all PQ codes, so a partial
+    // probe must still retrieve each twin at rank 1
+    val dups = emb.filter($"vec_id" < 5)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val corpus2 = emb.unionByName(dups)
+    val idx = Similarity.buildIvfPqIndex(corpus2, nCentroids = 8, m = 4,
+      ksub = 8, iters = 1)
+    val hits = Similarity.ivfPqSearch(idx, dups, k = 3, nProbe = 2, m = 4)
+      .filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    assert((0L until 5L).forall(i => hits(i + 1000000L) == i),
+      s"twins not at rank 1: $hits")
+    // and recall vs the EXACT (unquantized) ranking stays solid at half the
+    // cells probed — the composed error budget is coarse-probe misses plus PQ
+    // reconstruction error, so the bar matches the IVF-only test's
+    val exact = Similarity.bruteForceTopK(dups, corpus2, 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.ivfPqSearch(idx, dups, k = 3, nProbe = 4, m = 4)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.4, s"IVF+PQ recall $recall too low")
+  }
+
+  test("IvfPqIndex save/load round-trip serves identical results, cells pruned") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < 5)
+    val fresh = Similarity.buildIvfPqIndex(emb, nCentroids = 8, m = 4,
+      ksub = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq").toString
+    fresh.save(dir)
+    val loaded = Similarity.IvfPqIndex.load(spark, dir)
+    assert(new java.io.File(s"$dir/cells").listFiles
+      .count(_.getName.startsWith("cell=")) == 8)
+    // the persisted store holds codes, not vectors — the serving footprint
+    assert(loaded.cells.columns.toSet == Set("neighbor_id", "codes", "cell"))
+    val a = Similarity.ivfPqSearch(fresh, queries, 5, nProbe = 4)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val b = Similarity.ivfPqSearch(loaded, queries, 5, nProbe = 4)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("lshTopK recall: exact-duplicate vectors always share a bucket") {
     val withDup = corpus.union(Seq((5L, Array(1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding"))
