@@ -10,13 +10,14 @@ import org.apache.spark.sql.types._
   * The Spark-side contract is real and tested — schema, partition sizing, batch
   * shape, deterministic chunking. The codec layer is split honestly: the PNM
   * image family (PPM/PGM — uncompressed rasters), non-interlaced 8-bit PNG
-  * (DEFLATE is in the JVM — `PngCodec`), and RIFF/WAVE PCM audio all get REAL
-  * pure-JVM decoders (decode → nearest-neighbor resize → exact per-channel
-  * stats), proving the mapPartitions plumbing end-to-end with real pixels and
-  * samples; only formats whose codecs genuinely need native libraries this
-  * container does not have (JPEG, compressed audio/video) remain STUBBED with
-  * a deterministic fake. Swapping one in means replacing the `BatchDecoder`
-  * value only; every plan shape stays the same.
+  * (DEFLATE is in the JVM — `PngCodec`), JPEG/BMP/GIF (the JDK's own
+  * `javax.imageio`, `java.desktop` module — `ImageIoCodec`), and RIFF/WAVE
+  * PCM audio all get REAL decoders with no third-party or native dependency
+  * (decode → nearest-neighbor resize → exact per-channel stats), proving the
+  * mapPartitions plumbing end-to-end with real pixels and samples; only
+  * compressed audio/video, whose codecs genuinely are not in this JVM,
+  * remain STUBBED with a deterministic fake. Swapping one in means replacing
+  * the `BatchDecoder` value only; every plan shape stays the same.
   *
   * Scale design: media rows are orders of magnitude wider than text rows, so the
   * operators (a) never shuffle the binary payload except when explicitly
@@ -98,9 +99,9 @@ object Multimodal {
     * decodable in pure JVM code with no native library): optional
     * nearest-neighbor resize, then exact per-channel mean/variance + shape
     * features (`PnmCodec`). Payloads that are not binary PNM are DROPPED —
-    * the curation semantic for undecodable media. Compressed formats still
-    * require the stub seam; this decoder proves the plumbing end-to-end with
-    * real pixels. */
+    * the curation semantic for undecodable media. Compressed audio/video
+    * still require the stub seam; this decoder proves the plumbing
+    * end-to-end with real pixels. */
   def pnmBatchDecoder(resizeTo: Option[(Int, Int)] = None): BatchDecoder =
     rows => rows.flatMap { case (id, _, payload) =>
       PnmCodec.decode(payload).map { img =>
@@ -116,11 +117,33 @@ object Multimodal {
     * JVM ships PNG's DEFLATE (`java.util.zip.Inflater`), so decode + per-row
     * unfilter need no native library. Shares resize/features with the PNM
     * path; undecodable or out-of-subset payloads (16-bit, palette, alpha,
-    * Adam7) are DROPPED. With this, the stub seam covers only JPEG and
-    * compressed audio/video. */
+    * Adam7) are DROPPED — `imageIoBatchDecoder` handles those shapes via the
+    * JDK's own codecs; this hand-rolled route stays as the
+    * dependency-auditable reference the spec cross-checks it against. */
   def pngBatchDecoder(resizeTo: Option[(Int, Int)] = None): BatchDecoder =
     rows => rows.flatMap { case (id, _, payload) =>
       PngCodec.decode(payload).map { img =>
+        val prepped = resizeTo match {
+          case Some((tw, th)) => PnmCodec.resizeNearest(img, tw, th)
+          case None => img
+        }
+        (id, PnmCodec.features(prepped))
+      }
+    }
+
+  /** REAL decoder for JPEG (and any other format `javax.imageio` registers —
+    * PNG, BMP, GIF): the JDK's `java.desktop` module ships the codecs, so the
+    * dominant web-corpus image format decodes with zero new dependencies.
+    * ImageIO reader construction happens via the static registry per call —
+    * the per-partition shape is kept so a future native codec swaps in
+    * unchanged. Normalizes to the shared `PnmCodec.Image` raster (raw raster
+    * samples for gray — getRGB's gray->sRGB conversion is nonlinear — packed
+    * sRGB for color), then shares resize/features with the PNM/PNG paths;
+    * undecodable payloads are DROPPED. With this, the stub seam covers only
+    * compressed audio/video. */
+  def imageIoBatchDecoder(resizeTo: Option[(Int, Int)] = None): BatchDecoder =
+    rows => rows.flatMap { case (id, _, payload) =>
+      ImageIoCodec.decode(payload).map { img =>
         val prepped = resizeTo match {
           case Some((tw, th)) => PnmCodec.resizeNearest(img, tw, th)
           case None => img

@@ -171,6 +171,90 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L)(0) == 4.0 && out(1L)(1) == 4.0)
   }
 
+  test("ImageIO codec: JPEG decode, PNG byte-exact vs hand-rolled codec") {
+    import graft.operators.{ImageIoCodec, PngCodec}
+    import java.awt.image.BufferedImage
+    // the PNG spec's deterministic 16x16 RGB raster
+    val w = 16; val h = 16
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3; val c = i % 3
+      (((p % w) * 17 + (p / w) * 31 + c * 53) % 256).toByte
+    }
+    def encode(fmt: String, pix: Array[Byte]): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = (y * w + x) * 3
+        img.setRGB(x, y, ((pix(i) & 0xff) << 16) | ((pix(i + 1) & 0xff) << 8) |
+          (pix(i + 2) & 0xff))
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    // JPEG round-trip: lossy, so dims/channels exact and pixels CLOSE — on a
+    // smooth gradient (the per-pixel-noise raster above is a DCT worst case
+    // and measures the format, not the decoder)
+    val smooth = Array.tabulate(w * h * 3) { i =>
+      val p = i / 3
+      (i % 3 match {
+        case 0 => (p % w) * 8
+        case 1 => (p / w) * 8
+        case 2 => 128
+      }).toByte
+    }
+    val jpg = encode("jpg", smooth)
+    val dec = ImageIoCodec.decode(jpg).getOrElse(fail("JPEG did not decode"))
+    assert(dec.width == w && dec.height == h && dec.channels == 3)
+    val meanAbsErr = dec.pixels.zip(smooth)
+      .map { case (a, b) => math.abs((a & 0xff) - (b & 0xff)) }
+      .sum.toDouble / smooth.length
+    assert(meanAbsErr < 12.0, s"JPEG mean abs pixel error $meanAbsErr")
+    // PNG cross-check: the JDK route and the hand-rolled PngCodec must agree
+    // BYTE-FOR-BYTE on the same file — two independent decoders, one raster
+    val pngBytes = encode("png", rgb)
+    val viaJdk = ImageIoCodec.decode(pngBytes).get
+    val viaOwn = PngCodec.decode(pngBytes).get
+    assert(viaJdk.width == viaOwn.width && viaJdk.height == viaOwn.height &&
+      viaJdk.channels == viaOwn.channels)
+    assert(viaJdk.pixels.sameElements(viaOwn.pixels))
+    assert(viaJdk.pixels.sameElements(rgb)) // PNG is lossless: exact raster
+    // grayscale: raw raster samples (getRGB's gray->sRGB curve would drift)
+    val grayPix = Array.tabulate(8 * 4)(i => (i * 7 % 256).toByte)
+    val gimg = new BufferedImage(8, 4, BufferedImage.TYPE_BYTE_GRAY)
+    gimg.getRaster.setDataElements(0, 0, 8, 4, grayPix)
+    val gbos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gimg, "png", gbos)
+    val g = ImageIoCodec.decode(gbos.toByteArray).get
+    assert(g.channels == 1 && g.pixels.sameElements(grayPix))
+    assert(PngCodec.decode(gbos.toByteArray).get.pixels.sameElements(g.pixels))
+    // undecodable payloads drop: junk, truncated JPEG, null
+    assert(ImageIoCodec.decode(Array.fill[Byte](64)(5)).isEmpty)
+    assert(ImageIoCodec.decode(jpg.take(20)).isEmpty)
+    assert(ImageIoCodec.decode(null).isEmpty)
+    // end-to-end through the mapPartitions seam: JPEG + PNG decode, junk and
+    // null drop, resize shares the PNM path (features(0,1) = resized dims)
+    val rows = Seq(
+      Row(1L, "image", jpg, null),
+      Row(2L, "image", pngBytes, null),
+      Row(3L, "image", Array.fill[Byte](64)(5), null),
+      Row(4L, "image", null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val out = Multimodal.decodePartitions(df,
+        Multimodal.imageIoBatchDecoder(resizeTo = Some((4, 4))))
+      .select($"media_id", $"features").as[(Long, Seq[Double])]
+      .collect().toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)(0) == 4.0 && out(1L)(1) == 4.0)
+    // identical FEATURES for the same PNG through either decoder route
+    val pngOnly = df.filter($"media_id" === 2L)
+    val fOwn = Multimodal.decodePartitions(pngOnly,
+      Multimodal.pngBatchDecoder()).select($"features").as[Seq[Double]].head()
+    val fJdk = Multimodal.decodePartitions(pngOnly,
+      Multimodal.imageIoBatchDecoder()).select($"features").as[Seq[Double]].head()
+    assert(fOwn == fJdk)
+  }
+
   test("WAV codec: real PCM decode + exact features through mapPartitions") {
     import graft.operators.WavCodec
     // hand-built 16-bit mono WAV: 4 frames at 8000 Hz, a full square wave
