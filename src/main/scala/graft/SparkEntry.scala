@@ -1147,6 +1147,18 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_6dp, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** The four structurally rows-only queries (outputs are hash-internal
+    * structures — LSH bucket/band internals, IVF cell internals — that no
+    * ANSI SQL oracle can re-derive) mapped to the hash-green twin that
+    * exercises the same machinery end-to-end under a full oracle. Emitted as
+    * `twins.json` by Verify so the correctness ledger self-documents why
+    * these rows carry `no_oracle`. */
+  def twins: Map[String, String] = Map(
+    "q24_dedup_minhash_lsh" -> "q55_dedup_corpus",
+    "q25_dedup_simhash" -> "q59_simhash_containment",
+    "q43_ann_ivf_topk" -> "q58_ivf_full_probe",
+    "q46_embedding_dedup_lsh" -> "q60_embedding_dedup_lsh_corpus")
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,

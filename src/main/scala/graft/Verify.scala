@@ -50,6 +50,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // no_oracle rows' hash-green twins — lets the correctness ledger (and its
+    // readers) resolve WHY a row is structurally rows-only
+    val twins = SparkEntry.twins
+      .map { case (k, v) => s"${q(k)}: {${q("twin")}: ${q(v)}}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/twins.json"), twins)
     spark.stop()
   }
 }

@@ -43,16 +43,19 @@ case class SortedHashedShinglesExpr(child: Expression, n: Int)
 
 object SortedHashedShinglesExpr {
 
-  /** Referenced from generated code. Token semantics match the column pipeline:
-    * `filter(split(lower(trim(text)), "\s+"), len > 0)` — leading/trailing
-    * whitespace yields empty tokens that the non-empty filter drops, so java
-    * `trim` (which strips all control whitespace, not just spaces) produces the
-    * identical token list. Lowercasing matches Spark's `Lower` fallback
-    * (default-locale `String.toLowerCase` beyond the ASCII fast path). */
-  def compute(text: UTF8String, n: Int): GenericArrayData = {
+  /** The POSITIONAL hash sequence (one xxhash64 per n-gram window, document
+    * order) both shingle expressions derive from. Token semantics match the
+    * column pipeline: `filter(split(lower(trim(text)), "\s+"), len > 0)` —
+    * leading/trailing whitespace yields empty tokens that the non-empty
+    * filter drops, so java `trim` (which strips all control whitespace, not
+    * just spaces) produces the identical token list. Lowercasing matches
+    * Spark's `Lower` fallback (default-locale `String.toLowerCase` beyond
+    * the ASCII fast path). */
+  private[functions] def positionalHashes(text: UTF8String,
+                                          n: Int): Array[Long] = {
     val words = text.toString.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
     val m = words.length - n + 1
-    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    if (m <= 0) return Array.empty[Long]
     val hashes = new Array[Long](m)
     val sb = new java.lang.StringBuilder
     var i = 0
@@ -68,16 +71,25 @@ object SortedHashedShinglesExpr {
         UTF8String.fromString(sb.toString), StringType, 42L)
       i += 1
     }
+    hashes
+  }
+
+  /** Sort + in-place dedup, shared by both shingle expressions. */
+  private[functions] def sortedDistinct(hashes: Array[Long]): GenericArrayData = {
+    if (hashes.isEmpty) return new GenericArrayData(Array.empty[Long])
     java.util.Arrays.sort(hashes)
-    // in-place dedup of the sorted array
     var w = 1
-    i = 1
-    while (i < m) {
+    var i = 1
+    while (i < hashes.length) {
       if (hashes(i) != hashes(w - 1)) { hashes(w) = hashes(i); w += 1 }
       i += 1
     }
     new GenericArrayData(java.util.Arrays.copyOf(hashes, w))
   }
+
+  /** Referenced from generated code. */
+  def compute(text: UTF8String, n: Int): GenericArrayData =
+    sortedDistinct(positionalHashes(text, n))
 
   /** Column form — direct expression construction, no registry required. */
   def apply(text: Column, n: Int): Column =
@@ -90,4 +102,72 @@ object SortedHashedShinglesExpr {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_hashed_shingles", exprs => SortedHashedShinglesExpr(exprs.head,
         exprs(1).eval(null).asInstanceOf[Number].intValue()), "built-in")
+}
+
+/** Winnowed (minimizer-sampled) window hashes — the standard cost reducer
+  * for exact-substring dedup (Schleimer et al., "Winnowing: Local Algorithms
+  * for Document Fingerprinting", SIGMOD'03): over the POSITIONAL n-gram hash
+  * sequence, keep the minimum value of every `stride` consecutive positions,
+  * then distinct-sort the kept values. ~stride× fewer emitted hashes with a
+  * hard recall contract: any two documents sharing ≥ (n + stride − 1)
+  * consecutive tokens share `stride` consecutive window hashes, each
+  * document has a winnowing window exactly covering that run, and both
+  * select the run's minimum VALUE — so the pair still collides on at least
+  * one sampled hash. `stride = 1` degenerates to exactly
+  * `SortedHashedShinglesExpr`. Documents with fewer than `stride` windows
+  * emit the minimum of what exists (never silently nothing). */
+case class WinnowedShinglesExpr(child: Expression, n: Int, stride: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnowed_shingles requires a string argument, got " +
+        child.dataType.simpleString)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnowed_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    WinnowedShinglesExpr.compute(input.asInstanceOf[UTF8String], n, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.WinnowedShinglesExpr.compute($c, $n, $stride)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WinnowedShinglesExpr = copy(child = newChild)
+}
+
+object WinnowedShinglesExpr {
+
+  /** Referenced from generated code. Sliding-window minimum via a monotonic
+    * index deque — O(m) regardless of stride. */
+  def compute(text: UTF8String, n: Int, stride: Int): GenericArrayData = {
+    val hashes = SortedHashedShinglesExpr.positionalHashes(text, n)
+    val m = hashes.length
+    if (m == 0) return new GenericArrayData(Array.empty[Long])
+    if (stride <= 1) return SortedHashedShinglesExpr.sortedDistinct(hashes)
+    val wins = math.max(1, m - stride + 1)
+    val sel = new Array[Long](wins)
+    val deque = new Array[Int](m)
+    var head = 0
+    var tail = 0 // deque holds indices with increasing hash values: [head, tail)
+    var i = 0
+    while (i < m) {
+      while (tail > head && hashes(deque(tail - 1)) >= hashes(i)) tail -= 1
+      deque(tail) = i
+      tail += 1
+      if (deque(head) <= i - stride) head += 1
+      if (i >= stride - 1) sel(i - stride + 1) = hashes(deque(head))
+      i += 1
+    }
+    if (m < stride) sel(0) = hashes(deque(head)) // short doc: one window
+    SortedHashedShinglesExpr.sortedDistinct(sel)
+  }
+
+  /** Column form — direct expression construction, no registry required. */
+  def apply(text: Column, n: Int, stride: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      WinnowedShinglesExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), n, stride))
 }

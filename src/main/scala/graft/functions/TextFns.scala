@@ -49,6 +49,14 @@ object TextFns {
   def hashedShingles(text: Column, n: Int): Column =
     sortedHashedShingles(text, n)
 
+  /** Winnowed (minimizer-sampled) distinct window hashes: keep the minimum
+    * hash value of every `stride` consecutive window positions — ~stride×
+    * fewer hashes, with the winnowing recall contract (any ≥ (n + stride − 1)
+    * consecutive-token overlap still shares a sampled hash). `stride = 1` is
+    * exactly `sortedHashedShingles`. */
+  def winnowedShingles(text: Column, n: Int, stride: Int): Column =
+    WinnowedShinglesExpr(text, n, stride)
+
   /** BPE-ish token count: letters runs, digit singletons, or single non-space symbols —
     * a deterministic proxy for subword token counts. */
   val bpeTokenPattern = "[a-z]+|[0-9]|[^a-z0-9\\s]"

@@ -259,13 +259,25 @@ object Dedup {
     * representative-anchored rows — star pairs are still EXACT matches (hash
     * equality needs no verify), member↔member pairs inside the flooded bucket
     * are the only omission, so cluster connectivity is preserved and emitted
-    * counts stay exact for every surviving pair. */
+    * counts stay exact for every surviving pair.
+    *
+    * `stride` is the 100 TB cost dial: `stride > 1` winnows the exploded rows
+    * to the minimum hash per stride of window positions (~stride× fewer rows)
+    * with the documented recall contract — any pair sharing at least
+    * (windowTokens + stride − 1) CONSECUTIVE tokens still collides on a
+    * sampled hash, because both documents select the shared run's minimum
+    * (`WinnowedShinglesExpr`). Under sampling, `shared_windows` counts shared
+    * SAMPLED hashes (a lower bound on shared windows); `stride = 1` (default)
+    * keeps every window and exact counts. */
   def sharedWindowPairs(docs: DataFrame, idCol: String, textCol: String,
                         windowTokens: Int = 50,
-                        maxBucket: Int = 4096): DataFrame = {
+                        maxBucket: Int = 4096,
+                        stride: Int = 1): DataFrame = {
+    val hashes = if (stride <= 1)
+      TextFns.sortedHashedShingles(col(textCol), windowTokens)
+    else TextFns.winnowedShingles(col(textCol), windowTokens, stride)
     val ex = ensureParallel(docs).select(col(idCol).as("__id"),
-      explode(TextFns.sortedHashedShingles(col(textCol), windowTokens))
-        .as("__wh"))
+      explode(hashes).as("__wh"))
     val (normal, star) = splitOversizedBuckets(ex, Seq("__wh"), maxBucket)
     val normalPairs = normal.as("a").join(normal.as("b"),
         col("a.__wh") === col("b.__wh") && col("a.__id") < col("b.__id"))

@@ -329,6 +329,46 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall { case (a, _, n) => a == 0L && n == 6L }) // counts exact
   }
 
+  test("sharedWindowPairs winnowing: overlap guarantee at every offset, ~stride× fewer rows") {
+    import graft.functions.TextFns
+    val w = 10; val s = 4
+    // the recall contract's boundary case: a shared run of EXACTLY
+    // (w + s - 1) consecutive tokens spans s consecutive window positions,
+    // so both docs' winnowing selects the run's minimum hash — the pair must
+    // survive sampling at ANY alignment of the run inside either doc
+    val run = (0 until (w + s - 1)).map(i => s"r$i").mkString(" ")
+    for (offA <- Seq(0, 3, 17); offB <- Seq(0, 5, 11)) {
+      val docA = ((0 until offA).map(i => s"a$i") ++ Seq(run) ++
+        (0 until 15).map(i => s"x$i")).mkString(" ")
+      val docB = ((0 until offB).map(i => s"b$i") ++ Seq(run) ++
+        (0 until 9).map(i => s"y$i")).mkString(" ")
+      val pairs = Dedup.sharedWindowPairs(
+          Seq((1L, docA), (2L, docB)).toDF("doc_id", "text"),
+          "doc_id", "text", windowTokens = w, stride = s)
+        .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L)), s"offsets ($offA, $offB): $pairs")
+    }
+    // stride = 1 is exactly the unsampled expression
+    val text = (0 until 200).map(i => s"t${i % 37}").mkString(" ")
+    val df = Seq(Tuple1(text)).toDF("text")
+    val full = df.select(TextFns.sortedHashedShingles($"text", w))
+      .as[Seq[Long]].head()
+    val one = df.select(TextFns.winnowedShingles($"text", w, 1))
+      .as[Seq[Long]].head()
+    assert(one == full)
+    // sampling reduces the exploded row count by ~stride (long document)
+    val sampled = df.select(TextFns.winnowedShingles($"text", w, s))
+      .as[Seq[Long]].head()
+    assert(sampled.toSet.subsetOf(full.toSet))
+    assert(sampled.length <= full.length / 2,
+      s"winnowing kept ${sampled.length} of ${full.length}")
+    // short doc (fewer windows than the stride) still emits its minimum
+    val short = Seq(Tuple1((0 until w).map(i => s"s$i").mkString(" ")))
+      .toDF("text")
+    assert(short.select(TextFns.winnowedShingles($"text", w, s))
+      .as[Seq[Long]].head().length == 1)
+  }
+
   test("components('auto'): exhausted propagation budget escapes to star, labels intact") {
     // 500-node path with a 3-round budget: propagation (even with its pointer
     // jump) cannot finish, so the unified entry must contract through the
