@@ -14,10 +14,12 @@ import org.apache.spark.sql.types._
   * `javax.imageio`, `java.desktop` module — `ImageIoCodec`), and RIFF/WAVE
   * PCM audio all get REAL decoders with no third-party or native dependency
   * (decode → nearest-neighbor resize → exact per-channel stats), proving the
-  * mapPartitions plumbing end-to-end with real pixels and samples; only
-  * compressed audio/video, whose codecs genuinely are not in this JVM,
-  * remain STUBBED with a deterministic fake. Swapping one in means replacing
-  * the `BatchDecoder` value only; every plan shape stays the same.
+  * mapPartitions plumbing end-to-end with real pixels and samples; G.711
+  * μ-law/A-law compressed audio decodes via the JDK's `javax.sound.sampled`
+  * (`JavaSoundCodec`). Only perceptual codecs (MP3/AAC/Opus, video), which
+  * genuinely are not in this JVM, remain STUBBED with a deterministic fake.
+  * Swapping one in means replacing the `BatchDecoder` value only; every plan
+  * shape stays the same.
   *
   * Scale design: media rows are orders of magnitude wider than text rows, so the
   * operators (a) never shuffle the binary payload except when explicitly
@@ -159,6 +161,18 @@ object Multimodal {
   def wavBatchDecoder(): BatchDecoder =
     rows => rows.flatMap { case (id, _, payload) =>
       WavCodec.decode(payload).map(a => (id, WavCodec.features(a)))
+    }
+
+  /** REAL decoder for compressed telephony audio (G.711 μ-law/A-law in
+    * WAV/AU containers) via the JDK's `javax.sound.sampled` codec chain
+    * (`JavaSoundCodec`) — converts to signed 16-bit PCM and shares the
+    * exact-integer feature pass with `wavBatchDecoder`. Undecodable payloads
+    * are DROPPED. With this plus `imageIoBatchDecoder`, the deterministic
+    * stub covers only perceptual codecs (MP3/AAC/Opus/video), which have no
+    * decoder anywhere in the JDK. */
+  def javaSoundBatchDecoder(): BatchDecoder =
+    rows => rows.flatMap { case (id, _, payload) =>
+      JavaSoundCodec.decode(payload).map(a => (id, WavCodec.features(a)))
     }
 
   /** mapPartitions decode path (SURVEY.md §2.10 altitude note: this is the ONE

@@ -292,6 +292,67 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L)(3) == 1000.0)
   }
 
+  test("JavaSound codec: G.711 u-law decode, PCM byte-exact vs hand-rolled codec") {
+    import graft.operators.{JavaSoundCodec, WavCodec}
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+    // smooth sine at amplitude 8000 — mu-law's log quantization error is
+    // relative to amplitude, so tolerance is a percentage, not exactness
+    val n = 512
+    val pcm = Array.tabulate[Short](n)(i =>
+      (8000 * math.sin(2 * math.Pi * i / 64)).toShort)
+    def pcmStream(): AudioInputStream = {
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        8000f, 16, 1, 2, 8000f, false)
+      val bytes = java.nio.ByteBuffer.allocate(n * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      pcm.foreach(bytes.putShort)
+      new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes.array()), fmt, n)
+    }
+    // encode to a u-law WAV with the JDK's own converter
+    val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW,
+      8000f, 8, 1, 1, 8000f, false)
+    val ulaw = AudioSystem.getAudioInputStream(ulawFmt, pcmStream())
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulaw, AudioFileFormat.Type.WAVE, bos)
+    val ulawWav = bos.toByteArray
+    // the hand-rolled PCM codec must REFUSE it (format 7, not 1)...
+    assert(WavCodec.decode(ulawWav).isEmpty)
+    // ...and the JDK codec chain decodes it back to PCM within G.711 error
+    val dec = JavaSoundCodec.decode(ulawWav)
+      .getOrElse(fail("u-law WAV did not decode"))
+    assert(dec.sampleRateHz == 8000 && dec.channels == 1 && dec.nFrames == n)
+    val meanAbsErr = dec.samples.zip(pcm)
+      .map { case (a, b) => math.abs(a - b) }.sum.toDouble / n
+    assert(meanAbsErr < 8000 * 0.04, s"u-law mean abs error $meanAbsErr")
+    // cross-check: plain 16-bit PCM WAV decodes SAMPLE-EXACT through both
+    // the hand-rolled parser and the JDK chain
+    val pbos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(pcmStream(), AudioFileFormat.Type.WAVE, pbos)
+    val pcmWav = pbos.toByteArray
+    val own = WavCodec.decode(pcmWav).get
+    val jdk = JavaSoundCodec.decode(pcmWav).get
+    assert(own.sampleRateHz == jdk.sampleRateHz &&
+      own.channels == jdk.channels && own.nFrames == jdk.nFrames)
+    assert(own.samples.sameElements(jdk.samples))
+    assert(WavCodec.features(own).sameElements(WavCodec.features(jdk)))
+    // undecodable payloads drop: junk, truncation, null
+    assert(JavaSoundCodec.decode(Array.fill[Byte](64)(9)).isEmpty)
+    assert(JavaSoundCodec.decode(ulawWav.take(30)).isEmpty)
+    assert(JavaSoundCodec.decode(null).isEmpty)
+    // end-to-end through the mapPartitions seam
+    val rows = Seq(
+      Row(1L, "audio", ulawWav, null),
+      Row(2L, "audio", Array.fill[Byte](50)(9), null),
+      Row(3L, "audio", null, null))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val out = Multimodal.decodePartitions(df, Multimodal.javaSoundBatchDecoder())
+      .select($"media_id", $"features").as[(Long, Seq[Double])].collect().toMap
+    assert(out.keySet == Set(1L))
+    assert(out(1L)(0) == 8000.0 && out(1L)(1) == 1.0)
+  }
+
   test("repartitionBySize packs by total payload bytes") {
     val out = Multimodal.repartitionBySize(mediaDf, targetBytes = 120)
     // 100 + 250 + 0 bytes => ceil(350/120) = 3 partitions
