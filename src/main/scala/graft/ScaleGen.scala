@@ -23,6 +23,11 @@ object ScaleGen {
     val Array(inDir, outDir) = args.take(2)
     val copies = args.drop(2).headOption.map(_.toInt).getOrElse(10)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // only stop the session on exit if this main OWNS it — under a test
+    // harness getOrCreate returns the suite's shared session, and stopping
+    // that would poison every later suite in the JVM
+    val preExisting = SparkSession.getActiveSession
+      .orElse(SparkSession.getDefaultSession).isDefined
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -76,6 +81,6 @@ object ScaleGen {
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
       println(s"[scalegen] $name: ${spark.read.parquet(s"$outDir/$name.parquet").count()} rows")
     }
-    spark.stop()
+    if (!preExisting) spark.stop()
   }
 }

@@ -292,11 +292,19 @@ object Similarity {
     * centv, centn2 = exact squared norm). */
   def pqTrain(corpus: DataFrame, m: Int = 4, ksub: Int = 16, iters: Int = 2,
               idCol: String = "vec_id",
-              vecCol: String = "embedding"): DataFrame = {
-    graft.functions.VectorSumAgg.register(corpus.sparkSession)
-    val prepped = corpus
-      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
-      .select(col(idCol).as("__id"), VectorFns.quantize(col(vecCol)).as("cv"))
+              vecCol: String = "embedding"): DataFrame =
+    pqTrainQuantized(corpus
+        .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
+        .select(col(idCol).as("__id"), VectorFns.quantize(col(vecCol)).as("cv")),
+      m, ksub, iters)
+
+  /** `pqTrain` over an ALREADY-quantized (__id, cv) frame — the residual
+    * index trains its codebooks on exact integer residuals, which must not be
+    * re-quantized. */
+  private def pqTrainQuantized(input: DataFrame, m: Int, ksub: Int,
+                               iters: Int): DataFrame = {
+    graft.functions.VectorSumAgg.register(input.sparkSession)
+    val prepped = input
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dims = prepped.select(size(col("cv"))).first().getInt(0)
     val books = subRanges(dims, m).zipWithIndex.map { case ((off, len), s) =>
@@ -441,15 +449,21 @@ object Similarity {
   /** A built IVF+PQ serving index. `cells` = (neighbor_id, codes, cell) —
     * the PQ-compressed corpus keyed by coarse cell (the ONLY corpus-sized
     * frame, and it carries codes instead of vectors: 16-64× smaller);
-    * `centroids` = the coarse quantizer; `books` = the PQ codebooks. All
-    * plain-typed frames — `save`/`load` round-trip through parquet, cells
-    * partitioned by cell so probes prune directories at the file index. */
+    * `centroids` = the coarse quantizer; `books` = the PQ codebooks;
+    * `residual` = whether codes encode cell RESIDUALS (cv − centroid, the
+    * IVFADC form) or raw vectors. All plain-typed frames — `save`/`load`
+    * round-trip through parquet, cells partitioned by cell so probes prune
+    * directories at the file index. */
   final case class IvfPqIndex(cells: DataFrame, centroids: DataFrame,
-                              books: DataFrame) {
+                              books: DataFrame, residual: Boolean = false) {
     def save(dir: String): Unit = {
       cells.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
       centroids.write.mode("overwrite").parquet(s"$dir/centroids")
       books.write.mode("overwrite").parquet(s"$dir/books")
+      val spark = cells.sparkSession
+      import spark.implicits._
+      Seq(residual).toDF("residual")
+        .write.mode("overwrite").parquet(s"$dir/meta")
     }
   }
 
@@ -457,24 +471,46 @@ object Similarity {
     def load(spark: org.apache.spark.sql.SparkSession, dir: String): IvfPqIndex =
       IvfPqIndex(spark.read.parquet(s"$dir/cells"),
         spark.read.parquet(s"$dir/centroids"),
-        spark.read.parquet(s"$dir/books"))
+        spark.read.parquet(s"$dir/books"),
+        spark.read.parquet(s"$dir/meta").first().getBoolean(0))
   }
 
   /** Build the composed index: one IVF build (quantize + cell-assign the
     * corpus), one PQ training pass, then the corpus is encoded STRAIGHT OFF
     * the IVF cells frame — quantized once, scanned once, never re-read from
     * the source. `refineIters`/`iters` Lloyd-train the coarse and product
-    * quantizers respectively (0 = deterministic seed pick). */
+    * quantizers respectively (0 = deterministic seed pick).
+    *
+    * `residual = true` builds the IVFADC form (Jégou et al. §IV): codebooks
+    * train on and codes encode the exact integer residual cv − centroid(cell)
+    * instead of the raw vector. When the coarse quantizer explains the
+    * corpus' structure, residuals concentrate near zero and the same
+    * (m, ksub) budget spends its resolution on what the cells missed —
+    * better reconstruction at identical serving cost (spec-pinned on a
+    * clustered corpus). CAVEAT (documented because it is measurable, not
+    * hypothetical): on a near-uniform unit-sphere corpus |x − c|² =
+    * 2 − 2cosθ exceeds |x|² whenever the best centroid cosine is under 0.5,
+    * so residuals are LARGER than the vectors and the raw form wins — pick
+    * per corpus. Shared codebook across cells (the standard large-scale
+    * memory/training tradeoff). */
   def buildIvfPqIndex(corpus: DataFrame, nCentroids: Int = 16, m: Int = 4,
                       ksub: Int = 16, iters: Int = 2, refineIters: Int = 0,
+                      residual: Boolean = false,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): IvfPqIndex = {
     val ivf = buildIvfIndex(corpus, nCentroids, idCol, vecCol, refineIters)
-    val books = pqTrain(corpus, m, ksub, iters, idCol, vecCol)
-    val cells = encodeQuantized(
-      ivf.cells.select(col("neighbor_id"), col("cv"), col("cell")),
-      books, m, keep = Seq("cell"))
-    IvfPqIndex(cells, ivf.centroids, books)
+    val source = if (!residual) ivf.cells.select(
+        col("neighbor_id"), col("cv"), col("cell"))
+      else ivf.cells
+        .join(broadcast(ivf.centroids
+          .select(col("centroid_id").as("cell"), col("centv"))), Seq("cell"))
+        .select(col("neighbor_id"),
+          zip_with(col("cv"), col("centv"), (x, c) => x - c).as("cv"),
+          col("cell"))
+    val books = pqTrainQuantized(
+      source.select(col("neighbor_id").as("__id"), col("cv")), m, ksub, iters)
+    val cells = encodeQuantized(source, books, m, keep = Seq("cell"))
+    IvfPqIndex(cells, ivf.centroids, books, residual)
   }
 
   /** Serve a query batch from the composed index: each query probes its
@@ -493,16 +529,53 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
       VectorFns.quantize(col(vecCol)).as("qv"))
     val dims = q.select(size(col("qv"))).first().getInt(0)
+    val ranges = subRanges(dims, m)
     val probes = q.crossJoin(broadcast(centroidArr))
       .crossJoin(broadcast(packedBooks(index.books)))
-      .select(col("query_id"),
+      .select(col("query_id"), col("qv"),
         explode(nearestCellIds(col("cents"), col("qv"),
           VectorFns.normLong(col("qv")), nProbe)).as("cell"),
         sqrt(VectorFns.dotLong(col("qv"), col("qv")).cast("double")).as("qn"),
-        adcDotTables(subRanges(dims, m)).as("tabs"),
+        adcDotTables(ranges).as("tabs"),
         adcNormTables(m).as("n2s"))
-    rankTopK(adcScore(index.cells.join(broadcast(probes), Seq("cell")))
-      .filter(col("query_id") =!= col("neighbor_id")), k)
+    if (!index.residual) {
+      rankTopK(adcScore(index.cells
+          .join(broadcast(probes.drop("qv")), Seq("cell")))
+        .filter(col("query_id") =!= col("neighbor_id")), k)
+    } else {
+      // IVFADC scoring: reconstruction = centroid(cell) + decode(codes), so
+      //   num   = dot(q, centv)  +  Σ_s tabs[s][code_s]          (exact longs)
+      //   |x̂|² = |centv|² + 2·Σ_s dot(centv_s, book_s[code_s]) + Σ_s n2s
+      // The centroid dot rides the probe row (one per query×cell); the
+      // centroid×book cross-terms are query-INDEPENDENT — precomputed once
+      // into a cells×m×ksub table (FAISS's precomputed-tables trick) and
+      // broadcast alongside the probes. Exact integer arithmetic throughout.
+      val cellConsts = index.centroids
+        .select(col("centroid_id").as("cell"), col("centv").as("ctv"))
+        .withColumn("centn2", VectorFns.dotLong(col("ctv"), col("ctv")))
+      val crossPacked = cellConsts.crossJoin(broadcast(packedBooks(index.books)))
+        .select(col("cell"), col("centn2"),
+          array(ranges.zipWithIndex.map { case ((off, len), s) =>
+            transform(col("bk")(s), c =>
+              VectorFns.dotLong(slice(col("ctv"), off, len), c("centv")))
+          }: _*).as("xtabs"))
+      val rProbes = probes
+        .join(broadcast(cellConsts.select(col("cell"), col("ctv"))), Seq("cell"))
+        .withColumn("qc", VectorFns.dotLong(col("qv"), col("ctv")))
+        .drop("qv", "ctv")
+      def lookupSum(tables: Column): Column =
+        aggregate(zip_with(col("codes"), tables,
+          (code, tab) => element_at(tab, code + 1)), lit(0L), (acc, x) => acc + x)
+      val scored = index.cells
+        .join(broadcast(rProbes), Seq("cell"))
+        .join(broadcast(crossPacked), Seq("cell"))
+        .withColumn("cosine",
+          (col("qc") + lookupSum(col("tabs"))).cast("double") /
+          (col("qn") * sqrt((col("centn2") + lit(2L) * lookupSum(col("xtabs")) +
+            lookupSum(col("n2s"))).cast("double"))))
+        .filter(col("query_id") =!= col("neighbor_id"))
+      rankTopK(scored, k)
+    }
   }
 
   /** LSH-bucketed top-k: candidates limited to rows whose hyperplane signature

@@ -194,6 +194,90 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("IVFADC residual encoding: strictly better reconstruction, same serving cost") {
+    // residual encoding wins exactly when the coarse quantizer explains the
+    // corpus' structure (residuals concentrate near zero, so the codebooks
+    // spend their resolution on what the cells missed). The driver's
+    // synthetic embeddings are near-uniform on the sphere (measured mean
+    // best-cosine to even the TRUE label centroids is 0.22, so |x − c|² =
+    // 2 − 2cosθ > |x|² for every achievable c — residuals are LARGER than
+    // the vectors, and no encoding can fix that); the spec therefore
+    // constructs the clustered regime the technique exists for: 16 tight
+    // block-direction clusters with deterministic in-row jitter, no RNG.
+    val emb = {
+      val rows = Seq.tabulate(400) { i =>
+        val cluster = i % 16
+        val v = Array.tabulate(64) { d =>
+          val base = if (d / 4 == cluster) 1.0f else 0.0f
+          base + 0.05f * math.sin(1.0 + i * 0.7 + d * 2.3).toFloat
+        }
+        val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+        (i.toLong, v.map(_ / n))
+      }
+      rows.toDF("vec_id", "embedding")
+    }
+    val raw = Similarity.buildIvfPqIndex(emb, nCentroids = 16, m = 4, ksub = 8,
+      iters = 1, refineIters = 2)
+    val res = Similarity.buildIvfPqIndex(emb, nCentroids = 16, m = 4, ksub = 8,
+      iters = 1, refineIters = 2, residual = true)
+    // exact integer reconstruction error, computed off the serving artifacts
+    // alone (codes + books + centroids — the vectors never re-enter)
+    val truth = emb.select($"vec_id",
+        transform($"embedding", x => round(x.cast("double") * 1e6).cast("long"))
+          .as("cv"))
+      .as[(Long, Seq[Long])].collect().toMap
+    def sqErr(idx: Similarity.IvfPqIndex): Long = {
+      val books = idx.books
+        .select($"subspace", $"centroid_id", $"centv")
+        .as[(Int, Int, Seq[Long])].collect()
+        .map { case (s, c, v) => (s, c) -> v }.toMap
+      val cents = idx.centroids.select($"centroid_id", $"centv")
+        .as[(Long, Seq[Long])].collect().toMap
+      idx.cells.select($"neighbor_id", $"codes", $"cell")
+        .as[(Long, Seq[Int], Long)].collect().map { case (id, codes, cell) =>
+          val decoded = codes.zipWithIndex.flatMap { case (c, s) => books((s, c)) }
+          val recon = if (!idx.residual) decoded
+            else cents(cell).zip(decoded).map { case (a, b) => a + b }
+          truth(id).zip(recon).map { case (x, r) =>
+            val d = x - r; d * d }.sum
+        }.sum
+    }
+    val rawErr = sqErr(raw)
+    val resErr = sqErr(res)
+    assert(resErr < rawErr,
+      s"residual encoding did not improve reconstruction: $resErr vs $rawErr")
+    // planted exact duplicates: identical vectors share cell AND residual
+    // codes, and in the regime where residual encoding is the right tool
+    // (clustered corpus, reconstructions retain signal) a partial probe
+    // retrieves each twin at rank 1. (On the near-uniform corpus NO pq
+    // variant's reconstruction retains rank-1 signal — the raw form's twin
+    // test above holds because raw codes tie exactly, a weaker property.)
+    val dups = emb.filter($"vec_id" < 5)
+      .select(($"vec_id" + 1000000L).as("vec_id"), $"embedding")
+    val idx2 = Similarity.buildIvfPqIndex(emb.unionByName(dups),
+      nCentroids = 16, m = 4, ksub = 8, iters = 1, refineIters = 2,
+      residual = true)
+    val hits = Similarity.ivfPqSearch(idx2, dups, k = 3, nProbe = 2, m = 4)
+      .filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toMap
+    assert((0L until 5L).forall(i => hits(i + 1000000L) == i),
+      s"twins not at rank 1 under residual ADC: $hits")
+    // save/load round-trips the residual flag and serves identical results
+    val dir = java.nio.file.Files.createTempDirectory("ivfadc").toString
+    res.save(dir)
+    val loaded = Similarity.IvfPqIndex.load(spark, dir)
+    assert(loaded.residual)
+    val queries = emb.filter($"vec_id" < 5)
+    // (res was built on the clustered corpus; queries come from it too)
+    val a = Similarity.ivfPqSearch(res, queries, 5, nProbe = 4)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val b = Similarity.ivfPqSearch(loaded, queries, 5, nProbe = 4)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(a == b && a.nonEmpty)
+  }
+
   test("lshTopK recall: exact-duplicate vectors always share a bucket") {
     val withDup = corpus.union(Seq((5L, Array(1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding"))
