@@ -138,7 +138,8 @@ object SparkEntry {
     "q69_shared_windows" -> qSharedWindows,
     "q70_pq_assign" -> qPqAssign,
     "q71_pq_search" -> qPqSearch,
-    "q72_ivfpq_full_probe" -> qIvfPqFullProbe)
+    "q72_ivfpq_full_probe" -> qIvfPqFullProbe,
+    "q73_sample_stratified" -> qSampleStratified)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -781,6 +782,17 @@ object SparkEntry {
       Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
       .select(col("doc_id"), col("source"), col("split"))
       .orderBy(col("doc_id"))
+
+  /** Deterministic stratified subsample — the curation "cap each source at N
+    * rows" move: per source, the 7 documents with the smallest Knuth id hash
+    * (reproducible under any partitioning or re-run, unlike RNG samplers),
+    * ranked via the bounded-heap top-k aggregate so no per-source ranking
+    * window exists anywhere in the plan. The oracle re-derives the hash
+    * order with row_number. */
+  private def qSampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.operators.DataMix.sampleStratified(t(s, dir, "documents"),
+        Seq("source"), 7, "doc_id", Seq("doc_id"))
+      .orderBy(col("source"), col("rn"))
 
   /** Batch incremental dedup — admission of a new batch against the EXISTING
     * corpus (the streaming gate's batch twin): exact copies of corpus docs
@@ -2023,7 +2035,17 @@ object SparkEntry {
     // The composed IVF+PQ index probing EVERY coarse cell must reproduce
     // pqSearch over the whole encoded corpus (cells partition it), so the
     // full-probe row shares q71's oracle — the q58 pattern, composed.
-    "q72_ivfpq_full_probe" -> pqAdcSearchSql)
+    "q72_ivfpq_full_probe" -> pqAdcSearchSql,
+    // Deterministic stratified sample: smallest-Knuth-hash rows per source;
+    // the oracle re-derives the (hash asc, id asc) rank with row_number.
+    "q73_sample_stratified" ->
+      """WITH ranked AS (
+        |  SELECT source, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, CAST(rn AS INT) AS rn, doc_id
+        |FROM ranked WHERE rn <= 7 ORDER BY source, rn""".stripMargin)
 
   private val pqAdcSearchSql: String =
       """WITH q AS (

@@ -64,4 +64,20 @@ object DataMix {
     }
     df.withColumn("split", expr)
   }
+
+  /** Deterministic per-stratum subsample: the `n` rows of each stratum with
+    * the SMALLEST Knuth hash of their id — a reproducible "uniform" sample
+    * (same rows under any partitioning, engine, or re-run; the property
+    * RNG-based samplers silently lack), the standard curation move for
+    * capping an over-represented source at a fixed row budget. Scale shape:
+    * the bounded-heap top-k aggregate (map-side partials; the shuffle
+    * carries at most n rows per stratum per mapper) — NOT a per-stratum
+    * ranking window, which funnels every row of a stratum through one task.
+    * Output: strata + rn (1-based hash-order rank) + payload columns. */
+  def sampleStratified(df: DataFrame, strata: Seq[String], n: Int,
+                       idCol: String, payload: Seq[String]): DataFrame =
+    graft.ops.TopK.topKPerGroup(df, strata,
+      -pmod(col(idCol) * lit(2654435761L), lit(4294967296L)), col(idCol),
+      payload.map(col), n)
+      .drop("__sort", "__tie")
 }

@@ -86,6 +86,31 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("sampleStratified: exact cap per stratum, partition-invariant, rank = hash order") {
+    val df = (0L until 2000L).map(i => (s"src${i % 4}", i)).toDF("src", "id")
+    val a = graft.operators.DataMix
+      .sampleStratified(df.repartition(1), Seq("src"), 5, "id", Seq("id"))
+      .as[(String, Int, Long)].collect().toSet
+    val b = graft.operators.DataMix
+      .sampleStratified(df.repartition(13), Seq("src"), 5, "id", Seq("id"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(a == b) // the heap's total order is partition-independent
+    assert(a.size == 20) // exactly n per stratum
+    assert(a.groupBy(_._1).forall(_._2.size == 5))
+    // selection = the n smallest Knuth hashes of each stratum, rank = order
+    val want = (0L until 2000L).groupBy(i => s"src${i % 4}").flatMap {
+      case (s, ids) =>
+        ids.sortBy(i => ((i * 2654435761L) % 4294967296L, i)).take(5)
+          .zipWithIndex.map { case (i, r) => (s, r + 1, i) }
+    }.toSet
+    assert(a == want)
+    // a stratum smaller than n returns whole-stratum, ranked
+    val tiny = Seq(("only", 1L), ("only", 2L)).toDF("src", "id")
+    assert(graft.operators.DataMix
+      .sampleStratified(tiny, Seq("src"), 5, "id", Seq("id"))
+      .count() == 2)
+  }
+
   test("admitNew: rejects incoming near-dups of the corpus, admits novel docs") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
