@@ -139,7 +139,8 @@ object SparkEntry {
     "q70_pq_assign" -> qPqAssign,
     "q71_pq_search" -> qPqSearch,
     "q72_ivfpq_full_probe" -> qIvfPqFullProbe,
-    "q73_sample_stratified" -> qSampleStratified)
+    "q73_sample_stratified" -> qSampleStratified,
+    "q74_sample_budget" -> qSampleBudget)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -793,6 +794,22 @@ object SparkEntry {
     graft.operators.DataMix.sampleStratified(t(s, dir, "documents"),
         Seq("source"), 7, "doc_id", Seq("doc_id"))
       .orderBy(col("source"), col("rn"))
+
+  /** Token-budget sampling (q73's weighted sibling): per source, the greedy
+    * Knuth-hash-order prefix of documents whose inclusive cumulative token
+    * count stays within 700. The engine resolves the cutoff with the
+    * histogram-bucket fold (only ONE hash bucket per source enters a window
+    * — never the stratum); the oracle re-derives the same greedy prefix with
+    * a running-sum window, so the histogram plan's answer must match the
+    * naive plan's bit-for-bit. */
+  private def qSampleBudget(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("n_tok", size(TextFns.words(col("text"))).cast("long"))
+    graft.operators.DataMix.sampleToBudget(docs, Seq("source"), 700L,
+        "doc_id", col("n_tok"))
+      .select(col("source"), col("doc_id"), col("n_tok"))
+      .orderBy(col("source"), col("doc_id"))
+  }
 
   /** Batch incremental dedup — admission of a new batch against the EXISTING
     * corpus (the streaming gate's batch twin): exact copies of corpus docs
@@ -2045,7 +2062,23 @@ object SparkEntry {
         |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rn
         |  FROM documents)
         |SELECT source, CAST(rn AS INT) AS rn, doc_id
-        |FROM ranked WHERE rn <= 7 ORDER BY source, rn""".stripMargin)
+        |FROM ranked WHERE rn <= 7 ORDER BY source, rn""".stripMargin,
+    // The naive running-sum-window form of the greedy token-budget prefix —
+    // the engine's histogram-cutoff plan must reproduce it exactly.
+    "q74_sample_budget" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> len(w) > 0)) AS BIGINT) AS n_tok,
+        |    (doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT source, doc_id, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT source, doc_id, n_tok FROM c WHERE cum <= 700
+        |ORDER BY source, doc_id""".stripMargin)
 
   private val pqAdcSearchSql: String =
       """WITH q AS (

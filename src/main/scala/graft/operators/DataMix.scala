@@ -80,4 +80,63 @@ object DataMix {
       -pmod(col(idCol) * lit(2654435761L), lit(4294967296L)), col(idCol),
       payload.map(col), n)
       .drop("__sort", "__tie")
+
+  /** Deterministic per-stratum BUDGET sample — `sampleStratified`'s weighted
+    * sibling, the "cap each source at N tokens" curation move: keep each
+    * stratum's greedy hash-order prefix whose INCLUSIVE cumulative `weight`
+    * stays within `budget` (same Knuth hash order as every sampler here, so
+    * membership is reproducible under any partitioning or re-run).
+    *
+    * Scale shape — the naive plan is a running-sum window over
+    * `(stratum ORDER BY hash)`, which funnels every row of a stratum through
+    * one task (the q66 defect, weighted). This plan is the histogram-cutoff
+    * form instead: (1) bucket the hash space, aggregate per-bucket weight
+    * sums (map-combinable; shuffle carries strata × buckets rows); (2) one
+    * in-row fold per stratum finds the bucket where the cumulative budget
+    * crosses; (3) only THAT bucket's rows — corpus/buckets of the data —
+    * enter a window to resolve the exact boundary. Earlier buckets are
+    * admitted wholesale, later ones rejected wholesale, both as map-side
+    * filters against a broadcast cutoff frame. */
+  def sampleToBudget(df: DataFrame, strata: Seq[String], budget: Long,
+                     idCol: String, weight: Column,
+                     buckets: Int = 4096): DataFrame = {
+    require(buckets > 0 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two, got $buckets")
+    val step = 4294967296L / buckets
+    val base = df
+      .withColumn("__w", weight.cast("long"))
+      .withColumn("__h", pmod(col(idCol) * lit(2654435761L), lit(4294967296L)))
+      .withColumn("__b", graft.ops.Quantiles.div(col("__h"), lit(step)))
+    val hist = base.groupBy((strata.map(col) :+ col("__b")): _*)
+      .agg(sum(col("__w")).as("__bw"))
+    // per stratum: the first bucket where cumulative weight exceeds the
+    // budget (cb) and the cumulative total BEFORE it — one sorted in-row fold
+    // over the (strata x buckets)-bounded histogram
+    val cuts = hist.groupBy(strata.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("__b"), col("__bw"))))
+        .as("__bins"))
+      .withColumn("__cut", aggregate(col("__bins"),
+        struct(lit(0L).as("cum"), lit(null).cast("long").as("cb"),
+          lit(0L).as("before")),
+        (acc, x) => struct(
+          (acc("cum") + x("__bw")).as("cum"),
+          when(acc("cb").isNull && acc("cum") + x("__bw") > budget, x("__b"))
+            .otherwise(acc("cb")).as("cb"),
+          when(acc("cb").isNull && acc("cum") + x("__bw") > budget, acc("cum"))
+            .otherwise(acc("before")).as("before"))))
+      .select((strata.map(col) :+ col("__cut.cb").as("__cb") :+
+        col("__cut.before").as("__before")): _*)
+    val joined = base.join(broadcast(cuts), strata)
+    val earlier = joined.filter(col("__cb").isNull || col("__b") < col("__cb"))
+    // the boundary window's partition holds ONE hash bucket of one stratum —
+    // corpus/buckets rows, not the stratum
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata.map(col): _*).orderBy(col("__h"), col(idCol))
+    val boundary = joined
+      .filter(col("__cb").isNotNull && col("__b") === col("__cb"))
+      .withColumn("__cum", sum(col("__w")).over(w))
+      .filter(col("__before") + col("__cum") <= budget)
+      .drop("__cum")
+    earlier.unionByName(boundary).drop("__cb", "__before", "__b", "__h", "__w")
+  }
 }

@@ -111,6 +111,32 @@ class CurationOpsSpec extends SparkSpec {
       .count() == 2)
   }
 
+  test("sampleToBudget: greedy hash-order prefix, exact boundary, partition-invariant") {
+    // weights chosen so budgets cut INSIDE a hash bucket (the boundary
+    // window path) and strata differ in totals
+    val df = (0L until 600L).map(i => (s"s${i % 3}", i, 10L + i % 7))
+      .toDF("src", "id", "w")
+    def run(part: Int, budget: Long) = graft.operators.DataMix
+      .sampleToBudget(df.repartition(part), Seq("src"), budget, "id", $"w")
+      .select($"src", $"id").as[(String, Long)].collect().toSet
+    val got = run(1, 500L)
+    assert(got == run(11, 500L)) // histogram cutoff is partition-independent
+    // reference: the literal greedy prefix in (knuth-hash, id) order
+    // (.toSeq first: flatMap on a Map with pair elements would collapse to
+    // one entry per stratum)
+    val want = (0L until 600L).groupBy(i => s"s${i % 3}").toSeq.flatMap {
+      case (s, ids) =>
+        val ordered = ids.sortBy(i => ((i * 2654435761L) % 4294967296L, i))
+        val cums = ordered.scanLeft(0L)((acc, i) => acc + 10L + i % 7).tail
+        ordered.zip(cums).takeWhile(_._2 <= 500L).map { case (i, _) => (s, i) }
+    }.toSet
+    assert(got == want)
+    // inclusive semantics: a budget below the first doc's weight keeps nothing
+    assert(run(4, 5L).isEmpty)
+    // a budget >= the stratum total keeps everything (cutoff never fires)
+    assert(run(4, 1000000L).size == 600)
+  }
+
   test("admitNew: rejects incoming near-dups of the corpus, admits novel docs") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
