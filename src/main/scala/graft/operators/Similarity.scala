@@ -513,6 +513,39 @@ object Similarity {
     IvfPqIndex(cells, ivf.centroids, books, residual)
   }
 
+  /** Incrementally admit a vector batch into a built index: assign each new
+    * vector to its coarse cell and encode it with the EXISTING quantizers —
+    * one broadcast pass over the BATCH, the existing cells frame untouched
+    * (at 100 TB the daily embedding increment costs increment-work, not a
+    * rebuild — the `incrementalJaccardMatches` story for the serving index).
+    * Assignment and encoding are deterministic given (centroids, books), so
+    * an added vector gets exactly the row a from-scratch encode under the
+    * same quantizers would give it (spec: re-adding an indexed vector under
+    * a new id reproduces its twin's cell AND codes bit-for-bit). Caveat, as
+    * for every add()-style index: codebooks do not retrain, so after enough
+    * distribution drift the index wants a rebuild. */
+  def ivfPqAdd(index: IvfPqIndex, batch: DataFrame, m: Int = 4,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): IvfPqIndex = {
+    val assigned = batch
+      .select(col(idCol).as("neighbor_id"),
+        VectorFns.quantize(col(vecCol)).as("cv"))
+      .withColumn("cn", VectorFns.normLong(col("cv")))
+      .crossJoin(broadcast(packed(index.centroids)))
+      .withColumn("cell",
+        nearestCellIds(col("cents"), col("cv"), col("cn"), 1)(0))
+    val source = if (!index.residual)
+      assigned.select(col("neighbor_id"), col("cv"), col("cell"))
+    else assigned
+      .join(broadcast(index.centroids
+        .select(col("centroid_id").as("cell"), col("centv"))), Seq("cell"))
+      .select(col("neighbor_id"),
+        zip_with(col("cv"), col("centv"), (x, c) => x - c).as("cv"),
+        col("cell"))
+    index.copy(cells = index.cells.unionByName(
+      encodeQuantized(source, index.books, m, keep = Seq("cell"))))
+  }
+
   /** Serve a query batch from the composed index: each query probes its
     * `nProbe` nearest coarse cells (the same in-row argmax as `ivfSearch`)
     * and carries its ADC tables into the probe, so candidates inside probed
