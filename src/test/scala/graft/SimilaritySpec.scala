@@ -278,6 +278,29 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("serving a persisted IVF+PQ index dynamically prunes cell partitions") {
+    // the 100 TB serving claim made checkable: with cells stored as
+    // cell-partitioned parquet and probes broadcast, Spark's dynamic
+    // partition pruning restricts the corpus SCAN to the probed cells'
+    // directories — a partial probe reads a partial index off disk, not all
+    // of it. Asserted on the executed plan, not hoped for.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqdpp").toString
+    Similarity.buildIvfPqIndex(emb, nCentroids = 8, m = 4, ksub = 8,
+      iters = 1).save(dir)
+    val loaded = Similarity.IvfPqIndex.load(spark, dir)
+    val out = Similarity.ivfPqSearch(loaded, emb.filter($"vec_id" < 3),
+      k = 3, nProbe = 2)
+    out.write.format("noop").mode("overwrite").save()
+    val plan = out.queryExecution.executedPlan.toString
+    val cellsScan = plan.split("\n")
+      .filter(l => l.contains("FileScan") && l.contains("cells"))
+    assert(cellsScan.nonEmpty, s"no cells scan found:\n$plan")
+    assert(cellsScan.exists(_.contains("dynamicpruning")),
+      s"cells scan is not dynamically pruned:\n${cellsScan.mkString("\n")}")
+  }
+
   test("ivfPqAdd: increment reproduces the twin rows exactly, raw and residual") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding")
