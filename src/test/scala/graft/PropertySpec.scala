@@ -89,6 +89,33 @@ class PropertySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("budget sampling == naive greedy prefix on random strata/weights/budgets") {
+    // the histogram-cutoff plan must equal the literal running-sum definition
+    // for every shape: tiny/huge budgets, weight skew, strata of odd sizes,
+    // budgets landing exactly on a doc boundary (inclusive semantics)
+    val gen = for {
+      nRows <- Gen.choose(1, 300)
+      nStrata <- Gen.choose(1, 5)
+      weights <- Gen.listOfN(nRows, Gen.choose(0L, 50L))
+      budget <- Gen.choose(0L, 600L)
+    } yield (nStrata, weights.zipWithIndex.map { case (w, i) =>
+      (s"g${i % nStrata}", i.toLong, w) }, budget)
+    for ((_, rows, budget) <- samples(gen, 6)) {
+      val df = rows.toDF("g", "id", "w")
+      val got = graft.operators.DataMix
+        .sampleToBudget(df, Seq("g"), budget, "id", $"w", buckets = 16)
+        .select($"g", $"id").as[(String, Long)].collect().toSet
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (_, grp) =>
+        val ordered = grp.sortBy { case (_, i, _) =>
+          ((i * 2654435761L) % 4294967296L, i) }
+        val cums = ordered.scanLeft(0L)((acc, r) => acc + r._3).tail
+        ordered.zip(cums).takeWhile(_._2 <= budget)
+          .map { case ((s, i, _), _) => (s, i) }
+      }.toSet
+      assert(got == want, s"budget=$budget rows=${rows.take(8)}...")
+    }
+  }
+
   test("impute idempotence: imputing an already-imputed frame changes nothing") {
     val gen = Gen.listOfN(8, Gen.option(Gen.choose(0, 1000)))
     for (vals <- samples(gen, 5) if vals.exists(_.isDefined)) {
