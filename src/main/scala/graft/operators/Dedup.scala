@@ -733,9 +733,15 @@ object Dedup {
             idB)
           .select(col("__qa").as("id_a"), col("__qb").as("id_b"))
           .filter(col("id_a") =!= col("id_b"))
-        val roots = connectedComponentsStar(quotient)
+        // observability reports the STAR pass's actual convergence (star's
+        // O(log² n) bound makes non-convergence at maxIter=50 pathological,
+        // but claiming true unconditionally would mask exactly that case)
+        val (starLabels, starConverged, starRounds) = ccStar(quotient,
+          "id_a", "id_b", 50)
+        val roots = starLabels
           .select(col("id").as("__q"), col("component").as("__root"))
-        lastConverged = true
+        lastRounds = starRounds
+        lastConverged = starConverged
         partial.join(roots, col("component") === col("__q"), "left")
           .select(col("id"),
             coalesce(col("__root"), col("component")).as("component"))
