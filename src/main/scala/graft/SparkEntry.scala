@@ -140,7 +140,8 @@ object SparkEntry {
     "q71_pq_search" -> qPqSearch,
     "q72_ivfpq_full_probe" -> qIvfPqFullProbe,
     "q73_sample_stratified" -> qSampleStratified,
-    "q74_sample_budget" -> qSampleBudget)
+    "q74_sample_budget" -> qSampleBudget,
+    "q75_simhash_corpus" -> qSimhashCorpus)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -749,6 +750,46 @@ object SparkEntry {
       .unionByName(band.agg((count(lit(1)) -
           count_distinct(struct(col("id_a"), col("id_b")))).as("violations"))
         .withColumn("invariant", lit("band_pair_duplicates")))
+      .select(col("invariant"), col("violations"))
+      .orderBy(col("invariant"))
+  }
+
+  /** The SimHash corpus composite (the dedup family's third member): banded
+    * signature pairs → cluster resolution → min-id survivors, checked
+    * against the survivor set independently derived from the BRUTE-FORCE
+    * Hamming pair route (broadcast bit_count join over the bounded signature
+    * frame + the same CC). Emits q59-style zero-violation constants — the
+    * signatures themselves are not SQL-re-derivable, but equality with an
+    * exhaustive second route is red-capable all the same. */
+  private def qSimhashCorpus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val maxHamming = 8
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
+      .select(col("doc_id"), col("text"))
+    val composite = Dedup.dedupedCorpusBySimhash(docs, "doc_id", "text",
+        maxHamming)
+      .select(col("doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = Dedup.simhash64(docs, "doc_id", "text")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val brutePairs = sig.select(col("doc_id").as("id_a"), col("simhash").as("ha"))
+      .join(broadcast(sig.select(col("doc_id").as("id_b"), col("simhash").as("hb"))),
+        col("id_a") < col("id_b") &&
+          bit_count(col("ha").bitwiseXOR(col("hb"))) <= maxHamming)
+      .select(col("id_a"), col("id_b"))
+    val labels = Dedup.components(brutePairs)
+    val bruteSurvivors = docs.select(col("doc_id"))
+      .join(labels.filter(col("id") =!= col("component"))
+        .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    composite.join(bruteSurvivors, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .withColumn("invariant", lit("composite_minus_brute"))
+      .unionByName(bruteSurvivors.join(composite, Seq("doc_id"), "left_anti")
+        .agg(count(lit(1)).as("violations"))
+        .withColumn("invariant", lit("brute_minus_composite")))
+      .unionByName(composite.agg(
+          when(count(lit(1)) > 0, lit(0L)).otherwise(lit(1L)).as("violations"))
+        .withColumn("invariant", lit("composite_empty")))
       .select(col("invariant"), col("violations"))
       .orderBy(col("invariant"))
   }
@@ -2078,7 +2119,18 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM t)
         |SELECT source, doc_id, n_tok FROM c WHERE cum <= 700
-        |ORDER BY source, doc_id""".stripMargin)
+        |ORDER BY source, doc_id""".stripMargin,
+    // q59-pattern constant oracle: the composite's survivor set must equal
+    // the brute-force-Hamming-route survivors (both engine-side; signatures
+    // are not SQL-re-derivable), and must be non-empty.
+    "q75_simhash_corpus" ->
+      """SELECT * FROM (
+        |  SELECT 'brute_minus_composite' AS invariant, CAST(0 AS BIGINT) AS violations
+        |  UNION ALL
+        |  SELECT 'composite_empty' AS invariant, CAST(0 AS BIGINT) AS violations
+        |  UNION ALL
+        |  SELECT 'composite_minus_brute' AS invariant, CAST(0 AS BIGINT) AS violations)
+        |ORDER BY invariant""".stripMargin)
 
   private val pqAdcSearchSql: String =
       """WITH q AS (

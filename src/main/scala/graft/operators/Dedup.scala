@@ -869,6 +869,25 @@ object Dedup {
     survivors(embs, idCol, pairs, free)
   }
 
+  /** End-to-end SIMHASH dedup — the family's third composite (q55 = Jaccard,
+    * q56/q60 = cosine): in-row 64-bit signatures → pigeonhole band pairs
+    * (recall radius GUARANTEED ≤ maxHamming; banded == brute proven by q59)
+    * → transitive cluster resolution → min-id survivors. The pair set a raw
+    * `simhashBandPairs` call emits can be enormous on a homogeneous corpus
+    * (the radius guarantee is inherently dense — measured 105M pairs on the
+    * 50k-doc sf1 corpus at radius 12); the COMPOSITE is the scale-shaped
+    * consumer, collapsing that pair set into cluster labels without ever
+    * materializing it for a user. */
+  def dedupedCorpusBySimhash(docs: DataFrame, idCol: String, textCol: String,
+                             maxHamming: Int = 3,
+                             maxBucket: Int = 4096): DataFrame = {
+    val sig = simhash64(docs, idCol, textCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = simhashBandPairs(sig, idCol, maxHamming, maxBucket)
+      .select(col("id_a"), col("id_b"))
+    survivors(docs, idCol, pairs, () => sig.unpersist(blocking = false))
+  }
+
   /** Cluster-resolution + survivor-selection tail shared by the composites:
     * rows never paired survive untouched (left-anti against the non-canonical
     * cluster members).

@@ -393,6 +393,23 @@ class DedupSpec extends SparkSpec {
       Dedup.components(pairs, strategy = "bogus"))
   }
 
+  test("dedupedCorpusBySimhash: twins collapse to min-id survivors, distinct docs survive") {
+    val base = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in the morning light"),
+      (5L, "completely different content about distributed query engines and columnar storage"),
+      (9L, "a third document mentioning rivers rainfall catchments and discharge curves"))
+    // exact twins of each doc under bigger ids: radius-0 pairs at minimum
+    val corpus = (base ++ base.map { case (i, t) => (i + 100L, t) })
+      .toDF("doc_id", "text")
+    val surv = Dedup.dedupedCorpusBySimhash(corpus, "doc_id", "text",
+        maxHamming = 3)
+      .select($"doc_id").as[Long].collect().toSet
+    // each twin pair collapses to its min id; distinct docs survive — unless
+    // two base docs are themselves within radius 3 (they are not: asserted
+    // via the survivor count)
+    assert(surv == Set(1L, 5L, 9L), s"got $surv")
+  }
+
   test("components('auto') escape decision is correct under concurrent CC runs") {
     // regression guard: the escape used to branch on a shared @volatile var
     // (lastConverged) that a concurrently-converging run could overwrite

@@ -36,7 +36,10 @@ class PlanAuditSpec extends SparkSpec {
     "q70_pq_assign",
     // q71/q72: the packed 1-row codebook broadcast again (encode argmin +
     // per-query ADC tables); the corpus side is never shuffled
-    "q71_pq_search", "q72_ivfpq_full_probe")
+    "q71_pq_search", "q72_ivfpq_full_probe",
+    // q75: like q59, the brute-force Hamming REFERENCE side is a designed
+    // broadcast nested-loop over the bounded one-long-per-doc signature slice
+    "q75_simhash_corpus")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where designed") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
