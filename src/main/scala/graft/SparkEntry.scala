@@ -763,8 +763,11 @@ object SparkEntry {
     * exhaustive second route is red-capable all the same. */
   private def qSimhashCorpus(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    // the row deliberately runs TWO full routes (composite + brute) and two
+    // CC resolutions; the doc_id<1000 slice keeps that double verification
+    // from dominating the suite while still covering hundreds of clusters
     val maxHamming = 8
-    val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 1000)
       .select(col("doc_id"), col("text"))
     val composite = Dedup.dedupedCorpusBySimhash(docs, "doc_id", "text",
         maxHamming)
