@@ -141,7 +141,8 @@ object SparkEntry {
     "q72_ivfpq_full_probe" -> qIvfPqFullProbe,
     "q73_sample_stratified" -> qSampleStratified,
     "q74_sample_budget" -> qSampleBudget,
-    "q75_simhash_corpus" -> qSimhashCorpus)
+    "q75_simhash_corpus" -> qSimhashCorpus,
+    "q76_quality_survivors" -> qQualitySurvivors)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -663,6 +664,22 @@ object SparkEntry {
         "doc_id", "text", n = 3, threshold = 0.5, blockCols = Seq("lang")))
       .select(col("id").as("doc_id"), col("component"))
       .orderBy(col("doc_id"))
+
+  /** Quality-ranked survivor selection over q49's exact cluster machinery:
+    * per near-dup cluster keep the member with the LARGEST n_chars (ties:
+    * smallest id) instead of the min id — the "keep the best copy" curation
+    * semantic. The winner comes from a bounded-heap top-1 aggregate per
+    * component (no per-cluster ranking window); the oracle re-derives the
+    * same clusters via the recursive CTE and ranks members with
+    * row_number(order by n_chars desc, doc_id). */
+  private def qQualitySurvivors(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = 0.5, blockCols = Seq("lang"))
+    Dedup.survivorsByScore(docs, "doc_id", pairs, col("n_chars"))
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
 
   /** End-to-end Jaccard corpus dedup (the composite pipelines call): exact
     * prefix-filtered pairs -> connected components -> min-id survivors. Exact
@@ -2133,7 +2150,43 @@ object SparkEntry {
         |  SELECT 'composite_empty' AS invariant, CAST(0 AS BIGINT) AS violations
         |  UNION ALL
         |  SELECT 'composite_minus_brute' AS invariant, CAST(0 AS BIGINT) AS violations)
-        |ORDER BY invariant""".stripMargin)
+        |ORDER BY invariant""".stripMargin,
+    // q49's recursive-CTE closure + quality ranking: per cluster keep the
+    // longest member (n_chars desc, doc_id tie) — re-derives the heap
+    // top-1's total order with a ranking window.
+    "q76_quality_survivors" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents WHERE doc_id < 2000),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+        |labels AS (SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id),
+        |ranked AS (
+        |  SELECT l.doc_id, ROW_NUMBER() OVER (PARTITION BY l.component
+        |      ORDER BY d.n_chars DESC, l.doc_id) AS rn
+        |  FROM labels l JOIN documents d ON d.doc_id = l.doc_id),
+        |doomed AS (SELECT doc_id FROM ranked WHERE rn > 1)
+        |SELECT doc_id, n_chars FROM documents
+        |WHERE doc_id < 2000 AND doc_id NOT IN (SELECT doc_id FROM doomed)
+        |ORDER BY doc_id""".stripMargin)
 
   private val pqAdcSearchSql: String =
       """WITH q AS (

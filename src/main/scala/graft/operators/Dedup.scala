@@ -888,6 +888,27 @@ object Dedup {
     survivors(docs, idCol, pairs, () => sig.unpersist(blocking = false))
   }
 
+  /** Survivor selection by QUALITY instead of min id: per near-dup cluster,
+    * keep the member with the highest `score` (ties: smallest id) — the
+    * curation semantic production pipelines actually want ("keep the longest
+    * / cleanest copy"); rows never paired survive untouched. Same scale
+    * shape as the min-id tail, with the winner chosen by ONE bounded-heap
+    * top-1 aggregate per component (map-side partials — no per-cluster
+    * ranking window). `score` must cast losslessly to long (use the
+    * scaled-integer convention for float scores). */
+  def survivorsByScore(items: DataFrame, idCol: String, pairs: DataFrame,
+                       score: Column): DataFrame = {
+    val labels = components(pairs)
+    val paired = items.join(labels, col(idCol) === col("id"))
+    val winners = graft.ops.TopK.topKPerGroup(
+        paired, Seq("component"), score.cast("long"), col(idCol),
+        Seq(col(idCol).as("__keep")), 1)
+      .select(col("__keep"))
+    val doomed = labels.select(col("id"))
+      .join(winners, col("id") === col("__keep"), "left_anti")
+    items.join(doomed.select(col("id").as(idCol)), Seq(idCol), "left_anti")
+  }
+
   /** Cluster-resolution + survivor-selection tail shared by the composites:
     * rows never paired survive untouched (left-anti against the non-canonical
     * cluster members).
