@@ -15,10 +15,25 @@ import org.apache.spark.sql.functions._
   * with per-id determinism (re-runs and incremental loads agree on every row). */
 object DataMix {
 
-  /** Uniform [0, 1) hash of an integer id: (id * 2654435761) mod 2^32 / 2^32.
-    * Knuth's multiplicative constant; exact integer ops only. */
+  /** (id mod 2^32) · 2654435761 mod 2^32 — Knuth's multiplicative hash,
+    * computed WITHOUT 64-bit overflow: the naive `id * 2654435761` exceeds
+    * Long past id ≈ 3.5e9 (silently wrapping under default Spark, throwing
+    * under ANSI mode, erroring in a BIGINT SQL oracle). Splitting the
+    * reduced id into 16-bit halves keeps every intermediate under 2^49;
+    * the result is bit-identical to the mathematical mod-2^32 hash for ANY
+    * id, so membership decisions never change across id ranges or modes. */
+  def knuthHash(id: Column): Column = {
+    val a = pmod(id, lit(4294967296L))
+    val hi = graft.ops.Quantiles.div(a, lit(65536L))
+    val lo = a - hi * lit(65536L)
+    pmod(pmod(hi * lit(2654435761L), lit(4294967296L)) * lit(65536L) +
+      lo * lit(2654435761L), lit(4294967296L))
+  }
+
+  /** Uniform [0, 1) hash of an integer id: `knuthHash(id) / 2^32`.
+    * Exact integer ops only. */
   def hash01(id: Column): Column =
-    pmod(id * lit(2654435761L), lit(4294967296L)).cast("double") / 4294967296.0
+    knuthHash(id).cast("double") / 4294967296.0
 
   /** Keep each row iff hash01(id) < fraction(stratum). Strata absent from
     * `fractions` use `defaultFraction`. */
@@ -77,7 +92,7 @@ object DataMix {
   def sampleStratified(df: DataFrame, strata: Seq[String], n: Int,
                        idCol: String, payload: Seq[String]): DataFrame =
     graft.ops.TopK.topKPerGroup(df, strata,
-      -pmod(col(idCol) * lit(2654435761L), lit(4294967296L)), col(idCol),
+      -knuthHash(col(idCol)), col(idCol),
       payload.map(col), n)
       .drop("__sort", "__tie")
 
@@ -105,7 +120,7 @@ object DataMix {
     val step = 4294967296L / buckets
     val base = df
       .withColumn("__w", weight.cast("long"))
-      .withColumn("__h", pmod(col(idCol) * lit(2654435761L), lit(4294967296L)))
+      .withColumn("__h", knuthHash(col(idCol)))
       .withColumn("__b", graft.ops.Quantiles.div(col("__h"), lit(step)))
     val hist = base.groupBy((strata.map(col) :+ col("__b")): _*)
       .agg(sum(col("__w")).as("__bw"))

@@ -31,7 +31,12 @@ object ImageIoCodec {
       val gray = img.getColorModel.getNumColorComponents == 1
       if (gray) {
         // raw raster samples, NOT getRGB: gray->sRGB conversion is nonlinear
-        // and would diverge from the PNG/PNM codecs' raw 8-bit values
+        // and would diverge from the PNG/PNM codecs' raw 8-bit values.
+        // Only 8-bit samples qualify: getSample(..).toByte on 16-bit
+        // (TYPE_USHORT_GRAY) or 1-bit sources would silently truncate /
+        // mis-scale — PngCodec drops 16-bit as out-of-subset, so this route
+        // must too, or the two codecs diverge on the same image class.
+        if (img.getColorModel.getComponentSize(0) != 8) return None
         val raster = img.getRaster
         val out = new Array[Byte](w * h)
         var y = 0

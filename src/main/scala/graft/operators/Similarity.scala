@@ -152,7 +152,7 @@ object Similarity {
       .withColumn("cn", VectorFns.normLong(col("cv")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val seeds = prepped
-      .orderBy(pmod(col("neighbor_id") * lit(2654435761L), lit(4294967296L)),
+      .orderBy(DataMix.knuthHash(col("neighbor_id")),
         col("neighbor_id"))
       .limit(nCentroids)
       .select(col("neighbor_id").as("centroid_id"), col("cv").as("centv"),
@@ -205,7 +205,7 @@ object Similarity {
         VectorFns.quantize(col(vecCol)).as("cv"))
       .withColumn("cn", VectorFns.normLong(col("cv")))
     val seeds = prepped
-      .orderBy(pmod(col("neighbor_id") * lit(2654435761L), lit(4294967296L)),
+      .orderBy(DataMix.knuthHash(col("neighbor_id")),
         col("neighbor_id"))
       .limit(nCentroids)
       .select(col("neighbor_id").as("centroid_id"), col("cv").as("centv"),
@@ -311,11 +311,11 @@ object Similarity {
       val sub = prepped.select(col("__id"), slice(col("cv"), off, len).as("cv"))
       // ksub rows: the single-partition window is bounded by the codebook size
       val seeds = sub
-        .orderBy(pmod(col("__id") * lit(2654435761L), lit(4294967296L)),
+        .orderBy(DataMix.knuthHash(col("__id")),
           col("__id"))
         .limit(ksub)
         .select((row_number().over(Window.orderBy(
-            pmod(col("__id") * lit(2654435761L), lit(4294967296L)),
+            DataMix.knuthHash(col("__id")),
             col("__id"))) - 1).as("centroid_id"),
           col("cv").as("centv"))
         .withColumn("centn2", VectorFns.dotLong(col("centv"), col("centv")))
@@ -524,9 +524,10 @@ object Similarity {
     * a new id reproduces its twin's cell AND codes bit-for-bit). Caveat, as
     * for every add()-style index: codebooks do not retrain, so after enough
     * distribution drift the index wants a rebuild. */
-  def ivfPqAdd(index: IvfPqIndex, batch: DataFrame, m: Int = 4,
+  def ivfPqAdd(index: IvfPqIndex, batch: DataFrame, m: Int = 0,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): IvfPqIndex = {
+    val mm = resolveM(index, m)
     val assigned = batch
       .select(col(idCol).as("neighbor_id"),
         VectorFns.quantize(col(vecCol)).as("cv"))
@@ -543,7 +544,18 @@ object Similarity {
         zip_with(col("cv"), col("centv"), (x, c) => x - c).as("cv"),
         col("cell"))
     index.copy(cells = index.cells.unionByName(
-      encodeQuantized(source, index.books, m, keep = Seq("cell"))))
+      encodeQuantized(source, index.books, mm, keep = Seq("cell"))))
+  }
+
+  /** The index's true subspace count (its codebooks are authoritative). A
+    * caller-passed `m` that disagrees would mis-slice queries and zip_with
+    * unequal codes/tabs arrays into null lookups — silently-wrong cosines —
+    * so `m = 0` (the default) derives it and any explicit value must match. */
+  private def resolveM(index: IvfPqIndex, m: Int): Int = {
+    val mIdx = index.books.agg(max(col("subspace"))).first().getInt(0) + 1
+    require(m == 0 || m == mIdx,
+      s"m=$m does not match the index's $mIdx PQ subspaces; omit m (or pass 0) to derive it")
+    mIdx
   }
 
   /** Serve a query batch from the composed index: each query probes its
@@ -554,15 +566,16 @@ object Similarity {
     * are never touched. `nProbe >= nCentroids` degrades to exactly
     * `pqSearch` over the whole encoded corpus (cells partition it). */
   def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, k: Int,
-                  nProbe: Int = 4, m: Int = 4, idCol: String = "vec_id",
+                  nProbe: Int = 4, m: Int = 0, idCol: String = "vec_id",
                   vecCol: String = "embedding"): DataFrame = {
+    val mm = resolveM(index, m)
     val centroidArr = index.centroids
       .agg(collect_list(struct(col("centroid_id"), col("centv"), col("centn")))
         .as("cents"))
     val q = queries.select(col(idCol).as("query_id"),
       VectorFns.quantize(col(vecCol)).as("qv"))
     val dims = q.select(size(col("qv"))).first().getInt(0)
-    val ranges = subRanges(dims, m)
+    val ranges = subRanges(dims, mm)
     val probes = q.crossJoin(broadcast(centroidArr))
       .crossJoin(broadcast(packedBooks(index.books)))
       .select(col("query_id"), col("qv"),
@@ -570,7 +583,7 @@ object Similarity {
           VectorFns.normLong(col("qv")), nProbe)).as("cell"),
         sqrt(VectorFns.dotLong(col("qv"), col("qv")).cast("double")).as("qn"),
         adcDotTables(ranges).as("tabs"),
-        adcNormTables(m).as("n2s"))
+        adcNormTables(mm).as("n2s"))
     if (!index.residual) {
       rankTopK(adcScore(index.cells
           .join(broadcast(probes.drop("qv")), Seq("cell")))

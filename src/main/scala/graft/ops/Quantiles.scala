@@ -54,8 +54,13 @@ object Quantiles {
     *                a near-unique column (timestamps, raw floats) would pack a
     *                corpus-sized array into one row — the same single-task
     *                failure this helper exists to kill, rebuilt as an executor
-    *                OOM. An eager histogram-sized probe (the
-    *                `splitOversizedBuckets` pattern) fails loudly instead.
+    *                OOM. The bound is enforced INSIDE the packing aggregate
+    *                (`BoundedHistAgg`): every partial buffer refuses loudly
+    *                the moment a stratum crosses it, before the oversized
+    *                array is materialized anywhere — no probe job, no cache
+    *                (the r6 eager-probe form cost both; r6 ADVICE). The
+    *                refusal therefore surfaces on the first ACTION as a
+    *                SparkException whose cause carries the message.
     */
   def strataStats(
       df: DataFrame,
@@ -65,31 +70,19 @@ object Quantiles {
       nName: String = "n",
       sumName: String = "total",
       maxBinsPerStratum: Long = 4000000L): DataFrame = {
+    graft.functions.BoundedHistAgg.register(df.sparkSession)
     val hist = df
       .groupBy((strata.map(col) :+ value.cast("long").as("__v")): _*)
       .agg(count(lit(1)).as("__c"))
-      // persisted so the eager cardinality probe below and the lazy packed
-      // result share one corpus scan; histogram-sized, so cache cost is tiny.
-      // Long-lived sessions clearCache() between batches (Verify/Bench do).
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val worstBins = hist
-      .groupBy(strata.map(col): _*)
-      .agg(count(lit(1)).as("__bins"))
-      .agg(coalesce(max(col("__bins")), lit(0L)))
-      .first().getLong(0)
-    require(worstBins <= maxBinsPerStratum,
-      s"strataStats: a stratum has $worstBins distinct values of the rank " +
-        s"column (bound $maxBinsPerStratum) — the value column is too " +
-        "high-cardinality for an in-row histogram; bucket it first (e.g. " +
-        "cast to a coarser unit) or raise maxBinsPerStratum deliberately")
     val packed = hist
       .groupBy(strata.map(col): _*)
       .agg(
         sum(col("__c")).as(nName),
         sum(col("__v") * col("__c")).as(sumName),
-        // bounded by the number of distinct values in the stratum — the
-        // histogram, not the corpus; sorts lexicographically = by __v asc
-        sort_array(collect_list(struct(col("__v"), col("__c")))).as("__bins"))
+        // bounded by maxBinsPerStratum BY CONSTRUCTION (the aggregate's
+        // buffer throws past it); sorted by __v asc at eval
+        graft.functions.BoundedHistAgg(struct(col("__v"), col("__c")),
+          maxBinsPerStratum).as("__bins"))
     val selected = ranks.foldLeft(packed) { case (acc, (name, rankOf)) =>
       acc.withColumn(name, rankSelect(col("__bins"), rankOf(col(nName))))
     }

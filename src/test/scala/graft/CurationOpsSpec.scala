@@ -67,6 +67,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(report.map(_._3).sum == s1.size) // report agrees with the sample
   }
 
+  test("knuthHash: overflow-safe for huge ids, ANSI-mode clean, exact mod-2^32") {
+    // r7 ADVICE: the naive id * 2654435761 overflows Long past id ~3.5e9 —
+    // silently wrapping (default) or throwing (ANSI). The decomposed form
+    // must equal the mathematical mod-2^32 hash for ANY id, under ANSI mode.
+    val ids = Seq(0L, 1L, 12345L, 3469557302L, 3469557303L, 4294967295L,
+      4294967296L, 5000000000L, Long.MaxValue / 2, Long.MaxValue - 1,
+      Long.MaxValue)
+    val df = ids.map(Tuple1(_)).toDF("id")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      val got = df.select($"id", graft.operators.DataMix.knuthHash($"id"))
+        .as[(Long, Long)].collect().toMap
+      for (id <- ids) {
+        val want = ((BigInt(id) mod BigInt(4294967296L)) * BigInt(2654435761L))
+          .mod(BigInt(4294967296L)).toLong
+        assert(got(id) == want, s"id=$id")
+      }
+    } finally spark.conf.set("spark.sql.ansi.enabled", "false")
+  }
+
   test("assignSplit: exhaustive, disjoint, stable, fraction-faithful") {
     val df = (0L until 10000L).map(i => Tuple1(i)).toDF("id")
     val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)

@@ -227,6 +227,17 @@ class MultimodalSpec extends SparkSpec {
     val g = ImageIoCodec.decode(gbos.toByteArray).get
     assert(g.channels == 1 && g.pixels.sameElements(grayPix))
     assert(PngCodec.decode(gbos.toByteArray).get.pixels.sameElements(g.pixels))
+    // non-8-bit gray drops (r7 ADVICE): getSample(..).toByte on a 16-bit
+    // (TYPE_USHORT_GRAY) source would silently truncate to the low byte —
+    // PngCodec treats 16-bit as out-of-subset, so this route must agree
+    val gimg16 = new BufferedImage(8, 4, BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until 4; x <- 0 until 8)
+      gimg16.getRaster.setSample(x, y, 0, (x * 8 + y) * 2048)
+    val gbos16 = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(gimg16, "png", gbos16)
+    assert(ImageIoCodec.decode(gbos16.toByteArray).isEmpty,
+      "16-bit gray must be rejected, not truncated")
+    assert(PngCodec.decode(gbos16.toByteArray).isEmpty) // routes agree
     // undecodable payloads drop: junk, truncated JPEG, null
     assert(ImageIoCodec.decode(Array.fill[Byte](64)(5)).isEmpty)
     assert(ImageIoCodec.decode(jpg.take(20)).isEmpty)

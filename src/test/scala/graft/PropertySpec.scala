@@ -67,17 +67,20 @@ class PropertySpec extends SparkSpec {
     // the histogram plan is only safe when the value column is
     // histogram-shaped; a near-unique column would pack a corpus-sized array
     // into one row (the r4 single-task failure as an executor OOM). The
-    // eager cardinality probe must fail loudly, before any packing runs.
+    // bound lives inside the packing aggregate's buffer (r7: no probe job,
+    // no cache), so the refusal surfaces on the first action, from whichever
+    // partial buffer crosses the bound first — before the array exists.
     val nearUnique = spark.range(50000)
       .select(lit("one").as("s"), $"id".as("v"))
-    val ex = intercept[IllegalArgumentException] {
+    val ex = intercept[Exception] {
       graft.ops.Quantiles.strataStats(nearUnique, Seq("s"), $"v",
         ranks = Seq(
           "med" -> (n => graft.ops.Quantiles.div(n + lit(1L), lit(2L)))),
-        maxBinsPerStratum = 10000L)
+        maxBinsPerStratum = 10000L).collect()
     }
-    assert(ex.getMessage.contains("distinct values"))
-    spark.catalog.clearCache()
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString("\n")
+    assert(messages.contains("distinct values"))
     // the same frame bucketed to a coarse unit passes under the same bound
     val bucketed = graft.ops.Quantiles.strataStats(nearUnique, Seq("s"),
         graft.ops.Quantiles.div($"v", lit(100L)),

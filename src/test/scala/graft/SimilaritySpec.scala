@@ -143,6 +143,20 @@ class SimilaritySpec extends SparkSpec {
       .select($"query_id", $"neighbor_id", $"rank")
       .as[(Long, Long, Int)].collect().toSet
     assert(full == flat && full.nonEmpty)
+    // r7 ADVICE guard: a caller-passed m that disagrees with the index's
+    // codebooks would mis-slice queries into silently-wrong cosines — it must
+    // refuse loudly instead, and the default (m omitted) must derive m = 4
+    val exM = intercept[IllegalArgumentException] {
+      Similarity.ivfPqSearch(idx, queries, k = 5, nProbe = 8, m = 8)
+    }
+    assert(exM.getMessage.contains("subspaces"))
+    intercept[IllegalArgumentException] {
+      Similarity.ivfPqAdd(idx, queries, m = 2)
+    }
+    val derived = Similarity.ivfPqSearch(idx, queries, k = 5, nProbe = 8)
+      .select($"query_id", $"neighbor_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(derived == full)
   }
 
   test("IVF+PQ: planted duplicates retrieved at rank 1 under a partial probe") {
