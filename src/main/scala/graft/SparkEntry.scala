@@ -142,7 +142,8 @@ object SparkEntry {
     "q73_sample_stratified" -> qSampleStratified,
     "q74_sample_budget" -> qSampleBudget,
     "q75_simhash_corpus" -> qSimhashCorpus,
-    "q76_quality_survivors" -> qQualitySurvivors)
+    "q76_quality_survivors" -> qQualitySurvivors,
+    "q78_incremental_components" -> qIncrementalComponents)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -664,6 +665,39 @@ object SparkEntry {
         "doc_id", "text", n = 3, threshold = 0.5, blockCols = Seq("lang")))
       .select(col("id").as("doc_id"), col("component"))
       .orderBy(col("doc_id"))
+
+  /** Incremental cluster-label maintenance (`Dedup.admitIntoComponents`):
+    * q49's clusters REBUILT as three admission ticks — corpus (doc_id <
+    * 1000) gets a plain CC run, then two batches (1000–1499, 1500–1999)
+    * each contribute intra-batch Jaccard pairs plus batch↔current-corpus
+    * incremental matches, merged into the standing labels frame by
+    * contracting new edges through it (CC runs only on the batch-sized
+    * quotient graph; the labels frame is streamed through broadcast joins,
+    * never shuffled — the daily-tick shape at 100 TB). The three-tick pair
+    * sets partition ALL near-dup pairs of the slice, so the composed labels
+    * must equal one full-corpus CC bit-for-bit: the oracle is exactly q49's
+    * recursive-CTE closure over doc_id < 2000. */
+  private def qIncrementalComponents(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
+    val corpus0 = docs.filter(col("doc_id") < 1000)
+    val batch1 = docs.filter(col("doc_id") >= 1000 && col("doc_id") < 1500)
+    val batch2 = docs.filter(col("doc_id") >= 1500)
+    val labels0 = Dedup.components(
+      Dedup.ngramJaccardPairs(corpus0, "doc_id", "text", n = 3,
+        threshold = 0.5, blockCols = Seq("lang")))
+    // each tick's labels are materialized before the next consumes them —
+    // the persisted-lake read/write boundary a real daily tick has (the next
+    // tick reads the labels frame three times: endpoint probe, contraction,
+    // final relabel)
+    val labels1 = Dedup.admitBatchIntoComponents(labels0, corpus0, batch1,
+      "doc_id", "text", n = 3, threshold = 0.5, blockCols = Seq("lang"))
+      .localCheckpoint(eager = true)
+    val labels2 = Dedup.admitBatchIntoComponents(labels1,
+      corpus0.unionByName(batch1), batch2,
+      "doc_id", "text", n = 3, threshold = 0.5, blockCols = Seq("lang"))
+    labels2.select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+  }
 
   /** Quality-ranked survivor selection over q49's exact cluster machinery:
     * per near-dup cluster keep the member with the LARGEST n_chars (ties:
@@ -2186,7 +2220,36 @@ object SparkEntry {
         |doomed AS (SELECT doc_id FROM ranked WHERE rn > 1)
         |SELECT doc_id, n_chars FROM documents
         |WHERE doc_id < 2000 AND doc_id NOT IN (SELECT doc_id FROM doomed)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin,
+    // q78's three admission ticks partition the slice's pair set, so the
+    // incremental labels must equal q49's one-shot closure — the oracle IS
+    // q49's recursive CTE, verbatim
+    "q78_incremental_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents WHERE doc_id < 2000),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id)
+        |SELECT id AS doc_id, MIN(comp) AS component
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
 
   private val pqAdcSearchSql: String =
       """WITH q AS (

@@ -64,8 +64,9 @@ object Dedup {
     * tokenize+hash+sort pipeline at FILE-count parallelism (measured: the scan ran
     * it single-task, 10× the cost of the distributed projection). */
   private def shingleFrame(docs: DataFrame, idCol: String, textCol: String,
-                           n: Int, blockCols: Seq[String]): DataFrame =
-    ensureParallel(docs.select(
+                           n: Int, blockCols: Seq[String],
+                           viaCheckpoint: Boolean = false): DataFrame = {
+    val built = ensureParallel(docs.select(
       (col(idCol).as("__id") +: col(textCol).as("__text") +: blockCols.map(col)): _*))
       // exchange (when needed) BEFORE the per-doc shingle computation: without
       // it the whole tokenize+hash+sort pipeline runs at file-count
@@ -73,7 +74,17 @@ object Dedup {
       .withColumn("__sh", TextFns.sortedHashedShingles(col("__text"), n))
       .withColumn("__sz", size(col("__sh")).cast("long"))
       .drop("__text")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // viaCheckpoint: the INCREMENTAL paths return a lazy matches frame that
+    // keeps reading the shingle store — there is no eager consumption point
+    // inside the operator where a persist could be freed. An eager
+    // localCheckpoint rides in the result plan as a LogicalRDD instead, so
+    // `Dedup.release(result)` frees it — the same contract the composites
+    // already have (r6 ADVICE: the old form leaked its persist until a
+    // session-wide clearCache). Cost parity: materializing the checkpoint
+    // is the persist's first full scan, paid eagerly instead of lazily.
+    if (viaCheckpoint) built.localCheckpoint(eager = true)
+    else built.persist(StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** The empty-shingle filter, applied ON TOP of the persisted shingle frame
     * (never inside its build plan — see `shingleFrame`'s pushdown note). Kept
@@ -220,19 +231,26 @@ object Dedup {
     * exact n-gram Jaccard >= threshold. The prefix-filter candidate join runs
     * CROSS-corpus (incoming tokens against corpus tokens, never corpus ×
     * corpus), so a daily increment costs ∝ |increment| · bucket overlap, not a
-    * re-dedup of the lake. Returns (id_a = incoming, id_b = corpus, jaccard). */
+    * re-dedup of the lake. Returns (id_a = incoming, id_b = corpus, jaccard).
+    *
+    * The result plan carries both sides' checkpointed shingle stores; call
+    * `Dedup.release(result)` after the final action to free them (the
+    * composites' contract — no session-wide clearCache needed). */
   def incrementalJaccardMatches(corpus: DataFrame, incoming: DataFrame,
                                 idCol: String, textCol: String, n: Int,
                                 threshold: Double,
                                 blockCols: Seq[String]): DataFrame = {
-    val shNew = liveShingles(shingleFrame(incoming, idCol, textCol, n, blockCols))
-    val shOld = liveShingles(shingleFrame(corpus, idCol, textCol, n, blockCols))
+    val shNew = liveShingles(
+      shingleFrame(incoming, idCol, textCol, n, blockCols, viaCheckpoint = true))
+    val shOld = liveShingles(
+      shingleFrame(corpus, idCol, textCol, n, blockCols, viaCheckpoint = true))
     verifyJaccardBetween(shNew, shOld, threshold,
       prefixCandidatesBetween(shNew, shOld, threshold, blockCols, self = false))
   }
 
   /** Admission filter: the incoming docs with NO near-dup already in the
-    * corpus — what actually gets appended to the lake. */
+    * corpus — what actually gets appended to the lake. `Dedup.release(result)`
+    * after the final action frees the shingle stores riding in the plan. */
   def admitNew(corpus: DataFrame, incoming: DataFrame, idCol: String,
                textCol: String, n: Int, threshold: Double,
                blockCols: Seq[String]): DataFrame =
@@ -240,6 +258,56 @@ object Dedup {
       incrementalJaccardMatches(corpus, incoming, idCol, textCol, n, threshold,
         blockCols).select(col("id_a").as(idCol)),
       Seq(idCol), "left_anti")
+
+  /** The full edge set of one admission tick — intra-batch near-dup pairs
+    * (id_a < id_b) PLUS batch↔corpus matches (id_a = incoming, id_b =
+    * corpus) — with each side tokenized exactly ONCE: calling
+    * `ngramJaccardPairs(batch)` and `incrementalJaccardMatches(corpus,
+    * batch)` separately shingles the batch twice; here both the intra
+    * self-join and the cross join read one shared shingle frame per side.
+    * This is `admitIntoComponents`' feeder (see `admitBatchIntoComponents`
+    * for the composed one-call form). `Dedup.release(result)` frees the
+    * persisted stores when consuming the pairs directly. */
+  def admissionPairs(corpus: DataFrame, incoming: DataFrame, idCol: String,
+                     textCol: String, n: Int, threshold: Double,
+                     blockCols: Seq[String]): DataFrame =
+    admissionPairsManaged(corpus, incoming, idCol, textCol, n, threshold,
+      blockCols, viaCheckpoint = true)._1
+
+  private def admissionPairsManaged(corpus: DataFrame, incoming: DataFrame,
+                                    idCol: String, textCol: String, n: Int,
+                                    threshold: Double, blockCols: Seq[String],
+                                    viaCheckpoint: Boolean): (DataFrame, () => Unit) = {
+    val shNewH = shingleFrame(incoming, idCol, textCol, n, blockCols, viaCheckpoint)
+    val shOldH = shingleFrame(corpus, idCol, textCol, n, blockCols, viaCheckpoint)
+    val shNew = liveShingles(shNewH)
+    val shOld = liveShingles(shOldH)
+    val intra = verifyJaccard(shNew, threshold,
+      prefixCandidates(shNew, threshold, blockCols))
+    val cross = verifyJaccardBetween(shNew, shOld, threshold,
+      prefixCandidatesBetween(shNew, shOld, threshold, blockCols, self = false))
+    (intra.unionByName(cross),
+      () => if (!viaCheckpoint) {
+        shNewH.unpersist(blocking = false)
+        shOldH.unpersist(blocking = false)
+      } else Seq(shNewH, shOldH).foreach(release))
+  }
+
+  /** The one-call daily tick: compute the batch's full admission edge set
+    * (one shingle pass per side) and merge it into the standing labels frame
+    * (CC on the batch-sized quotient graph only — see `admitIntoComponents`).
+    * The shingle stores are freed internally once the eager quotient CC has
+    * consumed the pairs; the returned frame pins only label checkpoints
+    * (`Dedup.release(result)` when done — the composites' contract). */
+  def admitBatchIntoComponents(labels: DataFrame, corpus: DataFrame,
+                               incoming: DataFrame, idCol: String,
+                               textCol: String, n: Int, threshold: Double,
+                               blockCols: Seq[String],
+                               strategy: String = "auto"): DataFrame = {
+    val (pairs, free) = admissionPairsManaged(corpus, incoming, idCol, textCol,
+      n, threshold, blockCols, viaCheckpoint = false)
+    admitIntoComponentsManaged(labels, pairs, "id_a", "id_b", strategy, free)
+  }
 
   /** Exact-substring near-dup signal: document pairs sharing at least one
     * exact `windowTokens`-token span — the "shared 50-token window" dedup of
@@ -300,11 +368,10 @@ object Dedup {
     * `lshPlanes = 0` selects the exact per-block route (the verify oracle).
     * Returns (id_a = incoming, id_b = corpus, cosine).
     *
-    * CACHE CONTRACT: the LSH route persists one prep frame per side
-    * (MEMORY_AND_DISK) that the lazy result keeps reading — they cannot be
-    * freed inside the operator. Long-lived sessions invoking this (or
-    * `admitNewByEmbedding`) repeatedly should `spark.catalog.clearCache()`
-    * between batches, as the Verify and Bench harnesses do. */
+    * CACHE CONTRACT (unified with the composites, r7): the LSH route
+    * checkpoints one banded prep frame per side; both ride in the result
+    * plan as LogicalRDDs, so `Dedup.release(result)` after the final action
+    * frees them — no session-wide clearCache between batches. */
   def incrementalEmbeddingMatches(corpus: DataFrame, incoming: DataFrame,
                                   idCol: String, vecCol: String,
                                   threshold: Double,
@@ -341,7 +408,10 @@ object Dedup {
             b * lshPlanes).cast("long")): _*))
         .select((col("__id") +: col("__q") +: col("__n") +: col("__bkts") +:
           blockCols.map(col)): _*)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        // eager checkpoint, not persist: the lazy matches frame reads this
+        // twice (band join + vector fetch), and the checkpoint makes it
+        // releasable via `Dedup.release(result)` (see the cache contract)
+        .localCheckpoint(eager = true)
       def slim(side: DataFrame): DataFrame = side.select(
         (col("__id") +: col("__bkts") +:
           posexplode(col("__bkts")).as(Seq("__band", "__bh")) +:
@@ -368,8 +438,9 @@ object Dedup {
 
   /** Admission filter for embedding batches: the incoming vectors with NO
     * cosine near-dup already in the corpus — the embedding lake's append
-    * gate. Inherits `incrementalEmbeddingMatches`' cache contract: callers
-    * running many batches in one session should `clearCache()` between them. */
+    * gate. Inherits `incrementalEmbeddingMatches`' cache contract:
+    * `Dedup.release(result)` after the final action frees the checkpointed
+    * prep frames riding in the plan. */
   def admitNewByEmbedding(corpus: DataFrame, incoming: DataFrame,
                           idCol: String, vecCol: String, threshold: Double,
                           blockCols: Seq[String] = Nil, lshPlanes: Int = 12,
@@ -929,6 +1000,98 @@ object Dedup {
       .filter(col("id") =!= col("component"))
       .select(col("id").as(idCol))
     items.join(doomed, Seq(idCol), "left_anti")
+  }
+
+  /** Incremental cluster-label maintenance: merge a batch's near-dup edges
+    * into an EXISTING labels frame without re-running connected components
+    * over the whole corpus — the missing piece of the incremental story that
+    * `admitNew`/`admitNewByEmbedding` start. A daily tick pays CC only on a
+    * quotient graph ∝ |batch edges| + |touched clusters|, never corpus-sized.
+    *
+    * @param labels   the persisted (id, component) frame of a previous
+    *                 `components` run — component = min id of the cluster,
+    *                 every cluster root has its self-row (the CC output
+    *                 contract). Corpus-scale: this frame is only ever
+    *                 STREAMED through broadcast-hash joins here (twice) —
+    *                 never shuffled, never collected.
+    * @param newPairs the batch's edges, both kinds at once: intra-batch
+    *                 near-dup pairs AND batch↔corpus match pairs (e.g. from
+    *                 `incrementalJaccardMatches` / `incrementalEmbeddingMatches`),
+    *                 any orientation. Assumed batch-sized (broadcastable) —
+    *                 the daily-increment regime this API exists for.
+    *
+    * Mechanics: each edge endpoint is contracted through `labels` (a labeled
+    * corpus node rides in as its cluster ROOT, an unlabeled node as itself);
+    * CC runs on the contracted edge set; existing rows whose root was
+    * relabeled compose the new root, untouched clusters keep their label,
+    * and quotient nodes new to the frame (batch ids, previously-singleton
+    * corpus ids) append. Roots are their clusters' minima, so composed
+    * labels equal a full-corpus CC over the union of all edges ever seen —
+    * bit-for-bit, independent of how history was sliced into batches (the
+    * oracle row + admission-order spec pin this).
+    *
+    * Same cache contract as the composites: the returned frame pins only
+    * checkpoint blocks; `Dedup.release(result)` after the final action. */
+  def admitIntoComponents(labels: DataFrame, newPairs: DataFrame,
+                          idA: String = "id_a", idB: String = "id_b",
+                          strategy: String = "auto"): DataFrame =
+    admitIntoComponentsManaged(labels, newPairs, idA, idB, strategy, () => ())
+
+  /** `admitIntoComponents` with the composites' upstream-release hook:
+    * `freeUpstream` runs once the eager quotient CC has fully consumed
+    * `newPairs` — where a pair-pipeline's internal shingle/prep stores can
+    * be freed without orphaning the lazy result. */
+  private def admitIntoComponentsManaged(labels: DataFrame, newPairs: DataFrame,
+                                         idA: String, idB: String,
+                                         strategy: String,
+                                         freeUpstream: () => Unit): DataFrame = {
+    val lab = labels.select(col("id"), col("component"))
+    // the edge frame is typically the output of a whole near-dup pipeline
+    // (shingle → candidates → verify); it feeds the endpoint probe AND the
+    // contraction below, so persist it — edge-bounded, freed once the eager
+    // CC has consumed everything
+    val np = newPairs.select(col(idA).as("__ea"), col(idB).as("__eb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the labels rows the batch can SEE: endpoints of new edges. One streamed
+    // pass over the corpus-scale frame against broadcast endpoints — the
+    // result is edge-bounded, persisted only until the eager CC below
+    // consumes it.
+    val endpoints = np.select(col("__ea").as("id"))
+      .union(np.select(col("__eb").as("id"))).distinct()
+    val touched = lab.join(broadcast(endpoints), Seq("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // contract each endpoint to its cluster root (itself when unlabeled);
+    // edges inside one existing cluster vanish here
+    val contracted = np
+      .join(touched.select(col("id").as("__ea"), col("component").as("__ca")),
+        Seq("__ea"), "left")
+      .join(touched.select(col("id").as("__eb"), col("component").as("__cb")),
+        Seq("__eb"), "left")
+      .select(coalesce(col("__ca"), col("__ea")).as("id_a"),
+        coalesce(col("__cb"), col("__eb")).as("id_b"))
+      .filter(col("id_a") =!= col("id_b"))
+    // quotient nodes are real ids (roots are minima, unlabeled ids are
+    // themselves), so quotient labels ARE final labels for their nodes
+    val q = components(contracted, "id_a", "id_b", strategy)
+    // roots that already have rows in `labels` (every touched root has its
+    // self-row by the CC contract) — checkpointed so unpersisting `touched`
+    // below cannot orphan the lazy result
+    val touchedRoots = touched.select(col("component").as("id")).distinct()
+      .localCheckpoint(eager = true)
+    touched.unpersist(blocking = false)
+    np.unpersist(blocking = false)
+    freeUpstream()
+    // existing rows: clusters whose root was relabeled compose the new root
+    // (second and last streamed pass over the corpus-scale frame)
+    val roots = q.select(col("id").as("__q"), col("component").as("__root"))
+    val updatedOld = lab.join(broadcast(roots), col("component") === col("__q"),
+        "left")
+      .select(col("id"), coalesce(col("__root"), col("component")).as("component"))
+    // new rows: quotient nodes not already present (batch ids and
+    // previously-unlabeled corpus ids)
+    val fresh = q.join(broadcast(touchedRoots), Seq("id"), "left_anti")
+      .select(col("id"), col("component"))
+    updatedOld.unionByName(fresh)
   }
 
   /** Free the checkpoint blocks a CONSUMED dedup-composite result still pins

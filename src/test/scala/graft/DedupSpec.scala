@@ -480,6 +480,86 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("admitIntoComponents: batch merges clusters, min-id contract, singletons join") {
+    // existing lake labels: cluster {1,2} rooted at 1, cluster {7,9} rooted
+    // at 7; corpus doc 50 was never paired (no labels row)
+    val labels = Seq((1L, 1L), (2L, 1L), (7L, 7L), (9L, 7L))
+      .toDF("id", "component")
+    // batch doc 100 bridges BOTH clusters and a previously-singleton corpus
+    // doc; 101 rides in via an intra-batch pair; 200-201 form their own
+    // new cluster; orientation deliberately mixed
+    val newPairs = Seq((100L, 2L), (9L, 100L), (100L, 101L), (100L, 50L),
+      (201L, 200L)).toDF("id_a", "id_b")
+    val got = Dedup.admitIntoComponents(labels, newPairs)
+      .as[(Long, Long)].collect()
+    assert(got.length == got.map(_._1).distinct.length, "duplicate id rows")
+    assert(got.toMap == Map(1L -> 1L, 2L -> 1L, 7L -> 1L, 9L -> 1L,
+      50L -> 1L, 100L -> 1L, 101L -> 1L, 200L -> 200L, 201L -> 200L))
+    // untouched-cluster stability: a batch with edges elsewhere leaves
+    // cluster {200,201} bit-identical
+    val more = Dedup.admitIntoComponents(got.toSeq.toDF("id", "component"),
+      Seq((300L, 301L)).toDF("id_a", "id_b")).as[(Long, Long)].collect().toMap
+    assert(more(200L) == 200L && more(201L) == 200L && more(300L) == 300L)
+    // bootstrap: empty labels frame reproduces a plain components() run
+    val boot = Dedup.admitIntoComponents(
+      Seq.empty[(Long, Long)].toDF("id", "component"), newPairs)
+      .as[(Long, Long)].collect().toMap
+    val plain = Dedup.components(newPairs).as[(Long, Long)].collect().toMap
+    assert(boot == plain)
+  }
+
+  test("admitIntoComponents fuzz: incremental == full-corpus CC, admission-order stable") {
+    // random graphs, nodes assigned to three admission waves; an edge is
+    // admitted with the LATER of its endpoints' waves (exactly what a real
+    // pipeline produces: intra-batch pairs + batch↔current-corpus matches).
+    // Any wave order must compose to the same labels as one full-corpus CC.
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(12, 50)
+      nEdges <- Gen.choose(4, 70)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0, n - 1)
+        b <- Gen.choose(0, n - 1)
+      } yield (a.toLong, b.toLong))
+      waves <- Gen.listOfN(n, Gen.choose(0, 2))
+    } yield (edges.filter(e => e._1 != e._2).distinct, waves)
+    val samples = (0 until 4).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(4242L + i)))
+    for ((edges, waves) <- samples if edges.nonEmpty) {
+      val full = Dedup.components(edges.toDF("id_a", "id_b"))
+        .as[(Long, Long)].collect().toMap
+      def incremental(order: Seq[Int]): Map[Long, Long] = {
+        var labels = Seq.empty[(Long, Long)].toDF("id", "component")
+        for (pos <- order.indices) {
+          val admitted = order.take(pos + 1).toSet
+          val wave = order(pos)
+          def waveOf(id: Long) = waves(id.toInt)
+          // edges whose later endpoint arrives THIS wave, other endpoint
+          // already present — each edge admitted exactly once across waves
+          val batchEdges = edges.filter { case (a, b) =>
+            val (wa, wb) = (waveOf(a), waveOf(b))
+            admitted(wa) && admitted(wb) && (wa == wave || wb == wave)
+          }
+          if (batchEdges.nonEmpty) {
+            // collect/re-create = the persisted lake frame between ticks
+            labels = Dedup.admitIntoComponents(labels,
+                batchEdges.toDF("id_a", "id_b"))
+              .as[(Long, Long)].collect().toSeq.toDF("id", "component")
+          }
+        }
+        labels.as[(Long, Long)].collect().toMap
+      }
+      val forward = incremental(Seq(0, 1, 2))
+      val backward = incremental(Seq(2, 1, 0))
+      assert(forward == full, s"forward order drifted from full CC")
+      assert(backward == full, s"reverse order drifted from full CC")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("composites free their internal caches; release() frees the labels checkpoint") {
     // clean slate: earlier specs may legitimately leave session-lifetime caches
     spark.catalog.clearCache()
@@ -494,11 +574,31 @@ class DedupSpec extends SparkSpec {
     val embOut = Dedup.dedupedCorpusByEmbedding(corpus, "vec_id", "embedding",
       threshold = 0.999)
     assert(embOut.count() == 100)
+    // the ADMISSION paths share the contract (r7, was clearCache-only): the
+    // lazy matches/admit frames carry their shingle/prep stores as
+    // checkpoints that release() frees after the final action
+    val admitJac = Dedup.admitNew(docs, docs.limit(2), "doc_id", "text",
+      n = 3, threshold = 0.5, blockCols = Seq("lang"))
+    admitJac.count()
+    val admitEmb = Dedup.admitNewByEmbedding(corpus,
+      base.select(($"vec_id" + 5000000L).as("vec_id"), $"embedding"),
+      "vec_id", "embedding", threshold = 0.999)
+    admitEmb.count()
+    // the one-call incremental label tick frees its shingle stores
+    // internally once the quotient CC has consumed the pairs
+    val ticked = Dedup.admitBatchIntoComponents(
+      Seq((1L, 1L)).toDF("id", "component"), docs, docs.limit(2),
+      "doc_id", "text", n = 3, threshold = 0.5, blockCols = Seq("lang"))
+    ticked.count()
     // the operators freed their own shingle/prep frames when cluster resolution
-    // consumed them; the only blocks left are the two results' final label
-    // checkpoints, which release() frees once the caller is done
+    // consumed them; the only blocks left are the results' final label
+    // checkpoints and the admission frames' stores, which release() frees
+    // once the caller is done
     Dedup.release(jacOut)
     Dedup.release(embOut)
+    Dedup.release(admitJac)
+    Dedup.release(admitEmb)
+    Dedup.release(ticked)
     def residual = spark.sparkContext.getPersistentRDDs.values.toSeq
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
     while (residual.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
