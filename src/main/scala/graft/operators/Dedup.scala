@@ -531,22 +531,22 @@ object Dedup {
     * frames rather than re-tokenizing. */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.7, maxBucket: Int = 4096): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val r = numHashes / bands
+                      threshold: Double = 0.7, maxBucket: Int = 4096,
+                      maxPairs: Long = 0L): DataFrame = {
     MinHashSketch.register(docs.sparkSession)
     val sh = liveShingles(shingleFrame(docs, idCol, textCol, shingleN, Nil))
-    // band hashes as an in-row ARRAY (small: `bands` longs) so the banded
-    // self-join can match pairs on their FIRST shared band — each candidate pair
-    // is emitted exactly once and no distinct/shuffle-dedupe is needed
-    val sig = sh.select(col("__id"),
-        MinHashSketch.sketchCol(col("__sh"), numHashes).as("sig"))
-      .withColumn("__bhs", array((0 until bands).map(b =>
-        xxhash64(slice(col("sig"), b * r + 1, r))): _*))
-      .select(col("__id"), col("__bhs"))
+    val sig = minhashBandSig(sh, numHashes, bands)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val buckets = sig.select(col("__id"), col("__bhs"),
       posexplode(col("__bhs")).as(Seq("band", "bh")))
+    // optional pair budget (the splitOversizedBuckets pattern applied to
+    // OUTPUT size): one histogram-sized agg over the persisted signatures,
+    // refusing loudly before any quadratic join work
+    if (maxPairs > 0L) requirePairBudget(
+      bucketPairBudget(buckets, Seq("band", "bh")), maxPairs,
+      "minhashLshPairs", "raise maxPairs, use fewer/wider bands, or collapse " +
+        "floods via the dedupedCorpus composite (CC never materializes the " +
+        "pair list)")
     val (normal, star) =
       splitOversizedBuckets(buckets, Seq("band", "bh"), maxBucket)
     val noEarlierBand = size(filter(
@@ -561,6 +561,70 @@ object Dedup {
         .select(col("__bmin").as("id_a"), col("__id").as("id_b")).distinct())
     verifyJaccard(sh, threshold, cand)
   }
+
+  /** MinHash band-hash array per doc: band hashes as an in-row ARRAY (small:
+    * `bands` longs) so the banded self-join can match pairs on their FIRST
+    * shared band — each candidate pair is emitted exactly once and no
+    * distinct/shuffle-dedupe is needed. Shared by the pair op and its
+    * budget estimator. */
+  private def minhashBandSig(shLive: DataFrame, numHashes: Int,
+                             bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val r = numHashes / bands
+    shLive.select(col("__id"),
+        MinHashSketch.sketchCol(col("__sh"), numHashes).as("sig"))
+      .withColumn("__bhs", array((0 until bands).map(b =>
+        xxhash64(slice(col("sig"), b * r + 1, r))): _*))
+      .select(col("__id"), col("__bhs"))
+  }
+
+  /** Σ n·(n−1)/2 over the band buckets — the exact number of same-bucket row
+    * combinations the banded self-join will examine, and therefore an upper
+    * bound on emitted pairs (each pair joins in ≥ 1 shared bucket). Measured
+    * tightness on the sf0.1 corpus: 1.06× the true first-shared-band
+    * candidate count for the MinHash op (near-dup pairs rarely share many
+    * bands); for SimHash's pigeonhole bands the bound also counts
+    * beyond-radius bucket collisions — it estimates JOIN WORK, which is the
+    * quantity that actually melts a cluster. Histogram-sized aggregation:
+    * cost independent of the pair count being estimated. */
+  private def bucketPairBudget(banded: DataFrame, keyCols: Seq[String]): Long =
+    banded.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+      // exact integral arithmetic (double division would round past 2^53)
+      .agg(coalesce(sum(expr("__bn * (__bn - 1) div 2")), lit(0L)))
+      .first().getLong(0)
+
+  private def requirePairBudget(estimate: Long, maxPairs: Long, op: String,
+                                remedies: String): Unit =
+    require(estimate <= maxPairs,
+      s"$op: the band-bucket histogram bounds the candidate pair volume at " +
+        s"$estimate, over the maxPairs budget of $maxPairs — refusing before " +
+        s"any quadratic work. $remedies")
+
+  /** Pre-flight pair budget for `minhashLshPairs` at the same configuration:
+    * one signature pass + one histogram agg, no joins. Use it to size (or
+    * refuse) a raw pair listing before paying for it; the in-op `maxPairs`
+    * gate applies the same bound without the extra signature pass. */
+  def estimateMinhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int = 3, numHashes: Int = 64,
+                           bands: Int = 16): Long = {
+    MinHashSketch.register(docs.sparkSession)
+    val sh = shingleFrame(docs, idCol, textCol, shingleN, Nil)
+    val est = bucketPairBudget(
+      minhashBandSig(liveShingles(sh), numHashes, bands)
+        .select(col("__id"), posexplode(col("__bhs")).as(Seq("band", "bh"))),
+      Seq("band", "bh"))
+    sh.unpersist(blocking = false)
+    est
+  }
+
+  /** Pre-flight pair budget for `simhashPairs` at the same radius — the
+    * SimHash twin of `estimateMinhashPairs`. */
+  def estimateSimhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                           maxHamming: Int = 3): Long =
+    bucketPairBudget(
+      simhashBandedFrame(simhash64(docs, idCol, textCol), idCol, maxHamming),
+      Seq("band", "bh"))
 
   /** 64-bit SimHash per document: sign-sum of per-token hash bits, computed
     * IN-ROW by the native `SimHash64Expr` compiled loop — a scan-stage
@@ -604,9 +668,10 @@ object Dedup {
     * keeps 7+-bit buckets; beyond that expect candidate growth and prefer MinHash
     * banding on shingles instead. */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3, maxBucket: Int = 0): DataFrame =
+                   maxHamming: Int = 3, maxBucket: Int = 0,
+                   maxPairs: Long = 0L): DataFrame =
     simhashBandPairs(simhash64(docs, idCol, textCol), idCol, maxHamming,
-      maxBucket)
+      maxBucket, maxPairs)
 
   /** Banding stage of `simhashPairs` over a precomputed (id, simhash) frame —
     * public so the pigeonhole recall guarantee is verifiable on constructed
@@ -623,22 +688,20 @@ object Dedup {
     * set (q59 pins banded == brute force); enable it when feeding cluster
     * resolution, where star connectivity is all that is consumed. */
   def simhashBandPairs(sig: DataFrame, idCol: String, maxHamming: Int,
-                       maxBucket: Int = 0): DataFrame = {
-    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+                       maxBucket: Int = 0, maxPairs: Long = 0L): DataFrame = {
     val bands = maxHamming + 1
-    val bounds = (0 to bands).map(i => i * 64 / bands)
-    def bandVal(sim: Column, b: Int): Column = {
-      val lo = bounds(b)
-      val w = bounds(b + 1) - lo
-      val mask = if (w >= 64) -1L else (1L << w) - 1L
-      shiftright(sim, lo).bitwiseAND(lit(mask))
-    }
-    val bandStructs = (0 until bands).map(b =>
-      struct(lit(b).as("band"), bandVal(col("simhash"), b).as("bh")))
-    val banded = sig.select(col(idCol).as("__id"), col("simhash"),
-      explode(array(bandStructs: _*)).as("bb"))
-      .select(col("__id"), col("simhash"), col("bb.band"), col("bb.bh"))
+    def bandVal(sim: Column, b: Int): Column = simhashBandVal(sim, b, bands)
+    val banded = simhashBandedFrame(sig, idCol, maxHamming)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // optional pair budget — the pigeonhole radius guarantee is inherently
+    // dense on homogeneous corpora (measured 105M pairs on the 50k-doc sf1
+    // corpus at radius 12), so a caller can bound the blast radius up front
+    if (maxPairs > 0L) requirePairBudget(
+      bucketPairBudget(banded, Seq("band", "bh")), maxPairs,
+      "simhashBandPairs", "raise maxPairs, shrink maxHamming (narrower " +
+        "radius, exponentially smaller buckets), or collapse floods via the " +
+        "dedupedCorpusBySimhash composite (CC never materializes the pair " +
+        "list)")
     val (normal, star) = splitOversizedBuckets(banded, Seq("band", "bh"),
       maxBucket, repPayload = Seq("simhash"))
     val noEarlierBand = (0 until bands - 1).map { b =>
@@ -659,6 +722,29 @@ object Dedup {
       .select(col("__bmin").as("id_a"), col("__id").as("id_b"),
         bit_count(col("__bmin_simhash").bitwiseXOR(col("simhash"))).as("hamming"))
       .distinct())
+  }
+
+  /** Band b's bit-slice of a 64-bit SimHash signature under `bands`
+    * pigeonhole bands (widths 64/bands ± 1). */
+  private def simhashBandVal(sim: Column, b: Int, bands: Int): Column = {
+    val bounds = (0 to bands).map(i => i * 64 / bands)
+    val lo = bounds(b)
+    val w = bounds(b + 1) - lo
+    val mask = if (w >= 64) -1L else (1L << w) - 1L
+    shiftright(sim, lo).bitwiseAND(lit(mask))
+  }
+
+  /** The exploded (id, simhash, band, bh) frame of the pigeonhole banding —
+    * shared by `simhashBandPairs` and the pair-budget estimator. */
+  private def simhashBandedFrame(sig: DataFrame, idCol: String,
+                                 maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
+    val bands = maxHamming + 1
+    val bandStructs = (0 until bands).map(b =>
+      struct(lit(b).as("band"), simhashBandVal(col("simhash"), b, bands).as("bh")))
+    sig.select(col(idCol).as("__id"), col("simhash"),
+      explode(array(bandStructs: _*)).as("bb"))
+      .select(col("__id"), col("simhash"), col("bb.band"), col("bb.bh"))
   }
 
   /** Connected components over a near-dup pair set: every doc gets the MIN id of

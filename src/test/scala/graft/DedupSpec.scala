@@ -480,6 +480,77 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("pair-budget estimator: tight bound, refusal fires on dense corpora, results unchanged") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", $"text")
+    // the histogram estimate bounds emitted pairs from above and stays
+    // within 2x of the join's true candidate volume (MinHash: near-dup
+    // pairs rarely share many bands, so Σ C(n,2) is nearly exact)
+    val estM = Dedup.estimateMinhashPairs(docs01, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 32)
+    val actualM = Dedup.minhashLshPairs(docs01, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 32, threshold = 0.3).count()
+    assert(estM >= actualM, s"estimate $estM below emitted $actualM")
+    // 2x tightness vs the join's true candidate volume (the cost driver the
+    // budget protects), reconstructed here from the same public primitives
+    // the operator uses (first-shared-band emission)
+    graft.functions.MinHashSketch.register(spark)
+    val sig = docs01
+      .select($"doc_id".as("__id"),
+        graft.functions.TextFns.sortedHashedShingles($"text", 2).as("__sh"))
+      .filter(size($"__sh") > 0)
+      .select($"__id", graft.functions.MinHashSketch.sketchCol($"__sh", 64)
+        .as("sig"))
+      .withColumn("__bhs", array((0 until 32).map(b =>
+        xxhash64(slice($"sig", b * 2 + 1, 2))): _*))
+      .select($"__id", $"__bhs").cache()
+    val bk = sig.select($"__id", $"__bhs",
+      posexplode($"__bhs").as(Seq("band", "bh")))
+    val noEarlier = size(filter(slice(
+      zip_with($"x.__bhs", $"y.__bhs", (a, b) => a === b),
+      lit(1), $"x.band"), p => p)) === 0
+    val actualCand = bk.as("x").join(bk.as("y"),
+      $"x.band" === $"y.band" && $"x.bh" === $"y.bh" &&
+        $"x.__id" < $"y.__id" && noEarlier).count()
+    assert(estM <= 2 * math.max(actualCand, 1L),
+      s"estimate $estM looser than 2x the true candidate volume $actualCand")
+    // SimHash: the same bound, upper-bound semantics (pigeonhole bands are
+    // wide, so on a SPARSE corpus random collisions dominate the histogram —
+    // the estimate measures join work, which is what melts a cluster)
+    val estS = Dedup.estimateSimhashPairs(docs01, "doc_id", "text",
+      maxHamming = 3)
+    val actualS = Dedup.simhashPairs(docs01, "doc_id", "text", maxHamming = 3)
+      .count()
+    assert(estS >= actualS, s"simhash estimate $estS below emitted $actualS")
+    // a duplicate-dense corpus (every doc + 4 exact twins) under a tight
+    // budget refuses loudly BEFORE any join; the same call with the budget
+    // raised (or off) emits the identical pair set
+    val dense = (0 until 5).map(k => docs01.limit(200)
+      .select(($"doc_id" + k * 1000000L).as("doc_id"), $"text"))
+      .reduce(_ unionByName _)
+    val exDense = intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(dense, "doc_id", "text", shingleN = 2,
+        numHashes = 64, bands = 32, threshold = 0.3, maxPairs = 100L)
+    }
+    assert(exDense.getMessage.contains("maxPairs budget"))
+    val exDenseS = intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(dense, "doc_id", "text", maxHamming = 3,
+        maxPairs = 100L)
+    }
+    assert(exDenseS.getMessage.contains("maxPairs budget"))
+    spark.catalog.clearCache()
+    // budget generous -> results bit-identical to the ungated op
+    val gatedPairs = Dedup.minhashLshPairs(docs01, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 32, threshold = 0.3,
+      maxPairs = math.max(estM, 1L))
+      .as[(Long, Long, Double)].collect().toSet
+    val ungated = Dedup.minhashLshPairs(docs01, "doc_id", "text",
+      shingleN = 2, numHashes = 64, bands = 32, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gatedPairs == ungated)
+    spark.catalog.clearCache()
+  }
+
   test("admitIntoComponents: batch merges clusters, min-id contract, singletons join") {
     // existing lake labels: cluster {1,2} rooted at 1, cluster {7,9} rooted
     // at 7; corpus doc 50 was never paired (no labels row)
