@@ -490,15 +490,115 @@ object Similarity {
     * clustered corpus). CAVEAT (documented because it is measurable, not
     * hypothetical): on a near-uniform unit-sphere corpus |x − c|² =
     * 2 − 2cosθ exceeds |x|² whenever the best centroid cosine is under 0.5,
-    * so residuals are LARGER than the vectors and the raw form wins — pick
-    * per corpus. Shared codebook across cells (the standard large-scale
-    * memory/training tradeoff). */
+    * so residuals are LARGER than the vectors and the raw form wins —
+    * `buildIvfPqIndexAuto` below measures the tradeoff on a sample instead of
+    * asking the caller to know it. Shared codebook across cells (the standard
+    * large-scale memory/training tradeoff). */
   def buildIvfPqIndex(corpus: DataFrame, nCentroids: Int = 16, m: Int = 4,
                       ksub: Int = 16, iters: Int = 2, refineIters: Int = 0,
                       residual: Boolean = false,
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): IvfPqIndex = {
     val ivf = buildIvfIndex(corpus, nCentroids, idCol, vecCol, refineIters)
+    pqOverIvf(ivf, m, ksub, iters, residual)
+  }
+
+  /** `buildIvfIndex` against CALLER-SUPPLIED coarse centroids (centroid_id,
+    * centv, centn — e.g. `kmeansCentroids(iters = 0)`'s Knuth-ordered seed
+    * pick, which a SQL oracle can re-derive; the default build's engine-hash
+    * pick cannot). Assignment is the same one-broadcast in-row argmax; no
+    * persist is needed because the cells frame is consumed once. */
+  def buildIvfIndexFrom(corpus: DataFrame, centroids: DataFrame,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): IvfIndex = {
+    val prepped = corpus
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
+      .select(col(idCol).as("neighbor_id"),
+        VectorFns.quantize(col(vecCol)).as("cv"))
+      .withColumn("cn", VectorFns.normLong(col("cv")))
+    val cells = prepped.crossJoin(broadcast(packed(centroids)))
+      .withColumn("cell",
+        nearestCellIds(col("cents"), col("cv"), col("cn"), 1)(0))
+      .select(col("neighbor_id"), col("cv"), col("cn"), col("cell"))
+    IvfIndex(cells, centroids)
+  }
+
+  /** The composed index over caller-supplied coarse centroids — the fully
+    * SQL-derivable serving index (coarse cells, probe routing, PQ books and
+    * ADC all reproducible by an external oracle when the centroids are, e.g.
+    * q77's partial-probe row). */
+  def buildIvfPqIndexFrom(corpus: DataFrame, centroids: DataFrame, m: Int = 4,
+                          ksub: Int = 16, iters: Int = 2,
+                          residual: Boolean = false,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): IvfPqIndex =
+    pqOverIvf(buildIvfIndexFrom(corpus, centroids, idCol, vecCol),
+      m, ksub, iters, residual)
+
+  /** `buildIvfPqIndex` with the residual dial decided BY MEASUREMENT instead
+    * of the documented per-corpus manual pick (`residual = ...` above): train
+    * throwaway codebooks both ways on a deterministic Knuth-ordered sample of
+    * the IVF cells and keep whichever reconstructs the sample with lower
+    * exact integer squared error — the quantity PQ minimizes, so the probe
+    * measures the real tradeoff (Jégou's IVFADC-vs-raw) rather than proxying
+    * it. The probe costs two codebook trainings on `sampleN` rows —
+    * vocabulary-sized work, independent of corpus scale; the real build then
+    * trains once on the full cells frame in the winning mode. */
+  def buildIvfPqIndexAuto(corpus: DataFrame, nCentroids: Int = 16, m: Int = 4,
+                          ksub: Int = 16, iters: Int = 2, refineIters: Int = 0,
+                          sampleN: Int = 2048,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): IvfPqIndex = {
+    val ivf = buildIvfIndex(corpus, nCentroids, idCol, vecCol, refineIters)
+    pqOverIvf(ivf, m, ksub, iters, pickResidual(ivf, m, ksub, iters, sampleN))
+  }
+
+  /** The auto dial's measurement, exposed for observability: on a
+    * deterministic Knuth-ordered `sampleN`-row sample of the IVF cells, train
+    * throwaway PQ codebooks on the raw subvectors and on the cell residuals
+    * at the same (m, ksub, iters) budget, and compare exact integer squared
+    * reconstruction error. Returns true iff residual encoding is strictly
+    * better (ties keep the simpler raw form). Both samples are
+    * localCheckpointed, so the probe adds one bounded TakeOrdered over the
+    * cells frame and two vocabulary-sized trainings — nothing corpus-scale. */
+  def pickResidual(ivf: IvfIndex, m: Int = 4, ksub: Int = 16, iters: Int = 2,
+                   sampleN: Int = 2048): Boolean = {
+    val sample = ivf.cells
+      .orderBy(DataMix.knuthHash(col("neighbor_id")), col("neighbor_id"))
+      .limit(sampleN)
+      .select(col("neighbor_id"), col("cv"), col("cell"))
+      .localCheckpoint()
+    val resSample = sample
+      .join(broadcast(ivf.centroids
+        .select(col("centroid_id").as("cell"), col("centv"))), Seq("cell"))
+      .select(col("neighbor_id"),
+        zip_with(col("cv"), col("centv"), (x, c) => x - c).as("cv"))
+      .localCheckpoint()
+    def err2(s: DataFrame): Long = {
+      val books = pqTrainQuantized(
+        s.select(col("neighbor_id").as("__id"), col("cv")), m, ksub, iters)
+      val dims = s.select(size(col("cv"))).first().getInt(0)
+      s.crossJoin(broadcast(packedBooks(books)))
+        .select(subRanges(dims, m).zipWithIndex.map { case ((off, len), sub) =>
+          minRecon2(col("bk")(sub), slice(col("cv"), off, len))
+        }.reduce(_ + _).as("e2"))
+        .agg(sum(col("e2"))).first().getLong(0)
+    }
+    err2(resSample) < err2(sample.select(col("neighbor_id"), col("cv")))
+  }
+
+  /** Exact integer squared reconstruction error of one subvector against its
+    * L2-nearest codebook entry: |v|² + min_c (|c|² − 2·v·c). */
+  private def minRecon2(cents: Column, v: Column): Column =
+    VectorFns.dotLong(v, v) + array_min(transform(cents, c =>
+      c("centn2") - lit(2L) * VectorFns.dotLong(v, c("centv"))))
+
+  /** Shared tail of the composed builds: train the product quantizer off the
+    * IVF cells frame (raw vectors or cell residuals) and encode the corpus
+    * straight off it — quantized once, scanned once, never re-read from the
+    * source. */
+  private def pqOverIvf(ivf: IvfIndex, m: Int, ksub: Int, iters: Int,
+                        residual: Boolean): IvfPqIndex = {
     val source = if (!residual) ivf.cells.select(
         col("neighbor_id"), col("cv"), col("cell"))
       else ivf.cells

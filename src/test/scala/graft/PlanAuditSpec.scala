@@ -34,9 +34,9 @@ class PlanAuditSpec extends SparkSpec {
     "q64_kmeans_assign",
     // q70: the same packed 1-row broadcast, PQ codebooks (encode argmin)
     "q70_pq_assign",
-    // q71/q72: the packed 1-row codebook broadcast again (encode argmin +
+    // q71/q72/q77: the packed 1-row codebook broadcast again (encode argmin +
     // per-query ADC tables); the corpus side is never shuffled
-    "q71_pq_search", "q72_ivfpq_full_probe",
+    "q71_pq_search", "q72_ivfpq_full_probe", "q77_ivfpq_partial_probe",
     // q75: like q59, the brute-force Hamming REFERENCE side is a designed
     // broadcast nested-loop over the bounded one-long-per-doc signature slice
     "q75_simhash_corpus")
@@ -66,6 +66,20 @@ class PlanAuditSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"),
       s"q66 plan regressed to a Window-based rank selection:\n$plan")
+  }
+
+  test("q77 serves its persisted cells under dynamic partition pruning") {
+    // the partial-probe green row must actually SERVE like the 100 TB story
+    // says: cells read from cell-partitioned parquet, restricted to the
+    // probed cells' directories by a runtime DPP filter — not a full scan
+    val df = SparkEntry.queries("q77_ivfpq_partial_probe")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    val cellsScan = plan.split("\n")
+      .filter(l => l.contains("FileScan") && l.contains("cells"))
+    assert(cellsScan.nonEmpty, s"no persisted cells scan in q77:\n$plan")
+    assert(cellsScan.exists(_.contains("dynamicpruning")),
+      s"q77 cells scan is not dynamically pruned:\n${cellsScan.mkString("\n")}")
   }
 
   test("narrow projections prune parquet columns at the scan (ReadSchema)") {

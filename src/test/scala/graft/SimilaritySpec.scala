@@ -208,6 +208,54 @@ class SimilaritySpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  /** 16 tight block-direction clusters with deterministic in-row jitter, no
+    * RNG — the regime residual (IVFADC) encoding exists for. */
+  private def clusteredEmb = {
+    val rows = Seq.tabulate(400) { i =>
+      val cluster = i % 16
+      val v = Array.tabulate(64) { d =>
+        val base = if (d / 4 == cluster) 1.0f else 0.0f
+        base + 0.05f * math.sin(1.0 + i * 0.7 + d * 2.3).toFloat
+      }
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      (i.toLong, v.map(_ / n))
+    }
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("buildIvfPqIndexAuto measures the residual dial instead of asking") {
+    // the documented per-corpus manual pick, made empirical: on the clustered
+    // corpus (coarse cells explain the structure, residuals concentrate near
+    // zero) the sample probe must choose residual encoding; on the driver's
+    // near-uniform unit-sphere embeddings under the DEFAULT seed coarse
+    // quantizer (centroids are corpus vectors, so |x − c|² = 2 − 2cosθ > |x|²
+    // at measured best-centroid cosine ~0.22) it must keep raw. The seed-vs-
+    // refined distinction is itself a measured finding: Lloyd-refined
+    // centroids are cell MEANS with tiny norm on a uniform sphere, which
+    // drags residual energy marginally below raw — the dial follows the
+    // measurement for the build configuration it is given, which is exactly
+    // why it must be measured and not asserted from corpus shape alone.
+    val autoClustered = Similarity.buildIvfPqIndexAuto(clusteredEmb,
+      nCentroids = 16, m = 4, ksub = 8, iters = 1, refineIters = 2)
+    assert(autoClustered.residual,
+      "auto did not pick residual encoding on the clustered corpus")
+    val uniform = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val autoUniform = Similarity.buildIvfPqIndexAuto(uniform,
+      nCentroids = 16, m = 4, ksub = 8, iters = 1)
+    assert(!autoUniform.residual,
+      "auto did not keep raw encoding on the near-uniform corpus")
+    // the auto build is the ordinary build in the measured mode: identical
+    // serving artifacts to an explicit residual=true build, bit for bit
+    val manual = Similarity.buildIvfPqIndex(clusteredEmb, nCentroids = 16,
+      m = 4, ksub = 8, iters = 1, refineIters = 2, residual = true)
+    val a = autoClustered.cells.select($"neighbor_id", $"codes", $"cell")
+      .as[(Long, Seq[Int], Long)].collect().toSet
+    val b = manual.cells.select($"neighbor_id", $"codes", $"cell")
+      .as[(Long, Seq[Int], Long)].collect().toSet
+    assert(a == b && a.nonEmpty,
+      "auto build diverged from the explicit build in the same mode")
+  }
+
   test("IVFADC residual encoding: strictly better reconstruction, same serving cost") {
     // residual encoding wins exactly when the coarse quantizer explains the
     // corpus' structure (residuals concentrate near zero, so the codebooks
@@ -218,18 +266,7 @@ class SimilaritySpec extends SparkSpec {
     // the vectors, and no encoding can fix that); the spec therefore
     // constructs the clustered regime the technique exists for: 16 tight
     // block-direction clusters with deterministic in-row jitter, no RNG.
-    val emb = {
-      val rows = Seq.tabulate(400) { i =>
-        val cluster = i % 16
-        val v = Array.tabulate(64) { d =>
-          val base = if (d / 4 == cluster) 1.0f else 0.0f
-          base + 0.05f * math.sin(1.0 + i * 0.7 + d * 2.3).toFloat
-        }
-        val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
-        (i.toLong, v.map(_ / n))
-      }
-      rows.toDF("vec_id", "embedding")
-    }
+    val emb = clusteredEmb
     val raw = Similarity.buildIvfPqIndex(emb, nCentroids = 16, m = 4, ksub = 8,
       iters = 1, refineIters = 2)
     val res = Similarity.buildIvfPqIndex(emb, nCentroids = 16, m = 4, ksub = 8,
