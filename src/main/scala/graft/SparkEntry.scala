@@ -144,7 +144,8 @@ object SparkEntry {
     "q75_simhash_corpus" -> qSimhashCorpus,
     "q76_quality_survivors" -> qQualitySurvivors,
     "q77_ivfpq_partial_probe" -> qIvfPqPartialProbe,
-    "q78_incremental_components" -> qIncrementalComponents)
+    "q78_incremental_components" -> qIncrementalComponents,
+    "q79_semantic_dedup" -> qSemanticDedup)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -323,6 +324,30 @@ object SparkEntry {
       .select(col("query_id"), col("neighbor_id"),
         round(col("cosine"), 6).as("cosine_6dp"), col("rank"))
       .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** SemDeDup (the embedding-dedup family's FOURTH composite): k-means cells
+    * as the blocking function — within-cell exact-cosine pairs, transitive
+    * cluster resolution, min-id survivors. Deterministic end to end at
+    * `iters = 0` (Knuth-ordered seed centroids — q64/q77's machinery), so
+    * the oracle re-derives the ENTIRE route: cell assignment, the within-cell
+    * pair set, the recursive-CTE closure, and each survivor's cell. The
+    * corpus injects q60's identical-vector duplicates (odd ids take their
+    * even neighbor's vector): identical vectors co-cell with certainty, so
+    * the cell-blocked route must reproduce exactly the corpus-wide answer —
+    * while the emitted `cell` column pins the learned blocking itself. */
+  private def qSemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").filter(col("vec_id") < 2000)
+    val corpus = emb.select(col("vec_id"),
+        (col("vec_id") - pmod(col("vec_id"), lit(2L))).as("__pid"))
+      .join(emb.select(col("vec_id").as("__pid"), col("embedding")), "__pid")
+      .select(col("vec_id"), col("embedding"))
+    val cents = Similarity.kmeansCentroids(corpus, nCentroids = 8, iters = 0)
+    val out = Dedup.semanticDedup(corpus, "vec_id", "embedding", nCells = 8,
+      threshold = 0.98, iters = 0, centroids = cents)
+    Similarity.assignCells(out, cents, "embedding", "cell")
+      .select(col("vec_id"), col("cell"))
+      .orderBy(col("vec_id"))
   }
 
   /** Per-source corpus length statistics with EXACT rank-based quantiles
@@ -2352,7 +2377,55 @@ object SparkEntry {
         |  UNION
         |  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id)
         |SELECT id AS doc_id, MIN(comp) AS component
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // q79: the oracle re-derives the WHOLE SemDeDup route — seed centroids
+    // (Knuth order), cell assignment (q77's argmax), within-cell exact-cosine
+    // pairs, recursive-CTE closure, min-id survivors, and each survivor's
+    // cell — over the same duplicate-injected corpus as q60
+    "q79_semantic_dedup" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT a.vec_id, b.embedding
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id - a.vec_id % 2
+        |  WHERE a.vec_id < 2000),
+        |q AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS cv
+        |  FROM base),
+        |n AS (
+        |  SELECT vec_id, cv,
+        |    sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE)) AS nrm
+        |  FROM q),
+        |coarse AS (
+        |  SELECT vec_id AS cid, cv AS cvv, nrm AS cn FROM n
+        |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 8),
+        |assign AS (
+        |  SELECT vec_id, cid AS cell FROM (
+        |    SELECT v.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |        ROUND(CAST(list_sum(list_transform(range(1, len(v.cv) + 1),
+        |            i -> v.cv[i] * c.cvv[i])) AS DOUBLE) /
+        |          (v.nrm * c.cn), 6) DESC, c.cid) AS rk
+        |    FROM n v CROSS JOIN coarse c) WHERE rk = 1),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM n a JOIN assign aa ON aa.vec_id = a.vec_id
+        |  JOIN n b ON a.vec_id < b.vec_id
+        |  JOIN assign ab ON ab.vec_id = b.vec_id AND ab.cell = aa.cell
+        |  WHERE CAST(list_sum(list_transform(range(1, len(a.cv) + 1),
+        |      i -> a.cv[i] * b.cv[i])) AS DOUBLE) / (a.nrm * b.nrm) >= 0.98),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+        |doomed AS (
+        |  SELECT id FROM (SELECT id, MIN(comp) AS comp FROM reach GROUP BY id) t
+        |  WHERE id <> comp)
+        |SELECT v.vec_id, a.cell FROM n v JOIN assign a USING (vec_id)
+        |WHERE v.vec_id NOT IN (SELECT id FROM doomed)
+        |ORDER BY v.vec_id""".stripMargin)
 
   private val pqAdcSearchSql: String =
       """WITH q AS (

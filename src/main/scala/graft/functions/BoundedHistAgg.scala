@@ -123,7 +123,8 @@ object BoundedHistAgg {
           s"bounded_hist: a group exceeds $maxBins distinct values of the " +
             "rank column — the value column is too high-cardinality for an " +
             "in-row histogram; bucket it first (e.g. cast to a coarser " +
-            "unit) or raise maxBinsPerStratum deliberately")
+            "unit), raise maxBinsPerStratum deliberately, or use " +
+            "Quantiles.strataStatsApprox (mergeable sketch, no bin bound)")
       if (size == vs.length) {
         vs = java.util.Arrays.copyOf(vs, vs.length * 2)
         cs = java.util.Arrays.copyOf(cs, cs.length * 2)

@@ -1045,6 +1045,63 @@ object Dedup {
     survivors(docs, idCol, pairs, () => sig.unpersist(blocking = false))
   }
 
+  /** Semantic dedup (Abbas et al., "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication", arXiv 2303.09540): k-means
+    * cluster the embedding space, treat within-cluster pairs above a high
+    * cosine threshold as semantic duplicates, keep one survivor per duplicate
+    * group. The family's fourth composite — where `dedupedCorpusByEmbedding`
+    * generates candidates with a hyperplane-LSH band family, here the LEARNED
+    * CLUSTER STRUCTURE is the blocking function: candidate pairs never cross
+    * cells, so the candidate stage is nCells independent blocks (quadratic
+    * within a cell; `nCells` is the 100 TB dial — balanced cells put the
+    * exact stage at ~n²/nCells comparisons spread over independent tasks,
+    * with one hash partition on the cell key as the only shuffle). Identical
+    * vectors always co-cell (the argmax is deterministic), so exact
+    * duplicates are matched with certainty; NEAR-duplicates straddling a
+    * Voronoi boundary are the documented SemDeDup recall caveat — raise
+    * `nCells` for cost, lower it for boundary recall, or pass `lshPlanes > 0`
+    * to band WITHIN cells (the flood-guarded LSH route, cell-blocked) when
+    * single cells are still too large for exact pairs.
+    *
+    * Determinism: with `iters = 0` the centroids are the Knuth-ordered seed
+    * pick and the whole route — assignment, pairs, components, survivors —
+    * is SQL-reproducible end to end (q79's oracle re-derives it). Survivors
+    * keep the min id of each duplicate group; compose `survivorsByScore`
+    * with `semanticPairs` for quality-keep selection. Pass a prebuilt
+    * `centroids` frame (e.g. from a served ANN index) to dedup against an
+    * existing partitioning of the space instead of re-clustering. Cache
+    * contract: same as every composite — `Dedup.release(result)` when done. */
+  def semanticDedup(embs: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, threshold: Double, iters: Int = 2,
+                    lshPlanes: Int = 0, lshBands: Int = 8,
+                    centroids: DataFrame = null): DataFrame = {
+    val (pairs, free) = semanticPairsManaged(embs, idCol, vecCol, nCells,
+      threshold, iters, lshPlanes, lshBands, centroids)
+    survivors(embs, idCol, pairs, free)
+  }
+
+  /** The pair half of `semanticDedup`: (id_a, id_b, cosine) for every
+    * within-cell pair at or above the threshold. */
+  def semanticPairs(embs: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, threshold: Double, iters: Int = 2,
+                    lshPlanes: Int = 0, lshBands: Int = 8,
+                    centroids: DataFrame = null): DataFrame =
+    semanticPairsManaged(embs, idCol, vecCol, nCells, threshold, iters,
+      lshPlanes, lshBands, centroids)._1
+
+  private def semanticPairsManaged(embs: DataFrame, idCol: String,
+                                   vecCol: String, nCells: Int,
+                                   threshold: Double, iters: Int,
+                                   lshPlanes: Int, lshBands: Int,
+                                   centroids: DataFrame)
+      : (DataFrame, () => Unit) = {
+    val cents = Option(centroids).getOrElse(
+      Similarity.kmeansCentroids(embs, nCells, iters, idCol, vecCol))
+    val celled = Similarity.assignCells(embs, cents, vecCol, "__semcell")
+    embeddingCosinePairsManaged(celled, idCol, vecCol, threshold,
+      Seq("__semcell"), lshPlanes, lshBands)
+  }
+
   /** Survivor selection by QUALITY instead of min id: per near-dup cluster,
     * keep the member with the highest `score` (ties: smallest id) — the
     * curation semantic production pipelines actually want ("keep the longest

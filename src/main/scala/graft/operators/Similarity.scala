@@ -191,6 +191,25 @@ object Similarity {
     centroids
   }
 
+  /** Nearest-cell assignment as a COLUMN-PRESERVING transform: every input
+    * column plus `cellCol` = the centroid id with the highest cosine to the
+    * row's vector ((rounded cosine desc, centroid_id asc) — q64's total
+    * order, so assignment is deterministic and, under a seed-pick centroid
+    * frame, SQL-reproducible). One packed-centroid broadcast and an in-row
+    * argmax: no shuffle, no join — this is the coarse quantizer exposed as a
+    * BLOCKING FUNCTION for downstream per-cell work (`Dedup.semanticDedup`
+    * bounds its candidate pairs to cells with it). */
+  def assignCells(df: DataFrame, centroids: DataFrame,
+                  vecCol: String = "embedding",
+                  cellCol: String = "cell"): DataFrame = {
+    val keep = df.columns
+    df.crossJoin(broadcast(packed(centroids)))
+      .withColumn("__acv", VectorFns.quantize(col(vecCol)))
+      .withColumn(cellCol, nearestCellIds(col("cents"), col("__acv"),
+        VectorFns.normLong(col("__acv")), 1)(0))
+      .select(keep.map(col) :+ col(cellCol): _*)
+  }
+
   /** First-iteration k-means assignment report — the oracle-facing scalar
     * projection of `kmeansCentroids`' inner loop: per cell, the member count
     * and the L1 norm of the exact per-dimension integer sums (a single BIGINT

@@ -89,6 +89,38 @@ object Quantiles {
     selected.drop("__bins")
   }
 
+  /** The APPROXIMATE sibling of `strataStats` for value columns the histogram
+    * plan refuses (near-unique: timestamps, raw scores, byte offsets): per
+    * stratum, count, sum, and `percentile_approx` estimates — Spark's built-in
+    * mergeable quantile sketch, whose state is bounded by `accuracy`, not by
+    * the column's distinct-value count, so there is nothing to guard. One
+    * map-combinable aggregation; rank error ≤ n/accuracy per stratum (the
+    * built-in's contract). Use `strataStats` when the column is
+    * histogram-shaped and answers must be bit-exact (its results match a
+    * row_number oracle; this one's are approximate by construction and NOT
+    * oracle-hashable — spec-pinned against exact ranks within the error bound
+    * instead).
+    *
+    * @param percentiles output column name -> percentile in [0, 1]
+    */
+  def strataStatsApprox(
+      df: DataFrame,
+      strata: Seq[String],
+      value: Column,
+      percentiles: Seq[(String, Double)],
+      nName: String = "n",
+      sumName: String = "total",
+      accuracy: Int = 10000): DataFrame = {
+    val v = value.cast("long")
+    df.groupBy(strata.map(col): _*)
+      .agg(
+        count(lit(1)).as(nName),
+        sum(v).as(sumName) +:
+          percentiles.map { case (name, p) =>
+            percentile_approx(v, lit(p), lit(accuracy)).as(name)
+          }: _*)
+  }
+
   /** Value at 1-based `rank` in the (value asc) total order, read off a sorted
     * histogram of `struct(__v, __c)` bins: the first bin whose cumulative
     * count reaches the rank. A single in-row fold — codegen-friendly, no

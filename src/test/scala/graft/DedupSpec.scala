@@ -677,6 +677,39 @@ class DedupSpec extends SparkSpec {
       s"residual cached blocks after release: ${residual.map(_.toString)}")
   }
 
+  test("semanticDedup: cell-blocked route reproduces the corpus-wide exact answer") {
+    // SemDeDup's structural guarantee, pinned: identical vectors co-cell with
+    // certainty (the assignment argmax is deterministic), so on a twin-planted
+    // corpus the k-means-cell blocking loses nothing vs the corpus-wide
+    // quadratic route — while doing ~n²/nCells of its work
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(150).select($"vec_id", $"embedding")
+    val corpus = base.unionByName(
+      base.select(($"vec_id" + 1000000L).as("vec_id"), $"embedding"))
+    val baseIds = base.select($"vec_id").as[Long].collect().toSet
+    val wide = Dedup.dedupedCorpusByEmbedding(corpus, "vec_id", "embedding",
+      threshold = 0.999, lshPlanes = 0)
+      .select($"vec_id").as[Long].collect().toSet
+    val sem = Dedup.semanticDedup(corpus, "vec_id", "embedding", nCells = 5,
+      threshold = 0.999, iters = 1)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(sem == wide && sem == baseIds)
+    // within-cell LSH route: identical vectors agree on every hyperplane, so
+    // the banded cell-blocked route keeps the same survivors
+    val semLsh = Dedup.semanticDedup(corpus, "vec_id", "embedding", nCells = 5,
+      threshold = 0.999, iters = 1, lshPlanes = 6, lshBands = 8)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(semLsh == wide)
+    // a prebuilt centroid frame (dedup against an EXISTING partitioning of
+    // the space, e.g. a served index's coarse quantizer) takes the same route
+    val cents = graft.operators.Similarity.kmeansCentroids(corpus,
+      nCentroids = 5, iters = 1)
+    val semPre = Dedup.semanticDedup(corpus, "vec_id", "embedding", nCells = 5,
+      threshold = 0.999, centroids = cents)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(semPre == wide)
+  }
+
   test("embedding LSH blocking: subset of exact pairs, near-identical vectors kept") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(200)

@@ -92,6 +92,23 @@ class PropertySpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("strataStatsApprox: the near-unique escape hatch, within its rank bound") {
+    // the refusal message points here: the sketch's state is bounded by
+    // accuracy, not by distinct values, so the EXACT plan's refusal case runs
+    // clean — and the estimates honor percentile_approx's documented rank
+    // error (<= n/accuracy) against the true sorted ranks
+    val nearUnique = spark.range(50000)
+      .select(lit("one").as("s"), $"id".as("v"))
+    val got = graft.ops.Quantiles.strataStatsApprox(nearUnique, Seq("s"), $"v",
+        percentiles = Seq("med" -> 0.5, "p90" -> 0.9), accuracy = 10000)
+      .select($"n", $"total", $"med", $"p90")
+      .as[(Long, Long, Long, Long)].head()
+    assert(got._1 == 50000L && got._2 == 49999L * 50000L / 2)
+    val rankErr = 50000L / 10000L + 1 // n/accuracy, +1 for the floor seam
+    assert(math.abs(got._3 - 24999L) <= rankErr, s"median ${got._3} off")
+    assert(math.abs(got._4 - 44999L) <= rankErr, s"p90 ${got._4} off")
+  }
+
   test("budget sampling == naive greedy prefix on random strata/weights/budgets") {
     // the histogram-cutoff plan must equal the literal running-sum definition
     // for every shape: tiny/huge budgets, weight skew, strata of odd sizes,
