@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Contamination, Dedup, Similarity}
+import graft.operators.{Contamination, DataMix, Dedup, Similarity, TfIdf}
 import graft.ops.{GeoOps, TimeSeriesOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -145,7 +145,10 @@ object SparkEntry {
     "q76_quality_survivors" -> qQualitySurvivors,
     "q77_ivfpq_partial_probe" -> qIvfPqPartialProbe,
     "q78_incremental_components" -> qIncrementalComponents,
-    "q79_semantic_dedup" -> qSemanticDedup)
+    "q79_semantic_dedup" -> qSemanticDedup,
+    "q80_line_dedup" -> qLineDedup,
+    "q81_shard_export" -> qShardExport,
+    "q82_vocab_oov" -> qVocabOov)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -348,6 +351,48 @@ object SparkEntry {
     Similarity.assignCells(out, cents, "embedding", "cell")
       .select(col("vec_id"), col("cell"))
       .orderBy(col("vec_id"))
+  }
+
+  /** Corpus-global line dedup (the C4/RefinedWeb repeated-line pass) over a
+    * corpus with REAL cross-document line overlap: each synthetic doc is a
+    * 3-line sliding window of neighbor texts separated by a short "##" line,
+    * so every line recurs in the two following docs and must survive only at
+    * its first (doc, idx) occurrence — doc 0 keeps everything, every later
+    * doc keeps its separators (1 token < minTokens, never dedupable) plus
+    * its one novel line. The oracle re-derives tokenization (q29's
+    * convention), winner choice, survivorship, and line-order reassembly. */
+  private def qLineDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = d
+      .join(d.select((col("doc_id") - 1).as("doc_id"), col("text").as("__t2")),
+        Seq("doc_id"))
+      .join(d.select((col("doc_id") - 2).as("doc_id"), col("text").as("__t3")),
+        Seq("doc_id"))
+      .select(col("doc_id"), concat_ws("\n",
+        col("text"), lit("##"), col("__t2"), lit("##"), col("__t3")).as("text"))
+    Dedup.lineDedup(corpus, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
+  /** Deterministic training-export shuffle: every document's shard and its
+    * EXACT 1-based position within the shard's permutation order, computed
+    * via histogram offsets + bounded bucket windows (never a whole-shard
+    * sort in one task). The oracle is the definition itself: a per-shard
+    * ROW_NUMBER over (knuth hash, id). */
+  private def qShardExport(s: SparkSession, dir: String): DataFrame =
+    DataMix.shardPositions(
+        t(s, dir, "documents").select(col("doc_id")), "doc_id", nShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("doc_id"))
+
+  /** Vocabulary induction + coverage: top-20 tokens by corpus occurrence
+    * count (ties by token — SQL-total order; 20 of the generator's 31-token
+    * space, so coverage is PARTIAL and every OOV count is load-bearing),
+    * then every document's exact out-of-vocabulary occurrence rate in
+    * scaled-integer form. */
+  private def qVocabOov(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val vocab = TfIdf.vocabulary(d, "text", 20)
+    TfIdf.oovRate(d, "doc_id", "text", vocab).orderBy(col("doc_id"))
   }
 
   /** Per-source corpus length statistics with EXACT rank-based quantiles
@@ -2425,7 +2470,72 @@ object SparkEntry {
         |  WHERE id <> comp)
         |SELECT v.vec_id, a.cell FROM n v JOIN assign a USING (vec_id)
         |WHERE v.vec_id NOT IN (SELECT id FROM doomed)
-        |ORDER BY v.vec_id""".stripMargin)
+        |ORDER BY v.vec_id""".stripMargin,
+    // q80: full re-derivation of the corpus-global line-dedup route — the
+    // sliding-window corpus, q29's tokenization for the minTokens gate,
+    // first-(doc,idx)-occurrence winners, survivorship, ordered reassembly
+    "q80_line_dedup" ->
+      """WITH corpus AS (
+        |  SELECT a.doc_id,
+        |    a.text || chr(10) || '##' || chr(10) || b.text || chr(10) ||
+        |      '##' || chr(10) || c.text AS text
+        |  FROM documents a
+        |  JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  JOIN documents c ON c.doc_id = a.doc_id + 2),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx,
+        |    unnest(string_split(text, chr(10))) AS line
+        |  FROM corpus),
+        |flagged AS (
+        |  SELECT doc_id, idx, line,
+        |    len(regexp_extract_all(lower(line), '[a-z]+|[0-9]|[^a-z0-9\s]')) >= 3
+        |      AS dedupable
+        |  FROM lines),
+        |keepers AS (
+        |  SELECT doc_id, idx, line FROM (
+        |    SELECT doc_id, idx, line,
+        |      ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+        |    FROM flagged WHERE dedupable) WHERE rn = 1),
+        |kept AS (
+        |  SELECT f.doc_id, f.idx, f.line,
+        |    ((NOT f.dedupable) OR (k.doc_id IS NOT NULL)) AS keep
+        |  FROM flagged f LEFT JOIN keepers k
+        |    ON k.line = f.line AND k.doc_id = f.doc_id AND k.idx = f.idx)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(line, chr(10) ORDER BY idx)
+        |    FILTER (WHERE keep), '') AS text,
+        |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q81: the shard-position definition verbatim — a per-shard ROW_NUMBER
+    // over the Knuth-hash permutation; the engine must reproduce it from
+    // histogram offsets + bounded bucket windows
+    "q81_shard_export" ->
+      """WITH t AS (
+        |  SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS h
+        |  FROM documents)
+        |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+        |  ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS pos
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // q82: vocab = top-500 tokens by occurrence (ties: token asc), then each
+    // doc's exact OOV occurrence count and scaled-integer rate
+    "q82_vocab_oov" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> len(w) > 0)) AS token
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token FROM (
+        |    SELECT token, COUNT(*) AS n_occ FROM toks GROUP BY token)
+        |  ORDER BY n_occ DESC, token LIMIT 20)
+        |SELECT t.doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_oov,
+        |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // COUNT(*) AS oov_rate_e6
+        |FROM toks t LEFT JOIN vocab v USING (token)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
 
   private val pqAdcSearchSql: String =
       """WITH q AS (

@@ -54,15 +54,22 @@ object VectorFns {
   def normSqScaled(a: Column): Column = dotScaled(a, a)
 
   /** Cosine similarity from quantized components; deterministic double.
-    * Prefer `cosineFromQuantized` in pairwise loops. */
-  def cosine(a: Column, b: Column): Column =
-    dotScaled(a, b).cast("double") /
-      (sqrt(normSqScaled(a).cast("double")) * sqrt(normSqScaled(b).cast("double")))
+    * Prefer `cosineFromQuantized` in pairwise loops. Zero-norm operands yield
+    * NULL (never a divide — ANSI mode would throw), so a `cosine >= t` filter
+    * drops them: zero vectors match nothing, by contract. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = sqrt(normSqScaled(a).cast("double")) *
+      sqrt(normSqScaled(b).cast("double"))
+    when(d === 0.0, lit(null).cast("double"))
+      .otherwise(dotScaled(a, b).cast("double") / d)
+  }
 
   /** Cosine from pre-quantized vectors + pre-computed norms (per-pair cost = one
-    * zip_with fold). Bit-identical to `cosine` on the raw vectors. */
+    * zip_with fold). Bit-identical to `cosine` on the raw vectors, including
+    * the zero-norm → NULL contract. */
   def cosineFromQuantized(qa: Column, qb: Column, na: Column, nb: Column): Column =
-    dotLong(qa, qb).cast("double") / (na * nb)
+    when(na === 0.0 || nb === 0.0, lit(null).cast("double"))
+      .otherwise(dotLong(qa, qb).cast("double") / (na * nb))
 
   /** Sign-bit signature against `nPlanes` deterministic pseudo-random hyperplanes —
     * the LSH bucketing primitive for approximate nearest neighbor at scale. Plane

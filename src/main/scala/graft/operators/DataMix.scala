@@ -154,4 +154,60 @@ object DataMix {
       .drop("__cum")
     earlier.unionByName(boundary).drop("__cb", "__before", "__b", "__h", "__w")
   }
+
+  /** Deterministic corpus shuffle + shard assignment — the training-export
+    * step ("shuffle the corpus, cut it into N shard files") done without a
+    * random number generator: the Knuth hash IS the permutation, `shard =
+    * hash mod nShards` (near-balanced multinomial for corpus-scale n), and
+    * the within-shard order is (hash, id). A narrow projection — no shuffle,
+    * no state; `salt` varies the permutation across epochs while keeping
+    * every run of one epoch bit-reproducible. */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+                    salt: Long = 0L): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    require(salt >= 0, s"salt must be non-negative, got $salt")
+    df.withColumn("__h", knuthHash(pmod(col(idCol), lit(4294967296L)) +
+        lit(salt)))
+      .withColumn("shard", pmod(col("__h"), lit(nShards.toLong)).cast("int"))
+  }
+
+  /** `shuffleShards` plus the EXACT 1-based position of every row within its
+    * shard's (hash, id) order — without ever sorting a whole shard in one
+    * task: positions compose from (a) per-(shard, high-hash-bucket) counts
+    * rolled into running offsets — a histogram-scale frame (≤ nShards·2¹⁶
+    * rows), its running sum a window over bucket counts, not rows — and
+    * (b) a row_number within each (shard, bucket) — 2¹⁶ buckets per shard,
+    * so every window partition holds ~corpus/(nShards·2¹⁶) rows no matter
+    * how large the corpus. The q74 histogram-offset discipline applied to
+    * dense ranking. One corpus shuffle on (shard, bucket) serves both the
+    * window and the offset join. */
+  def shardPositions(df: DataFrame, idCol: String, nShards: Int,
+                     salt: Long = 0L): DataFrame = {
+    val bucketed = shuffleShards(df, idCol, nShards, salt)
+      .withColumn("__b", graft.ops.Quantiles.div(col("__h"), lit(65536L)))
+    val offsets = bucketed.groupBy(col("shard"), col("__b"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__off", sum(col("__n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+          .orderBy(col("__b"))) - col("__n"))
+      .drop("__n")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("__b")).orderBy(col("__h"), col(idCol))
+    bucketed.join(offsets, Seq("shard", "__b"))
+      .withColumn("pos", col("__off") + row_number().over(w))
+      .drop("__b", "__h", "__off")
+  }
+
+  /** Materialize the shuffled shards as `dir/shard=K/` parquet, each shard's
+    * rows in (hash, id) order: one hash repartition on the shard key, an
+    * intra-task sort, and a partitioned write — readers stream any shard in
+    * permutation order straight off the files, nothing ever ranks the corpus
+    * globally. */
+  def writeShards(df: DataFrame, idCol: String, dir: String, nShards: Int,
+                  salt: Long = 0L): Unit =
+    shuffleShards(df, idCol, nShards, salt)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
+      .drop("__h")
+      .write.mode("overwrite").partitionBy("shard").parquet(dir)
 }

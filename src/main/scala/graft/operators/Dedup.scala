@@ -1020,9 +1020,11 @@ object Dedup {
     * SQL-reproducible oracle of the composite. */
   def dedupedCorpusByEmbedding(embs: DataFrame, idCol: String, vecCol: String,
                                threshold: Double, blockCols: Seq[String] = Nil,
-                               lshPlanes: Int = 12, lshBands: Int = 8): DataFrame = {
+                               lshPlanes: Int = 12, lshBands: Int = 8,
+                               collapseExact: Boolean = true): DataFrame = {
     val (pairs, free) = embeddingCosinePairsManaged(embs, idCol, vecCol,
-      threshold, blockCols, lshPlanes, lshBands)
+      threshold, blockCols, lshPlanes, lshBands,
+      collapseExact = collapseExact)
     survivors(embs, idCol, pairs, free)
   }
 
@@ -1099,7 +1101,55 @@ object Dedup {
       Similarity.kmeansCentroids(embs, nCells, iters, idCol, vecCol))
     val celled = Similarity.assignCells(embs, cents, vecCol, "__semcell")
     embeddingCosinePairsManaged(celled, idCol, vecCol, threshold,
-      Seq("__semcell"), lshPlanes, lshBands)
+      Seq("__semcell"), lshPlanes, lshBands, collapseExact = true)
+  }
+
+  /** Corpus-global LINE-level dedup (the C4 / RefinedWeb curation pass:
+    * Raffel et al. 2019 §2.2 dedups three-sentence spans corpus-wide;
+    * Penedo et al. 2023 drop repeated lines): every line that tokenizes to
+    * at least `minTokens` BPE-ish tokens keeps only its FIRST occurrence
+    * across the whole corpus — ordered by (doc id, line index) — and every
+    * later occurrence is removed from its document; shorter lines (headers,
+    * blanks, separators) always survive. Documents come back reassembled in
+    * original line order with an `n_removed` count (a doc whose every line
+    * was seen before collapses to the empty string, not a dropped row — the
+    * caller decides what to do with husks).
+    *
+    * Scale shape: three hash shuffles of the exploded line frame and nothing
+    * else — (1) winner per line text via ONE map-combinable `min(struct(id,
+    * idx))` aggregate, deliberately NOT a per-line-key window: boilerplate
+    * floods ("All rights reserved." × 10⁷ docs) collapse to one row per
+    * mapper before the shuffle, where a window would sort the whole flood in
+    * one task; (2) the exploded frame re-keyed on line text to meet the
+    * winners (exchange-compatible with (1), so AQE reuses the partitioning on
+    * the small side); (3) re-keyed on doc id for in-row `array_sort`
+    * reassembly. Line payloads cross the wire, which is the honest cost of a
+    * corpus-global exact-text pass; key skew is absorbed by the map-side
+    * combine, never by a single reducer. The exploded frame feeds (1) and
+    * (2) by RECOMPUTE, not persist — two columnar scans of (id, text) are
+    * cheaper at corpus scale than materializing the exploded lines, which
+    * would cost the corpus bytes again in executor storage. Deterministic
+    * end to end — q80's oracle re-derives winner choice, survivorship, and
+    * reassembly. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String,
+                minTokens: Int = 3): DataFrame = {
+    val exploded = ensureParallel(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("__idx", "__line")))
+    val dedupable = TextFns.tokenCount(col("__line")) >= minTokens
+    val winners = exploded.filter(dedupable)
+      .groupBy(col("__line"))
+      .agg(min(struct(col(idCol), col("__idx"))).as("__w"))
+    exploded.join(winners, Seq("__line"), "left")
+      .withColumn("__keep", col("__w").isNull ||
+        (col(s"__w.$idCol") === col(idCol) && col("__w.__idx") === col("__idx")))
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__idx"), col("__line"))))),
+          x => x.getField("__line"))).as(textCol),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"))
   }
 
   /** Survivor selection by QUALITY instead of min id: per near-dup cluster,
@@ -1266,9 +1316,46 @@ object Dedup {
   def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String,
                            threshold: Double, blockCols: Seq[String] = Nil,
                            lshPlanes: Int = 12, lshBands: Int = 8,
-                           maxBucket: Int = 4096): DataFrame =
+                           maxBucket: Int = 4096,
+                           collapseExact: Boolean = false): DataFrame =
     embeddingCosinePairsManaged(embs, idCol, vecCol, threshold, blockCols,
-      lshPlanes, lshBands, maxBucket)._1
+      lshPlanes, lshBands, maxBucket, collapseExact)._1
+
+  /** EXACT-duplicate pre-collapse for the embedding pair routes: rows whose
+    * QUANTIZED vectors are bit-identical (within a block) contract to their
+    * min-id representative before any pairing — members attach by n−1
+    * identity edges (cosine exactly 1.0) instead of the n²/2 clique the
+    * pair stage would otherwise emit. Connectivity is provably unchanged:
+    * every cosine in this family is computed FROM the quantized vectors, so
+    * cos(u, v) = cos(rep(u), rep(v)) — each original edge maps to a rep
+    * edge plus identity hops, and vice versa; survivor sets are identical.
+    * On a duplicate-dense corpus (the web-data norm) this turns the
+    * group-size-QUADRATIC pair stage linear (measured: the ×100-amplified
+    * sf10 corpus emits ~20M clique pairs without it); the price on a
+    * duplicate-free corpus is one corpus re-key on the 64-bit vector hash.
+    * The hash is only a shuffle key, never trusted: the min(struct) winner
+    * carries its quantized vector and membership is confirmed by exact
+    * array equality — a colliding row simply stays its own representative
+    * (correct, marginally less collapsed). Zero-norm vectors never collapse
+    * (their pairwise cosine is NaN-guarded to non-match; identity edges
+    * would invent matches). */
+  private def collapseExactGroups(hashed: DataFrame, blockCols: Seq[String])
+      : (DataFrame, DataFrame) = {
+    val winners = hashed.filter(col("__n") > 0)
+      .groupBy((col("__qh") +: blockCols.map(col)): _*)
+      .agg(min(struct(col("__id"), col("__q"))).as("__w"))
+      .select((col("__qh") +: col("__w.__id").as("__rid") +:
+        col("__w.__q").as("__rq") +: blockCols.map(col)): _*)
+    val tagged = hashed
+      .join(winners, Seq("__qh") ++ blockCols, "left")
+      .withColumn("__isDup", col("__rid").isNotNull &&
+        col("__id") =!= col("__rid") && col("__q") === col("__rq"))
+    val identity = tagged.filter(col("__isDup"))
+      .select(col("__rid").as("id_a"), col("__id").as("id_b"),
+        lit(1.0).as("cosine"))
+    (tagged.filter(!col("__isDup")).drop("__rid", "__rq", "__isDup", "__qh"),
+      identity)
+  }
 
   /** `embeddingCosinePairs` plus the handle the composite uses to free the
     * LSH route's persisted prep frame once the pair set has been consumed
@@ -1276,12 +1363,19 @@ object Dedup {
   private def embeddingCosinePairsManaged(
       embs: DataFrame, idCol: String, vecCol: String, threshold: Double,
       blockCols: Seq[String], lshPlanes: Int, lshBands: Int,
-      maxBucket: Int = 4096): (DataFrame, () => Unit) = {
-    val base = ensureParallel(embs)
+      maxBucket: Int = 4096, collapseExact: Boolean = false)
+      : (DataFrame, () => Unit) = {
+    val full = ensureParallel(embs)
       .select(
         (col(idCol).as("__id") +: col(vecCol).as("__v") +: blockCols.map(col)): _*)
       .withColumn("__q", VectorFns.quantize(col("__v")))
       .withColumn("__n", VectorFns.normLong(col("__q")))
+    val (base, identityEdges) =
+      if (!collapseExact) (full, null)
+      else collapseExactGroups(full.withColumn("__qh", xxhash64(col("__q"))),
+        blockCols)
+    def withIdentity(pairs: DataFrame): DataFrame =
+      if (identityEdges == null) pairs else pairs.unionByName(identityEdges)
     if (lshPlanes <= 0) {
       // exact within blockCols: one block-partitioned join, vectors in-row
       val a = base.select(col("__id").as("id_a") +: col("__q").as("qa") +:
@@ -1290,11 +1384,11 @@ object Dedup {
         col("__n").as("nb") +: blockCols.map(col): _*)
       val joined = if (blockCols.isEmpty)
         a.crossJoin(b) else a.join(b, blockCols)
-      (joined.filter(col("id_a") < col("id_b"))
+      (withIdentity(joined.filter(col("id_a") < col("id_b"))
         .withColumn("cosine", VectorFns.cosineFromQuantized(
           col("qa"), col("qb"), col("na"), col("nb")))
         .filter(col("cosine") >= threshold)
-        .select(col("id_a"), col("id_b"), col("cosine")),
+        .select(col("id_a"), col("id_b"), col("cosine"))),
         () => ())
     } else {
       // scale path: the banded self-join carries only (id, band buckets, blocks) —
@@ -1325,7 +1419,7 @@ object Dedup {
       val cand = if (star == null) selfCand
         else selfCand.unionByName(star
           .select(col("__bmin").as("id_a"), col("__id").as("id_b")).distinct())
-      (cand
+      (withIdentity(cand
         .join(prep.select(col("__id").as("id_a"), col("__q").as("qa"),
           col("__n").as("na")), "id_a")
         .join(prep.select(col("__id").as("id_b"), col("__q").as("qb"),
@@ -1333,7 +1427,7 @@ object Dedup {
         .withColumn("cosine", VectorFns.cosineFromQuantized(
           col("qa"), col("qb"), col("na"), col("nb")))
         .filter(col("cosine") >= threshold)
-        .select(col("id_a"), col("id_b"), col("cosine")),
+        .select(col("id_a"), col("id_b"), col("cosine"))),
         () => prep.unpersist(blocking = false))
     }
   }

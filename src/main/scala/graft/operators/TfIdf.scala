@@ -49,4 +49,34 @@ object TfIdf {
       Seq(col("token"), col("score_scaled").as("score")), k)
       .select(col(idCol), col("rn"), col("token"), col("score"))
   }
+
+  /** Top-`v` vocabulary by total occurrence count (ties: token asc — a total
+    * order, so the vocab is identical under any partitioning and in plain
+    * SQL). One map-combinable count aggregate + a `TakeOrderedAndProject`
+    * (per-partition heap of v rows, driver merges v·partitions — never a
+    * global sort): the vocabulary-induction step before tokenizer training,
+    * and the denominator of any coverage analysis. */
+  def vocabulary(docs: DataFrame, textCol: String, v: Int): DataFrame =
+    docs.select(explode(TextFns.words(col(textCol))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n_occ"))
+      .orderBy(col("n_occ").desc, col("token"))
+      .limit(v)
+
+  /** Per-document out-of-vocabulary rate against a vocab frame: token
+    * OCCURRENCES not covered, total occurrences, and the exact scaled rate
+    * (`n_oov·10⁶ div n_tokens` — integer arithmetic, no float drift). The
+    * vocab broadcasts (it is vocabulary-sized by construction); the only
+    * shuffle is the per-doc count aggregate. Documents with zero tokens have
+    * no coverage to measure and drop out (the explode emits nothing). */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String,
+              vocab: DataFrame): DataFrame =
+    docs.select(col(idCol), explode(TextFns.words(col(textCol))).as("token"))
+      .join(broadcast(vocab.select(col("token"), lit(1).as("__in"))),
+        Seq("token"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate_e6",
+        graft.ops.Quantiles.div(col("n_oov") * lit(1000000L), col("n_tokens")))
 }

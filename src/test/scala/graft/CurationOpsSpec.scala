@@ -157,6 +157,46 @@ class CurationOpsSpec extends SparkSpec {
     assert(run(4, 1000000L).size == 600)
   }
 
+  test("shardPositions/writeShards: dense per-shard ranks, files in permutation order") {
+    import graft.operators.DataMix
+    // positions must be the per-shard dense 1..n rank over (hash, id) — the
+    // histogram-offset + bucket-window composition vs the literal definition —
+    // and must not depend on input partitioning
+    val ids = spark.range(5000).select($"id".as("doc_id"))
+    val got = DataMix.shardPositions(ids, "doc_id", nShards = 4)
+      .select($"doc_id", $"shard", $"pos")
+      .as[(Long, Int, Long)].collect().toSeq
+    val byShard = got.groupBy(_._2)
+    assert(byShard.keySet == Set(0, 1, 2, 3))
+    for ((_, rows) <- byShard) {
+      assert(rows.map(_._3).sorted == (1L to rows.size).toSeq)
+      // per-shard hash order: sort members by (knuth hash, id), positions agree
+      def kh(id: Long) = (id % 4294967296L) * 2654435761L % 4294967296L
+      val expect = rows.map(_._1).sortBy(id => (kh(id), id))
+        .zipWithIndex.map { case (id, i) => id -> (i + 1L) }.toMap
+      assert(rows.forall { case (id, _, pos) => expect(id) == pos })
+    }
+    val skewed = DataMix.shardPositions(ids.repartition(37), "doc_id", 4)
+      .select($"doc_id", $"shard", $"pos").as[(Long, Int, Long)].collect().toSeq
+    assert(skewed.toSet == got.toSet)
+    // the writer lays out shard=K dirs with every file ascending in the
+    // permutation order, so a reader streams shards pre-shuffled
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    DataMix.writeShards(ids, "doc_id", dir, nShards = 4)
+    val dirs = new java.io.File(dir).listFiles.filter(_.isDirectory).map(_.getName)
+    assert(dirs.toSet == (0 until 4).map(i => s"shard=$i").toSet)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == 5000)
+    for (k <- 0 until 4; f <- new java.io.File(s"$dir/shard=$k").listFiles
+         if f.getName.endsWith(".parquet")) {
+      val inFile = spark.read.parquet(f.getPath)
+        .select($"doc_id").as[Long].collect().toSeq
+      def kh(id: Long) = (id % 4294967296L) * 2654435761L % 4294967296L
+      assert(inFile == inFile.sortBy(id => (kh(id), id)),
+        s"file ${f.getName} of shard $k not in permutation order")
+    }
+  }
+
   test("admitNew: rejects incoming near-dups of the corpus, admits novel docs") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog again and again"),
@@ -175,6 +215,31 @@ class CurationOpsSpec extends SparkSpec {
       "doc_id", "text", n = 3, threshold = 0.5, blockCols = Nil)
       .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
     assert(matches == Set((101L, 1L), (102L, 1L)))
+  }
+
+  test("vocabulary/oovRate: occurrence-ranked vocab, exact coverage, tokenless docs drop") {
+    import graft.operators.TfIdf
+    val docs = Seq(
+      (1L, "aa aa aa bb cc"),   // 3+1+1
+      (2L, "aa bb bb"),         // 1+2
+      (3L, "cc dd"),            // cc ties dd on count 2? cc: 1+1=2, dd: 1
+      (4L, "   ")               // no tokens -> drops from oovRate
+    ).toDF("doc_id", "text")
+    // counts: aa=4, bb=3, cc=2, dd=1 -> vocab(2) = {aa, bb}
+    val vocab = TfIdf.vocabulary(docs, "text", 2)
+      .as[(String, Long)].collect().toSeq
+    assert(vocab == Seq(("aa", 4L), ("bb", 3L)))
+    val rates = TfIdf.oovRate(docs, "doc_id", "text", docs.sparkSession
+        .createDataFrame(vocab).toDF("token", "n_occ"))
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rates == Seq(
+      (1L, 5L, 1L, 200000L),
+      (2L, 3L, 0L, 0L),
+      (3L, 2L, 2L, 1000000L)))
+    // tie at the vocab boundary resolves by token asc: with v=3, "cc" (2
+    // occurrences) enters before "dd" (1) — and a cc/dd tie would prefer cc
+    val v3 = TfIdf.vocabulary(docs, "text", 3).as[(String, Long)].collect()
+    assert(v3.map(_._1).toSeq == Seq("aa", "bb", "cc"))
   }
 
   test("tf-idf: document frequency exact; rare informative tokens outrank ubiquitous") {

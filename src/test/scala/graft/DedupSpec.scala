@@ -710,6 +710,62 @@ class DedupSpec extends SparkSpec {
     assert(semPre == wide)
   }
 
+  test("collapseExact: identical-group cliques become stars, survivors unchanged") {
+    // a corpus of 40-member identical groups: the collapsed pair stage must
+    // emit n-1 identity edges per group instead of the n(n-1)/2 clique, and
+    // every composite answer (connectivity -> survivors) must be bit-equal
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(50).select($"vec_id", $"embedding")
+    val corpus = (0 until 40).map(k => base.select(
+        ($"vec_id" + k * 1000000L).as("vec_id"), $"embedding"))
+      .reduce(_ unionByName _)
+    val flat = Dedup.embeddingCosinePairs(corpus, "vec_id", "embedding",
+      threshold = 0.999)
+    val starred = Dedup.embeddingCosinePairs(corpus, "vec_id", "embedding",
+      threshold = 0.999, collapseExact = true)
+    val nFlat = flat.count()
+    val nStar = starred.count()
+    assert(nFlat >= 50L * 40 * 39 / 2, s"clique route emitted $nFlat")
+    assert(nStar == 50L * 39, s"collapsed route emitted $nStar, want star edges")
+    // identity edges carry the min id as the representative side
+    assert(starred.filter($"id_a" >= $"id_b").count() == 0)
+    val sFlat = Dedup.dedupedCorpusByEmbedding(corpus, "vec_id", "embedding",
+      threshold = 0.999, collapseExact = false)
+      .select($"vec_id").as[Long].collect().toSet
+    val sStar = Dedup.dedupedCorpusByEmbedding(corpus, "vec_id", "embedding",
+      threshold = 0.999)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(sStar == sFlat)
+    // zero-norm vectors never collapse into each other (cosine is NaN-guarded
+    // to non-match, and identity edges must not invent matches)
+    val zeros = spark.range(4).select($"id".as("vec_id"),
+      typedLit(Array.fill(8)(0.0f)).as("embedding"))
+    assert(Dedup.embeddingCosinePairs(zeros, "vec_id", "embedding",
+      threshold = 0.5, collapseExact = true).count() == 0)
+  }
+
+  test("lineDedup: first occurrence wins, short lines immune, husks stay rows") {
+    // every corner of the contract on one hand-built corpus: cross-doc
+    // repeats resolve to the earliest (doc, idx); a repeat WITHIN the winner
+    // doc is a later occurrence too; sub-minTokens lines ("--", "") never
+    // dedup; a doc whose every line was seen before collapses to an empty
+    // string but keeps its row; surviving lines keep original order
+    val docs = Seq(
+      (1L, "alpha beta gamma delta\n--\nthe quick brown fox\nalpha beta gamma delta"),
+      (2L, "the quick brown fox\nnew unique content here\n--"),
+      (3L, "alpha beta gamma delta\nthe quick brown fox"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val got = Dedup.lineDedup(docs, "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, "alpha beta gamma delta\n--\nthe quick brown fox", 1L),
+      (2L, "new unique content here\n--", 1L),
+      (3L, "", 2L),
+      (4L, "", 0L)))
+  }
+
   test("embedding LSH blocking: subset of exact pairs, near-identical vectors kept") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(200)

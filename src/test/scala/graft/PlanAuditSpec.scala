@@ -39,7 +39,10 @@ class PlanAuditSpec extends SparkSpec {
     "q71_pq_search", "q72_ivfpq_full_probe", "q77_ivfpq_partial_probe",
     // q75: like q59, the brute-force Hamming REFERENCE side is a designed
     // broadcast nested-loop over the bounded one-long-per-doc signature slice
-    "q75_simhash_corpus")
+    "q75_simhash_corpus",
+    // q79: assignCells' packed 1-row centroid broadcast (cell argmax), used
+    // for both the blocking pass and the survivor-cell projection
+    "q79_semantic_dedup")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where designed") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -55,6 +58,17 @@ class PlanAuditSpec extends SparkSpec {
         else None
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("q80 line-dedup plan carries NO Window") {
+    // the winner must come from the map-combinable min(struct) aggregate; a
+    // Window here would mean per-line-key ranking — one task sorting an
+    // entire boilerplate flood
+    val df = SparkEntry.queries("q80_line_dedup")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q80 plan regressed to a Window-based winner selection:\n$plan")
   }
 
   test("q66 exact quantiles plan carries NO corpus-scale Window") {
