@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Contamination, DataMix, Dedup, Similarity, TfIdf}
+import graft.operators.{Contamination, DataMix, Dedup, NgramLm, Similarity, TfIdf}
 import graft.ops.{GeoOps, TimeSeriesOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -148,7 +148,10 @@ object SparkEntry {
     "q79_semantic_dedup" -> qSemanticDedup,
     "q80_line_dedup" -> qLineDedup,
     "q81_shard_export" -> qShardExport,
-    "q82_vocab_oov" -> qVocabOov)
+    "q82_vocab_oov" -> qVocabOov,
+    "q83_lm_perplexity" -> qLmPerplexity,
+    "q84_domain_llr" -> qDomainLlr,
+    "q85_classifier_margin" -> qClassifierMargin)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -393,6 +396,48 @@ object SparkEntry {
     val d = t(s, dir, "documents")
     val vocab = TfIdf.vocabulary(d, "text", 20)
     TfIdf.oovRate(d, "doc_id", "text", vocab).orderBy(col("doc_id"))
+  }
+
+  /** CCNet-style LM quality scoring: train the add-one bigram LM ON the
+    * corpus (two map-combinable count aggregates), then every document's
+    * exact scaled-integer negative log-likelihood — the perplexity-filter
+    * signal. Self-scoring means every bigram is in-model, so the oracle can
+    * inner-join; the operator's unseen-bigram backoff gets its own row (q84)
+    * and spec. */
+  private def qLmPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val lm = NgramLm.trainBigram(d, "text")
+    NgramLm.scoreBigram(d, "doc_id", "text", lm).orderBy(col("doc_id"))
+  }
+
+  /** DSIR-style domain selection signal: an IN-DOMAIN bigram LM (trained on
+    * the src0 slice only) against the full-corpus BASE LM; `llr_e6` ranks
+    * every document by how much more in-domain than generic it looks. Docs
+    * outside src0 hit genuinely unseen bigrams/contexts under the domain
+    * model, so this row exercises the smoothed backoff end to end. */
+  private def qDomainLlr(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val domainLm = NgramLm.trainBigram(d.filter(col("source") === "src0"), "text")
+    val baseLm = NgramLm.trainBigram(d, "text")
+    NgramLm.domainLlr(d, "doc_id", "text", domainLm, baseLm)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Linear-classifier margin scoring (the fastText-style quality gate):
+    * every document's EXACT integer dot product of FNV-hashed bag-of-words
+    * counts with a deterministic e3-integer weight vector — the serving half
+    * of `Classifier` (training is spec-pinned bit-exact against a local
+    * reference; float weights aren't oracle-hashable, integer margins are).
+    * The oracle re-derives the FNV-1a bucketing byte-for-byte (q67's
+    * machinery) and every margin. */
+  private def qClassifierMargin(s: SparkSession, dir: String): DataFrame = {
+    val dim = 64
+    val weights = s.range(dim).select(col("id").cast("int").as("bucket"),
+      (pmod(col("id") * 2654435761L, lit(4294967296L)) % 2001L - 1000L)
+        .as("w_e3"))
+    graft.operators.Classifier.marginScore(
+        t(s, dir, "documents"), "doc_id", "text", weights, dim)
+      .orderBy(col("doc_id"))
   }
 
   /** Per-source corpus length statistics with EXACT rank-based quantiles
@@ -2535,7 +2580,118 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
         |    * 1000000 // COUNT(*) AS oov_rate_e6
         |FROM toks t LEFT JOIN vocab v USING (token)
-        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    // q83: the add-one bigram LM re-derived end to end — token positions,
+    // bigram/context counts, vocab size, each bigram's scaled log-prob, and
+    // the per-doc integer NLL totals (self-scoring -> inner joins suffice)
+    "q83_lm_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(range(1, len(ts) + 1)) AS idx,
+        |    unnest(ts) AS token
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            w -> len(w) > 0) AS ts
+        |        FROM documents)),
+        |bigr AS (
+        |  SELECT a.doc_id, a.token AS w1, b.token AS w2
+        |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigr GROUP BY 1, 2),
+        |ctx AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT token) AS vs FROM toks),
+        |scored AS (
+        |  SELECT g.doc_id,
+        |    CAST(round(ln((c.c12 + 1) / (x.c1 + v.vs)) * 1000000) AS BIGINT)
+        |      AS lp
+        |  FROM bigr g JOIN bc c USING (w1, w2) JOIN ctx x USING (w1)
+        |  CROSS JOIN v)
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
+        |  CAST(-SUM(lp) AS BIGINT) AS nll_e6,
+        |  CAST(-SUM(lp) AS BIGINT) // COUNT(*) AS avg_nll_e6
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q84: two LMs (domain = src0 slice, base = full corpus), every doc
+    // scored under both with the smoothed unseen-bigram backoff live
+    // (left joins + coalesce), llr = base avg-NLL - domain avg-NLL
+    "q84_domain_llr" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(range(1, len(ts) + 1)) AS idx,
+        |    unnest(ts) AS token
+        |  FROM (SELECT doc_id, source,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            w -> len(w) > 0) AS ts
+        |        FROM documents)),
+        |bigr AS (
+        |  SELECT a.doc_id, a.source, a.token AS w1, b.token AS w2
+        |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1),
+        |dbc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigr
+        |        WHERE source = 'src0' GROUP BY 1, 2),
+        |dctx AS (SELECT w1, SUM(c12) AS c1 FROM dbc GROUP BY 1),
+        |dv AS (SELECT COUNT(DISTINCT token) AS vs FROM toks
+        |       WHERE source = 'src0'),
+        |bbc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigr GROUP BY 1, 2),
+        |bctx AS (SELECT w1, SUM(c12) AS c1 FROM bbc GROUP BY 1),
+        |bv AS (SELECT COUNT(DISTINCT token) AS vs FROM toks),
+        |dscore AS (
+        |  SELECT g.doc_id, CAST(round(ln(
+        |      (COALESCE(c.c12, 0) + 1) / (COALESCE(x.c1, 0) + dv.vs))
+        |      * 1000000) AS BIGINT) AS lp
+        |  FROM bigr g LEFT JOIN dbc c USING (w1, w2)
+        |  LEFT JOIN dctx x USING (w1) CROSS JOIN dv),
+        |bscore AS (
+        |  SELECT g.doc_id, CAST(round(ln(
+        |      (COALESCE(c.c12, 0) + 1) / (COALESCE(x.c1, 0) + bv.vs))
+        |      * 1000000) AS BIGINT) AS lp
+        |  FROM bigr g LEFT JOIN bbc c USING (w1, w2)
+        |  LEFT JOIN bctx x USING (w1) CROSS JOIN bv),
+        |dagg AS (
+        |  SELECT doc_id, COUNT(*) AS n_bigrams,
+        |    CAST(-SUM(lp) AS BIGINT) // COUNT(*) AS domain_nll_e6
+        |  FROM dscore GROUP BY doc_id),
+        |bagg AS (
+        |  SELECT doc_id, CAST(-SUM(lp) AS BIGINT) // COUNT(*) AS base_nll_e6
+        |  FROM bscore GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, domain_nll_e6, base_nll_e6,
+        |  base_nll_e6 - domain_nll_e6 AS llr_e6
+        |FROM dagg JOIN bagg USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // q85: FNV-1a 64 per distinct token (q67's HUGEINT machinery), bucket =
+    // positive mod 64, deterministic integer weights, exact integer margins
+    "q85_classifier_margin" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    w -> len(w) > 0)) AS token
+        |  FROM documents),
+        |toksd AS (SELECT DISTINCT token FROM toks),
+        |fnv AS (
+        |  SELECT token, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |      THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+        |    AS fnv
+        |  FROM (
+        |    SELECT token, list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(0, octet_length(encode(token))), i ->
+        |          CAST(strpos('123456789ABCDEF',
+        |                 hex(encode(token))[CAST(2*i+1 AS BIGINT)]) * 16
+        |             + strpos('123456789ABCDEF',
+        |                 hex(encode(token))[CAST(2*i+2 AS BIGINT)]) AS BIGINT))),
+        |      (h, byt) -> ((h - (h % 256)
+        |          + xor(CAST(h % 256 AS BIGINT), byt)::HUGEINT)
+        |        * 1099511628211::HUGEINT)
+        |        % 18446744073709551616::HUGEINT) AS h
+        |    FROM toksd)),
+        |bucketed AS (
+        |  SELECT t.doc_id, CAST(((f.fnv % 64) + 64) % 64 AS INT) AS b
+        |  FROM toks t JOIN fnv f USING (token)),
+        |w AS (
+        |  SELECT CAST(b AS INT) AS b,
+        |    (b * 2654435761) % 4294967296 % 2001 - 1000 AS w_e3
+        |  FROM (SELECT unnest(range(0, 64)) AS b)),
+        |counts AS (
+        |  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM bucketed GROUP BY 1, 2)
+        |SELECT c.doc_id, CAST(SUM(c.cnt) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(c.cnt * w.w_e3) AS BIGINT) AS margin_e3
+        |FROM counts c JOIN w USING (b)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)
 
   private val pqAdcSearchSql: String =
       """WITH q AS (

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.functions.TextFns
+import graft.ops.Quantiles
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-scale n-gram language-model training and perplexity scoring — the
+  * CCNet-style quality filter (Wenzek et al. 2019 arXiv:1911.00359 filter
+  * Common Crawl by LM perplexity; the reference pipeline's validation
+  * predicates are the same shape at time-series scale): train a smoothed
+  * bigram model ON the corpus with two map-combinable count aggregates, then
+  * score every document's negative log-likelihood in one pass.
+  *
+  * Model: add-one (Laplace) bigram LM over `TextFns.words` tokens —
+  * `p(w2 | w1) = (c(w1,w2) + 1) / (c(w1·) + V)` with `c(w1·)` the count of
+  * bigrams starting at `w1` and `V` the training vocabulary size. Per-token
+  * log-probs are rounded to scaled integers (`round(ln(p)·1e6)`) BEFORE the
+  * per-document sum, so totals are exact integer arithmetic — associative,
+  * partition-order-independent, and reproducible in plain SQL (the q83
+  * oracle re-derives every count and every scaled log-prob).
+  *
+  * Scale shape: bigram counts are one `groupBy(w1, w2)` over the exploded
+  * corpus — fully map-combinable, shuffle bounded by the DISTINCT bigram
+  * count (vocabulary-squared worst case, Zipf-tiny in practice), never by
+  * corpus rows; context counts reduce the bigram frame again (vocab-sized);
+  * V is one `countDistinct` action at train time. Scoring joins the exploded
+  * doc-bigram frame to the model on (w1, w2) — ONE corpus-scale hash
+  * shuffle, skew absorbed by AQE (the model side holds one row per bigram) —
+  * and picks up context counts via an explicit vocab-sized broadcast.
+  * Documents with fewer than two tokens have no bigrams and drop out, like
+  * every occurrence-based scorer in this family (q82). */
+object NgramLm {
+
+  /** A trained bigram LM: `bigrams(w1, w2, c12)`, `contexts(w1, c1)`, and the
+    * training vocabulary size. The frames are lazy; reuse across many scoring
+    * calls amortizes the count jobs (persist them for a serving loop). */
+  final case class BigramLm(bigrams: DataFrame, contexts: DataFrame,
+                            vocabSize: Long)
+
+  /** Adjacent-token pairs as an in-row array of `struct(w1, w2)` — no join,
+    * no window: the slice/zip runs inside the row. */
+  private def bigramPairs(toks: Column): Column =
+    when(size(toks) >= 2,
+      zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))
+
+  /** Train on `docs(textCol)`: two count aggregates + one vocab action. */
+  def trainBigram(docs: DataFrame, textCol: String): BigramLm = {
+    val toks = docs.select(TextFns.words(col(textCol)).as("__ts"))
+    val bigrams = toks
+      .select(explode(bigramPairs(col("__ts"))).as("__b"))
+      .groupBy(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val contexts = bigrams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = toks.select(explode(col("__ts")).as("__t"))
+      .agg(countDistinct(col("__t"))).head().getLong(0)
+    require(v > 0, "cannot train a bigram LM on an empty-vocabulary corpus")
+    BigramLm(bigrams, contexts, v)
+  }
+
+  /** Score every document under `lm`: bigram count, total and per-bigram
+    * negative log-likelihood in e6 scaled-integer form (perplexity is
+    * `exp(avg_nll_e6 / 1e6)` — monotone, so ranking/filtering works on the
+    * integer directly). Bigrams unseen in training back off to the smoothed
+    * floor `1 / (c1 + V)` (or `1 / V` for an unseen context) — never zero,
+    * never a log of zero. */
+  def scoreBigram(docs: DataFrame, idCol: String, textCol: String,
+                  lm: BigramLm): DataFrame = {
+    val docBi = docs
+      .select(col(idCol), explode(bigramPairs(TextFns.words(col(textCol))))
+        .as("__b"))
+      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    val lp = round(
+      log((coalesce(col("c12"), lit(0L)) + 1L).cast("double") /
+        (coalesce(col("c1"), lit(0L)) + lit(lm.vocabSize)).cast("double"))
+        * 1e6).cast("long")
+    docBi
+      .join(lm.bigrams, Seq("w1", "w2"), "left")
+      .join(broadcast(lm.contexts), Seq("w1"), "left")
+      .withColumn("__lp", lp)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("__lp"))).as("nll_e6"))
+      .withColumn("avg_nll_e6", Quantiles.div(col("nll_e6"), col("n_bigrams")))
+  }
+
+  /** Domain log-likelihood-ratio scoring (the DSIR/CCNet selection signal,
+    * Xie et al. 2023 arXiv:2302.03169): score every document under an
+    * IN-DOMAIN LM and a BASE LM and emit `llr_e6 = base avg-NLL − domain
+    * avg-NLL` — positive means the document looks more like the target
+    * domain than the background; select by thresholding or top-k. Both
+    * scoring passes share the exploded doc-bigram shape; the model frames
+    * are independent, so this is two scoring plans joined on the doc id —
+    * no new machinery, which is the point of keeping the scorer an
+    * operator. */
+  def domainLlr(docs: DataFrame, idCol: String, textCol: String,
+                domainLm: BigramLm, baseLm: BigramLm): DataFrame = {
+    val d = scoreBigram(docs, idCol, textCol, domainLm)
+      .select(col(idCol), col("n_bigrams"),
+        col("avg_nll_e6").as("domain_nll_e6"))
+    val b = scoreBigram(docs, idCol, textCol, baseLm)
+      .select(col(idCol), col("avg_nll_e6").as("base_nll_e6"))
+    d.join(b, Seq(idCol))
+      .withColumn("llr_e6", col("base_nll_e6") - col("domain_nll_e6"))
+  }
+}

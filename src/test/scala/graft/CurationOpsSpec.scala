@@ -242,6 +242,62 @@ class CurationOpsSpec extends SparkSpec {
     assert(v3.map(_._1).toSeq == Seq("aa", "bb", "cc"))
   }
 
+  test("bigram LM: hand-derived counts/NLL; unseen backoff; short docs drop") {
+    import graft.operators.NgramLm
+    // corpus: bc(a,b)=3, bc(b,a)=2; ctx a=3, b=2; V={a,b,c}=3
+    val docs = Seq(
+      (1L, "a b a b"),  // bigrams (a,b),(b,a),(a,b)
+      (2L, "a b"),
+      (3L, "c"),        // one token -> no bigrams -> drops
+      (4L, "b a")
+    ).toDF("doc_id", "text")
+    val lm = NgramLm.trainBigram(docs, "text")
+    assert(lm.vocabSize == 3L)
+    assert(lm.bigrams.as[(String, String, Long)].collect().toSet ==
+      Set(("a", "b", 3L), ("b", "a", 2L)))
+    assert(lm.contexts.as[(String, Long)].collect().toSet ==
+      Set(("a", 3L), ("b", 2L)))
+    // lp(a,b) = round(ln(4/6)*1e6) = -405465; lp(b,a) = round(ln(3/5)*1e6)
+    // = -510826 (the exact integers the oracle must reproduce)
+    val got = NgramLm.scoreBigram(docs, "doc_id", "text", lm)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 1321756L, 440585L),
+      (2L, 1L, 405465L, 405465L),
+      (4L, 1L, 510826L, 510826L)))
+    // unseen bigram with a SEEN context: ln(1/(3+3)); both-unseen: ln(1/3)
+    val novel = Seq((9L, "a c"), (10L, "x y")).toDF("doc_id", "text")
+    val backoff = NgramLm.scoreBigram(novel, "doc_id", "text", lm)
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(backoff == Seq(
+      (9L, 1L, 1791759L, 1791759L),
+      (10L, 1L, 1098612L, 1098612L)))
+  }
+
+  test("domainLlr: in-domain docs outrank out-of-domain; llr is the avg-NLL gap") {
+    import graft.operators.NgramLm
+    val docs = Seq(
+      (1L, "math proof theorem lemma math proof", "math"),
+      (2L, "theorem lemma math proof theorem", "math"),
+      (3L, "court ruling appeal verdict court ruling", "legal"),
+      (4L, "appeal verdict court ruling appeal", "legal")
+    ).toDF("doc_id", "text", "source")
+    val domainLm = NgramLm.trainBigram(
+      docs.filter($"source" === "math"), "text")
+    val baseLm = NgramLm.trainBigram(docs, "text")
+    val llr = NgramLm.domainLlr(docs, "doc_id", "text", domainLm, baseLm)
+      .select($"doc_id", $"domain_nll_e6", $"base_nll_e6", $"llr_e6")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // the gap column is exactly base - domain, row by row
+    assert(llr.values.forall(r => r._4 == r._3 - r._2))
+    // every math doc scores a higher llr than every legal doc
+    val math = Seq(1L, 2L).map(llr(_)._4)
+    val legal = Seq(3L, 4L).map(llr(_)._4)
+    assert(math.min > legal.max,
+      s"in-domain docs must outrank: math=$math legal=$legal")
+  }
+
   test("tf-idf: document frequency exact; rare informative tokens outrank ubiquitous") {
     val docs = Seq(
       (1L, "the cat sat on the mat"),
