@@ -151,7 +151,8 @@ object SparkEntry {
     "q82_vocab_oov" -> qVocabOov,
     "q83_lm_perplexity" -> qLmPerplexity,
     "q84_domain_llr" -> qDomainLlr,
-    "q85_classifier_margin" -> qClassifierMargin)
+    "q85_classifier_margin" -> qClassifierMargin,
+    "q86_forget_components" -> qForgetComponents)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -837,6 +838,28 @@ object SparkEntry {
       corpus0.unionByName(batch1), batch2,
       "doc_id", "text", n = 3, threshold = 0.5, blockCols = Seq("lang"))
     labels2.select(col("id").as("doc_id"), col("component"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Deletion maintenance (the inverse tick of q78): build standing labels
+    * over the doc slice, then forget every doc_id ≡ 3 (mod 7) — a spread
+    * batch that hits cluster roots (min-ids re-root), bridges (clusters
+    * split), and singletons (rows vanish) — re-running CC ONLY on the
+    * affected clusters. The oracle is the ground truth the incremental path
+    * must reproduce bit-for-bit: the q78 recursive-CTE closure computed over
+    * the SURVIVING corpus only. */
+  private def qForgetComponents(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
+    // feeds BOTH the standing-labels build and the forget pass's streamed
+    // sub-edge extraction — persist or the shingle pipeline runs twice
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, blockCols = Seq("lang"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val labels0 = Dedup.components(pairs)
+    val deleted = docs.filter(pmod(col("doc_id"), lit(7)) === 3)
+      .select(col("doc_id").as("id"))
+    Dedup.forgetFromComponents(labels0, pairs, deleted)
+      .select(col("id").as("doc_id"), col("component"))
       .orderBy(col("doc_id"))
   }
 
@@ -2691,7 +2714,36 @@ object SparkEntry {
         |SELECT c.doc_id, CAST(SUM(c.cnt) AS BIGINT) AS n_tokens,
         |  CAST(SUM(c.cnt * w.w_e3) AS BIGINT) AS margin_e3
         |FROM counts c JOIN w USING (b)
-        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    // q86: ground truth for deletion maintenance — the q78 closure computed
+    // over the SURVIVING corpus only (docs with doc_id % 7 <> 3); the
+    // incremental forget path must reproduce it bit-for-bit
+    "q86_forget_components" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents WHERE doc_id < 2000 AND doc_id % 7 <> 3),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id)
+        |SELECT id AS doc_id, MIN(comp) AS component
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
 
   private val pqAdcSearchSql: String =
       """WITH q AS (

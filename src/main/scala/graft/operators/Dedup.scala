@@ -1287,6 +1287,71 @@ object Dedup {
     updatedOld.unionByName(fresh)
   }
 
+  /** Deletion maintenance — the inverse tick of `admitIntoComponents`: remove
+    * a batch of ids from a standing labels frame WITHOUT re-running connected
+    * components over the whole corpus. The right-to-be-forgotten / retention
+    * path of a training-data lake: a daily delete tick pays CC only on the
+    * clusters that actually lost a member, never corpus-sized.
+    *
+    * Deleting a node can SPLIT its cluster (it may have been the only bridge)
+    * or re-root it (it may have been the min-id representative), so labels
+    * alone are not enough — the caller supplies the standing EDGE frame
+    * (`pairs`) the lake keeps alongside labels (the same pair set that
+    * produced them, e.g. accumulated `admissionPairs` output; edges never
+    * cross components, which this relies on).
+    *
+    * Mechanics: the delete batch probes `labels` for its cluster roots;
+    * every member of an affected cluster is collected (bounded by those
+    * clusters' total size — the daily-tick regime, like `admitIntoComponents`'
+    * batch-sized assumption); ONE streamed pass over the corpus-scale edge
+    * frame extracts the affected sub-edges (an edge inside an affected
+    * cluster has BOTH endpoints in the member set, so a semi-join on one
+    * endpoint suffices) and drops edges incident to a deleted id; CC re-runs
+    * on that bounded subgraph only. Untouched clusters keep their rows
+    * verbatim via a second streamed anti-join pass over `labels`. Survivors
+    * of an affected cluster left with no edge at all drop out of the frame —
+    * exactly the `components` output contract (only ids appearing in some
+    * pair carry rows), so the result equals `components(pairs among
+    * survivors)` bit-for-bit (the q86 oracle row + ForgetSpec's ScalaCheck
+    * equality pin this).
+    *
+    * Corpus-scale frames (`labels`, `pairs`) are only ever streamed — never
+    * shuffled, never collected; the broadcast sides are delete-batch- or
+    * affected-cluster-bounded. Same cache contract as the composites: the
+    * returned frame pins only checkpoint blocks; `Dedup.release(result)`
+    * after the final action. */
+  def forgetFromComponents(labels: DataFrame, pairs: DataFrame,
+                           deleted: DataFrame,
+                           idA: String = "id_a", idB: String = "id_b",
+                           strategy: String = "auto"): DataFrame = {
+    val lab = labels.select(col("id"), col("component"))
+    val del = deleted.select(col(deleted.columns.head).as("id")).distinct()
+      .localCheckpoint(eager = true)
+    // roots of clusters losing a member — delete-batch-bounded. A deleted id
+    // with no labels row (never near-duplicated) affects nothing.
+    val affectedRoots = lab.join(broadcast(del), Seq("id"))
+      .select(col("component")).distinct()
+      .localCheckpoint(eager = true)
+    // full membership of the affected clusters — bounded by their sizes
+    val members = lab.join(broadcast(affectedRoots), Seq("component"))
+      .select(col("id"))
+      .localCheckpoint(eager = true)
+    // the affected subgraph, minus every edge incident to a deleted id:
+    // one streamed pass over the corpus-scale edge frame
+    val sub = pairs.select(col(idA).as("id_a"), col(idB).as("id_b"))
+      .join(broadcast(members.select(col("id").as("id_a"))), Seq("id_a"),
+        "left_semi")
+      .join(broadcast(del.select(col("id").as("id_a"))), Seq("id_a"),
+        "left_anti")
+      .join(broadcast(del.select(col("id").as("id_b"))), Seq("id_b"),
+        "left_anti")
+    val recc = components(sub, "id_a", "id_b", strategy)
+    // untouched clusters keep their labels verbatim (second streamed pass)
+    lab.join(broadcast(affectedRoots), Seq("component"), "left_anti")
+      .select(col("id"), col("component"))
+      .unionByName(recc.select(col("id"), col("component")))
+  }
+
   /** Free the checkpoint blocks a CONSUMED dedup-composite result still pins
     * (the final connected-components labels ride along as a lineage-truncated
     * LogicalRDD, which `spark.catalog.clearCache()` does not cover). Call after

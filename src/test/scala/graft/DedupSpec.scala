@@ -631,6 +631,55 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("forgetFromComponents: splits, re-roots, unknown-id no-op, untouched verbatim") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val labels = Dedup.components(pairs)
+    def forget(ids: Long*): Map[Long, Long] =
+      Dedup.forgetFromComponents(labels, pairs, ids.toDF("id"))
+        .as[(Long, Long)].collect().toMap
+    // 2 was the only bridge: 1 and 3 lose every edge and drop out entirely
+    assert(forget(2L) == Map(10L -> 10L, 11L -> 10L))
+    // 1 was the cluster root: survivors re-root at the new minimum
+    assert(forget(1L) == Map(2L -> 2L, 3L -> 2L, 10L -> 10L, 11L -> 10L))
+    // an id with no labels row affects nothing
+    assert(forget(99L) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    // deleting a whole cluster leaves the other untouched, bit-for-bit
+    assert(forget(10L, 11L) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("forgetFromComponents fuzz: incremental == full CC over surviving edges") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = for {
+      n <- Gen.choose(12, 50)
+      nEdges <- Gen.choose(4, 70)
+      edges <- Gen.listOfN(nEdges, for {
+        a <- Gen.choose(0, n - 1)
+        b <- Gen.choose(0, n - 1)
+      } yield (a.toLong, b.toLong))
+      doomed <- Gen.listOfN(n, Gen.prob(0.25))
+    } yield (edges.filter(e => e._1 != e._2).distinct, doomed)
+    val samples = (0 until 6).flatMap(i =>
+      gen.apply(Gen.Parameters.default, Seed(8642L + i)))
+    for ((edges, doomed) <- samples if edges.nonEmpty) {
+      val del = doomed.zipWithIndex.collect { case (true, i) => i.toLong }
+      val pairs = edges.toDF("id_a", "id_b")
+      val labels = Dedup.components(pairs)
+      val got = Dedup.forgetFromComponents(labels, pairs, del.toDF("id"))
+        .as[(Long, Long)].collect().toMap
+      val surviving = edges.filter { case (a, b) =>
+        !del.contains(a) && !del.contains(b) }
+      val want =
+        if (surviving.isEmpty) Map.empty[Long, Long]
+        else Dedup.components(surviving.toDF("id_a", "id_b"))
+          .as[(Long, Long)].collect().toMap
+      assert(got == want, s"edges=$edges del=$del")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("composites free their internal caches; release() frees the labels checkpoint") {
     // clean slate: earlier specs may legitimately leave session-lifetime caches
     spark.catalog.clearCache()
