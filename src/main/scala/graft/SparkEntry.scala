@@ -152,7 +152,8 @@ object SparkEntry {
     "q83_lm_perplexity" -> qLmPerplexity,
     "q84_domain_llr" -> qDomainLlr,
     "q85_classifier_margin" -> qClassifierMargin,
-    "q86_forget_components" -> qForgetComponents)
+    "q86_forget_components" -> qForgetComponents,
+    "q87_temperature_mixture" -> qTemperatureMixture)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -862,6 +863,18 @@ object SparkEntry {
       .select(col("id").as("doc_id"), col("component"))
       .orderBy(col("doc_id"))
   }
+
+  /** Temperature-scaled mixture sampling (α = ½): per-source admission rates
+    * derived from the countᵅ re-weighting formula, membership by the Knuth
+    * hash — every arithmetic step cross-engine exact (integer counts/weights,
+    * correctly-rounded sqrt, left-associated double division on < 2⁵³
+    * operands), so the oracle re-derives rates AND membership bit-for-bit. */
+  private def qTemperatureMixture(s: SparkSession, dir: String): DataFrame =
+    DataMix.temperatureSample(
+        t(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", "source", target = 200L, alpha = 0.5)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
 
   /** Quality-ranked survivor selection over q49's exact cluster machinery:
     * per near-dup cluster keep the member with the LARGEST n_chars (ties:
@@ -2743,7 +2756,27 @@ object SparkEntry {
         |  UNION
         |  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id)
         |SELECT id AS doc_id, MIN(comp) AS component
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin)
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    // q87: rates re-derived from scratch — integer counts, w = floor(sqrt·1e6)
+    // (sqrt is correctly rounded in every IEEE engine), integer weight sum,
+    // then the SAME left-associated double ops as the Spark side
+    "q87_temperature_mixture" ->
+      """WITH counts AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+        |  FROM counts),
+        |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS tw FROM w),
+        |rates AS (
+        |  SELECT source, CAST(200 AS DOUBLE) * w / tw / n AS rate
+        |  FROM w CROSS JOIN tot)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN rates r USING (source)
+        |WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
+        |      / 4294967296.0 < r.rate
+        |ORDER BY d.doc_id""".stripMargin)
 
   private val pqAdcSearchSql: String =
       """WITH q AS (

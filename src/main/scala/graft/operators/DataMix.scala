@@ -59,6 +59,59 @@ object DataMix {
         count(when(hash01(col(idCol)) < frac, 1)).as("n_sampled"))
   }
 
+  /** Per-stratum admission rates for TEMPERATURE-scaled mixture sampling
+    * (the XLM-R / mC4 re-weighting: sampling probability ∝ countᵅ, α < 1
+    * flattens the source distribution so a dominant web crawl stops drowning
+    * the small high-quality sources). Returns (stratum, n_rows, rate): an
+    * audit-artifact frame, strata-bounded, broadcastable.
+    *
+    * rate_s = target · w_s / W / n_s with w_s = ⌊n_sᵅ · 10⁶⌋ and W = Σ w_t —
+    * the expected take from stratum s is target · w_s/W rows (its temperature
+    * share of the corpus budget); rate ≥ 1 means the stratum is kept whole
+    * (deterministic sampling cannot upsample — the standard clamp).
+    *
+    * Every step is cross-engine exact, so a SQL oracle reproduces membership
+    * bit-for-bit (q87): counts and w are integers (floor of a correctly-
+    * rounded IEEE op — exact for α ∈ {0, ½, 1}, the sqrt/identity cases; the
+    * engine is self-consistent for ANY α, the cross-engine guarantee is what
+    * needs the restriction), W is an integer sum (order-independent), and the
+    * rate's double ops evaluate left-associated on integer-exact operands
+    * (each < 2⁵³), hence correctly rounded to the same bits in any IEEE
+    * engine. */
+  def temperatureRates(df: DataFrame, strataCol: String, target: Long,
+                       alpha: Double = 0.5): DataFrame = {
+    require(target > 0, s"target must be positive, got $target")
+    require(alpha >= 0.0 && alpha <= 1.0,
+      s"alpha must be in [0, 1] (1 = proportional, 0 = uniform), got $alpha")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_rows"))
+    val nD = col("n_rows").cast("double")
+    val pw = if (alpha == 0.0) lit(1.0)
+      else if (alpha == 0.5) sqrt(nD)
+      else if (alpha == 1.0) nD
+      else pow(nD, lit(alpha))
+    val weighted = counts.withColumn("__w", floor(pw * lit(1000000.0)).cast("long"))
+    weighted
+      .crossJoin(broadcast(weighted.agg(sum(col("__w")).as("__tw"))))
+      .withColumn("rate",
+        lit(target.toDouble) * col("__w") / col("__tw") / col("n_rows"))
+      .select(col(strataCol), col("n_rows"), col("rate"))
+  }
+
+  /** Temperature-scaled mixture sample: keep each row iff hash01(id) <
+    * rate(stratum) — `stratifiedSample` with the fractions DERIVED from the
+    * countᵅ temperature formula instead of hand-picked. Expected total is
+    * ~`target` rows (exact-in-expectation per stratum, clamped where a
+    * stratum's share exceeds its size). One strata-bounded count aggregate,
+    * then a narrow broadcast-join filter — the corpus is never shuffled, and
+    * membership is stable under any partitioning, engine, or re-run. */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
+                        target: Long, alpha: Double = 0.5): DataFrame =
+    df.join(broadcast(
+        temperatureRates(df, strataCol, target, alpha).drop("n_rows")),
+        Seq(strataCol))
+      .filter(hash01(col(idCol)) < col("rate"))
+      .drop("rate")
+
   /** Deterministic train/validation/test split assignment: each row lands in
     * the first split whose cumulative fraction exceeds its id hash — the same
     * Knuth arithmetic as sampling, so membership is stable under any

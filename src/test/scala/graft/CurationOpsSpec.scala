@@ -67,6 +67,43 @@ class CurationOpsSpec extends SparkSpec {
     assert(report.map(_._3).sum == s1.size) // report agrees with the sample
   }
 
+  test("temperatureSample: alpha limits, flattening, clamp, determinism") {
+    // skewed corpus: src0 dominates 8:1:1
+    val df = ((0L until 800L).map(i => (i, "src0")) ++
+      (800L until 900L).map(i => (i, "src1")) ++
+      (900L until 1000L).map(i => (i, "src2"))).toDF("id", "src")
+    import graft.operators.DataMix
+    // alpha = 1 is proportional: every stratum gets the SAME rate target/N,
+    // so the sample equals plain fraction-sampling at target/N
+    val r1 = DataMix.temperatureRates(df, "src", 300L, alpha = 1.0)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(r1.values.toSet.size == 1 && math.abs(r1("src0") - 0.3) < 1e-9)
+    // alpha = 0 is uniform: equal EXPECTED take per stratum -> rate inversely
+    // proportional to stratum size
+    val r0 = DataMix.temperatureRates(df, "src", 300L, alpha = 0.0)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(math.abs(r0("src0") * 8.0 - r0("src1")) < 1e-9)
+    assert(math.abs(r0("src1") - r0("src2")) < 1e-9)
+    // alpha = 1/2 flattens: the dominant source's share of the sample sits
+    // strictly between uniform (1/3) and proportional (8/10)
+    val w = Seq(800L, 100L, 100L).map(n => math.floor(math.sqrt(n.toDouble) * 1e6))
+    val share0 = w.head / w.sum
+    assert(share0 > 1.0 / 3.0 && share0 < 0.8)
+    val got = DataMix.temperatureSample(df, "id", "src", 300L, alpha = 0.5)
+      .select($"id", $"src").as[(Long, String)].collect().toSet
+    val bySrc = got.groupBy(_._2).view.mapValues(_.size).toMap
+    // expected takes: 300 * share (src0 ~ 174, src1/src2 ~ 62.8 each)
+    assert(bySrc("src0") > 130 && bySrc("src0") < 220)
+    assert(bySrc("src1") > 35 && bySrc("src1") < 95)
+    // membership is partition-invariant and re-run stable
+    val again = DataMix.temperatureSample(df.repartition(13), "id", "src",
+      300L, alpha = 0.5).select($"id", $"src").as[(Long, String)].collect().toSet
+    assert(got == again)
+    // a target beyond the corpus clamps every stratum to keep-all
+    assert(DataMix.temperatureSample(df, "id", "src", 100000L, 0.5)
+      .count() == 1000L)
+  }
+
   test("knuthHash: overflow-safe for huge ids, ANSI-mode clean, exact mod-2^32") {
     // r7 ADVICE: the naive id * 2654435761 overflows Long past id ~3.5e9 —
     // silently wrapping (default) or throwing (ANSI). The decomposed form
