@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Contamination, DataMix, Dedup, NgramLm, Similarity, TfIdf}
+import graft.operators.{Bpe, Contamination, DataMix, Dedup, NgramLm, Similarity, TfIdf}
 import graft.ops.{GeoOps, TimeSeriesOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -153,7 +153,8 @@ object SparkEntry {
     "q84_domain_llr" -> qDomainLlr,
     "q85_classifier_margin" -> qClassifierMargin,
     "q86_forget_components" -> qForgetComponents,
-    "q87_temperature_mixture" -> qTemperatureMixture)
+    "q87_temperature_mixture" -> qTemperatureMixture,
+    "q88_bpe_tokens" -> qBpeTokens)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -875,6 +876,70 @@ object SparkEntry {
         "doc_id", "source", target = 200L, alpha = 0.5)
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
+
+  /** Distributed BPE tokenizer induction end to end: learn 6 merge rules on
+    * the corpus (Sennrich on the vocab-sized word table — the one corpus-
+    * scale pass is the word count), then price every document in BPE tokens.
+    * The oracle re-derives the ENTIRE training loop — all six pair-count
+    * aggregates, argmaxes (tie-break pinned to count DESC, pair ASC), and
+    * greedy merge applications (a `list_reduce` string fold, provably equal
+    * to the engine's array fold) — plus the distinct-word pricing join. */
+  private def qBpeTokens(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val merges = Bpe.learn(d, "text", 6)
+    Bpe.tokenCount(d, "doc_id", "text", merges)
+      .select(col("doc_id"), col("n_words"), col("n_tokens_bpe"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The q88 oracle, unrolled mechanically per training round: p_r = pair
+    * counts over round r-1's symbol strings, b_r = the pinned argmax, s_r =
+    * the greedy merge fold (string accumulator; LEFT JOIN ON TRUE keeps
+    * words intact if no pair remains). */
+  private def bpeOracleSql(nMerges: Int): String = {
+    val header =
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    w -> len(w) > 0)) AS word
+        |  FROM documents),
+        |s0 AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |    array_to_string(list_transform(range(1, len(word) + 1),
+        |      i -> word[i]), ' ') || ' </w>' AS s
+        |  FROM toks GROUP BY word),""".stripMargin
+    val rounds = (1 to nMerges).map { r =>
+      s"""p$r AS (
+         |  SELECT pr, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+         |    SELECT cnt, unnest(list_transform(range(1, len(sy)),
+         |      i -> sy[i] || ' ' || sy[i + 1])) AS pr
+         |    FROM (SELECT cnt, string_split(s, ' ') AS sy FROM s${r - 1}))
+         |  GROUP BY pr),
+         |b$r AS (
+         |  SELECT string_split(pr, ' ')[1] AS ma, string_split(pr, ' ')[2] AS mb
+         |  FROM p$r ORDER BY c DESC, pr LIMIT 1),
+         |s$r AS (
+         |  SELECT word, cnt,
+         |    CASE WHEN ma IS NULL THEN s ELSE
+         |      list_reduce(string_split(s, ' '), (acc, x) ->
+         |        CASE WHEN (acc = ma OR right(acc, len(ma) + 1) = ' ' || ma)
+         |              AND x = mb
+         |          THEN CASE WHEN acc = ma THEN ma || mb
+         |               ELSE left(acc, len(acc) - len(ma)) || ma || mb END
+         |          ELSE acc || ' ' || x END)
+         |    END AS s
+         |  FROM s${r - 1} LEFT JOIN b$r ON TRUE),""".stripMargin
+    }.mkString("\n")
+    val footer =
+      s"""enc AS (
+         |  SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS nt
+         |  FROM s$nMerges)
+         |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(e.nt) AS BIGINT) AS n_tokens_bpe
+         |FROM toks t JOIN enc e USING (word)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+    header + "\n" + rounds + "\n" + footer
+  }
 
   /** Quality-ranked survivor selection over q49's exact cluster machinery:
     * per near-dup cluster keep the member with the LARGEST n_chars (ties:
@@ -2776,7 +2841,10 @@ object SparkEntry {
         |FROM documents d JOIN rates r USING (source)
         |WHERE CAST((d.doc_id * 2654435761) % 4294967296 AS DOUBLE)
         |      / 4294967296.0 < r.rate
-        |ORDER BY d.doc_id""".stripMargin)
+        |ORDER BY d.doc_id""".stripMargin,
+    // q88: the full 6-round BPE training loop + distinct-word pricing,
+    // generated mechanically per round (see bpeOracleSql)
+    "q88_bpe_tokens" -> bpeOracleSql(6))
 
   private val pqAdcSearchSql: String =
       """WITH q AS (
