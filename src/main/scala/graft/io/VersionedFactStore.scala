@@ -57,4 +57,68 @@ object VersionedFactStore {
     spark.read.parquet(dir)
       .groupBy(col("tms_id"))
       .agg(max(col("fgt")).as("latest_fgt"))
+
+  /** Compaction outcome: tick/file counts around the fold. */
+  final case class CompactReport(ticksBefore: Int, ticksAfter: Int,
+                                 filesBefore: Int, filesAfter: Int)
+
+  /** Tick-folding compaction — the maintenance move the store's write
+    * contract defers: every tick older than the newest `keepTicks` is folded
+    * into ONE base partition (latest-wins resolved, sized to `targetBytes`
+    * files), and the superseded per-tick partitions are removed. A year of
+    * hourly ticks stops costing 8 760 partition dirs of small files.
+    *
+    * READ-TRANSPARENT at every step, which is what makes it safe to run
+    * while readers are live: the base is written INTO the newest folded
+    * tick's partition (fgt = that tick) via the same dynamic overwrite as
+    * `appendTick`, so from the moment it lands, every folded row exists at
+    * fgt = cutoff and `latestWins` resolves base-vs-original duplicates to
+    * identical values; deleting the older partition dirs afterwards removes
+    * only shadowed rows. `readLatest`'s FACTS are bit-identical before,
+    * during, and after (folded rows report fgt = cutoff — their provenance
+    * tick no longer exists); `readAsOf(t >= cutoff)` likewise. The one semantic loss is BY
+    * DESIGN and priced explicitly: time travel BELOW the compaction horizon
+    * is gone — every folded row now carries fgt = cutoff, so `asOf(t <
+    * cutoff)` matches no partition and returns empty. Retention policy
+    * decides `keepTicks`, exactly like the reference's TTL cron
+    * (flush_mike_data_in_bucket.sh) decides what history survives.
+    *
+    * Partition values are never re-formatted driver-side: the fold set is
+    * chosen by sorting the ESCAPED `fgt=` dir names' decoded values (ISO
+    * timestamps sort lexicographically), and the base's fgt comes from
+    * `max(fgt)` over the folded rows themselves. */
+  def compact(spark: SparkSession, dir: String, keepTicks: Int,
+              targetBytes: Long = 128L * 1024 * 1024): CompactReport = {
+    require(keepTicks >= 1, s"keepTicks must be >= 1, got $keepTicks")
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def tickDirs(): Seq[org.apache.hadoop.fs.Path] = fs.listStatus(path)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("fgt="))
+      .map(_.getPath)
+      .sortBy(p => java.net.URLDecoder.decode(p.getName.stripPrefix("fgt="),
+        "UTF-8"))
+      .toSeq
+    def fileCount(): Int = {
+      val it = fs.listFiles(path, true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val before = tickDirs()
+    val filesBefore = fileCount()
+    if (before.length <= keepTicks)
+      return CompactReport(before.length, before.length, filesBefore, filesBefore)
+    val folded = before.dropRight(keepTicks)
+    val foldedBytes = folded.map(p => fs.getContentSummary(p).getLength).sum
+    val nFiles = math.max(1L, (foldedBytes + targetBytes - 1) / targetBytes).toInt
+    val old = spark.read.option("basePath", dir)
+      .parquet(folded.map(_.toString): _*)
+    val cutoff = old.agg(max(col("fgt"))).head().get(0)
+    val base = latestWins(old)
+      .withColumn("fgt", lit(cutoff))
+      .repartition(nFiles)
+    appendTick(base, dir)
+    folded.dropRight(1).foreach(p => fs.delete(p, true))
+    CompactReport(before.length, tickDirs().length, filesBefore, fileCount())
+  }
 }

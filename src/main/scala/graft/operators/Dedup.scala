@@ -1337,10 +1337,13 @@ object Dedup {
       .select(col("id"))
       .localCheckpoint(eager = true)
     // the affected subgraph, minus every edge incident to a deleted id:
-    // one streamed pass over the corpus-scale edge frame
+    // one streamed pass over the corpus-scale edge frame. Deliberately NO
+    // broadcast hint on the member set: it is usually tick-sized (AQE
+    // broadcasts it anyway) but a delete touching a mega-cluster inflates
+    // it, and the hint would force that through driver memory — a shuffled
+    // semi-join is the correct degradation.
     val sub = pairs.select(col(idA).as("id_a"), col(idB).as("id_b"))
-      .join(broadcast(members.select(col("id").as("id_a"))), Seq("id_a"),
-        "left_semi")
+      .join(members.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
       .join(broadcast(del.select(col("id").as("id_a"))), Seq("id_a"),
         "left_anti")
       .join(broadcast(del.select(col("id").as("id_b"))), Seq("id_b"),

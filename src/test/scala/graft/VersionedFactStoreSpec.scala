@@ -15,6 +15,42 @@ class VersionedFactStoreSpec extends SparkSpec {
       .select($"tms_id", to_timestamp($"t").cast("timestamp_ntz").as("time"),
         to_timestamp(lit(fgt)).cast("timestamp_ntz").as("fgt"), $"value")
 
+  test("compact: folds old ticks, readLatest bit-identical, horizon semantics") {
+    val dir = Files.createTempDirectory("vfs-compact").toString + "/facts"
+    val fgts = Seq("2024-01-01 01:00:00", "2024-01-01 02:00:00",
+      "2024-01-01 03:00:00", "2024-01-01 04:00:00")
+    // overlapping revisions across ticks: every tick revises key (a, 00:00)
+    // and contributes one key of its own
+    for ((f, i) <- fgts.zipWithIndex)
+      VersionedFactStore.appendTick(
+        tick(f, ("a", "2024-01-01 00:00:00", i + 1.0),
+          ("k" + i, "2024-01-01 00:00:00", 100.0 + i)), dir)
+    // facts only: folded rows necessarily report fgt = horizon (their
+    // provenance tick no longer exists), so transparency is on the values
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select($"tms_id", $"time".cast("string"), $"value")
+        .as[(String, String, Double)].collect().toSet
+    val latestBefore = snap(VersionedFactStore.readLatest(spark, dir))
+    val asOfCutBefore = snap(VersionedFactStore.readAsOf(spark, dir, fgts(1)))
+
+    val rep = VersionedFactStore.compact(spark, dir, keepTicks = 2)
+    assert(rep.ticksBefore == 4 && rep.ticksAfter == 3) // 2 folded into 1 + 2 kept
+    assert(rep.filesAfter < rep.filesBefore)
+    // fold is read-transparent for latest-wins: values AND winning fgts match
+    assert(snap(VersionedFactStore.readLatest(spark, dir)) == latestBefore)
+    // time travel AT the horizon answers the folded state exactly
+    assert(snap(VersionedFactStore.readAsOf(spark, dir, fgts(1))) == asOfCutBefore)
+    // BELOW the horizon, history is gone by design: empty, not wrong data
+    assert(snap(VersionedFactStore.readAsOf(spark, dir, fgts(0))).isEmpty)
+    // on-disk: the folded base carries every pre-horizon key, once
+    assert(spark.read.parquet(dir)
+      .filter($"fgt" === to_timestamp(lit(fgts(1))).cast("timestamp_ntz"))
+      .count() == 3) // (a, 00:00) resolved + k0 + k1
+    // compacting again with nothing to fold is a no-op
+    val rep2 = VersionedFactStore.compact(spark, dir, keepTicks = 3)
+    assert(rep2.ticksBefore == 3 && rep2.ticksAfter == 3)
+  }
+
   test("idempotent ticks, latest-wins read, time travel, per-series fgt") {
     val dir = Files.createTempDirectory("vfs").toString + "/facts"
     val t1 = "2024-01-01 01:00:00"
