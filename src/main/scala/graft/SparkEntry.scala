@@ -154,7 +154,8 @@ object SparkEntry {
     "q85_classifier_margin" -> qClassifierMargin,
     "q86_forget_components" -> qForgetComponents,
     "q87_temperature_mixture" -> qTemperatureMixture,
-    "q88_bpe_tokens" -> qBpeTokens)
+    "q88_bpe_tokens" -> qBpeTokens,
+    "q89_perplexity_buckets" -> qPerplexityBuckets)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -939,6 +940,22 @@ object SparkEntry {
          |FROM toks t JOIN enc e USING (word)
          |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
     header + "\n" + rounds + "\n" + footer
+  }
+
+  /** CCNet perplexity bucketing: score every document under the self-trained
+    * bigram LM (q83's exact machinery), then split the corpus into
+    * head/middle/tail TERCILES by exact (avg_nll, doc_id) rank — via the
+    * histogram-offset rank plan (`Quantiles.rankBuckets`), never a
+    * corpus-scale ranking window. The oracle re-derives LM scores AND the
+    * even-spread bucket rule from a plain ROW_NUMBER. */
+  private def qPerplexityBuckets(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val lm = NgramLm.trainBigram(d, "text")
+    val scored = NgramLm.scoreBigram(d, "doc_id", "text", lm)
+    graft.ops.Quantiles.rankBuckets(scored, "doc_id", col("avg_nll_e6"),
+        nBuckets = 3, binStep = 10000L)
+      .select(col("doc_id"), col("avg_nll_e6"), col("bucket"))
+      .orderBy(col("doc_id"))
   }
 
   /** Quality-ranked survivor selection over q49's exact cluster machinery:
@@ -2844,7 +2861,40 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
     // q88: the full 6-round BPE training loop + distinct-word pricing,
     // generated mechanically per round (see bpeOracleSql)
-    "q88_bpe_tokens" -> bpeOracleSql(6))
+    "q88_bpe_tokens" -> bpeOracleSql(6),
+    // q89: q83's LM-scoring CTEs + the even-spread tercile rule from a plain
+    // ROW_NUMBER — the ground truth the histogram-offset rank plan must match
+    "q89_perplexity_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(range(1, len(ts) + 1)) AS idx,
+        |    unnest(ts) AS token
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            w -> len(w) > 0) AS ts
+        |        FROM documents)),
+        |bigr AS (
+        |  SELECT a.doc_id, a.token AS w1, b.token AS w2
+        |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigr GROUP BY 1, 2),
+        |ctx AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT token) AS vs FROM toks),
+        |scored AS (
+        |  SELECT g.doc_id,
+        |    CAST(round(ln((c.c12 + 1) / (x.c1 + v.vs)) * 1000000) AS BIGINT)
+        |      AS lp
+        |  FROM bigr g JOIN bc c USING (w1, w2) JOIN ctx x USING (w1)
+        |  CROSS JOIN v),
+        |per AS (
+        |  SELECT doc_id,
+        |    CAST(-SUM(lp) AS BIGINT) // COUNT(*) AS avg_nll_e6
+        |  FROM scored GROUP BY doc_id),
+        |r AS (
+        |  SELECT doc_id, avg_nll_e6,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY avg_nll_e6, doc_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM per)
+        |SELECT doc_id, avg_nll_e6, CAST((rn - 1) * 3 // n + 1 AS INT) AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin)
 
   private val pqAdcSearchSql: String =
       """WITH q AS (

@@ -121,6 +121,53 @@ object Quantiles {
           }: _*)
   }
 
+  /** Exact rank-quantile bucket assignment — every row's 1-based rank in the
+    * per-stratum `(value, id)` total order, mapped to `nBuckets` even-spread
+    * buckets by pure integer arithmetic:
+    *
+    *   bucket = (rank − 1) · nBuckets div n  +  1
+    *
+    * (the even-spread quantile rule — boundaries at k·n/nBuckets; NOT SQL
+    * NTILE, whose remainder rows all pile into the leading buckets — and
+    * exactly reproducible from a ROW_NUMBER in any engine, which is what the
+    * q89 oracle does). The CCNet move: bucket a corpus by model perplexity,
+    * then treat head/middle/tail differently.
+    *
+    * Scale shape — the naive plan is `row_number().over(orderBy(value))`,
+    * which funnels the WHOLE stratum through one task. This is the q74/q81
+    * histogram-offset discipline applied to global ranking instead: bin the
+    * value space (`binStep`), roll per-bin counts into running offsets (a
+    * window over the BIN HISTOGRAM — bounded by value-range/binStep, not by
+    * corpus size), and resolve exact order only WITHIN each bin (a window
+    * whose partition is one bin of one stratum). Ties broken by `idCol`, so
+    * assignment is deterministic under any partitioning. `binStep` is the
+    * cost dial: match it to the value scale so bins stay balanced (a single
+    * bin holding the whole stratum re-creates the naive plan's funnel).
+    * Adds `rank` and `bucket`; both engines' integer ops, oracle-exact. */
+  def rankBuckets(df: DataFrame, idCol: String, value: Column, nBuckets: Int,
+                  binStep: Long, strata: Seq[String] = Nil): DataFrame = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    require(binStep > 0, s"binStep must be positive, got $binStep")
+    val base = df.withColumn("__v", value.cast("long"))
+      .withColumn("__b", div(col("__v"), lit(binStep)))
+    val binW = org.apache.spark.sql.expressions.Window
+      .partitionBy(strata.map(col): _*).orderBy(col("__b"))
+    val offsets = base.groupBy((strata.map(col) :+ col("__b")): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__off", sum(col("__c")).over(binW) - col("__c"))
+    val totals = offsets.groupBy(strata.map(col): _*).agg(sum(col("__c")).as("__n"))
+    val withOff = base.join(offsets.drop("__c"), strata :+ "__b")
+    val withN = if (strata.isEmpty) withOff.crossJoin(broadcast(totals))
+      else withOff.join(broadcast(totals), strata)
+    val rowW = org.apache.spark.sql.expressions.Window
+      .partitionBy((strata.map(col) :+ col("__b")): _*)
+      .orderBy(col("__v"), col(idCol))
+    withN.withColumn("rank", col("__off") + row_number().over(rowW))
+      .withColumn("bucket",
+        (div((col("rank") - 1) * lit(nBuckets.toLong), col("__n")) + 1).cast("int"))
+      .drop("__v", "__b", "__off", "__n")
+  }
+
   /** Value at 1-based `rank` in the (value asc) total order, read off a sorted
     * histogram of `struct(__v, __c)` bins: the first bin whose cumulative
     * count reaches the rank. A single in-row fold — codegen-friendly, no

@@ -63,6 +63,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("rankBuckets == row_number bucket rule on random strata, any binStep") {
+    // the histogram-offset rank plan must equal the literal definition —
+    // rank = ROW_NUMBER over (value, id), bucket = (rank-1)*k div n + 1 —
+    // for every stratum shape, tie density, and bin granularity (binStep 1
+    // puts every value in its own bin; a huge binStep collapses all into one)
+    val gen = Gen.nonEmptyListOf(for {
+      stratum <- Gen.choose(0, 2)
+      value <- Gen.choose(-20L, 20L) // negatives: div-toward-zero bins stay contiguous
+    } yield (stratum, value))
+    for ((rows, i) <- samples(gen, 5).zipWithIndex) {
+      val withId = rows.zipWithIndex.map { case ((s, v), id) => (s, v, id.toLong) }
+      val df = withId.toDF("s", "v", "id")
+      for (binStep <- Seq(1L, 7L, 1000000L); k <- Seq(1, 3, 4)) {
+        val got = graft.ops.Quantiles
+          .rankBuckets(df.repartition(5), "id", $"v", k, binStep, Seq("s"))
+          .select($"id", $"rank", $"bucket")
+          .as[(Long, Long, Int)].collect().toSet
+        val want = withId.groupBy(_._1).values.flatMap { g =>
+          val n = g.size.toLong
+          g.sortBy(r => (r._2, r._3)).zipWithIndex.map { case (r, j) =>
+            (r._3, j + 1L, ((j.toLong * k) / n + 1).toInt)
+          }
+        }.toSet
+        assert(got == want, s"sample=$i binStep=$binStep k=$k")
+      }
+    }
+    // stratum-free: one global ranking
+    val df = Seq((5L, 1L), (3L, 2L), (5L, 3L), (1L, 4L)).toDF("v", "id")
+    val got = graft.ops.Quantiles.rankBuckets(df, "id", $"v", 2, 2L)
+      .select($"id", $"rank", $"bucket").as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((4L, 1L, 1), (2L, 2L, 1), (1L, 3L, 2), (3L, 4L, 2)))
+  }
+
   test("strataStats refuses a near-unique value column instead of packing it") {
     // the histogram plan is only safe when the value column is
     // histogram-shaped; a near-unique column would pack a corpus-sized array
