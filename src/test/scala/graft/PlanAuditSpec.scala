@@ -42,7 +42,13 @@ class PlanAuditSpec extends SparkSpec {
     "q75_simhash_corpus",
     // q79: assignCells' packed 1-row centroid broadcast (cell argmax), used
     // for both the blocking pass and the survivor-cell projection
-    "q79_semantic_dedup")
+    "q79_semantic_dedup",
+    // q87: temperatureRates' 1-row broadcast of the summed temperature
+    // weights onto the strata-bounded rate frame (never the corpus)
+    "q87_temperature_mixture",
+    // q89: rankBuckets' stratum-free total is a 1-row broadcast crossed onto
+    // the corpus — a constant per row, the designed shape
+    "q89_perplexity_buckets")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where designed") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
