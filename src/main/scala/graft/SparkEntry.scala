@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Bpe, Contamination, DataMix, Dedup, NgramLm, Similarity, TfIdf}
+import graft.operators.{Bpe, Contamination, DataMix, Dedup, GopherRules, NgramLm, Similarity, TfIdf}
 import graft.ops.{GeoOps, TimeSeriesOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -155,7 +155,11 @@ object SparkEntry {
     "q86_forget_components" -> qForgetComponents,
     "q87_temperature_mixture" -> qTemperatureMixture,
     "q88_bpe_tokens" -> qBpeTokens,
-    "q89_perplexity_buckets" -> qPerplexityBuckets)
+    "q89_perplexity_buckets" -> qPerplexityBuckets,
+    "q90_gopher_rules" -> qGopherRules,
+    "q91_dsir_resample" -> qDsirResample,
+    "q92_line_scrub" -> qLineScrub,
+    "q93_hll_registers" -> qHllRegisters)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -956,6 +960,77 @@ object SparkEntry {
         nBuckets = 3, binStep = 10000L)
       .select(col("doc_id"), col("avg_nll_e6"), col("bucket"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Gopher line-repetition rule battery (`GopherRules.battery`): the corpus
+    * is re-lined into 8-word lines (`chunkIntoLines` — these texts carry no
+    * newlines) and each document PLANTS `doc_id % 5` repeats of its own
+    * first line — the self-repeating boilerplate pathology the rule family
+    * exists to catch (no natural duplicate lines exist in this corpus; the
+    * plant is deterministic, so the oracle re-derives it). Every stat is an
+    * in-row fold and every flag an integer cross-multiplication: the whole
+    * battery is one narrow projection in the scan stage. All four flags and
+    * the keep verdict have real variance here (sf0.01: 250/365/262/119
+    * firing, 73 kept of 500). */
+  private def qGopherRules(s: SparkSession, dir: String): DataFrame = {
+    val ls = split(GopherRules.chunkIntoLines(col("text"), 8), "\n")
+    val planted = t(s, dir, "documents")
+      .select(col("doc_id"), ls.as("__ls"))
+      .filter(size(col("__ls")) > 0)
+      .select(col("doc_id"), array_join(
+        concat(col("__ls"), array_repeat(element_at(col("__ls"), 1),
+          pmod(col("doc_id"), lit(5L)).cast("int"))), "\n").as("text"))
+    GopherRules.battery(planted, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
+  /** The remedy paired with q90's flags: `GopherRules.dropRepeatedLines`
+    * scrubs every within-document line repeat (first occurrence stays in
+    * place) over the SAME planted corpus, returning the cleaned text and the
+    * removal count — pure in-row, the corpus is never shuffled. The oracle
+    * re-derives the plant and the first-index survivorship walk. */
+  private def qLineScrub(s: SparkSession, dir: String): DataFrame = {
+    val ls = split(GopherRules.chunkIntoLines(col("text"), 8), "\n")
+    val planted = t(s, dir, "documents")
+      .select(col("doc_id"), ls.as("__ls"))
+      .filter(size(col("__ls")) > 0)
+      .select(col("doc_id"), array_join(
+        concat(col("__ls"), array_repeat(element_at(col("__ls"), 1),
+          pmod(col("doc_id"), lit(5L)).cast("int"))), "\n").as("text"))
+    GopherRules.dropRepeatedLines(planted, "text")
+      .select(col("doc_id"), col("text"), col("n_removed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** DSIR importance resampling (`DataMix.importanceResample`): q84's
+    * domain-vs-base LLR weights drive a deterministic Gumbel-top-k draw of
+    * 400 docs — sampling ∝ exp(llr), the paper's selection step, with the
+    * Gumbel noise derived from each row's own Knuth hash so the oracle
+    * reproduces every key exactly (ln at e6 rounding, the q83 convention).
+    * Selection is TakeOrderedAndProject — per-partition heaps, never a
+    * corpus sort. */
+  private def qDsirResample(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val domainLm = NgramLm.trainBigram(d.filter(col("source") === "src0"), "text")
+    val baseLm = NgramLm.trainBigram(d, "text")
+    val scored = NgramLm.domainLlr(d, "doc_id", "text", domainLm, baseLm)
+      .select(col("doc_id"), col("llr_e6"))
+    DataMix.importanceResample(scored, "doc_id", "llr_e6", k = 400)
+      .select(col("doc_id"), col("llr_e6"), col("gumbel_e6"), col("key_e6"))
+      .orderBy(col("key_e6").desc, col("doc_id"))
+  }
+
+  /** Mergeable distinct-token cardinality sketch per source
+    * (`Cardinality.hllRegisters`, p=8): the full register frame — exact
+    * integer rows (FNV-1a top-8-bit bucket, leading-zero rank max), so the
+    * APPROXIMATE sketch is EXACTLY oracle-checkable; the estimate it backs
+    * is spec-tested against true distinct counts. The corpus pass shuffles
+    * at most sources × 256 rows per mapper. */
+  private def qHllRegisters(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(TextFns.words(col("text"))).as("token"))
+    graft.operators.Cardinality.hllRegisters(toks, Seq("source"),
+        col("token"), p = 8)
+      .orderBy(col("source"), col("bucket"))
   }
 
   /** Quality-ranked survivor selection over q49's exact cluster machinery:
@@ -2894,7 +2969,204 @@ object SparkEntry {
         |    CAST(COUNT(*) OVER () AS BIGINT) AS n
         |  FROM per)
         |SELECT doc_id, avg_nll_e6, CAST((rn - 1) * 3 // n + 1 AS INT) AS bucket
-        |FROM r ORDER BY doc_id""".stripMargin)
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // q90: the Gopher battery re-derived — 8-word re-lining, the planted
+    // doc_id%5 first-line repeats, per-line and per-word multiplicity counts,
+    // and every integer cross-multiplied flag (thresholds 30/20/10, words
+    // in [50, 100000]); top word ties resolve by (count DESC, word)
+    "q90_gopher_rules" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+        |      i -> array_to_string(list_slice(ws, i*8+1, i*8+8), ' ')) AS ls
+        |  FROM base WHERE len(ws) > 0),
+        |rep AS (
+        |  SELECT doc_id,
+        |    ls || list_transform(range(0, doc_id % 5), i -> ls[1]) AS ls
+        |  FROM lined),
+        |lin AS (SELECT doc_id, unnest(ls) AS line FROM rep),
+        |lc AS (SELECT doc_id, line, COUNT(*) AS c, len(line) AS ll
+        |       FROM lin GROUP BY doc_id, line),
+        |lagg AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+        |    CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+        |      AS n_dup_lines,
+        |    CAST(SUM(c * ll) AS BIGINT) AS n_line_chars,
+        |    CAST(SUM(CASE WHEN c >= 2 THEN c * ll ELSE 0 END) AS BIGINT)
+        |      AS n_dup_line_chars
+        |  FROM lc GROUP BY doc_id),
+        |wrd AS (SELECT doc_id, unnest(string_split(line, ' ')) AS w FROM lin),
+        |wc AS (SELECT doc_id, w, COUNT(*) AS c FROM wrd GROUP BY doc_id, w),
+        |wagg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+        |    CAST(SUM(c * len(w)) AS BIGINT) AS n_word_chars
+        |  FROM wc GROUP BY doc_id),
+        |tw AS (SELECT doc_id, CAST(c AS BIGINT) AS top_word_n,
+        |    CAST(c * len(w) AS BIGINT) AS top_word_chars FROM wc
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY c DESC, w) = 1)
+        |SELECT l.doc_id, l.n_lines, l.n_dup_lines, l.n_line_chars,
+        |  l.n_dup_line_chars, w.n_words, w.n_word_chars, t.top_word_n,
+        |  t.top_word_chars,
+        |  l.n_dup_lines * 100 > l.n_lines * 30 AS flag_dup_lines,
+        |  l.n_dup_line_chars * 100 > l.n_line_chars * 20 AS flag_dup_chars,
+        |  t.top_word_chars * 100 > w.n_word_chars * 10 AS flag_top_word,
+        |  w.n_words < 50 OR w.n_words > 100000 AS flag_word_count,
+        |  NOT (l.n_dup_lines * 100 > l.n_lines * 30
+        |    OR l.n_dup_line_chars * 100 > l.n_line_chars * 20
+        |    OR t.top_word_chars * 100 > w.n_word_chars * 10
+        |    OR w.n_words < 50 OR w.n_words > 100000) AS keep
+        |FROM lagg l JOIN wagg w USING (doc_id) JOIN tw t USING (doc_id)
+        |ORDER BY l.doc_id""".stripMargin,
+    // q91: q84's two-LM LLR weights + the Gumbel-top-k draw — the Gumbel
+    // term re-derived from the Knuth hash at e6 rounding, keys as exact
+    // integer sums, top 400 by (key DESC, doc_id)
+    "q91_dsir_resample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, unnest(range(1, len(ts) + 1)) AS idx,
+        |    unnest(ts) AS token
+        |  FROM (SELECT doc_id, source,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            w -> len(w) > 0) AS ts
+        |        FROM documents)),
+        |bigr AS (
+        |  SELECT a.doc_id, a.source, a.token AS w1, b.token AS w2
+        |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1),
+        |dbc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigr
+        |        WHERE source = 'src0' GROUP BY 1, 2),
+        |dctx AS (SELECT w1, SUM(c12) AS c1 FROM dbc GROUP BY 1),
+        |dv AS (SELECT COUNT(DISTINCT token) AS vs FROM toks
+        |       WHERE source = 'src0'),
+        |bbc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigr GROUP BY 1, 2),
+        |bctx AS (SELECT w1, SUM(c12) AS c1 FROM bbc GROUP BY 1),
+        |bv AS (SELECT COUNT(DISTINCT token) AS vs FROM toks),
+        |dscore AS (
+        |  SELECT g.doc_id, CAST(round(ln(
+        |      (COALESCE(c.c12, 0) + 1) / (COALESCE(x.c1, 0) + dv.vs))
+        |      * 1000000) AS BIGINT) AS lp
+        |  FROM bigr g LEFT JOIN dbc c USING (w1, w2)
+        |  LEFT JOIN dctx x USING (w1) CROSS JOIN dv),
+        |bscore AS (
+        |  SELECT g.doc_id, CAST(round(ln(
+        |      (COALESCE(c.c12, 0) + 1) / (COALESCE(x.c1, 0) + bv.vs))
+        |      * 1000000) AS BIGINT) AS lp
+        |  FROM bigr g LEFT JOIN bbc c USING (w1, w2)
+        |  LEFT JOIN bctx x USING (w1) CROSS JOIN bv),
+        |dagg AS (
+        |  SELECT doc_id,
+        |    CAST(-SUM(lp) AS BIGINT) // COUNT(*) AS domain_nll_e6
+        |  FROM dscore GROUP BY doc_id),
+        |bagg AS (
+        |  SELECT doc_id, CAST(-SUM(lp) AS BIGINT) // COUNT(*) AS base_nll_e6
+        |  FROM bscore GROUP BY doc_id),
+        |keyed AS (
+        |  SELECT doc_id,
+        |    CAST(base_nll_e6 - domain_nll_e6 AS BIGINT) AS llr_e6,
+        |    CAST(round(-ln(-ln(
+        |      (CAST((doc_id * 2654435761) % 4294967296 AS DOUBLE) + 0.5)
+        |        / 4294967296.0)) * 1000000) AS BIGINT) AS gumbel_e6
+        |  FROM dagg JOIN bagg USING (doc_id))
+        |SELECT doc_id, llr_e6, gumbel_e6, llr_e6 + gumbel_e6 AS key_e6
+        |FROM keyed ORDER BY key_e6 DESC, doc_id LIMIT 400""".stripMargin,
+    // q92: q90's planted corpus scrubbed — a line survives iff its first
+    // index is its own (both engines' filter-with-index, 1-based in DuckDB)
+    "q92_line_scrub" ->
+      """WITH base AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+        |    '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |lined AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+        |      i -> array_to_string(list_slice(ws, i*8+1, i*8+8), ' ')) AS ls
+        |  FROM base WHERE len(ws) > 0),
+        |rep AS (
+        |  SELECT doc_id,
+        |    ls || list_transform(range(0, doc_id % 5), i -> ls[1]) AS ls
+        |  FROM lined),
+        |scrub AS (
+        |  SELECT doc_id, ls,
+        |    list_filter(ls, (l, i) -> list_position(ls, l) = i) AS kept
+        |  FROM rep)
+        |SELECT doc_id, array_to_string(kept, chr(10)) AS text,
+        |  CAST(len(ls) - len(kept) AS BIGINT) AS n_removed
+        |FROM scrub ORDER BY doc_id""".stripMargin,
+    // q93: HLL registers re-derived — q85's byte-exact FNV-1a HUGEINT walk
+    // kept UNSIGNED, then the splitmix64 finalizer (xor on the signed view,
+    // multiply mod 2^64 via 32-bit-half decomposition so signed INT128 never
+    // overflows), bucket = h div 2^56, rho = 57 - bit-length of the 56-bit
+    // remainder (length(bin(w)) = floor(log2 w)+1), max per bucket
+    "q93_hll_registers" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    w -> len(w) > 0)) AS token
+        |  FROM documents),
+        |st AS (SELECT DISTINCT source, token FROM toks),
+        |toksd AS (SELECT DISTINCT token FROM st),
+        |fnv AS (
+        |  SELECT token, list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(0, octet_length(encode(token))), i ->
+        |          CAST(strpos('123456789ABCDEF',
+        |                 hex(encode(token))[CAST(2*i+1 AS BIGINT)]) * 16
+        |             + strpos('123456789ABCDEF',
+        |                 hex(encode(token))[CAST(2*i+2 AS BIGINT)]) AS BIGINT))),
+        |      (h, byt) -> ((h - (h % 256)
+        |          + xor(CAST(h % 256 AS BIGINT), byt)::HUGEINT)
+        |        * 1099511628211::HUGEINT)
+        |        % 18446744073709551616::HUGEINT) AS h
+        |  FROM toksd),
+        |x1 AS (
+        |  SELECT token, CASE WHEN x < 0
+        |      THEN x::HUGEINT + 18446744073709551616::HUGEINT
+        |      ELSE x::HUGEINT END AS a
+        |  FROM (SELECT token, xor(
+        |      CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |        THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT),
+        |      CAST(h // 1073741824::HUGEINT AS BIGINT)) AS x FROM fnv)),
+        |m1 AS (
+        |  SELECT token,
+        |    ((a // 4294967296::HUGEINT * 13787848793156543929::HUGEINT)
+        |       % 4294967296::HUGEINT * 4294967296::HUGEINT
+        |     + (a % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT)
+        |      % 18446744073709551616::HUGEINT AS z
+        |  FROM x1),
+        |x2 AS (
+        |  SELECT token, CASE WHEN x < 0
+        |      THEN x::HUGEINT + 18446744073709551616::HUGEINT
+        |      ELSE x::HUGEINT END AS a
+        |  FROM (SELECT token, xor(
+        |      CAST(CASE WHEN z >= 9223372036854775808::HUGEINT
+        |        THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT),
+        |      CAST(z // 134217728::HUGEINT AS BIGINT)) AS x FROM m1)),
+        |m2 AS (
+        |  SELECT token,
+        |    ((a // 4294967296::HUGEINT * 10723151780598845931::HUGEINT)
+        |       % 4294967296::HUGEINT * 4294967296::HUGEINT
+        |     + (a % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT)
+        |      % 18446744073709551616::HUGEINT AS z
+        |  FROM x2),
+        |mixed AS (
+        |  SELECT token, CASE WHEN x < 0
+        |      THEN x::HUGEINT + 18446744073709551616::HUGEINT
+        |      ELSE x::HUGEINT END AS h
+        |  FROM (SELECT token, xor(
+        |      CAST(CASE WHEN z >= 9223372036854775808::HUGEINT
+        |        THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT),
+        |      CAST(z // 2147483648::HUGEINT AS BIGINT)) AS x FROM m2)),
+        |reg AS (
+        |  SELECT s.source,
+        |    CAST(f.h // 72057594037927936::HUGEINT AS INT) AS bucket,
+        |    CAST(CASE WHEN f.h % 72057594037927936::HUGEINT = 0 THEN 57
+        |      ELSE 57 - length(bin(CAST(f.h % 72057594037927936::HUGEINT
+        |        AS BIGINT))) END AS INT) AS rho
+        |  FROM st s JOIN mixed f USING (token))
+        |SELECT source, bucket, CAST(MAX(rho) AS INT) AS rho
+        |FROM reg GROUP BY source, bucket ORDER BY source, bucket""".stripMargin)
 
   private val pqAdcSearchSql: String =
       """WITH q AS (

@@ -208,6 +208,40 @@ object DataMix {
     earlier.unionByName(boundary).drop("__cb", "__before", "__b", "__h", "__w")
   }
 
+  /** DSIR-style importance RESAMPLING (Xie et al. 2023 arXiv:2302.03169 —
+    * the selection step that turns an importance score into a sample): draw
+    * `k` rows without replacement with probability ∝ exp(weight / T) via the
+    * Gumbel-top-k trick — every row gets `key = round(w/T) + G` and the k
+    * largest keys win, where the Gumbel noise `G = −ln(−ln(u))` comes from
+    * the row's OWN Knuth hash (`u = (knuthHash(id)+0.5)/2³²`, never 0 or 1),
+    * not an RNG — so the draw is one deterministic narrow projection:
+    * reproducible under any partitioning, engine, or re-run, and incremental
+    * corpus loads never perturb the keys of existing rows.
+    *
+    * `weightE6Col` is a log-space importance weight in the e6 scaled-integer
+    * convention (e.g. `NgramLm.domainLlr`'s `llr_e6`); the Gumbel term is
+    * rounded to the same e6 grid before an exact integer add, so `key_e6`
+    * is cross-engine-reproducible the same way the LM scores are (the ln
+    * calls are correctly-rounded IEEE doubles in any engine; at T=1 the
+    * weight passes through bit-exact). Selection is a global top-k —
+    * `TakeOrderedAndProject`: per-partition heaps, k·partitions rows to the
+    * driver, the corpus never sorts. Ties break by id. */
+  def importanceResample(scored: DataFrame, idCol: String, weightE6Col: String,
+                         k: Int, temperature: Double = 1.0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(temperature > 0, s"temperature must be positive, got $temperature")
+    val u = (knuthHash(col(idCol)).cast("double") + 0.5) / 4294967296.0
+    val gumbelE6 = round(-log(-log(u)) * 1e6).cast("long")
+    val scaledW =
+      if (temperature == 1.0) col(weightE6Col).cast("long")
+      else round(col(weightE6Col).cast("double") / temperature).cast("long")
+    scored
+      .withColumn("gumbel_e6", gumbelE6)
+      .withColumn("key_e6", scaledW + col("gumbel_e6"))
+      .orderBy(col("key_e6").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Deterministic corpus shuffle + shard assignment — the training-export
     * step ("shuffle the corpus, cut it into N shard files") done without a
     * random number generator: the Knuth hash IS the permutation, `shard =
