@@ -159,7 +159,8 @@ object SparkEntry {
     "q90_gopher_rules" -> qGopherRules,
     "q91_dsir_resample" -> qDsirResample,
     "q92_line_scrub" -> qLineScrub,
-    "q93_hll_registers" -> qHllRegisters)
+    "q93_hll_registers" -> qHllRegisters,
+    "q94_bloom_prefilter" -> qBloomPrefilter)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1031,6 +1032,30 @@ object SparkEntry {
     graft.operators.Cardinality.hllRegisters(toks, Seq("source"),
         col("token"), p = 8)
       .orderBy(col("source"), col("bucket"))
+  }
+
+  /** Bloom-filter contamination PRE-FILTER (`Bloom.build`/`probe`): the
+    * benchmark 5-gram set becomes a 2¹⁶-bit word frame, and every corpus
+    * gram is membership-tested through k=3 broadcast joins — the shape that
+    * replaces q47's gram-set join when the corpus is 100 TB and the filter
+    * must run map-side. Per-doc `bloom_hits ≥` the exact shared count by
+    * construction (no false negatives — spec-pinned against q47); the
+    * APPROXIMATE filter is EXACTLY oracle-checkable because every bit
+    * position is integer arithmetic on the mixed FNV hash. */
+  private def qBloomPrefilter(s: SparkSession, dir: String): DataFrame = {
+    val all = t(s, dir, "documents")
+    def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(array_distinct(
+        TextFns.wordShingles(TextFns.words(col("text")), 5))).as("gram"))
+    val bench = grams(all.filter(col("doc_id") % 97 === 0))
+      .select("gram").distinct()
+    val filter = graft.operators.Bloom.build(bench, Nil, col("gram"))
+    graft.operators.Bloom.probe(
+        grams(all.filter(col("doc_id") % 97 =!= 0)), col("gram"), filter, Nil)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("might_contain"), 1)).as("bloom_hits"))
+      .orderBy(col("doc_id"))
   }
 
   /** Quality-ranked survivor selection over q49's exact cluster machinery:
@@ -3166,7 +3191,101 @@ object SparkEntry {
         |        AS BIGINT))) END AS INT) AS rho
         |  FROM st s JOIN mixed f USING (token))
         |SELECT source, bucket, CAST(MAX(rho) AS INT) AS rho
-        |FROM reg GROUP BY source, bucket ORDER BY source, bucket""".stripMargin)
+        |FROM reg GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+    // q94: the bloom pre-filter re-derived — q47's gram construction, the
+    // q93 FNV+splitmix64 HUGEINT chain once per distinct gram, 3 disjoint
+    // 16-bit position fields, 32-bit bloom words from the bench side,
+    // probe = three word lookups ANDed, per-doc counts
+    "q94_bloom_prefilter" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+        |    i -> array_to_string(ws[i:i+4], ' ')))) AS g
+        |  FROM toks WHERE len(ws) >= 5),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        |gd AS (SELECT DISTINCT g FROM grams),
+        |fnv AS (
+        |  SELECT g, list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(0, octet_length(encode(g))), i ->
+        |          CAST(strpos('123456789ABCDEF',
+        |                 hex(encode(g))[CAST(2*i+1 AS BIGINT)]) * 16
+        |             + strpos('123456789ABCDEF',
+        |                 hex(encode(g))[CAST(2*i+2 AS BIGINT)]) AS BIGINT))),
+        |      (h, byt) -> ((h - (h % 256)
+        |          + xor(CAST(h % 256 AS BIGINT), byt)::HUGEINT)
+        |        * 1099511628211::HUGEINT)
+        |        % 18446744073709551616::HUGEINT) AS h
+        |  FROM gd),
+        |x1 AS (
+        |  SELECT g, CASE WHEN x < 0
+        |      THEN x::HUGEINT + 18446744073709551616::HUGEINT
+        |      ELSE x::HUGEINT END AS a
+        |  FROM (SELECT g, xor(
+        |      CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |        THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT),
+        |      CAST(h // 1073741824::HUGEINT AS BIGINT)) AS x FROM fnv)),
+        |m1 AS (
+        |  SELECT g,
+        |    ((a // 4294967296::HUGEINT * 13787848793156543929::HUGEINT)
+        |       % 4294967296::HUGEINT * 4294967296::HUGEINT
+        |     + (a % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT)
+        |      % 18446744073709551616::HUGEINT AS z
+        |  FROM x1),
+        |x2 AS (
+        |  SELECT g, CASE WHEN x < 0
+        |      THEN x::HUGEINT + 18446744073709551616::HUGEINT
+        |      ELSE x::HUGEINT END AS a
+        |  FROM (SELECT g, xor(
+        |      CAST(CASE WHEN z >= 9223372036854775808::HUGEINT
+        |        THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT),
+        |      CAST(z // 134217728::HUGEINT AS BIGINT)) AS x FROM m1)),
+        |m2 AS (
+        |  SELECT g,
+        |    ((a // 4294967296::HUGEINT * 10723151780598845931::HUGEINT)
+        |       % 4294967296::HUGEINT * 4294967296::HUGEINT
+        |     + (a % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT)
+        |      % 18446744073709551616::HUGEINT AS z
+        |  FROM x2),
+        |mixed AS (
+        |  SELECT g, CASE WHEN x < 0
+        |      THEN x::HUGEINT + 18446744073709551616::HUGEINT
+        |      ELSE x::HUGEINT END AS h
+        |  FROM (SELECT g, xor(
+        |      CAST(CASE WHEN z >= 9223372036854775808::HUGEINT
+        |        THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT),
+        |      CAST(z // 2147483648::HUGEINT AS BIGINT)) AS x FROM m2)),
+        |pos AS (
+        |  SELECT g,
+        |    CAST(h % 65536::HUGEINT AS BIGINT) AS p0,
+        |    CAST((h // 65536::HUGEINT) % 65536::HUGEINT AS BIGINT) AS p1,
+        |    CAST((h // 4294967296::HUGEINT) % 65536::HUGEINT AS BIGINT) AS p2
+        |  FROM mixed),
+        |bloomw AS (
+        |  SELECT word_idx, bit_or(bv) AS bits FROM (
+        |    SELECT CAST(p // 32 AS INT) AS word_idx,
+        |      (1::BIGINT << CAST(p % 32 AS INT)) AS bv
+        |    FROM (SELECT unnest([p0, p1, p2]) AS p
+        |          FROM pos JOIN bench USING (g)))
+        |  GROUP BY word_idx),
+        |probe AS (
+        |  SELECT gr.doc_id,
+        |    (COALESCE(b0.bits, 0) & (1::BIGINT << CAST(p.p0 % 32 AS INT))) <> 0
+        |    AND (COALESCE(b1.bits, 0) & (1::BIGINT << CAST(p.p1 % 32 AS INT))) <> 0
+        |    AND (COALESCE(b2.bits, 0) & (1::BIGINT << CAST(p.p2 % 32 AS INT))) <> 0
+        |      AS might
+        |  FROM grams gr JOIN pos p USING (g)
+        |  LEFT JOIN bloomw b0 ON b0.word_idx = CAST(p.p0 // 32 AS INT)
+        |  LEFT JOIN bloomw b1 ON b1.word_idx = CAST(p.p1 // 32 AS INT)
+        |  LEFT JOIN bloomw b2 ON b2.word_idx = CAST(p.p2 // 32 AS INT)
+        |  WHERE gr.doc_id % 97 <> 0)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(COUNT(CASE WHEN might THEN 1 END) AS BIGINT) AS bloom_hits
+        |FROM probe GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 
   private val pqAdcSearchSql: String =
       """WITH q AS (
