@@ -157,8 +157,20 @@ object GopherRules {
   /** Re-line a flat text: split to words, regroup into `wordsPerLine`-word
     * lines joined by `\n` — gives line-rule semantics to corpora whose texts
     * carry no newlines (the synthetic tables here; also minified HTML/JS in
-    * the wild). In-row throughout. */
+    * the wild). One normalize-join plus ONE codegen'd `regexp_replace` pass
+    * (insert `\n` in place of the space after every `wordsPerLine`-th
+    * word) — the slice-per-line fold this replaces was O(L²) interpreted
+    * array copies and dominated the q90/q92 bench rows 7:1
+    * ([[chunkIntoLinesCols]] keeps it as the spec-pinned reference). */
   def chunkIntoLines(text: Column, wordsPerLine: Int): Column = {
+    require(wordsPerLine > 0, s"wordsPerLine must be positive, got $wordsPerLine")
+    regexp_replace(
+      array_join(TextFns.words(text), " "),
+      s"((?:\\S+ ){${wordsPerLine - 1}}\\S+) ", "$1\n")
+  }
+
+  /** Reference column-expression implementation of [[chunkIntoLines]]. */
+  def chunkIntoLinesCols(text: Column, wordsPerLine: Int): Column = {
     require(wordsPerLine > 0, s"wordsPerLine must be positive, got $wordsPerLine")
     val ws = TextFns.words(text)
     val nLines = ceil(size(ws).cast("double") / wordsPerLine).cast("long")

@@ -64,6 +64,17 @@ class GopherRulesSpec extends SparkSpec {
     assert(f("") === "")
   }
 
+  test("chunkIntoLines: regex form == slice-fold reference on real docs") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (n <- Seq(1, 8, 13)) {
+      val diff = docs.select(
+          GopherRules.chunkIntoLines(col("text"), n).as("a"),
+          GopherRules.chunkIntoLinesCols(col("text"), n).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff === 0L, s"wordsPerLine=$n")
+    }
+  }
+
   test("dropRepeatedLines: first occurrence survives in place, repeats go") {
     val out = GopherRules.dropRepeatedLines(
         Seq((1L, "a\nb\na\nc\nb\na"), (2L, "x\ny"), (3L, "")).toDF("id", "text"),
