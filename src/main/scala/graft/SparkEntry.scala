@@ -160,7 +160,8 @@ object SparkEntry {
     "q91_dsir_resample" -> qDsirResample,
     "q92_line_scrub" -> qLineScrub,
     "q93_hll_registers" -> qHllRegisters,
-    "q94_bloom_prefilter" -> qBloomPrefilter)
+    "q94_bloom_prefilter" -> qBloomPrefilter,
+    "q95_window_scrub" -> qWindowScrub)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1055,6 +1056,26 @@ object SparkEntry {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         count(when(col("might_contain"), 1)).as("bloom_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact-substring dedup with REMOVAL (`Dedup.scrubSharedWindows`) over
+    * q69's synthetic corpus (every 9th doc re-appears concatenated into a
+    * 500000-offset twin): tokens covered by a 20-token window whose content
+    * occurs earlier in the corpus are cut, docs reassembled in order, first
+    * occurrences survive in place, fully-scrubbed docs remain as empty
+    * husks. The oracle re-derives windows as strings, the global
+    * first-occurrence rule, the drop mask, and every rebuilt text. */
+  private def qWindowScrub(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      .select(col("doc_id"), col("text"))
+    val synth = base.as("a")
+      .join(base.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .filter(pmod(col("a.doc_id"), lit(9L)) === 1)
+      .select((col("a.doc_id") + 500000L).as("doc_id"),
+        concat_ws(" ", col("a.text"), col("b.text")).as("text"))
+    Dedup.scrubSharedWindows(base.unionByName(synth), "doc_id", "text",
+        windowTokens = 20)
       .orderBy(col("doc_id"))
   }
 
@@ -3285,7 +3306,58 @@ object SparkEntry {
         |  WHERE gr.doc_id % 97 <> 0)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
         |  CAST(COUNT(CASE WHEN might THEN 1 END) AS BIGINT) AS bloom_hits
-        |FROM probe GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |FROM probe GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q95: q69's synth corpus, windows as STRINGS (the engine's 64-bit
+    // window hashes are collision-free groupings of the same sets), global
+    // first = row_number over (doc_id, pos), drop mask = distinct covered
+    // positions of every non-first window, rebuild via ordered string_agg
+    "q95_window_scrub" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+        |synth AS (
+        |  SELECT a.doc_id + 500000 AS doc_id, a.text || ' ' || b.text AS text
+        |  FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 9 = 1),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM synth),
+        |toksl AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM corpus),
+        |tok AS (
+        |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS idx,
+        |    unnest(ws) AS tok
+        |  FROM toksl),
+        |win0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 18),
+        |    i -> {'pos': i, 'g': array_to_string(list_slice(ws, i, i + 19),
+        |      ' ')})) AS u
+        |  FROM toksl WHERE len(ws) >= 20),
+        |wing AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM win0),
+        |firstw AS (
+        |  SELECT g, doc_id AS fd, pos AS fp FROM wing
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY g
+        |    ORDER BY doc_id, pos) = 1),
+        |dup AS (
+        |  SELECT w.doc_id, w.pos FROM wing w JOIN firstw f USING (g)
+        |  WHERE NOT (w.doc_id = f.fd AND w.pos = f.fp)),
+        |drops AS (
+        |  SELECT DISTINCT doc_id, idx FROM (
+        |    SELECT doc_id, unnest(range(pos, pos + 20)) AS idx FROM dup)),
+        |kept AS (
+        |  SELECT t.doc_id, t.idx, t.tok
+        |  FROM tok t LEFT JOIN drops d
+        |    ON d.doc_id = t.doc_id AND d.idx = t.idx
+        |  WHERE d.doc_id IS NULL),
+        |reb AS (
+        |  SELECT doc_id, COUNT(*) AS kept_n,
+        |    string_agg(tok, ' ' ORDER BY idx) AS text
+        |  FROM kept GROUP BY doc_id),
+        |sizes AS (SELECT doc_id, len(ws) AS n_tokens FROM toksl)
+        |SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(s.n_tokens - COALESCE(r.kept_n, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(r.text, '') AS text
+        |FROM sizes s LEFT JOIN reb r USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin)
 
   private val pqAdcSearchSql: String =
       """WITH q AS (

@@ -357,6 +357,56 @@ object Dedup {
       .agg(count(lit(1)).as("shared_windows"))
   }
 
+  /** The REMOVAL companion to [[sharedWindowPairs]] — Lee et al. 2107.06499's
+    * actual dedup step, not just its detector: every token covered by a
+    * `windowTokens`-token window whose content occurs EARLIER in the corpus
+    * (global first occurrence = min (id, pos) per window) is cut, and each
+    * document is reassembled from its surviving tokens in order. The first
+    * occurrence of every repeated span survives in place; documents that
+    * lose everything stay as empty husks (the corpus keeps its row set).
+    *
+    * Scale shape: two positional explodes (tokens, windows — both linear in
+    * corpus tokens), one corpus-scale hash join of windows against the
+    * distinct-window first-occurrence frame (AQE absorbs hot windows; the
+    * flood a boilerplate window causes is bounded — ONE first-frame row per
+    * hash, never a pair join), a k-amplified drop-mark explode (≤
+    * windowTokens marks per duplicated window — overlapping duplicate runs
+    * re-mark the same tokens, `distinct` collapses them), one anti-join,
+    * and a per-document in-row reassembly (sorted collect bounded by doc
+    * length). Nothing is quadratic in corpus size; nothing collects to the
+    * driver. Returns (id, n_tokens, n_removed, textCol scrubbed). */
+  def scrubSharedWindows(docs: DataFrame, idCol: String, textCol: String,
+                         windowTokens: Int = 50): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens must be >= 2, got $windowTokens")
+    val ws = TextFns.words(col(textCol))
+    val d = ensureParallel(docs)
+    val toks = d.select(col(idCol), posexplode(ws).as(Seq("__pos", "__tok")))
+    val wins = d.select(col(idCol),
+      posexplode(transform(TextFns.wordShingles(ws, windowTokens),
+        g => xxhash64(g))).as(Seq("__pos", "__wh")))
+    val first = wins.groupBy(col("__wh"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__f"))
+    val dupWins = wins.join(first, "__wh")
+      .filter(!(col(s"__f.$idCol") === col(idCol) &&
+        col("__f.__pos") === col("__pos")))
+      .select(col(idCol), col("__pos"))
+    val drops = dupWins.select(col(idCol),
+        explode(sequence(col("__pos"),
+          col("__pos") + (windowTokens - 1))).as("__pos"))
+      .distinct()
+    val kept = toks.join(drops, Seq(idCol, "__pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__pos"), col("__tok")))),
+          x => x("__tok")), " ").as("__text"))
+    d.select(col(idCol), size(ws).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
+        coalesce(col("__text"), lit("")).as(textCol))
+  }
+
   /** Incremental EMBEDDING near-dup matches — the cosine twin of
     * `incrementalJaccardMatches`: every (incoming, existing-corpus) pair with
     * quantized cosine >= threshold. The hyperplane-band candidate join runs

@@ -815,6 +815,40 @@ class DedupSpec extends SparkSpec {
       (4L, "", 0L)))
   }
 
+  test("scrubSharedWindows: whole-doc copies husk, first occurrence survives") {
+    val docs = Seq(
+      (1L, "a b c d e f"),       // original: untouched
+      (2L, "a b c d e f"),       // exact copy: fully scrubbed husk
+      (3L, "a b c d e f p q r")) // prefix copy: shared run cut, tail kept
+      .toDF("doc_id", "text")
+    for (parts <- Seq(1, 5)) {
+      val got = Dedup.scrubSharedWindows(docs.repartition(parts),
+          "doc_id", "text", windowTokens = 3)
+        .orderBy($"doc_id")
+        .as[(Long, Long, Long, String)].collect().toSeq
+      assert(got === Seq(
+        (1L, 6L, 0L, "a b c d e f"),
+        (2L, 6L, 6L, ""),
+        (3L, 9L, 6L, "p q r")), s"parts=$parts")
+    }
+  }
+
+  test("scrubSharedWindows: within-doc repeats collapse to the first span") {
+    val got = Dedup.scrubSharedWindows(
+        Seq((1L, "x y z x y z x y z")).toDF("doc_id", "text"),
+        "doc_id", "text", windowTokens = 3)
+      .as[(Long, Long, Long, String)].head()
+    assert(got === ((1L, 9L, 6L, "x y z")))
+  }
+
+  test("scrubSharedWindows: short docs have no windows and pass through") {
+    val got = Dedup.scrubSharedWindows(
+        Seq((1L, "a b"), (2L, "a b")).toDF("doc_id", "text"),
+        "doc_id", "text", windowTokens = 3)
+      .orderBy($"doc_id").as[(Long, Long, Long, String)].collect().toSeq
+    assert(got === Seq((1L, 2L, 0L, "a b"), (2L, 2L, 0L, "a b")))
+  }
+
   test("embedding LSH blocking: subset of exact pairs, near-identical vectors kept") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(200)
