@@ -1,15 +1,16 @@
 package graft.jobs
 
 import graft.functions.{TextFns, TextStatsExpr}
-import graft.operators.{DataMix, Dedup}
+import graft.operators.{DataMix, Dedup, GopherRules, NgramLm}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** CLI for the end-to-end training-corpus curation pipeline — the job a user of
-  * the dedup/quality/mixture operators actually runs: quality gate -> near-dup
-  * corpus dedup (exact Jaccard, transitive clusters, min-id survivors) -> PII
-  * scrub -> deterministic mixture sampling -> partitioned parquet, with a
-  * per-stage audit line. Batch analog of the `DedupStream` admission path; the
+  * the dedup/quality/mixture operators actually runs: word-count + (optional)
+  * Gopher line-rule quality gate -> near-dup corpus dedup (exact Jaccard,
+  * transitive clusters, min-id survivors) -> (optional) exact-substring window
+  * scrub -> PII scrub -> deterministic mixture sampling -> (optional) DSIR
+  * importance resample -> partitioned parquet, with a per-stage audit line. Batch analog of the `DedupStream` admission path; the
   * reference's job layer (config JSON + CLI + S13 idempotence gate) applied to
   * the beyond-reference operator surface.
   *
@@ -19,12 +20,19 @@ import org.apache.spark.sql.functions._
   *   "output_path": "<dir>",
   *   "id_col": "doc_id", "text_col": "text",
   *   "min_words": 20,                  // quality gate
+  *   "gopher_rules": true,             // optional Gopher line-rule battery
+  *   "reline_words_per_line": 8,       //   re-line newline-free text (0 = lined)
   *   "ngram_n": 3, "jaccard_threshold": 0.8,
   *   "block_cols": ["lang"],           // dedup blocking
+  *   "scrub_window_tokens": 20,        // optional exact-substring removal
+  *                                     //   (0 = off; empty husks dropped)
   *   "redact_pii": true,
   *   "partition_by": ["lang"],         // output layout
   *   "mix_strata_col": "source",       // optional mixture step
-  *   "mix_fractions": {"src0": 1.0, "src1": 0.5}
+  *   "mix_fractions": {"src0": 1.0, "src1": 0.5},
+  *   "dsir_domain_col": "source",      // optional DSIR resample: train the
+  *   "dsir_domain_value": "src0",      //   in-domain LM on this slice and
+  *   "dsir_k": 1000                    //   Gumbel-top-k down to k docs
   * }
   * Usage: CurationJob <config.json>
   *
@@ -34,7 +42,8 @@ import org.apache.spark.sql.functions._
 object CurationJob {
 
   case class Stats(input: Long, afterQuality: Long, afterDedup: Long,
-                   output: Long)
+                   output: Long, afterScrub: Option[Long] = None,
+                   afterResample: Option[Long] = None)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -66,9 +75,21 @@ object CurationJob {
     val docs = spark.read.parquet(cfg.getAs[String]("documents_path"))
     val input = docs.count()
 
-    // 1. quality gate: native one-pass word count
-    val gated = docs.filter(
+    // 1. quality gate: native one-pass word count, then (optionally) the
+    // Gopher line-rule battery — re-lining newline-free corpora first
+    val wordGated = docs.filter(
       TextStatsExpr(col(textCol), Nil)("n_words") >= str("min_words", "20").toLong)
+    val gated = (if (str("gopher_rules", "false").toBoolean) {
+        val reline = str("reline_words_per_line", "0").toInt
+        val lined = if (reline > 0)
+          wordGated.withColumn("__lined",
+            GopherRules.chunkIntoLines(col(textCol), reline))
+        else wordGated.withColumn("__lined", col(textCol))
+        val keep = GopherRules.battery(lined, idCol, "__lined",
+          minWords = 0) // word-count floor already applied above
+          .filter(col("keep")).select(col(idCol))
+        lined.join(keep, Seq(idCol), "left_semi").drop("__lined")
+      } else wordGated)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterQuality = gated.count()
 
@@ -80,11 +101,25 @@ object CurationJob {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterDedup = deduped.count()
 
+    // 2b. optional exact-substring removal across the survivors: repeated
+    // windows cut (first occurrence survives), empty husks dropped, the
+    // non-text columns rejoined (the scrub returns id + rebuilt text only)
+    val windowTokens = str("scrub_window_tokens", "0").toInt
+    val (afterWindowScrub, windowScrubbed) =
+      if (windowTokens > 0) {
+        val s = Dedup.scrubSharedWindows(deduped, idCol, textCol, windowTokens)
+          .filter(col("n_removed") < col("n_tokens"))
+          .select(col(idCol), col(textCol).as("__scrubbed"))
+        val joined = deduped.drop(textCol).join(s, Seq(idCol))
+          .withColumnRenamed("__scrubbed", textCol)
+        (Some(joined.count()), joined)
+      } else (None, deduped)
+
     // 3. PII scrub
     val scrubbed =
       if (str("redact_pii", "true").toBoolean)
-        deduped.withColumn(textCol, TextFns.redactPii(col(textCol)))
-      else deduped
+        windowScrubbed.withColumn(textCol, TextFns.redactPii(col(textCol)))
+      else windowScrubbed
 
     // 4. optional deterministic mixture sampling
     val mixCol = str("mix_strata_col", "")
@@ -97,15 +132,35 @@ object CurationJob {
         DataMix.stratifiedSample(scrubbed, idCol, mixCol, fractions)
       } else scrubbed
 
+    // 4b. optional DSIR importance resample down to a document budget:
+    // in-domain LM on the configured slice vs a base LM on the whole
+    // current frame, Gumbel-top-k on the LLR weights
+    val dsirCol = str("dsir_domain_col", "")
+    val (afterResample, resampled) =
+      if (dsirCol.nonEmpty) {
+        val domainVal = str("dsir_domain_value", "")
+        val k = str("dsir_k", "1000").toInt
+        val domainLm = NgramLm.trainBigram(
+          mixed.filter(col(dsirCol) === domainVal), textCol)
+        val baseLm = NgramLm.trainBigram(mixed, textCol)
+        val picked = DataMix.importanceResample(
+            NgramLm.domainLlr(mixed, idCol, textCol, domainLm, baseLm),
+            idCol, "llr_e6", k)
+          .select(col(idCol))
+        val joined = mixed.join(picked, Seq(idCol), "left_semi")
+        (Some(joined.count()), joined)
+      } else (None, mixed)
+
     // 5. partitioned parquet sink
     val parts = strSeq("partition_by")
-    val writer = mixed.write.mode("overwrite")
+    val writer = resampled.write.mode("overwrite")
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(outPath)
     val output = spark.read.parquet(outPath).count()
 
     gated.unpersist(); deduped.unpersist()
-    val stats = Stats(input, afterQuality, afterDedup, output)
+    val stats = Stats(input, afterQuality, afterDedup, output,
+      afterWindowScrub, afterResample)
     System.err.println(s"[curate] $stats")
     Some(stats)
   }

@@ -35,14 +35,15 @@ object Bloom {
       s"need 1 <= k and k*bitsLog2 <= 64, got k=$k bitsLog2=$bitsLog2")
   }
 
-  /** The k probe positions of one value: disjoint bit fields of the mixed
-    * hash, lowest field first — exact, no modular mixing chain per probe. */
-  private def positions(value: Column, bitsLog2: Int, k: Int): Seq[Column] = {
-    val h = Mix64(RollingHash64(value))
+  /** The k probe positions of a mixed hash column: disjoint bit fields,
+    * lowest field first — exact, no modular mixing chain per probe. */
+  private def positionsOf(h: Column, bitsLog2: Int, k: Int): Seq[Column] =
     (0 until k).map(i =>
       shiftrightunsigned(h, i * bitsLog2)
         .bitwiseAND(lit((1L << bitsLog2) - 1L)))
-  }
+
+  private def positions(value: Column, bitsLog2: Int, k: Int): Seq[Column] =
+    positionsOf(Mix64(RollingHash64(value)), bitsLog2, k)
 
   /** `2^bitCol` as an exact long for bitCol in [0, 31] — `pow` on a
     * correctly-rounded IEEE double is exact for integer powers below 2⁵³,
@@ -83,8 +84,11 @@ object Bloom {
   def probe(df: DataFrame, value: Column, filter: DataFrame,
             strata: Seq[String], bitsLog2: Int = 16, k: Int = 3): DataFrame = {
     checkParams(bitsLog2, k)
-    val ps = positions(value, bitsLog2, k)
-    (0 until k).foldLeft(df.withColumn("might_contain", lit(true))) {
+    // hash once per row — the k joins derive their positions from this
+    // column instead of re-walking FNV + mix k times
+    val hashed = df.withColumn("__h", Mix64(RollingHash64(value)))
+    val ps = positionsOf(col("__h"), bitsLog2, k)
+    (0 until k).foldLeft(hashed.withColumn("might_contain", lit(true))) {
       (acc, i) =>
         val f = filter.select((strata.map(col) :+
           col("word_idx").as(s"__w$i") :+ col("bits").as(s"__bits$i")): _*)
@@ -98,6 +102,6 @@ object Bloom {
             (coalesce(col(s"__bits$i"), lit(0L))
               .bitwiseAND(col(s"__bv$i")) =!= 0L))
           .drop(s"__w$i", s"__bits$i", s"__bv$i")
-    }
+    }.drop("__h")
   }
 }

@@ -42,4 +42,36 @@ class CurationJobSpec extends SparkSpec {
     // S13: second tick skips
     assert(CurationJob.run(spark, s"$dir/cfg.json").isEmpty)
   }
+
+  test("curation job: gopher gate, window scrub, and DSIR resample stages") {
+    val dir = Files.createTempDirectory("curation2")
+    def words(a: Int, b: Int) = (a until b).map(i => s"w$i").mkString(" ")
+    val boiler = (0 until 10).map(i => s"b$i").mkString(" ")
+    Seq(
+      (1L, words(0, 40), "src0"),
+      (2L, words(100, 140), "src0"),
+      (3L, words(200, 230) + " " + boiler, "src1"), // first boiler occurrence
+      (4L, words(300, 330) + " " + boiler, "src1"), // later copy: scrubbed
+      (5L, ("dup dup dup dup " * 10).trim, "src0")) // gopher dup-line flag
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/docs")
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/docs", "output_path": "$dir/out",
+         | "min_words": 20, "gopher_rules": true, "reline_words_per_line": 4,
+         | "ngram_n": 3, "jaccard_threshold": 0.9,
+         | "scrub_window_tokens": 10, "redact_pii": false,
+         | "dsir_domain_col": "source", "dsir_domain_value": "src0",
+         | "dsir_k": 3}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    // doc 5 dies on the battery (every 4-word line identical); the boiler
+    // run survives only in doc 3; DSIR keeps 3 of the 4 survivors
+    assert(stats.input == 5 && stats.afterQuality == 4 &&
+      stats.afterDedup == 4 && stats.afterScrub.contains(4) &&
+      stats.afterResample.contains(3) && stats.output == 3)
+    val out = spark.read.parquet(s"$dir/out")
+    val d4 = out.filter($"doc_id" === 4L).select($"text").as[String].collect()
+    d4.foreach(t => assert(!t.contains("b0") && t.contains("w300")))
+    val d3 = out.filter($"doc_id" === 3L).select($"text").as[String].collect()
+    d3.foreach(t => assert(t.contains("b0")))
+  }
 }
