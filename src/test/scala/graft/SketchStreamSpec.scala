@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.{Bloom, Cardinality}
+import graft.streaming.SketchStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming sketch maintenance == the batch sketch of the union: folding
+  * micro-batch sketches into the store by the merge laws must land on the
+  * exact registers/words the batch operator computes over everything the
+  * stream ever saw. */
+class SketchStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("HLL store after N micro-batches == batch registers of the union") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val store = java.nio.file.Files.createTempDirectory("hll-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("hll-ckpt").toString
+    val q = SketchStream.runHll(input.toDF().toDF("src", "v"),
+      Seq("src"), "v", store, p = 8, checkpoint = ckpt)
+    val all = (0 until 3000).map(i => (s"s${i % 2}", s"val$i"))
+    try {
+      all.grouped(1000).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val expected = Cardinality.hllRegisters(
+        all.toDF("src", "v"), Seq("src"), col("v"), p = 8)
+      .as[(String, Int, Int)].collect().toSet
+    val got = spark.read.parquet(store)
+      .as[(String, Int, Int)].collect().toSet
+    assert(got === expected)
+  }
+
+  test("Bloom store after N micro-batches == batch words of the union") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, String)]
+    val store = java.nio.file.Files.createTempDirectory("bloom-store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("bloom-ckpt").toString
+    val q = SketchStream.runBloom(input.toDF().toDF("src", "v"),
+      Seq("src"), "v", store, bitsLog2 = 16, k = 3, checkpoint = ckpt)
+    val all = (0 until 2000).map(i => (s"s${i % 2}", s"item$i"))
+    try {
+      all.grouped(700).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val expected = Bloom.build(all.toDF("src", "v"), Seq("src"), col("v"))
+      .as[(String, Int, Long)].collect().toSet
+    val got = spark.read.parquet(store)
+      .as[(String, Int, Long)].collect().toSet
+    assert(got === expected)
+  }
+}
