@@ -161,7 +161,8 @@ object SparkEntry {
     "q92_line_scrub" -> qLineScrub,
     "q93_hll_registers" -> qHllRegisters,
     "q94_bloom_prefilter" -> qBloomPrefilter,
-    "q95_window_scrub" -> qWindowScrub)
+    "q95_window_scrub" -> qWindowScrub,
+    "q96_hll_estimate" -> qHllEstimate)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1077,6 +1078,23 @@ object SparkEntry {
     Dedup.scrubSharedWindows(base.unionByName(synth), "doc_id", "text",
         windowTokens = 20)
       .orderBy(col("doc_id"))
+  }
+
+  /** The HLL ESTIMATE end-to-end (`Cardinality.hllEstimate` over q93's
+    * registers): because the harmonic-mean fold runs in-row over the
+    * bucket-SORTED register list, its double summation order is fixed — the
+    * approximate estimate is bit-deterministic, and the oracle re-derives
+    * it with the identical left-associated fold, the identical
+    * alpha·m² literal, and the identical linear-counting branch. An
+    * approximate sketch whose every output bit is still exact. */
+  private def qHllEstimate(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents")
+      .select(col("source"), explode(TextFns.words(col("text"))).as("token"))
+    graft.operators.Cardinality.hllEstimate(
+        graft.operators.Cardinality.hllRegisters(toks, Seq("source"),
+          col("token"), p = 8),
+        Seq("source"), p = 8)
+      .orderBy(col("source"))
   }
 
   /** Quality-ranked survivor selection over q49's exact cluster machinery:
@@ -3145,74 +3163,28 @@ object SparkEntry {
     // multiply mod 2^64 via 32-bit-half decomposition so signed INT128 never
     // overflows), bucket = h div 2^56, rho = 57 - bit-length of the 56-bit
     // remainder (length(bin(w)) = floor(log2 w)+1), max per bucket
-    "q93_hll_registers" ->
-      """WITH toks AS (
-        |  SELECT source, unnest(list_filter(
-        |    string_split_regex(lower(trim(text)), '\s+'),
-        |    w -> len(w) > 0)) AS token
-        |  FROM documents),
-        |st AS (SELECT DISTINCT source, token FROM toks),
-        |toksd AS (SELECT DISTINCT token FROM st),
-        |fnv AS (
-        |  SELECT token, list_reduce(
-        |      list_prepend(14695981039346656037::HUGEINT,
-        |        list_transform(range(0, octet_length(encode(token))), i ->
-        |          CAST(strpos('123456789ABCDEF',
-        |                 hex(encode(token))[CAST(2*i+1 AS BIGINT)]) * 16
-        |             + strpos('123456789ABCDEF',
-        |                 hex(encode(token))[CAST(2*i+2 AS BIGINT)]) AS BIGINT))),
-        |      (h, byt) -> ((h - (h % 256)
-        |          + xor(CAST(h % 256 AS BIGINT), byt)::HUGEINT)
-        |        * 1099511628211::HUGEINT)
-        |        % 18446744073709551616::HUGEINT) AS h
-        |  FROM toksd),
-        |x1 AS (
-        |  SELECT token, CASE WHEN x < 0
-        |      THEN x::HUGEINT + 18446744073709551616::HUGEINT
-        |      ELSE x::HUGEINT END AS a
-        |  FROM (SELECT token, xor(
-        |      CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
-        |        THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT),
-        |      CAST(h // 1073741824::HUGEINT AS BIGINT)) AS x FROM fnv)),
-        |m1 AS (
-        |  SELECT token,
-        |    ((a // 4294967296::HUGEINT * 13787848793156543929::HUGEINT)
-        |       % 4294967296::HUGEINT * 4294967296::HUGEINT
-        |     + (a % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT)
-        |      % 18446744073709551616::HUGEINT AS z
-        |  FROM x1),
-        |x2 AS (
-        |  SELECT token, CASE WHEN x < 0
-        |      THEN x::HUGEINT + 18446744073709551616::HUGEINT
-        |      ELSE x::HUGEINT END AS a
-        |  FROM (SELECT token, xor(
-        |      CAST(CASE WHEN z >= 9223372036854775808::HUGEINT
-        |        THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT),
-        |      CAST(z // 134217728::HUGEINT AS BIGINT)) AS x FROM m1)),
-        |m2 AS (
-        |  SELECT token,
-        |    ((a // 4294967296::HUGEINT * 10723151780598845931::HUGEINT)
-        |       % 4294967296::HUGEINT * 4294967296::HUGEINT
-        |     + (a % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT)
-        |      % 18446744073709551616::HUGEINT AS z
-        |  FROM x2),
-        |mixed AS (
-        |  SELECT token, CASE WHEN x < 0
-        |      THEN x::HUGEINT + 18446744073709551616::HUGEINT
-        |      ELSE x::HUGEINT END AS h
-        |  FROM (SELECT token, xor(
-        |      CAST(CASE WHEN z >= 9223372036854775808::HUGEINT
-        |        THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT),
-        |      CAST(z // 2147483648::HUGEINT AS BIGINT)) AS x FROM m2)),
-        |reg AS (
-        |  SELECT s.source,
-        |    CAST(f.h // 72057594037927936::HUGEINT AS INT) AS bucket,
-        |    CAST(CASE WHEN f.h % 72057594037927936::HUGEINT = 0 THEN 57
-        |      ELSE 57 - length(bin(CAST(f.h % 72057594037927936::HUGEINT
-        |        AS BIGINT))) END AS INT) AS rho
-        |  FROM st s JOIN mixed f USING (token))
-        |SELECT source, bucket, CAST(MAX(rho) AS INT) AS rho
-        |FROM reg GROUP BY source, bucket ORDER BY source, bucket""".stripMargin,
+    "q93_hll_registers" -> (hllRegisterChainSql + "\n" +
+      """SELECT source, bucket, CAST(MAX(rho) AS INT) AS rho
+        |FROM reg GROUP BY source, bucket ORDER BY source, bucket""".stripMargin),
+    // q96: the ESTIMATE re-derived bit-for-bit — grouped registers, the
+    // SAME left-associated fold over 2^-rho in bucket order (list_reduce
+    // with a prepended 0.0 == Spark's aggregate seed), the SAME alpha*m^2
+    // double literal (JVM-computed, shortest round-trip repr), ln for the
+    // linear-counting branch, floor == Spark's positive-cast truncation
+    "q96_hll_estimate" -> (hllRegisterChainSql + ",\n" +
+      s"""regs AS (
+         |  SELECT source, bucket, CAST(MAX(rho) AS INT) AS rho
+         |  FROM reg GROUP BY source, bucket),
+         |est AS (
+         |  SELECT source,
+         |    list_reduce(list_prepend(0.0,
+         |      list(pow(2.0, -rho) ORDER BY bucket)), (a, b) -> a + b) AS sm,
+         |    CAST(256 - COUNT(*) AS DOUBLE) AS nz
+         |  FROM regs GROUP BY source),
+         |ee AS (SELECT source, nz, $hllAlphaM2 / (sm + nz) AS e FROM est)
+         |SELECT source, CAST(floor(CASE WHEN nz > 0 AND e <= 640.0
+         |  THEN 256.0 * ln(256.0 / nz) ELSE e END) AS BIGINT) AS estimate
+         |FROM ee ORDER BY source""".stripMargin),
     // q94: the bloom pre-filter re-derived — q47's gram construction, the
     // q93 FNV+splitmix64 HUGEINT chain once per distinct gram, 3 disjoint
     // 16-bit position fields, 32-bit bloom words from the bench side,
@@ -3358,6 +3330,85 @@ object SparkEntry {
         |  COALESCE(r.text, '') AS text
         |FROM sizes s LEFT JOIN reb r USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin)
+
+  /** alpha_m · m² for the p=8 HLL estimate — computed with the EXACT
+    * operation sequence `Cardinality.hllEstimate` uses, so the interpolated
+    * SQL literal (Scala's shortest round-trip Double repr) parses back to
+    * the identical bits in DuckDB. */
+  private val hllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+
+  /** q93/q96's shared register derivation: q85's byte-exact FNV-1a HUGEINT
+    * walk kept UNSIGNED, the splitmix64 finalizer (xor on the signed view,
+    * multiply mod 2^64 via 32-bit-half decomposition so signed INT128 never
+    * overflows), bucket = h div 2^56, rho = 57 - bit-length of the 56-bit
+    * remainder (`length(bin(w))` = floor(log2 w)+1). Ends at the ungrouped
+    * per-(source, token) `reg` CTE. */
+  private val hllRegisterChainSql: String =
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    w -> len(w) > 0)) AS token
+        |  FROM documents),
+        |st AS (SELECT DISTINCT source, token FROM toks),
+        |toksd AS (SELECT DISTINCT token FROM st),
+        |fnv AS (
+        |  SELECT token, list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(0, octet_length(encode(token))), i ->
+        |          CAST(strpos('123456789ABCDEF',
+        |                 hex(encode(token))[CAST(2*i+1 AS BIGINT)]) * 16
+        |             + strpos('123456789ABCDEF',
+        |                 hex(encode(token))[CAST(2*i+2 AS BIGINT)]) AS BIGINT))),
+        |      (h, byt) -> ((h - (h % 256)
+        |          + xor(CAST(h % 256 AS BIGINT), byt)::HUGEINT)
+        |        * 1099511628211::HUGEINT)
+        |        % 18446744073709551616::HUGEINT) AS h
+        |  FROM toksd),
+        |x1 AS (
+        |  SELECT token, CASE WHEN x < 0
+        |      THEN x::HUGEINT + 18446744073709551616::HUGEINT
+        |      ELSE x::HUGEINT END AS a
+        |  FROM (SELECT token, xor(
+        |      CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |        THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT),
+        |      CAST(h // 1073741824::HUGEINT AS BIGINT)) AS x FROM fnv)),
+        |m1 AS (
+        |  SELECT token,
+        |    ((a // 4294967296::HUGEINT * 13787848793156543929::HUGEINT)
+        |       % 4294967296::HUGEINT * 4294967296::HUGEINT
+        |     + (a % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT)
+        |      % 18446744073709551616::HUGEINT AS z
+        |  FROM x1),
+        |x2 AS (
+        |  SELECT token, CASE WHEN x < 0
+        |      THEN x::HUGEINT + 18446744073709551616::HUGEINT
+        |      ELSE x::HUGEINT END AS a
+        |  FROM (SELECT token, xor(
+        |      CAST(CASE WHEN z >= 9223372036854775808::HUGEINT
+        |        THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT),
+        |      CAST(z // 134217728::HUGEINT AS BIGINT)) AS x FROM m1)),
+        |m2 AS (
+        |  SELECT token,
+        |    ((a // 4294967296::HUGEINT * 10723151780598845931::HUGEINT)
+        |       % 4294967296::HUGEINT * 4294967296::HUGEINT
+        |     + (a % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT)
+        |      % 18446744073709551616::HUGEINT AS z
+        |  FROM x2),
+        |mixed AS (
+        |  SELECT token, CASE WHEN x < 0
+        |      THEN x::HUGEINT + 18446744073709551616::HUGEINT
+        |      ELSE x::HUGEINT END AS h
+        |  FROM (SELECT token, xor(
+        |      CAST(CASE WHEN z >= 9223372036854775808::HUGEINT
+        |        THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT),
+        |      CAST(z // 2147483648::HUGEINT AS BIGINT)) AS x FROM m2)),
+        |reg AS (
+        |  SELECT s.source,
+        |    CAST(f.h // 72057594037927936::HUGEINT AS INT) AS bucket,
+        |    CAST(CASE WHEN f.h % 72057594037927936::HUGEINT = 0 THEN 57
+        |      ELSE 57 - length(bin(CAST(f.h % 72057594037927936::HUGEINT
+        |        AS BIGINT))) END AS INT) AS rho
+        |  FROM st s JOIN mixed f USING (token))""".stripMargin
 
   private val pqAdcSearchSql: String =
       """WITH q AS (
