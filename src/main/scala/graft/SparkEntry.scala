@@ -22,9 +22,9 @@ import org.apache.spark.sql.functions._
   *    executors.
   *  - Timestamps are kept/returned as TIMESTAMP_NTZ (the tables are naive wall-clock,
   *    like the reference's Asia/Colombo-naive times) or formatted strings.
-  *    `events.ts` is parquet TIMESTAMP(NANOS) — read as a nanos long
-  *    (spark.sql.legacy.parquet.nanosAsLong) and truncated to micros, matching
-  *    DuckDB's ns->us cast.
+  *    `events.ts` has shipped as both parquet TIMESTAMP(NANOS) and timestamp[us];
+  *    the loader normalizes either to a canonical nanos-epoch long via
+  *    [[graft.io.EventsTs]], matching DuckDB's `CAST(ts AS TIMESTAMP)`.
   *  - Every query ends in a deterministic total ORDER BY.
   */
 object SparkEntry {
@@ -32,9 +32,11 @@ object SparkEntry {
   // ---------- helpers ----------
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS); Spark refuses it unless nanosAsLong.
+    // nanosAsLong kept set: harmless for timestamp[us] data, required if the
+    // testdata generation flips back to TIMESTAMP(NANOS). Either encoding is
+    // then normalized to the canonical nanos-long at this one seam.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.io.EventsTs.toNanosLong(s.read.parquet(s"$dir/$name.parquet"))
   }
 
   /** Exact integer cents: round(x*100) as long; each term exact, sums associative. */
@@ -46,7 +48,8 @@ object SparkEntry {
   /** Exact long -> double currency. */
   private def money(c: Column, s: Double = 100.0): Column = c.cast("double") / s
 
-  /** events.ts nanos long -> epoch micros (matches DuckDB CAST(ts AS TIMESTAMP)). */
+  /** events.ts (normalized nanos long — see EventsTs) -> epoch micros
+    * (matches DuckDB CAST(ts AS TIMESTAMP)). */
   private val tsUs: Column = expr("ts div 1000")
 
   /** events.ts nanos long -> TIMESTAMP_NTZ at micro precision. */

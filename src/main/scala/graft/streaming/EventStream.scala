@@ -19,6 +19,12 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
+  /** Reference shape of the events table with the LEGACY nanos-long `ts` — kept
+    * for specs that synthesize long-encoded inputs. Live streams must NOT assume
+    * it: the testdata's physical encoding has changed across generations, so
+    * sources take the schema from the files actually present
+    * ([[graft.io.EventsTs.streamSchema]]) and normalize `ts` through the same
+    * seam the batch loader uses ([[graft.io.EventsTs.toNanosLong]]). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // ns epoch (parquet TIMESTAMP(NANOS) read as long)
@@ -27,15 +33,21 @@ object EventStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** File-source stream over `dir`'s events files, `ts` normalized to the
+    * canonical nanos long regardless of the files' physical encoding. */
+  def eventSource(spark: SparkSession, dir: String): DataFrame =
+    graft.io.EventsTs.toNanosLong(
+      spark.readStream.schema(graft.io.EventsTs.streamSchema(spark, dir))
+        .option("pathGlobFilter", "events*.parquet") // the sf dirs hold ALL tables
+        .parquet(dir))
+
   /** File-source stream -> watermark -> tumbling-window aggregate. The windowed agg
     * keeps state per (window, event_type); the 1-hour watermark bounds that state so
     * it cannot grow with stream length — the scale guardrail for a continuous run. */
   def windowedCounts(spark: SparkSession, dir: String,
                      windowLen: String = "15 minutes",
                      watermark: String = "1 hour"): DataFrame =
-    spark.readStream.schema(eventSchema)
-      .option("pathGlobFilter", "events*.parquet") // the sf dirs hold ALL tables
-      .parquet(dir)
+    eventSource(spark, dir)
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withWatermark("event_time", watermark)
       .groupBy(window(col("event_time"), windowLen), col("event_type"))

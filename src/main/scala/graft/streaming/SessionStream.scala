@@ -48,9 +48,7 @@ object SessionStream {
   /** File-source stream -> stateful sessionization. Returns closed sessions. */
   def closedSessions(spark: SparkSession, dir: String): Dataset[SessionOut] = {
     import spark.implicits._
-    spark.readStream.schema(EventStream.eventSchema)
-      .option("pathGlobFilter", "events*.parquet") // the sf dirs hold ALL tables
-      .parquet(dir)
+    EventStream.eventSource(spark, dir) // ts normalized via the EventsTs seam
       .select(col("user_id"), expr("ts div 1000").as("ts_us")).as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,

@@ -13,7 +13,8 @@ class WarehouseLayoutSpec extends SparkSpec {
 
   test("date-partitioned fact write + partition pruning on read") {
     val dir = Files.createTempDirectory("wh").toString
-    val facts = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val facts = graft.io.EventsTs.toNanosLong(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
       .withColumn("event_time", timestamp_micros(expr("ts div 1000")))
       .withColumn("event_date", to_date($"event_time"))
     facts.write.mode("overwrite").partitionBy("event_date").parquet(dir)
