@@ -2,7 +2,7 @@ package graft.io
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType}
 
 /** THE schema seam for the events table's time column.
   *
@@ -18,11 +18,15 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * oracle side needs no dial: `CAST(ts AS TIMESTAMP)` is valid for both
   * encodings there.
   *
-  * The session time zone is pinned UTC everywhere (Bench/Verify/SparkSpec), so
-  * the NTZ→TZ cast below is value-preserving; `unix_micros` then recovers the
-  * exact stored micros. The added projection is a codegen'd map over the scan —
-  * column pruning still drops `ts` when unused, and non-`ts` filter pushdown is
-  * unaffected, so the seam is free at 100 TB.
+  * Time-zone independence: the NTZ branch measures micros with
+  * `timestampdiff(MICROSECOND, NTZ epoch, ts)` — pure NTZ arithmetic that never
+  * consults `spark.sql.session.timeZone`, so the normalized epoch equals the
+  * naive wall-clock epoch (what DuckDB's `CAST(ts AS TIMESTAMP)` yields) even on
+  * a driver session that never pinned UTC. The LTZ branch uses `unix_micros`,
+  * which is zone-independent by definition for an instant. The added projection
+  * is a codegen'd map over the scan — column pruning still drops `ts` when
+  * unused, and non-`ts` filter pushdown is unaffected, so the seam is free at
+  * 100 TB.
   */
 object EventsTs {
 
@@ -31,14 +35,40 @@ object EventsTs {
   def toNanosLong(df: DataFrame, colName: String = "ts"): DataFrame =
     df.schema.fields.find(_.name == colName).map(_.dataType) match {
       case Some(LongType) | None => df
+      case Some(TimestampNTZType) =>
+        // Naive wall-clock -> micros since the naive epoch; no session-TZ read.
+        df.withColumn(colName,
+          expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', $colName)") * lit(1000L))
       case Some(_) =>
+        // True instant (TIMESTAMP_LTZ): unix_micros is the stored epoch, exact
+        // in every session zone.
         df.withColumn(colName,
           unix_micros(col(colName).cast("timestamp")) * lit(1000L))
     }
 
+  /** Confs the events loaders need BEFORE touching the files: the legacy nanos
+    * read (harmless for timestamp[us] data, required for TIMESTAMP(NANOS)) and a
+    * pinned UTC session zone so every downstream timestamp/format function is
+    * deterministic on driver sessions that preset nothing. Runtime-settable;
+    * idempotent. */
+  def prepareSession(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
   /** Physical schema of the events files actually present in `dir` — file-source
     * streams require an explicit schema, and hardcoding one is exactly the
-    * assumption this seam exists to remove. One driver-side footer read. */
-  def streamSchema(spark: SparkSession, dir: String): StructType =
-    spark.read.option("pathGlobFilter", "events*.parquet").parquet(dir).schema
+    * assumption this seam exists to remove. One driver-side footer read; when the
+    * directory holds no events files yet (the poll-a-directory cron shape starts
+    * empty), falls back to the legacy long-ts shape
+    * [[graft.streaming.EventStream.eventSchema]], which `toNanosLong` treats as
+    * already canonical. */
+  def streamSchema(spark: SparkSession, dir: String): StructType = {
+    prepareSession(spark)
+    try spark.read.option("pathGlobFilter", "events*.parquet").parquet(dir).schema
+    catch {
+      case _: org.apache.spark.sql.AnalysisException =>
+        graft.streaming.EventStream.eventSchema
+    }
+  }
 }

@@ -19,12 +19,16 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** Reference shape of the events table with the LEGACY nanos-long `ts` — kept
-    * for specs that synthesize long-encoded inputs. Live streams must NOT assume
-    * it: the testdata's physical encoding has changed across generations, so
-    * sources take the schema from the files actually present
+  /** Reference shape of the events table with the LEGACY nanos-long `ts`. Live
+    * streams must NOT assume it for non-empty directories: the testdata's
+    * physical encoding has changed across generations, so sources take the
+    * schema from the files actually present
     * ([[graft.io.EventsTs.streamSchema]]) and normalize `ts` through the same
-    * seam the batch loader uses ([[graft.io.EventsTs.toNanosLong]]). */
+    * seam the batch loader uses ([[graft.io.EventsTs.toNanosLong]]). This shape
+    * is the startup fallback when the watched directory is still empty (the
+    * normal file-source pattern — the reference's cron polls a directory that
+    * may not have produced a file yet); `ts` long is canonical, so the seam
+    * no-ops on it. */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType), // ns epoch (parquet TIMESTAMP(NANOS) read as long)
