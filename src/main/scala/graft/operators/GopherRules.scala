@@ -103,23 +103,40 @@ object GopherRules {
   def battery(docs: DataFrame, idCol: String, textCol: String,
               maxDupLinePct: Int = 30, maxDupCharPct: Int = 20,
               maxTopWordPct: Int = 10, minWords: Long = 50,
-              maxWords: Long = 100000): DataFrame = {
+              maxWords: Long = 100000, native: Boolean = true): DataFrame = {
     require(maxDupLinePct >= 0 && maxDupCharPct >= 0 && maxTopWordPct >= 0,
       "percentage thresholds must be non-negative")
     require(minWords >= 0 && maxWords >= minWords,
       s"need 0 <= minWords <= maxWords, got [$minWords, $maxWords]")
-    docs
-      .withColumn("__lr", lineRepetitionStruct(col(textCol)))
-      .withColumn("__tw", topWordStruct(col(textCol)))
-      .select(col(idCol),
-        col("__lr.n_lines").as("n_lines"),
-        col("__lr.n_dup_lines").as("n_dup_lines"),
-        col("__lr.n_line_chars").as("n_line_chars"),
-        col("__lr.n_dup_line_chars").as("n_dup_line_chars"),
-        col("__tw.n_words").as("n_words"),
-        col("__tw.n_word_chars").as("n_word_chars"),
-        col("__tw.top_word_n").as("top_word_n"),
-        col("__tw.top_word_chars").as("top_word_chars"))
+    // native (default): ONE compiled loop per doc (LineStatsExpr) inside
+    // whole-stage codegen; native=false keeps the interpreted column-fold
+    // reference the equivalence spec pins the expression against.
+    val stats =
+      if (native)
+        docs.withColumn("__st",
+          graft.functions.LineStatsExpr(col(textCol)))
+          .select(col(idCol),
+            col("__st.n_lines").as("n_lines"),
+            col("__st.n_dup_lines").as("n_dup_lines"),
+            col("__st.n_line_chars").as("n_line_chars"),
+            col("__st.n_dup_line_chars").as("n_dup_line_chars"),
+            col("__st.n_words").as("n_words"),
+            col("__st.n_word_chars").as("n_word_chars"),
+            col("__st.top_word_n").as("top_word_n"),
+            col("__st.top_word_chars").as("top_word_chars"))
+      else docs
+        .withColumn("__lr", lineRepetitionStruct(col(textCol)))
+        .withColumn("__tw", topWordStruct(col(textCol)))
+        .select(col(idCol),
+          col("__lr.n_lines").as("n_lines"),
+          col("__lr.n_dup_lines").as("n_dup_lines"),
+          col("__lr.n_line_chars").as("n_line_chars"),
+          col("__lr.n_dup_line_chars").as("n_dup_line_chars"),
+          col("__tw.n_words").as("n_words"),
+          col("__tw.n_word_chars").as("n_word_chars"),
+          col("__tw.top_word_n").as("top_word_n"),
+          col("__tw.top_word_chars").as("top_word_chars"))
+    stats
       .withColumn("flag_dup_lines",
         col("n_dup_lines") * 100L > col("n_lines") * maxDupLinePct.toLong)
       .withColumn("flag_dup_chars",
@@ -139,20 +156,29 @@ object GopherRules {
     * document, keeping the first occurrence in place — the C4/RefinedWeb
     * within-page boilerplate scrub (distinct from `Dedup.lineDedup`, which
     * dedups lines across the CORPUS and needs a shuffle; this is pure in-row
-    * and costs nothing at any scale). A line survives iff its first index in
-    * the doc's line array is its own (`array_position` walk — O(L²) on the
-    * per-doc line count, which is bounded; corpus size never enters).
+    * and costs nothing at any scale). Native (default): one compiled
+    * seen-set pass per doc (`LineScrubExpr`); `native=false` keeps the
+    * `array_position` survivorship-walk reference (O(L²) interpreted array
+    * scans per doc) that the equivalence spec pins the expression against.
     * Returns the doc frame with `textCol` rewritten and `n_removed`. */
-  def dropRepeatedLines(docs: DataFrame, textCol: String): DataFrame = {
-    val ls = lines(col(textCol))
-    val kept = filter(ls, (l, i) => array_position(ls, l) === i + 1L)
-    docs
-      .withColumn("__k", kept)
-      .withColumn("n_removed",
-        (size(lines(col(textCol))) - size(col("__k"))).cast("long"))
-      .withColumn(textCol, array_join(col("__k"), "\n"))
-      .drop("__k")
-  }
+  def dropRepeatedLines(docs: DataFrame, textCol: String,
+                        native: Boolean = true): DataFrame =
+    if (native)
+      docs
+        .withColumn("__s", graft.functions.LineScrubExpr(col(textCol)))
+        .withColumn("n_removed", col("__s.n_removed"))
+        .withColumn(textCol, col("__s.text"))
+        .drop("__s")
+    else {
+      val ls = lines(col(textCol))
+      val kept = filter(ls, (l, i) => array_position(ls, l) === i + 1L)
+      docs
+        .withColumn("__k", kept)
+        .withColumn("n_removed",
+          (size(lines(col(textCol))) - size(col("__k"))).cast("long"))
+        .withColumn(textCol, array_join(col("__k"), "\n"))
+        .drop("__k")
+    }
 
   /** Re-line a flat text: split to words, regroup into `wordsPerLine`-word
     * lines joined by `\n` — gives line-rule semantics to corpora whose texts

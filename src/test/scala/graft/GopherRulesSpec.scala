@@ -86,6 +86,48 @@ class GopherRulesSpec extends SparkSpec {
     assert(out(2) === ((3L, "", 0L)))
   }
 
+  test("LineStatsExpr: native battery == column-fold battery, real docs + adversarial") {
+    // real corpus (with the q90 plant shape) plus hand-built edge cases:
+    // ties, unicode (code-point lengths, non-ASCII lowercase), empties,
+    // whitespace runs, single repeated word
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"),
+        GopherRules.chunkIntoLines(col("text"), 8).as("text"))
+    val edge = Seq(
+      (100001L, "bb aa bb aa z"), (100002L, ""), (100003L, "   \n\t\n  "),
+      (100004L, "aa\nb\naa\ncc\naa\ncc"), (100005L, "Été été café\nété café\nété café"),
+      (100006L, "w w w w w"), (100007L, "a\n\n\na\nb"),
+      (100008L, "😀 x\n😀 x\ny"))
+      .toDF("id", "text")
+    for (docs <- Seq(real, edge)) {
+      val native = GopherRules.battery(docs, "id", "text", minWords = 0)
+      val ref = GopherRules.battery(docs, "id", "text", minWords = 0,
+        native = false)
+      assert(native.columns.sameElements(ref.columns))
+      assert(native.exceptAll(ref).isEmpty && ref.exceptAll(native).isEmpty,
+        s"native battery diverged from the fold reference: " +
+          native.exceptAll(ref).limit(3).collect().mkString(" | "))
+    }
+  }
+
+  test("LineScrubExpr: native scrub == array_position reference, real docs + edges") {
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"),
+        GopherRules.chunkIntoLines(col("text"), 8).as("text"))
+    val edge = Seq(
+      (1L, "a\nb\na\nc\nb\na"), (2L, "x\ny"), (3L, ""), (4L, "\n\n\n"),
+      (5L, "café\ncafé\n😀"), (6L, "only"))
+      .toDF("id", "text")
+    for (docs <- Seq(real, edge)) {
+      val native = GopherRules.dropRepeatedLines(docs, "text")
+      val ref = GopherRules.dropRepeatedLines(docs, "text", native = false)
+      assert(native.columns.sameElements(ref.columns))
+      assert(native.exceptAll(ref).isEmpty && ref.exceptAll(native).isEmpty,
+        s"native scrub diverged from the reference: " +
+          native.exceptAll(ref).limit(3).collect().mkString(" | "))
+    }
+  }
+
   test("importanceResample: matches the naive full-sort draw, any partitioning") {
     val scored = spark.range(0, 1000)
       .select(col("id"), (col("id") % 97L * 1000L - 48000L).as("w_e6"))
