@@ -32,11 +32,15 @@ object SparkEntry {
   // ---------- helpers ----------
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    // nanosAsLong kept set: harmless for timestamp[us] data, required if the
-    // testdata generation flips back to TIMESTAMP(NANOS). Either encoding is
-    // then normalized to the canonical nanos-long at this one seam.
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    graft.io.EventsTs.toNanosLong(s.read.parquet(s"$dir/$name.parquet"))
+    // nanosAsLong: harmless for timestamp[us] data, required if the testdata
+    // generation flips back to TIMESTAMP(NANOS). UTC pin: the driver may hand us
+    // a bare session, and downstream timestamp/format functions must agree with
+    // the DuckDB oracle's naive reading on any host zone.
+    graft.io.EventsTs.prepareSession(s)
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // ts normalization is an events-table contract; other tables with a column
+    // that happens to be named `ts` must pass through untouched.
+    if (name == "events") graft.io.EventsTs.toNanosLong(df) else df
   }
 
   /** Exact integer cents: round(x*100) as long; each term exact, sums associative. */
@@ -165,7 +169,8 @@ object SparkEntry {
     "q93_hll_registers" -> qHllRegisters,
     "q94_bloom_prefilter" -> qBloomPrefilter,
     "q95_window_scrub" -> qWindowScrub,
-    "q96_hll_estimate" -> qHllEstimate)
+    "q96_hll_estimate" -> qHllEstimate,
+    "q97_bloom_contamination" -> qBloomContamination)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1063,6 +1068,22 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The bloom pre-filter COMPOSED with the exact contamination join
+    * (`Contamination.sharedNgramsBloom`, stats shape) — the 100 TB production
+    * form of q47: the benchmark's distinct 5-grams become a KB-sized bloom
+    * word-frame, corpus grams are rejected map-side, and ONLY survivors reach
+    * the exact join. Output makes the pruning observable per doc (`n_grams`
+    * vs `bloom_kept_grams`) next to the exact verdict, which is identical to
+    * q47's by the no-false-negative property (also pinned by spec). */
+  private def qBloomContamination(s: SparkSession, dir: String): DataFrame = {
+    val all = t(s, dir, "documents")
+    graft.operators.Contamination.sharedNgramsBloom(
+        all.filter(col("doc_id") % 97 =!= 0),
+        all.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 5,
+        stats = true)
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact-substring dedup with REMOVAL (`Dedup.scrubSharedWindows`) over
     * q69's synthetic corpus (every 9th doc re-appears concatenated into a
     * 500000-offset twin): tokens covered by a 20-token window whose content
@@ -1683,6 +1704,88 @@ object SparkEntry {
     "q25_dedup_simhash" -> "q59_simhash_containment",
     "q43_ann_ivf_topk" -> "q58_ivf_full_probe",
     "q46_embedding_dedup_lsh" -> "q60_embedding_dedup_lsh_corpus")
+
+  /** Shared DuckDB re-derivation of the bloom word-frame over the planted
+    * benchmark's distinct 5-grams — q47's gram construction, the q93
+    * FNV+splitmix64 HUGEINT chain once per distinct gram, 3 disjoint 16-bit
+    * position fields, 32-bit words. Consumed by the q94 (probe counts) and
+    * q97 (probe -> exact-join composition) oracles. */
+  private val bloomGramChainSql: String =
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3),
+        |    i -> array_to_string(ws[i:i+4], ' ')))) AS g
+        |  FROM toks WHERE len(ws) >= 5),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        |gd AS (SELECT DISTINCT g FROM grams),
+        |fnv AS (
+        |  SELECT g, list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(0, octet_length(encode(g))), i ->
+        |          CAST(strpos('123456789ABCDEF',
+        |                 hex(encode(g))[CAST(2*i+1 AS BIGINT)]) * 16
+        |             + strpos('123456789ABCDEF',
+        |                 hex(encode(g))[CAST(2*i+2 AS BIGINT)]) AS BIGINT))),
+        |      (h, byt) -> ((h - (h % 256)
+        |          + xor(CAST(h % 256 AS BIGINT), byt)::HUGEINT)
+        |        * 1099511628211::HUGEINT)
+        |        % 18446744073709551616::HUGEINT) AS h
+        |  FROM gd),
+        |x1 AS (
+        |  SELECT g, CASE WHEN x < 0
+        |      THEN x::HUGEINT + 18446744073709551616::HUGEINT
+        |      ELSE x::HUGEINT END AS a
+        |  FROM (SELECT g, xor(
+        |      CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |        THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT),
+        |      CAST(h // 1073741824::HUGEINT AS BIGINT)) AS x FROM fnv)),
+        |m1 AS (
+        |  SELECT g,
+        |    ((a // 4294967296::HUGEINT * 13787848793156543929::HUGEINT)
+        |       % 4294967296::HUGEINT * 4294967296::HUGEINT
+        |     + (a % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT)
+        |      % 18446744073709551616::HUGEINT AS z
+        |  FROM x1),
+        |x2 AS (
+        |  SELECT g, CASE WHEN x < 0
+        |      THEN x::HUGEINT + 18446744073709551616::HUGEINT
+        |      ELSE x::HUGEINT END AS a
+        |  FROM (SELECT g, xor(
+        |      CAST(CASE WHEN z >= 9223372036854775808::HUGEINT
+        |        THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT),
+        |      CAST(z // 134217728::HUGEINT AS BIGINT)) AS x FROM m1)),
+        |m2 AS (
+        |  SELECT g,
+        |    ((a // 4294967296::HUGEINT * 10723151780598845931::HUGEINT)
+        |       % 4294967296::HUGEINT * 4294967296::HUGEINT
+        |     + (a % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT)
+        |      % 18446744073709551616::HUGEINT AS z
+        |  FROM x2),
+        |mixed AS (
+        |  SELECT g, CASE WHEN x < 0
+        |      THEN x::HUGEINT + 18446744073709551616::HUGEINT
+        |      ELSE x::HUGEINT END AS h
+        |  FROM (SELECT g, xor(
+        |      CAST(CASE WHEN z >= 9223372036854775808::HUGEINT
+        |        THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT),
+        |      CAST(z // 2147483648::HUGEINT AS BIGINT)) AS x FROM m2)),
+        |pos AS (
+        |  SELECT g,
+        |    CAST(h % 65536::HUGEINT AS BIGINT) AS p0,
+        |    CAST((h // 65536::HUGEINT) % 65536::HUGEINT AS BIGINT) AS p1,
+        |    CAST((h // 4294967296::HUGEINT) % 65536::HUGEINT AS BIGINT) AS p2
+        |  FROM mixed),
+        |bloomw AS (
+        |  SELECT word_idx, bit_or(bv) AS bits FROM (
+        |    SELECT CAST(p // 32 AS INT) AS word_idx,
+        |      (1::BIGINT << CAST(p % 32 AS INT)) AS bv
+        |    FROM (SELECT unnest([p0, p1, p2]) AS p
+        |          FROM pos JOIN bench USING (g)))
+        |  GROUP BY word_idx)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -3193,82 +3296,8 @@ object SparkEntry {
     // 16-bit position fields, 32-bit bloom words from the bench side,
     // probe = three word lookups ANDed, per-doc counts
     "q94_bloom_prefilter" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
-        |      w -> len(w) > 0) AS ws
-        |  FROM documents),
-        |grams AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(ws) - 3),
-        |    i -> array_to_string(ws[i:i+4], ' ')))) AS g
-        |  FROM toks WHERE len(ws) >= 5),
-        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
-        |gd AS (SELECT DISTINCT g FROM grams),
-        |fnv AS (
-        |  SELECT g, list_reduce(
-        |      list_prepend(14695981039346656037::HUGEINT,
-        |        list_transform(range(0, octet_length(encode(g))), i ->
-        |          CAST(strpos('123456789ABCDEF',
-        |                 hex(encode(g))[CAST(2*i+1 AS BIGINT)]) * 16
-        |             + strpos('123456789ABCDEF',
-        |                 hex(encode(g))[CAST(2*i+2 AS BIGINT)]) AS BIGINT))),
-        |      (h, byt) -> ((h - (h % 256)
-        |          + xor(CAST(h % 256 AS BIGINT), byt)::HUGEINT)
-        |        * 1099511628211::HUGEINT)
-        |        % 18446744073709551616::HUGEINT) AS h
-        |  FROM gd),
-        |x1 AS (
-        |  SELECT g, CASE WHEN x < 0
-        |      THEN x::HUGEINT + 18446744073709551616::HUGEINT
-        |      ELSE x::HUGEINT END AS a
-        |  FROM (SELECT g, xor(
-        |      CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
-        |        THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT),
-        |      CAST(h // 1073741824::HUGEINT AS BIGINT)) AS x FROM fnv)),
-        |m1 AS (
-        |  SELECT g,
-        |    ((a // 4294967296::HUGEINT * 13787848793156543929::HUGEINT)
-        |       % 4294967296::HUGEINT * 4294967296::HUGEINT
-        |     + (a % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT)
-        |      % 18446744073709551616::HUGEINT AS z
-        |  FROM x1),
-        |x2 AS (
-        |  SELECT g, CASE WHEN x < 0
-        |      THEN x::HUGEINT + 18446744073709551616::HUGEINT
-        |      ELSE x::HUGEINT END AS a
-        |  FROM (SELECT g, xor(
-        |      CAST(CASE WHEN z >= 9223372036854775808::HUGEINT
-        |        THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT),
-        |      CAST(z // 134217728::HUGEINT AS BIGINT)) AS x FROM m1)),
-        |m2 AS (
-        |  SELECT g,
-        |    ((a // 4294967296::HUGEINT * 10723151780598845931::HUGEINT)
-        |       % 4294967296::HUGEINT * 4294967296::HUGEINT
-        |     + (a % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT)
-        |      % 18446744073709551616::HUGEINT AS z
-        |  FROM x2),
-        |mixed AS (
-        |  SELECT g, CASE WHEN x < 0
-        |      THEN x::HUGEINT + 18446744073709551616::HUGEINT
-        |      ELSE x::HUGEINT END AS h
-        |  FROM (SELECT g, xor(
-        |      CAST(CASE WHEN z >= 9223372036854775808::HUGEINT
-        |        THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT),
-        |      CAST(z // 2147483648::HUGEINT AS BIGINT)) AS x FROM m2)),
-        |pos AS (
-        |  SELECT g,
-        |    CAST(h % 65536::HUGEINT AS BIGINT) AS p0,
-        |    CAST((h // 65536::HUGEINT) % 65536::HUGEINT AS BIGINT) AS p1,
-        |    CAST((h // 4294967296::HUGEINT) % 65536::HUGEINT AS BIGINT) AS p2
-        |  FROM mixed),
-        |bloomw AS (
-        |  SELECT word_idx, bit_or(bv) AS bits FROM (
-        |    SELECT CAST(p // 32 AS INT) AS word_idx,
-        |      (1::BIGINT << CAST(p % 32 AS INT)) AS bv
-        |    FROM (SELECT unnest([p0, p1, p2]) AS p
-        |          FROM pos JOIN bench USING (g)))
-        |  GROUP BY word_idx),
-        |probe AS (
+      (bloomGramChainSql + ",\n" +
+      """probe AS (
         |  SELECT gr.doc_id,
         |    (COALESCE(b0.bits, 0) & (1::BIGINT << CAST(p.p0 % 32 AS INT))) <> 0
         |    AND (COALESCE(b1.bits, 0) & (1::BIGINT << CAST(p.p1 % 32 AS INT))) <> 0
@@ -3281,7 +3310,40 @@ object SparkEntry {
         |  WHERE gr.doc_id % 97 <> 0)
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
         |  CAST(COUNT(CASE WHEN might THEN 1 END) AS BIGINT) AS bloom_hits
-        |FROM probe GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM probe GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+    // q97: the COMPOSITION — q94's probe verdict per (doc, gram), survivors
+    // exact-joined against the bench set, per-doc counts + the q47 verdict;
+    // bloom no-false-negatives makes the exact count independent of `might`
+    "q97_bloom_contamination" ->
+      (bloomGramChainSql + ",\n" +
+      """probe AS (
+        |  SELECT gr.doc_id, gr.g,
+        |    (COALESCE(b0.bits, 0) & (1::BIGINT << CAST(p.p0 % 32 AS INT))) <> 0
+        |    AND (COALESCE(b1.bits, 0) & (1::BIGINT << CAST(p.p1 % 32 AS INT))) <> 0
+        |    AND (COALESCE(b2.bits, 0) & (1::BIGINT << CAST(p.p2 % 32 AS INT))) <> 0
+        |      AS might
+        |  FROM grams gr JOIN pos p USING (g)
+        |  LEFT JOIN bloomw b0 ON b0.word_idx = CAST(p.p0 // 32 AS INT)
+        |  LEFT JOIN bloomw b1 ON b1.word_idx = CAST(p.p1 // 32 AS INT)
+        |  LEFT JOIN bloomw b2 ON b2.word_idx = CAST(p.p2 // 32 AS INT)
+        |  WHERE gr.doc_id % 97 <> 0),
+        |agg AS (
+        |  SELECT pr.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |    CAST(COUNT(CASE WHEN pr.might THEN 1 END) AS BIGINT)
+        |      AS bloom_kept_grams,
+        |    CAST(COUNT(CASE WHEN b.g IS NOT NULL THEN 1 END) AS BIGINT)
+        |      AS shared_ngrams
+        |  FROM probe pr LEFT JOIN bench b USING (g)
+        |  GROUP BY pr.doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(a.n_grams, 0) AS n_grams,
+        |  COALESCE(a.bloom_kept_grams, 0) AS bloom_kept_grams,
+        |  COALESCE(a.shared_ngrams, 0) AS shared_ngrams,
+        |  COALESCE(a.shared_ngrams, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |WHERE d.doc_id % 97 <> 0
+        |ORDER BY d.doc_id""".stripMargin),
     // q95: q69's synth corpus, windows as STRINGS (the engine's 64-bit
     // window hashes are collision-free groupings of the same sets), global
     // first = row_number over (doc_id, pos), drop mask = distinct covered

@@ -21,7 +21,15 @@ import org.apache.spark.sql.functions._
   *   "id_col": "doc_id", "text_col": "text",
   *   "min_words": 20,                  // quality gate
   *   "gopher_rules": true,             // optional Gopher line-rule battery
-  *   "reline_words_per_line": 8,       //   re-line newline-free text (0 = lined)
+  *   "reline_words_per_line": 8,       //   re-line newline-free text (0 = lined).
+  *                                     //   Re-lining always runs the codegen'd
+  *                                     //   single-regexp-pass form
+  *                                     //   (GopherRules.chunkIntoLines); the
+  *                                     //   byte-equal slice-fold
+  *                                     //   (chunkIntoLinesCols) is O(L²)
+  *                                     //   interpreted and exists ONLY as the
+  *                                     //   spec-pinned reference — never wire
+  *                                     //   it into a corpus-scale pass
   *   "ngram_n": 3, "jaccard_threshold": 0.8,
   *   "block_cols": ["lang"],           // dedup blocking
   *   "scrub_window_tokens": 20,        // optional exact-substring removal

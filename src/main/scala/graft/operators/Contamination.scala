@@ -35,4 +35,57 @@ object Contamination {
       .withColumn("shared_ngrams", coalesce(col("shared_ngrams"), lit(0L)))
       .withColumn("contaminated", col("shared_ngrams") > 0)
   }
+
+  /** The 100 TB production shape of [[sharedNgrams]]: a Bloom pre-filter
+    * ([[Bloom.build]] over the benchmark's distinct grams — at most
+    * `2^bitsLog2/32` rows regardless of benchmark size) rejects the vast
+    * majority of corpus grams MAP-SIDE before the exact join ever sees them.
+    * Bloom never false-negatives, so the surviving grams contain every true
+    * match and the result is EXACTLY [[sharedNgrams]]'s (pinned by spec); the
+    * exact join's probe side shrinks from all corpus grams to
+    * (matches + the `(1−e^(−kn/m))^k` false-positive residue). This is the
+    * composition that matters when the benchmark gram set is too big to
+    * broadcast comfortably: the pre-filter frame stays KB-sized even when the
+    * exact side would be GBs, and the corpus-side shuffle into a non-broadcast
+    * exact join is cut by the rejection rate.
+    *
+    * String grams end-to-end (not the hashed-long fast path) so the whole
+    * chain — FNV → splitmix64 → k disjoint bit fields → 32-bit words — stays
+    * re-derivable in plain SQL (the q94 oracle precedent).
+    *
+    * `stats=true` (audit shape) adds per-doc `n_grams` and `bloom_kept_grams`
+    * so the pruning is observable in the output; it re-walks the probe for the
+    * counts, so leave it off in production. */
+  def sharedNgramsBloom(docs: DataFrame, bench: DataFrame, idCol: String,
+                        textCol: String, n: Int, bitsLog2: Int = 16,
+                        k: Int = 3, stats: Boolean = false): DataFrame = {
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    def grams(df: DataFrame): DataFrame = df.select(col(idCol),
+      explode(array_distinct(
+        TextFns.wordShingles(TextFns.words(col(textCol)), n))).as("__g"))
+    val benchGrams = grams(bench.repartition(parts)).select("__g").distinct()
+    val filter = Bloom.build(benchGrams, Nil, col("__g"), bitsLog2, k)
+    val probed = Bloom.probe(grams(docs.repartition(parts)), col("__g"),
+      filter, Nil, bitsLog2, k)
+    // production path: ONLY pre-filter survivors reach the exact join
+    val exact = probed.filter(col("might_contain"))
+      .join(broadcast(benchGrams), Seq("__g"))
+      .groupBy(col(idCol)).agg(count(lit(1)).as("shared_ngrams"))
+    val base = docs.select(col(idCol))
+      .join(exact, Seq(idCol), "left")
+      .withColumn("shared_ngrams", coalesce(col("shared_ngrams"), lit(0L)))
+      .withColumn("contaminated", col("shared_ngrams") > 0)
+    if (!stats) base
+    else {
+      val perDoc = probed.groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("might_contain"), 1)).as("bloom_kept_grams"))
+      base.join(perDoc, Seq(idCol), "left")
+        .withColumn("n_grams", coalesce(col("n_grams"), lit(0L)))
+        .withColumn("bloom_kept_grams",
+          coalesce(col("bloom_kept_grams"), lit(0L)))
+        .select(col(idCol), col("n_grams"), col("bloom_kept_grams"),
+          col("shared_ngrams"), col("contaminated"))
+    }
+  }
 }

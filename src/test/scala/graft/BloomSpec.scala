@@ -70,4 +70,33 @@ class BloomSpec extends SparkSpec {
     val exact = (250 until 500).map(i => s"g$i").toSet
     assert(exact.subsetOf(flagged))
   }
+
+  test("sharedNgramsBloom: composition == exact sharedNgrams, and it prunes") {
+    // planted corpus: the q47 shape on real docs — every 97th doc is the
+    // benchmark, the rest the corpus; most corpus grams are NOT shared, so
+    // the pre-filter has real work to reject
+    val all = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = all.filter(col("doc_id") % 97 =!= 0)
+    val bench = all.filter(col("doc_id") % 97 === 0)
+    val exact = graft.operators.Contamination
+      .sharedNgrams(docs, bench, "doc_id", "text", n = 5)
+    val composed = graft.operators.Contamination
+      .sharedNgramsBloom(docs, bench, "doc_id", "text", n = 5, stats = true)
+    // identical verdicts and counts (no-false-negative law end-to-end)
+    val a = exact.select("doc_id", "shared_ngrams", "contaminated")
+    val b = composed.select("doc_id", "shared_ngrams", "contaminated")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "bloom-composed contamination diverged from the exact join: " +
+        a.exceptAll(b).limit(3).collect().mkString(" | "))
+    // the pre-filter must actually prune: corpus-wide, kept grams ≈
+    // shared + fp-residue << total. With m=65536 bits, k=3 and a bench of
+    // ~a few thousand grams the fp rate is well under 5%.
+    val Seq(total, kept, shared) = composed
+      .agg(sum("n_grams"), sum("bloom_kept_grams"), sum("shared_ngrams"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long])
+    assert(kept >= shared, "pre-filter lost a true match (false negative!)")
+    assert(kept - shared <= (total - shared) / 20,
+      s"fp residue ${kept - shared} exceeds 5% of the ${total - shared} " +
+        "non-matching grams — the pre-filter isn't pruning")
+  }
 }
