@@ -1055,8 +1055,7 @@ object SparkEntry {
   private def qBloomPrefilter(s: SparkSession, dir: String): DataFrame = {
     val all = t(s, dir, "documents")
     def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
-      explode(array_distinct(
-        TextFns.wordShingles(TextFns.words(col("text")), 5))).as("gram"))
+      explode(TextFns.stringShingles(col("text"), 5)).as("gram"))
     val bench = grams(all.filter(col("doc_id") % 97 === 0))
       .select("gram").distinct()
     val filter = graft.operators.Bloom.build(bench, Nil, col("gram"))

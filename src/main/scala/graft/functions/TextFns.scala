@@ -49,6 +49,15 @@ object TextFns {
   def hashedShingles(text: Column, n: Int): Column =
     sortedHashedShingles(text, n)
 
+  /** Distinct word n-gram shingles AS STRINGS, first-occurrence order — the
+    * native compiled form of `array_distinct(wordShingles(words(text), n))`
+    * (which rides interpreted HOFs); empty array for docs shorter than n
+    * words, exactly like the column form. For hash-consumers prefer
+    * [[hashedShingles]]; this is for the string-gram consumers (the
+    * bloom/contamination family, whose oracles need string grams). */
+  def stringShingles(text: Column, n: Int): Column =
+    DistinctShinglesExpr(text, n)
+
   /** Winnowed (minimizer-sampled) distinct window hashes: keep the minimum
     * hash value of every `stride` consecutive window positions — ~stride×
     * fewer hashes, with the winnowing recall contract (any ≥ (n + stride − 1)

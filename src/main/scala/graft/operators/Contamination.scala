@@ -61,8 +61,7 @@ object Contamination {
                         k: Int = 3, stats: Boolean = false): DataFrame = {
     val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
     def grams(df: DataFrame): DataFrame = df.select(col(idCol),
-      explode(array_distinct(
-        TextFns.wordShingles(TextFns.words(col(textCol)), n))).as("__g"))
+      explode(TextFns.stringShingles(col(textCol), n)).as("__g"))
     val benchGrams = grams(bench.repartition(parts)).select("__g").distinct()
     val filter = Bloom.build(benchGrams, Nil, col("__g"), bitsLog2, k)
     val probed = Bloom.probe(grams(docs.repartition(parts)), col("__g"),

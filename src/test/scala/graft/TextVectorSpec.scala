@@ -42,6 +42,35 @@ class TextVectorSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native distinct string shingles == HOF column pipeline (incl. empty-short)") {
+    val texts = Seq(
+      "The quick brown Fox jumps over the lazy dog",
+      "  leading and trailing   whitespace\tand\ttabs  ",
+      "a b a b a b", // duplicate shingles: first-occurrence order must hold
+      "über ÜBER über", "两 个 字", "two words", "one", "")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val both = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+        .select($"id",
+          TextFns.stringShingles($"t", n).as("native"),
+          array_distinct(TextFns.wordShingles(TextFns.words($"t"), n))
+            .as("cols"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](1) == r.getSeq[String](2),
+          s"n=$n id=${r.getLong(0)}: native != column pipeline " +
+            s"(${r.getSeq[String](1)} vs ${r.getSeq[String](2)})")
+      }
+    }
+    // real corpus sweep: every document at sf0.001 agrees
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = docs.select(
+        TextFns.stringShingles($"text", 5).as("a"),
+        array_distinct(TextFns.wordShingles(TextFns.words($"text"), 5)).as("b"))
+      .filter(!($"a" <=> $"b")).count()
+    assert(diff == 0)
+  }
+
   test("native hyperplane_bucket == HOF column form on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     for ((planes, off) <- Seq((6, 0), (12, 24))) {
