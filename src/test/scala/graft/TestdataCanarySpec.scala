@@ -86,6 +86,19 @@ class TestdataCanarySpec extends SparkSpec {
       "embeddings.label must stay integral")
   }
 
+  test("driver smoke: entry() works on a session with hostile conf presets") {
+    // The driver builds its own bare session: no nanosAsLong, no UTC pin.
+    // Simulate worse than bare — actively wrong presets — and require the
+    // loader seam (EventsTs.prepareSession inside SparkEntry.t) to fix both
+    // at runtime before touching the files.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    s2.conf.set("spark.sql.session.timeZone", "Asia/Colombo")
+    assert(SparkEntry.entry(s2).count() > 0)
+    assert(s2.conf.get("spark.sql.session.timeZone") == "UTC",
+      "the loader must pin UTC so timestamp functions match the oracle")
+  }
+
   test("events non-ts columns keep their types") {
     val ev = spark.read.parquet(s"$dir/events.parquet").schema
     assert(ev("event_id").dataType == LongType)
