@@ -170,7 +170,8 @@ object SparkEntry {
     "q94_bloom_prefilter" -> qBloomPrefilter,
     "q95_window_scrub" -> qWindowScrub,
     "q96_hll_estimate" -> qHllEstimate,
-    "q97_bloom_contamination" -> qBloomContamination)
+    "q97_bloom_contamination" -> qBloomContamination,
+    "q98_ngram_repetition" -> qNgramRepetition)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1067,6 +1068,25 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** The word n-gram half of the Gopher repetition battery
+    * (`GopherRules.ngramBattery` / `NgramRepetitionExpr`): top-{2,3,4}-gram
+    * character concentration (multiplicity × joined-gram length, ties to the
+    * binary-smallest gram) and dup-{5..10}-gram character coverage (union
+    * over word positions — overlapping duplicate windows count a word once),
+    * flagged by integer cross-multiplication at the paper's thresholds. One
+    * compiled pass per doc; the corpus is never shuffled. Every 7th doc gets
+    * its first 8 words re-appended (the plant is deterministic, the oracle
+    * re-derives it) so the dup-{5..8} coverage branch has real variance on
+    * the repeat-free synthetic corpus; top-{2,3,4} flags fire naturally. */
+  private def qNgramRepetition(s: SparkSession, dir: String): DataFrame = {
+    val ws8 = array_join(slice(TextFns.words(col("text")), 1, 8), " ")
+    val planted = t(s, dir, "documents").withColumn("text",
+      when(pmod(col("doc_id"), lit(7L)) === 0,
+        concat_ws(" ", col("text"), ws8)).otherwise(col("text")))
+    GopherRules.ngramBattery(planted, "doc_id", "text")
+      .orderBy(col("doc_id"))
+  }
+
   /** The bloom pre-filter COMPOSED with the exact contamination join
     * (`Contamination.sharedNgramsBloom`, stats shape) — the 100 TB production
     * form of q47: the benchmark's distinct 5-grams become a KB-sized bloom
@@ -1703,6 +1723,94 @@ object SparkEntry {
     "q25_dedup_simhash" -> "q59_simhash_containment",
     "q43_ann_ivf_topk" -> "q58_ivf_full_probe",
     "q46_embedding_dedup_lsh" -> "q60_embedding_dedup_lsh_corpus")
+
+  /** q98 oracle, generated per n (hand-writing 9 near-identical CTE families
+    * invites drift): top-{2,3,4} via count-per-gram + a (cnt DESC, g ASC)
+    * row_number pick; dup-{5..10} via duplicate grams -> distinct covered
+    * token positions -> summed word lengths — the same coverage-union
+    * semantics the compiled expression implements. */
+  private def ngramRepetitionSql: String = {
+    val tops = Seq((2, 20), (3, 18), (4, 16))
+    val dups = Seq((5, 15), (6, 14), (7, 13), (8, 12), (9, 11), (10, 10))
+    def gramList(n: Int) =
+      s"list_transform(range(1, len(ws) - ${n - 2}), " +
+        s"i -> array_to_string(ws[i:i+${n - 1}], ' '))"
+    val topCtes = tops.map { case (n, _) =>
+      s"""g$n AS (
+         |  SELECT doc_id, unnest(${gramList(n)}) AS g
+         |  FROM toks WHERE len(ws) >= $n),
+         |t$n AS (
+         |  SELECT doc_id, cnt AS top${n}_n, cnt * len(g) AS top${n}_chars
+         |  FROM (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS cnt
+         |        FROM g$n GROUP BY doc_id, g)
+         |  QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY cnt DESC, g ASC) = 1)""".stripMargin
+    }
+    val dupCtes = dups.map { case (n, _) =>
+      s"""w$n AS (
+         |  SELECT doc_id, u.p AS p, u.g AS g FROM (
+         |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - ${n - 2}),
+         |      i -> {'p': i, 'g': array_to_string(ws[i:i+${n - 1}], ' ')})) AS u
+         |    FROM toks WHERE len(ws) >= $n)),
+         |d$n AS (SELECT doc_id, g FROM w$n
+         |        GROUP BY doc_id, g HAVING COUNT(*) >= 2),
+         |c$n AS (SELECT DISTINCT doc_id, idx FROM (
+         |  SELECT w.doc_id, unnest(range(w.p, w.p + $n)) AS idx
+         |  FROM w$n w JOIN d$n d ON d.doc_id = w.doc_id AND d.g = w.g)),
+         |s$n AS (
+         |  SELECT c.doc_id, CAST(SUM(len(t.ws[c.idx])) AS BIGINT)
+         |    AS dup${n}_chars
+         |  FROM c$n c JOIN toks t USING (doc_id) GROUP BY c.doc_id)""".stripMargin
+    }
+    val statSel =
+      tops.map { case (n, _) =>
+        s"COALESCE(t$n.top${n}_n, 0) AS top${n}_n,\n" +
+          s"  COALESCE(t$n.top${n}_chars, 0) AS top${n}_chars" }
+        .mkString(",\n  ") + ",\n  " +
+      dups.map { case (n, _) =>
+        s"COALESCE(s$n.dup${n}_chars, 0) AS dup${n}_chars" }.mkString(",\n  ")
+    val flagSel =
+      tops.map { case (n, p) =>
+        s"COALESCE(t$n.top${n}_chars, 0) * 100 > b.n_word_chars * $p" +
+          s" AS flag_top$n" }.mkString(",\n  ") + ",\n  " +
+      dups.map { case (n, p) =>
+        s"COALESCE(s$n.dup${n}_chars, 0) * 100 > b.n_word_chars * $p" +
+          s" AS flag_dup$n" }.mkString(",\n  ")
+    val keepExpr = "NOT (" +
+      (tops.map { case (n, p) =>
+        s"COALESCE(t$n.top${n}_chars, 0) * 100 > b.n_word_chars * $p" } ++
+       dups.map { case (n, p) =>
+        s"COALESCE(s$n.dup${n}_chars, 0) * 100 > b.n_word_chars * $p" })
+        .mkString(" OR ") + ") AS keep"
+    val joins =
+      tops.map { case (n, _) => s"LEFT JOIN t$n ON t$n.doc_id = b.doc_id" }
+        .mkString("\n") + "\n" +
+      dups.map { case (n, _) => s"LEFT JOIN s$n ON s$n.doc_id = b.doc_id" }
+        .mkString("\n")
+    s"""WITH toks0 AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+       |      w -> len(w) > 0) AS ws
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN ws || ws[1:8] ELSE ws END AS ws
+       |  FROM toks0),
+       |base AS (
+       |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+       |    CAST(list_reduce(list_prepend(0::BIGINT,
+       |      list_transform(ws, w -> len(w))), (a, b) -> a + b) AS BIGINT)
+       |      AS n_word_chars
+       |  FROM toks),
+       |${(topCtes ++ dupCtes).mkString(",\n")}
+       |SELECT b.doc_id, b.n_words, b.n_word_chars,
+       |  $statSel,
+       |  $flagSel,
+       |  $keepExpr
+       |FROM base b
+       |$joins
+       |ORDER BY b.doc_id""".stripMargin
+  }
 
   /** Shared DuckDB re-derivation of the bloom word-frame over the planted
     * benchmark's distinct 5-grams — q47's gram construction, the q93
@@ -3343,6 +3451,9 @@ object SparkEntry {
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |WHERE d.doc_id % 97 <> 0
         |ORDER BY d.doc_id""".stripMargin),
+    // q98: generated CTE battery (see ngramRepetitionSql) — top-n picks and
+    // coverage-union dup chars, bit-for-bit vs the compiled expression
+    "q98_ngram_repetition" -> ngramRepetitionSql,
     // q95: q69's synth corpus, windows as STRINGS (the engine's 64-bit
     // window hashes are collision-free groupings of the same sets), global
     // first = row_number over (doc_id, pos), drop mask = distinct covered

@@ -152,6 +152,43 @@ object GopherRules {
           col("flag_top_word") || col("flag_word_count")))
   }
 
+  /** The word n-gram half of the Gopher repetition battery (Rae 2112.11446
+    * §A1.1, Table A1) — the signals the line battery above cannot see:
+    * top-{2,3,4}-gram character concentration and dup-{5..10}-gram character
+    * coverage, all from ONE compiled pass per document
+    * ([[graft.functions.NgramRepetitionExpr]]), flagged by integer
+    * cross-multiplication against per-n percentage thresholds (defaults =
+    * the paper's, ×100). Both fraction families share the word-character
+    * denominator; zero-word documents trip nothing (0 > 0 is false). */
+  def ngramBattery(docs: DataFrame, idCol: String, textCol: String,
+                   topPcts: Map[Int, Int] = Map(2 -> 20, 3 -> 18, 4 -> 16),
+                   dupPcts: Map[Int, Int] = Map(5 -> 15, 6 -> 14, 7 -> 13,
+                     8 -> 12, 9 -> 11, 10 -> 10)): DataFrame = {
+    require(topPcts.keySet == Set(2, 3, 4) && dupPcts.keySet == (5 to 10).toSet,
+      "thresholds must cover exactly top-{2,3,4} and dup-{5..10}")
+    require((topPcts.values ++ dupPcts.values).forall(_ >= 0),
+      "percentage thresholds must be non-negative")
+    val statCols = Seq("n_words", "n_word_chars") ++
+      (2 to 4).flatMap(n => Seq(s"top${n}_n", s"top${n}_chars")) ++
+      (5 to 10).map(n => s"dup${n}_chars")
+    val base = docs
+      .withColumn("__nr", graft.functions.NgramRepetitionExpr(col(textCol)))
+      .select(col(idCol) +: statCols.map(f => col(s"__nr.$f").as(f)): _*)
+    val flagged = (2 to 4).foldLeft(base) { (df, n) =>
+      df.withColumn(s"flag_top$n",
+        col(s"top${n}_chars") * 100L >
+          col("n_word_chars") * topPcts(n).toLong)
+    }
+    val flagged2 = (5 to 10).foldLeft(flagged) { (df, n) =>
+      df.withColumn(s"flag_dup$n",
+        col(s"dup${n}_chars") * 100L >
+          col("n_word_chars") * dupPcts(n).toLong)
+    }
+    val flagCols = (2 to 4).map(n => col(s"flag_top$n")) ++
+      (5 to 10).map(n => col(s"flag_dup$n"))
+    flagged2.withColumn("keep", !flagCols.reduce(_ || _))
+  }
+
   /** The REMEDY to the flag: drop every repeat of a line within the
     * document, keeping the first occurrence in place — the C4/RefinedWeb
     * within-page boilerplate scrub (distinct from `Dedup.lineDedup`, which

@@ -128,6 +128,96 @@ class GopherRulesSpec extends SparkSpec {
     }
   }
 
+  test("NgramRepetitionExpr == independent Scala reference (ties, unicode, edges)") {
+    // reference implemented with idiomatic collections (sliding/groupBy),
+    // structurally unlike the expression's while-loops — an independent
+    // derivation of the same contract
+    def utf8Lt(a: String, b: String): Boolean = {
+      val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+      val m = math.min(x.length, y.length)
+      var i = 0
+      while (i < m) {
+        val d = (x(i) & 0xff) - (y(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      x.length < y.length
+    }
+    def cp(s: String): Long = s.codePointCount(0, s.length).toLong
+    def ref(text: String): Seq[Long] = {
+      val ws = text.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val wordChars = ws.map(cp).sum
+      val tops = (2 to 4).flatMap { n =>
+        val counts = if (ws.length < n) Map.empty[String, Long]
+          else ws.sliding(n).map(_.mkString(" ")).toSeq
+            .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        if (counts.isEmpty) Seq(0L, 0L)
+        else {
+          val best = counts.values.max
+          val gram = counts.filter(_._2 == best).keys
+            .reduce((a, b) => if (utf8Lt(a, b)) a else b)
+          Seq(best, best * cp(gram))
+        }
+      }
+      val dups = (5 to 10).map { n =>
+        if (ws.length < n) 0L
+        else {
+          val grams = ws.sliding(n).map(_.mkString(" ")).toSeq
+          val dup = grams.groupBy(identity).filter(_._2.size >= 2).keySet
+          val covered = grams.zipWithIndex
+            .filter { case (g, _) => dup(g) }
+            .flatMap { case (_, i) => i until (i + n) }.toSet
+          covered.toSeq.map(i => cp(ws(i))).sum
+        }
+      }
+      Seq(ws.length.toLong, wordChars) ++ tops ++ dups
+    }
+    val texts = Seq(
+      "a b c a b c a b c",                       // heavy 2/3-gram repeats
+      "x y x y x y x y x y x y",                 // long alternation: dup 5..10
+      "aa bb aa bb cc dd cc dd",                 // 2-gram tie: 'aa bb' vs 'cc dd'
+      "é ü é ü é ü",                             // unicode grams
+      "one two three four five six seven eight nine ten eleven",
+      "w w w w w w w w w w w w",                 // single repeated word
+      "short", "", "  \t ",
+      ("p q r s t u v w x y z " * 3).trim)       // 11-gram repeat: dup 5..10 all fire
+    val got = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select($"id", graft.functions.NgramRepetitionExpr($"t").as("r"))
+      .select($"id" +: graft.functions.NgramRepetitionExpr.schema.fields
+        .map(f => col(s"r.${f.name}")): _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1).map(_.asInstanceOf[Long]))
+      .toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == ref(t), s"id=$i text='$t'")
+    }
+    // real corpus sweep
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").collect().map(r => r.getLong(0) -> r.getString(1))
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", graft.functions.NgramRepetitionExpr($"text").as("r"))
+      .select($"doc_id" +: graft.functions.NgramRepetitionExpr.schema.fields
+        .map(f => col(s"r.${f.name}")): _*)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1).map(_.asInstanceOf[Long]))
+      .toMap
+    docs.foreach { case (id, t) =>
+      assert(real(id) == ref(t), s"doc_id=$id diverges from reference")
+    }
+  }
+
+  test("ngramBattery: flags fire strictly above thresholds; keep composes") {
+    // 'a b ' x 6: 12 words, top-2-gram 'a b' x6 (dominates), dup-5 covers all
+    val hot = ("a b " * 6).trim
+    // long enough that a 1-count top gram is a small char fraction
+    val cold = (1 to 40).map(i => s"word$i").mkString(" ")
+    val out = GopherRules.ngramBattery(
+        Seq((1L, hot), (2L, cold)).toDF("id", "t"), "id", "t")
+      .select("id", "flag_top2", "flag_dup5", "keep")
+      .as[(Long, Boolean, Boolean, Boolean)].collect().sortBy(_._1)
+    assert(out(0) === ((1L, true, true, false)))
+    assert(out(1) === ((2L, false, false, true)))
+  }
+
   test("importanceResample: matches the naive full-sort draw, any partitioning") {
     val scored = spark.range(0, 1000)
       .select(col("id"), (col("id") % 97L * 1000L - 48000L).as("w_e6"))
