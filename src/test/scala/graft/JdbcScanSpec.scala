@@ -69,4 +69,30 @@ class JdbcScanSpec extends SparkSpec {
       s"count not pushed:\n$gatePlan")
     assert(gate.as[Long].head() == 12L)
   }
+
+  test("S6: grouped SUM pushes into the database — the server-side re-bucketing shape") {
+    // ref: inputs/gen_mike_input_rf_obs_win.py:151-152 — the reference asks the
+    // SERVER to sum per bucket; the V2 path compiles SUM + GROUP BY into the
+    // remote query so only one row per group crosses the wire
+    setup
+    val series = graft.io.JdbcScan.table(spark, url, "APP.SERIES")
+    val sums = series.groupBy($"TMS_ID")
+      .agg(sum($"V").as("v_sum"), count(lit(1)).as("n"))
+    val plan = sums.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates") && plan.contains("SUM(V)"),
+      s"sum not pushed:\n$plan")
+    assert(plan.contains("PushedGroupByExpressions: [TMS_ID]"),
+      s"group-by not pushed:\n$plan")
+    // values must equal the V1 path's engine-side aggregation bit-for-bit
+    val v1 = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "series").load()
+      .groupBy($"tms_id").agg(sum($"v").as("v_sum"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect()
+      .map { case (id, s, n) => id -> ((s, n)) }.toMap
+    val v2 = sums.as[(String, Double, Long)].collect()
+    assert(v2.length == 2)
+    v2.foreach { case (id, s, n) =>
+      assert((s, n) == v1(id), s"pushed SUM diverged for $id")
+    }
+  }
 }
