@@ -20,6 +20,23 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamSchema: empty watch directory falls back to the legacy long-ts shape") {
+    // the poll-a-directory cron shape starts before any file exists — the
+    // stream must be startable immediately (r8 ADVICE); once real files land,
+    // the schema comes from their footers instead
+    val empty = java.nio.file.Files.createTempDirectory("ev-empty").toString
+    assert(graft.io.EventsTs.streamSchema(spark, empty) == EventStream.eventSchema)
+    val real = graft.io.EventsTs.streamSchema(spark, "/root/testdata/sf0.001")
+    assert(real.fieldNames.contains("ts") && real.fieldNames.contains("event_type"))
+    // and a stream actually starts over the empty dir with the fallback schema
+    val q = EventStream.windowedCounts(spark, empty).writeStream
+      .outputMode("complete").format("memory").queryName("ev_empty").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM ev_empty").collect()(0).getLong(0) == 0)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join: watermark-bounded state, exact pairs") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
