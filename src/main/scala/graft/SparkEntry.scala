@@ -171,7 +171,8 @@ object SparkEntry {
     "q95_window_scrub" -> qWindowScrub,
     "q96_hll_estimate" -> qHllEstimate,
     "q97_bloom_contamination" -> qBloomContamination,
-    "q98_ngram_repetition" -> qNgramRepetition)
+    "q98_ngram_repetition" -> qNgramRepetition,
+    "q99_bench_scrub" -> qBenchScrub)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1100,6 +1101,29 @@ object SparkEntry {
         all.filter(col("doc_id") % 97 =!= 0),
         all.filter(col("doc_id") % 97 === 0), "doc_id", "text", n = 5,
         stats = true)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Span-level decontamination (`Contamination.scrubBenchWindows`): every
+    * 20-token span whose content appears verbatim in the benchmark slice
+    * (doc_id%97==0) is cut from the corpus doc, the rest survives in place.
+    * Planted contamination: for every benchmark doc, a synthetic corpus doc
+    * (+600000) carries its neighbor's text with the benchmark's first 30
+    * words appended — the scrub must remove exactly that span (11 matching
+    * windows covering 30 tokens) and nothing else; the oracle re-derives the
+    * plant, the window match (as strings) and the rebuild. */
+  private def qBenchScrub(s: SparkSession, dir: String): DataFrame = {
+    val all = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val bench = all.filter(col("doc_id") % 97 === 0)
+    val base = all.filter(col("doc_id") % 97 =!= 0)
+    val planted = bench.as("b")
+      .join(all.as("n"), col("n.doc_id") === col("b.doc_id") + 1)
+      .select((col("b.doc_id") + 600000L).as("doc_id"),
+        concat_ws(" ", col("n.text"),
+          array_join(slice(TextFns.words(col("b.text")), 1, 30), " "))
+          .as("text"))
+    graft.operators.Contamination.scrubBenchWindows(
+        base.unionByName(planted), bench, "doc_id", "text", windowTokens = 20)
       .orderBy(col("doc_id"))
   }
 
@@ -3454,6 +3478,52 @@ object SparkEntry {
     // q98: generated CTE battery (see ngramRepetitionSql) — top-n picks and
     // coverage-union dup chars, bit-for-bit vs the compiled expression
     "q98_ngram_repetition" -> ngramRepetitionSql,
+    // q99: bench windows as STRINGS (the engine's xxhash64 windows are
+    // collision-free groupings of the same sets), planted span re-derived,
+    // covered positions dropped, ordered string_agg rebuild
+    "q99_bench_scrub" ->
+      """WITH toks0 AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |bench AS (SELECT doc_id, ws FROM toks0 WHERE doc_id % 97 = 0),
+        |basec AS (SELECT doc_id, ws FROM toks0 WHERE doc_id % 97 <> 0),
+        |plant AS (
+        |  SELECT b.doc_id + 600000 AS doc_id, n.ws || b.ws[1:30] AS ws
+        |  FROM bench b JOIN toks0 n ON n.doc_id = b.doc_id + 1),
+        |corpus AS (SELECT * FROM basec UNION ALL SELECT * FROM plant),
+        |bwin AS (
+        |  SELECT DISTINCT u AS g FROM (
+        |    SELECT unnest(list_transform(range(1, len(ws) - 18),
+        |      i -> array_to_string(ws[i:i+19], ' '))) AS u
+        |    FROM bench WHERE len(ws) >= 20)),
+        |cwin AS (
+        |  SELECT doc_id, u.pos AS pos, u.g AS g FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(ws) - 18),
+        |      i -> {'pos': i, 'g': array_to_string(ws[i:i+19], ' ')})) AS u
+        |    FROM corpus WHERE len(ws) >= 20)),
+        |hits AS (SELECT c.doc_id, c.pos FROM cwin c JOIN bwin b USING (g)),
+        |drops AS (
+        |  SELECT DISTINCT doc_id, idx FROM (
+        |    SELECT doc_id, unnest(range(pos, pos + 20)) AS idx FROM hits)),
+        |tok AS (
+        |  SELECT doc_id, unnest(range(1, len(ws) + 1)) AS idx, unnest(ws) AS tok
+        |  FROM corpus),
+        |kept AS (
+        |  SELECT t.doc_id, t.idx, t.tok
+        |  FROM tok t LEFT JOIN drops d
+        |    ON d.doc_id = t.doc_id AND d.idx = t.idx
+        |  WHERE d.doc_id IS NULL),
+        |reb AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_n,
+        |    string_agg(tok, ' ' ORDER BY idx) AS text
+        |  FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(len(c.ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(c.ws) - COALESCE(r.kept_n, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(r.text, '') AS text
+        |FROM corpus c LEFT JOIN reb r USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin,
     // q95: q69's synth corpus, windows as STRINGS (the engine's 64-bit
     // window hashes are collision-free groupings of the same sets), global
     // first = row_number over (doc_id, pos), drop mask = distinct covered

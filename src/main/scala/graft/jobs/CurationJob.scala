@@ -34,6 +34,10 @@ import org.apache.spark.sql.functions._
   *   "block_cols": ["lang"],           // dedup blocking
   *   "scrub_window_tokens": 20,        // optional exact-substring removal
   *                                     //   (0 = off; empty husks dropped)
+  *   "decontaminate_bench_path": "",   // optional span-level benchmark
+  *   "decontaminate_window_tokens": 20,//   decontamination: windows found
+  *                                     //   verbatim in this parquet's text
+  *                                     //   col are cut ("" = off)
   *   "redact_pii": true,
   *   "partition_by": ["lang"],         // output layout
   *   "mix_strata_col": "source",       // optional mixture step
@@ -51,7 +55,8 @@ object CurationJob {
 
   case class Stats(input: Long, afterQuality: Long, afterDedup: Long,
                    output: Long, afterScrub: Option[Long] = None,
-                   afterResample: Option[Long] = None)
+                   afterResample: Option[Long] = None,
+                   afterDecontam: Option[Long] = None)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -123,11 +128,29 @@ object CurationJob {
         (Some(joined.count()), joined)
       } else (None, deduped)
 
+    // 2c. optional span-level benchmark decontamination: every window whose
+    // content appears verbatim in the configured benchmark set is cut from
+    // the doc (no occurrence survives — benchmark text must not be
+    // trainable); fully-covered husks dropped, non-text columns rejoined
+    val benchPath = str("decontaminate_bench_path", "")
+    val (afterDecontam, decontaminated) =
+      if (benchPath.nonEmpty) {
+        val benchWin = str("decontaminate_window_tokens", "20").toInt
+        val benchDf = spark.read.parquet(benchPath)
+        val s = graft.operators.Contamination.scrubBenchWindows(
+            windowScrubbed, benchDf, idCol, textCol, benchWin)
+          .filter(col("n_removed") < col("n_tokens"))
+          .select(col(idCol), col(textCol).as("__decon"))
+        val joined = windowScrubbed.drop(textCol).join(s, Seq(idCol))
+          .withColumnRenamed("__decon", textCol)
+        (Some(joined.count()), joined)
+      } else (None, windowScrubbed)
+
     // 3. PII scrub
     val scrubbed =
       if (str("redact_pii", "true").toBoolean)
-        windowScrubbed.withColumn(textCol, TextFns.redactPii(col(textCol)))
-      else windowScrubbed
+        decontaminated.withColumn(textCol, TextFns.redactPii(col(textCol)))
+      else decontaminated
 
     // 4. optional deterministic mixture sampling
     val mixCol = str("mix_strata_col", "")
@@ -168,7 +191,7 @@ object CurationJob {
 
     gated.unpersist(); deduped.unpersist()
     val stats = Stats(input, afterQuality, afterDedup, output,
-      afterWindowScrub, afterResample)
+      afterWindowScrub, afterResample, afterDecontam)
     System.err.println(s"[curate] $stats")
     Some(stats)
   }

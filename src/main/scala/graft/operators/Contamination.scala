@@ -36,6 +36,56 @@ object Contamination {
       .withColumn("contaminated", col("shared_ngrams") > 0)
   }
 
+  /** Span-level DECONTAMINATION — the remedy paired with [[sharedNgrams]]'s
+    * flag: cut every `windowTokens`-token span of a corpus document whose
+    * content appears verbatim in the benchmark set, keep the rest of the
+    * document (the standard pre-training hygiene step when dropping whole
+    * documents is too blunt — GPT-3 appendix C's surgical variant of 13-gram
+    * decontamination). The within-corpus analog is
+    * `Dedup.scrubSharedWindows` (first occurrence survives); here NO corpus
+    * occurrence survives — benchmark text must not be trainable at all.
+    *
+    * Scale shape: the benchmark side collapses to DISTINCT window hashes and
+    * is BROADCAST (benchmarks are tiny vs the corpus); the corpus explodes
+    * positional windows map-side, probes the broadcast set, and only hit
+    * positions enter the (doc, pos)-keyed anti-join + rebuild — the same
+    * accepted shuffle shape as the q95 scrub. The corpus is never joined to
+    * itself. Returns (idCol, n_tokens, n_removed, textCol-rebuilt); docs
+    * fully covered come back as empty husks (callers drop or keep them). */
+  def scrubBenchWindows(docs: DataFrame, bench: DataFrame, idCol: String,
+                        textCol: String, windowTokens: Int = 20): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens must be >= 2, got $windowTokens")
+    val parts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val ws = TextFns.words(col(textCol))
+    val d = docs.repartition(parts)
+    val toks = d.select(col(idCol), posexplode(ws).as(Seq("__pos", "__tok")))
+    val wins = d.select(col(idCol),
+      posexplode(transform(TextFns.wordShingles(ws, windowTokens),
+        g => xxhash64(g))).as(Seq("__pos", "__wh")))
+    val benchWins = bench.repartition(parts)
+      .select(explode(transform(
+        TextFns.wordShingles(TextFns.words(col(textCol)), windowTokens),
+        g => xxhash64(g))).as("__wh"))
+      .distinct()
+    val hits = wins.join(broadcast(benchWins), "__wh")
+      .select(col(idCol), col("__pos"))
+    val drops = hits.select(col(idCol),
+        explode(sequence(col("__pos"),
+          col("__pos") + (windowTokens - 1))).as("__pos"))
+      .distinct()
+    val kept = toks.join(drops, Seq(idCol, "__pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("__kept"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("__pos"), col("__tok")))),
+          x => x("__tok")), " ").as("__text"))
+    d.select(col(idCol), size(ws).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_removed"),
+        coalesce(col("__text"), lit("")).as(textCol))
+  }
+
   /** The 100 TB production shape of [[sharedNgrams]]: a Bloom pre-filter
     * ([[Bloom.build]] over the benchmark's distinct grams — at most
     * `2^bitsLog2/32` rows regardless of benchmark size) rejects the vast

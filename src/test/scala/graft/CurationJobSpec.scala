@@ -74,4 +74,31 @@ class CurationJobSpec extends SparkSpec {
     val d3 = out.filter($"doc_id" === 3L).select($"text").as[String].collect()
     d3.foreach(t => assert(t.contains("b0")))
   }
+
+  test("curation job: span-level benchmark decontamination stage") {
+    val dir = Files.createTempDirectory("curation3")
+    def words(a: Int, b: Int) = (a until b).map(i => s"w$i").mkString(" ")
+    val benchSpan = (0 until 12).map(i => s"e$i").mkString(" ")
+    Seq(
+      (1L, words(0, 30) + " " + benchSpan, "src0"), // contaminated tail
+      (2L, words(100, 130), "src0"),                // clean
+      (3L, benchSpan, "src0"))                      // fully covered -> dropped
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/docs")
+    Seq((900L, s"$benchSpan trailing bench words here"))
+      .toDF("bench_id", "text").write.parquet(s"$dir/bench")
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/docs", "output_path": "$dir/out",
+         | "min_words": 5, "ngram_n": 3, "jaccard_threshold": 0.9,
+         | "decontaminate_bench_path": "$dir/bench",
+         | "decontaminate_window_tokens": 10, "redact_pii": false}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    assert(stats.input == 3 && stats.afterDecontam.contains(2) &&
+      stats.output == 2)
+    val out = spark.read.parquet(s"$dir/out")
+    val d1 = out.filter($"doc_id" === 1L).select($"text").as[String].head()
+    assert(!d1.contains("e0") && d1.contains("w0"),
+      s"benchmark span must be cut, body kept: $d1")
+    assert(out.filter($"doc_id" === 3L).isEmpty, "fully-covered husk must drop")
+  }
 }

@@ -24,6 +24,44 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 1L, true), (2L, 0L, false), (3L, 0L, false)))
   }
 
+  test("scrubBenchWindows: exact spans cut, rest survives in place, idempotent") {
+    // benchmark span of 6 tokens; corpus doc embeds it mid-document
+    val bench = Seq((100L, "b1 b2 b3 b4 b5 b6")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "pre1 pre2 b1 b2 b3 b4 b5 b6 post1 post2"), // mid-doc contamination
+      (2L, "clean doc with enough words to have windows ok"),
+      (3L, "b1 b2 b3 b4 b5 b6"),   // fully contaminated -> empty husk
+      (4L, "b1 b2 b3 b4 b5"))       // shorter than the window -> untouched
+      .toDF("doc_id", "text")
+    val out = Contamination.scrubBenchWindows(corpus, bench, "doc_id", "text",
+        windowTokens = 6)
+      .orderBy($"doc_id")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(out == Seq(
+      (1L, 10L, 6L, "pre1 pre2 post1 post2"),
+      (2L, 9L, 0L, "clean doc with enough words to have windows ok"),
+      (3L, 6L, 6L, ""),
+      (4L, 5L, 0L, "b1 b2 b3 b4 b5")))
+    // idempotence: scrubbing the scrubbed corpus removes nothing further
+    val again = Contamination.scrubBenchWindows(
+        out.map { case (id, _, _, t) => (id, t) }.toDF("doc_id", "text"),
+        bench, "doc_id", "text", windowTokens = 6)
+      .agg(sum($"n_removed")).as[Long].head()
+    assert(again == 0L)
+  }
+
+  test("scrubBenchWindows: overlapping windows cover the union of positions") {
+    // bench carries an 8-token span -> corpus doc shares it; windows of 6
+    // at offsets 0,1,2 all match; covered union = all 8 tokens
+    val bench = Seq((100L, "s1 s2 s3 s4 s5 s6 s7 s8")).toDF("doc_id", "text")
+    val corpus = Seq((1L, "x1 s1 s2 s3 s4 s5 s6 s7 s8 x2"))
+      .toDF("doc_id", "text")
+    val out = Contamination.scrubBenchWindows(corpus, bench, "doc_id", "text",
+        windowTokens = 6)
+      .as[(Long, Long, Long, String)].head()
+    assert(out == ((1L, 10L, 8L, "x1 x2")))
+  }
+
   test("maxRunLength: sorted multiplicities; empty array is 0") {
     val out = Seq(
       (1L, Seq(1L, 1L, 1L, 2L, 3L, 3L)),
