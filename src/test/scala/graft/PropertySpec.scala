@@ -268,6 +268,63 @@ class PropertySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("r9 native kernels == references on random small-alphabet text (forced ties)") {
+    // a 4-word alphabet + newline separators maximizes duplicate lines,
+    // duplicate n-grams and top-gram TIES — the paths hand-picked cases miss
+    val tokenGen = Gen.oneOf("aa", "b", "cc", "d", "é")
+    val sepGen = Gen.frequency(5 -> Gen.const(" "), 2 -> Gen.const("\n"),
+      1 -> Gen.const("  \n"))
+    val textGen = for {
+      n <- Gen.choose(0, 30)
+      toks <- Gen.listOfN(n, tokenGen)
+      seps <- Gen.listOfN(math.max(n - 1, 0), sepGen)
+    } yield toks.zipAll(seps, "", "").map { case (t, s) => t + s }.mkString
+    val docs = samples(textGen, 60).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("id", "t")
+    // LineStatsExpr vs the column-fold battery forms; LineScrubExpr vs the
+    // array_position walk; DistinctShinglesExpr vs the HOF pipeline
+    val bad = docs.select(
+        graft.functions.LineStatsExpr($"t").as("l1"),
+        struct(
+          graft.operators.GopherRules.lineRepetitionStruct($"t")("n_lines").as("n_lines"),
+          graft.operators.GopherRules.lineRepetitionStruct($"t")("n_dup_lines").as("n_dup_lines"),
+          graft.operators.GopherRules.lineRepetitionStruct($"t")("n_line_chars").as("n_line_chars"),
+          graft.operators.GopherRules.lineRepetitionStruct($"t")("n_dup_line_chars").as("n_dup_line_chars"),
+          graft.operators.GopherRules.topWordStruct($"t")("n_words").as("n_words"),
+          graft.operators.GopherRules.topWordStruct($"t")("n_word_chars").as("n_word_chars"),
+          graft.operators.GopherRules.topWordStruct($"t")("top_word_n").as("top_word_n"),
+          graft.operators.GopherRules.topWordStruct($"t")("top_word_chars").as("top_word_chars")).as("l2"),
+        graft.functions.LineScrubExpr($"t").as("s1"),
+        graft.functions.DistinctShinglesExpr($"t", 2).as("g1"),
+        array_distinct(graft.functions.TextFns.wordShingles(
+          graft.functions.TextFns.words($"t"), 2)).as("g2"))
+      .filter($"l1" =!= $"l2" || !($"g1" <=> $"g2") ||
+        $"s1.n_removed" < 0)
+      .count()
+    assert(bad == 0)
+    // scrub reference comparison needs the frame form
+    val nat = graft.operators.GopherRules.dropRepeatedLines(docs, "t")
+    val refd = graft.operators.GopherRules.dropRepeatedLines(docs, "t",
+      native = false)
+    assert(nat.exceptAll(refd).isEmpty && refd.exceptAll(nat).isEmpty)
+    // NgramRepetitionExpr vs the q98 spec's independent reference shape:
+    // coverage union monotonicity + denominators as cheap invariants here
+    // (full reference equality lives in GopherRulesSpec); dup_n chars can
+    // never exceed total word chars and never increase with n on these docs
+    val inv = docs.select(
+        graft.functions.NgramRepetitionExpr($"t").as("r"))
+      .select($"r.n_word_chars".as("wc"),
+        $"r.dup5_chars".as("d5"), $"r.dup6_chars".as("d6"),
+        $"r.dup7_chars".as("d7"), $"r.dup8_chars".as("d8"),
+        $"r.dup9_chars".as("d9"), $"r.dup10_chars".as("d10"),
+        $"r.top2_chars".as("t2c"), $"r.top2_n".as("t2n"))
+      .filter($"d5" > $"wc" || $"d6" > $"d5" || $"d7" > $"d6" ||
+        $"d8" > $"d7" || $"d9" > $"d8" || $"d10" > $"d9" ||
+        ($"t2n" === 0 && $"t2c" =!= 0))
+      .count()
+    assert(inv == 0)
+  }
+
   test("pivot . unpivot == identity on deduplicated (time,key) pairs") {
     val gen = Gen.nonEmptyListOf(for {
       t <- Gen.oneOf("t1", "t2", "t3"); k <- Gen.oneOf("a", "b")
