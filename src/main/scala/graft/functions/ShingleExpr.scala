@@ -171,3 +171,46 @@ object WinnowedShinglesExpr {
       WinnowedShinglesExpr(
         org.apache.spark.sql.graft.ColumnBridge.expression(text), n, stride))
 }
+
+/** POSITIONAL window hashes — the scrub family's input: one xxhash64(seed 42)
+  * per n-token window, DOCUMENT ORDER, no sort, no dedup (`posexplode`
+  * consumers need the position). The compiled form of
+  * `transform(wordShingles(words(text), n), g => xxhash64(g))`, which rides
+  * interpreted HOFs; bit-identical by the shared
+  * [[SortedHashedShinglesExpr.positionalHashes]] kernel (same tokens, same
+  * joined grams, same seed). Short docs yield an empty array, exactly like
+  * the column form's `.otherwise(array())` after transform. */
+case class PositionalShinglesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"positional_shingles requires a string argument, got " +
+        child.dataType.simpleString)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "positional_shingles"
+
+  override def nullSafeEval(input: Any): Any =
+    PositionalShinglesExpr.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.PositionalShinglesExpr.compute($c, $n)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): PositionalShinglesExpr = copy(child = newChild)
+}
+
+object PositionalShinglesExpr {
+
+  /** Referenced from generated code. */
+  def compute(text: UTF8String, n: Int): GenericArrayData =
+    new GenericArrayData(SortedHashedShinglesExpr.positionalHashes(text, n))
+
+  /** Column form — direct expression construction, no registry required. */
+  def apply(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      PositionalShinglesExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text), n))
+}

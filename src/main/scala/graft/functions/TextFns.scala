@@ -58,6 +58,12 @@ object TextFns {
   def stringShingles(text: Column, n: Int): Column =
     DistinctShinglesExpr(text, n)
 
+  /** POSITIONAL window hashes in document order (no sort/dedup — for
+    * `posexplode` consumers like the scrub family): native compiled form of
+    * `transform(wordShingles(words(text), n), g => xxhash64(g))`. */
+  def positionalShingles(text: Column, n: Int): Column =
+    PositionalShinglesExpr(text, n)
+
   /** Winnowed (minimizer-sampled) distinct window hashes: keep the minimum
     * hash value of every `stride` consecutive window positions — ~stride×
     * fewer hashes, with the winnowing recall contract (any ≥ (n + stride − 1)

@@ -60,12 +60,13 @@ object Contamination {
     val d = docs.repartition(parts)
     val toks = d.select(col(idCol), posexplode(ws).as(Seq("__pos", "__tok")))
     val wins = d.select(col(idCol),
-      posexplode(transform(TextFns.wordShingles(ws, windowTokens),
-        g => xxhash64(g))).as(Seq("__pos", "__wh")))
+      posexplode(TextFns.positionalShingles(col(textCol), windowTokens))
+        .as(Seq("__pos", "__wh")))
+    // hashedShingles is already per-doc sorted-distinct; the cross-doc
+    // distinct still collapses windows shared between benchmark docs
     val benchWins = bench.repartition(parts)
-      .select(explode(transform(
-        TextFns.wordShingles(TextFns.words(col(textCol)), windowTokens),
-        g => xxhash64(g))).as("__wh"))
+      .select(explode(TextFns.hashedShingles(col(textCol), windowTokens))
+        .as("__wh"))
       .distinct()
     val hits = wins.join(broadcast(benchWins), "__wh")
       .select(col(idCol), col("__pos"))

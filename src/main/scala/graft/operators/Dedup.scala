@@ -382,8 +382,8 @@ object Dedup {
     val d = ensureParallel(docs)
     val toks = d.select(col(idCol), posexplode(ws).as(Seq("__pos", "__tok")))
     val wins = d.select(col(idCol),
-      posexplode(transform(TextFns.wordShingles(ws, windowTokens),
-        g => xxhash64(g))).as(Seq("__pos", "__wh")))
+      posexplode(TextFns.positionalShingles(col(textCol), windowTokens))
+        .as(Seq("__pos", "__wh")))
     val first = wins.groupBy(col("__wh"))
       .agg(min(struct(col(idCol), col("__pos"))).as("__f"))
     val dupWins = wins.join(first, "__wh")

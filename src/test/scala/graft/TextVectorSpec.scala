@@ -71,6 +71,33 @@ class TextVectorSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("native positional shingles == HOF transform pipeline (order + values)") {
+    val texts = Seq(
+      "The quick brown Fox jumps over the lazy dog",
+      "a b a b a b",                    // repeated windows must repeat in place
+      "über ÜBER über", "two words", "one", "")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val both = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "t")
+        .select($"id",
+          TextFns.positionalShingles($"t", n).as("native"),
+          transform(TextFns.wordShingles(TextFns.words($"t"), n),
+            g => xxhash64(g)).as("cols"))
+        .collect()
+      both.foreach { r =>
+        assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+          s"n=$n id=${r.getLong(0)}")
+      }
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val diff = docs.select(
+        TextFns.positionalShingles($"text", 20).as("a"),
+        transform(TextFns.wordShingles(TextFns.words($"text"), 20),
+          g => xxhash64(g)).as("b"))
+      .filter(!($"a" <=> $"b")).count()
+    assert(diff == 0)
+  }
+
   test("native hyperplane_bucket == HOF column form on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     for ((planes, off) <- Seq((6, 0), (12, 24))) {
