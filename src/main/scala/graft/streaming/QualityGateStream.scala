@@ -22,26 +22,38 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *
   * Gate semantics: admit iff `avg_nll_e6 <= maxAvgNllE6` (not too surprising
   * under the in-domain LM) AND `margin_e3 >= minMarginE3` (classifier says
-  * quality). Documents with fewer than two tokens have no LM evidence and
-  * are REJECTED — an admission gate fails closed. */
+  * quality) AND — when `gopher = true` — both Gopher repetition batteries
+  * keep the doc (line half q90 + word-n-gram half q98, paper-default
+  * thresholds; pure per-row compiled kernels, so the extra gate adds no
+  * shuffle and no state). Documents with fewer than two tokens have no LM
+  * evidence and are REJECTED — an admission gate fails closed. */
 object QualityGateStream {
 
   def run(stream: DataFrame, idCol: String, textCol: String,
           lm: NgramLm.BigramLm, weights: DataFrame, dim: Int,
-          maxAvgNllE6: Long, minMarginE3: Long, checkpoint: String)
+          maxAvgNllE6: Long, minMarginE3: Long, checkpoint: String,
+          gopher: Boolean = false)
          (sink: DataFrame => Unit): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
           val b = batch.persist()
-          val admitted = b
+          val scored = b
             .join(NgramLm.scoreBigram(b, idCol, textCol, lm)
               .filter(col("avg_nll_e6") <= maxAvgNllE6)
               .select(col(idCol)), Seq(idCol))
             .join(Classifier.marginScore(b, idCol, textCol, weights, dim)
               .filter(col("margin_e3") >= minMarginE3)
               .select(col(idCol)), Seq(idCol))
+          val admitted = if (!gopher) scored
+            else scored
+              .join(graft.operators.GopherRules
+                .battery(b, idCol, textCol, minWords = 0)
+                .filter(col("keep")).select(col(idCol)), Seq(idCol))
+              .join(graft.operators.GopherRules
+                .ngramBattery(b, idCol, textCol)
+                .filter(col("keep")).select(col(idCol)), Seq(idCol))
           sink(admitted)
           b.unpersist()
         }

@@ -65,4 +65,45 @@ class QualityGateStreamSpec extends SparkSpec {
         s"stream must admit exactly the batch-admitted set, got ${got.toSet}")
     } finally q.stop()
   }
+
+  test("gopher gate: repetition-flagged docs are rejected in-flight") {
+    val dim = 32
+    val trusted = Seq(
+      (100L, "theorem proof lemma math theorem proof"),
+      (101L, "proof math theorem lemma proof")).toDF("doc_id", "text")
+    val lm = NgramLm.trainBigram(trusted, "text")
+    // permissive classifier: every bucket positive — only the batteries gate
+    val weights = spark.range(dim).select($"id".cast("int").as("bucket"),
+      lit(100L).as("w_e3"))
+    val arrivals = Seq(
+      // long + diverse: no concentration flag fires -> admit
+      (1L, (1 to 40).map(i => s"word$i").mkString(" ")),
+      // top-2-gram 'theorem proof' dominates chars -> q98 battery drops it
+      (2L, ("theorem proof " * 12).trim))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Set[Long]()
+    val ckpt = java.nio.file.Files.createTempDirectory("gate-ckpt2").toString
+    val q = QualityGateStream.run(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", lm, weights, dim, maxAvgNllE6 = 50000000L,
+        minMarginE3 = Long.MinValue, ckpt, gopher = true) { admitted =>
+      got ++= admitted.select(col("doc_id")).as[Long].collect()
+      ()
+    }
+    try {
+      input.addData(arrivals: _*)
+      q.processAllAvailable()
+      assert(got.toSet == Set(1L),
+        s"gopher gate must drop the repetition-flooded doc, got ${got.toSet}")
+      // the stream gate must equal the batch batteries' verdicts exactly
+      val arrivalsDf = arrivals.toDF("doc_id", "text")
+      val batchKeep = graft.operators.GopherRules
+        .battery(arrivalsDf, "doc_id", "text", minWords = 0).filter($"keep")
+        .join(graft.operators.GopherRules
+          .ngramBattery(arrivalsDf, "doc_id", "text").filter($"keep"),
+          "doc_id")
+        .select($"doc_id").as[Long].collect().toSet
+      assert(got.toSet == batchKeep)
+    } finally q.stop()
+  }
 }
