@@ -21,6 +21,7 @@ import org.apache.spark.sql.functions._
   *   "id_col": "doc_id", "text_col": "text",
   *   "min_words": 20,                  // quality gate
   *   "gopher_rules": true,             // optional Gopher line-rule battery
+  *   "gopher_ngrams": false,           // optional word-n-gram battery (q98)
   *   "reline_words_per_line": 8,       //   re-line newline-free text (0 = lined).
   *                                     //   Re-lining always runs the codegen'd
   *                                     //   single-regexp-pass form
@@ -92,7 +93,7 @@ object CurationJob {
     // Gopher line-rule battery — re-lining newline-free corpora first
     val wordGated = docs.filter(
       TextStatsExpr(col(textCol), Nil)("n_words") >= str("min_words", "20").toLong)
-    val gated = (if (str("gopher_rules", "false").toBoolean) {
+    val lineGated = if (str("gopher_rules", "false").toBoolean) {
         val reline = str("reline_words_per_line", "0").toInt
         val lined = if (reline > 0)
           wordGated.withColumn("__lined",
@@ -102,7 +103,15 @@ object CurationJob {
           minWords = 0) // word-count floor already applied above
           .filter(col("keep")).select(col(idCol))
         lined.join(keep, Seq(idCol), "left_semi").drop("__lined")
-      } else wordGated)
+      } else wordGated
+    // word-n-gram battery (q98) — n-grams ignore line structure, so it runs
+    // on the raw text either way; pure per-row compiled kernel, no shuffle
+    val gated = (if (str("gopher_ngrams", "false").toBoolean)
+        lineGated.join(
+          GopherRules.ngramBattery(lineGated, idCol, textCol)
+            .filter(col("keep")).select(col(idCol)),
+          Seq(idCol), "left_semi")
+      else lineGated)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterQuality = gated.count()
 

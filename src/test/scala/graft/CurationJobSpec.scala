@@ -75,6 +75,24 @@ class CurationJobSpec extends SparkSpec {
     d3.foreach(t => assert(t.contains("b0")))
   }
 
+  test("curation job: gopher_ngrams gate drops repetition-flooded docs") {
+    val dir = Files.createTempDirectory("curation4")
+    Seq(
+      (1L, (1 to 40).map(i => s"word$i").mkString(" "), "src0"),
+      (2L, ("theorem proof " * 15).trim, "src0")) // top-2-gram flood
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/docs")
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/docs", "output_path": "$dir/out",
+         | "min_words": 5, "gopher_ngrams": true,
+         | "ngram_n": 3, "jaccard_threshold": 0.9,
+         | "redact_pii": false}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    assert(stats.input == 2 && stats.afterQuality == 1 && stats.output == 1)
+    assert(spark.read.parquet(s"$dir/out")
+      .select($"doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("curation job: span-level benchmark decontamination stage") {
     val dir = Files.createTempDirectory("curation3")
     def words(a: Int, b: Int) = (a until b).map(i => s"w$i").mkString(" ")
