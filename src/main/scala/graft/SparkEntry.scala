@@ -172,7 +172,8 @@ object SparkEntry {
     "q96_hll_estimate" -> qHllEstimate,
     "q97_bloom_contamination" -> qBloomContamination,
     "q98_ngram_repetition" -> qNgramRepetition,
-    "q99_bench_scrub" -> qBenchScrub)
+    "q99_bench_scrub" -> qBenchScrub,
+    "q100_cms_hitters" -> qCmsHitters)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1044,6 +1045,39 @@ object SparkEntry {
     graft.operators.Cardinality.hllRegisters(toks, Seq("source"),
         col("token"), p = 8)
       .orderBy(col("source"), col("bucket"))
+  }
+
+  /** Count-Min frequency sketch + heavy-hitter probe (`CountMin.build`/
+    * `estimate`): the frequency third of the sketch triad (q93 HLL counts
+    * distincts, q94 Bloom answers membership). The corpus pass is ONE
+    * map-combinable count aggregate into a constant-size (source × 3 × 2¹²)
+    * counter frame; the bounded candidate set (distinct tokens of a fixed
+    * doc slice) probes it through 3 broadcast joins, min over rows. The
+    * APPROXIMATE sketch is EXACTLY oracle-checkable (every bucket is integer
+    * arithmetic on the mixed FNV hash), and the output carries the exact
+    * count beside the estimate — est_cnt ≥ exact_cnt on every row is the
+    * never-undercount contract the frequency-cap composition rests on. */
+  private def qCmsHitters(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CountMin
+    val docs = t(s, dir, "documents")
+    def toks(df: DataFrame): DataFrame = df.select(col("source"),
+      explode(TextFns.words(col("text"))).as("token"))
+    val corpus = toks(docs)
+    val sketch = CountMin.build(corpus, Seq("source"), col("token"),
+      wLog2 = 12, d = 3)
+    val cands = toks(docs.filter(col("doc_id") < 50)).distinct()
+    // exact counts ONLY over the bounded candidate set — never a
+    // vocabulary-sized exact count table
+    val exact = corpus.join(broadcast(cands), Seq("source", "token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("exact_cnt"))
+    CountMin.estimate(cands, col("token"), sketch, Seq("source"),
+        wLog2 = 12, d = 3)
+      .withColumnRenamed("est", "est_cnt")
+      .join(exact, Seq("source", "token"))
+      .select(col("source"), col("token"), col("est_cnt"), col("exact_cnt"))
+      .orderBy(col("est_cnt").desc, col("source"), col("token"))
+      .limit(100)
   }
 
   /** Bloom-filter contamination PRE-FILTER (`Bloom.build`/`probe`): the
@@ -3524,6 +3558,51 @@ object SparkEntry {
         |  COALESCE(r.text, '') AS text
         |FROM corpus c LEFT JOIN reb r USING (doc_id)
         |ORDER BY c.doc_id""".stripMargin,
+    // q100: the Count-Min sketch re-derived — per-(source, token) exact
+    // counts feed 3 counter rows whose buckets are the disjoint 12-bit
+    // fields of the q93 fnv→mix64 HUGEINT chain; the estimate is the min
+    // over the 3 bucket counters; candidates = distinct tokens of the
+    // doc_id < 50 slice; exact_cnt rides beside est_cnt
+    "q100_cms_hitters" ->
+      ("""WITH toks AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    w -> len(w) > 0)) AS token
+        |  FROM documents),
+        |tc AS (SELECT source, token, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+        |toksd AS (SELECT DISTINCT token FROM tc)""".stripMargin +
+      ",\n" + fnvMix64ChainSql + ",\n" +
+      """cms AS (
+        |  SELECT t.source, v.r,
+        |    CAST(f.h // v.s % 4096 AS INT) AS bucket, SUM(t.c) AS cnt
+        |  FROM tc t JOIN mixed f USING (token)
+        |  CROSS JOIN (VALUES (0, 1::HUGEINT), (1, 4096::HUGEINT),
+        |    (2, 16777216::HUGEINT)) v(r, s)
+        |  GROUP BY 1, 2, 3),
+        |cand AS (
+        |  SELECT DISTINCT source, token FROM (
+        |    SELECT source, unnest(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> len(w) > 0)) AS token
+        |    FROM documents WHERE doc_id < 50)),
+        |cb AS (
+        |  SELECT c.source, c.token, f.h
+        |  FROM cand c JOIN mixed f USING (token)),
+        |est AS (
+        |  SELECT cb.source, cb.token,
+        |    LEAST(COALESCE(m0.cnt, 0), COALESCE(m1.cnt, 0),
+        |      COALESCE(m2.cnt, 0)) AS est_cnt
+        |  FROM cb
+        |  LEFT JOIN cms m0 ON m0.source = cb.source AND m0.r = 0
+        |    AND m0.bucket = CAST(cb.h % 4096 AS INT)
+        |  LEFT JOIN cms m1 ON m1.source = cb.source AND m1.r = 1
+        |    AND m1.bucket = CAST(cb.h // 4096 % 4096 AS INT)
+        |  LEFT JOIN cms m2 ON m2.source = cb.source AND m2.r = 2
+        |    AND m2.bucket = CAST(cb.h // 16777216 % 4096 AS INT))
+        |SELECT e.source, e.token, CAST(e.est_cnt AS BIGINT) AS est_cnt,
+        |  CAST(t.c AS BIGINT) AS exact_cnt
+        |FROM est e JOIN tc t USING (source, token)
+        |ORDER BY est_cnt DESC, e.source, e.token LIMIT 100""".stripMargin),
     // q95: q69's synth corpus, windows as STRINGS (the engine's 64-bit
     // window hashes are collision-free groupings of the same sets), global
     // first = row_number over (doc_id, pos), drop mask = distinct covered
@@ -3582,21 +3661,15 @@ object SparkEntry {
     * the identical bits in DuckDB. */
   private val hllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
 
-  /** q93/q96's shared register derivation: q85's byte-exact FNV-1a HUGEINT
-    * walk kept UNSIGNED, the splitmix64 finalizer (xor on the signed view,
+  /** The FNV-1a→splitmix64 HUGEINT walk over a `toksd(token)` CTE, ending
+    * at `mixed(token, h)` (h unsigned): q85's byte-exact FNV-1a walk kept
+    * UNSIGNED, then the splitmix64 finalizer (xor on the signed view,
     * multiply mod 2^64 via 32-bit-half decomposition so signed INT128 never
-    * overflows), bucket = h div 2^56, rho = 57 - bit-length of the 56-bit
-    * remainder (`length(bin(w))` = floor(log2 w)+1). Ends at the ungrouped
-    * per-(source, token) `reg` CTE. */
-  private val hllRegisterChainSql: String =
-      """WITH toks AS (
-        |  SELECT source, unnest(list_filter(
-        |    string_split_regex(lower(trim(text)), '\s+'),
-        |    w -> len(w) > 0)) AS token
-        |  FROM documents),
-        |st AS (SELECT DISTINCT source, token FROM toks),
-        |toksd AS (SELECT DISTINCT token FROM st),
-        |fnv AS (
+    * overflows) — the shared hash tail of the q93/q96/q100 sketch oracles.
+    * Callers supply the head CTEs (`toksd` must exist) and append their own
+    * consumers. */
+  private val fnvMix64ChainSql: String =
+      """fnv AS (
         |  SELECT token, list_reduce(
         |      list_prepend(14695981039346656037::HUGEINT,
         |        list_transform(range(0, octet_length(encode(token))), i ->
@@ -3646,8 +3719,22 @@ object SparkEntry {
         |  FROM (SELECT token, xor(
         |      CAST(CASE WHEN z >= 9223372036854775808::HUGEINT
         |        THEN z - 18446744073709551616::HUGEINT ELSE z END AS BIGINT),
-        |      CAST(z // 2147483648::HUGEINT AS BIGINT)) AS x FROM m2)),
-        |reg AS (
+        |      CAST(z // 2147483648::HUGEINT AS BIGINT)) AS x FROM m2))""".stripMargin
+
+  /** q93/q96's shared register derivation over the fnv→mix64 tail: bucket =
+    * h div 2^56, rho = 57 - bit-length of the 56-bit remainder
+    * (`length(bin(w))` = floor(log2 w)+1). Ends at the ungrouped
+    * per-(source, token) `reg` CTE. */
+  private val hllRegisterChainSql: String =
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    w -> len(w) > 0)) AS token
+        |  FROM documents),
+        |st AS (SELECT DISTINCT source, token FROM toks),
+        |toksd AS (SELECT DISTINCT token FROM st)""".stripMargin +
+      ",\n" + fnvMix64ChainSql + ",\n" +
+      """reg AS (
         |  SELECT s.source,
         |    CAST(f.h // 72057594037927936::HUGEINT AS INT) AS bucket,
         |    CAST(CASE WHEN f.h % 72057594037927936::HUGEINT = 0 THEN 57
