@@ -73,6 +73,46 @@ object DedupProbe {
     time("q25.full") {
       Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12).count()
     }
+
+    // NEGATIVE RESULT, kept as the receipt (see BASELINE.md): a CMS est<2
+    // pre-filter CANNOT prune the line-dedup winner shuffle. On a
+    // mostly-unique 2M-line corpus with 3×2^16 counters the candidate
+    // fraction measures 1.0000 — the additive error e·n/w (~80 here) makes
+    // count-1-vs-2 indistinguishable once n >> w, and provisioning w ~ n
+    // makes the sketch corpus-sized (unbroadcastable at 100 TB). Exact
+    // single-pass lineDedup remains the scale shape; CMS stays for heavy
+    // hitters, where the threshold dwarfs the error floor (q100).
+    {
+      val n = 500000L
+      val synth = spark.range(n).select(
+        col("id").as("doc_id"),
+        concat_ws("\n",
+          concat(lit("unique payload line number "), col("id"),
+            lit(" alpha beta gamma")),
+          concat(lit("second unique for "), col("id"),
+            lit(" delta epsilon zeta")),
+          concat(lit("third unique for "), col("id"), lit(" eta theta iota")),
+          when(col("id") % 20 === 0,
+            lit("all rights reserved boilerplate line"))
+            .otherwise(concat(lit("fourth unique "), col("id"),
+              lit(" kappa lambda mu")))).as("text"))
+        .repartition(32).persist()
+      synth.count()
+      import graft.operators.CountMin
+      val lines = synth.select(col("doc_id"),
+        explode(split(col("text"), "\n", -1)).as("__line"))
+      val sketch = CountMin.build(lines, Nil, col("__line"), 16, 3)
+      val cand = CountMin.estimate(lines, col("__line"), sketch, Nil, 16, 3)
+        .filter(col("est") >= 2L).count()
+      println(f"PROBE cms.candidate-fraction     ${cand.toDouble / (4 * n)}%8.4f  ($cand of ${4 * n} lines)")
+      for (i <- 1 to 2) {
+        time(s"lineDedup.exact-$i") {
+          Dedup.lineDedup(synth, "doc_id", "text")
+            .agg(sum(col("n_removed"))).count()
+        }
+      }
+      synth.unpersist()
+    }
     spark.stop()
   }
 }

@@ -3047,39 +3047,7 @@ object SparkEntry {
     // q80: full re-derivation of the corpus-global line-dedup route — the
     // sliding-window corpus, q29's tokenization for the minTokens gate,
     // first-(doc,idx)-occurrence winners, survivorship, ordered reassembly
-    "q80_line_dedup" ->
-      """WITH corpus AS (
-        |  SELECT a.doc_id,
-        |    a.text || chr(10) || '##' || chr(10) || b.text || chr(10) ||
-        |      '##' || chr(10) || c.text AS text
-        |  FROM documents a
-        |  JOIN documents b ON b.doc_id = a.doc_id + 1
-        |  JOIN documents c ON c.doc_id = a.doc_id + 2),
-        |lines AS (
-        |  SELECT doc_id,
-        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx,
-        |    unnest(string_split(text, chr(10))) AS line
-        |  FROM corpus),
-        |flagged AS (
-        |  SELECT doc_id, idx, line,
-        |    len(regexp_extract_all(lower(line), '[a-z]+|[0-9]|[^a-z0-9\s]')) >= 3
-        |      AS dedupable
-        |  FROM lines),
-        |keepers AS (
-        |  SELECT doc_id, idx, line FROM (
-        |    SELECT doc_id, idx, line,
-        |      ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
-        |    FROM flagged WHERE dedupable) WHERE rn = 1),
-        |kept AS (
-        |  SELECT f.doc_id, f.idx, f.line,
-        |    ((NOT f.dedupable) OR (k.doc_id IS NOT NULL)) AS keep
-        |  FROM flagged f LEFT JOIN keepers k
-        |    ON k.line = f.line AND k.doc_id = f.doc_id AND k.idx = f.idx)
-        |SELECT doc_id,
-        |  COALESCE(string_agg(line, chr(10) ORDER BY idx)
-        |    FILTER (WHERE keep), '') AS text,
-        |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
-        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q80_line_dedup" -> lineDedupOracleSql,
     // q81: the shard-position definition verbatim — a per-shard ROW_NUMBER
     // over the Knuth-hash permutation; the engine must reproduce it from
     // histogram offsets + bounded bucket windows
@@ -3660,6 +3628,43 @@ object SparkEntry {
     * SQL literal (Scala's shortest round-trip Double repr) parses back to
     * the identical bits in DuckDB. */
   private val hllAlphaM2: Double = 0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+
+  /** q80's line-dedup derivation: winner per line text = first
+    * (doc_id, idx) occurrence, non-dedupable lines always kept, per-doc
+    * reassembly in line order. */
+  private val lineDedupOracleSql: String =
+      """WITH corpus AS (
+        |  SELECT a.doc_id,
+        |    a.text || chr(10) || '##' || chr(10) || b.text || chr(10) ||
+        |      '##' || chr(10) || c.text AS text
+        |  FROM documents a
+        |  JOIN documents b ON b.doc_id = a.doc_id + 1
+        |  JOIN documents c ON c.doc_id = a.doc_id + 2),
+        |lines AS (
+        |  SELECT doc_id,
+        |    unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx,
+        |    unnest(string_split(text, chr(10))) AS line
+        |  FROM corpus),
+        |flagged AS (
+        |  SELECT doc_id, idx, line,
+        |    len(regexp_extract_all(lower(line), '[a-z]+|[0-9]|[^a-z0-9\s]')) >= 3
+        |      AS dedupable
+        |  FROM lines),
+        |keepers AS (
+        |  SELECT doc_id, idx, line FROM (
+        |    SELECT doc_id, idx, line,
+        |      ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
+        |    FROM flagged WHERE dedupable) WHERE rn = 1),
+        |kept AS (
+        |  SELECT f.doc_id, f.idx, f.line,
+        |    ((NOT f.dedupable) OR (k.doc_id IS NOT NULL)) AS keep
+        |  FROM flagged f LEFT JOIN keepers k
+        |    ON k.line = f.line AND k.doc_id = f.doc_id AND k.idx = f.idx)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(line, chr(10) ORDER BY idx)
+        |    FILTER (WHERE keep), '') AS text,
+        |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** The FNV-1a→splitmix64 HUGEINT walk over a `toksd(token)` CTE, ending
     * at `mixed(token, h)` (h unsigned): q85's byte-exact FNV-1a walk kept
