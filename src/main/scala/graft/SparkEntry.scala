@@ -173,7 +173,8 @@ object SparkEntry {
     "q97_bloom_contamination" -> qBloomContamination,
     "q98_ngram_repetition" -> qNgramRepetition,
     "q99_bench_scrub" -> qBenchScrub,
-    "q100_cms_hitters" -> qCmsHitters)
+    "q100_cms_hitters" -> qCmsHitters,
+    "q101_line_freq_cap" -> qLineFreqCap)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -396,6 +397,27 @@ object SparkEntry {
       .select(col("doc_id"), concat_ws("\n",
         col("text"), lit("##"), col("__t2"), lit("##"), col("__t3")).as("text"))
     Dedup.lineDedup(corpus, "doc_id", "text").orderBy(col("doc_id"))
+  }
+
+  /** Line frequency CAP (`Dedup.lineFrequencyCap`, maxCopies = 2) over
+    * q80's exact corpus: the overlapping doc-triples give every text line a
+    * natural corpus frequency of up to 3, so the cap's keep-the-2-earliest
+    * semantics diverge from hard dedup on every flooded line (and `##`
+    * separator lines stay untouched — below the dedupable token floor). The
+    * winner aggregate is a 2-bounded heap per line (map-combinable), never a
+    * ranking window; the oracle is the definition: ROW_NUMBER ≤ 2 over
+    * (doc, idx) per line. */
+  private def qLineFreqCap(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = d
+      .join(d.select((col("doc_id") - 1).as("doc_id"), col("text").as("__t2")),
+        Seq("doc_id"))
+      .join(d.select((col("doc_id") - 2).as("doc_id"), col("text").as("__t3")),
+        Seq("doc_id"))
+      .select(col("doc_id"), concat_ws("\n",
+        col("text"), lit("##"), col("__t2"), lit("##"), col("__t3")).as("text"))
+    Dedup.lineFrequencyCap(corpus, "doc_id", "text", maxCopies = 2)
+      .orderBy(col("doc_id"))
   }
 
   /** Deterministic training-export shuffle: every document's shard and its
@@ -3048,6 +3070,9 @@ object SparkEntry {
     // sliding-window corpus, q29's tokenization for the minTokens gate,
     // first-(doc,idx)-occurrence winners, survivorship, ordered reassembly
     "q80_line_dedup" -> lineDedupOracleSql,
+    // q101: the same corpus + definition with the keep rule relaxed to the
+    // 2-earliest occurrences per line
+    "q101_line_freq_cap" -> lineCapOracleSql(2),
     // q81: the shard-position definition verbatim — a per-shard ROW_NUMBER
     // over the Knuth-hash permutation; the engine must reproduce it from
     // histogram offsets + bounded bucket windows
@@ -3632,7 +3657,15 @@ object SparkEntry {
   /** q80's line-dedup derivation: winner per line text = first
     * (doc_id, idx) occurrence, non-dedupable lines always kept, per-doc
     * reassembly in line order. */
-  private val lineDedupOracleSql: String =
+  /** Shared q80/q101 oracle: the doc-triple corpus, per-line ROW_NUMBER over
+    * (doc, idx), and keep = rn ≤ cap (cap 1 = hard line dedup, q80; cap 2 =
+    * the frequency cap, q101). */
+  private def lineCapOracleSql(cap: Int): String =
+    lineDedupOracleTemplate.replace("__CAP__", cap.toString)
+
+  private lazy val lineDedupOracleSql: String = lineCapOracleSql(1)
+
+  private val lineDedupOracleTemplate: String =
       """WITH corpus AS (
         |  SELECT a.doc_id,
         |    a.text || chr(10) || '##' || chr(10) || b.text || chr(10) ||
@@ -3654,7 +3687,7 @@ object SparkEntry {
         |  SELECT doc_id, idx, line FROM (
         |    SELECT doc_id, idx, line,
         |      ROW_NUMBER() OVER (PARTITION BY line ORDER BY doc_id, idx) AS rn
-        |    FROM flagged WHERE dedupable) WHERE rn = 1),
+        |    FROM flagged WHERE dedupable) WHERE rn <= __CAP__),
         |kept AS (
         |  SELECT f.doc_id, f.idx, f.line,
         |    ((NOT f.dedupable) OR (k.doc_id IS NOT NULL)) AS keep

@@ -1202,6 +1202,49 @@ object Dedup {
         sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"))
   }
 
+  /** Corpus-global line FREQUENCY CAP — the soft form of [[lineDedup]]: a
+    * distinct dedupable line keeps its `maxCopies` EARLIEST occurrences
+    * (ordered by (doc, position)) corpus-wide, and every occurrence beyond
+    * the cap is scrubbed in place. Production pipelines run this instead of
+    * hard line dedup when some repetition is signal (navigation headers,
+    * quotes, licenses) but boilerplate floods must be bounded — the
+    * frequency-threshold semantics the CMS heavy-hitter row (q100) estimates,
+    * here computed EXACTLY.
+    *
+    * Scale shape: the winner aggregate is a k-BOUNDED HEAP per line
+    * (`TopKAgg`) — map-side partials carry at most `maxCopies` rows per
+    * (line, mapper), so a line flooding the corpus a million times costs
+    * O(maxCopies) per partition, never a per-line ranking window and never a
+    * hot-key straggler. The survivors join back on (line, doc, idx) — the
+    * same corpus-scale hash join [[lineDedup]] pays — and reassembly is one
+    * per-doc sort-in-row aggregate. `maxCopies = 1` reproduces `lineDedup`
+    * exactly (spec-pinned). */
+  def lineFrequencyCap(docs: DataFrame, idCol: String, textCol: String,
+                       maxCopies: Int, minTokens: Int = 3): DataFrame = {
+    require(maxCopies >= 1, s"maxCopies must be >= 1, got $maxCopies")
+    val exploded = ensureParallel(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("__idx", "__line")))
+    val dedupable = TextFns.tokenCount(col("__line")) >= minTokens
+    // earliest-k by (id, idx) ascending == top-k by (-id DESC, idx ASC)
+    val keepers = graft.ops.TopK.topKPerGroup(
+        exploded.filter(dedupable), Seq("__line"),
+        -col(idCol), col("__idx"),
+        Seq(col(idCol).as("__kid"), col("__idx").cast("int").as("__kidx")),
+        maxCopies)
+      .select(col("__line"), col("__kid").as(idCol),
+        col("__kidx").as("__idx"), lit(true).as("__hit"))
+    exploded.join(keepers, Seq("__line", idCol, "__idx"), "left")
+      .withColumn("__keep", col("__hit").isNotNull || !dedupable)
+      .groupBy(col(idCol))
+      .agg(
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("__keep"),
+            struct(col("__idx"), col("__line"))))),
+          x => x.getField("__line"))).as(textCol),
+        sum(when(col("__keep"), 0L).otherwise(1L)).as("n_removed"))
+  }
+
   /** Survivor selection by QUALITY instead of min id: per near-dup cluster,
     * keep the member with the highest `score` (ties: smallest id) — the
     * curation semantic production pipelines actually want ("keep the longest

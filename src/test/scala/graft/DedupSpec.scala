@@ -815,6 +815,34 @@ class DedupSpec extends SparkSpec {
       (4L, "", 0L)))
   }
 
+  test("lineFrequencyCap: keeps the k earliest occurrences, cap=1 == lineDedup") {
+    // "alpha..." occurs 5 times across (1,0) (1,3) (2,0) (3,0) (3,1): cap=2
+    // keeps (1,0) and (1,3) — the earliest by (doc, idx), INCLUDING a
+    // within-doc second copy; "--" is sub-minTokens and immune everywhere
+    val docs = Seq(
+      (1L, "alpha beta gamma delta\n--\nthe quick brown fox\nalpha beta gamma delta"),
+      (2L, "alpha beta gamma delta\nnew unique content here\n--"),
+      (3L, "alpha beta gamma delta\nalpha beta gamma delta\nthe quick brown fox"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    for (parts <- Seq(1, 5)) {
+      val got = Dedup.lineFrequencyCap(docs.repartition(parts),
+          "doc_id", "text", maxCopies = 2)
+        .orderBy($"doc_id").as[(Long, String, Long)].collect().toSeq
+      assert(got === Seq(
+        (1L, "alpha beta gamma delta\n--\nthe quick brown fox\nalpha beta gamma delta", 0L),
+        (2L, "new unique content here\n--", 1L),
+        (3L, "the quick brown fox", 2L),
+        (4L, "", 0L)), s"parts=$parts")
+    }
+    // cap=1 reproduces hard lineDedup bit-for-bit on the same corpus
+    val hard = Dedup.lineDedup(docs, "doc_id", "text")
+      .orderBy($"doc_id").as[(Long, String, Long)].collect().toSeq
+    val capped = Dedup.lineFrequencyCap(docs, "doc_id", "text", maxCopies = 1)
+      .orderBy($"doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(capped === hard)
+  }
+
   test("scrubSharedWindows: whole-doc copies husk, first occurrence survives") {
     val docs = Seq(
       (1L, "a b c d e f"),       // original: untouched
