@@ -174,7 +174,8 @@ object SparkEntry {
     "q98_ngram_repetition" -> qNgramRepetition,
     "q99_bench_scrub" -> qBenchScrub,
     "q100_cms_hitters" -> qCmsHitters,
-    "q101_line_freq_cap" -> qLineFreqCap)
+    "q101_line_freq_cap" -> qLineFreqCap,
+    "q102_text_normalize" -> qTextNormalize)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -418,6 +419,31 @@ object SparkEntry {
         col("text"), lit("##"), col("__t2"), lit("##"), col("__t3")).as("text"))
     Dedup.lineFrequencyCap(corpus, "doc_id", "text", maxCopies = 2)
       .orderBy(col("doc_id"))
+  }
+
+  /** CCNet-style text normalization (`TextFns.normalizeText`, native
+    * `StripAccentsExpr`): the canonical form dedup/fingerprint hashing runs
+    * on — lowercase, accents stripped, digits→0, whitespace collapsed. The
+    * ASCII corpus is planted with accented vowels (%3 slice via translate)
+    * plus a digits-and-double-spaces suffix on every doc, so all four
+    * normalization stages fire with real variance; the oracle replays the
+    * plant and the full pipeline through DuckDB's `strip_accents` (same NFD
+    * + drop-combining-marks mapping on Latin script). Four chained codegen'd
+    * projections — zero shuffle at any scale. */
+  private def qTextNormalize(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = t(s, dir, "documents").select(id,
+      concat(
+        when(id % 3 === 0, translate(col("text"), "aeiou", "áéíóú"))
+          .otherwise(col("text")),
+        lit(" rev "), id.cast("string"), lit("  build  "),
+        (id * 31).cast("string")).as("text"))
+    planted
+      .select(id, length(col("text")).cast("long").as("orig_len"),
+        TextFns.normalizeText(col("text")).as("text"))
+      .withColumn("norm_len", length(col("text")).cast("long"))
+      .select(id, col("orig_len"), col("norm_len"), col("text"))
+      .orderBy(id)
   }
 
   /** Deterministic training-export shuffle: every document's shard and its
@@ -3073,6 +3099,24 @@ object SparkEntry {
     // q101: the same corpus + definition with the keep rule relaxed to the
     // 2-earliest occurrences per line
     "q101_line_freq_cap" -> lineCapOracleSql(2),
+    // q102: the planted corpus re-normalized through DuckDB's strip_accents
+    // (the same NFD + drop-Mn mapping) and the identical lower/digit/ws chain
+    "q102_text_normalize" ->
+      """WITH planted AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 0
+        |      THEN translate(text, 'aeiou', 'áéíóú') ELSE text END)
+        |    || ' rev ' || CAST(doc_id AS VARCHAR) || '  build  ' ||
+        |    CAST(doc_id * 31 AS VARCHAR) AS text
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(text) AS BIGINT) AS orig_len,
+        |  CAST(length(trim(regexp_replace(regexp_replace(
+        |    strip_accents(lower(text)), '[0-9]', '0', 'g'),
+        |    '\s+', ' ', 'g'))) AS BIGINT) AS norm_len,
+        |  trim(regexp_replace(regexp_replace(
+        |    strip_accents(lower(text)), '[0-9]', '0', 'g'),
+        |    '\s+', ' ', 'g')) AS text
+        |FROM planted ORDER BY doc_id""".stripMargin,
     // q81: the shard-position definition verbatim — a per-shard ROW_NUMBER
     // over the Knuth-hash permutation; the engine must reproduce it from
     // histogram offsets + bounded bucket windows

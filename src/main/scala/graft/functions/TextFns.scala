@@ -187,6 +187,20 @@ object TextFns {
       },
       acc => acc("best"))
 
+  /** CCNet-style text normalization (Wenzek et al. 1911.00359 §4.1) — the
+    * canonical form dedup/fingerprint hashing runs on, so `Café  2024` and
+    * `cafe 0000` collide: lowercase → accents stripped (native
+    * [[StripAccentsExpr]], NFD + drop combining marks) → every digit mapped
+    * to `0` → whitespace runs collapsed to single spaces and trimmed. Four
+    * chained codegen'd projections in the scan stage; DuckDB mirrors it as
+    * `trim(regexp_replace(regexp_replace(strip_accents(lower(t)), '[0-9]',
+    * '0', 'g'), '\s+', ' ', 'g'))`, which is what keeps every downstream
+    * hash oracle-checkable. Idempotent (spec-pinned). */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(StripAccentsExpr(lower(text)), "[0-9]", "0"),
+      "\\s+", " "))
+
   /** PII redaction patterns: kept deliberately simple (no lookaround, no
     * back-references) so the same pattern strings run identically under Java
     * regex (Spark) and RE2 (DuckDB/ripgrep-family engines). */
