@@ -175,7 +175,8 @@ object SparkEntry {
     "q99_bench_scrub" -> qBenchScrub,
     "q100_cms_hitters" -> qCmsHitters,
     "q101_line_freq_cap" -> qLineFreqCap,
-    "q102_text_normalize" -> qTextNormalize)
+    "q102_text_normalize" -> qTextNormalize,
+    "q103_char_entropy" -> qCharEntropy)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -443,6 +444,26 @@ object SparkEntry {
         TextFns.normalizeText(col("text")).as("text"))
       .withColumn("norm_len", length(col("text")).cast("long"))
       .select(id, col("orig_len"), col("norm_len"), col("text"))
+      .orderBy(id)
+  }
+
+  /** Character-entropy quality signal (native `CharEntropyExpr`): the
+    * sub-word gibberish detector — Shannon entropy of the per-code-point
+    * distribution as an exact e6 integer (per-count log terms rounded BEFORE
+    * summing, so no float summation order exists and DuckDB replays the
+    * identical longs). The %41 slice is planted with a one-character mash
+    * (near-zero entropy) so the low-diversity flag fires with real variance
+    * against the natural docs' ≈ln(alphabet) band. One compiled loop per
+    * row, zero shuffle. */
+  private def qCharEntropy(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id")
+    val planted = t(s, dir, "documents").select(id,
+      when(id % 41 === 0, repeat(lit("aa "), 40))
+        .otherwise(col("text")).as("text"))
+    planted
+      .select(id, length(col("text")).cast("long").as("n_chars"),
+        graft.functions.CharEntropyExpr(col("text")).as("entropy_e6"))
+      .withColumn("low_diversity", col("entropy_e6") < 2000000L)
       .orderBy(id)
   }
 
@@ -3099,6 +3120,29 @@ object SparkEntry {
     // q101: the same corpus + definition with the keep rule relaxed to the
     // 2-earliest occurrences per line
     "q101_line_freq_cap" -> lineCapOracleSql(2),
+    // q103: the identical integer-carrier entropy — per-char counts, each
+    // count's round(c·ln(c)·1e6) as a BIGINT, floor-divided by n
+    "q103_char_entropy" ->
+      """WITH planted AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 41 = 0 THEN repeat('aa ', 40)
+        |    ELSE text END AS text
+        |  FROM documents),
+        |chars AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+        |  FROM planted),
+        |cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(round(c * ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+        |      AS slp
+        |  FROM cc GROUP BY doc_id)
+        |SELECT p.doc_id, COALESCE(a.n, 0) AS n_chars,
+        |  COALESCE(CAST(round(ln(a.n) * 1000000) AS BIGINT) - a.slp // a.n,
+        |    0) AS entropy_e6,
+        |  COALESCE(CAST(round(ln(a.n) * 1000000) AS BIGINT) - a.slp // a.n,
+        |    0) < 2000000 AS low_diversity
+        |FROM planted p LEFT JOIN agg a USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin,
     // q102: the planted corpus re-normalized through DuckDB's strip_accents
     // (the same NFD + drop-Mn mapping) and the identical lower/digit/ws chain
     "q102_text_normalize" ->
