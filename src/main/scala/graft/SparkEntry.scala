@@ -176,7 +176,9 @@ object SparkEntry {
     "q100_cms_hitters" -> qCmsHitters,
     "q101_line_freq_cap" -> qLineFreqCap,
     "q102_text_normalize" -> qTextNormalize,
-    "q103_char_entropy" -> qCharEntropy)
+    "q103_char_entropy" -> qCharEntropy,
+    "q104_window_novelty" -> qWindowNovelty,
+    "q105_embedding_outliers" -> qEmbeddingOutliers)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1249,6 +1251,46 @@ object SparkEntry {
         windowTokens = 20)
       .orderBy(col("doc_id"))
   }
+
+  /** Per-document window novelty (`Dedup.windowNoveltyStats`): q95's exact
+    * corpus (base slice + concatenated synth docs) scored instead of
+    * scrubbed — each doc's fraction of 20-token windows that are
+    * corpus-global first occurrences, as a floor-divided e6 integer, with
+    * the drop-gate flag at 50%. Synth docs score near zero (only their seam
+    * windows are novel), their base sources keep 10⁶ — the doc-level
+    * duplication-ratio gate production pipelines use when span surgery
+    * would leave husks. Same blocked shape as the scrub minus the token
+    * explode: one min-struct agg + one hash join, no pairs. */
+  private def qWindowNovelty(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").filter(col("doc_id") < 1000)
+      .select(col("doc_id"), col("text"))
+    val synth = base.as("a")
+      .join(base.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+      .filter(pmod(col("a.doc_id"), lit(9L)) === 1)
+      .select((col("a.doc_id") + 500000L).as("doc_id"),
+        concat_ws(" ", col("a.text"), col("b.text")).as("text"))
+    Dedup.windowNoveltyStats(base.unionByName(synth), "doc_id", "text",
+        windowTokens = 20)
+      .withColumn("mostly_dup", col("novelty_e6") < 500000L)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Embedding outlier detection (`Similarity.centroidCosine`): every vector
+    * scored by cosine against its own LABEL's centroid — the exact integer
+    * mean of the label's quantized members (truncated per-component division,
+    * identical in both engines), so the approximate geometry rides exact
+    * longs and the oracle re-derives centroid, dot, norms and the rounded
+    * cosine bit-for-bit. The low-cosine tail is the mislabeled/corrupted
+    * member surface a curation gate drops. Corpus-scale cost: one quantize
+    * pass + a labels×dims aggregate + a broadcast join — the corpus never
+    * shuffles. */
+  private def qEmbeddingOutliers(s: SparkSession, dir: String): DataFrame =
+    Similarity.centroidCosine(t(s, dir, "embeddings"), "vec_id", "embedding",
+        Seq("label"))
+      .select(col("vec_id"), col("label"), col("n_members"),
+        round(col("cosine"), 6).as("cos_6dp"))
+      .withColumn("outlier", col("cos_6dp") < 0.0)
+      .orderBy(col("vec_id"))
 
   /** The HLL ESTIMATE end-to-end (`Cardinality.hllEstimate` over q93's
     * registers): because the harmonic-mean fold runs in-row over the
@@ -3684,6 +3726,76 @@ object SparkEntry {
         |  CAST(t.c AS BIGINT) AS exact_cnt
         |FROM est e JOIN tc t USING (source, token)
         |ORDER BY est_cnt DESC, e.source, e.token LIMIT 100""".stripMargin),
+    // q105: label centroids as truncated integer means of the q31-quantized
+    // components, cosine re-derived dot/(sqrt·sqrt), rounded to 6dp
+    "q105_embedding_outliers" ->
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    unnest(range(1, len(embedding) + 1)) AS i,
+        |    CAST(ROUND(CAST(unnest(embedding) AS DOUBLE) * 1000000.0)
+        |      AS BIGINT) AS qx
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT label, i,
+        |    CAST(SUM(qx) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM q GROUP BY label, i),
+        |nm AS (SELECT label, COUNT(*) AS n_members FROM embeddings
+        |       GROUP BY label),
+        |dots AS (
+        |  SELECT q.vec_id, q.label,
+        |    CAST(SUM(q.qx * c.m) AS BIGINT) AS dot,
+        |    CAST(SUM(q.qx * q.qx) AS BIGINT) AS qq,
+        |    CAST(SUM(c.m * c.m) AS BIGINT) AS mm
+        |  FROM q JOIN cent c ON c.label = q.label AND c.i = q.i
+        |  GROUP BY q.vec_id, q.label)
+        |SELECT d.vec_id, d.label, CAST(n.n_members AS BIGINT) AS n_members,
+        |  round(CAST(d.dot AS DOUBLE) /
+        |    (sqrt(CAST(d.qq AS DOUBLE)) * sqrt(CAST(d.mm AS DOUBLE))), 6)
+        |    AS cos_6dp,
+        |  round(CAST(d.dot AS DOUBLE) /
+        |    (sqrt(CAST(d.qq AS DOUBLE)) * sqrt(CAST(d.mm AS DOUBLE))), 6)
+        |    < 0.0 AS outlier
+        |FROM dots d JOIN nm n USING (label) ORDER BY d.vec_id""".stripMargin,
+    // q104: q95's corpus and window/first-occurrence rules, folded to
+    // per-doc counts + the floor-divided e6 novelty instead of span surgery
+    "q104_window_novelty" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+        |synth AS (
+        |  SELECT a.doc_id + 500000 AS doc_id, a.text || ' ' || b.text AS text
+        |  FROM base a JOIN base b ON b.doc_id = a.doc_id + 1
+        |  WHERE a.doc_id % 9 = 1),
+        |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM synth),
+        |toksl AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM corpus),
+        |win0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 18),
+        |    i -> {'pos': i, 'g': array_to_string(list_slice(ws, i, i + 19),
+        |      ' ')})) AS u
+        |  FROM toksl WHERE len(ws) >= 20),
+        |wing AS (SELECT doc_id, u.pos AS pos, u.g AS g FROM win0),
+        |firstw AS (
+        |  SELECT g, doc_id AS fd, pos AS fp FROM wing
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY g
+        |    ORDER BY doc_id, pos) = 1),
+        |stats AS (
+        |  SELECT w.doc_id, COUNT(*) AS n_windows,
+        |    CAST(SUM(CASE WHEN w.doc_id = f.fd AND w.pos = f.fp
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS n_dup
+        |  FROM wing w JOIN firstw f USING (g) GROUP BY w.doc_id)
+        |SELECT c.doc_id,
+        |  CAST(COALESCE(s.n_windows, 0) AS BIGINT) AS n_windows,
+        |  CAST(COALESCE(s.n_dup, 0) AS BIGINT) AS n_dup,
+        |  CAST(CASE WHEN COALESCE(s.n_windows, 0) = 0 THEN 1000000
+        |    ELSE (s.n_windows - s.n_dup) * 1000000 // s.n_windows END
+        |    AS BIGINT) AS novelty_e6,
+        |  CAST(CASE WHEN COALESCE(s.n_windows, 0) = 0 THEN 1000000
+        |    ELSE (s.n_windows - s.n_dup) * 1000000 // s.n_windows END
+        |    AS BIGINT) < 500000 AS mostly_dup
+        |FROM corpus c LEFT JOIN stats s USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin,
     // q95: q69's synth corpus, windows as STRINGS (the engine's 64-bit
     // window hashes are collision-free groupings of the same sets), global
     // first = row_number over (doc_id, pos), drop mask = distinct covered

@@ -407,6 +407,46 @@ object Dedup {
         coalesce(col("__text"), lit("")).as(textCol))
   }
 
+  /** Per-document window NOVELTY — the drop-don't-scrub dual of
+    * [[scrubSharedWindows]]: instead of cutting duplicated spans, score each
+    * document by how much of it is corpus-original. A window INSTANCE is a
+    * duplicate iff its content's corpus-global first occurrence (min
+    * (doc, pos) — the scrub's exact rule, within-doc repeats included) is
+    * not itself; `novelty_e6 = (n_windows − n_dup)·10⁶ ÷ n_windows` (floor;
+    * windowless short docs are vacuously novel at 10⁶). Production pipelines
+    * gate on this ("drop documents that are >50% duplicated spans" — the
+    * doc-level remedy when span surgery would leave incoherent husks).
+    *
+    * Scale shape: the compiled positional-shingle kernel, ONE map-combinable
+    * min-struct aggregate over window hashes (boilerplate floods collapse to
+    * a single winner row map-side), one corpus-scale hash join back, and a
+    * per-doc count — no pair join, no window function, no token explode
+    * (unlike the scrub, tokens are never materialized). */
+  def windowNoveltyStats(docs: DataFrame, idCol: String, textCol: String,
+                         windowTokens: Int = 50): DataFrame = {
+    require(windowTokens >= 2, s"windowTokens must be >= 2, got $windowTokens")
+    val d = ensureParallel(docs)
+    val wins = d.select(col(idCol),
+      posexplode(TextFns.positionalShingles(col(textCol), windowTokens))
+        .as(Seq("__pos", "__wh")))
+    val first = wins.groupBy(col("__wh"))
+      .agg(min(struct(col(idCol), col("__pos"))).as("__f"))
+    val stats = wins.join(first, "__wh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col(s"__f.$idCol") === col(idCol) &&
+          col("__f.__pos") === col("__pos"), 0L).otherwise(1L)).as("n_dup"))
+    d.select(col(idCol))
+      .join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("novelty_e6",
+        when(col("n_windows") === 0, lit(1000000L))
+          .otherwise(graft.ops.Quantiles.div(
+            (col("n_windows") - col("n_dup")) * 1000000L, col("n_windows"))))
+  }
+
   /** Incremental EMBEDDING near-dup matches — the cosine twin of
     * `incrementalJaccardMatches`: every (incoming, existing-corpus) pair with
     * quantized cosine >= threshold. The hyperplane-band candidate join runs

@@ -756,4 +756,39 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", VectorFns.cosine(col("qv"), col("cv"))), k)
   }
+
+  /** Per-group centroid cosine — embedding OUTLIER detection ("is this
+    * vector where its label says it should be?"): each group's centroid is
+    * the exact integer MEAN of its quantized members (one map-combinable
+    * `VectorSumAgg` + a truncated per-component division — both engines
+    * truncate toward zero, so the centroid is bit-reproducible in SQL), and
+    * every member scores its cosine against its own group's centroid.
+    * Mislabeled / corrupted / off-distribution embeddings surface as the
+    * low-cosine tail; curation gates drop or reroute them.
+    *
+    * Scale shape: one quantize projection, one group aggregate whose shuffle
+    * is groups × d longs (map-side partials — the corpus itself never
+    * shuffles), a BROADCAST join back (the centroid frame is group-count
+    * sized), and the native fused-loop dot per row. Mean (not sum) centroids
+    * keep components ≤ the 1e6 quantization scale, so the per-row dot is
+    * bounded by d·10¹² regardless of group size — no overflow at any corpus
+    * scale. */
+  def centroidCosine(corpus: DataFrame, idCol: String, vecCol: String,
+                     groupCols: Seq[String]): DataFrame = {
+    graft.functions.VectorSumAgg.register(corpus.sparkSession)
+    val gc = groupCols.map(col)
+    val prepped = corpus.select(
+      (gc :+ col(idCol) :+ VectorFns.quantize(col(vecCol)).as("__q")): _*)
+    val cents = prepped.groupBy(gc: _*)
+      .agg(graft.functions.VectorSumAgg(col("__q")).as("__sv"),
+        count(lit(1)).as("n_members"))
+      .select((gc :+ col("n_members") :+
+        transform(col("__sv"),
+          x => graft.ops.Quantiles.div(x, col("n_members"))).as("__m")): _*)
+      .withColumn("__mn", VectorFns.normLong(col("__m")))
+    prepped.join(broadcast(cents), groupCols)
+      .select((gc :+ col(idCol) :+ col("n_members") :+
+        VectorFns.cosineFromQuantized(col("__q"), col("__m"),
+          VectorFns.normLong(col("__q")), col("__mn")).as("cosine")): _*)
+  }
 }

@@ -843,6 +843,28 @@ class DedupSpec extends SparkSpec {
     assert(capped === hard)
   }
 
+  test("windowNoveltyStats: ownership fractions, within-doc repeats, short docs") {
+    val docs = Seq(
+      (1L, "a b c d e f"),           // all 4 windows first here -> 1e6
+      (2L, "a b c d e f"),           // exact copy -> 0
+      (3L, "a b c x y z"),           // 1 of 4 windows seen at doc1 -> 750000
+      (4L, "p q r p q r p q r"),     // 7 windows, 4 within-doc repeats
+      (5L, "a b"))                   // windowless -> vacuously novel
+      .toDF("doc_id", "text")
+    for (parts <- Seq(1, 5)) {
+      val got = Dedup.windowNoveltyStats(docs.repartition(parts),
+          "doc_id", "text", windowTokens = 3)
+        .orderBy($"doc_id")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      assert(got === Seq(
+        (1L, 4L, 0L, 1000000L),
+        (2L, 4L, 4L, 0L),
+        (3L, 4L, 1L, 750000L),
+        (4L, 7L, 4L, 428571L),
+        (5L, 0L, 0L, 1000000L)), s"parts=$parts")
+    }
+  }
+
   test("scrubSharedWindows: whole-doc copies husk, first occurrence survives") {
     val docs = Seq(
       (1L, "a b c d e f"),       // original: untouched

@@ -389,6 +389,36 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("centroidCosine: integer-mean centroids, outlier tail, partition-invariant") {
+    // group 10: two orthogonal unit vectors -> centroid (.5, .5, 0), each
+    // member at cos 1/sqrt(2); group 20: three aligned members and one
+    // flipped -> the flipped member is the low tail; singleton group -> 1.0
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f), 10),
+      (2L, Array(0f, 1f, 0f), 10),
+      (3L, Array(1f, 0f, 0f), 20),
+      (4L, Array(1f, 0f, 0f), 20),
+      (5L, Array(1f, 0f, 0f), 20),
+      (6L, Array(-1f, 0f, 0f), 20),
+      (7L, Array(0f, 0f, 2f), 30))
+    for (parts <- Seq(1, 4)) {
+      val got = Similarity.centroidCosine(
+          rows.toDF("vec_id", "embedding", "label").repartition(parts),
+          "vec_id", "embedding", Seq("label"))
+        .select($"vec_id", $"n_members", $"cosine")
+        .as[(Long, Long, Double)].collect().sortBy(_._1)
+      assert(got.map(r => (r._1, r._2)) ===
+        Array((1L, 2L), (2L, 2L), (3L, 4L), (4L, 4L), (5L, 4L), (6L, 4L),
+          (7L, 1L)))
+      val cos = got.map(r => r._1 -> r._3).toMap
+      assert(math.abs(cos(1L) - 1.0 / math.sqrt(2.0)) < 1e-9)
+      assert(math.abs(cos(2L) - 1.0 / math.sqrt(2.0)) < 1e-9)
+      // group 20 centroid = mean(3·(1,0,0) + (-1,0,0)) = (.5, 0, 0)
+      assert(cos(3L) === 1.0 && cos(6L) === -1.0)
+      assert(cos(7L) === 1.0)
+    }
+  }
+
   test("lshTopK recall: exact-duplicate vectors always share a bucket") {
     val withDup = corpus.union(Seq((5L, Array(1.0f, 0.0f, 0.0f)))
       .toDF("vec_id", "embedding"))
