@@ -19,7 +19,14 @@ import org.apache.spark.sql.functions._
   *   "documents_path": "<parquet (id, text, ...)>",
   *   "output_path": "<dir>",
   *   "id_col": "doc_id", "text_col": "text",
+  *   "normalize_text": false,          // optional CCNet-style normalization
+  *                                     //   (lower/strip accents/digits->0/
+  *                                     //   collapse ws) BEFORE every gate and
+  *                                     //   hash — run it when dedup should
+  *                                     //   collide `Café  2024` with `cafe 0`
   *   "min_words": 20,                  // quality gate
+  *   "min_char_entropy_e6": 0,         // optional sub-word gibberish gate
+  *                                     //   (0 = off; 2000000 = 2.0 nats)
   *   "gopher_rules": true,             // optional Gopher line-rule battery
   *   "gopher_ngrams": false,           // optional word-n-gram battery (q98)
   *   "reline_words_per_line": 8,       //   re-line newline-free text (0 = lined).
@@ -33,6 +40,16 @@ import org.apache.spark.sql.functions._
   *                                     //   it into a corpus-scale pass
   *   "ngram_n": 3, "jaccard_threshold": 0.8,
   *   "block_cols": ["lang"],           // dedup blocking
+  *   "line_freq_cap": 0,               // optional corpus-global line cap
+  *                                     //   (0 = off; 1 = hard line dedup;
+  *                                     //   k>1 = keep k earliest copies);
+  *                                     //   fully-scrubbed husks dropped
+  *   "min_novelty_e6": 0,              // optional doc-level duplication gate
+  *                                     //   (0 = off): drop docs whose
+  *                                     //   window-novelty fraction is below
+  *                                     //   this (500000 = half the doc is
+  *                                     //   repeated spans)
+  *   "novelty_window_tokens": 20,      //   window size for that gate
   *   "scrub_window_tokens": 20,        // optional exact-substring removal
   *                                     //   (0 = off; empty husks dropped)
   *   "decontaminate_bench_path": "",   // optional span-level benchmark
@@ -57,7 +74,9 @@ object CurationJob {
   case class Stats(input: Long, afterQuality: Long, afterDedup: Long,
                    output: Long, afterScrub: Option[Long] = None,
                    afterResample: Option[Long] = None,
-                   afterDecontam: Option[Long] = None)
+                   afterDecontam: Option[Long] = None,
+                   afterLineCap: Option[Long] = None,
+                   afterNovelty: Option[Long] = None)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -86,13 +105,24 @@ object CurationJob {
 
     val idCol = str("id_col", "doc_id")
     val textCol = str("text_col", "text")
-    val docs = spark.read.parquet(cfg.getAs[String]("documents_path"))
-    val input = docs.count()
+    val raw = spark.read.parquet(cfg.getAs[String]("documents_path"))
+    val input = raw.count()
 
-    // 1. quality gate: native one-pass word count, then (optionally) the
-    // Gopher line-rule battery — re-lining newline-free corpora first
+    // 0. optional CCNet-style normalization — the canonical form every
+    // downstream gate, hash, and sink sees (scan-stage projection, no shuffle)
+    val docs = if (str("normalize_text", "false").toBoolean)
+        raw.withColumn(textCol, TextFns.normalizeText(col(textCol)))
+      else raw
+
+    // 1. quality gate: native one-pass word count (+ optional sub-word
+    // char-entropy gibberish floor), then (optionally) the Gopher
+    // line-rule battery — re-lining newline-free corpora first
+    val minEntropy = str("min_char_entropy_e6", "0").toLong
     val wordGated = docs.filter(
-      TextStatsExpr(col(textCol), Nil)("n_words") >= str("min_words", "20").toLong)
+        TextStatsExpr(col(textCol), Nil)("n_words") >= str("min_words", "20").toLong)
+      .filter(if (minEntropy > 0)
+        graft.functions.CharEntropyExpr(col(textCol)) >= minEntropy
+      else lit(true))
     val lineGated = if (str("gopher_rules", "false").toBoolean) {
         val reline = str("reline_words_per_line", "0").toInt
         val lined = if (reline > 0)
@@ -123,19 +153,48 @@ object CurationJob {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterDedup = deduped.count()
 
+    // 2a-lines. optional corpus-global line cap across the survivors: each
+    // duplicate line keeps its k earliest (doc, position) copies (k = 1 is
+    // hard line dedup); docs scrubbed down to nothing are dropped, the
+    // non-text columns rejoined (the cap returns id + rebuilt text only)
+    val lineCap = str("line_freq_cap", "0").toInt
+    val (afterLineCap, lineCapped) =
+      if (lineCap > 0) {
+        val s = Dedup.lineFrequencyCap(deduped, idCol, textCol, lineCap)
+          .filter(length(col(textCol)) > 0)
+          .select(col(idCol), col(textCol).as("__capped"))
+        val joined = deduped.drop(textCol).join(s, Seq(idCol))
+          .withColumnRenamed("__capped", textCol)
+        (Some(joined.count()), joined)
+      } else (None, deduped)
+
+    // 2a-novelty. optional doc-level duplication gate: drop documents whose
+    // fraction of corpus-first windows is below the floor — the remedy when
+    // span surgery would leave incoherent husks
+    val minNovelty = str("min_novelty_e6", "0").toLong
+    val (afterNovelty, novGated) =
+      if (minNovelty > 0) {
+        val nw = str("novelty_window_tokens", "20").toInt
+        val keep = Dedup.windowNoveltyStats(lineCapped, idCol, textCol, nw)
+          .filter(col("novelty_e6") >= minNovelty)
+          .select(col(idCol))
+        val joined = lineCapped.join(keep, Seq(idCol), "left_semi")
+        (Some(joined.count()), joined)
+      } else (None, lineCapped)
+
     // 2b. optional exact-substring removal across the survivors: repeated
     // windows cut (first occurrence survives), empty husks dropped, the
     // non-text columns rejoined (the scrub returns id + rebuilt text only)
     val windowTokens = str("scrub_window_tokens", "0").toInt
     val (afterWindowScrub, windowScrubbed) =
       if (windowTokens > 0) {
-        val s = Dedup.scrubSharedWindows(deduped, idCol, textCol, windowTokens)
+        val s = Dedup.scrubSharedWindows(novGated, idCol, textCol, windowTokens)
           .filter(col("n_removed") < col("n_tokens"))
           .select(col(idCol), col(textCol).as("__scrubbed"))
-        val joined = deduped.drop(textCol).join(s, Seq(idCol))
+        val joined = novGated.drop(textCol).join(s, Seq(idCol))
           .withColumnRenamed("__scrubbed", textCol)
         (Some(joined.count()), joined)
-      } else (None, deduped)
+      } else (None, novGated)
 
     // 2c. optional span-level benchmark decontamination: every window whose
     // content appears verbatim in the configured benchmark set is cut from
@@ -200,7 +259,8 @@ object CurationJob {
 
     gated.unpersist(); deduped.unpersist()
     val stats = Stats(input, afterQuality, afterDedup, output,
-      afterWindowScrub, afterResample, afterDecontam)
+      afterWindowScrub, afterResample, afterDecontam,
+      afterLineCap, afterNovelty)
     System.err.println(s"[curate] $stats")
     Some(stats)
   }

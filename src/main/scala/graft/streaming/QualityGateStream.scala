@@ -26,19 +26,35 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * keep the doc (line half q90 + word-n-gram half q98, paper-default
   * thresholds; pure per-row compiled kernels, so the extra gate adds no
   * shuffle and no state). Documents with fewer than two tokens have no LM
-  * evidence and are REJECTED — an admission gate fails closed. */
+  * evidence and are REJECTED — an admission gate fails closed.
+  *
+  * `normalize = true` rewrites arriving text to the canonical CCNet form
+  * (q102 `TextFns.normalizeText`) before any gate — the stream twin of the
+  * batch job's `normalize_text` stage, so streamed admissions hash/dedup
+  * identically to batch-curated corpora. `minCharEntropyE6 > 0` adds the
+  * q103 sub-word gibberish floor. Both are per-row compiled projections:
+  * no shuffle, no state. */
 object QualityGateStream {
 
   def run(stream: DataFrame, idCol: String, textCol: String,
           lm: NgramLm.BigramLm, weights: DataFrame, dim: Int,
           maxAvgNllE6: Long, minMarginE3: Long, checkpoint: String,
-          gopher: Boolean = false)
+          gopher: Boolean = false, normalize: Boolean = false,
+          minCharEntropyE6: Long = 0L)
          (sink: DataFrame => Unit): StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val b = batch.persist()
+          val normed = if (normalize)
+            batch.withColumn(textCol,
+              graft.functions.TextFns.normalizeText(col(textCol)))
+          else batch
+          val gated = if (minCharEntropyE6 > 0)
+            normed.filter(graft.functions.CharEntropyExpr(col(textCol))
+              >= minCharEntropyE6)
+          else normed
+          val b = gated.persist()
           val scored = b
             .join(NgramLm.scoreBigram(b, idCol, textCol, lm)
               .filter(col("avg_nll_e6") <= maxAvgNllE6)

@@ -75,6 +75,65 @@ class CurationJobSpec extends SparkSpec {
     d3.foreach(t => assert(t.contains("b0")))
   }
 
+  test("curation job: normalize_text collides accented dups, entropy gate kills mash") {
+    val dir = Files.createTempDirectory("curation5")
+    def w(i: Int) = s"w${('a' + i % 26).toChar}${('a' + i / 26).toChar}"
+    val base = (0 until 40).map(w).mkString(" ")
+    // accented, double-spaced variant of base: identical AFTER normalization
+    val accented = base.replace("wa", "wá").replace(" ", "  ")
+    Seq(
+      (1L, base, "src0"),
+      (2L, accented, "src0"),          // normalize -> exact dup of 1
+      (3L, ("aa " * 30).trim, "src0")) // 30 words but ~0.6 nats of chars
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/docs")
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/docs", "output_path": "$dir/out",
+         | "normalize_text": true, "min_words": 20,
+         | "min_char_entropy_e6": 1500000,
+         | "ngram_n": 3, "jaccard_threshold": 0.9,
+         | "redact_pii": false}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    assert(stats.input == 3 && stats.afterQuality == 2 &&
+      stats.afterDedup == 1 && stats.output == 1)
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.select($"doc_id").as[Long].collect().toSeq == Seq(1L))
+    // the surviving text is the normalized form
+    assert(out.select($"text").as[String].head() == base)
+  }
+
+  test("curation job: line_freq_cap bounds boilerplate, novelty gate drops husks") {
+    val dir = Files.createTempDirectory("curation6")
+    def w(i: Int) = s"w${('a' + i % 26).toChar}${('a' + i / 26).toChar}"
+    def rng(a: Int, b: Int) = (a until b).map(w).mkString(" ")
+    val shared = (200 until 210).map(w).mkString(" ")
+    val base = rng(0, 40)
+    Seq(
+      (1L, base, "src0"),
+      (4L, rng(100, 110) + "\n" + shared, "src1"),
+      (5L, rng(110, 120) + "\n" + shared, "src1"),
+      (6L, rng(120, 130) + "\n" + shared, "src1"), // 3rd copy: capped at 2
+      (7L, base + " " + rng(100, 110), "src0"))    // mostly-dup concat doc
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/docs")
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/docs", "output_path": "$dir/out",
+         | "min_words": 20, "ngram_n": 3, "jaccard_threshold": 0.9,
+         | "line_freq_cap": 2, "min_novelty_e6": 500000,
+         | "novelty_window_tokens": 5, "redact_pii": false}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    assert(stats.input == 5 && stats.afterQuality == 5 &&
+      stats.afterDedup == 5, stats)
+    assert(stats.afterLineCap.contains(5), stats)  // doc 6 shrinks, no husk
+    assert(stats.afterNovelty.contains(4), stats)  // doc 7 dropped
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.select($"doc_id").as[Long].collect().toSet == Set(1L, 4L, 5L, 6L))
+    // doc 6 lost the third boilerplate copy, docs 4 and 5 keep theirs
+    val byId = out.select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    assert(!byId(6L).contains(w(200)) && byId(6L).contains(w(120)))
+    assert(byId(4L).contains(w(200)) && byId(5L).contains(w(200)))
+  }
+
   test("curation job: gopher_ngrams gate drops repetition-flooded docs") {
     val dir = Files.createTempDirectory("curation4")
     Seq(

@@ -106,4 +106,40 @@ class QualityGateStreamSpec extends SparkSpec {
       assert(got.toSet == batchKeep)
     } finally q.stop()
   }
+
+  test("normalize + entropy gate: accented text canonicalized in-flight, mash rejected") {
+    val dim = 32
+    val trusted = Seq(
+      (100L, "theorem proof lemma math theorem proof"),
+      (101L, "proof math theorem lemma proof")).toDF("doc_id", "text")
+    val lm = NgramLm.trainBigram(trusted, "text")
+    val weights = spark.range(dim).select($"id".cast("int").as("bucket"),
+      lit(100L).as("w_e3"))
+    val arrivals = Seq(
+      // accented, double-spaced in-domain doc: normalization must restore
+      // the canonical tokens BEFORE LM scoring, or the bigrams miss the LM
+      (1L, "théorem  próof  lémma  máth  théorem  próof"),
+      // one-character mash: the q103 entropy floor rejects it
+      (2L, ("aa " * 30).trim))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, String]()
+    val ckpt = java.nio.file.Files.createTempDirectory("gate-ckpt3").toString
+    val q = QualityGateStream.run(input.toDF().toDF("doc_id", "text"),
+        "doc_id", "text", lm, weights, dim, maxAvgNllE6 = 4000000L,
+        minMarginE3 = Long.MinValue, ckpt, normalize = true,
+        minCharEntropyE6 = 1500000L) { admitted =>
+      got ++= admitted.select(col("doc_id"), col("text"))
+        .as[(Long, String)].collect()
+      ()
+    }
+    try {
+      input.addData(arrivals: _*)
+      q.processAllAvailable()
+      assert(got.keySet == Set(1L),
+        s"expected the normalized in-domain doc only, got ${got.keySet}")
+      // the sunk text is the canonical form (accents gone, spaces collapsed)
+      assert(got(1L) == "theorem proof lemma math theorem proof")
+    } finally q.stop()
+  }
 }
