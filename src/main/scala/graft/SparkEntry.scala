@@ -178,7 +178,9 @@ object SparkEntry {
     "q102_text_normalize" -> qTextNormalize,
     "q103_char_entropy" -> qCharEntropy,
     "q104_window_novelty" -> qWindowNovelty,
-    "q105_embedding_outliers" -> qEmbeddingOutliers)
+    "q105_embedding_outliers" -> qEmbeddingOutliers,
+    "q106_source_kl" -> qSourceKl,
+    "q107_collocations" -> qCollocations)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1291,6 +1293,24 @@ object SparkEntry {
         round(col("cosine"), 6).as("cos_6dp"))
       .withColumn("outlier", col("cos_6dp") < 0.0)
       .orderBy(col("vec_id"))
+
+  /** Per-source token-distribution KL divergence vs the corpus mix
+    * (`DataMix.sourceTokenKl`): the mixture-reweighting diagnostic in the
+    * exact e6 integer convention — each token's log-ratio rounded once,
+    * multiplied by its exact count, integer-summed, truncated-divided. The
+    * corpus pays one map-combinable (source, token) count pass; everything
+    * downstream is vocab-sized. */
+  private def qSourceKl(s: SparkSession, dir: String): DataFrame =
+    DataMix.sourceTokenKl(t(s, dir, "documents"), "text", "source")
+      .orderBy(col("source"))
+
+  /** Top-k collocations by PMI (`NgramLm.collocations`): phrase extraction
+    * on the exact bigram counts the LM trains on, e6-rounded log-ratio,
+    * low-count tail suppressed, (pmi DESC, w1, w2) total order through a
+    * LIMIT — TakeOrderedAndProject, never a full sort. */
+  private def qCollocations(s: SparkSession, dir: String): DataFrame =
+    NgramLm.collocations(t(s, dir, "documents"), "text", minCount = 5L,
+      k = 50)
 
   /** The HLL ESTIMATE end-to-end (`Cardinality.hllEstimate` over q93's
     * registers): because the harmonic-mean fold runs in-row over the
@@ -3756,6 +3776,50 @@ object SparkEntry {
         |    (sqrt(CAST(d.qq AS DOUBLE)) * sqrt(CAST(d.mm AS DOUBLE))), 6)
         |    < 0.0 AS outlier
         |FROM dots d JOIN nm n USING (label) ORDER BY d.vec_id""".stripMargin,
+    // q106: per-source KL vs the corpus unigram mix — the same tokenization,
+    // each token's e6-rounded log-ratio times its exact count, truncated div
+    "q106_source_kl" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    w -> len(w) > 0)) AS t
+        |  FROM documents),
+        |sc AS (SELECT source, t, COUNT(*) AS c_si FROM toks GROUP BY 1, 2),
+        |cc AS (SELECT t, SUM(c_si) AS c_i FROM sc GROUP BY 1),
+        |ns AS (SELECT source, SUM(c_si) AS n_s FROM sc GROUP BY 1),
+        |tot AS (SELECT SUM(c_si) AS n FROM sc),
+        |terms AS (
+        |  SELECT s.source, x.n_s, s.c_si *
+        |    CAST(round((ln(s.c_si) - ln(x.n_s) - ln(c.c_i) + ln(tot.n))
+        |      * 1000000) AS BIGINT) AS term
+        |  FROM sc s JOIN cc c USING (t) JOIN ns x USING (source)
+        |  CROSS JOIN tot)
+        |SELECT source, CAST(MIN(n_s) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(term) // MIN(n_s) AS BIGINT) AS kl_e6
+        |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+    // q107: PMI over the exact bigram/marginal counts, e6-rounded once,
+    // c12 floor 5, (pmi DESC, w1, w2) LIMIT 50
+    "q107_collocations" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(range(1, len(ts) + 1)) AS idx,
+        |    unnest(ts) AS token
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            w -> len(w) > 0) AS ts
+        |        FROM documents)),
+        |bigr AS (
+        |  SELECT a.token AS w1, b.token AS w2
+        |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1),
+        |bc AS (SELECT w1, w2, COUNT(*) AS c12 FROM bigr GROUP BY 1, 2),
+        |l AS (SELECT w1, SUM(c12) AS c1 FROM bc GROUP BY 1),
+        |r AS (SELECT w2, SUM(c12) AS c2 FROM bc GROUP BY 1),
+        |tot AS (SELECT SUM(c12) AS n FROM bc)
+        |SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+        |  CAST(round((ln(c12) + ln(tot.n) - ln(l.c1) - ln(r.c2)) * 1000000)
+        |    AS BIGINT) AS pmi_e6
+        |FROM bc JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
+        |WHERE c12 >= 5
+        |ORDER BY pmi_e6 DESC, w1, w2 LIMIT 50""".stripMargin,
     // q104: q95's corpus and window/first-occurrence rules, folded to
     // per-doc counts + the floor-divided e6 novelty instead of span surgery
     "q104_window_novelty" ->

@@ -297,4 +297,42 @@ object DataMix {
       .sortWithinPartitions(col("shard"), col("__h"), col(idCol))
       .drop("__h")
       .write.mode("overwrite").partitionBy("shard").parquet(dir)
+
+  /** Per-stratum token-distribution KL divergence vs the whole corpus —
+    * the mixture diagnostic behind reweighting decisions ("how far is this
+    * source's unigram distribution from the mix?", the quantity DoReMi-style
+    * excess-loss heuristics proxy): KL(p_s ‖ p) = Σ_i p_si·ln(p_si / p_i)
+    * over the stratum's tokens, in the exact e6 integer convention — each
+    * token's log-ratio `ln c_si − ln n_s − ln c_i + ln n` is e6-rounded ONCE
+    * and multiplied by the exact count, so the sum is an integer with no
+    * float order anywhere; `kl_e6 = Σ term ÷ n_s` (truncated division,
+    * identical both engines). Nonnegative up to rounding; 0 = the stratum IS
+    * the mix.
+    *
+    * Scale shape: the corpus pays one map-combinable (stratum, token) count
+    * aggregate; everything after is VOCAB-sized (strata × vocab rows joined
+    * to vocab totals, one scalar corpus total broadcast). At 100 TB the
+    * vocab frames are MBs — the diagnostic is a footnote on the token-count
+    * pass every other text operator already pays. */
+  def sourceTokenKl(docs: DataFrame, textCol: String,
+                    strataCol: String): DataFrame = {
+    val toks = docs.select(col(strataCol),
+      explode(graft.functions.TextFns.words(col(textCol))).as("__t"))
+    val sc = toks.groupBy(col(strataCol), col("__t"))
+      .agg(count(lit(1)).as("c_si"))
+    val cc = sc.groupBy(col("__t")).agg(sum(col("c_si")).as("c_i"))
+    val ns = sc.groupBy(col(strataCol)).agg(sum(col("c_si")).as("n_s"))
+    val n = sc.agg(sum(col("c_si")).as("n"))
+    val terms = sc.join(broadcast(cc), Seq("__t"))
+      .join(broadcast(ns), Seq(strataCol))
+      .crossJoin(broadcast(n))
+      .withColumn("__term", col("c_si") *
+        round((log(col("c_si")) - log(col("n_s")) -
+          log(col("c_i")) + log(col("n"))) * 1000000.0).cast("long"))
+    terms.groupBy(col(strataCol))
+      .agg(first(col("n_s")).as("n_tokens"),
+        sum(col("__term")).as("__sum"))
+      .select(col(strataCol), col("n_tokens"),
+        graft.ops.Quantiles.div(col("__sum"), col("n_tokens")).as("kl_e6"))
+  }
 }

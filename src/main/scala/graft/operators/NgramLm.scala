@@ -106,4 +106,35 @@ object NgramLm {
     d.join(b, Seq(idCol))
       .withColumn("llr_e6", col("base_nll_e6") - col("domain_nll_e6"))
   }
+
+  /** Top-k collocations by pointwise mutual information — the corpus-level
+    * phrase/diagnostic extraction built on the SAME bigram counts the LM
+    * trains on: `pmi_e6 = round((ln c12 + ln N − ln c1* − ln c*2)·10⁶)`
+    * where N = total bigram occurrences, c1* / c*2 the marginal first-/
+    * second-position counts, `minCount` suppressing the unstable low-count
+    * tail. One e6 rounding of one double expression — deterministic in both
+    * engines. Selection is (pmi_e6 DESC, w1, w2) through a LIMIT —
+    * `TakeOrderedAndProject`, per-partition heaps, never a full sort; all
+    * frames after the corpus token pass are vocab-sized. */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long = 5L,
+                   k: Int = 50): DataFrame = {
+    val bigrams = docs
+      .select(TextFns.words(col(textCol)).as("__ts"))
+      .select(explode(bigramPairs(col("__ts"))).as("__b"))
+      .groupBy(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val left = bigrams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val right = bigrams.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
+    val n = bigrams.agg(sum(col("c12")).as("n"))
+    bigrams.filter(col("c12") >= minCount)
+      .join(broadcast(left), Seq("w1"))
+      .join(broadcast(right), Seq("w2"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_e6",
+        round((log(col("c12")) + log(col("n")) -
+          log(col("c1")) - log(col("c2"))) * 1000000.0).cast("long"))
+      .select(col("w1"), col("w2"), col("c12"), col("pmi_e6"))
+      .orderBy(col("pmi_e6").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

@@ -436,6 +436,69 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 4L, 0L), (2L, 3L, 0L), (3L, 2L, 1L), (4L, 5L, 0L)))
   }
 
+  test("sourceTokenKl: uniform mix scores ~0, skewed source scores positive") {
+    import graft.operators.DataMix
+    // src0 == the corpus-average distribution (KL ~ 0 up to rounding);
+    // src1 is all-one-token (maximally skewed)
+    val docs = Seq(
+      (1L, "a b c d", "src0"),
+      (2L, "a b c d", "src0"),
+      (3L, "z z z z", "src1"))
+      .toDF("doc_id", "text", "source")
+    for (parts <- Seq(1, 4)) {
+      val got = DataMix.sourceTokenKl(docs.repartition(parts), "text", "source")
+        .orderBy($"source").as[(String, Long, Long)].collect().toSeq
+      // hand-derived: n=12, src0: each of a,b,c,d has c_si=2, c_i=2, n_s=8
+      //   term ratio = ln2 - ln8 - ln2 + ln12 = ln(12/8) -> 405465 each
+      //   kl = 8*405465/8... per token: c_si=2 -> 2*round(ln(12/8)*1e6)
+      //   sum = 4 * 2 * 405465 = 3243720; / 8 = 405465
+      // src1: z c_si=4, c_i=4, n_s=4: 4*round(ln(12/4)*1e6)=4*1098612
+      //   /4 = 1098612
+      assert(got === Seq(("src0", 8L, 405465L), ("src1", 4L, 1098612L)),
+        s"parts=$parts")
+    }
+    // a literally-average source scores exactly 0: one source only
+    val uni = Seq((1L, "a b", "s")).toDF("doc_id", "text", "source")
+    val z = DataMix.sourceTokenKl(uni, "text", "source")
+      .select($"kl_e6").as[Long].head()
+    assert(z === 0L)
+  }
+
+  test("collocations: PMI ranks the exclusive pair top, min-count floor holds") {
+    import graft.operators.NgramLm
+    // "x y" always co-occur exclusively (max PMI); "a b" frequent but both
+    // words promiscuous; rare pairs below the count floor vanish
+    val docs = Seq(
+      (1L, "x y x y x y x y x y"),
+      (2L, "a b a c a b a d a b"),
+      (3L, "b a c a d a b a b a"),
+      (4L, "rare pair"))
+      .toDF("doc_id", "text")
+    val got = NgramLm.collocations(docs, "text", minCount = 5L, k = 10)
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(got.nonEmpty)
+    // the exclusive bigram ranks first
+    assert(got.head._1 == "x" && got.head._2 == "y")
+    // every surviving pair respects the floor; the rare pair is gone
+    assert(got.forall(_._3 >= 5L))
+    assert(!got.exists(r => r._1 == "rare"))
+    // verify every surviving row against a local replay of the definition
+    val toks = docs.as[(Long, String)].collect().flatMap { case (_, t) =>
+      val ws = t.split("\\s+").filter(_.nonEmpty)
+      ws.zip(ws.drop(1))
+    }
+    val bc = toks.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = toks.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val c2 = toks.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val tot = toks.length.toDouble
+    got.foreach { case (w1, w2, c12, pmi) =>
+      assert(c12 === bc((w1, w2)))
+      val exp = Math.round((Math.log(c12.toDouble) + Math.log(tot) -
+        Math.log(c1(w1).toDouble) - Math.log(c2(w2).toDouble)) * 1e6)
+      assert(pmi === exp, s"($w1,$w2)")
+    }
+  }
+
   test("connectedComponents: chains collapse to min-id label, deterministic") {
     // components: {1,2,3,4} via chain, {10,11}, pairs only
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
