@@ -195,8 +195,15 @@ object TextFns {
     * chained codegen'd projections in the scan stage; DuckDB mirrors it as
     * `trim(regexp_replace(regexp_replace(strip_accents(lower(t)), '[0-9]',
     * '0', 'g'), '\s+', ' ', 'g'))`, which is what keeps every downstream
-    * hash oracle-checkable. Idempotent (spec-pinned). */
-  def normalizeText(text: Column): Column =
+    * hash oracle-checkable. Idempotent (spec-pinned).
+    *
+    * Backed by the native single-pass [[NormalizeTextExpr]] kernel (one byte
+    * loop on ASCII rows — no regex engines); `normalizeTextCols` is the
+    * chained-column reference the equivalence spec pins it against. */
+  def normalizeText(text: Column): Column = NormalizeTextExpr(text)
+
+  /** Reference column-chain implementation of [[normalizeText]]. */
+  def normalizeTextCols(text: Column): Column =
     trim(regexp_replace(
       regexp_replace(StripAccentsExpr(lower(text)), "[0-9]", "0"),
       "\\s+", " "))

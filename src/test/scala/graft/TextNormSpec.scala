@@ -41,6 +41,24 @@ class TextNormSpec extends SparkSpec {
     assert(got(3L) === "n o c a e u")
   }
 
+  test("native kernel == chained-column reference, byte for byte") {
+    val alphabet =
+      ("abzABZ0159áÁéÉíñÑüÜçÇàèö .\t\n\f\r-!@#" + "  ").toCharArray
+    val rnd = new scala.util.Random(11)
+    val cases = (0 until 600).map { i =>
+      (i.toLong, (0 until rnd.nextInt(60)).map(_ =>
+        alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val both = cases.toDF("id", "t").repartition(9)
+      .select($"id", TextFns.normalizeText($"t").as("n"),
+        TextFns.normalizeTextCols($"t").as("r"))
+      .as[(Long, String, String)].collect()
+    assert(both.length === 600)
+    both.foreach { case (id, n, r) =>
+      assert(n === r, s"id=$id ${cases(id.toInt)._2.map(_.toInt)}")
+    }
+  }
+
   test("normalizeText: fuzz vs a Java-reference replay, and idempotence") {
     def ref(s: String): String = {
       val low = s.toLowerCase(java.util.Locale.ROOT)
