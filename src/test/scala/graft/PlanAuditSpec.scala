@@ -48,7 +48,10 @@ class PlanAuditSpec extends SparkSpec {
     "q87_temperature_mixture",
     // q89: rankBuckets' stratum-free total is a 1-row broadcast crossed onto
     // the corpus — a constant per row, the designed shape
-    "q89_perplexity_buckets")
+    "q89_perplexity_buckets",
+    // q106/q107: the corpus-total scalar (one row) crossed onto vocab-sized
+    // frames — the q89 shape; the corpus itself is never on either side
+    "q106_source_kl", "q107_collocations")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where designed") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -64,6 +67,39 @@ class PlanAuditSpec extends SparkSpec {
         else None
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
+  test("q101 line-cap plan carries NO Window and no per-occurrence winner join") {
+    // survivorship must ride the k-bounded heap boundary: no ranking window,
+    // and no join keyed on more than the line (the boundary row is one per
+    // distinct line)
+    val df = SparkEntry.queries("q101_line_freq_cap")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "q101 must not rank with a window")
+  }
+
+  test("q102/q103 scan-stage rows: no join, only the presentation sort shuffles") {
+    for (name <- Seq("q102_text_normalize", "q103_char_entropy")) {
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.write.format("noop").mode("overwrite").save()
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"$name must be join-free")
+      // exactly one Exchange: the ORDER BY for the oracle's presentation
+      // order — the operators themselves add zero shuffle
+      val exchanges = plan.sliding("Exchange".length).count(_ == "Exchange")
+      assert(exchanges == 1, s"$name expected 1 presentation Exchange, got $exchanges")
+    }
+  }
+
+  test("q105 centroid join broadcasts: the corpus never sort-merge-joins") {
+    val df = SparkEntry.queries("q105_embedding_outliers")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "q105's centroid frame must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "q105 must not shuffle the corpus for the centroid join")
   }
 
   test("q80 line-dedup plan carries NO Window") {
