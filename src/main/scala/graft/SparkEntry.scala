@@ -180,7 +180,8 @@ object SparkEntry {
     "q104_window_novelty" -> qWindowNovelty,
     "q105_embedding_outliers" -> qEmbeddingOutliers,
     "q106_source_kl" -> qSourceKl,
-    "q107_collocations" -> qCollocations)
+    "q107_collocations" -> qCollocations,
+    "q108_corpus_report" -> qCorpusReport)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1311,6 +1312,17 @@ object SparkEntry {
   private def qCollocations(s: SparkSession, dir: String): DataFrame =
     NgramLm.collocations(t(s, dir, "documents"), "text", minCount = 5L,
       k = 50)
+
+  /** Per-source data card (`Reports.corpusReport`): volumes, vocabulary,
+    * mean length, sub-word quality, language mix — the audit frame a
+    * curation run publishes beside its output, every figure an exact integer
+    * (counts, floor means, e6 rates). One in-row scan for the doc-grain
+    * signals + one token pass for the exact vocabulary column (whose
+    * at-scale twin is the q93/q96 HLL estimate). */
+  private def qCorpusReport(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Reports.corpusReport(t(s, dir, "documents"), "doc_id",
+        "text", "source", "lang")
+      .orderBy(col("source"))
 
   /** The HLL ESTIMATE end-to-end (`Cardinality.hllEstimate` over q93's
     * registers): because the harmonic-mean fold runs in-row over the
@@ -3776,6 +3788,49 @@ object SparkEntry {
         |    (sqrt(CAST(d.qq AS DOUBLE)) * sqrt(CAST(d.mm AS DOUBLE))), 6)
         |    < 0.0 AS outlier
         |FROM dots d JOIN nm n USING (label) ORDER BY d.vec_id""".stripMargin,
+    // q108: the data card re-derived — shared tokenization for counts/vocab,
+    // the q103 entropy chain per doc, floor means and e6 rates
+    "q108_corpus_report" ->
+      """WITH base AS (SELECT doc_id, source, lang, text FROM documents),
+        |toksl AS (
+        |  SELECT doc_id, source, lang, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'),
+        |    w -> len(w) > 0) AS ws
+        |  FROM base),
+        |chars AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+        |  FROM base),
+        |cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+        |entagg AS (
+        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+        |    CAST(SUM(CAST(round(c * ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+        |      AS slp
+        |  FROM cc GROUP BY doc_id),
+        |ent AS (
+        |  SELECT b.doc_id,
+        |    COALESCE(CAST(round(ln(e.n) * 1000000) AS BIGINT)
+        |      - e.slp // e.n, 0) AS ent_e6
+        |  FROM base b LEFT JOIN entagg e USING (doc_id)),
+        |docagg AS (
+        |  SELECT t.source, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(t.ws)) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(e.ent_e6) AS BIGINT) AS ent_sum,
+        |    CAST(SUM(CASE WHEN e.ent_e6 < 2000000 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS low,
+        |    CAST(SUM(CASE WHEN t.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS en_n
+        |  FROM toksl t JOIN ent e USING (doc_id) GROUP BY t.source),
+        |voc AS (
+        |  SELECT source, COUNT(DISTINCT tk) AS n_distinct_tokens
+        |  FROM (SELECT source, unnest(ws) AS tk FROM toksl) GROUP BY source)
+        |SELECT d.source, CAST(d.n_docs AS BIGINT) AS n_docs, d.n_tokens,
+        |  CAST(v.n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+        |  CAST(d.n_tokens // d.n_docs AS BIGINT) AS mean_doc_tokens,
+        |  CAST(d.ent_sum // d.n_docs AS BIGINT) AS mean_entropy_e6,
+        |  CAST(d.low * 1000000 // d.n_docs AS BIGINT) AS low_entropy_rate_e6,
+        |  CAST(d.en_n * 1000000 // d.n_docs AS BIGINT) AS en_rate_e6
+        |FROM docagg d JOIN voc v USING (source)
+        |ORDER BY d.source""".stripMargin,
     // q106: per-source KL vs the corpus unigram mix — the same tokenization,
     // each token's e6-rounded log-ratio times its exact count, truncated div
     "q106_source_kl" ->

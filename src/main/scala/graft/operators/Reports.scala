@@ -1,0 +1,52 @@
+package graft.operators
+
+import graft.functions.{CharEntropyExpr, TextFns, TextStatsExpr}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus data-card reports — the per-source audit frame a curation run
+  * publishes next to its output ("what did we train on?"): volumes, vocabulary,
+  * length, sub-word quality, and language mix in ONE result, every figure an
+  * exact integer (counts, floor-divided means, e6 rates) so the report is
+  * bit-reproducible and oracle-checkable.
+  *
+  * Scale shape: ONE corpus scan computes every per-doc signal in-row (native
+  * word/entropy kernels — no explode for the doc-grain stats), one
+  * map-combinable per-stratum aggregate folds them, and the only explode is
+  * the token pass feeding the exact per-source vocabulary count (vocab-sized
+  * shuffle; at whole-corpus scale swap in the q93 HLL register frame — the
+  * report column is the exact twin of that estimate). */
+object Reports {
+
+  /** Per-`strataCol` report over `docs(idCol, textCol, langCol)`:
+    * n_docs, n_tokens, n_distinct_tokens, mean_doc_tokens (floor),
+    * mean_entropy_e6 (floor), low_entropy_rate_e6 (share of docs under
+    * `entropyFloorE6`), en_rate_e6 (share of docs with `langCol = 'en'`). */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String,
+                   strataCol: String, langCol: String,
+                   entropyFloorE6: Long = 2000000L): DataFrame = {
+    val perDoc = docs.select(col(strataCol),
+      TextStatsExpr(col(textCol), Nil)("n_words").as("__nw"),
+      CharEntropyExpr(col(textCol)).as("__ent"),
+      when(col(langCol) === "en", 1L).otherwise(0L).as("__en"))
+    val docAgg = perDoc.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("n_tokens"),
+        sum(col("__ent")).as("__ent_sum"),
+        sum(when(col("__ent") < entropyFloorE6, 1L).otherwise(0L))
+          .as("__low"),
+        sum(col("__en")).as("__en_n"))
+    val vocab = docs.select(col(strataCol),
+        explode(TextFns.words(col(textCol))).as("__t"))
+      .groupBy(col(strataCol))
+      .agg(countDistinct(col("__t")).as("n_distinct_tokens"))
+    val d = graft.ops.Quantiles.div _
+    docAgg.join(vocab, Seq(strataCol))
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        col("n_distinct_tokens"),
+        d(col("n_tokens"), col("n_docs")).as("mean_doc_tokens"),
+        d(col("__ent_sum"), col("n_docs")).as("mean_entropy_e6"),
+        d(col("__low") * 1000000L, col("n_docs")).as("low_entropy_rate_e6"),
+        d(col("__en_n") * 1000000L, col("n_docs")).as("en_rate_e6"))
+  }
+}
