@@ -181,7 +181,8 @@ object SparkEntry {
     "q105_embedding_outliers" -> qEmbeddingOutliers,
     "q106_source_kl" -> qSourceKl,
     "q107_collocations" -> qCollocations,
-    "q108_corpus_report" -> qCorpusReport)
+    "q108_corpus_report" -> qCorpusReport,
+    "q109_chunk_overlap" -> qChunkOverlap)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1312,6 +1313,16 @@ object SparkEntry {
   private def qCollocations(s: SparkSession, dir: String): DataFrame =
     NgramLm.collocations(t(s, dir, "documents"), "text", minCount = 5L,
       k = 50)
+
+  /** Sliding-context chunking (`Packing.chunkTokensStrided`, 16-token
+    * windows at stride 8): q53's disjoint chunks with 8 tokens of overlap at
+    * every boundary — the form training prep actually emits so no example
+    * starts cold. In-row like q53: no shuffle, the output amplification is
+    * the semantics. */
+  private def qChunkOverlap(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.chunkTokensStrided(t(s, dir, "documents"),
+        "doc_id", "text", chunkSize = 16, stride = 8)
+      .orderBy(col("doc_id"), col("chunk_idx"))
 
   /** Per-source data card (`Reports.corpusReport`): volumes, vocabulary,
     * mean length, sub-word quality, language mix — the audit frame a
@@ -3788,6 +3799,24 @@ object SparkEntry {
         |    (sqrt(CAST(d.qq AS DOUBLE)) * sqrt(CAST(d.mm AS DOUBLE))), 6)
         |    < 0.0 AS outlier
         |FROM dots d JOIN nm n USING (label) ORDER BY d.vec_id""".stripMargin,
+    // q109: q53's chunk derivation with stride-8 starts — windows while the
+    // start is inside the doc, final windows truncated
+    "q109_chunk_overlap" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> len(w) > 0) AS ws
+        |  FROM documents)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(ws[chunk_idx*8+1 : chunk_idx*8+16]) AS BIGINT)
+        |    AS n_chunk_tokens,
+        |  sha256(array_to_string(ws[chunk_idx*8+1 : chunk_idx*8+16], ' '))
+        |    AS chunk_sha
+        |FROM (SELECT doc_id, ws,
+        |        unnest(range(0, CAST(floor((len(ws) - 1) / 8.0) AS INT) + 1))
+        |          AS chunk_idx
+        |      FROM toks WHERE len(ws) > 0)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     // q108: the data card re-derived — shared tokenization for counts/vocab,
     // the q103 entropy chain per doc, floor means and e6 rates
     "q108_corpus_report" ->

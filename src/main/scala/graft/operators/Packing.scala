@@ -39,6 +39,35 @@ object Packing {
         sha2(array_join(col("__chunk"), " "), 256).as("chunk_sha"))
   }
 
+  /** [[chunkTokens]] with OVERLAP — the sliding-context form LLM training
+    * prep actually emits (stride < chunkSize keeps `chunkSize − stride`
+    * tokens of context at every boundary, so no training example starts
+    * cold). Window i covers tokens [i·stride, i·stride + chunkSize); starts
+    * run while they are inside the doc, the final windows are truncated
+    * rather than padded, and `stride = chunkSize` degenerates to exactly
+    * [[chunkTokens]]'s disjoint chunks (spec-pinned). Same scale shape:
+    * fully in-row, a narrow projection, no shuffle — the ~chunkSize/stride
+    * row amplification is the output's, not a join's. */
+  def chunkTokensStrided(docs: DataFrame, idCol: String, textCol: String,
+                         chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1 && stride >= 1,
+      s"chunkSize and stride must be >= 1, got $chunkSize/$stride")
+    val ws = TextFns.words(col(textCol))
+    // starts 0, stride, 2·stride, … strictly inside the doc
+    val nChunks = (floor((size(ws) - 1).cast("double") / stride) + 1)
+      .cast("int")
+    docs
+      .select(col(idCol), ws.as("__ws"), nChunks.as("__n"))
+      .filter(size(col("__ws")) > 0)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__n") - 1),
+          i => slice(col("__ws"), i * stride + 1, lit(chunkSize))))
+          .as(Seq("chunk_idx", "__chunk")))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+        sha2(array_join(col("__chunk"), " "), 256).as("chunk_sha"))
+  }
+
   /** Deterministic sharded packing: within each shard (ordered by id), a doc's
     * bin is floor(exclusive-prefix-token-sum / tokenBudget) — consecutive docs
     * share a bin until the budget boundary is crossed. Bins are exact, stable

@@ -422,6 +422,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("chunkTokensStrided: overlapping windows, truncated tails, stride=chunk == chunkTokens") {
+    import graft.operators.Packing
+    val docs = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")),
+      (2L, "solo"), (3L, "")).toDF("doc_id", "text")
+    val got = Packing.chunkTokensStrided(docs, "doc_id", "text",
+        chunkSize = 4, stride = 2)
+      .select($"doc_id", $"chunk_idx", $"n_chunk_tokens")
+      .as[(Long, Int, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // doc 1: starts 0,2,4,6,8 -> sizes 4,4,4,4,2; doc 2: one window of 1;
+    // doc 3: tokenless, dropped
+    assert(got === Seq((1L, 0, 4L), (1L, 1, 4L), (1L, 2, 4L), (1L, 3, 4L),
+      (1L, 4, 2L), (2L, 0, 1L)))
+    // degenerate stride: bit-identical to the disjoint chunker
+    val a = Packing.chunkTokens(docs, "doc_id", "text", 4)
+      .collect().map(_.toString).sorted.toSeq
+    val b = Packing.chunkTokensStrided(docs, "doc_id", "text", 4, 4)
+      .collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
   test("packBins: budget boundaries per shard, shards independent") {
     val docs = Seq(
       (1L, "w w w w", "s0"),   // 4 tokens, prior 0  -> bin 0
