@@ -15,8 +15,58 @@ import org.apache.spark.sql.functions._
   * map-combinable per-stratum aggregate folds them, and the only explode is
   * the token pass feeding the exact per-source vocabulary count (vocab-sized
   * shuffle; at whole-corpus scale swap in the q93 HLL register frame — the
-  * report column is the exact twin of that estimate). */
+  * report column is the exact twin of that estimate).
+  *
+  * The SUM-MERGEABLE intermediate (`reportCarrier`) is split from the
+  * presentation math (`render`) so the report can be maintained
+  * incrementally: carriers from disjoint corpus slices merge by per-stratum
+  * addition ([[mergeCarriers]] — exact, associative), which is what
+  * `streaming.ReportStream`'s versioned folds ride. The derived columns
+  * (means, rates) are computed only at render time. */
 object Reports {
+
+  /** The additive per-stratum carrier:
+    * (strata, n_docs, n_tokens, ent_sum, low_n, en_n) — every column an
+    * exact long SUM, so carriers of disjoint slices merge by addition. */
+  def reportCarrier(docs: DataFrame, idCol: String, textCol: String,
+                    strataCol: String, langCol: String,
+                    entropyFloorE6: Long = 2000000L): DataFrame = {
+    val perDoc = docs.select(col(strataCol),
+      TextStatsExpr(col(textCol), Nil)("n_words").as("__nw"),
+      CharEntropyExpr(col(textCol)).as("__ent"),
+      when(col(langCol) === "en", 1L).otherwise(0L).as("__en"))
+    perDoc.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__nw")).as("n_tokens"),
+        sum(col("__ent")).as("ent_sum"),
+        sum(when(col("__ent") < entropyFloorE6, 1L).otherwise(0L))
+          .as("low_n"),
+        sum(col("__en")).as("en_n"))
+  }
+
+  /** Exact per-stratum addition of two carriers (disjoint corpus slices). */
+  def mergeCarriers(a: DataFrame, b: DataFrame, strataCol: String): DataFrame =
+    a.unionByName(b).groupBy(col(strataCol))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("ent_sum")).as("ent_sum"),
+        sum(col("low_n")).as("low_n"),
+        sum(col("en_n")).as("en_n"))
+
+  /** Presentation math over a carrier + a per-stratum vocabulary frame
+    * (`vocab(strataCol, n_distinct_tokens)` — exact counts batch-side, the
+    * HLL estimate stream-side). */
+  def render(carrier: DataFrame, vocab: DataFrame,
+             strataCol: String): DataFrame = {
+    val d = graft.ops.Quantiles.div _
+    carrier.join(vocab, Seq(strataCol))
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        col("n_distinct_tokens"),
+        d(col("n_tokens"), col("n_docs")).as("mean_doc_tokens"),
+        d(col("ent_sum"), col("n_docs")).as("mean_entropy_e6"),
+        d(col("low_n") * 1000000L, col("n_docs")).as("low_entropy_rate_e6"),
+        d(col("en_n") * 1000000L, col("n_docs")).as("en_rate_e6"))
+  }
 
   /** Per-`strataCol` report over `docs(idCol, textCol, langCol)`:
     * n_docs, n_tokens, n_distinct_tokens, mean_doc_tokens (floor),
@@ -25,28 +75,11 @@ object Reports {
   def corpusReport(docs: DataFrame, idCol: String, textCol: String,
                    strataCol: String, langCol: String,
                    entropyFloorE6: Long = 2000000L): DataFrame = {
-    val perDoc = docs.select(col(strataCol),
-      TextStatsExpr(col(textCol), Nil)("n_words").as("__nw"),
-      CharEntropyExpr(col(textCol)).as("__ent"),
-      when(col(langCol) === "en", 1L).otherwise(0L).as("__en"))
-    val docAgg = perDoc.groupBy(col(strataCol))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("__nw")).as("n_tokens"),
-        sum(col("__ent")).as("__ent_sum"),
-        sum(when(col("__ent") < entropyFloorE6, 1L).otherwise(0L))
-          .as("__low"),
-        sum(col("__en")).as("__en_n"))
     val vocab = docs.select(col(strataCol),
         explode(TextFns.words(col(textCol))).as("__t"))
       .groupBy(col(strataCol))
       .agg(countDistinct(col("__t")).as("n_distinct_tokens"))
-    val d = graft.ops.Quantiles.div _
-    docAgg.join(vocab, Seq(strataCol))
-      .select(col(strataCol), col("n_docs"), col("n_tokens"),
-        col("n_distinct_tokens"),
-        d(col("n_tokens"), col("n_docs")).as("mean_doc_tokens"),
-        d(col("__ent_sum"), col("n_docs")).as("mean_entropy_e6"),
-        d(col("__low") * 1000000L, col("n_docs")).as("low_entropy_rate_e6"),
-        d(col("__en_n") * 1000000L, col("n_docs")).as("en_rate_e6"))
+    render(reportCarrier(docs, idCol, textCol, strataCol, langCol,
+      entropyFloorE6), vocab, strataCol)
   }
 }

@@ -95,7 +95,7 @@ object SketchStream {
 
   /** Newest `_SUCCESS`-complete `v=<id>` version under `storePath` with id
     * strictly below `below` (None = unbounded). */
-  private def latestVersion(spark: SparkSession, storePath: String,
+  private[streaming] def latestVersion(spark: SparkSession, storePath: String,
                             below: Option[Long]): Option[(Long, String)] = {
     val root = new Path(storePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())

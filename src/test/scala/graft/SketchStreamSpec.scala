@@ -93,4 +93,50 @@ class SketchStreamSpec extends SparkSpec {
       .as[(String, Int, Int, Long)].collect().toSet
     assert(twice === expected)
   }
+
+  test("report store after N folds == batch data card of the union; replay no-op") {
+    import graft.streaming.ReportStream
+    import graft.operators.{Cardinality, Reports}
+    val store = java.nio.file.Files.createTempDirectory("report").toString
+    def doc(id: Long, words: Int, lang: String, src: String) =
+      (id, (0 until words).map(i => s"w${(id + i) % 97}").mkString(" "),
+        lang, src)
+    val b0 = (0L until 40L).map(i => doc(i, 30, "en", s"s${i % 2}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val b1 = (100L until 130L).map(i => doc(i, 25, "zh", s"s${i % 2}"))
+      .toDF("doc_id", "text", "lang", "source")
+    def fold(b: org.apache.spark.sql.DataFrame, id: Long) =
+      ReportStream.foldReportBatch(b, id, "doc_id", "text", "source",
+        "lang", store, p = 8, keepVersions = 2, entropyFloorE6 = 2000000L)
+    fold(b0, 0L); fold(b1, 1L)
+    val got = ReportStream.currentReport(spark, store, "source").get
+      .orderBy($"source")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // every additive column equals the batch report over the union; the
+    // vocabulary column equals the HLL estimate over the union's registers
+    val union = b0.unionByName(b1)
+    val exact = Reports.corpusReport(union, "doc_id", "text", "source", "lang")
+      .orderBy($"source")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val estVocab = Cardinality.hllEstimate(
+        Cardinality.hllRegisters(union.select($"source",
+          explode(graft.functions.TextFns.words($"text")).as("t")),
+          Seq("source"), col("t"), p = 8), Seq("source"))
+      .as[(String, Long)].collect().toMap
+    assert(got.map(_._1) === exact.map(_._1))
+    got.zip(exact).foreach { case (g, e) =>
+      assert((g._2, g._3, g._5, g._6, g._7, g._8) ===
+        (e._2, e._3, e._5, e._6, e._7, e._8), s"source ${g._1}")
+      assert(g._4 === estVocab(g._1), s"vocab estimate ${g._1}")
+    }
+    // at-least-once replay of batch 1: snapshot unchanged
+    fold(b1, 1L)
+    val twice = ReportStream.currentReport(spark, store, "source").get
+      .orderBy($"source")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(twice === got)
+  }
 }
