@@ -62,7 +62,11 @@ import org.apache.spark.sql.functions._
   *   "mix_fractions": {"src0": 1.0, "src1": 0.5},
   *   "dsir_domain_col": "source",      // optional DSIR resample: train the
   *   "dsir_domain_value": "src0",      //   in-domain LM on this slice and
-  *   "dsir_k": 1000                    //   Gumbel-top-k down to k docs
+  *   "dsir_k": 1000,                   //   Gumbel-top-k down to k docs
+  *   "report_strata_col": "",          // optional data card (q108): write the
+  *   "report_lang_col": "lang"         //   per-stratum report of what was
+  *                                     //   ACTUALLY written to
+  *                                     //   <output_path>_report ("" = off)
   * }
   * Usage: CurationJob <config.json>
   *
@@ -256,6 +260,15 @@ object CurationJob {
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(outPath)
     val output = spark.read.parquet(outPath).count()
+
+    // 6. optional data card of what was ACTUALLY written — the audit frame
+    // published beside the corpus (q108; per-stratum exact integers)
+    val reportCol = str("report_strata_col", "")
+    if (reportCol.nonEmpty)
+      graft.operators.Reports.corpusReport(spark.read.parquet(outPath),
+          idCol, textCol, reportCol, str("report_lang_col", "lang"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(outPath + "_report")
 
     gated.unpersist(); deduped.unpersist()
     val stats = Stats(input, afterQuality, afterDedup, output,

@@ -26,7 +26,8 @@ class CurationJobSpec extends SparkSpec {
          | "min_words": 20, "ngram_n": 3, "jaccard_threshold": 0.8,
          | "block_cols": ["lang"], "redact_pii": true,
          | "partition_by": ["lang"],
-         | "mix_strata_col": "source", "mix_fractions": {"src0": 1.0, "src1": 1.0}}"""
+         | "mix_strata_col": "source", "mix_fractions": {"src0": 1.0, "src1": 1.0},
+         | "report_strata_col": "source"}"""
         .stripMargin)
     val stats = CurationJob.run(spark, s"$dir/cfg.json").get
     assert(stats.input == 5 && stats.afterQuality == 4 &&
@@ -39,6 +40,11 @@ class CurationJobSpec extends SparkSpec {
     assert(texts.contains("[EMAIL]") && !texts.contains("alice@example.com"))
     // partitioned layout
     assert(Files.exists(dir.resolve("out/lang=en")))
+    // the data card describes what was ACTUALLY written
+    val report = spark.read.parquet(s"$dir/out_report")
+    val bynDocs = report.select($"source", $"n_docs")
+      .as[(String, Long)].collect().toMap
+    assert(bynDocs == Map("src0" -> 2L, "src1" -> 1L), bynDocs)
     // S13: second tick skips
     assert(CurationJob.run(spark, s"$dir/cfg.json").isEmpty)
   }

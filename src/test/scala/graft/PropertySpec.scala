@@ -182,6 +182,46 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("lineFrequencyCap == naive earliest-k reference on random corpora") {
+    import graft.operators.Dedup
+    // docs = random stacks of lines drawn from a SMALL pool (so cross-doc
+    // floods are common), lines of 0-5 tokens (sub-minTokens immunity in
+    // play), caps 1-3
+    val linePool = Vector(
+      "alpha beta gamma", "delta epsilon zeta eta", "one two three four five",
+      "--", "", "solo", "red green blue", "alpha beta gamma")
+    val corpusGen = for {
+      nDocs <- Gen.choose(1, 8)
+      docs <- Gen.listOfN(nDocs, Gen.listOfN(5, Gen.choose(0, linePool.size - 1)))
+      cap <- Gen.choose(1, 3)
+    } yield (docs.map(_.map(linePool)), cap)
+    for (((docLines, cap), ci) <- samples(corpusGen, 6).zipWithIndex) {
+      val docs = docLines.zipWithIndex
+        .map { case (ls, i) => (i.toLong, ls.mkString("\n")) }
+      // naive reference: global (doc, idx) scan in order, count per line
+      val counts = scala.collection.mutable.Map[String, Int]()
+      val expected = docs.map { case (id, text) =>
+        val kept = scala.collection.mutable.ArrayBuffer[String]()
+        var removed = 0L
+        text.split("\n", -1).foreach { line =>
+          val dedupable = graft.functions.TextFns.bpeTokenPattern.r
+            .findAllMatchIn(line.toLowerCase).size >= 3
+          if (!dedupable) kept += line
+          else {
+            val c = counts.getOrElse(line, 0)
+            if (c < cap) { counts(line) = c + 1; kept += line }
+            else removed += 1
+          }
+        }
+        (id, kept.mkString("\n"), removed)
+      }
+      val got = Dedup.lineFrequencyCap(docs.toDF("doc_id", "text")
+          .repartition(3), "doc_id", "text", cap)
+        .orderBy($"doc_id").as[(Long, String, Long)].collect().toSeq
+      assert(got === expected, s"case $ci cap=$cap docs=$docLines")
+    }
+  }
+
   test("prefix-filter exactness: ngramJaccardPairs == brute force on random corpora") {
     // random small-vocab docs (high shingle collision rate — the adversarial case
     // for prefix filtering) must yield EXACTLY the brute-force pair set
