@@ -182,7 +182,8 @@ object SparkEntry {
     "q106_source_kl" -> qSourceKl,
     "q107_collocations" -> qCollocations,
     "q108_corpus_report" -> qCorpusReport,
-    "q109_chunk_overlap" -> qChunkOverlap)
+    "q109_chunk_overlap" -> qChunkOverlap,
+    "q110_fuzzy_contamination" -> qFuzzyContamination)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1323,6 +1324,32 @@ object SparkEntry {
     graft.operators.Packing.chunkTokensStrided(t(s, dir, "documents"),
         "doc_id", "text", chunkSize = 16, stride = 8)
       .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** FUZZY benchmark contamination (`Dedup.incrementalJaccardMatches`, bench
+    * as the "incoming" side): q47/q97/q99 catch VERBATIM overlap — this row
+    * catches the paraphrase case production decontamination also runs (a
+    * benchmark item lightly edited into the corpus shares most of its
+    * 3-gram shingles without any exact window surviving). Planted: the %11=5
+    * slice rides into the bench set with a suffix edit (high-but-<1 Jaccard
+    * vs its source), the %11=7 slice as genuinely novel bench items (no
+    * match, and their absence from the output is load-bearing). PPJoin
+    * prefix-filter candidates — bench×corpus only, never corpus×corpus. */
+  private def qFuzzyContamination(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").filter(col("doc_id") < 2000)
+    val corpus = base.select(col("doc_id"), col("text"))
+    val bench = base.filter(pmod(col("doc_id"), lit(11L)) === 5)
+      .select((col("doc_id") + 700000L).as("doc_id"),
+        concat(col("text"), lit(" benchmark suffix tail")).as("text"))
+      .unionByName(base.filter(pmod(col("doc_id"), lit(11L)) === 7)
+        .select((col("doc_id") + 800000L).as("doc_id"),
+          concat(lit("novel benchmark question item "),
+            col("doc_id").cast("string")).as("text")))
+    Dedup.incrementalJaccardMatches(corpus, bench, "doc_id", "text",
+        n = 3, threshold = 0.5, blockCols = Nil)
+      .select(col("id_a").as("bench_id"), col("id_b").as("doc_id"),
+        round(col("jaccard"), 6).as("jaccard_6dp"))
+      .orderBy(col("bench_id"), col("doc_id"))
+  }
 
   /** Per-source data card (`Reports.corpusReport`): volumes, vocabulary,
     * mean length, sub-word quality, language mix — the audit frame a
@@ -3799,6 +3826,41 @@ object SparkEntry {
         |    (sqrt(CAST(d.qq AS DOUBLE)) * sqrt(CAST(d.mm AS DOUBLE))), 6)
         |    < 0.0 AS outlier
         |FROM dots d JOIN nm n USING (label) ORDER BY d.vec_id""".stripMargin,
+    // q110: the paraphrase-contamination pairs brute-forced — q62's string
+    // 3-gram shingle CTEs, the double-division Jaccard at the same 0.5
+    // threshold, 6dp
+    "q110_fuzzy_contamination" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 2000),
+        |bench AS (
+        |  SELECT doc_id + 700000 AS doc_id,
+        |    text || ' benchmark suffix tail' AS text
+        |  FROM documents WHERE doc_id < 2000 AND doc_id % 11 = 5
+        |  UNION ALL
+        |  SELECT doc_id + 800000,
+        |    'novel benchmark question item ' || doc_id
+        |  FROM documents WHERE doc_id < 2000 AND doc_id % 11 = 7),
+        |shc AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            w -> len(w) > 0) AS ws FROM corpus)),
+        |shi AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            w -> len(w) > 0) AS ws FROM bench))
+        |SELECT i.doc_id AS bench_id, c.doc_id AS doc_id,
+        |  round(CAST(len(list_intersect(i.sh, c.sh)) AS DOUBLE) /
+        |    CAST(len(i.sh) + len(c.sh) - len(list_intersect(i.sh, c.sh))
+        |      AS DOUBLE), 6) AS jaccard_6dp
+        |FROM shi i JOIN shc c ON len(i.sh) > 0 AND len(c.sh) > 0
+        |  AND CAST(len(list_intersect(i.sh, c.sh)) AS DOUBLE) /
+        |      CAST(len(i.sh) + len(c.sh) - len(list_intersect(i.sh, c.sh))
+        |        AS DOUBLE) >= 0.5
+        |ORDER BY bench_id, doc_id""".stripMargin,
     // q109: q53's chunk derivation with stride-8 starts — windows while the
     // start is inside the doc, final windows truncated
     "q109_chunk_overlap" ->
