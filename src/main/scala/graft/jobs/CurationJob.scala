@@ -56,6 +56,10 @@ import org.apache.spark.sql.functions._
   *   "decontaminate_window_tokens": 20,//   decontamination: windows found
   *                                     //   verbatim in this parquet's text
   *                                     //   col are cut ("" = off)
+  *   "decontaminate_fuzzy_threshold": 0,// optional PARAPHRASE decon (q110):
+  *                                     //   drop docs whose shingle Jaccard
+  *                                     //   vs any bench item >= this
+  *                                     //   (0 = off; needs the bench path)
   *   "redact_pii": true,
   *   "partition_by": ["lang"],         // output layout
   *   "mix_strata_col": "source",       // optional mixture step
@@ -218,11 +222,26 @@ object CurationJob {
         (Some(joined.count()), joined)
       } else (None, windowScrubbed)
 
+    // 2d. optional FUZZY decontamination against the same benchmark set:
+    // drop whole docs whose shingle Jaccard vs ANY bench item clears the
+    // threshold — the paraphrase case span surgery cannot see (q110);
+    // bench×corpus candidates only, never corpus×corpus
+    val fuzzyT = str("decontaminate_fuzzy_threshold", "0").toDouble
+    val fuzzyClean =
+      if (fuzzyT > 0 && benchPath.nonEmpty) {
+        val benchDf = spark.read.parquet(benchPath)
+          .select(col(idCol), col(textCol))
+        val doomed = Dedup.incrementalJaccardMatches(decontaminated,
+            benchDf, idCol, textCol, str("ngram_n", "3").toInt, fuzzyT, Nil)
+          .select(col("id_b").as(idCol)).distinct()
+        decontaminated.join(doomed, Seq(idCol), "left_anti")
+      } else decontaminated
+
     // 3. PII scrub
     val scrubbed =
       if (str("redact_pii", "true").toBoolean)
-        decontaminated.withColumn(textCol, TextFns.redactPii(col(textCol)))
-      else decontaminated
+        fuzzyClean.withColumn(textCol, TextFns.redactPii(col(textCol)))
+      else fuzzyClean
 
     // 4. optional deterministic mixture sampling
     val mixCol = str("mix_strata_col", "")

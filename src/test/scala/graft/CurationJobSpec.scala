@@ -140,6 +140,37 @@ class CurationJobSpec extends SparkSpec {
     assert(byId(4L).contains(w(200)) && byId(5L).contains(w(200)))
   }
 
+  test("curation job: fuzzy decontamination drops the paraphrase span scrub misses") {
+    val dir = Files.createTempDirectory("curation7")
+    def w(i: Int) = s"w${('a' + i % 26).toChar}${('a' + i / 26).toChar}"
+    val benchWords = (0 until 40).map(w)
+    // two words swapped so EVERY verbatim run is under 20 tokens (13/13/12
+    // — the span pass finds nothing to cut), while 3-gram Jaccard stays
+    // ~0.73: exactly the paraphrase the fuzzy pass exists for
+    val paraphrase = benchWords.updated(13, "zzq").updated(27, "qqz")
+      .mkString(" ")
+    Seq(
+      (1L, (100 until 140).map(w).mkString(" "), "src0"),
+      (4L, paraphrase, "src0"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/docs")
+    Seq((900L, benchWords.mkString(" ")))
+      .toDF("doc_id", "text").write.parquet(s"$dir/bench")
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/docs", "output_path": "$dir/out",
+         | "min_words": 20, "ngram_n": 3, "jaccard_threshold": 0.95,
+         | "decontaminate_bench_path": "$dir/bench",
+         | "decontaminate_window_tokens": 20,
+         | "decontaminate_fuzzy_threshold": 0.5,
+         | "redact_pii": false}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    // the span pass removes nothing (no verbatim window), the fuzzy pass
+    // drops the paraphrase whole
+    assert(stats.afterDecontam.contains(2), stats)
+    assert(stats.output == 1, stats)
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.select($"doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("curation job: gopher_ngrams gate drops repetition-flooded docs") {
     val dir = Files.createTempDirectory("curation4")
     Seq(
