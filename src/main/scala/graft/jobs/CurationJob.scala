@@ -161,6 +161,19 @@ object CurationJob {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterDedup = deduped.count()
 
+    // STAGE PINNING: every optional stage's output is local-checkpointed.
+    // The scrub/novelty/cap operators each reference their input frame
+    // SEVERAL times (self-joins, winner joins, rebuild joins), so a k-stage
+    // chain's LOGICAL PLAN grows ~2^k nodes — a full-stage config measured
+    // as a driver hang (the AQE explainString callback alone burned minutes
+    // of CPU stringifying the tree) before any task ran. persist() caches
+    // data but not plan size; localCheckpoint truncates the lineage to a
+    // LogicalRDD (the Dedup composites' own convention), bounding every
+    // downstream plan. At warehouse scale a stage boundary is a persisted
+    // table anyway — this is the single-job analog.
+    def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      df.localCheckpoint(true)
+
     // 2a-lines. optional corpus-global line cap across the survivors: each
     // duplicate line keeps its k earliest (doc, position) copies (k = 1 is
     // hard line dedup); docs scrubbed down to nothing are dropped, the
@@ -171,8 +184,8 @@ object CurationJob {
         val s = Dedup.lineFrequencyCap(deduped, idCol, textCol, lineCap)
           .filter(length(col(textCol)) > 0)
           .select(col(idCol), col(textCol).as("__capped"))
-        val joined = deduped.drop(textCol).join(s, Seq(idCol))
-          .withColumnRenamed("__capped", textCol)
+        val joined = pin(deduped.drop(textCol).join(s, Seq(idCol))
+          .withColumnRenamed("__capped", textCol))
         (Some(joined.count()), joined)
       } else (None, deduped)
 
@@ -186,7 +199,7 @@ object CurationJob {
         val keep = Dedup.windowNoveltyStats(lineCapped, idCol, textCol, nw)
           .filter(col("novelty_e6") >= minNovelty)
           .select(col(idCol))
-        val joined = lineCapped.join(keep, Seq(idCol), "left_semi")
+        val joined = pin(lineCapped.join(keep, Seq(idCol), "left_semi"))
         (Some(joined.count()), joined)
       } else (None, lineCapped)
 
@@ -199,8 +212,8 @@ object CurationJob {
         val s = Dedup.scrubSharedWindows(novGated, idCol, textCol, windowTokens)
           .filter(col("n_removed") < col("n_tokens"))
           .select(col(idCol), col(textCol).as("__scrubbed"))
-        val joined = novGated.drop(textCol).join(s, Seq(idCol))
-          .withColumnRenamed("__scrubbed", textCol)
+        val joined = pin(novGated.drop(textCol).join(s, Seq(idCol))
+          .withColumnRenamed("__scrubbed", textCol))
         (Some(joined.count()), joined)
       } else (None, novGated)
 
@@ -217,8 +230,8 @@ object CurationJob {
             windowScrubbed, benchDf, idCol, textCol, benchWin)
           .filter(col("n_removed") < col("n_tokens"))
           .select(col(idCol), col(textCol).as("__decon"))
-        val joined = windowScrubbed.drop(textCol).join(s, Seq(idCol))
-          .withColumnRenamed("__decon", textCol)
+        val joined = pin(windowScrubbed.drop(textCol).join(s, Seq(idCol))
+          .withColumnRenamed("__decon", textCol))
         (Some(joined.count()), joined)
       } else (None, windowScrubbed)
 
@@ -234,7 +247,7 @@ object CurationJob {
         val doomed = Dedup.incrementalJaccardMatches(decontaminated,
             benchDf, idCol, textCol, str("ngram_n", "3").toInt, fuzzyT, Nil)
           .select(col("id_b").as(idCol)).distinct()
-        decontaminated.join(doomed, Seq(idCol), "left_anti")
+        pin(decontaminated.join(doomed, Seq(idCol), "left_anti"))
       } else decontaminated
 
     // 3. PII scrub
