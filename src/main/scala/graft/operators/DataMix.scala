@@ -313,7 +313,11 @@ object DataMix {
     * aggregate; everything after is VOCAB-sized (strata × vocab rows joined
     * to vocab totals, one scalar corpus total broadcast). At 100 TB the
     * vocab frames are MBs — the diagnostic is a footnote on the token-count
-    * pass every other text operator already pays. */
+    * pass every other text operator already pays.
+    *
+    * Range: |Σ term| ≤ n_s · max|log-ratio|·10⁶ ≈ n_s · 2·10⁷ — a long
+    * overflows only past ~4·10¹¹ tokens IN ONE STRATUM; shard the stratum
+    * (and average the shard KLs) before that point. */
   def sourceTokenKl(docs: DataFrame, textCol: String,
                     strataCol: String): DataFrame = {
     val toks = docs.select(col(strataCol),
