@@ -1358,7 +1358,7 @@ object SparkEntry {
     * signals + one token pass for the exact vocabulary column (whose
     * at-scale twin is the q93/q96 HLL estimate). */
   private def qCorpusReport(s: SparkSession, dir: String): DataFrame =
-    graft.operators.Reports.corpusReport(t(s, dir, "documents"), "doc_id",
+    graft.operators.Reports.corpusReport(t(s, dir, "documents"),
         "text", "source", "lang")
       .orderBy(col("source"))
 
@@ -3240,7 +3240,7 @@ object SparkEntry {
         |    ELSE text END AS text
         |  FROM documents),
         |chars AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
         |  FROM planted),
         |cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
         |agg AS (
@@ -3889,7 +3889,7 @@ object SparkEntry {
         |    w -> len(w) > 0) AS ws
         |  FROM base),
         |chars AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
         |  FROM base),
         |cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
         |entagg AS (

@@ -84,7 +84,8 @@ object CurationJob {
                    afterResample: Option[Long] = None,
                    afterDecontam: Option[Long] = None,
                    afterLineCap: Option[Long] = None,
-                   afterNovelty: Option[Long] = None)
+                   afterNovelty: Option[Long] = None,
+                   afterFuzzy: Option[Long] = None)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -240,15 +241,21 @@ object CurationJob {
     // threshold — the paraphrase case span surgery cannot see (q110);
     // bench×corpus candidates only, never corpus×corpus
     val fuzzyT = str("decontaminate_fuzzy_threshold", "0").toDouble
-    val fuzzyClean =
+    val (afterFuzzy, fuzzyClean) =
       if (fuzzyT > 0 && benchPath.nonEmpty) {
         val benchDf = spark.read.parquet(benchPath)
           .select(col(idCol), col(textCol))
-        val doomed = Dedup.incrementalJaccardMatches(decontaminated,
-            benchDf, idCol, textCol, str("ngram_n", "3").toInt, fuzzyT, Nil)
-          .select(col("id_b").as(idCol)).distinct()
-        pin(decontaminated.join(doomed, Seq(idCol), "left_anti"))
-      } else decontaminated
+        val matches = Dedup.incrementalJaccardMatches(decontaminated,
+          benchDf, idCol, textCol, str("ngram_n", "3").toInt, fuzzyT, Nil)
+        val joined = pin(decontaminated.join(
+          matches.select(col("id_b").as(idCol)).distinct(),
+          Seq(idCol), "left_anti"))
+        // the pin above is eager, so the matches frame (and the corpus-scale
+        // shingle stores it checkpoints) is fully consumed — free it now
+        // instead of leaking it across the remaining stages
+        Dedup.release(matches)
+        (Some(joined.count()), joined)
+      } else (None, decontaminated)
 
     // 3. PII scrub
     val scrubbed =
@@ -298,14 +305,14 @@ object CurationJob {
     val reportCol = str("report_strata_col", "")
     if (reportCol.nonEmpty)
       graft.operators.Reports.corpusReport(spark.read.parquet(outPath),
-          idCol, textCol, reportCol, str("report_lang_col", "lang"))
+          textCol, reportCol, str("report_lang_col", "lang"))
         .coalesce(1)
         .write.mode("overwrite").parquet(outPath + "_report")
 
     gated.unpersist(); deduped.unpersist()
     val stats = Stats(input, afterQuality, afterDedup, output,
       afterWindowScrub, afterResample, afterDecontam,
-      afterLineCap, afterNovelty)
+      afterLineCap, afterNovelty, afterFuzzy)
     System.err.println(s"[curate] $stats")
     Some(stats)
   }

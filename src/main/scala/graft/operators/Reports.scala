@@ -28,7 +28,7 @@ object Reports {
   /** The additive per-stratum carrier:
     * (strata, n_docs, n_tokens, ent_sum, low_n, en_n) — every column an
     * exact long SUM, so carriers of disjoint slices merge by addition. */
-  def reportCarrier(docs: DataFrame, idCol: String, textCol: String,
+  def reportCarrier(docs: DataFrame, textCol: String,
                     strataCol: String, langCol: String,
                     entropyFloorE6: Long = 2000000L): DataFrame = {
     val perDoc = docs.select(col(strataCol),
@@ -68,18 +68,18 @@ object Reports {
         d(col("en_n") * 1000000L, col("n_docs")).as("en_rate_e6"))
   }
 
-  /** Per-`strataCol` report over `docs(idCol, textCol, langCol)`:
+  /** Per-`strataCol` report over `docs(textCol, langCol, strataCol)`:
     * n_docs, n_tokens, n_distinct_tokens, mean_doc_tokens (floor),
     * mean_entropy_e6 (floor), low_entropy_rate_e6 (share of docs under
     * `entropyFloorE6`), en_rate_e6 (share of docs with `langCol = 'en'`). */
-  def corpusReport(docs: DataFrame, idCol: String, textCol: String,
+  def corpusReport(docs: DataFrame, textCol: String,
                    strataCol: String, langCol: String,
                    entropyFloorE6: Long = 2000000L): DataFrame = {
     val vocab = docs.select(col(strataCol),
         explode(TextFns.words(col(textCol))).as("__t"))
       .groupBy(col(strataCol))
       .agg(countDistinct(col("__t")).as("n_distinct_tokens"))
-    render(reportCarrier(docs, idCol, textCol, strataCol, langCol,
+    render(reportCarrier(docs, textCol, strataCol, langCol,
       entropyFloorE6), vocab, strataCol)
   }
 }

@@ -41,11 +41,11 @@ object ReportStream {
     * older than `batchId`, written as `v=<batchId>`, old versions pruned.
     * Factored out so the replay-idempotence contract is spec-testable. */
   private[graft] def foldReportBatch(batch: DataFrame, batchId: Long,
-      idCol: String, textCol: String, strataCol: String, langCol: String,
+      textCol: String, strataCol: String, langCol: String,
       storePath: String, p: Int, keepVersions: Int,
       entropyFloorE6: Long): Unit = {
     val spark = batch.sparkSession
-    val bCarrier = Reports.reportCarrier(batch, idCol, textCol, strataCol,
+    val bCarrier = Reports.reportCarrier(batch, textCol, strataCol,
       langCol, entropyFloorE6)
     val bRegs = Cardinality.hllRegisters(
       batch.select(col(strataCol),
@@ -65,25 +65,24 @@ object ReportStream {
     val cRows = carrier.localCheckpoint(true)
     val rRows = regs.localCheckpoint(true)
     val dir = s"$storePath/v=$batchId"
-    cRows.write.mode("overwrite").parquet(s"$dir/carrier")
-    rRows.write.mode("overwrite").parquet(s"$dir/registers")
     // the version is complete only once its own _SUCCESS lands (the parquet
-    // writes mark their subdirs; the version marker gates latestVersion)
+    // writes mark their subdirs; the version-level marker gates
+    // latestVersion). A REPLAY rewrites this same version, so the marker
+    // from the previous attempt must come DOWN before the data writes —
+    // otherwise a crash mid-rewrite (or a concurrent currentReport) sees a
+    // "complete" version with partial/deleted data, and the next batch
+    // would merge the corrupt predecessor forever.
     val root = new org.apache.hadoop.fs.Path(storePath)
     val hfs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    hfs.delete(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), false)
+    cRows.write.mode("overwrite").parquet(s"$dir/carrier")
+    rRows.write.mode("overwrite").parquet(s"$dir/registers")
     hfs.create(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), true).close()
-    hfs.listStatus(root).toSeq.filter(_.isDirectory)
-      .flatMap { st =>
-        val n = st.getPath.getName
-        if (!n.startsWith("v=")) None
-        else scala.util.Try(n.drop(2).toLong).toOption.map((_, st.getPath))
-      }
-      .sortBy(-_._1).drop(keepVersions)
-      .foreach { case (_, pth) => hfs.delete(pth, true) }
+    SketchStream.pruneVersions(spark, storePath, keepVersions)
   }
 
   /** Maintain the report store over the arriving document stream. */
-  def run(stream: DataFrame, idCol: String, textCol: String,
+  def run(stream: DataFrame, textCol: String,
           strataCol: String, langCol: String, storePath: String,
           checkpoint: String, p: Int = 8, keepVersions: Int = 2,
           entropyFloorE6: Long = 2000000L): StreamingQuery =
@@ -91,7 +90,7 @@ object ReportStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty)
-          foldReportBatch(batch, batchId, idCol, textCol, strataCol,
+          foldReportBatch(batch, batchId, textCol, strataCol,
             langCol, storePath, p, keepVersions, entropyFloorE6)
         ()
       }

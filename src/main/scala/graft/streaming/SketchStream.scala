@@ -138,8 +138,14 @@ object SketchStream {
     // materialize before the write in case the predecessor is re-read
     val rows = merged.localCheckpoint(true)
     rows.write.mode("overwrite").parquet(s"$storePath/v=$batchId")
-    // prune: keep the newest `keepVersions` complete versions — the direct
-    // predecessor must survive so a replay of the NEXT batch can re-merge
+    pruneVersions(spark, storePath, keepVersions)
+  }
+
+  /** Keep the newest `keepVersions` versions under `storePath` — the direct
+    * predecessor must survive so a replay of the NEXT batch can re-merge.
+    * Shared by every versioned-fold store (CMS, report). */
+  private[streaming] def pruneVersions(spark: SparkSession, storePath: String,
+                                       keepVersions: Int): Unit = {
     val root = new Path(storePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     fs.listStatus(root).toSeq.filter(_.isDirectory)

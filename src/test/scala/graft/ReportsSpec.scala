@@ -21,7 +21,7 @@ class ReportsSpec extends SparkSpec {
       e("ab cd ef gh ij") >= 2000000L && e("pq rs tu vw xy") >= 2000000L)
     val meanA = (e("ab cd ef gh ij") + e("aa aa aa aa aa aa")) / 2
     for (parts <- Seq(1, 4)) {
-      val got = Reports.corpusReport(docs.repartition(parts), "doc_id",
+      val got = Reports.corpusReport(docs.repartition(parts),
           "text", "source", "lang")
         .orderBy($"source")
         .as[(String, Long, Long, Long, Long, Long, Long, Long)]

@@ -106,7 +106,7 @@ class SketchStreamSpec extends SparkSpec {
     val b1 = (100L until 130L).map(i => doc(i, 25, "zh", s"s${i % 2}"))
       .toDF("doc_id", "text", "lang", "source")
     def fold(b: org.apache.spark.sql.DataFrame, id: Long) =
-      ReportStream.foldReportBatch(b, id, "doc_id", "text", "source",
+      ReportStream.foldReportBatch(b, id, "text", "source",
         "lang", store, p = 8, keepVersions = 2, entropyFloorE6 = 2000000L)
     fold(b0, 0L); fold(b1, 1L)
     val got = ReportStream.currentReport(spark, store, "source").get
@@ -116,7 +116,7 @@ class SketchStreamSpec extends SparkSpec {
     // every additive column equals the batch report over the union; the
     // vocabulary column equals the HLL estimate over the union's registers
     val union = b0.unionByName(b1)
-    val exact = Reports.corpusReport(union, "doc_id", "text", "source", "lang")
+    val exact = Reports.corpusReport(union, "text", "source", "lang")
       .orderBy($"source")
       .as[(String, Long, Long, Long, Long, Long, Long, Long)]
       .collect().toSeq
