@@ -139,4 +139,37 @@ class SketchStreamSpec extends SparkSpec {
       .collect().toSeq
     assert(twice === got)
   }
+
+  test("ReportStream.run end to end: live query, snapshot == batch card") {
+    import graft.streaming.ReportStream
+    import graft.operators.Reports
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, String)]
+    val store = java.nio.file.Files.createTempDirectory("report-live").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("report-ckpt").toString
+    val all = (0L until 60L).map(i =>
+      (i, (0 until 20).map(j => s"w${(i + j) % 53}").mkString(" "),
+        if (i % 3 == 0) "en" else "zh", s"s${i % 2}"))
+    val q = ReportStream.run(
+      input.toDF().toDF("doc_id", "text", "lang", "source"),
+      "text", "source", "lang", store, ckpt)
+    try {
+      all.grouped(20).foreach { chunk =>
+        input.addData(chunk: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = ReportStream.currentReport(spark, store, "source").get
+      .orderBy($"source")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    val exact = Reports.corpusReport(
+        all.toDF("doc_id", "text", "lang", "source"), "text", "source", "lang")
+      .orderBy($"source")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // additive columns equal the batch card; vocab is the HLL estimate
+    assert(got.map(r => (r._1, r._2, r._3, r._5, r._6, r._7, r._8)) ===
+      exact.map(r => (r._1, r._2, r._3, r._5, r._6, r._7, r._8)))
+    assert(got.forall(_._4 > 0L))
+  }
 }
