@@ -775,15 +775,21 @@ object SparkEntry {
       "doc_id", "text", n = 3, threshold = 0.5, blockCols = Seq("lang"))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** MinHash + LSH banding near-dup (no SQL oracle — hash-permutation specific;
-    * validated by unit tests + rows-only check). */
+  /** MinHash + LSH banding near-dup. Oracle: `OracleHashSql.q24MinhashLsh`
+    * re-derives the whole pipeline (xxhash64 shingles, splitmix permutation
+    * minima, band-value matching, exact Jaccard verify) in INT128 SQL; the
+    * q57 containment invariant pins it against the exact pair set besides. */
   private def qDedupMinhash(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashLshPairs(t(s, dir, "documents"), "doc_id", "text",
       shingleN = 2, numHashes = 64, bands = 32, threshold = 0.3)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
 
-  /** SimHash near-dup (no SQL oracle; unit-tested + rows-only check). */
+  /** SimHash near-dup. Oracle: `OracleHashSql.q25Simhash` recomputes the
+    * 64-bit signatures (xxhash64 token bits, occurrence-weighted sign sums)
+    * and the exact Hamming-radius pair set in SQL — the pigeonhole banding
+    * provably adds no constraint beyond the radius, so band internals need
+    * no model; q59 pins banded == brute force in-engine besides. */
   private def qDedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashPairs(t(s, dir, "documents"), "doc_id", "text", maxHamming = 12)
       .orderBy(col("id_a"), col("id_b"))
@@ -850,8 +856,10 @@ object SparkEntry {
       .orderBy(col("id_a"), col("id_b"))
 
   /** Embedding near-dup at scale: banded hyperplane-LSH blocking + exact cosine
-    * verify — the sub-quadratic path q31 documents (no SQL oracle: LSH candidate
-    * membership is hash-specific; subset-of-exact + recall pinned by DedupSpec).
+    * verify — the sub-quadratic path q31 documents. Oracle:
+    * `OracleHashSql.q46EmbeddingDedupLsh` re-derives the plane weights
+    * (xxhash64-of-int chain), integer plane dots, band buckets, and the exact
+    * cosine verify in SQL; subset-of-exact + recall pinned by DedupSpec too.
     *
     * The synthetic corpus has no natural near-dups, so it is doubled with a
     * deterministic +0.02 perturbation of every vector (cosine vs the original
@@ -1397,9 +1405,9 @@ object SparkEntry {
 
   /** End-to-end Jaccard corpus dedup (the composite pipelines call): exact
     * prefix-filtered pairs -> connected components -> min-id survivors. Exact
-    * Jaccard makes the survivor set deterministic, so this is the oracle-able
-    * TWIN of the hash-internal MinHash/SimHash family (q24/q25): DuckDB
-    * reproduces it with the q49 recursive-CTE closure + an anti-join. */
+    * Jaccard makes the survivor set deterministic: DuckDB reproduces it with
+    * the q49 recursive-CTE closure + an anti-join (formerly the twin of the
+    * then-oracle-less q24/q25 — both now carry their own hash-chain oracles). */
   private def qDedupCorpus(s: SparkSession, dir: String): DataFrame =
     Dedup.dedupedCorpus(t(s, dir, "documents").filter(col("doc_id") < 2000),
       "doc_id", "text", n = 3, threshold = 0.5, blockCols = Seq("lang"))
@@ -1421,8 +1429,8 @@ object SparkEntry {
       .select(col("vec_id"), col("label"))
       .orderBy(col("vec_id"))
 
-  /** Hard correctness signal for the MinHash-LSH family (q24 has no SQL oracle:
-    * candidate membership is hash-permutation-specific): every LSH-surfaced pair
+  /** Hard correctness signal for the MinHash-LSH family, independent of q24's
+    * generated hash-chain oracle: every LSH-surfaced pair
     * must appear in the exact prefix-filtered Jaccard pair set at the same
     * threshold, and none may carry a below-threshold jaccard. Both invariant
     * counts are structurally zero — if banding or verification ever emitted a
@@ -1448,8 +1456,8 @@ object SparkEntry {
       .orderBy(col("invariant"))
   }
 
-  /** Hard correctness signal for the SimHash family (q25 has no SQL oracle:
-    * signature-derived band membership is hash-specific): over the SAME
+  /** Hard correctness signal for the SimHash family, independent of q25's
+    * generated hash-chain oracle: over the SAME
     * in-engine signature frame, the banded pair set must EQUAL the brute-force
     * `bit_count(xor) <= maxHamming` pair set — a missing pair breaks the
     * pigeonhole recall guarantee, an extra pair breaks the exact Hamming
@@ -1869,8 +1877,10 @@ object SparkEntry {
       .orderBy(col("lang"), col("rank"))
   }
 
-  /** IVF-bucketed ANN — the scale path beside q26's exact baseline (no SQL oracle:
-    * cell structure is engine-specific; recall vs brute force is spec-verified). */
+  /** IVF-bucketed ANN — the scale path beside q26's exact baseline. Oracle:
+    * `OracleHashSql.q43AnnIvf` re-derives the engine-hash seed pick (the
+    * xxhash64 BIGINT chain), Voronoi assignment, 4-probe serve, and in-cell
+    * ranking in SQL; recall vs brute force is spec-verified besides. */
   private def qAnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = t(s, dir, "embeddings")
     Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
@@ -1880,8 +1890,8 @@ object SparkEntry {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  /** Hard correctness signal for the IVF family (q43 has no SQL oracle: cell
-    * membership is engine-specific): probing ALL cells scores every corpus
+  /** Hard correctness signal for the IVF family, independent of q43's
+    * generated hash-chain oracle: probing ALL cells scores every corpus
     * vector, so the result must reproduce the exact brute-force ranking — the
     * oracle below IS q26's brute-force SQL. Any defect in cell assignment
     * (a vector landing in no/two cells) or in ranking surfaces as a hash
@@ -1951,17 +1961,13 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_6dp, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
-  /** The four structurally rows-only queries (outputs are hash-internal
-    * structures — LSH bucket/band internals, IVF cell internals — that no
-    * ANSI SQL oracle can re-derive) mapped to the hash-green twin that
-    * exercises the same machinery end-to-end under a full oracle. Emitted as
-    * `twins.json` by Verify so the correctness ledger self-documents why
-    * these rows carry `no_oracle`. */
-  def twins: Map[String, String] = Map(
-    "q24_dedup_minhash_lsh" -> "q55_dedup_corpus",
-    "q25_dedup_simhash" -> "q59_simhash_containment",
-    "q43_ann_ivf_topk" -> "q58_ivf_full_probe",
-    "q46_embedding_dedup_lsh" -> "q60_embedding_dedup_lsh_corpus")
+  /** RETIRED (round 10): every query now carries a full SQL oracle — the last
+    * four hash-internal rows (q24/q25/q43/q46) are closed by `OracleHashSql`'s
+    * INT128 re-derivation of the xxhash64/splitmix chains, so no row needs a
+    * twin mapping any more. Kept (empty) because Verify emits `twins.json`
+    * and the driver tolerates an empty ledger; the former twin queries
+    * (q55/q58/q59/q60) remain as independent invariant rows. */
+  def twins: Map[String, String] = Map.empty
 
   /** q98 oracle, generated per n (hand-writing 9 near-identical CTE families
     * invites drift): top-{2,3,4} via count-per-gram + a (cnt DESC, g ASC)
@@ -2328,6 +2334,14 @@ object SparkEntry {
         |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
         |SELECT id_a, id_b, jaccard FROM pairs
         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    // The last four hash-internal rows, oracle'd by re-deriving the engine's
+    // xxhash64/splitmix chains in INT128 SQL (OracleHashSql — the q93/q94
+    // pattern generalized); the containment twins q55/q58/q59/q60 remain as
+    // independent invariant rows.
+    "q24_dedup_minhash_lsh" -> OracleHashSql.q24MinhashLsh,
+    "q25_dedup_simhash" -> OracleHashSql.q25Simhash,
+    "q43_ann_ivf_topk" -> OracleHashSql.q43AnnIvf,
+    "q46_embedding_dedup_lsh" -> OracleHashSql.q46EmbeddingDedupLsh,
     "q26_ann_cosine_topk" -> bruteForceAnnSql,
     // probing every IVF cell must reproduce brute force EXACTLY (see qIvfFullProbe)
     "q58_ivf_full_probe" -> bruteForceAnnSql,
