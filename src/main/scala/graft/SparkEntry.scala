@@ -3929,12 +3929,12 @@ object SparkEntry {
         |  SELECT source, COUNT(DISTINCT tk) AS n_distinct_tokens
         |  FROM (SELECT source, unnest(ws) AS tk FROM toksl) GROUP BY source)
         |SELECT d.source, CAST(d.n_docs AS BIGINT) AS n_docs, d.n_tokens,
-        |  CAST(v.n_distinct_tokens AS BIGINT) AS n_distinct_tokens,
+        |  CAST(COALESCE(v.n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens,
         |  CAST(d.n_tokens // d.n_docs AS BIGINT) AS mean_doc_tokens,
         |  CAST(d.ent_sum // d.n_docs AS BIGINT) AS mean_entropy_e6,
         |  CAST(d.low * 1000000 // d.n_docs AS BIGINT) AS low_entropy_rate_e6,
         |  CAST(d.en_n * 1000000 // d.n_docs AS BIGINT) AS en_rate_e6
-        |FROM docagg d JOIN voc v USING (source)
+        |FROM docagg d LEFT JOIN voc v USING (source)
         |ORDER BY d.source""".stripMargin,
     // q106: per-source KL vs the corpus unigram mix — the same tokenization,
     // each token's e6-rounded log-ratio times its exact count, truncated div

@@ -161,6 +161,8 @@ object CurationJob {
       blockCols = strSeq("block_cols"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterDedup = deduped.count()
+    // deduped is materialized (count above) — its input snapshot is dead
+    gated.unpersist(blocking = false)
 
     // STAGE PINNING: every optional stage's output is local-checkpointed.
     // The scrub/novelty/cap operators each reference their input frame
@@ -172,8 +174,22 @@ object CurationJob {
     // LogicalRDD (the Dedup composites' own convention), bounding every
     // downstream plan. At warehouse scale a stage boundary is a persisted
     // table anyway — this is the single-job analog.
-    def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-      df.localCheckpoint(true)
+    //
+    // RELEASE DISCIPLINE (r9 ADVICE): each pin() is EAGER, so once the new
+    // boundary has materialized the predecessor snapshot is dead — only the
+    // newest boundary is ever re-read. Free it immediately; otherwise a
+    // full-stage config holds up to 5 corpus copies for the rest of the job.
+    var boundary: org.apache.spark.sql.DataFrame = deduped
+    def releaseBoundary(df: org.apache.spark.sql.DataFrame): Unit = {
+      Dedup.release(df) // localCheckpoint boundaries (LogicalRDD-backed)
+      df.unpersist(blocking = false) // persisted stage heads (deduped)
+    }
+    def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val pinned = df.localCheckpoint(true)
+      releaseBoundary(boundary)
+      boundary = pinned
+      pinned
+    }
 
     // 2a-lines. optional corpus-global line cap across the survivors: each
     // duplicate line keeps its k earliest (doc, position) copies (k = 1 is
@@ -309,7 +325,9 @@ object CurationJob {
         .coalesce(1)
         .write.mode("overwrite").parquet(outPath + "_report")
 
-    gated.unpersist(); deduped.unpersist()
+    // the sink write above consumed the last boundary; nothing reads it again
+    // (output count and the data card re-read the written parquet)
+    releaseBoundary(boundary)
     val stats = Stats(input, afterQuality, afterDedup, output,
       afterWindowScrub, afterResample, afterDecontam,
       afterLineCap, afterNovelty, afterFuzzy)

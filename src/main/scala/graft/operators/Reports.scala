@@ -55,13 +55,16 @@ object Reports {
 
   /** Presentation math over a carrier + a per-stratum vocabulary frame
     * (`vocab(strataCol, n_distinct_tokens)` — exact counts batch-side, the
-    * HLL estimate stream-side). */
+    * HLL estimate stream-side). LEFT join: a stratum whose docs all tokenize
+    * to zero words has carrier rows but no vocab row, and an audit artifact
+    * that silently omits a stratum misanswers "what did we train on" (r9
+    * ADVICE) — it renders with n_distinct_tokens = 0 instead. */
   def render(carrier: DataFrame, vocab: DataFrame,
              strataCol: String): DataFrame = {
     val d = graft.ops.Quantiles.div _
-    carrier.join(vocab, Seq(strataCol))
+    carrier.join(vocab, Seq(strataCol), "left")
       .select(col(strataCol), col("n_docs"), col("n_tokens"),
-        col("n_distinct_tokens"),
+        coalesce(col("n_distinct_tokens"), lit(0L)).as("n_distinct_tokens"),
         d(col("n_tokens"), col("n_docs")).as("mean_doc_tokens"),
         d(col("ent_sum"), col("n_docs")).as("mean_entropy_e6"),
         d(col("low_n") * 1000000L, col("n_docs")).as("low_entropy_rate_e6"),

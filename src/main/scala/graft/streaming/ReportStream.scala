@@ -26,16 +26,35 @@ import org.apache.spark.sql.streaming.StreamingQuery
   *    snapshot is always internally consistent. */
 object ReportStream {
 
-  /** Render the newest complete report snapshot, if any fold has landed. */
+  /** Render the newest complete report snapshot, if any fold has landed.
+    * The HLL precision is read from the version's `p.meta` sidecar — the
+    * register frame alone does not determine p, and estimating at a p other
+    * than the one the stream folded with is silently wrong (r9 ADVICE), so
+    * callers cannot supply one. */
   def currentReport(spark: SparkSession, storePath: String,
-                    strataCol: String, p: Int = 8): Option[DataFrame] =
+                    strataCol: String): Option[DataFrame] =
     SketchStream.latestVersion(spark, storePath, None).map { case (_, pth) =>
       val carrier = spark.read.parquet(s"$pth/carrier")
       val est = Cardinality.hllEstimate(
-          spark.read.parquet(s"$pth/registers"), Seq(strataCol), p)
+          spark.read.parquet(s"$pth/registers"), Seq(strataCol),
+          readP(spark, pth))
         .select(col(strataCol), col("estimate").as("n_distinct_tokens"))
       Reports.render(carrier, est, strataCol)
     }
+
+  /** The fold precision recorded beside a version's register frame. */
+  private def readP(spark: SparkSession, versionDir: String): Int = {
+    val pPath = new org.apache.hadoop.fs.Path(s"$versionDir/p.meta")
+    val hfs = pPath.getFileSystem(spark.sessionState.newHadoopConf())
+    require(hfs.exists(pPath),
+      s"report store version $versionDir carries no p.meta — the store " +
+        "predates the precision sidecar; re-fold it (the registers alone " +
+        "cannot be estimated at an assumed p)")
+    val in = hfs.open(pPath)
+    try new String(org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+      java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+    finally in.close()
+  }
 
   /** One fold: batch carrier + registers merged with the newest version
     * older than `batchId`, written as `v=<batchId>`, old versions pruned.
@@ -54,6 +73,13 @@ object ReportStream {
     val (carrier, regs) =
       SketchStream.latestVersion(spark, storePath, Some(batchId)) match {
         case Some((_, prev)) =>
+          // register frames only max-merge at EQUAL p — a precision change
+          // mid-stream must start a fresh store, not silently corrupt this one
+          val prevP = readP(spark, prev)
+          require(prevP == p,
+            s"report store was folded at p=$prevP but this run uses p=$p — " +
+              "registers at different precisions cannot merge; point the " +
+              "stream at a fresh storePath (or keep p)")
           (Reports.mergeCarriers(spark.read.parquet(s"$prev/carrier"),
             bCarrier, strataCol),
             Cardinality.mergeRegisters(
@@ -77,6 +103,12 @@ object ReportStream {
     hfs.delete(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), false)
     cRows.write.mode("overwrite").parquet(s"$dir/carrier")
     rRows.write.mode("overwrite").parquet(s"$dir/registers")
+    // precision sidecar: the registers don't determine p, and the renderer
+    // must never estimate at an assumed one — written before the version's
+    // completeness marker so a complete version always carries it
+    val pOut = hfs.create(new org.apache.hadoop.fs.Path(s"$dir/p.meta"), true)
+    try pOut.write(p.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally pOut.close()
     hfs.create(new org.apache.hadoop.fs.Path(s"$dir/_SUCCESS"), true).close()
     SketchStream.pruneVersions(spark, storePath, keepVersions)
   }

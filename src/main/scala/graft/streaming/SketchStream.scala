@@ -146,6 +146,12 @@ object SketchStream {
     * Shared by every versioned-fold store (CMS, report). */
   private[streaming] def pruneVersions(spark: SparkSession, storePath: String,
                                        keepVersions: Int): Unit = {
+    // < 2 would silently break replay idempotence: pruned to one version, a
+    // replay of that same batch finds no strictly-older predecessor and
+    // resets the store to just the batch's own data (r9 ADVICE)
+    require(keepVersions >= 2,
+      s"keepVersions must be >= 2 (the direct predecessor must survive for " +
+        s"replay re-merge), got $keepVersions")
     val root = new Path(storePath)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     fs.listStatus(root).toSeq.filter(_.isDirectory)

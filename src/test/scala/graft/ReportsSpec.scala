@@ -32,4 +32,25 @@ class ReportsSpec extends SparkSpec {
         s"parts=$parts")
     }
   }
+
+  test("corpusReport: a stratum whose docs all tokenize to zero words still " +
+    "renders (n_tokens = n_distinct_tokens = 0), not silently omitted") {
+    // r9 ADVICE: the vocab frame has no row for such a stratum (explode of an
+    // empty token list emits nothing), and an inner join would drop it from
+    // the audit artifact — the one artifact meant to answer "what did we
+    // train on". The render must LEFT-join and zero-fill instead.
+    val docs = Seq(
+      (1L, "ab cd ef", "en", "A"),
+      (2L, "", "en", "Z"),
+      (3L, "   ", "zh", "Z"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Reports.corpusReport(docs, "text", "source", "lang")
+      .orderBy($"source")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(got.map(_._1) === Seq("A", "Z"))
+    val z = got(1)
+    assert((z._2, z._3, z._4, z._5) === ((2L, 0L, 0L, 0L)),
+      s"zero-token stratum row: $z")
+  }
 }

@@ -172,4 +172,145 @@ class SketchStreamSpec extends SparkSpec {
       exact.map(r => (r._1, r._2, r._3, r._5, r._6, r._7, r._8)))
     assert(got.forall(_._4 > 0L))
   }
+
+  // ---------- failure injection: the versioned-fold store contracts ----------
+
+  private def fsOf(path: String) = new org.apache.hadoop.fs.Path(path)
+    .getFileSystem(spark.sessionState.newHadoopConf())
+
+  test("report store: a version dir without _SUCCESS is invisible to readers " +
+    "AND to the next fold's predecessor lookup") {
+    import graft.streaming.ReportStream
+    val store = java.nio.file.Files.createTempDirectory("report-crash").toString
+    val b0 = Seq((1L, "alpha beta gamma", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    ReportStream.foldReportBatch(b0, 0L, "text", "source", "lang", store,
+      p = 8, keepVersions = 2, entropyFloorE6 = 2000000L)
+    val before = ReportStream.currentReport(spark, store, "source").get
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    // plant a crashed write: a newer version dir with plausible data files
+    // but no version-level completeness marker
+    val fs = fsOf(store)
+    val crashed = s"$store/v=7"
+    b0.write.parquet(s"$crashed/carrier") // parquet's own _SUCCESS is INSIDE
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$crashed/_SUCCESS")))
+    // reader still serves v=0
+    val after = ReportStream.currentReport(spark, store, "source").get
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(after === before, "reader must skip the _SUCCESS-less version")
+    // the next fold (batch 9) must merge v=0, not the crashed v=7: its
+    // result equals the clean two-batch fold
+    val b9 = Seq((2L, "delta epsilon", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    ReportStream.foldReportBatch(b9, 9L, "text", "source", "lang", store,
+      p = 8, keepVersions = 2, entropyFloorE6 = 2000000L)
+    val gotUnion = ReportStream.currentReport(spark, store, "source").get
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    val clean = java.nio.file.Files.createTempDirectory("report-clean").toString
+    ReportStream.foldReportBatch(b0, 0L, "text", "source", "lang", clean,
+      p = 8, keepVersions = 2, entropyFloorE6 = 2000000L)
+    ReportStream.foldReportBatch(b9, 9L, "text", "source", "lang", clean,
+      p = 8, keepVersions = 2, entropyFloorE6 = 2000000L)
+    val want = ReportStream.currentReport(spark, clean, "source").get
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(gotUnion === want, "fold must have merged the complete v=0")
+  }
+
+  test("report store: replay after a crash MID-REWRITE converges (marker " +
+    "comes down before data, partial version self-heals)") {
+    import graft.streaming.ReportStream
+    val store = java.nio.file.Files.createTempDirectory("report-replay").toString
+    val b0 = Seq((1L, "one two three", "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val b1 = Seq((2L, "four five", "zh", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+    def fold(b: org.apache.spark.sql.DataFrame, id: Long) =
+      ReportStream.foldReportBatch(b, id, "text", "source", "lang", store,
+        p = 8, keepVersions = 2, entropyFloorE6 = 2000000L)
+    fold(b0, 0L); fold(b1, 1L)
+    val healthy = ReportStream.currentReport(spark, store, "source").get
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    // crash mid-replay of batch 1: the fold's first step (marker down)
+    // happened, then the carrier rewrite died halfway
+    val fs = fsOf(store)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/v=1/_SUCCESS"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$store/v=1/carrier"), true)
+    // the store still SERVES (v=0), and replaying batch 1 restores v=1
+    assert(ReportStream.currentReport(spark, store, "source").nonEmpty)
+    fold(b1, 1L)
+    val healed = ReportStream.currentReport(spark, store, "source").get
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(healed === healthy)
+  }
+
+  test("report store: keepVersions pruning keeps replay alive across many " +
+    "batches; keepVersions < 2 is refused") {
+    import graft.streaming.ReportStream
+    val store = java.nio.file.Files.createTempDirectory("report-prune").toString
+    def doc(id: Long) = (id, s"tok${id % 7} tok${id % 5}", "en", "s0")
+    def fold(ids: Range, bid: Long) =
+      ReportStream.foldReportBatch(
+        ids.map(i => doc(i.toLong)).toDF("doc_id", "text", "lang", "source"),
+        bid, "text", "source", "lang", store,
+        p = 8, keepVersions = 2, entropyFloorE6 = 2000000L)
+    fold(0 until 5, 0L); fold(5 until 9, 1L)
+    fold(9 until 12, 2L); fold(12 until 20, 3L)
+    val fs = fsOf(store)
+    val vs = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).filter(_.startsWith("v=")).sorted.toSeq
+    assert(vs === Seq("v=2", "v=3"), s"pruned store: $vs")
+    // replay of the newest batch: its predecessor (v=2) survived pruning
+    val before = ReportStream.currentReport(spark, store, "source").get
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    fold(12 until 20, 3L)
+    val after = ReportStream.currentReport(spark, store, "source").get
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(after === before)
+    // a keepVersions that would prune the predecessor is refused loudly
+    val err = intercept[IllegalArgumentException] {
+      SketchStream.foldCmsBatch(
+        Seq(("s0", "x")).toDF("src", "v"), 0L, Seq("src"), "v",
+        java.nio.file.Files.createTempDirectory("cms-bad").toString,
+        12, 3, keepVersions = 1)
+    }
+    assert(err.getMessage.contains("keepVersions"))
+  }
+
+  test("report store: HLL precision rides the store (p.meta) — render uses " +
+    "the folded p, and a different-p fold refuses to merge") {
+    import graft.streaming.ReportStream
+    import graft.operators.Cardinality
+    val store = java.nio.file.Files.createTempDirectory("report-p").toString
+    val docs = (0L until 50L).map(i =>
+        (i, (0 until 12).map(j => s"w${(i * 31 + j) % 211}").mkString(" "),
+          "en", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    ReportStream.foldReportBatch(docs, 0L, "text", "source", "lang", store,
+      p = 12, keepVersions = 2, entropyFloorE6 = 2000000L)
+    // currentReport takes NO p — it must read p=12 from the sidecar; the
+    // p=12 estimate differs from the p=8 one on this vocabulary, so an
+    // assumed-p render would show here
+    val got = ReportStream.currentReport(spark, store, "source").get
+      .select($"n_distinct_tokens").as[Long].head()
+    val regs12 = Cardinality.hllRegisters(
+      docs.select($"source",
+        explode(graft.functions.TextFns.words($"text")).as("t")),
+      Seq("source"), col("t"), p = 12)
+    val want12 = Cardinality.hllEstimate(regs12, Seq("source"), p = 12)
+      .select($"estimate").as[Long].head()
+    // the test only discriminates if the old assumed-p=8 render would differ
+    val want8 = Cardinality.hllEstimate(
+        Cardinality.hllRegisters(docs.select($"source",
+          explode(graft.functions.TextFns.words($"text")).as("t")),
+          Seq("source"), col("t"), p = 8), Seq("source"), p = 8)
+      .select($"estimate").as[Long].head()
+    assert(want8 !== want12, "vocabulary must separate the two precisions")
+    assert(got === want12, "render must estimate at the stored p")
+    // merging at a different p would max-merge incompatible register frames
+    val err = intercept[IllegalArgumentException] {
+      ReportStream.foldReportBatch(docs, 1L, "text", "source", "lang", store,
+        p = 8, keepVersions = 2, entropyFloorE6 = 2000000L)
+    }
+    assert(err.getMessage.contains("p="))
+  }
 }
