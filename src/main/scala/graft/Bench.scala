@@ -118,7 +118,23 @@ object Bench {
     val fs = failures.map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":[${passTotal(pass1)},${passTotal(pass2)}],"failed":$fs,"failed_count":${failures.size},"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":[${passTotal(pass1)},${passTotal(pass2)}],"failed":$fs,"failed_count":${failures.size},"sf":"$sfDir"}"""
+    println(line)
+    // The driver's artifact captures a bounded TAIL of stdout, and the full
+    // line (110+ per-query timings) outgrew it — BENCH_r09.json lost every
+    // timing before q46 to truncation. Persist the COMPLETE line to a stable
+    // per-run file (kept across rounds for round-over-round diffs) and print
+    // the path LAST on its own short line, which a tail always retains.
+    val fullDir = java.nio.file.Paths.get("bench_full")
+    java.nio.file.Files.createDirectories(fullDir)
+    val stamp = java.time.format.DateTimeFormatter
+      .ofPattern("yyyyMMdd_HHmmss").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.now())
+    val fullPath = fullDir.resolve(
+      s"bench_${stamp}_${new java.io.File(srcDir).getName}.json")
+    java.nio.file.Files.writeString(fullPath, line + "\n")
+    java.nio.file.Files.writeString(fullDir.resolve("latest.json"), line + "\n")
+    println(s"""{"metric":"bench_full_path","path":"${fullPath.toAbsolutePath}"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

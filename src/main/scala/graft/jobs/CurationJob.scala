@@ -119,9 +119,21 @@ object CurationJob {
 
     // 0. optional CCNet-style normalization — the canonical form every
     // downstream gate, hash, and sink sees (scan-stage projection, no shuffle)
-    val docs = if (str("normalize_text", "false").toBoolean)
+    val normalizeOn = str("normalize_text", "false").toBoolean
+    val docs = if (normalizeOn)
         raw.withColumn(textCol, TextFns.normalizeText(col(textCol)))
       else raw
+    // The BENCH side must see the same canonical form: a normalized corpus
+    // matched against a raw bench set silently misses every contaminated doc
+    // whose only difference from the bench text is case/accents/digits —
+    // exactly what normalization erased corpus-side. Both decon stages
+    // (verbatim span scrub and fuzzy Jaccard) read the bench through this.
+    def benchFrame(path: String): org.apache.spark.sql.DataFrame = {
+      val b = spark.read.parquet(path)
+      if (normalizeOn)
+        b.withColumn(textCol, TextFns.normalizeText(col(textCol)))
+      else b
+    }
 
     // 1. quality gate: native one-pass word count (+ optional sub-word
     // char-entropy gibberish floor), then (optionally) the Gopher
@@ -242,7 +254,7 @@ object CurationJob {
     val (afterDecontam, decontaminated) =
       if (benchPath.nonEmpty) {
         val benchWin = str("decontaminate_window_tokens", "20").toInt
-        val benchDf = spark.read.parquet(benchPath)
+        val benchDf = benchFrame(benchPath)
         val s = graft.operators.Contamination.scrubBenchWindows(
             windowScrubbed, benchDf, idCol, textCol, benchWin)
           .filter(col("n_removed") < col("n_tokens"))
@@ -259,7 +271,7 @@ object CurationJob {
     val fuzzyT = str("decontaminate_fuzzy_threshold", "0").toDouble
     val (afterFuzzy, fuzzyClean) =
       if (fuzzyT > 0 && benchPath.nonEmpty) {
-        val benchDf = spark.read.parquet(benchPath)
+        val benchDf = benchFrame(benchPath)
           .select(col(idCol), col(textCol))
         val matches = Dedup.incrementalJaccardMatches(decontaminated,
           benchDf, idCol, textCol, str("ngram_n", "3").toInt, fuzzyT, Nil)

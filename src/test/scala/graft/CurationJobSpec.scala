@@ -171,6 +171,42 @@ class CurationJobSpec extends SparkSpec {
     assert(out.select($"doc_id").as[Long].collect().toSeq == Seq(1L))
   }
 
+  test("curation job: fuzzy decontamination composes with normalization — " +
+    "the bench set is canonicalized too, so case/accent/digit paraphrases " +
+    "still match") {
+    val dir = Files.createTempDirectory("curation8")
+    def w(i: Int) = s"v${('a' + i % 26).toChar}${('a' + i / 26).toChar}"
+    val benchWords = (0 until 40).map(w)
+    // the contaminated doc is the bench text POST-normalization (lowercase,
+    // accents stripped, digits zeroed) with two words swapped — no verbatim
+    // 20-token window, 3-gram Jaccard ~0.73. The bench parquet carries the
+    // RAW form (uppercase + accent + digits): without normalizing the bench
+    // side, not one shingle would match and the paraphrase would train.
+    val rawBench = benchWords.updated(3, "Cafés").updated(8, "ITEM12")
+      .map(t => if (t.hashCode % 3 == 0) t.toUpperCase else t).mkString(" ")
+    val normalizedParaphrase = benchWords.updated(3, "cafes")
+      .updated(8, "item00").updated(13, "zzq").updated(27, "qqz")
+      .mkString(" ")
+    Seq(
+      (1L, (100 until 140).map(w).mkString(" "), "src0"),
+      (4L, normalizedParaphrase, "src0"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$dir/docs")
+    Seq((900L, rawBench)).toDF("doc_id", "text").write.parquet(s"$dir/bench")
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/docs", "output_path": "$dir/out",
+         | "normalize_text": true,
+         | "min_words": 20, "ngram_n": 3, "jaccard_threshold": 0.95,
+         | "decontaminate_bench_path": "$dir/bench",
+         | "decontaminate_window_tokens": 20,
+         | "decontaminate_fuzzy_threshold": 0.5,
+         | "redact_pii": false}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    assert(stats.afterDecontam.contains(2), stats) // span pass: nothing verbatim
+    assert(stats.afterFuzzy.contains(1), stats)    // fuzzy pass: paraphrase out
+    assert(spark.read.parquet(s"$dir/out")
+      .select($"doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("curation job: gopher_ngrams gate drops repetition-flooded docs") {
     val dir = Files.createTempDirectory("curation4")
     Seq(

@@ -899,6 +899,34 @@ class DedupSpec extends SparkSpec {
     assert(got === Seq((1L, 2L, 0L, "a b"), (2L, 2L, 0L, "a b")))
   }
 
+  test("fuzzy contamination (q110 shape): threshold boundary is inclusive, " +
+    "empty/short bench sets are harmless") {
+    // J exactly AT the threshold must match (>=, via the exact integer
+    // cross-multiply — no float shaving): bench {abc,bcd,cde} vs doc
+    // {abc,bcd,cdf} -> inter 2, union 4, J = 0.5 exactly
+    val corpus = Seq(
+      (1L, "a b c d f"),  // J = 2/4 = 0.5 — exactly at threshold
+      (2L, "a b c e f"),  // J = 1/5 = 0.2 — below
+      (3L, "q r s t u"))  // disjoint
+      .toDF("doc_id", "text")
+    val bench = Seq((900L, "a b c d e")).toDF("doc_id", "text")
+    def matches(c: org.apache.spark.sql.DataFrame,
+                b: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalJaccardMatches(c, b, "doc_id", "text",
+        n = 3, threshold = 0.5, blockCols = Nil)
+        .select($"id_a", $"id_b", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSeq
+    assert(matches(corpus, bench) === Seq((900L, 1L, 0.5)))
+    // empty bench set: no matches, no crash — every doc survives the
+    // downstream anti-join
+    val emptyBench = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(matches(corpus, emptyBench).isEmpty)
+    // bench items SHORTER than the n-gram width have no shingles: they can
+    // contaminate nothing (and must not blow up the prefix-filter join)
+    val shortBench = Seq((901L, "a b"), (902L, "")).toDF("doc_id", "text")
+    assert(matches(corpus, shortBench).isEmpty)
+  }
+
   test("embedding LSH blocking: subset of exact pairs, near-identical vectors kept") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(200)
