@@ -342,6 +342,100 @@ object OracleHashSql {
        |FROM topk WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q111 oracle: the FULL data card — q108's exact per-stratum integers,
+    * q106's exact e6-integer KL-vs-mix, and the top-5 token list under the
+    * (cnt DESC, signed-FNV-1a ASC) total order (q67's hash-verified
+    * tie-break — the FNV fold below re-derives `RollingHash64` so the pick
+    * itself is checked, not assumed). LEFT joins + COALESCE mirror the
+    * render's zero-token-stratum guarantee. */
+  def q111CorpusReportFull: String =
+    """WITH base AS (SELECT doc_id, source, lang, text FROM documents),
+      |toksl AS (
+      |  SELECT doc_id, source, lang, list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'),
+      |    w -> len(w) > 0) AS ws
+      |  FROM base),
+      |chars AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(text, '[\s\S]')) AS ch
+      |  FROM base),
+      |cc AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+      |entagg AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(round(c * ln(c) * 1000000) AS BIGINT)) AS BIGINT)
+      |      AS slp
+      |  FROM cc GROUP BY doc_id),
+      |ent AS (
+      |  SELECT b.doc_id,
+      |    COALESCE(CAST(round(ln(e.n) * 1000000) AS BIGINT)
+      |      - e.slp // e.n, 0) AS ent_e6
+      |  FROM base b LEFT JOIN entagg e USING (doc_id)),
+      |docagg AS (
+      |  SELECT t.source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(t.ws)) AS BIGINT) AS n_tokens,
+      |    CAST(SUM(e.ent_e6) AS BIGINT) AS ent_sum,
+      |    CAST(SUM(CASE WHEN e.ent_e6 < 2000000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS low,
+      |    CAST(SUM(CASE WHEN t.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS en_n
+      |  FROM toksl t JOIN ent e USING (doc_id) GROUP BY t.source),
+      |voc AS (
+      |  SELECT source, COUNT(DISTINCT tk) AS n_distinct_tokens
+      |  FROM (SELECT source, unnest(ws) AS tk FROM toksl) GROUP BY source),
+      |tcnt AS (
+      |  SELECT source, tk AS t, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM (SELECT source, unnest(ws) AS tk FROM toksl) GROUP BY 1, 2),
+      |klcc AS (SELECT t, SUM(cnt) AS c_i FROM tcnt GROUP BY 1),
+      |klns AS (SELECT source, SUM(cnt) AS n_s FROM tcnt GROUP BY 1),
+      |kltot AS (SELECT SUM(cnt) AS n FROM tcnt),
+      |klterms AS (
+      |  SELECT s.source, x.n_s, s.cnt *
+      |    CAST(round((ln(s.cnt) - ln(x.n_s) - ln(c.c_i) + ln(kltot.n))
+      |      * 1000000) AS BIGINT) AS term
+      |  FROM tcnt s JOIN klcc c USING (t) JOIN klns x USING (source)
+      |  CROSS JOIN kltot),
+      |kl AS (
+      |  SELECT source, CAST(SUM(term) // MIN(n_s) AS BIGINT) AS kl_vs_mix_e6
+      |  FROM klterms GROUP BY source),
+      |tdist AS (SELECT DISTINCT t FROM tcnt),
+      |fnv AS (
+      |  SELECT t, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+      |      THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS fnv
+      |  FROM (
+      |    SELECT t, list_reduce(
+      |      list_prepend(14695981039346656037::HUGEINT,
+      |        list_transform(range(0, octet_length(encode(t))), i ->
+      |          CAST(strpos('123456789ABCDEF',
+      |                 hex(encode(t))[CAST(2*i+1 AS BIGINT)]) * 16
+      |             + strpos('123456789ABCDEF',
+      |                 hex(encode(t))[CAST(2*i+2 AS BIGINT)]) AS BIGINT))),
+      |      (h, byt) -> ((h - (h % 256)
+      |          + xor(CAST(h % 256 AS BIGINT), byt)::HUGEINT)
+      |        * 1099511628211::HUGEINT)
+      |        % 18446744073709551616::HUGEINT) AS h
+      |    FROM tdist)),
+      |ranked AS (
+      |  SELECT c.source, c.t, c.cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY c.source
+      |      ORDER BY c.cnt DESC, f.fnv) AS rn
+      |  FROM tcnt c JOIN fnv f USING (t)),
+      |tops AS (
+      |  SELECT source, string_agg(t || ':' || cnt, ',' ORDER BY rn)
+      |    AS top_tokens
+      |  FROM ranked WHERE rn <= 5 GROUP BY source)
+      |SELECT d.source, CAST(d.n_docs AS BIGINT) AS n_docs, d.n_tokens,
+      |  CAST(COALESCE(v.n_distinct_tokens, 0) AS BIGINT) AS n_distinct_tokens,
+      |  CAST(d.n_tokens // d.n_docs AS BIGINT) AS mean_doc_tokens,
+      |  CAST(d.ent_sum // d.n_docs AS BIGINT) AS mean_entropy_e6,
+      |  CAST(d.low * 1000000 // d.n_docs AS BIGINT) AS low_entropy_rate_e6,
+      |  CAST(d.en_n * 1000000 // d.n_docs AS BIGINT) AS en_rate_e6,
+      |  COALESCE(k.kl_vs_mix_e6, 0) AS kl_vs_mix_e6,
+      |  COALESCE(tp.top_tokens, '') AS top_tokens
+      |FROM docagg d
+      |LEFT JOIN voc v USING (source)
+      |LEFT JOIN kl k USING (source)
+      |LEFT JOIN tops tp USING (source)
+      |ORDER BY d.source""".stripMargin
+
   /** q46 oracle: the banded hyperplane-LSH embedding-dedup scale path —
     * plane weights from the xxhash64-of-int chain ((plane·4099 + dim), pmod
     * 2001 − 1000, exactly `HyperplaneBucketExpr`), integer plane dots over the

@@ -183,7 +183,8 @@ object SparkEntry {
     "q107_collocations" -> qCollocations,
     "q108_corpus_report" -> qCorpusReport,
     "q109_chunk_overlap" -> qChunkOverlap,
-    "q110_fuzzy_contamination" -> qFuzzyContamination)
+    "q110_fuzzy_contamination" -> qFuzzyContamination,
+    "q111_corpus_report_full" -> qCorpusReportFull)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1368,6 +1369,17 @@ object SparkEntry {
   private def qCorpusReport(s: SparkSession, dir: String): DataFrame =
     graft.operators.Reports.corpusReport(t(s, dir, "documents"),
         "text", "source", "lang")
+
+  /** The FULL data card (q108 + the two mixture diagnostics curation rides
+    * on): per-stratum KL-vs-mix in the exact e6 convention (q106's math) and
+    * the top-5 token list with exact counts under the (cnt DESC, signed-FNV
+    * ASC) total order — q67's hash-verified tie-break, re-derived by the
+    * oracle so the pick itself is checked. This is the artifact
+    * `CurationJob` publishes beside its output. */
+  private def qCorpusReportFull(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Reports.corpusReportFull(t(s, dir, "documents"),
+        "text", "source", "lang")
+      .orderBy(col("source"))
       .orderBy(col("source"))
 
   /** The HLL ESTIMATE end-to-end (`Cardinality.hllEstimate` over q93's
@@ -3980,6 +3992,7 @@ object SparkEntry {
         |FROM bc JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot
         |WHERE c12 >= 5
         |ORDER BY pmi_e6 DESC, w1, w2 LIMIT 50""".stripMargin,
+    "q111_corpus_report_full" -> OracleHashSql.q111CorpusReportFull,
     // q104: q95's corpus and window/first-occurrence rules, folded to
     // per-doc counts + the floor-divided e6 novelty instead of span surgery
     "q104_window_novelty" ->

@@ -67,7 +67,7 @@ import org.apache.spark.sql.functions._
   *   "dsir_domain_col": "source",      // optional DSIR resample: train the
   *   "dsir_domain_value": "src0",      //   in-domain LM on this slice and
   *   "dsir_k": 1000,                   //   Gumbel-top-k down to k docs
-  *   "report_strata_col": "",          // optional data card (q108): write the
+  *   "report_strata_col": "",          // optional data card (q111): write the
   *   "report_lang_col": "lang"         //   per-stratum report of what was
   *                                     //   ACTUALLY written to
   *                                     //   <output_path>_report ("" = off)
@@ -328,11 +328,12 @@ object CurationJob {
       .parquet(outPath)
     val output = spark.read.parquet(outPath).count()
 
-    // 6. optional data card of what was ACTUALLY written — the audit frame
-    // published beside the corpus (q108; per-stratum exact integers)
+    // 6. optional data card of what was ACTUALLY written — the FULL audit
+    // frame published beside the corpus (q111: the q108 exact integers plus
+    // per-stratum KL-vs-mix and the top-token list)
     val reportCol = str("report_strata_col", "")
     if (reportCol.nonEmpty)
-      graft.operators.Reports.corpusReport(spark.read.parquet(outPath),
+      graft.operators.Reports.corpusReportFull(spark.read.parquet(outPath),
           textCol, reportCol, str("report_lang_col", "lang"))
         .coalesce(1)
         .write.mode("overwrite").parquet(outPath + "_report")

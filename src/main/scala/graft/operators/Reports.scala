@@ -85,4 +85,53 @@ object Reports {
     render(reportCarrier(docs, textCol, strataCol, langCol,
       entropyFloorE6), vocab, strataCol)
   }
+
+  /** Per-stratum top-`k` tokens as ONE presentation string
+    * ("tok:cnt,tok:cnt,…", count DESC then signed-FNV ASC — q67's
+    * hash-verified tie-break, so the pick is deterministic and
+    * SQL-reproducible without a lexicographic sort assumption) from a
+    * (strata, __t, cnt) count frame. Heap-aggregated (`TopKAgg`): the shuffle
+    * carries ≤ k rows per (stratum, mapper), never the vocabulary. */
+  private[graft] def topTokens(counts: DataFrame, strataCol: String,
+                               k: Int): DataFrame =
+    graft.ops.TopK.topKPerGroup(counts, Seq(strataCol), col("cnt"),
+        graft.functions.RollingHash64(col("__t")),
+        Seq(col("__t"), col("cnt")), k)
+      .groupBy(col(strataCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"),
+          concat(col("__t"), lit(":"), col("cnt")).as("s")))),
+        x => x("s")), ",").as("top_tokens"))
+
+  /** The FULL data card (q111): [[corpusReport]]'s exact columns plus the two
+    * mixture diagnostics the curation decisions actually ride on —
+    *  - `kl_vs_mix_e6`: per-stratum unigram KL vs the corpus mix
+    *    (`DataMix.sourceTokenKl`'s exact e6-integer convention), the
+    *    reweighting signal;
+    *  - `top_tokens`: the stratum's `k` heaviest tokens with exact counts
+    *    ("tok:cnt,…") — batch-exact here; the streaming twin
+    *    (`ReportStream.currentReport`) serves the same column from the
+    *    Count-Min store over a bounded candidate pool, the same
+    *    estimate-for-exact swap the vocabulary column makes with HLL.
+    * Strata whose docs all tokenize to zero words render with kl 0 and an
+    * empty token list (LEFT joins — the audit must not drop them).
+    * Cost: two extra token passes over the corpus beyond [[corpusReport]]'s
+    * one (counts for KL + hitters are map-combinable aggregates) — the card
+    * is a once-per-run artifact, not a hot path. */
+  def corpusReportFull(docs: DataFrame, textCol: String,
+                       strataCol: String, langCol: String, k: Int = 5,
+                       entropyFloorE6: Long = 2000000L): DataFrame = {
+    val base = corpusReport(docs, textCol, strataCol, langCol, entropyFloorE6)
+    val kl = graft.operators.DataMix
+      .sourceTokenKl(docs, textCol, strataCol)
+      .select(col(strataCol), col("kl_e6").as("kl_vs_mix_e6"))
+    val counts = docs.select(col(strataCol),
+        explode(TextFns.words(col(textCol))).as("__t"))
+      .groupBy(col(strataCol), col("__t"))
+      .agg(count(lit(1)).as("cnt"))
+    base.join(kl, Seq(strataCol), "left")
+      .join(topTokens(counts, strataCol, k), Seq(strataCol), "left")
+      .withColumn("kl_vs_mix_e6", coalesce(col("kl_vs_mix_e6"), lit(0L)))
+      .withColumn("top_tokens", coalesce(col("top_tokens"), lit("")))
+  }
 }

@@ -33,6 +33,31 @@ class ReportsSpec extends SparkSpec {
     }
   }
 
+  test("corpusReportFull: KL-vs-mix and top-token columns — exact values, " +
+    "deterministic FNV tie-break, zero-token strata kept") {
+    val docs = Seq(
+      (1L, "x x x y z", "en", "A"),   // A: x=3, y=1, z=1
+      (2L, "y y y y x", "zh", "B"),   // B: y=4, x=1
+      (3L, "", "en", "Z"))            // zero-token stratum
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Reports.corpusReportFull(docs, "text", "source", "lang", k = 2)
+      .orderBy($"source")
+      .select($"source", $"kl_vs_mix_e6", $"top_tokens")
+      .as[(String, Long, String)].collect().toSeq
+    // KL equals the standalone q106 operator (same exact e6 convention)
+    val kl = graft.operators.DataMix.sourceTokenKl(docs, "text", "source")
+      .orderBy($"source").select($"source", $"kl_e6")
+      .as[(String, Long)].collect().toMap
+    assert(got.map(r => (r._1, r._2)) ===
+      Seq(("A", kl("A")), ("B", kl("B")), ("Z", 0L)))
+    // top tokens: count DESC with the signed-FNV ASC tie-break on the 1-1 tie
+    import graft.functions.RollingHash64
+    def fnv(s: String): Long =
+      RollingHash64.hashBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val aTie = if (fnv("y") < fnv("z")) "y:1" else "z:1"
+    assert(got.map(_._3) === Seq(s"x:3,$aTie", "y:4,x:1", ""))
+  }
+
   test("corpusReport: a stratum whose docs all tokenize to zero words still " +
     "renders (n_tokens = n_distinct_tokens = 0), not silently omitted") {
     // r9 ADVICE: the vocab frame has no row for such a stratum (explode of an

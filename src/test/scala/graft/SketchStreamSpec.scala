@@ -109,7 +109,7 @@ class SketchStreamSpec extends SparkSpec {
       ReportStream.foldReportBatch(b, id, "text", "source",
         "lang", store, p = 8, keepVersions = 2, entropyFloorE6 = 2000000L)
     fold(b0, 0L); fold(b1, 1L)
-    val got = ReportStream.currentReport(spark, store, "source").get
+    val got = ReportStream.currentReport(spark, store, "source").get.drop("top_tokens")
       .orderBy($"source")
       .as[(String, Long, Long, Long, Long, Long, Long, Long)]
       .collect().toSeq
@@ -133,7 +133,7 @@ class SketchStreamSpec extends SparkSpec {
     }
     // at-least-once replay of batch 1: snapshot unchanged
     fold(b1, 1L)
-    val twice = ReportStream.currentReport(spark, store, "source").get
+    val twice = ReportStream.currentReport(spark, store, "source").get.drop("top_tokens")
       .orderBy($"source")
       .as[(String, Long, Long, Long, Long, Long, Long, Long)]
       .collect().toSeq
@@ -158,7 +158,7 @@ class SketchStreamSpec extends SparkSpec {
         input.addData(chunk: _*); q.processAllAvailable()
       }
     } finally q.stop()
-    val got = ReportStream.currentReport(spark, store, "source").get
+    val got = ReportStream.currentReport(spark, store, "source").get.drop("top_tokens")
       .orderBy($"source")
       .as[(String, Long, Long, Long, Long, Long, Long, Long)]
       .collect().toSeq
@@ -171,6 +171,43 @@ class SketchStreamSpec extends SparkSpec {
     assert(got.map(r => (r._1, r._2, r._3, r._5, r._6, r._7, r._8)) ===
       exact.map(r => (r._1, r._2, r._3, r._5, r._6, r._7, r._8)))
     assert(got.forall(_._4 > 0L))
+  }
+
+  test("report store: top_tokens rides the CMS + candidate-pool fold — on a " +
+    "skewed vocabulary the stream column equals the batch-exact card's") {
+    import graft.streaming.ReportStream
+    import graft.operators.Reports
+    val store = java.nio.file.Files.createTempDirectory("report-top").toString
+    // Zipf-ish head: 'alpha' dominates every doc, then 'beta', 'gamma' — the
+    // head tokens are prominent in EVERY batch, so the bounded candidate
+    // pool provably contains them and (with a 4096-bucket CMS over a ~60
+    // token vocabulary) the estimates are the exact counts
+    def doc(id: Long, src: String) =
+      (id, ("alpha " * 6 + "beta " * 4 + "gamma " * 2 +
+        s"tail${id % 13} tail${id % 7}").trim, "en", src)
+    val b0 = (0L until 30L).map(i => doc(i, s"s${i % 2}"))
+      .toDF("doc_id", "text", "lang", "source")
+    val b1 = (100L until 140L).map(i => doc(i, s"s${i % 2}"))
+      .toDF("doc_id", "text", "lang", "source")
+    def fold(b: org.apache.spark.sql.DataFrame, id: Long) =
+      ReportStream.foldReportBatch(b, id, "text", "source", "lang", store,
+        p = 8, keepVersions = 2, entropyFloorE6 = 2000000L)
+    fold(b0, 0L); fold(b1, 1L)
+    val got = ReportStream.currentReport(spark, store, "source").get
+      .select($"source", $"top_tokens").as[(String, String)]
+      .collect().toMap
+    val want = Reports.corpusReportFull(b0.unionByName(b1),
+        "text", "source", "lang")
+      .select($"source", $"top_tokens").as[(String, String)]
+      .collect().toMap
+    assert(got === want)
+    assert(got.values.forall(_.startsWith("alpha:")), got)
+    // replay keeps it stable
+    fold(b1, 1L)
+    val twice = ReportStream.currentReport(spark, store, "source").get
+      .select($"source", $"top_tokens").as[(String, String)]
+      .collect().toMap
+    assert(twice === got)
   }
 
   // ---------- failure injection: the versioned-fold store contracts ----------
@@ -186,7 +223,7 @@ class SketchStreamSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source")
     ReportStream.foldReportBatch(b0, 0L, "text", "source", "lang", store,
       p = 8, keepVersions = 2, entropyFloorE6 = 2000000L)
-    val before = ReportStream.currentReport(spark, store, "source").get
+    val before = ReportStream.currentReport(spark, store, "source").get.drop("top_tokens")
       .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
     // plant a crashed write: a newer version dir with plausible data files
     // but no version-level completeness marker
@@ -195,7 +232,7 @@ class SketchStreamSpec extends SparkSpec {
     b0.write.parquet(s"$crashed/carrier") // parquet's own _SUCCESS is INSIDE
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$crashed/_SUCCESS")))
     // reader still serves v=0
-    val after = ReportStream.currentReport(spark, store, "source").get
+    val after = ReportStream.currentReport(spark, store, "source").get.drop("top_tokens")
       .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(after === before, "reader must skip the _SUCCESS-less version")
     // the next fold (batch 9) must merge v=0, not the crashed v=7: its
@@ -204,14 +241,14 @@ class SketchStreamSpec extends SparkSpec {
       .toDF("doc_id", "text", "lang", "source")
     ReportStream.foldReportBatch(b9, 9L, "text", "source", "lang", store,
       p = 8, keepVersions = 2, entropyFloorE6 = 2000000L)
-    val gotUnion = ReportStream.currentReport(spark, store, "source").get
+    val gotUnion = ReportStream.currentReport(spark, store, "source").get.drop("top_tokens")
       .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
     val clean = java.nio.file.Files.createTempDirectory("report-clean").toString
     ReportStream.foldReportBatch(b0, 0L, "text", "source", "lang", clean,
       p = 8, keepVersions = 2, entropyFloorE6 = 2000000L)
     ReportStream.foldReportBatch(b9, 9L, "text", "source", "lang", clean,
       p = 8, keepVersions = 2, entropyFloorE6 = 2000000L)
-    val want = ReportStream.currentReport(spark, clean, "source").get
+    val want = ReportStream.currentReport(spark, clean, "source").get.drop("top_tokens")
       .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(gotUnion === want, "fold must have merged the complete v=0")
   }
@@ -228,7 +265,7 @@ class SketchStreamSpec extends SparkSpec {
       ReportStream.foldReportBatch(b, id, "text", "source", "lang", store,
         p = 8, keepVersions = 2, entropyFloorE6 = 2000000L)
     fold(b0, 0L); fold(b1, 1L)
-    val healthy = ReportStream.currentReport(spark, store, "source").get
+    val healthy = ReportStream.currentReport(spark, store, "source").get.drop("top_tokens")
       .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
     // crash mid-replay of batch 1: the fold's first step (marker down)
     // happened, then the carrier rewrite died halfway
@@ -238,7 +275,7 @@ class SketchStreamSpec extends SparkSpec {
     // the store still SERVES (v=0), and replaying batch 1 restores v=1
     assert(ReportStream.currentReport(spark, store, "source").nonEmpty)
     fold(b1, 1L)
-    val healed = ReportStream.currentReport(spark, store, "source").get
+    val healed = ReportStream.currentReport(spark, store, "source").get.drop("top_tokens")
       .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(healed === healthy)
   }
@@ -260,10 +297,10 @@ class SketchStreamSpec extends SparkSpec {
       .map(_.getPath.getName).filter(_.startsWith("v=")).sorted.toSeq
     assert(vs === Seq("v=2", "v=3"), s"pruned store: $vs")
     // replay of the newest batch: its predecessor (v=2) survived pruning
-    val before = ReportStream.currentReport(spark, store, "source").get
+    val before = ReportStream.currentReport(spark, store, "source").get.drop("top_tokens")
       .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
     fold(12 until 20, 3L)
-    val after = ReportStream.currentReport(spark, store, "source").get
+    val after = ReportStream.currentReport(spark, store, "source").get.drop("top_tokens")
       .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect().toSet
     assert(after === before)
     // a keepVersions that would prune the predecessor is refused loudly
@@ -290,7 +327,7 @@ class SketchStreamSpec extends SparkSpec {
     // currentReport takes NO p — it must read p=12 from the sidecar; the
     // p=12 estimate differs from the p=8 one on this vocabulary, so an
     // assumed-p render would show here
-    val got = ReportStream.currentReport(spark, store, "source").get
+    val got = ReportStream.currentReport(spark, store, "source").get.drop("top_tokens")
       .select($"n_distinct_tokens").as[Long].head()
     val regs12 = Cardinality.hllRegisters(
       docs.select($"source",
@@ -311,6 +348,6 @@ class SketchStreamSpec extends SparkSpec {
       ReportStream.foldReportBatch(docs, 1L, "text", "source", "lang", store,
         p = 8, keepVersions = 2, entropyFloorE6 = 2000000L)
     }
-    assert(err.getMessage.contains("p="))
+    assert(err.getMessage.contains("cannot merge"))
   }
 }
