@@ -1369,6 +1369,9 @@ object SparkEntry {
   private def qCorpusReport(s: SparkSession, dir: String): DataFrame =
     graft.operators.Reports.corpusReport(t(s, dir, "documents"),
         "text", "source", "lang")
+      // explicit order: the row order the oracle pins previously fell out of
+      // the aggregate plan by accident; the r10 LEFT-join render reshuffled it
+      .orderBy(col("source"))
 
   /** The FULL data card (q108 + the two mixture diagnostics curation rides
     * on): per-stratum KL-vs-mix in the exact e6 convention (q106's math) and

@@ -44,7 +44,7 @@ object Dedup {
     * shuffle, and skipping it removes a full corpus pass. `inputFiles` is a
     * plan-only probe (no job); non-scan inputs report few/no files and keep
     * the exchange — conservative in the safe direction. */
-  private def ensureParallel(df: DataFrame): DataFrame = {
+  private[graft] def ensureParallel(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
     val files = try df.inputFiles.length catch { case _: Throwable => 0 }
     if (files >= math.max(2, target / 2)) df else df.repartition(target)
@@ -216,14 +216,54 @@ object Dedup {
     ngramJaccardPairsManaged(docs, idCol, textCol, n, threshold, blockCols)._1
 
   /** `ngramJaccardPairs` plus the handle composites use to free the operator's
-    * internal persisted shingle frame once the pair set has been consumed. */
+    * internal persisted shingle frame once the pair set has been consumed.
+    *
+    * `collapseExact` (off for the raw pair-listing operator, ON in the
+    * `dedupedCorpus` composite): contract docs with IDENTICAL shingle sets to
+    * their min-id representative before the prefix-filter join, attaching
+    * members by n−1 identity edges (jaccard exactly 1.0). The r10 sf10
+    * full-stack receipt caught the text route without it: on the
+    * ×100-duplicate-amplified 500k-doc corpus every shingle's posting list is
+    * ×100, the prefix-candidate volume ×10⁴ (Σ bucket² law), and the verify
+    * join spilled the disk dry (>70 GB) — the exact failure mode the
+    * embedding route's `collapseExactGroups` closed in r7. Connectivity is
+    * provably unchanged: Jaccard is computed FROM the shingle sets, so
+    * J(u, x) = J(rep(u), x) — every original edge maps to a rep edge plus
+    * identity hops. The set hash is only a shuffle key, never trusted
+    * (membership confirmed by exact array equality; a colliding row stays
+    * its own representative). */
   private def ngramJaccardPairsManaged(
       docs: DataFrame, idCol: String, textCol: String, n: Int,
-      threshold: Double, blockCols: Seq[String]): (DataFrame, () => Unit) = {
+      threshold: Double, blockCols: Seq[String],
+      collapseExact: Boolean = false): (DataFrame, () => Unit) = {
     val sh = shingleFrame(docs, idCol, textCol, n, blockCols)
     val live = liveShingles(sh)
-    (verifyJaccard(live, threshold, prefixCandidates(live, threshold, blockCols)),
-      () => sh.unpersist(blocking = false))
+    if (!collapseExact)
+      (verifyJaccard(live, threshold,
+        prefixCandidates(live, threshold, blockCols)),
+        () => sh.unpersist(blocking = false))
+    else {
+      val hashed = live.withColumn("__shh", xxhash64(col("__sh")))
+      val winners = hashed
+        .groupBy((col("__shh") +: blockCols.map(col)): _*)
+        .agg(min(struct(col("__id"), col("__sh"))).as("__w"))
+        .select((col("__shh") +: col("__w.__id").as("__rid") +:
+          col("__w.__sh").as("__rsh") +: blockCols.map(col)): _*)
+      val tagged = hashed.join(winners, Seq("__shh") ++ blockCols)
+        .withColumn("__isDup",
+          col("__id") =!= col("__rid") && col("__sh") === col("__rsh"))
+      val identity = tagged.filter(col("__isDup"))
+        .select(col("__rid").as("id_a"), col("__id").as("id_b"),
+          lit(1.0).as("jaccard"))
+      val reps = tagged.filter(!col("__isDup"))
+        .drop("__rid", "__rsh", "__isDup", "__shh")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      (verifyJaccard(reps, threshold,
+        prefixCandidates(reps, threshold, blockCols))
+        .unionByName(identity),
+        () => { sh.unpersist(blocking = false)
+          reps.unpersist(blocking = false) })
+    }
   }
 
   /** Incremental near-dup matches — the BATCH form of the streaming admission
@@ -1093,12 +1133,21 @@ object Dedup {
   /** End-to-end corpus dedup — the composite pipelines actually call: exact
     * n-gram Jaccard pairs (prefix-filtered), transitive cluster resolution,
     * keep the min-id survivor of every cluster. Rows never paired survive
-    * untouched (left-anti against the non-canonical cluster members). */
+    * untouched (left-anti against the non-canonical cluster members).
+    *
+    * `collapseExact` (default ON — r10): exact-duplicate shingle sets
+    * contract to min-id representatives BEFORE the pair stage, so a
+    * duplicate-dense corpus (the web norm; the ×100-amplified sf10 rehearsal)
+    * pays n−1 identity edges per group instead of Σ bucket² exploding
+    * prefix-candidate joins. Survivor sets are provably identical — see
+    * `ngramJaccardPairsManaged`. */
   def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String,
                     n: Int, threshold: Double,
-                    blockCols: Seq[String]): DataFrame = {
+                    blockCols: Seq[String],
+                    collapseExact: Boolean = true): DataFrame = {
     val (pairs, free) =
-      ngramJaccardPairsManaged(docs, idCol, textCol, n, threshold, blockCols)
+      ngramJaccardPairsManaged(docs, idCol, textCol, n, threshold, blockCols,
+        collapseExact)
     survivors(docs, idCol, pairs, free)
   }
 

@@ -108,12 +108,17 @@ object GopherRules {
       "percentage thresholds must be non-negative")
     require(minWords >= 0 && maxWords >= minWords,
       s"need 0 <= minWords <= maxWords, got [$minWords, $maxWords]")
+    // few-file corpora would run the per-doc kernel at file-count
+    // parallelism (measured r10: ONE task over the 500k-doc sf10 corpus,
+    // 2 parquet files — 4+ minutes single-threaded); the exchange guard is
+    // the same seam every Dedup prep stage carries
+    val docsP = Dedup.ensureParallel(docs)
     // native (default): ONE compiled loop per doc (LineStatsExpr) inside
     // whole-stage codegen; native=false keeps the interpreted column-fold
     // reference the equivalence spec pins the expression against.
     val stats =
       if (native)
-        docs.withColumn("__st",
+        docsP.withColumn("__st",
           graft.functions.LineStatsExpr(col(textCol)))
           .select(col(idCol),
             col("__st.n_lines").as("n_lines"),
@@ -124,7 +129,7 @@ object GopherRules {
             col("__st.n_word_chars").as("n_word_chars"),
             col("__st.top_word_n").as("top_word_n"),
             col("__st.top_word_chars").as("top_word_chars"))
-      else docs
+      else docsP
         .withColumn("__lr", lineRepetitionStruct(col(textCol)))
         .withColumn("__tw", topWordStruct(col(textCol)))
         .select(col(idCol),
@@ -171,7 +176,9 @@ object GopherRules {
     val statCols = Seq("n_words", "n_word_chars") ++
       (2 to 4).flatMap(n => Seq(s"top${n}_n", s"top${n}_chars")) ++
       (5 to 10).map(n => s"dup${n}_chars")
-    val base = docs
+    // same file-count-parallelism guard as `battery` (the r10 sf10 receipt
+    // caught this stage serializing on one task)
+    val base = Dedup.ensureParallel(docs)
       .withColumn("__nr", graft.functions.NgramRepetitionExpr(col(textCol)))
       .select(col(idCol) +: statCols.map(f => col(s"__nr.$f").as(f)): _*)
     val flagged = (2 to 4).foldLeft(base) { (df, n) =>

@@ -899,6 +899,31 @@ class DedupSpec extends SparkSpec {
     assert(got === Seq((1L, 2L, 0L, "a b"), (2L, 2L, 0L, "a b")))
   }
 
+  test("dedupedCorpus collapseExact: identical survivor set on a " +
+    "duplicate-dense corpus, identity edges bridge reps to near-dups") {
+    // every base doc gains 3 exact twins (the ×100-amplified-corpus shape
+    // that spilled the r10 sf10 receipt, in miniature) plus one NEAR-dup of
+    // doc 0 — the near-dup must still cluster through the representative
+    def w(i: Int) = s"t${('a' + i % 26).toChar}${i / 26}"
+    val base = (0 until 8).map(d =>
+      (d.toLong, (0 until 30).map(i => w(d * 40 + i)).mkString(" ")))
+    val twins = for {
+      (id, text) <- base; k <- 1 to 3
+    } yield (id + 100L * k, text)
+    val near = Seq((9000L,
+      (0 until 30).map(i => if (i == 13) "zzz" else w(i)).mkString(" ")))
+    val docs = (base ++ twins ++ near).toDF("doc_id", "text")
+    def run(collapse: Boolean): Set[Long] =
+      Dedup.dedupedCorpus(docs, "doc_id", "text", n = 3, threshold = 0.5,
+          blockCols = Nil, collapseExact = collapse)
+        .select($"doc_id").as[Long].collect().toSet
+    val withCollapse = run(true)
+    val without = run(false)
+    assert(withCollapse === without)
+    // min-id survivors: the 8 base docs; twins and the near-dup collapse in
+    assert(withCollapse === (0 until 8).map(_.toLong).toSet)
+  }
+
   test("fuzzy contamination (q110 shape): threshold boundary is inclusive, " +
     "empty/short bench sets are harmless") {
     // J exactly AT the threshold must match (>=, via the exact integer

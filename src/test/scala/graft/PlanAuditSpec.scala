@@ -51,7 +51,9 @@ class PlanAuditSpec extends SparkSpec {
     "q89_perplexity_buckets",
     // q106/q107: the corpus-total scalar (one row) crossed onto vocab-sized
     // frames — the q89 shape; the corpus itself is never on either side
-    "q106_source_kl", "q107_collocations")
+    "q106_source_kl", "q107_collocations",
+    // q111: embeds q106's KL (the same 1-row corpus-total cross)
+    "q111_corpus_report_full")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where designed") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
