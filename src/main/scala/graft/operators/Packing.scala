@@ -27,7 +27,10 @@ object Packing {
                   chunkSize: Int): DataFrame = {
     val ws = TextFns.words(col(textCol))
     val nChunks = ceil(size(ws).cast("double") / chunkSize).cast("int")
-    docs
+    // few-file corpora would tokenize + sha every chunk at file-count
+    // parallelism (the r10 receipt's lesson; q109 measured 38.2s at sf10 on
+    // a 2-file corpus before the guard)
+    Dedup.ensureParallel(docs)
       .select(col(idCol), ws.as("__ws"), nChunks.as("__n"))
       .filter(col("__n") > 0)
       .select(col(idCol),
@@ -56,7 +59,7 @@ object Packing {
     // starts 0, stride, 2·stride, … strictly inside the doc
     val nChunks = (floor((size(ws) - 1).cast("double") / stride) + 1)
       .cast("int")
-    docs
+    Dedup.ensureParallel(docs) // same few-file guard as chunkTokens
       .select(col(idCol), ws.as("__ws"), nChunks.as("__n"))
       .filter(size(col("__ws")) > 0)
       .select(col(idCol),
