@@ -1126,6 +1126,7 @@ object SparkEntry {
     * at most sources × 256 rows per mapper. */
   private def qHllRegisters(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("source"), explode(TextFns.words(col("text"))).as("token"))
     graft.operators.Cardinality.hllRegisters(toks, Seq("source"),
         col("token"), p = 8)
@@ -1145,6 +1146,7 @@ object SparkEntry {
   private def qCmsHitters(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.CountMin
     val docs = t(s, dir, "documents")
+      .repartition(s.sessionState.conf.numShufflePartitions)
     def toks(df: DataFrame): DataFrame = df.select(col("source"),
       explode(TextFns.words(col("text"))).as("token"))
     val corpus = toks(docs)
@@ -1175,6 +1177,7 @@ object SparkEntry {
     * position is integer arithmetic on the mixed FNV hash. */
   private def qBloomPrefilter(s: SparkSession, dir: String): DataFrame = {
     val all = t(s, dir, "documents")
+      .repartition(s.sessionState.conf.numShufflePartitions)
     def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
       explode(TextFns.stringShingles(col("text"), 5)).as("gram"))
     val bench = grams(all.filter(col("doc_id") % 97 === 0))
@@ -1394,6 +1397,7 @@ object SparkEntry {
     * approximate sketch whose every output bit is still exact. */
   private def qHllEstimate(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
+      .repartition(s.sessionState.conf.numShufflePartitions)
       .select(col("source"), explode(TextFns.words(col("text"))).as("token"))
     graft.operators.Cardinality.hllEstimate(
         graft.operators.Cardinality.hllRegisters(toks, Seq("source"),

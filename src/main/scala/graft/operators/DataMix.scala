@@ -320,7 +320,8 @@ object DataMix {
     * (and average the shard KLs) before that point. */
   def sourceTokenKl(docs: DataFrame, textCol: String,
                     strataCol: String): DataFrame = {
-    val toks = docs.select(col(strataCol),
+    // few-file guard: the corpus token pass is the operator's whole cost
+    val toks = Dedup.ensureParallel(docs).select(col(strataCol),
       explode(graft.functions.TextFns.words(col(textCol))).as("__t"))
     val sc = toks.groupBy(col(strataCol), col("__t"))
       .agg(count(lit(1)).as("c_si"))

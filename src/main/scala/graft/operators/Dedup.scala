@@ -46,6 +46,15 @@ object Dedup {
     * the exchange — conservative in the safe direction. */
   private[graft] def ensureParallel(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    // a caller that already repartitioned took responsibility — `inputFiles`
+    // probes the LEAF scan, so without this check an operator-level guard
+    // stacked on a caller-level repartition would exchange the corpus twice
+    val repartitioned = df.queryExecution.logical.exists {
+      case _: org.apache.spark.sql.catalyst.plans.logical.Repartition => true
+      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => true
+      case _ => false
+    }
+    if (repartitioned) return df
     val files = try df.inputFiles.length catch { case _: Throwable => 0 }
     if (files >= math.max(2, target / 2)) df else df.repartition(target)
   }

@@ -50,7 +50,11 @@ object NgramLm {
 
   /** Train on `docs(textCol)`: two count aggregates + one vocab action. */
   def trainBigram(docs: DataFrame, textCol: String): BigramLm = {
-    val toks = docs.select(TextFns.words(col(textCol)).as("__ts"))
+    // tokenize + explode would otherwise run at file-count parallelism on a
+    // few-file corpus (the r10 receipt's lesson — q83's sf10 census was
+    // dominated by serial token passes)
+    val toks = Dedup.ensureParallel(docs)
+      .select(TextFns.words(col(textCol)).as("__ts"))
     val bigrams = toks
       .select(explode(bigramPairs(col("__ts"))).as("__b"))
       .groupBy(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
@@ -70,7 +74,7 @@ object NgramLm {
     * never a log of zero. */
   def scoreBigram(docs: DataFrame, idCol: String, textCol: String,
                   lm: BigramLm): DataFrame = {
-    val docBi = docs
+    val docBi = Dedup.ensureParallel(docs)
       .select(col(idCol), explode(bigramPairs(TextFns.words(col(textCol))))
         .as("__b"))
       .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
@@ -118,7 +122,7 @@ object NgramLm {
     * frames after the corpus token pass are vocab-sized. */
   def collocations(docs: DataFrame, textCol: String, minCount: Long = 5L,
                    k: Int = 50): DataFrame = {
-    val bigrams = docs
+    val bigrams = Dedup.ensureParallel(docs)
       .select(TextFns.words(col(textCol)).as("__ts"))
       .select(explode(bigramPairs(col("__ts"))).as("__b"))
       .groupBy(col("__b.w1").as("w1"), col("__b.w2").as("w2"))

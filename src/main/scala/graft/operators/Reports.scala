@@ -31,7 +31,9 @@ object Reports {
   def reportCarrier(docs: DataFrame, textCol: String,
                     strataCol: String, langCol: String,
                     entropyFloorE6: Long = 2000000L): DataFrame = {
-    val perDoc = docs.select(col(strataCol),
+    // the per-doc word/entropy kernels must not run at file-count
+    // parallelism on a few-file corpus (r10 receipt lesson)
+    val perDoc = Dedup.ensureParallel(docs).select(col(strataCol),
       TextStatsExpr(col(textCol), Nil)("n_words").as("__nw"),
       CharEntropyExpr(col(textCol)).as("__ent"),
       when(col(langCol) === "en", 1L).otherwise(0L).as("__en"))
@@ -78,11 +80,12 @@ object Reports {
   def corpusReport(docs: DataFrame, textCol: String,
                    strataCol: String, langCol: String,
                    entropyFloorE6: Long = 2000000L): DataFrame = {
-    val vocab = docs.select(col(strataCol),
+    val d = Dedup.ensureParallel(docs)
+    val vocab = d.select(col(strataCol),
         explode(TextFns.words(col(textCol))).as("__t"))
       .groupBy(col(strataCol))
       .agg(countDistinct(col("__t")).as("n_distinct_tokens"))
-    render(reportCarrier(docs, textCol, strataCol, langCol,
+    render(reportCarrier(d, textCol, strataCol, langCol,
       entropyFloorE6), vocab, strataCol)
   }
 
@@ -121,11 +124,12 @@ object Reports {
   def corpusReportFull(docs: DataFrame, textCol: String,
                        strataCol: String, langCol: String, k: Int = 5,
                        entropyFloorE6: Long = 2000000L): DataFrame = {
-    val base = corpusReport(docs, textCol, strataCol, langCol, entropyFloorE6)
+    val d = Dedup.ensureParallel(docs)
+    val base = corpusReport(d, textCol, strataCol, langCol, entropyFloorE6)
     val kl = graft.operators.DataMix
-      .sourceTokenKl(docs, textCol, strataCol)
+      .sourceTokenKl(d, textCol, strataCol)
       .select(col(strataCol), col("kl_e6").as("kl_vs_mix_e6"))
-    val counts = docs.select(col(strataCol),
+    val counts = d.select(col(strataCol),
         explode(TextFns.words(col(textCol))).as("__t"))
       .groupBy(col(strataCol), col("__t"))
       .agg(count(lit(1)).as("cnt"))

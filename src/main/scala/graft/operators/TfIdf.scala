@@ -18,7 +18,9 @@ object TfIdf {
   /** (token, df): number of documents containing each token. */
   def documentFrequency(docs: DataFrame, idCol: String,
                         textCol: String): DataFrame =
-    docs.select(explode(array_distinct(TextFns.words(col(textCol))))
+    // few-file guard (r10): the in-row tokenize+distinct must not serialize
+    Dedup.ensureParallel(docs)
+      .select(explode(array_distinct(TextFns.words(col(textCol))))
         .as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("df"))
@@ -38,7 +40,8 @@ object TfIdf {
       .select(col("token"),
         round(log(lit(n.toDouble) / col("df")) * 1e6).cast("long")
           .as("idf_scaled"))
-    val tf = docs.select(col(idCol), explode(TextFns.words(col(textCol)))
+    val tf = Dedup.ensureParallel(docs)
+      .select(col(idCol), explode(TextFns.words(col(textCol)))
         .as("token"))
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
@@ -57,7 +60,8 @@ object TfIdf {
     * global sort): the vocabulary-induction step before tokenizer training,
     * and the denominator of any coverage analysis. */
   def vocabulary(docs: DataFrame, textCol: String, v: Int): DataFrame =
-    docs.select(explode(TextFns.words(col(textCol))).as("token"))
+    Dedup.ensureParallel(docs)
+      .select(explode(TextFns.words(col(textCol))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("n_occ"))
       .orderBy(col("n_occ").desc, col("token"))
@@ -71,7 +75,8 @@ object TfIdf {
     * no coverage to measure and drop out (the explode emits nothing). */
   def oovRate(docs: DataFrame, idCol: String, textCol: String,
               vocab: DataFrame): DataFrame =
-    docs.select(col(idCol), explode(TextFns.words(col(textCol))).as("token"))
+    Dedup.ensureParallel(docs)
+      .select(col(idCol), explode(TextFns.words(col(textCol))).as("token"))
       .join(broadcast(vocab.select(col("token"), lit(1).as("__in"))),
         Seq("token"), "left")
       .groupBy(col(idCol))

@@ -415,11 +415,14 @@ class CurationOpsSpec extends SparkSpec {
       .orderBy($"doc_id", $"chunk_idx")
       .as[(Long, Int, Long)].collect().toSeq
     assert(out == Seq((1L, 0, 3L), (1L, 1, 3L), (1L, 2, 1L), (2L, 0, 2L)))
-    // no join, no shuffle: chunking is a narrow projection
+    // no join, no KEY shuffle: chunking is a narrow projection. The one
+    // permitted exchange is the r10 few-file parallelism guard — a
+    // round-robin repartition, never a hash shuffle.
     val plan = graft.operators.Packing.chunkTokens(
       Seq((1L, "a b c")).toDF("doc_id", "text"), "doc_id", "text", 2)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("hashpartitioning"), plan)
   }
 
   test("chunkTokensStrided: overlapping windows, truncated tails, stride=chunk == chunkTokens") {
