@@ -1386,7 +1386,6 @@ object SparkEntry {
     graft.operators.Reports.corpusReportFull(t(s, dir, "documents"),
         "text", "source", "lang")
       .orderBy(col("source"))
-      .orderBy(col("source"))
 
   /** The HLL ESTIMATE end-to-end (`Cardinality.hllEstimate` over q93's
     * registers): because the harmonic-mean fold runs in-row over the

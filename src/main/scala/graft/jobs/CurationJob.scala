@@ -114,7 +114,13 @@ object CurationJob {
 
     val idCol = str("id_col", "doc_id")
     val textCol = str("text_col", "text")
-    val raw = spark.read.parquet(cfg.getAs[String]("documents_path"))
+    // few-file guard at the HEAD: the normalize/word-count/entropy kernels
+    // below run in the scan stage, underneath any operator-internal exchange
+    // — on a 2-file sf10 corpus they serialized onto 2 tasks (r10 review).
+    // Downstream operator guards see this Repartition and skip (no double
+    // shuffle).
+    val raw = graft.operators.Dedup.ensureParallel(
+      spark.read.parquet(cfg.getAs[String]("documents_path")))
     val input = raw.count()
 
     // 0. optional CCNet-style normalization — the canonical form every

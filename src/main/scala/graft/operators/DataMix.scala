@@ -323,8 +323,16 @@ object DataMix {
     // few-file guard: the corpus token pass is the operator's whole cost
     val toks = Dedup.ensureParallel(docs).select(col(strataCol),
       explode(graft.functions.TextFns.words(col(textCol))).as("__t"))
-    val sc = toks.groupBy(col(strataCol), col("__t"))
-      .agg(count(lit(1)).as("c_si"))
+    sourceTokenKlFromCounts(
+      toks.groupBy(col(strataCol), col("__t")).agg(count(lit(1)).as("c_si")),
+      strataCol)
+  }
+
+  /** [[sourceTokenKl]] from a PRE-AGGREGATED (strata, __t, c_si) count frame
+    * — the fused-pass seam `Reports.corpusReportFull` rides so one token
+    * explode serves the vocabulary, KL, and hitter columns at once. */
+  def sourceTokenKlFromCounts(sc: DataFrame,
+                              strataCol: String): DataFrame = {
     val cc = sc.groupBy(col("__t")).agg(sum(col("c_si")).as("c_i"))
     val ns = sc.groupBy(col(strataCol)).agg(sum(col("c_si")).as("n_s"))
     val n = sc.agg(sum(col("c_si")).as("n"))

@@ -50,7 +50,9 @@ object Dedup {
     // probes the LEAF scan, so without this check an operator-level guard
     // stacked on a caller-level repartition would exchange the corpus twice
     val repartitioned = df.queryExecution.logical.exists {
-      case _: org.apache.spark.sql.catalyst.plans.logical.Repartition => true
+      // shuffle=false is coalesce(): it REDUCES parallelism — the degenerate
+      // input this guard exists for, never a caller-managed exchange
+      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r.shuffle
       case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => true
       case _ => false
     }
@@ -258,20 +260,24 @@ object Dedup {
         .agg(min(struct(col("__id"), col("__sh"))).as("__w"))
         .select((col("__shh") +: col("__w.__id").as("__rid") +:
           col("__w.__sh").as("__rsh") +: blockCols.map(col)): _*)
+      // persisted at the TAGGED stage: both the identity branch and the
+      // (multiply-referenced) reps branch read it — persisting only reps
+      // would re-run the corpus hash + winners shuffle for the identity
+      // edges when the unioned pair frame is consumed (r10 review)
       val tagged = hashed.join(winners, Seq("__shh") ++ blockCols)
         .withColumn("__isDup",
           col("__id") =!= col("__rid") && col("__sh") === col("__rsh"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val identity = tagged.filter(col("__isDup"))
         .select(col("__rid").as("id_a"), col("__id").as("id_b"),
           lit(1.0).as("jaccard"))
       val reps = tagged.filter(!col("__isDup"))
         .drop("__rid", "__rsh", "__isDup", "__shh")
-        .persist(StorageLevel.MEMORY_AND_DISK)
       (verifyJaccard(reps, threshold,
         prefixCandidates(reps, threshold, blockCols))
         .unionByName(identity),
         () => { sh.unpersist(blocking = false)
-          reps.unpersist(blocking = false) })
+          tagged.unpersist(blocking = false) })
     }
   }
 

@@ -125,17 +125,31 @@ object Reports {
                        strataCol: String, langCol: String, k: Int = 5,
                        entropyFloorE6: Long = 2000000L): DataFrame = {
     val d = Dedup.ensureParallel(docs)
-    val base = corpusReport(d, textCol, strataCol, langCol, entropyFloorE6)
-    val kl = graft.operators.DataMix
-      .sourceTokenKl(d, textCol, strataCol)
-      .select(col(strataCol), col("kl_e6").as("kl_vs_mix_e6"))
+    // ONE token pass serves all three token-derived column families: the
+    // (strata, token) count frame is the KL operator's own intermediate,
+    // the vocabulary is its per-stratum row count (== countDistinct), and
+    // the hitters heap ranks it directly (r10 review: the original form
+    // paid three corpus-sized tokenize+explode passes for the same card)
     val counts = d.select(col(strataCol),
         explode(TextFns.words(col(textCol))).as("__t"))
       .groupBy(col(strataCol), col("__t"))
       .agg(count(lit(1)).as("cnt"))
-    base.join(kl, Seq(strataCol), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = counts.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_distinct_tokens"))
+    val kl = graft.operators.DataMix
+      .sourceTokenKlFromCounts(
+        counts.select(col(strataCol), col("__t"), col("cnt").as("c_si")),
+        strataCol)
+      .select(col(strataCol), col("kl_e6").as("kl_vs_mix_e6"))
+    val out = render(reportCarrier(d, textCol, strataCol, langCol,
+        entropyFloorE6), vocab, strataCol)
+      .join(kl, Seq(strataCol), "left")
       .join(topTokens(counts, strataCol, k), Seq(strataCol), "left")
       .withColumn("kl_vs_mix_e6", coalesce(col("kl_vs_mix_e6"), lit(0L)))
       .withColumn("top_tokens", coalesce(col("top_tokens"), lit("")))
+      .localCheckpoint(true)
+    counts.unpersist(blocking = false)
+    out
   }
 }
