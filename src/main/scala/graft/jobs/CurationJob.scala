@@ -121,7 +121,18 @@ object CurationJob {
     // shuffle).
     val raw = graft.operators.Dedup.ensureParallel(
       spark.read.parquet(cfg.getAs[String]("documents_path")))
+    // per-stage wall clock, logged at the end beside the row counts — the
+    // receipt that says WHERE a full-stage run spends its time (r10: the
+    // first sf10 receipt had to be diagnosed with jstack)
+    val stageTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var tLast = System.nanoTime()
+    def lap(stage: String): Unit = {
+      val now = System.nanoTime()
+      stageTimes += stage -> (now - tLast) / 1e9
+      tLast = now
+    }
     val input = raw.count()
+    lap("read+count")
 
     // 0. optional CCNet-style normalization — the canonical form every
     // downstream gate, hash, and sink sees (scan-stage projection, no shuffle)
@@ -171,6 +182,7 @@ object CurationJob {
       else lineGated)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterQuality = gated.count()
+    lap("quality")
 
     // 2. near-dup corpus dedup (subsumes exact dups at jaccard 1.0)
     val deduped = Dedup.dedupedCorpus(gated, idCol, textCol,
@@ -179,6 +191,7 @@ object CurationJob {
       blockCols = strSeq("block_cols"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterDedup = deduped.count()
+    lap("dedup")
     // deduped is materialized (count above) — its input snapshot is dead
     gated.unpersist(blocking = false)
 
@@ -221,7 +234,7 @@ object CurationJob {
           .select(col(idCol), col(textCol).as("__capped"))
         val joined = pin(deduped.drop(textCol).join(s, Seq(idCol))
           .withColumnRenamed("__capped", textCol))
-        (Some(joined.count()), joined)
+        (Some({ val c = joined.count(); lap("line_cap"); c }), joined)
       } else (None, deduped)
 
     // 2a-novelty. optional doc-level duplication gate: drop documents whose
@@ -235,7 +248,7 @@ object CurationJob {
           .filter(col("novelty_e6") >= minNovelty)
           .select(col(idCol))
         val joined = pin(lineCapped.join(keep, Seq(idCol), "left_semi"))
-        (Some(joined.count()), joined)
+        (Some({ val c = joined.count(); lap("novelty"); c }), joined)
       } else (None, lineCapped)
 
     // 2b. optional exact-substring removal across the survivors: repeated
@@ -249,7 +262,7 @@ object CurationJob {
           .select(col(idCol), col(textCol).as("__scrubbed"))
         val joined = pin(novGated.drop(textCol).join(s, Seq(idCol))
           .withColumnRenamed("__scrubbed", textCol))
-        (Some(joined.count()), joined)
+        (Some({ val c = joined.count(); lap("window_scrub"); c }), joined)
       } else (None, novGated)
 
     // 2c. optional span-level benchmark decontamination: every window whose
@@ -267,7 +280,7 @@ object CurationJob {
           .select(col(idCol), col(textCol).as("__decon"))
         val joined = pin(windowScrubbed.drop(textCol).join(s, Seq(idCol))
           .withColumnRenamed("__decon", textCol))
-        (Some(joined.count()), joined)
+        (Some({ val c = joined.count(); lap("decontam"); c }), joined)
       } else (None, windowScrubbed)
 
     // 2d. optional FUZZY decontamination against the same benchmark set:
@@ -288,7 +301,7 @@ object CurationJob {
         // shingle stores it checkpoints) is fully consumed — free it now
         // instead of leaking it across the remaining stages
         Dedup.release(matches)
-        (Some(joined.count()), joined)
+        (Some({ val c = joined.count(); lap("fuzzy"); c }), joined)
       } else (None, decontaminated)
 
     // 3. PII scrub
@@ -324,7 +337,7 @@ object CurationJob {
             idCol, "llr_e6", k)
           .select(col(idCol))
         val joined = mixed.join(picked, Seq(idCol), "left_semi")
-        (Some(joined.count()), joined)
+        (Some({ val c = joined.count(); lap("dsir"); c }), joined)
       } else (None, mixed)
 
     // 5. partitioned parquet sink
@@ -332,6 +345,7 @@ object CurationJob {
     val writer = resampled.write.mode("overwrite")
     (if (parts.nonEmpty) writer.partitionBy(parts: _*) else writer)
       .parquet(outPath)
+    lap("sink_write")
     val output = spark.read.parquet(outPath).count()
 
     // 6. optional data card of what was ACTUALLY written — the FULL audit
@@ -344,6 +358,7 @@ object CurationJob {
         .coalesce(1)
         .write.mode("overwrite").parquet(outPath + "_report")
 
+    lap("count+report")
     // the sink write above consumed the last boundary; nothing reads it again
     // (output count and the data card re-read the written parquet)
     releaseBoundary(boundary)
@@ -351,6 +366,8 @@ object CurationJob {
       afterWindowScrub, afterResample, afterDecontam,
       afterLineCap, afterNovelty, afterFuzzy)
     System.err.println(s"[curate] $stats")
+    System.err.println("[curate-times] " + stageTimes
+      .map { case (k, v) => f"$k=$v%.1fs" }.mkString(" "))
     Some(stats)
   }
 }
