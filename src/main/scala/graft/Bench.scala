@@ -134,7 +134,19 @@ object Bench {
       s"bench_${stamp}_${new java.io.File(srcDir).getName}.json")
     java.nio.file.Files.writeString(fullPath, line + "\n")
     java.nio.file.Files.writeString(fullDir.resolve("latest.json"), line + "\n")
-    println(s"""{"metric":"bench_full_path","path":"${fullPath.toAbsolutePath}"}""")
+    // The driver keeps only a bounded TAIL of stdout (~2000 chars), so the
+    // full line above always loses its head to truncation and parses as
+    // nothing. The LAST line printed is therefore a bounded COMPACT summary
+    // — totals, pass totals, failures, the slowest 10 queries, and the path
+    // to the complete per-query artifact — sized to survive the tail capture
+    // whole, so BENCH_r*.json always carries usable parsed data.
+    val slow = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val fsShort = failures.take(3)
+      .map { case (k, v) => "\"" + k + "\":\"" + v.take(80) + "\"" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"pass_totals":[${passTotal(pass1)},${passTotal(pass2)}],"failed_count":${failures.size},"failed":$fsShort,"slowest10":$slow,"bench_full":"${fullPath.toAbsolutePath}"}""")
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

@@ -197,7 +197,17 @@ object OracleHashSql {
     * BAND VALUES (slice equality ⟺ the engine's xxhash64-of-slice equality,
     * barring a 64-bit collision), then the exact integer-cross-multiplied
     * Jaccard ≥ 0.3 verify over the hashed shingle sets
-    * (`Dedup.verifyJaccard`'s S = 1e6 discipline). */
+    * (`Dedup.verifyJaccard`'s S = 1e6 discipline).
+    *
+    * DIVERGENCE CONDITION (r10 ADVICE): this oracle enumerates FULL
+    * band-bucket crosses, but the engine's `minhashLshPairs` applies
+    * `splitOversizedBuckets` at `maxBucket = 4096` — on a corpus where one
+    * band bucket exceeds that, the engine emits only (bucket-min, id) star
+    * candidates and this oracle would list verified pairs the engine
+    * deliberately skips, turning the row red. The verify corpus stays far
+    * under the cap (sf0.01: largest bucket ≪ 4096); if the cap ever trips
+    * there, either model the star contraction here or raise `maxBucket` in
+    * the q24 registry entry. */
   def q24MinhashLsh: String = {
     val (gfrag, gfin) = xxh64StrStages("gx", "gd", "g")
     val (sfrag, sfin) = sketchmixStages("sd", "seedi", "(i)::HUGEINT", "i")

@@ -447,7 +447,7 @@ object SparkEntry {
           .otherwise(col("text")),
         lit(" rev "), id.cast("string"), lit("  build  "),
         (id * 31).cast("string")).as("text"))
-    planted
+    graft.operators.Dedup.ensureParallel(planted)
       .select(id, length(col("text")).cast("long").as("orig_len"),
         TextFns.normalizeText(col("text")).as("text"))
       .withColumn("norm_len", length(col("text")).cast("long"))
@@ -468,7 +468,7 @@ object SparkEntry {
     val planted = t(s, dir, "documents").select(id,
       when(id % 41 === 0, repeat(lit("aa "), 40))
         .otherwise(col("text")).as("text"))
-    planted
+    graft.operators.Dedup.ensureParallel(planted)
       .select(id, length(col("text")).cast("long").as("n_chars"),
         graft.functions.CharEntropyExpr(col("text")).as("entropy_e6"))
       .withColumn("low_diversity", col("entropy_e6") < 2000000L)
@@ -589,7 +589,9 @@ object SparkEntry {
     * shuffle carries at most k rows per (group, mapper), not the corpus, and
     * no per-group sort exists in the plan. Shares q07's oracle verbatim. */
   private def qTopkHeap(s: SparkSession, dir: String): DataFrame =
-    graft.ops.TopK.topKPerGroup(t(s, dir, "lineitem"), Seq("l_orderkey"),
+    graft.ops.TopK.topKPerGroup(
+      graft.operators.Dedup.ensureParallel(t(s, dir, "lineitem")),
+      Seq("l_orderkey"),
       cents(col("l_extendedprice")), col("l_linenumber").cast("long"),
       Seq(col("l_linenumber")), k = 3)
       .select(col("l_orderkey"), col("l_linenumber"),
@@ -1873,15 +1875,20 @@ object SparkEntry {
     * Composes text analysis, dedup and ranking the way a real corpus-curation job
     * would; every stage is one hash-partitionable pass. */
   private def qCuration(s: SparkSession, dir: String): DataFrame = {
-    // one native text_stats pass supplies both word count and stopword hits
-    val st = graft.functions.TextStatsExpr(col("text"),
-      Seq("the", "a", "of", "and", "is"))
-    val base = t(s, dir, "documents")
-      .repartition(s.sessionState.conf.numShufflePartitions)
-      .withColumn("n_words", st("n_words"))
-      .withColumn("stop_cnt", st("stop_count"))
+    // one native text_stats pass supplies both word count and stopword hits;
+    // the stats struct is FENCED so the word-count filter below cannot be
+    // pushed under the guard exchange into the scan with the kernel inlined
+    // (the simhash64 trap — r11 audit), and the single fenced struct keeps
+    // one kernel evaluation per row
+    val st = graft.functions.PushdownFence(graft.functions.TextStatsExpr(
+      col("text"), Seq("the", "a", "of", "and", "is")))
+    val base = graft.operators.Dedup.ensureParallel(t(s, dir, "documents"))
+      .withColumn("__st", st)
+      .withColumn("n_words", col("__st")("n_words"))
+      .withColumn("stop_cnt", col("__st")("stop_count"))
       .withColumn("sha", sha2(lower(trim(col("text"))), 256))
       .filter(col("n_words") >= 20)
+      .drop("__st")
     val dedup = base.withColumn("rn",
         row_number().over(Window.partitionBy(col("sha")).orderBy(col("doc_id"))))
       .filter(col("rn") === 1)

@@ -68,9 +68,21 @@ import org.apache.spark.sql.functions._
   *   "dsir_domain_value": "src0",      //   in-domain LM on this slice and
   *   "dsir_k": 1000,                   //   Gumbel-top-k down to k docs
   *   "report_strata_col": "",          // optional data card (q111): write the
-  *   "report_lang_col": "lang"         //   per-stratum report of what was
+  *   "report_lang_col": "lang",        //   per-stratum report of what was
   *                                     //   ACTUALLY written to
   *                                     //   <output_path>_report ("" = off)
+  *   "output_bucketed_table": "",      // optional co-located publication:
+  *   "output_buckets": 16,             //   also save the curated corpus as a
+  *                                     //   bucketed+sorted catalog table on
+  *                                     //   id_col — admission ticks join it
+  *                                     //   with ZERO corpus shuffle ("" = off)
+  *   "shard_export_n": 0,              // optional deterministic shard export
+  *   "shard_export_salt": 0,           //   (q81): <output_path>_shards/
+  *                                     //   shard=K/, (hash,id) order (0 = off)
+  *   "plan_audit": false               // optional measurement: per-stage
+  *                                     //   [curate-plan] lines with plan-node
+  *                                     //   counts + Catalyst phase ms (the
+  *                                     //   driver planning-tail decomposition)
   * }
   * Usage: CurationJob <config.json>
   *
@@ -125,11 +137,55 @@ object CurationJob {
     // receipt that says WHERE a full-stage run spends its time (r10: the
     // first sf10 receipt had to be diagnosed with jstack)
     val stageTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // "plan_audit": true (opt-in, measurement-only) — decompose the DRIVER
+    // planning tail the sf10 receipt exposed (~4.6 min of non-task wall):
+    // a QueryExecutionListener records, per action, the logical/physical
+    // plan-node counts and the QueryPlanningTracker phase durations
+    // (analysis/optimization/planning — the single-threaded Catalyst work),
+    // drained per stage into `[curate-plan]` stderr lines beside the wall
+    // laps. Measurement first, code second (r10 verdict #6).
+    val planAudit = str("plan_audit", "false").toBoolean
+    final case class PlanRec(logicalNodes: Int, physicalNodes: Int,
+                             catalystMs: Long)
+    val planRecs = new java.util.concurrent.ConcurrentLinkedQueue[PlanRec]()
+    val planListener: Option[org.apache.spark.sql.util.QueryExecutionListener] =
+      if (!planAudit) None
+      else {
+        val l = new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              durationNs: Long): Unit = {
+            val logical = qe.optimizedPlan.collect { case _ => 1 }.sum
+            val physical =
+              graft.plans.ParallelismAudit.countNodes(qe.executedPlan)
+            val catalystMs = qe.tracker.phases.valuesIterator
+              .map(_.durationMs).sum
+            planRecs.add(PlanRec(logical, physical, catalystMs))
+          }
+          override def onFailure(funcName: String,
+              qe: org.apache.spark.sql.execution.QueryExecution,
+              exception: Exception): Unit = ()
+        }
+        spark.listenerManager.register(l)
+        Some(l)
+      }
     var tLast = System.nanoTime()
     def lap(stage: String): Unit = {
       val now = System.nanoTime()
       stageTimes += stage -> (now - tLast) / 1e9
       tLast = now
+      if (planAudit) {
+        // listener delivery is async — give the bus a beat, then drain what
+        // has landed; attribution is per-stage-approximate by design
+        Thread.sleep(200)
+        val recs = Iterator.continually(planRecs.poll()).takeWhile(_ != null)
+          .toSeq
+        if (recs.nonEmpty) System.err.println(
+          s"[curate-plan] stage=$stage actions=${recs.size} " +
+            s"logical_nodes_max=${recs.map(_.logicalNodes).max} " +
+            s"physical_nodes_max=${recs.map(_.physicalNodes).max} " +
+            s"catalyst_ms_sum=${recs.map(_.catalystMs).sum}")
+      }
     }
     val input = raw.count()
     lap("read+count")
@@ -156,10 +212,16 @@ object CurationJob {
     // char-entropy gibberish floor), then (optionally) the Gopher
     // line-rule battery — re-lining newline-free corpora first
     val minEntropy = str("min_char_entropy_e6", "0").toLong
-    val wordGated = docs.filter(
-        TextStatsExpr(col(textCol), Nil)("n_words") >= str("min_words", "20").toLong)
+    // both gate conditions are FENCED: an unfenced kernel filter is pushed
+    // below the head guard's Repartition into the parquet scan, where it
+    // runs at file-count parallelism — the r11 audit caught exactly this
+    // (the r10 head-guard comment believed the exchange covered it)
+    val wordGated = docs.filter(graft.functions.PushdownFence(
+        TextStatsExpr(col(textCol), Nil)("n_words") >=
+          str("min_words", "20").toLong))
       .filter(if (minEntropy > 0)
-        graft.functions.CharEntropyExpr(col(textCol)) >= minEntropy
+        graft.functions.PushdownFence(
+          graft.functions.CharEntropyExpr(col(textCol)) >= minEntropy)
       else lit(true))
     val lineGated = if (str("gopher_rules", "false").toBoolean) {
         val reline = str("reline_words_per_line", "0").toInt
@@ -348,6 +410,28 @@ object CurationJob {
     lap("sink_write")
     val output = spark.read.parquet(outPath).count()
 
+    // 5b. optional CO-LOCATED bucketed publication: save the curated corpus
+    // as a bucketed+sorted catalog table on the id key — the layout the
+    // incremental admission tick (q62/q78) joins against every tick, so the
+    // corpus side of those joins never shuffles again (plan-asserted in
+    // CurationJobSpec). nBuckets ≈ corpus bytes / 128 MB at real scale.
+    val bucketTable = str("output_bucketed_table", "")
+    if (bucketTable.nonEmpty) {
+      graft.io.BucketedStore.save(spark.read.parquet(outPath), bucketTable,
+        idCol, str("output_buckets", "16").toInt)
+      lap("bucketed_publish")
+    }
+    // 5c. optional deterministic shard export (q81 semantics):
+    // <output_path>_shards/shard=K/ parquet, each shard streaming in its
+    // (Knuth-hash, id) permutation order — the training-reader layout,
+    // published from the SAME curated rows as the main sink.
+    val nShards = str("shard_export_n", "0").toInt
+    if (nShards > 0) {
+      DataMix.writeShards(spark.read.parquet(outPath), idCol,
+        outPath + "_shards", nShards, str("shard_export_salt", "0").toLong)
+      lap("shard_export")
+    }
+
     // 6. optional data card of what was ACTUALLY written — the FULL audit
     // frame published beside the corpus (q111: the q108 exact integers plus
     // per-stratum KL-vs-mix and the top-token list)
@@ -368,6 +452,7 @@ object CurationJob {
     System.err.println(s"[curate] $stats")
     System.err.println("[curate-times] " + stageTimes
       .map { case (k, v) => f"$k=$v%.1fs" }.mkString(" "))
+    planListener.foreach(spark.listenerManager.unregister)
     Some(stats)
   }
 }

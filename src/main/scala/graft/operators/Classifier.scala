@@ -45,7 +45,9 @@ object Classifier {
   def hashedBow(docs: DataFrame, idCol: String, textCol: String, dim: Int,
                 extra: Seq[String] = Nil): DataFrame = {
     require(dim > 0, s"dim must be positive, got $dim")
-    docs
+    // few-file guard before the tokenize/explode kernel (r11 audit)
+    Dedup.ensureParallel(docs.select((col(idCol) +: extra.map(col) :+
+        col(textCol)): _*))
       .select((col(idCol) +: extra.map(col) :+
         explode(TextFns.words(col(textCol))).as("__t")): _*)
       .withColumn("__b", bucket(col("__t"), dim))

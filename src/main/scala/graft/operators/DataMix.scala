@@ -144,7 +144,8 @@ object DataMix {
     * Output: strata + rn (1-based hash-order rank) + payload columns. */
   def sampleStratified(df: DataFrame, strata: Seq[String], n: Int,
                        idCol: String, payload: Seq[String]): DataFrame =
-    graft.ops.TopK.topKPerGroup(df, strata,
+    // few-file guard: the heap top-k partials run map-side in the scan stage
+    graft.ops.TopK.topKPerGroup(Dedup.ensureParallel(df), strata,
       -knuthHash(col(idCol)), col(idCol),
       payload.map(col), n)
       .drop("__sort", "__tie")

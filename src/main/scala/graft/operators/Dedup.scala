@@ -36,29 +36,99 @@ object Dedup {
 
   private val S = 1000000L
 
+  /** Uncompressed-byte threshold below which `ensureParallel` skips its
+    * exchange: a frame this small finishes its per-doc kernel in one task
+    * faster than the exchange's fixed stage cost (measured r11: the guard
+    * costs ~1.4 s net at 1.5 MB, wins ~5 s at 6.3 MB — break-even ≈ 2.5 MB). */
+  private[graft] val MinKernelBytesKey = "graft.parallel.minKernelBytes"
+  private val MinKernelBytesDefault: Long = 2L << 20
+
+  /** Sum of the parquet footers' per-column-chunk UNCOMPRESSED sizes — the
+    * honest currency for "how much kernel work rides this scan". On-disk
+    * bytes lie by the compression ratio (the ×100-duplicate-amplified sf10
+    * corpus is 4.9 MB on disk and 49 MB decompressed — a disk probe would
+    * skip the guard on exactly the corpus that needs it most). Driver-side
+    * footer metadata reads only, and only reached when the file COUNT is
+    * already small, so the probe is O(few footers), never a job. Non-parquet
+    * or unreadable inputs report Long.MaxValue — unknown keeps the exchange,
+    * conservative in the safe direction. */
+  private def uncompressedBytes(df: DataFrame, files: Array[String]): Long =
+    try {
+      val conf = df.sparkSession.sessionState.newHadoopConf()
+      import scala.jdk.CollectionConverters._
+      files.iterator.map { f =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new org.apache.hadoop.fs.Path(f), conf)
+        val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try reader.getFooter.getBlocks.asScala.iterator
+          .flatMap(_.getColumns.asScala.iterator)
+          .map(_.getTotalUncompressedSize).sum
+        finally reader.close()
+      }.sum
+    } catch { case _: Throwable => Long.MaxValue }
+
   /** Repartition to the session shuffle parallelism ONLY when the input's
-    * file layout cannot already feed it. The explicit exchanges in the prep
-    * stages exist because single-file corpora (the driver's tables — and any
+    * layout cannot already feed it AND the frame is big enough for the
+    * exchange to pay for itself. The explicit exchanges in the prep stages
+    * exist because few-file corpora (the driver's tables — and any
     * `coalesce(1)` upstream) run the expensive per-doc projections at
     * file-count parallelism; a real multi-thousand-file corpus needs no such
-    * shuffle, and skipping it removes a full corpus pass. `inputFiles` is a
-    * plan-only probe (no job); non-scan inputs report few/no files and keep
-    * the exchange — conservative in the safe direction. */
-  private[graft] def ensureParallel(df: DataFrame): DataFrame = {
+    * shuffle, and skipping it removes a full corpus pass. All probes are
+    * plan-only / footer-metadata-only — no job runs.
+    *
+    * Skip conditions, in order:
+    *  1. the frame's STRAIGHT-LINE ancestry already carries a caller shuffle
+    *     (`repartition`/`repartitionByExpression`) — stacked guards must not
+    *     exchange the corpus twice. Only the unary chain from the root is
+    *     probed (r10 ADVICE): a Repartition on the far side of an upstream
+    *     join says nothing about THIS scan's parallelism;
+    *  2. the input is checkpoint-backed (`LogicalRDD` — composite boundaries,
+    *     CurationJob stage pins): its RDD partition count is read directly;
+    *     post-pin data that is already parallel is never re-exchanged
+    *     (r10 ADVICE: the old file probe saw 0 files and always re-shuffled);
+    *  3. the scan already spans enough files to feed the target parallelism;
+    *  4. the scan's decompressed payload is under `MinKernelBytesKey`
+    *     (default 2 MB): one task finishes the kernel faster than the
+    *     exchange's fixed cost (the r10 sf0.1 overhead, reclaimed).
+    *
+    * `costWeight` scales the skip threshold DOWN for operators whose per-byte
+    * kernel cost is far above the tokenize baseline the 2 MB default was
+    * calibrated on — the MinHash signature (64 permutation minima per
+    * shingle array) and SimHash (per-token 64-bit sign loop) prep frames do
+    * ~an order more work per byte AND freeze their parallelism into a
+    * persisted frame every downstream join re-reads, so their break-even is
+    * ~16× lower (measured r11: skipping at 1.5 MB cost q25 2.1→9.9 s). */
+  private[graft] def ensureParallel(df: DataFrame,
+                                    costWeight: Int = 1): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions
-    // a caller that already repartitioned took responsibility — `inputFiles`
-    // probes the LEAF scan, so without this check an operator-level guard
-    // stacked on a caller-level repartition would exchange the corpus twice
-    val repartitioned = df.queryExecution.logical.exists {
-      // shuffle=false is coalesce(): it REDUCES parallelism — the degenerate
-      // input this guard exists for, never a caller-managed exchange
-      case r: org.apache.spark.sql.catalyst.plans.logical.Repartition => r.shuffle
-      case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression => true
-      case _ => false
+    val floor = math.max(2, target / 2)
+    @annotation.tailrec
+    def chainRepartitioned(
+        p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        // shuffle=false is coalesce(): it REDUCES parallelism — the
+        // degenerate input this guard exists for, never a caller exchange
+        case r: org.apache.spark.sql.catalyst.plans.logical.Repartition =>
+          if (r.shuffle) true else chainRepartitioned(r.child)
+        case _: org.apache.spark.sql.catalyst.plans.logical.RepartitionByExpression =>
+          true
+        case u: org.apache.spark.sql.catalyst.plans.logical.UnaryNode =>
+          chainRepartitioned(u.child)
+        case _ => false
+      }
+    if (chainRepartitioned(df.queryExecution.logical)) return df
+    val rddParts = df.queryExecution.analyzed.collectLeaves().collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.getNumPartitions
     }
-    if (repartitioned) return df
-    val files = try df.inputFiles.length catch { case _: Throwable => 0 }
-    if (files >= math.max(2, target / 2)) df else df.repartition(target)
+    if (rddParts.nonEmpty)
+      return if (rddParts.max >= floor) df else df.repartition(target)
+    val files = try df.inputFiles catch { case _: Throwable => Array.empty[String] }
+    if (files.length >= floor) return df
+    if (files.isEmpty) return df.repartition(target)
+    val minBytes = df.sparkSession.conf
+      .get(MinKernelBytesKey, MinKernelBytesDefault.toString).toLong /
+      math.max(1, costWeight)
+    if (uncompressedBytes(df, files) <= minBytes) df else df.repartition(target)
   }
 
   /** One tokenize pass per operator: (__id, __sh sorted hashed shingles, __sz,
@@ -76,9 +146,11 @@ object Dedup {
     * it single-task, 10× the cost of the distributed projection). */
   private def shingleFrame(docs: DataFrame, idCol: String, textCol: String,
                            n: Int, blockCols: Seq[String],
-                           viaCheckpoint: Boolean = false): DataFrame = {
+                           viaCheckpoint: Boolean = false,
+                           costWeight: Int = 1): DataFrame = {
     val built = ensureParallel(docs.select(
-      (col(idCol).as("__id") +: col(textCol).as("__text") +: blockCols.map(col)): _*))
+      (col(idCol).as("__id") +: col(textCol).as("__text") +: blockCols.map(col)): _*),
+      costWeight)
       // exchange (when needed) BEFORE the per-doc shingle computation: without
       // it the whole tokenize+hash+sort pipeline runs at file-count
       // parallelism (measured round 1: 1 task on the single-file corpus)
@@ -679,7 +751,10 @@ object Dedup {
                       threshold: Double = 0.7, maxBucket: Int = 4096,
                       maxPairs: Long = 0L): DataFrame = {
     MinHashSketch.register(docs.sparkSession)
-    val sh = liveShingles(shingleFrame(docs, idCol, textCol, shingleN, Nil))
+    // costWeight 16: the signature pass (64 permutation minima per doc)
+    // rides the persisted shingle frame — see ensureParallel's scaladoc
+    val sh = liveShingles(
+      shingleFrame(docs, idCol, textCol, shingleN, Nil, costWeight = 16))
     val sig = minhashBandSig(sh, numHashes, bands)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val buckets = sig.select(col("__id"), col("__bhs"),
@@ -754,7 +829,7 @@ object Dedup {
                            shingleN: Int = 3, numHashes: Int = 64,
                            bands: Int = 16): Long = {
     MinHashSketch.register(docs.sparkSession)
-    val sh = shingleFrame(docs, idCol, textCol, shingleN, Nil)
+    val sh = shingleFrame(docs, idCol, textCol, shingleN, Nil, costWeight = 16)
     val est = bucketPairBudget(
       minhashBandSig(liveShingles(sh), numHashes, bands)
         .select(col("__id"), posexplode(col("__bhs")).as(Seq("band", "bh"))),
@@ -778,9 +853,13 @@ object Dedup {
     * occurrence of the corpus). Token-less documents yield no row, matching
     * the aggregate reference form `simhash64Agg` (equivalence spec-pinned). */
   def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    ensureParallel(docs)
+    ensureParallel(docs, costWeight = 16)
       .select(col(idCol),
-        graft.functions.SimHash64Expr(col(textCol)).as("simhash"))
+        // fence: the isNotNull below would otherwise be pushed below the
+        // guard exchange into the scan WITH the kernel inlined — running the
+        // signature loop at file-count parallelism (r11 audit finding)
+        graft.functions.PushdownFence(
+          graft.functions.SimHash64Expr(col(textCol))).as("simhash"))
       .filter(col("simhash").isNotNull)
 
   /** Reference relational implementation of `simhash64` (64 conditional-sum
@@ -1371,7 +1450,9 @@ object Dedup {
   def survivorsByScore(items: DataFrame, idCol: String, pairs: DataFrame,
                        score: Column): DataFrame = {
     val labels = components(pairs)
-    val paired = items.join(labels, col(idCol) === col("id"))
+    // few-file guard: items is the stream side of the (dim-sized) label
+    // join, and the winner heap's map-side partials run in its scan stage
+    val paired = ensureParallel(items).join(labels, col(idCol) === col("id"))
     val winners = graft.ops.TopK.topKPerGroup(
         paired, Seq("component"), score.cast("long"), col(idCol),
         Seq(col(idCol).as("__keep")), 1)

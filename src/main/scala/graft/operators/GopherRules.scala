@@ -208,7 +208,7 @@ object GopherRules {
   def dropRepeatedLines(docs: DataFrame, textCol: String,
                         native: Boolean = true): DataFrame =
     if (native)
-      docs
+      Dedup.ensureParallel(docs)
         .withColumn("__s", graft.functions.LineScrubExpr(col(textCol)))
         .withColumn("n_removed", col("__s.n_removed"))
         .withColumn(textCol, col("__s.text"))

@@ -120,7 +120,13 @@ object Reports {
     * empty token list (LEFT joins — the audit must not drop them).
     * Cost: two extra token passes over the corpus beyond [[corpusReport]]'s
     * one (counts for KL + hitters are map-combinable aggregates) — the card
-    * is a once-per-run artifact, not a hot path. */
+    * is a once-per-run artifact, not a hot path.
+    *
+    * The result is an EAGER localCheckpoint (strata-sized, tiny), so each
+    * invocation pins one checkpointed RDD for the session; callers that care
+    * (long-lived sessions invoking many cards) free it with
+    * `Dedup.release(result)` once consumed — the same contract as the Dedup
+    * composites (r10 ADVICE). */
   def corpusReportFull(docs: DataFrame, textCol: String,
                        strataCol: String, langCol: String, k: Int = 5,
                        entropyFloorE6: Long = 2000000L): DataFrame = {

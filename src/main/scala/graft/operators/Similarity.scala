@@ -43,7 +43,11 @@ object Similarity {
     val q = queries.select(col(idCol).as("query_id"),
         VectorFns.quantize(col(vecCol)).as("qv"))
       .withColumn("qn", VectorFns.normLong(col("qv")))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
+    // few-file guard BEFORE the quantize/dot kernels: the corpus is the
+    // STREAM side of the broadcast join, so without it every per-pair dot
+    // runs at file-count parallelism (the r10 sweep missed the vector family)
+    val c = Dedup.ensureParallel(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol).as("neighbor_id"),
         VectorFns.quantize(col(vecCol)).as("cv"))
       .withColumn("cn", VectorFns.normLong(col("cv")))
     rankTopK(c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
@@ -102,8 +106,7 @@ object Similarity {
                     idCol: String = "vec_id",
                     vecCol: String = "embedding",
                     refineIters: Int = 0): IvfIndex = {
-    val prepped = corpus
-      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
+    val prepped = Dedup.ensureParallel(corpus.select(col(idCol), col(vecCol)))
       .select(col(idCol).as("neighbor_id"),
         VectorFns.quantize(col(vecCol)).as("cv"))
       .withColumn("cn", VectorFns.normLong(col("cv")))
@@ -145,8 +148,7 @@ object Similarity {
                       idCol: String = "vec_id",
                       vecCol: String = "embedding"): DataFrame = {
     graft.functions.VectorSumAgg.register(corpus.sparkSession)
-    val prepped = corpus
-      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
+    val prepped = Dedup.ensureParallel(corpus.select(col(idCol), col(vecCol)))
       .select(col(idCol).as("neighbor_id"),
         VectorFns.quantize(col(vecCol)).as("cv"))
       .withColumn("cn", VectorFns.normLong(col("cv")))
@@ -203,7 +205,7 @@ object Similarity {
                   vecCol: String = "embedding",
                   cellCol: String = "cell"): DataFrame = {
     val keep = df.columns
-    df.crossJoin(broadcast(packed(centroids)))
+    Dedup.ensureParallel(df).crossJoin(broadcast(packed(centroids)))
       .withColumn("__acv", VectorFns.quantize(col(vecCol)))
       .withColumn(cellCol, nearestCellIds(col("cents"), col("__acv"),
         VectorFns.normLong(col("__acv")), 1)(0))
@@ -218,8 +220,7 @@ object Similarity {
                          idCol: String = "vec_id",
                          vecCol: String = "embedding"): DataFrame = {
     graft.functions.VectorSumAgg.register(corpus.sparkSession)
-    val prepped = corpus
-      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
+    val prepped = Dedup.ensureParallel(corpus.select(col(idCol), col(vecCol)))
       .select(col(idCol).as("neighbor_id"),
         VectorFns.quantize(col(vecCol)).as("cv"))
       .withColumn("cn", VectorFns.normLong(col("cv")))
@@ -312,8 +313,8 @@ object Similarity {
   def pqTrain(corpus: DataFrame, m: Int = 4, ksub: Int = 16, iters: Int = 2,
               idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame =
-    pqTrainQuantized(corpus
-        .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
+    pqTrainQuantized(
+      Dedup.ensureParallel(corpus.select(col(idCol), col(vecCol)))
         .select(col(idCol).as("__id"), VectorFns.quantize(col(vecCol)).as("cv")),
       m, ksub, iters)
 
@@ -384,8 +385,11 @@ object Similarity {
   def pqEncode(corpus: DataFrame, books: DataFrame, m: Int = 4,
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
-    val q = corpus.select(col(idCol).as("neighbor_id"),
-      VectorFns.quantize(col(vecCol)).as("cv"))
+    // few-file guard: the encode argmin is a per-row kernel on the stream
+    // side of the codebook broadcast — exchange before it, not after
+    val q = Dedup.ensureParallel(corpus.select(col(idCol), col(vecCol)))
+      .select(col(idCol).as("neighbor_id"),
+        VectorFns.quantize(col(vecCol)).as("cv"))
     encodeQuantized(q, books, m, keep = Nil)
   }
 
@@ -530,8 +534,7 @@ object Similarity {
   def buildIvfIndexFrom(corpus: DataFrame, centroids: DataFrame,
                         idCol: String = "vec_id",
                         vecCol: String = "embedding"): IvfIndex = {
-    val prepped = corpus
-      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
+    val prepped = Dedup.ensureParallel(corpus.select(col(idCol), col(vecCol)))
       .select(col(idCol).as("neighbor_id"),
         VectorFns.quantize(col(vecCol)).as("cv"))
       .withColumn("cn", VectorFns.normLong(col("cv")))
@@ -777,8 +780,9 @@ object Similarity {
                      groupCols: Seq[String]): DataFrame = {
     graft.functions.VectorSumAgg.register(corpus.sparkSession)
     val gc = groupCols.map(col)
-    val prepped = corpus.select(
-      (gc :+ col(idCol) :+ VectorFns.quantize(col(vecCol)).as("__q")): _*)
+    val prepped = Dedup.ensureParallel(
+        corpus.select((gc :+ col(idCol) :+ col(vecCol)): _*))
+      .select((gc :+ col(idCol) :+ VectorFns.quantize(col(vecCol)).as("__q")): _*)
     val cents = prepped.groupBy(gc: _*)
       .agg(graft.functions.VectorSumAgg(col("__q")).as("__sv"),
         count(lit(1)).as("n_members"))

@@ -49,7 +49,14 @@ object ReportStream {
     * the q108 card columns + `top_tokens` ("tok:est,…", estimate DESC then
     * signed-FNV ASC — the batch card's exact-count column served from the
     * CMS store over the candidate pool). Sketch parameters are read from the
-    * version's meta sidecar; callers cannot supply (and mismatch) them. */
+    * version's meta sidecar; callers cannot supply (and mismatch) them.
+    *
+    * SOURCE-COMPATIBLE BUT BEHAVIOR-CHANGING signature note (r10 ADVICE):
+    * before r10 the 4th positional parameter was `p` (HLL precision); it is
+    * now `topK` — both Int, so a pre-r10 positional caller like
+    * `currentReport(spark, store, col, 8)` compiles silently and requests 8
+    * top tokens instead of precision 8. `p` is no longer a parameter at all
+    * (it rides the meta sidecar), so pass `topK` by name when upgrading. */
   def currentReport(spark: SparkSession, storePath: String,
                     strataCol: String, topK: Int = 5): Option[DataFrame] =
     SketchStream.latestVersion(spark, storePath, None).map { case (_, pth) =>

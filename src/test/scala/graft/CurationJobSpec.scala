@@ -140,6 +140,56 @@ class CurationJobSpec extends SparkSpec {
     assert(byId(4L).contains(w(200)) && byId(5L).contains(w(200)))
   }
 
+  test("curation job: bucketed publication + shard export; admission join " +
+    "moves zero corpus rows (r10 verdict #5)") {
+    val dir = Files.createTempDirectory("curation7")
+    // stale managed-table locations from a killed JVM block saveAsTable
+    for (t <- Seq("curated_r11", "tick_batch_r11")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles.foreach(rm)
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    (0 until 200).map(i => (i.toLong, s"$filler unique token u$i", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/docs")
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/docs", "output_path": "$dir/out",
+         | "min_words": 5, "ngram_n": 3, "jaccard_threshold": 0.95,
+         | "redact_pii": false,
+         | "output_bucketed_table": "curated_r11", "output_buckets": 4,
+         | "shard_export_n": 4}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    assert(stats.output == 200, stats)
+    // shard export: every shard dir present, union = the curated rows,
+    // assignment matches the q81 Knuth-hash definition
+    val shards = spark.read.parquet(s"$dir/out_shards")
+    assert(shards.count() == 200)
+    assert(shards.select($"shard").distinct().as[Int].collect().toSet ==
+      Set(0, 1, 2, 3))
+    assert(shards.filter(
+      $"shard" =!= pmod(pmod($"doc_id" * 2654435761L, lit(4294967296L)),
+        lit(4L)).cast("int")).count() == 0)
+    // bucketed publication: an admission tick saved with the same key and
+    // bucket count joins the published corpus with ZERO exchanges — the
+    // whole point of publishing the layout (plan-asserted, AQE-settled)
+    val batch = spark.range(50).select($"id".as("doc_id"),
+      lit(true).as("admitted"))
+    graft.io.BucketedStore.save(batch, "tick_batch_r11", "doc_id", 4)
+    val joined = graft.io.BucketedStore.load(spark, "curated_r11")
+      .join(graft.io.BucketedStore.load(spark, "tick_batch_r11"), "doc_id")
+    assert(joined.count() == 50)
+    assert(graft.plans.ParallelismAudit.countShuffleExchanges(
+      joined.queryExecution.executedPlan) == 0,
+      "the job's published bucketed corpus must join an equally-bucketed " +
+        "tick batch with zero exchanges")
+  }
+
   test("curation job: fuzzy decontamination drops the paraphrase span scrub misses") {
     val dir = Files.createTempDirectory("curation7")
     def w(i: Int) = s"w${('a' + i % 26).toChar}${('a' + i / 26).toChar}"
