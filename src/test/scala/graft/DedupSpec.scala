@@ -899,6 +899,36 @@ class DedupSpec extends SparkSpec {
     assert(got === Seq((1L, 2L, 0L, "a b"), (2L, 2L, 0L, "a b")))
   }
 
+  test("scrubSharedWindows: in-row ScrubTokensExpr rebuild is bit-equal to " +
+    "the exploded reference on an adversarial corpus") {
+    // overlapping + adjacent duplicate spans, whole-doc husks, within-doc
+    // repeats, mixed case / tabs / multi-space (the words() contract),
+    // non-ASCII, empty and null text — every edge the two plans could
+    // diverge on
+    def w(i: Int) = s"v${('a' + i % 26).toChar}${i / 26}"
+    val boiler = (0 until 12).map(w).mkString(" ")
+    val rows: Seq[(Long, String)] = Seq(
+      1L -> ((0 until 40).map(w).mkString(" ")),
+      2L -> ((0 until 40).map(w).mkString(" ")),               // exact copy
+      3L -> (boiler + " unique tail words here " + boiler),    // repeat + gap
+      4L -> ("Mixed\tCASE   and weird  Spacing " + boiler),
+      5L -> ("café naïve résumé " + boiler + " café"),
+      6L -> ((5 until 45).map(w).mkString(" ")),               // shifted copy
+      7L -> "",
+      8L -> null,
+      9L -> "short doc") ++
+      (0 until 30).map(i => (100L + i,
+        (0 until 25).map(j => w((i * 7 + j) % 60)).mkString(" ")))
+    val docs = rows.toDF("doc_id", "text")
+    for (win <- Seq(2, 5, 12)) {
+      val fast = Dedup.scrubSharedWindows(docs, "doc_id", "text", win)
+        .orderBy($"doc_id").collect().toSeq
+      val ref = Dedup.scrubSharedWindowsExploded(docs, "doc_id", "text", win)
+        .orderBy($"doc_id").collect().toSeq
+      assert(fast === ref, s"windowTokens=$win")
+    }
+  }
+
   test("dedupedCorpus collapseExact: identical survivor set on a " +
     "duplicate-dense corpus, identity edges bridge reps to near-dups") {
     // every base doc gains 3 exact twins (the ×100-amplified-corpus shape
