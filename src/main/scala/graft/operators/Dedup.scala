@@ -353,26 +353,102 @@ object Dedup {
     }
   }
 
+  /** Cross-corpus (incoming × corpus) matches with ADAPTIVE exact-duplicate
+    * collapse of the CORPUS side — the r7/r10 `collapseExact` lesson applied
+    * to the third pairing route (batch/streaming admission). On a
+    * duplicate-dense lake every shingle's corpus posting list is multiplied
+    * by the duplication factor and the prefix-candidate join pays it per
+    * incoming doc; contracting identical shingle sets to their min-id
+    * representative before the join and re-expanding matches through the
+    * member map afterwards is EXACT (Jaccard is a function of the shingle
+    * set, so J(new, member) = J(new, rep) — same values, same pair set,
+    * spec-pinned), and cuts the candidate/verify volume by the duplication
+    * factor. The collapse only pays when duplicates exist, so a cheap
+    * cardinality probe over the already-materialized corpus store (the
+    * `prefixCandidatesBetween` meanP probe's pattern) picks the route:
+    * ≥ ~25% exact-dup rows → collapse; otherwise the direct join. Both
+    * routes produce identical output — the choice is pure physics, invisible
+    * to callers and oracles. `forceCollapse` pins a route for the
+    * equivalence spec. Returns (matches, free) — free releases the collapse
+    * checkpoints (the matches frame also carries them as LogicalRDDs, so
+    * `Dedup.release(matches)` reaches them too). */
+  private def crossMatchesManaged(
+      shNew: DataFrame, shOldLive: DataFrame, threshold: Double,
+      blockCols: Seq[String],
+      forceCollapse: Option[Boolean] = None): (DataFrame, () => Unit) = {
+    def direct = (verifyJaccardBetween(shNew, shOldLive, threshold,
+      prefixCandidatesBetween(shNew, shOldLive, threshold, blockCols,
+        self = false)), () => ())
+    val collapse = forceCollapse.getOrElse {
+      val stats = shOldLive.agg(count(lit(1)).as("n"),
+        approx_count_distinct(xxhash64(col("__sh"))).as("d")).first()
+      stats.getLong(0) > 0 && stats.getLong(1) <= stats.getLong(0) * 3 / 4
+    }
+    if (!collapse) direct
+    else {
+      val hashed = shOldLive.withColumn("__shh", xxhash64(col("__sh")))
+      val winners = hashed
+        .groupBy((col("__shh") +: blockCols.map(col)): _*)
+        .agg(min(struct(col("__id"), col("__sh"))).as("__w"))
+        .select((col("__shh") +: col("__w.__id").as("__rid") +:
+          col("__w.__sh").as("__rsh") +: blockCols.map(col)): _*)
+      // the set hash is only a shuffle key, never trusted: membership needs
+      // exact array equality, a colliding row stays its own representative
+      // (the composite's discipline, ngramJaccardPairsManaged)
+      val tagged = hashed.join(winners, Seq("__shh") ++ blockCols)
+        .withColumn("__isDup",
+          col("__id") =!= col("__rid") && col("__sh") === col("__rsh"))
+      val memberMap = tagged.filter(col("__isDup"))
+        .select(col("__rid"), col("__id").as("__mid"))
+        .localCheckpoint(eager = true)
+      val reps = tagged.filter(!col("__isDup"))
+        .drop("__rid", "__rsh", "__isDup", "__shh")
+        .localCheckpoint(eager = true)
+      // the rep matches feed BOTH union branches — checkpoint (lazily) so the
+      // candidate+verify join runs once, not per branch
+      val rm = verifyJaccardBetween(shNew, reps, threshold,
+          prefixCandidatesBetween(shNew, reps, threshold, blockCols,
+            self = false))
+        .localCheckpoint(eager = false)
+      val out = rm.unionByName(
+        rm.join(memberMap, rm("id_b") === memberMap("__rid"))
+          .select(col("id_a"), col("__mid").as("id_b"), col("jaccard")))
+      (out, () => Seq(memberMap, reps, rm).foreach(release))
+    }
+  }
+
   /** Incremental near-dup matches — the BATCH form of the streaming admission
     * gate (`DedupStream`): every (incoming doc, existing-corpus doc) pair with
     * exact n-gram Jaccard >= threshold. The prefix-filter candidate join runs
     * CROSS-corpus (incoming tokens against corpus tokens, never corpus ×
     * corpus), so a daily increment costs ∝ |increment| · bucket overlap, not a
-    * re-dedup of the lake. Returns (id_a = incoming, id_b = corpus, jaccard).
+    * re-dedup of the lake; on a duplicate-dense lake the corpus side is
+    * additionally contracted to exact-set representatives before the join
+    * (adaptive, exact — see `crossMatchesManaged`).
+    * Returns (id_a = incoming, id_b = corpus, jaccard).
     *
-    * The result plan carries both sides' checkpointed shingle stores; call
+    * The result plan carries both sides' checkpointed shingle stores (plus
+    * the collapse checkpoints when the adaptive route engages); call
     * `Dedup.release(result)` after the final action to free them (the
     * composites' contract — no session-wide clearCache needed). */
   def incrementalJaccardMatches(corpus: DataFrame, incoming: DataFrame,
                                 idCol: String, textCol: String, n: Int,
                                 threshold: Double,
-                                blockCols: Seq[String]): DataFrame = {
+                                blockCols: Seq[String]): DataFrame =
+    incrementalJaccardMatchesImpl(corpus, incoming, idCol, textCol, n,
+      threshold, blockCols, forceCollapse = None)
+
+  /** [[incrementalJaccardMatches]] with the collapse route pinned — for the
+    * equivalence spec and A/B probes only. */
+  private[graft] def incrementalJaccardMatchesImpl(
+      corpus: DataFrame, incoming: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, blockCols: Seq[String],
+      forceCollapse: Option[Boolean]): DataFrame = {
     val shNew = liveShingles(
       shingleFrame(incoming, idCol, textCol, n, blockCols, viaCheckpoint = true))
     val shOld = liveShingles(
       shingleFrame(corpus, idCol, textCol, n, blockCols, viaCheckpoint = true))
-    verifyJaccardBetween(shNew, shOld, threshold,
-      prefixCandidatesBetween(shNew, shOld, threshold, blockCols, self = false))
+    crossMatchesManaged(shNew, shOld, threshold, blockCols, forceCollapse)._1
   }
 
   /** Admission filter: the incoming docs with NO near-dup already in the
@@ -411,13 +487,16 @@ object Dedup {
     val shOld = liveShingles(shOldH)
     val intra = verifyJaccard(shNew, threshold,
       prefixCandidates(shNew, threshold, blockCols))
-    val cross = verifyJaccardBetween(shNew, shOld, threshold,
-      prefixCandidatesBetween(shNew, shOld, threshold, blockCols, self = false))
+    val (cross, freeCross) =
+      crossMatchesManaged(shNew, shOld, threshold, blockCols)
     (intra.unionByName(cross),
-      () => if (!viaCheckpoint) {
-        shNewH.unpersist(blocking = false)
-        shOldH.unpersist(blocking = false)
-      } else Seq(shNewH, shOldH).foreach(release))
+      () => {
+        freeCross()
+        if (!viaCheckpoint) {
+          shNewH.unpersist(blocking = false)
+          shOldH.unpersist(blocking = false)
+        } else Seq(shNewH, shOldH).foreach(release)
+      })
   }
 
   /** The one-call daily tick: compute the batch's full admission edge set

@@ -982,6 +982,45 @@ class DedupSpec extends SparkSpec {
     assert(matches(corpus, shortBench).isEmpty)
   }
 
+  test("incrementalJaccardMatches: corpus-side exact-dup collapse route is " +
+    "bit-equal to the direct join on a duplicate-dense corpus") {
+    // the ×k-amplified-lake shape the collapse exists for: every corpus doc
+    // has exact twins (same shingle set, different ids), plus near-dups,
+    // disjoint docs, a block split, and shingle-less short docs; matches
+    // must come back for EVERY twin with the rep's exact jaccard
+    def w(i: Int) = s"u${('a' + i % 26).toChar}${i / 26}"
+    val base = (0 until 6).map(d =>
+      (d.toLong, (0 until 15).map(i => w(d * 9 + i)).mkString(" "),
+        s"b${d % 2}"))
+    val twins = for { (id, text, blk) <- base; k <- 1 to 4 }
+      yield (id + 100L * k, text, blk)
+    val extra = Seq(
+      (7000L, (0 until 15).map(i =>
+        if (i == 7) "zz" else w(i)).mkString(" "), "b0"),   // near-dup of 0
+      (7001L, "x1 x2", "b0"),                               // shingle-less
+      (7002L, (90 until 110).map(w).mkString(" "), "b1"))   // disjoint
+    val corpus = (base ++ twins ++ extra).toDF("doc_id", "text", "lang")
+    val incoming = Seq(
+      (9000L, (0 until 15).map(i => w(i)).mkString(" "), "b0"),   // == doc 0
+      (9001L, (0 until 15).map(i =>
+        if (i == 3) "yy" else w(9 + i)).mkString(" "), "b1"),     // near doc 1
+      (9002L, "totally disjoint words only here now", "b0"))
+      .toDF("doc_id", "text", "lang")
+    for (blocks <- Seq(Nil, Seq("lang"))) {
+      def run(force: Boolean) = Dedup.incrementalJaccardMatchesImpl(
+          corpus, incoming, "doc_id", "text", 3, 0.4, blocks, Some(force))
+        .select($"id_a", $"id_b", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      val collapsed = run(true)
+      val direct = run(false)
+      assert(collapsed === direct, s"blocks=$blocks")
+      // doc 9000 matches doc 0 AND all four of its twins at jaccard 1.0
+      assert(collapsed.count { case (a, b, j) =>
+        a == 9000L && j == 1.0 && (b == 0L || b % 100 == 0) } >= 5,
+        s"blocks=$blocks got $collapsed")
+    }
+  }
+
   test("embedding LSH blocking: subset of exact pairs, near-identical vectors kept") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(200)
