@@ -33,19 +33,8 @@ object ScrubProbe {
       df.write.format("noop").mode("overwrite").save()
       Dedup.release(df)
     }
-    time("shared-prefix") {
-      val d = Dedup.ensureParallel(docs)
-      val wins = d.select(col("doc_id"),
-        posexplode(graft.functions.TextFns.positionalShingles(col("text"), w))
-          .as(Seq("__pos", "__wh")))
-      val first = wins.groupBy(col("__wh"))
-        .agg(min(struct(col("doc_id"), col("__pos"))).as("__f"))
-      noop(wins.join(first, "__wh")
-        .filter(!(col("__f.doc_id") === col("doc_id") &&
-          col("__f.__pos") === col("__pos")))
-        .groupBy(col("doc_id"))
-        .agg(sort_array(collect_list(col("__pos"))).as("__starts")))
-    }
+    time("shared-prefix")(noop(Dedup.duplicateWindowStarts(
+      Dedup.ensureParallel(docs), "doc_id", "text", w)))
     for (round <- 1 to 2) {
       time(s"inrow-$round")(noop(
         Dedup.scrubSharedWindows(docs, "doc_id", "text", w)))

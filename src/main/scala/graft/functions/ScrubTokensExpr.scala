@@ -31,9 +31,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * this kernel sees. Coverage rule: token `t` is dropped iff some start `p`
   * satisfies `p <= t <= p + window - 1`. Starts MUST be ascending (callers
   * use `sort_array`); overlapping/adjacent spans merge naturally via the
-  * running coverage end. Returns struct(kept: bigint, scrubbed: string) —
-  * kept = surviving token count, scrubbed = survivors joined by single
-  * spaces ("" when everything was cut). */
+  * running coverage end. Returns struct(n_tokens, kept: bigint, scrubbed:
+  * string) — n_tokens = total token count (so callers never pay a second
+  * tokenize for it), kept = surviving token count, scrubbed = survivors
+  * joined by single spaces ("" when everything was cut). */
 case class ScrubTokensExpr(left: Expression, right: Expression, window: Int)
     extends BinaryExpression {
 
@@ -47,6 +48,7 @@ case class ScrubTokensExpr(left: Expression, right: Expression, window: Int)
     }
 
   override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
     StructField("kept", LongType, nullable = false),
     StructField("scrubbed", StringType, nullable = false)))
   override def prettyName: String = "scrub_tokens"
@@ -88,7 +90,8 @@ object ScrubTokensExpr {
       }
       t += 1
     }
-    new GenericInternalRow(Array[Any](kept, UTF8String.fromString(sb.toString)))
+    new GenericInternalRow(Array[Any](words.length.toLong, kept,
+      UTF8String.fromString(sb.toString)))
   }
 
   /** Column form — direct expression construction, no registry required. */

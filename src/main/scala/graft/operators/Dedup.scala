@@ -315,6 +315,30 @@ object Dedup {
     * identity hops. The set hash is only a shuffle key, never trusted
     * (membership confirmed by exact array equality; a colliding row stays
     * its own representative). */
+  /** The shared exact-duplicate group tagger both collapse routes derive
+    * from (the composite's identity edges, the incremental route's member
+    * map): every live-shingle row joined to its group's min-(id, sh) winner
+    * per (set-hash, blockCols), tagged `__isDup` iff it is a NON-winner with
+    * the EXACT same shingle array. The set hash is only a shuffle key, never
+    * trusted — membership needs array equality, so a 64-bit-colliding row
+    * stays its own representative. Returned frame is UNPERSISTED; each
+    * caller owns its own persistence strategy (the composite persists it for
+    * lazy downstream reads, the incremental route materializes its two
+    * derivations eagerly then drops it). Columns: live's plus
+    * (__shh, __rid, __rsh, __isDup). */
+  private def tagExactGroups(live: DataFrame,
+                             blockCols: Seq[String]): DataFrame = {
+    val hashed = live.withColumn("__shh", xxhash64(col("__sh")))
+    val winners = hashed
+      .groupBy((col("__shh") +: blockCols.map(col)): _*)
+      .agg(min(struct(col("__id"), col("__sh"))).as("__w"))
+      .select((col("__shh") +: col("__w.__id").as("__rid") +:
+        col("__w.__sh").as("__rsh") +: blockCols.map(col)): _*)
+    hashed.join(winners, Seq("__shh") ++ blockCols)
+      .withColumn("__isDup",
+        col("__id") =!= col("__rid") && col("__sh") === col("__rsh"))
+  }
+
   private def ngramJaccardPairsManaged(
       docs: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, blockCols: Seq[String],
@@ -326,19 +350,11 @@ object Dedup {
         prefixCandidates(live, threshold, blockCols)),
         () => sh.unpersist(blocking = false))
     else {
-      val hashed = live.withColumn("__shh", xxhash64(col("__sh")))
-      val winners = hashed
-        .groupBy((col("__shh") +: blockCols.map(col)): _*)
-        .agg(min(struct(col("__id"), col("__sh"))).as("__w"))
-        .select((col("__shh") +: col("__w.__id").as("__rid") +:
-          col("__w.__sh").as("__rsh") +: blockCols.map(col)): _*)
       // persisted at the TAGGED stage: both the identity branch and the
       // (multiply-referenced) reps branch read it — persisting only reps
       // would re-run the corpus hash + winners shuffle for the identity
       // edges when the unioned pair frame is consumed (r10 review)
-      val tagged = hashed.join(winners, Seq("__shh") ++ blockCols)
-        .withColumn("__isDup",
-          col("__id") =!= col("__rid") && col("__sh") === col("__rsh"))
+      val tagged = tagExactGroups(live, blockCols)
         .persist(StorageLevel.MEMORY_AND_DISK)
       val identity = tagged.filter(col("__isDup"))
         .select(col("__rid").as("id_a"), col("__id").as("id_b"),
@@ -369,12 +385,23 @@ object Dedup {
     * ≥ ~25% exact-dup rows → collapse; otherwise the direct join. Both
     * routes produce identical output — the choice is pure physics, invisible
     * to callers and oracles. `forceCollapse` pins a route for the
-    * equivalence spec. Returns (matches, free) — free releases the collapse
-    * checkpoints (the matches frame also carries them as LogicalRDDs, so
-    * `Dedup.release(matches)` reaches them too). */
+    * equivalence spec.
+    *
+    * Lifecycle (the release-contract point, r11 review): on the collapse
+    * route the corpus store is consumed ONLY while the (small) reps /
+    * member-group checkpoints materialize, so `releaseCorpus` is invoked
+    * RIGHT THERE — the corpus-sized frame never lingers behind a truncated
+    * lineage. Everything the returned plan still pins (shNew's store via the
+    * verify join, reps, member groups) rides it as LogicalRDDs, so the
+    * documented `Dedup.release(result)` contract keeps reaching every
+    * checkpoint. On the direct route `releaseCorpus` is NOT invoked — the
+    * corpus store rides the result plan and the caller's contract frees it.
+    * Returns (matches, free) — free re-releases the collapse checkpoints
+    * (harmless double-free; for managed callers that never hand the frame
+    * out). */
   private def crossMatchesManaged(
       shNew: DataFrame, shOldLive: DataFrame, threshold: Double,
-      blockCols: Seq[String],
+      blockCols: Seq[String], releaseCorpus: () => Unit,
       forceCollapse: Option[Boolean] = None): (DataFrame, () => Unit) = {
     def direct = (verifyJaccardBetween(shNew, shOldLive, threshold,
       prefixCandidatesBetween(shNew, shOldLive, threshold, blockCols,
@@ -386,34 +413,32 @@ object Dedup {
     }
     if (!collapse) direct
     else {
-      val hashed = shOldLive.withColumn("__shh", xxhash64(col("__sh")))
-      val winners = hashed
-        .groupBy((col("__shh") +: blockCols.map(col)): _*)
-        .agg(min(struct(col("__id"), col("__sh"))).as("__w"))
-        .select((col("__shh") +: col("__w.__id").as("__rid") +:
-          col("__w.__sh").as("__rsh") +: blockCols.map(col)): _*)
-      // the set hash is only a shuffle key, never trusted: membership needs
-      // exact array equality, a colliding row stays its own representative
-      // (the composite's discipline, ngramJaccardPairsManaged)
-      val tagged = hashed.join(winners, Seq("__shh") ++ blockCols)
-        .withColumn("__isDup",
-          col("__id") =!= col("__rid") && col("__sh") === col("__rsh"))
-      val memberMap = tagged.filter(col("__isDup"))
-        .select(col("__rid"), col("__id").as("__mid"))
+      // persisted while BOTH eager derivations below read it (r10's
+      // persist-at-the-tagged-stage lesson), dropped as soon as they exist
+      val tagged = tagExactGroups(shOldLive, blockCols)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val memberGroups = tagged.filter(col("__isDup"))
+        .groupBy(col("__rid")).agg(collect_list(col("__id")).as("__mids"))
         .localCheckpoint(eager = true)
       val reps = tagged.filter(!col("__isDup"))
         .drop("__rid", "__rsh", "__isDup", "__shh")
         .localCheckpoint(eager = true)
-      // the rep matches feed BOTH union branches — checkpoint (lazily) so the
-      // candidate+verify join runs once, not per branch
+      tagged.unpersist(blocking = false)
+      releaseCorpus()
+      // ONE pass over the rep matches: each match fans out in-row to the rep
+      // itself plus its members — no self-union, no second verify read, and
+      // the verify plan keeps its full lineage for `release(result)`
       val rm = verifyJaccardBetween(shNew, reps, threshold,
-          prefixCandidatesBetween(shNew, reps, threshold, blockCols,
-            self = false))
-        .localCheckpoint(eager = false)
-      val out = rm.unionByName(
-        rm.join(memberMap, rm("id_b") === memberMap("__rid"))
-          .select(col("id_a"), col("__mid").as("id_b"), col("jaccard")))
-      (out, () => Seq(memberMap, reps, rm).foreach(release))
+        prefixCandidatesBetween(shNew, reps, threshold, blockCols,
+          self = false))
+      val out = rm.join(memberGroups, rm("id_b") === memberGroups("__rid"),
+          "left")
+        .select(col("id_a"), col("jaccard"),
+          explode(when(col("__mids").isNull, array(col("id_b")))
+            .otherwise(concat(array(col("id_b")), col("__mids"))))
+            .as("id_b"))
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      (out, () => Seq(memberGroups, reps).foreach(release))
     }
   }
 
@@ -446,9 +471,10 @@ object Dedup {
       forceCollapse: Option[Boolean]): DataFrame = {
     val shNew = liveShingles(
       shingleFrame(incoming, idCol, textCol, n, blockCols, viaCheckpoint = true))
-    val shOld = liveShingles(
-      shingleFrame(corpus, idCol, textCol, n, blockCols, viaCheckpoint = true))
-    crossMatchesManaged(shNew, shOld, threshold, blockCols, forceCollapse)._1
+    val shOldH =
+      shingleFrame(corpus, idCol, textCol, n, blockCols, viaCheckpoint = true)
+    crossMatchesManaged(shNew, liveShingles(shOldH), threshold, blockCols,
+      releaseCorpus = () => release(shOldH), forceCollapse = forceCollapse)._1
   }
 
   /** Admission filter: the incoming docs with NO near-dup already in the
@@ -487,8 +513,10 @@ object Dedup {
     val shOld = liveShingles(shOldH)
     val intra = verifyJaccard(shNew, threshold,
       prefixCandidates(shNew, threshold, blockCols))
-    val (cross, freeCross) =
-      crossMatchesManaged(shNew, shOld, threshold, blockCols)
+    val (cross, freeCross) = crossMatchesManaged(shNew, shOld, threshold,
+      blockCols, releaseCorpus = () =>
+        if (!viaCheckpoint) shOldH.unpersist(blocking = false)
+        else release(shOldH))
     (intra.unionByName(cross),
       () => {
         freeCross()
@@ -591,27 +619,45 @@ object Dedup {
   def scrubSharedWindows(docs: DataFrame, idCol: String, textCol: String,
                          windowTokens: Int = 50): DataFrame = {
     require(windowTokens >= 2, s"windowTokens must be >= 2, got $windowTokens")
-    val ws = TextFns.words(col(textCol))
     val d = ensureParallel(docs)
+    d.join(duplicateWindowStarts(d, idCol, textCol, windowTokens),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        graft.functions.ScrubTokensExpr(col(textCol),
+          coalesce(col("__starts"), array().cast("array<int>")),
+          windowTokens).as("__s"))
+      .select(col(idCol), col("__s.n_tokens").as("n_tokens"),
+        (col("__s.n_tokens") - coalesce(col("__s.kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("__s.scrubbed"), lit("")).as(textCol))
+  }
+
+  /** Duplicate-window-INSTANCE positions per document — the first-occurrence
+    * rule both scrub routes (and the `ScrubProbe` decomposition) share: a
+    * window instance is a duplicate iff its content's corpus-global first
+    * occurrence (min (id, pos) struct) is not itself. Single-sourced so a
+    * tie-break change cannot drift the routes apart. Returns (id, __pos). */
+  private def dupWindowPositions(d: DataFrame, idCol: String, textCol: String,
+                                 windowTokens: Int): DataFrame = {
     val wins = d.select(col(idCol),
       posexplode(TextFns.positionalShingles(col(textCol), windowTokens))
         .as(Seq("__pos", "__wh")))
     val first = wins.groupBy(col("__wh"))
       .agg(min(struct(col(idCol), col("__pos"))).as("__f"))
-    val dupStarts = wins.join(first, "__wh")
+    wins.join(first, "__wh")
       .filter(!(col(s"__f.$idCol") === col(idCol) &&
         col("__f.__pos") === col("__pos")))
+      .select(col(idCol), col("__pos"))
+  }
+
+  /** [[dupWindowPositions]] grouped to each doc's SORTED duplicate-span start
+    * array — `ScrubTokensExpr`'s required input form. */
+  private[graft] def duplicateWindowStarts(d: DataFrame, idCol: String,
+                                           textCol: String,
+                                           windowTokens: Int): DataFrame =
+    dupWindowPositions(d, idCol, textCol, windowTokens)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
-    d.join(dupStarts, Seq(idCol), "left")
-      .select(col(idCol), size(ws).cast("long").as("n_tokens"),
-        graft.functions.ScrubTokensExpr(col(textCol),
-          coalesce(col("__starts"), array().cast("array<int>")),
-          windowTokens).as("__s"))
-      .select(col(idCol), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("__s.kept"), lit(0L))).as("n_removed"),
-        coalesce(col("__s.scrubbed"), lit("")).as(textCol))
-  }
 
   /** Pre-r11 exploded-rebuild reference for [[scrubSharedWindows]] — the
     * token posexplode + windowTokens×-amplified drop-mark explode + distinct
@@ -627,15 +673,7 @@ object Dedup {
     val ws = TextFns.words(col(textCol))
     val d = ensureParallel(docs)
     val toks = d.select(col(idCol), posexplode(ws).as(Seq("__pos", "__tok")))
-    val wins = d.select(col(idCol),
-      posexplode(TextFns.positionalShingles(col(textCol), windowTokens))
-        .as(Seq("__pos", "__wh")))
-    val first = wins.groupBy(col("__wh"))
-      .agg(min(struct(col(idCol), col("__pos"))).as("__f"))
-    val dupWins = wins.join(first, "__wh")
-      .filter(!(col(s"__f.$idCol") === col(idCol) &&
-        col("__f.__pos") === col("__pos")))
-      .select(col(idCol), col("__pos"))
+    val dupWins = dupWindowPositions(d, idCol, textCol, windowTokens)
     val drops = dupWins.select(col(idCol),
         explode(sequence(col("__pos"),
           col("__pos") + (windowTokens - 1))).as("__pos"))

@@ -1021,6 +1021,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalJaccardMatches collapse route: release(result) + the " +
+    "internal early corpus-store free leave zero cached blocks") {
+    // the r11 review's leak class: the collapse checkpoints truncate lineage,
+    // so the corpus-sized shingle store must be freed INSIDE the route (it
+    // has no consumer after reps/memberGroups materialize) and everything the
+    // result plan still pins must be release()-reachable
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    def w(i: Int) = s"m${('a' + i % 26).toChar}${i / 26}"
+    val base = (0 until 5).map(d =>
+      (d.toLong, (0 until 12).map(i => w(d * 7 + i)).mkString(" ")))
+    val corpus = (base ++ (for { (id, t) <- base; k <- 1 to 3 }
+      yield (id + 100L * k, t))).toDF("doc_id", "text")
+    val incoming = Seq((9000L, (0 until 12).map(w).mkString(" ")))
+      .toDF("doc_id", "text")
+    val matches = Dedup.incrementalJaccardMatchesImpl(corpus, incoming,
+      "doc_id", "text", 3, 0.5, Nil, forceCollapse = Some(true))
+    assert(matches.count() === 4)   // doc 0 and its three twins
+    Dedup.release(matches)
+    def residual = spark.sparkContext.getPersistentRDDs.values.toSeq
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (residual.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(residual.isEmpty,
+      s"residual cached blocks after release: ${residual.map(_.toString)}")
+  }
+
   test("embedding LSH blocking: subset of exact pairs, near-identical vectors kept") {
     val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .limit(200)
