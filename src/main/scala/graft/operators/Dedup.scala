@@ -684,7 +684,12 @@ object Dedup {
         array_join(transform(
           sort_array(collect_list(struct(col("__pos"), col("__tok")))),
           x => x("__tok")), " ").as("__text"))
-    d.select(col(idCol), size(ws).cast("long").as("n_tokens"))
+    // null text → null counts, EXPLICITLY: bare size(null) is session-config
+    // dependent (-1 under legacy sizeOfNull, null under ANSI), and the in-row
+    // route's struct-null is always null — the guard keeps the reference
+    // bit-equal regardless of what conf an earlier suite left on the session
+    d.select(col(idCol), when(col(textCol).isNull, lit(null).cast("long"))
+        .otherwise(size(ws).cast("long")).as("n_tokens"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), col("n_tokens"),
         (col("n_tokens") - coalesce(col("__kept"), lit(0L))).as("n_removed"),

@@ -150,6 +150,10 @@ class CurationOpsSpec extends SparkSpec {
       4294967296L, 5000000000L, Long.MaxValue / 2, Long.MaxValue - 1,
       Long.MaxValue)
     val df = ids.map(Tuple1(_)).toDF("id")
+    // suites share one session (SparkSpec getOrCreate) — restore the PRIOR
+    // value, not a hardcoded one, or every later suite inherits a flipped
+    // ANSI mode (caught r11: size(null) is -1 vs null across that flip)
+    val prevAnsi = spark.conf.getOption("spark.sql.ansi.enabled")
     spark.conf.set("spark.sql.ansi.enabled", "true")
     try {
       val got = df.select($"id", graft.operators.DataMix.knuthHash($"id"))
@@ -159,7 +163,10 @@ class CurationOpsSpec extends SparkSpec {
           .mod(BigInt(4294967296L)).toLong
         assert(got(id) == want, s"id=$id")
       }
-    } finally spark.conf.set("spark.sql.ansi.enabled", "false")
+    } finally prevAnsi match {
+      case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+      case None => spark.conf.unset("spark.sql.ansi.enabled")
+    }
   }
 
   test("assignSplit: exhaustive, disjoint, stable, fraction-faithful") {

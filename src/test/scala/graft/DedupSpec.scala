@@ -920,12 +920,20 @@ class DedupSpec extends SparkSpec {
       (0 until 30).map(i => (100L + i,
         (0 until 25).map(j => w((i * 7 + j) % 60)).mkString(" ")))
     val docs = rows.toDF("doc_id", "text")
-    for (win <- Seq(2, 5, 12)) {
+    // pin BOTH ANSI modes: the null-text row's n_tokens once diverged across
+    // the flip (bare size(null) is -1 legacy / null ANSI; both routes now
+    // emit explicit nulls regardless of session conf)
+    val prevAnsi = spark.conf.getOption("spark.sql.ansi.enabled")
+    try for (ansi <- Seq("true", "false"); win <- Seq(2, 5, 12)) {
+      spark.conf.set("spark.sql.ansi.enabled", ansi)
       val fast = Dedup.scrubSharedWindows(docs, "doc_id", "text", win)
         .orderBy($"doc_id").collect().toSeq
       val ref = Dedup.scrubSharedWindowsExploded(docs, "doc_id", "text", win)
         .orderBy($"doc_id").collect().toSeq
-      assert(fast === ref, s"windowTokens=$win")
+      assert(fast === ref, s"ansi=$ansi windowTokens=$win")
+    } finally prevAnsi match {
+      case Some(v) => spark.conf.set("spark.sql.ansi.enabled", v)
+      case None => spark.conf.unset("spark.sql.ansi.enabled")
     }
   }
 
