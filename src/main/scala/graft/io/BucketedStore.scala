@@ -29,6 +29,19 @@ object BucketedStore {
   def save(df: DataFrame, table: String, keyCol: String,
            nBuckets: Int): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val spark = df.sparkSession
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(table)
+    if (!catalog.tableExists(ident)) {
+      // Overwrite only cleans locations the CATALOG knows about. A killed run
+      // under a non-persistent metastore leaves the managed directory on disk
+      // with no catalog entry, and the next save dies with
+      // LOCATION_ALREADY_EXISTS — publish must be restart-idempotent, so a
+      // stale unregistered location is cleared before writing.
+      val loc = new org.apache.hadoop.fs.Path(catalog.defaultTablePath(ident))
+      val fs = loc.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     df.repartition(nBuckets, col(keyCol))
       .write.mode(SaveMode.Overwrite)
       .bucketBy(nBuckets, keyCol)

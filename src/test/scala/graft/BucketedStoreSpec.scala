@@ -30,19 +30,27 @@ class BucketedStoreSpec extends SparkSpec {
     count(df.queryExecution.executedPlan)
   }
 
+  test("save is restart-idempotent over a stale unregistered location") {
+    // simulate a killed run under a non-persistent metastore: the managed
+    // directory survives on disk but the catalog has no entry to overwrite
+    // through — save must clear it rather than die LOCATION_ALREADY_EXISTS
+    spark.sql("DROP TABLE IF EXISTS bkt_stale")
+    val loc = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog.defaultTablePath(
+        spark.sessionState.sqlParser.parseTableIdentifier("bkt_stale"))
+        .toString).getPath)
+    assert(loc.mkdirs() || loc.isDirectory)
+    val junk = new java.io.File(loc, "part-stale.parquet")
+    java.nio.file.Files.write(junk.toPath, Array[Byte](1, 2, 3))
+    assert(junk.exists())
+
+    val df = spark.range(100).select($"id".as("doc_id"))
+    BucketedStore.save(df, "bkt_stale", "doc_id", 4)
+    assert(BucketedStore.load(spark, "bkt_stale").count() == 100)
+    spark.sql("DROP TABLE bkt_stale")
+  }
+
   test("co-located join: zero exchanges; admission join: batch side only") {
-    // a previous JVM's killed run can leave the managed location behind with
-    // no catalog entry to overwrite through — start from a clean slate
-    for (t <- Seq("bkt_corpus", "bkt_labels")) {
-      spark.sql(s"DROP TABLE IF EXISTS $t")
-      val loc = new java.io.File(
-        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles.foreach(rm)
-        f.delete()
-      }
-      if (loc.exists()) rm(loc)
-    }
     val corpus = spark.range(10000)
       .select($"id".as("doc_id"), (rand(7) * 100).cast("long").as("score"))
     val labels = spark.range(10000)
