@@ -85,13 +85,37 @@ object VersionedFactStore {
     *
     * Partition values are never re-formatted driver-side: the fold set is
     * chosen by sorting the ESCAPED `fgt=` dir names' decoded values (ISO
-    * timestamps sort lexicographically), and the base's fgt comes from
-    * `max(fgt)` over the folded rows themselves. */
+    * timestamps sort lexicographically), and the base lands in the newest
+    * folded tick's OWN partition dir, so no fgt value is ever re-encoded.
+    *
+    * CRASH-SAFE PUBLISH. `appendTick`'s dynamic overwrite is the wrong tool
+    * here: its commit deletes the target partition's files before all staged
+    * replacements are renamed in, and compaction's INPUT IS that partition —
+    * a driver death inside the commit window destroys rows whose only other
+    * copies the fold was about to delete, and a re-run reads the damaged
+    * store. (appendTick itself is safe under the same window because a tick's
+    * rows come from OUTSIDE the store — the caller's retry rewrites them.)
+    * The fold therefore publishes in three fs-level steps, each of whose
+    * intermediate states is both read-correct and heal-by-rerun:
+    *   1. STAGE   — write the complete base to `.compact_staging/` (dot-dir,
+    *                invisible to readers); a crashed run's staging is deleted
+    *                on entry and rebuilt from the current readable state.
+    *   2. PUBLISH — rename the staged files INTO the target partition beside
+    *                the originals. Until retire, every base row duplicates a
+    *                still-present original at the same (tms_id, time, fgt)
+    *                with identical values, so `latestWins` reads are
+    *                unchanged — and pre-horizon time travel still works.
+    *   3. RETIRE  — only with the complete base in place, delete the
+    *                partition's pre-publish files and the older tick dirs.
+    * A crash between any two steps leaves duplicates or stale dirs, never a
+    * missing row; the next compact run absorbs and removes them. */
   def compact(spark: SparkSession, dir: String, keepTicks: Int,
               targetBytes: Long = 128L * 1024 * 1024): CompactReport = {
     require(keepTicks >= 1, s"keepTicks must be >= 1, got $keepTicks")
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(path, ".compact_staging")
+    if (fs.exists(staging)) fs.delete(staging, true)
     def tickDirs(): Seq[org.apache.hadoop.fs.Path] = fs.listStatus(path)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("fgt="))
       .map(_.getPath)
@@ -109,16 +133,34 @@ object VersionedFactStore {
     if (before.length <= keepTicks)
       return CompactReport(before.length, before.length, filesBefore, filesBefore)
     val folded = before.dropRight(keepTicks)
+    val target = folded.last // base partition = newest folded tick's dir
     val foldedBytes = folded.map(p => fs.getContentSummary(p).getLength).sum
     val nFiles = math.max(1L, (foldedBytes + targetBytes - 1) / targetBytes).toInt
     val old = spark.read.option("basePath", dir)
       .parquet(folded.map(_.toString): _*)
-    val cutoff = old.agg(max(col("fgt"))).head().get(0)
-    val base = latestWins(old)
-      .withColumn("fgt", lit(cutoff))
-      .repartition(nFiles)
-    appendTick(base, dir)
+    // 1. STAGE the complete base out-of-tree. `fgt` is dropped from the data
+    // files — the partition dir carries it, the exact layout appendTick's
+    // partitionBy produces (every folded row's winning fgt IS target's value).
+    latestWins(old).drop("fgt").repartition(nFiles)
+      .write.mode("overwrite").parquet(staging.toString)
+    // Record the partition's pre-publish files: the originals, plus any
+    // partial base a previously crashed publish left behind.
+    val preExisting = fs.listStatus(target).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    // 2. PUBLISH beside the originals, under names no task writer produces
+    // and no retry reuses.
+    val stamp = java.util.UUID.randomUUID().toString.take(8)
+    val staged = fs.listStatus(staging).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    staged.zipWithIndex.foreach { case (p, i) =>
+      val dest = new org.apache.hadoop.fs.Path(
+        target, f"compact-$stamp-part$i%05d.parquet")
+      require(fs.rename(p, dest), s"compact publish rename failed: $p -> $dest")
+    }
+    // 3. RETIRE the shadowed files and the older tick dirs.
+    preExisting.foreach(p => fs.delete(p, false))
     folded.dropRight(1).foreach(p => fs.delete(p, true))
+    fs.delete(staging, true)
     CompactReport(before.length, tickDirs().length, filesBefore, fileCount())
   }
 }

@@ -290,7 +290,12 @@ object DataMix {
     * rows in (hash, id) order: one hash repartition on the shard key, an
     * intra-task sort, and a partitioned write — readers stream any shard in
     * permutation order straight off the files, nothing ever ranks the corpus
-    * globally. */
+    * globally.
+    *
+    * Restart contract: the write is a whole-dir overwrite of EXTERNAL input,
+    * so a killed export self-heals by re-running. Readers that may race a
+    * re-export should gate on the job-level `_SUCCESS` marker at `dir/` —
+    * a dir without it is a partial export, not a short corpus. */
   def writeShards(df: DataFrame, idCol: String, dir: String, nShards: Int,
                   salt: Long = 0L): Unit =
     shuffleShards(df, idCol, nShards, salt)

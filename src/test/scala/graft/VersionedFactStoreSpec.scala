@@ -96,4 +96,109 @@ class VersionedFactStoreSpec extends SparkSpec {
     // layout: one directory per tick
     assert(new java.io.File(dir).listFiles.count(_.getName.startsWith("fgt=")) == 2)
   }
+
+  // ---- compact crash battery -----------------------------------------------
+  // Compaction's input is the partition it rewrites, so a driver death inside
+  // the publish must never be able to destroy rows (the streaming stores pin
+  // the same class with _SUCCESS-gated versions; the fold pins it with
+  // stage→publish-beside→retire). Each test materializes one reachable
+  // intermediate state on disk, asserts READS ARE ALREADY CORRECT in that
+  // state, then re-runs compact and asserts it heals to the clean layout.
+
+  private def fourTickStore(): String = {
+    val dir = Files.createTempDirectory("vfs-crash").toString + "/facts"
+    val fgts = Seq("2024-01-01 01:00:00", "2024-01-01 02:00:00",
+      "2024-01-01 03:00:00", "2024-01-01 04:00:00")
+    for ((f, i) <- fgts.zipWithIndex)
+      VersionedFactStore.appendTick(
+        tick(f, ("a", "2024-01-01 00:00:00", i + 1.0),
+          ("k" + i, "2024-01-01 00:00:00", 100.0 + i)), dir)
+    dir
+  }
+
+  private def snapLatest(dir: String) =
+    VersionedFactStore.readLatest(spark, dir)
+      .select($"tms_id", $"time".cast("string"), $"value")
+      .as[(String, String, Double)].collect().toSet
+
+  private def tickDirCount(dir: String) =
+    new java.io.File(dir).listFiles.count(_.getName.startsWith("fgt="))
+
+  test("compact heals a crashed run's stale partial staging") {
+    val dir = fourTickStore()
+    val expected = snapLatest(dir)
+    val staging = new java.io.File(dir, ".compact_staging")
+    assert(staging.mkdirs())
+    java.nio.file.Files.write(new java.io.File(staging, "part-junk.parquet").toPath,
+      Array[Byte](1, 2, 3)) // unreadable leftover from a killed stage step
+    assert(snapLatest(dir) == expected) // dot-dir invisible to readers
+    val rep = VersionedFactStore.compact(spark, dir, keepTicks = 2)
+    assert(rep.ticksBefore == 4 && rep.ticksAfter == 3)
+    assert(snapLatest(dir) == expected)
+    assert(!staging.exists())
+  }
+
+  test("compact crash windows: post-publish, partial-publish, and mid-retire " +
+       "states all read correct and re-run to the clean layout") {
+    // clone an identical store and compact IT to obtain the exact base files
+    // the publish step renames in — then graft them into crash states
+    val cloneDir = fourTickStore()
+    VersionedFactStore.compact(spark, cloneDir, keepTicks = 2)
+    def partition(d: String, name: String) = new java.io.File(d, name)
+    val targetName = new java.io.File(cloneDir).listFiles
+      .filter(_.getName.startsWith("fgt=")).map(_.getName).sorted.head
+    val baseFiles = partition(cloneDir, targetName).listFiles
+      .filter(f => f.getName.startsWith("compact-") && f.getName.endsWith(".parquet"))
+    assert(baseFiles.nonEmpty, "clone compact produced no base files")
+
+    // CRASH B: complete base published beside the originals, retire never ran
+    val dirB = fourTickStore()
+    val expected = snapLatest(dirB)
+    assert(expected == snapLatest(cloneDir)) // identical stores by construction
+    val tgtB = partition(dirB, targetName)
+    val originalsB = tgtB.listFiles.filter(_.getName.endsWith(".parquet")).map(_.getName)
+    for (f <- baseFiles)
+      java.nio.file.Files.copy(f.toPath,
+        new java.io.File(tgtB, f.getName.replace("compact-", "compact-deadb-")).toPath)
+    assert(snapLatest(dirB) == expected) // duplicate rows shadow to identical values
+    // pre-horizon time travel is STILL intact in this state (older dirs alive)
+    assert(VersionedFactStore.readAsOf(spark, dirB, "2024-01-01 01:00:00")
+      .select($"tms_id", $"value").as[(String, Double)].collect().toSet ==
+      Set(("a", 1.0), ("k0", 100.0)))
+    val repB = VersionedFactStore.compact(spark, dirB, keepTicks = 2)
+    assert(repB.ticksAfter == 3 && snapLatest(dirB) == expected)
+    val leftB = tgtB.listFiles.map(_.getName)
+    assert(!leftB.exists(_.contains("deadb")), "stale crashed base not retired")
+    assert(!leftB.exists(originalsB.contains), "shadowed originals not retired")
+
+    // CRASH C: publish died after renaming only the FIRST base file
+    val dirC = fourTickStore()
+    val tgtC = partition(dirC, targetName)
+    java.nio.file.Files.copy(baseFiles.head.toPath,
+      new java.io.File(tgtC, baseFiles.head.getName.replace("compact-", "compact-dead2-")).toPath)
+    assert(snapLatest(dirC) == expected) // partial base only duplicates, never replaces
+    val repC = VersionedFactStore.compact(spark, dirC, keepTicks = 2)
+    assert(repC.ticksAfter == 3 && snapLatest(dirC) == expected)
+    assert(!tgtC.listFiles.map(_.getName).exists(_.contains("dead2")))
+
+    // CRASH D: retire died halfway — originals gone, ONE older tick dir gone,
+    // one still standing
+    val dirD = fourTickStore()
+    val tgtD = partition(dirD, targetName)
+    val originalsD = tgtD.listFiles.filter(_.getName.endsWith(".parquet"))
+    for (f <- baseFiles)
+      java.nio.file.Files.copy(f.toPath, new java.io.File(tgtD, f.getName).toPath)
+    originalsD.foreach(f => assert(f.delete()))
+    val oldestD = new java.io.File(dirD).listFiles
+      .filter(_.getName.startsWith("fgt=")).map(_.getName).sorted.head
+    assert(oldestD < targetName, "battery expects an older dir below the target")
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmTree); f.delete()
+    }
+    rmTree(partition(dirD, oldestD))
+    assert(snapLatest(dirD) == expected) // base carries every folded row
+    val repD = VersionedFactStore.compact(spark, dirD, keepTicks = 2)
+    assert(repD.ticksAfter == 3 && snapLatest(dirD) == expected)
+    assert(tickDirCount(dirD) == 3)
+  }
 }
