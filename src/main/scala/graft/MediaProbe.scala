@@ -1,0 +1,141 @@
+package graft
+
+import graft.operators.{Dedup, Multimodal}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scratch profiling main for the multimodal near-dup path (not part of the
+  * driver contract): generates a synthetic media lake with planted near-dup
+  * groups, then times the perceptual-hash pass and the banded pair join at
+  * scale — the receipt that the decode→hash→band pipeline is decode-bound
+  * and the binary column never shuffles.
+  *
+  * Image rows are REAL binary PPMs (decoded by `PnmCodec`, not a stub):
+  * each duplicate group renders a random 9×8 cell-block pattern (cell means
+  * far apart, so the dHash is stable), copies perturb a few dozen scattered
+  * bytes (cell means move <1 luma step — planted hamming ≈ 0-1); 1% junk
+  * payloads prove the drop semantic at scale. Audio rows are real PCM WAVs
+  * whose 65-bin envelope comes from the group and whose per-copy gain
+  * varies (`afp64` gain invariance ⇒ planted hamming 0).
+  *
+  * Usage: MediaProbe gen|phash|pairs|audio <dir> [nImages] [dupFactor] */
+object MediaProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("media-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val mode = args(0)
+    val dir = args(1)
+    val n = args.drop(2).headOption.map(_.toLong).getOrElse(500000L)
+    val dup = args.drop(3).headOption.map(_.toInt).getOrElse(5)
+
+    def lcg(seed0: Long): () => Int = {
+      var s = seed0 * 6364136223846793005L + 1442695040888963407L
+      () => { s = s * 6364136223846793005L + 1442695040888963407L
+              ((s >>> 33) & 0x7fffffff).toInt }
+    }
+
+    def ppm(groupSeed: Long, copySeed: Long): Array[Byte] = {
+      val w = 48; val h = 48
+      val g = lcg(groupSeed)
+      val cells = Array.fill(9 * 8)(g() % 256) // the dHash grid's own geometry
+      val pix = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val cy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val v = cells(cy * 9 + x * 9 / w).toByte
+          val i = (y * w + x) * 3
+          pix(i) = v; pix(i + 1) = v; pix(i + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+      val c = lcg(copySeed)
+      var k = 0
+      while (k < 40) { // scattered per-copy perturbation: cell means move <1
+        val at = c() % pix.length
+        pix(at) = ((pix(at) & 0xff) ^ (c() % 8)).toByte
+        k += 1
+      }
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ pix
+    }
+
+    def wavBytes(groupSeed: Long, copySeed: Long): Array[Byte] = {
+      val g = lcg(groupSeed)
+      val amps = Array.fill(65)(100 + g() % 7000)
+      // per-copy gain by pure multiplication (max 7100*4 < Short.MaxValue):
+      // afp64 compares energy RATIOS, so the hash is exactly gain-invariant
+      val gain = 1 << (lcg(copySeed)() % 3)
+      val frames = 65 * 16
+      val bb = java.nio.ByteBuffer.allocate(44 + frames * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + frames * 2)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(frames * 2)
+      var f = 0
+      while (f < frames) {
+        val a = amps(f / 16) * gain
+        bb.putShort((if (f % 2 == 0) a else -a).toShort)
+        f += 1
+      }
+      bb.array()
+    }
+
+    def gen(kind: String, make: (Long, Long) => Array[Byte]): Unit = {
+      spark.range(n).repartition(64)
+        .map { id =>
+          val payload = if (id % 100 == 99) Array[Byte](9, 9, 9) // 1% junk
+            else make(id / dup + 1, id + 1)
+          (id, kind, payload)
+        }
+        .toDF("media_id", "kind", "payload")
+        .write.mode("overwrite").parquet(s"$dir/$kind.parquet")
+      println(s"PROBE gen $kind n=$n dup=$dup -> $dir/$kind.parquet")
+    }
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val out = f
+      println(f"PROBE $name%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$out")
+      spark.catalog.clearCache()
+    }
+    def lake(kind: String): DataFrame = spark.read.parquet(s"$dir/$kind.parquet")
+
+    mode match {
+      case "gen" =>
+        gen("image", ppm)
+        gen("audio", wavBytes)
+      case "phash" =>
+        for (round <- 1 to 2)
+          time(s"image-phash-$round")(Multimodal.perceptualHashes(
+            lake("image"), Multimodal.anyImagePhashHasher()).count())
+      case "pairs" =>
+        for (round <- 1 to 2) {
+          val p = Multimodal.imageNearDupPairs(lake("image"),
+            Multimodal.anyImagePhashHasher(), maxHamming = 4, maxBucket = 4096)
+          time(s"image-pairs-$round")(p.count())
+          Dedup.release(p)
+        }
+      case "audio" =>
+        for (round <- 1 to 2) {
+          val p = Multimodal.audioNearDupPairs(lake("audio"),
+            Multimodal.anyAudioFpHasher(), maxHamming = 2, maxBucket = 4096)
+          time(s"audio-pairs-$round")(p.count())
+          Dedup.release(p)
+        }
+      case other => sys.error(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+}

@@ -190,6 +190,83 @@ object Multimodal {
       .toDF("media_id", "features")
   }
 
+  /** Per-partition perceptual-hash contract — `BatchDecoder`'s shape with a
+    * 64-bit signature instead of a feature vector, so a native hasher swaps
+    * in identically. Undecodable payloads are dropped (curation semantic). */
+  type BatchHasher =
+    Iterator[(Long, String, Array[Byte])] => Iterator[(Long, Long)]
+
+  /** dHash hasher over any single-payload decode route (`PnmCodec.decode`,
+    * `PngCodec.decode`, `ImageIoCodec.decode`, or a chain). */
+  def phashHasher(decode: Array[Byte] => Option[PnmCodec.Image]): BatchHasher =
+    rows => rows.flatMap { case (id, _, payload) =>
+      decode(payload).map(img => (id, PnmCodec.dhash64(img)))
+    }
+
+  /** dHash via every real image route in preference order: the hand-rolled
+    * PNM/PNG decoders first (dependency-auditable), then the JDK's ImageIO
+    * registry (JPEG/BMP/GIF/palette-PNG...). One hasher for a mixed lake. */
+  def anyImagePhashHasher(): BatchHasher = phashHasher(b =>
+    PnmCodec.decode(b).orElse(PngCodec.decode(b)).orElse(ImageIoCodec.decode(b)))
+
+  /** mapPartitions perceptual-hash path — `decodePartitions`' twin producing
+    * (media_id, phash). The 64-bit signature is ~10⁻⁵ the payload's size, so
+    * this is the frame every downstream image-dedup join runs on; the binary
+    * column never survives past the partition that read it. Owns the
+    * few-file parallelism guard (the r10 receipt's lesson, at the decode
+    * cost weight): a 2-file media lake must not hash on 2 tasks. */
+  def perceptualHashes(df: DataFrame, hasher: BatchHasher,
+                       payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Dedup.ensureParallel(df, costWeight = 4)
+      .select(col("media_id").cast("long"), col("kind"), col(payloadCol))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(hasher)
+      .toDF("media_id", "phash")
+  }
+
+  /** Image near-dup pairs: decode → dHash per partition, then the EXISTING
+    * SimHash pigeonhole banding (`Dedup.simhashBandPairs`) finds every pair
+    * within `maxHamming` — no new pair machinery, the text path's recall
+    * guarantee, flood guards (`maxBucket` star collapse), and pair-budget
+    * refusal (`maxPairs`) apply verbatim to images. Returns (id_a, id_b,
+    * hamming). Radius guidance: 0 = same coarse luma field (re-encodes,
+    * rescales), ≤ 6 = localized edits; beyond ~8 prefer embedding LSH. */
+  def imageNearDupPairs(df: DataFrame, hasher: BatchHasher,
+                        maxHamming: Int = 6, maxBucket: Int = 0,
+                        maxPairs: Long = 0L,
+                        payloadCol: String = "payload"): DataFrame =
+    Dedup.simhashBandPairs(
+      perceptualHashes(df, hasher, payloadCol)
+        .select(col("media_id"), col("phash").as("simhash")),
+      "media_id", maxHamming, maxBucket, maxPairs)
+
+  /** Audio fingerprint hasher over any decode route ending in PCM
+    * (`WavCodec.decode`, `JavaSoundCodec.decode`, or a chain). */
+  def afpHasher(decode: Array[Byte] => Option[WavCodec.Audio]): BatchHasher =
+    rows => rows.flatMap { case (id, _, payload) =>
+      decode(payload).map(a => (id, WavCodec.afp64(a)))
+    }
+
+  /** Audio fingerprint via every real audio route: PCM WAV first, then the
+    * JDK's javax.sound chain (G.711 μ-law/A-law WAV/AU). */
+  def anyAudioFpHasher(): BatchHasher =
+    afpHasher(b => WavCodec.decode(b).orElse(JavaSoundCodec.decode(b)))
+
+  /** Audio near-dup pairs — [[imageNearDupPairs]]' acoustic twin: decode →
+    * `WavCodec.afp64` per partition, then the same pigeonhole banding.
+    * Radius guidance: 0 = re-containered / gain-changed / resampled copies
+    * (the envelope hash is invariant to all three), ≤ 6 = localized edits. */
+  def audioNearDupPairs(df: DataFrame, hasher: BatchHasher,
+                        maxHamming: Int = 6, maxBucket: Int = 0,
+                        maxPairs: Long = 0L,
+                        payloadCol: String = "payload"): DataFrame =
+    Dedup.simhashBandPairs(
+      perceptualHashes(df, hasher, payloadCol)
+        .select(col("media_id"), col("phash").as("simhash")),
+      "media_id", maxHamming, maxBucket, maxPairs)
+
   /** Size-aware repartitioning: choose the partition count from the TOTAL payload
     * size so each partition holds ~`targetBytes`, then spread rows by id hash —
     * prevents the skew where one partition holds all the videos and the rest hold

@@ -99,4 +99,69 @@ object PnmCodec {
       math.floor(img.width.toDouble * 1e6 / img.height) / 1e6) ++
       ch3.map(mean) ++ ch3.map(varc)
   }
+
+  /** Box-average downsample of the image's LUMA plane to a `tw`×`th` grid —
+    * the perceptual-hash preprocessing step. Each target cell is the
+    * floor-mean of its source box (exact integer sums; boxes tile the source
+    * under the same floor arithmetic as `resizeNearest`, degenerating to
+    * nearest-sample when the source is smaller than the grid). Luma is the
+    * integer-exact (77·R + 150·G + 29·B) >> 8; gray passes through. */
+  def lumaGrid(img: Image, tw: Int, th: Int): Array[Int] = {
+    val out = new Array[Int](tw * th)
+    var y = 0
+    while (y < th) {
+      val y0 = (y.toLong * img.height / th).toInt
+      val y1 = math.min(img.height,
+        math.max(y0 + 1, ((y + 1).toLong * img.height / th).toInt))
+      var x = 0
+      while (x < tw) {
+        val x0 = (x.toLong * img.width / tw).toInt
+        val x1 = math.min(img.width,
+          math.max(x0 + 1, ((x + 1).toLong * img.width / tw).toInt))
+        var sum = 0L
+        var sy = y0
+        while (sy < y1) {
+          var sx = x0
+          while (sx < x1) {
+            val i = sy * img.width + sx
+            sum += (if (img.channels == 1) img.pixels(i) & 0xff
+              else {
+                val r = img.pixels(i * 3) & 0xff
+                val g = img.pixels(i * 3 + 1) & 0xff
+                val b = img.pixels(i * 3 + 2) & 0xff
+                (77 * r + 150 * g + 29 * b) >> 8
+              })
+            sx += 1
+          }
+          sy += 1
+        }
+        out(y * tw + x) = (sum / ((y1 - y0).toLong * (x1 - x0))).toInt
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** 64-bit perceptual difference-hash (dHash): 9×8 box-averaged luma grid,
+    * bit r·8+c set iff grid(r)(c) < grid(r)(c+1). Because only horizontal
+    * luma GRADIENTS enter the bits, the hash is invariant to lossless
+    * re-encoding and to any resize that preserves the coarse luma field, and
+    * a localized edit flips only the bits whose cells it touches — which is
+    * what lets `Dedup.simhashBandPairs`' pigeonhole banding find near-dup
+    * images within a Hamming radius without a pair scan. */
+  def dhash64(img: Image): Long = {
+    val g = lumaGrid(img, 9, 8)
+    var h = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (g(r * 9 + c) < g(r * 9 + c + 1)) h |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    h
+  }
 }

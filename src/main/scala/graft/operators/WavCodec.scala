@@ -83,4 +83,40 @@ object WavCodec {
     Array(a.sampleRateHz.toDouble, a.channels.toDouble, durMs.toDouble,
       math.floor(rms * 1e6) / 1e6, zc.toDouble, peak.toDouble)
   }
+
+  /** 64-bit audio fingerprint — `PnmCodec.dhash64`'s acoustic twin: the clip
+    * is cut into 65 equal-duration bins (floor tiling, degenerating to
+    * per-frame bins on tiny clips), each bin's mono-mix energy is an exact
+    * integer sum, and bit i compares the per-frame mean energy of bins i and
+    * i+1. Only the energy ENVELOPE's gradients enter the bits, so the hash is
+    * invariant to re-containering, uniform gain, and duration (bins are
+    * proportional); a localized edit flips only its bins' bits — which lets
+    * `Dedup.simhashBandPairs` find near-dup audio within a Hamming radius
+    * with no pair scan. Silent/empty clips hash to 0. */
+  def afp64(a: Audio): Long = {
+    if (a.nFrames <= 0) return 0L
+    val bins = 65
+    val e = new Array[Double](bins)
+    var b = 0
+    while (b < bins) {
+      val f0 = (b.toLong * a.nFrames / bins).toInt
+      val f1 = math.min(a.nFrames,
+        math.max(f0 + 1, ((b + 1).toLong * a.nFrames / bins).toInt))
+      var sum = 0L
+      var f = f0
+      while (f < f1) {
+        var mono = 0L
+        var c = 0
+        while (c < a.channels) { mono += a.samples(f * a.channels + c); c += 1 }
+        sum += mono * mono
+        f += 1
+      }
+      e(b) = sum.toDouble / (f1 - f0)
+      b += 1
+    }
+    var h = 0L
+    var i = 0
+    while (i < 64) { if (e(i) < e(i + 1)) h |= 1L << i; i += 1 }
+    h
+  }
 }

@@ -409,4 +409,163 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.mediaSchema)
     assert(Multimodal.sampleFrames(empty, frameBytes = 50, everyNth = 1).count() == 0)
   }
+
+  test("perceptual dHash: container-invariant, edit-local, and image near-dup " +
+       "pairs ride the SimHash pigeonhole banding") {
+    import graft.operators.PnmCodec
+    def ppm(pix: Array[Byte], w: Int, h: Int): Array[Byte] =
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ pix
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(typ.getBytes("US-ASCII")).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    def png(w: Int, h: Int, pix: Array[Byte]): Array[Byte] = { // RGB, filter 0
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte).array()
+      val stride = w * 3
+      val raw = new Array[Byte]((stride + 1) * h)
+      for (y <- 0 until h; x <- 0 until stride)
+        raw(y * (stride + 1) + 1 + x) = pix(y * stride + x)
+      val defl = new java.util.zip.Deflater()
+      defl.setInput(raw); defl.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1024)
+      while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+      defl.end()
+      Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte) ++
+        chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.empty)
+    }
+    // 36x32 left-to-right luma ramp: every dHash grid cell is brighter than
+    // its right neighbor's predecessor -> all 64 bits set
+    val w = 36; val h = 32
+    def ramp(f: (Int, Int) => Int): Array[Byte] = Array.tabulate(w * h * 3) { i =>
+      val px = i / 3; f(px % w, px / w).toByte
+    }
+    val a = ramp((x, _) => x * 7)                     // the original
+    val edited = a.clone()                            // localized edit: one
+    for (y <- 0 until 4; x <- 0 until 8; c <- 0 until 3) // grid-row corner block
+      edited((y * w + x) * 3 + c) = 250.toByte
+    val reversed = ramp((x, _) => (w - 1 - x) * 7)    // every gradient flipped
+
+    // unit level: same raster, different container -> IDENTICAL hash
+    val hashA = PnmCodec.dhash64(PnmCodec.decode(ppm(a, w, h)).get)
+    val hashPng = PnmCodec.dhash64(
+      graft.operators.PngCodec.decode(png(w, h, a)).get)
+    assert(hashA == hashPng)
+    assert(hashA == -1L) // the ramp's 64 rising gradients, all bits set
+    // nearest-neighbor 2x upscale preserves the coarse luma field ~exactly
+    val up = PnmCodec.resizeNearest(PnmCodec.decode(ppm(a, w, h)).get, 2 * w, 2 * h)
+    assert(java.lang.Long.bitCount(hashA ^ PnmCodec.dhash64(up)) <= 4)
+    // a localized edit flips only the bits whose cells it touches
+    val hashEdit = PnmCodec.dhash64(PnmCodec.decode(ppm(edited, w, h)).get)
+    val editDist = java.lang.Long.bitCount(hashA ^ hashEdit)
+    assert(editDist >= 1 && editDist <= 6, s"edit distance $editDist")
+    // the reversed ramp is maximally far
+    val hashRev = PnmCodec.dhash64(PnmCodec.decode(ppm(reversed, w, h)).get)
+    assert(java.lang.Long.bitCount(hashA ^ hashRev) == 64)
+
+    // end-to-end: a mixed-container lake, one hasher, banding finds exactly
+    // the near-dup pairs within the radius; junk payloads drop silently
+    val rows = Seq(
+      Row(1L, "image", ppm(a, w, h), null),
+      Row(2L, "image", png(w, h, a), null),      // container twin of 1
+      Row(3L, "image", ppm(edited, w, h), null), // localized edit of 1
+      Row(4L, "image", ppm(reversed, w, h), null), // unrelated
+      Row(5L, "image", Array[Byte](9, 9, 9), null)) // undecodable
+    val lake = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val pairs = Multimodal.imageNearDupPairs(lake,
+        Multimodal.anyImagePhashHasher(), maxHamming = 6)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, editDist), (2L, 3L, editDist)))
+  }
+
+  test("perceptualHashes owns the few-file parallelism guard") {
+    import graft.operators.Dedup
+    // a ONE-file media lake: without the guard the decode kernel would run
+    // at file-count parallelism (the r10 receipt's bug class)
+    val dir = java.nio.file.Files.createTempDirectory("mediaguard").toString
+    val pix = Array.fill[Byte](12)(66)
+    val rows = (1L to 20L).map(i =>
+      Row(i, "image", s"P6\n2 2\n255\n".getBytes("US-ASCII") ++ pix, null))
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val prevMin = spark.conf.getOption(Dedup.MinKernelBytesKey)
+    spark.conf.set(Dedup.MinKernelBytesKey, "0") // disable the size skip
+    try {
+      val out = Multimodal.perceptualHashes(
+        spark.read.parquet(dir), Multimodal.anyImagePhashHasher())
+      assert(out.rdd.getNumPartitions ==
+        spark.sessionState.conf.numShufflePartitions,
+        "1-file lake must hash above the guard exchange")
+      assert(out.count() == 20)
+    } finally prevMin match {
+      case Some(v) => spark.conf.set(Dedup.MinKernelBytesKey, v)
+      case None => spark.conf.unset(Dedup.MinKernelBytesKey)
+    }
+  }
+
+  test("audio fingerprint: gain/duration-invariant, edit-local, near-dup pairs " +
+       "through the same banding") {
+    import graft.operators.WavCodec
+    def wav(samples: Array[Short], rate: Int, channels: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(rate)
+        .putInt(rate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+    // square wave whose amplitude rises per fingerprint bin -> rising energy
+    // envelope -> all 64 gradient bits set
+    def clip(nFrames: Int, gain: Int, amp: Int => Int): Array[Short] =
+      Array.tabulate[Short](nFrames) { f =>
+        val bin = (f.toLong * 65 / nFrames).toInt
+        val a = amp(bin) * gain
+        (if (f % 2 == 0) a else -a).toShort
+      }
+    val rising = (b: Int) => 100 + 10 * b
+    val a = clip(650, 1, rising)
+    val fpA = WavCodec.afp64(WavCodec.decode(wav(a, 8000, 1)).get)
+    assert(fpA == -1L)
+    // uniform gain and a 2x-shorter cut preserve the envelope exactly
+    assert(WavCodec.afp64(WavCodec.decode(wav(clip(650, 2, rising), 8000, 1)).get) == fpA)
+    assert(WavCodec.afp64(WavCodec.decode(wav(clip(325, 1, rising), 8000, 1)).get) == fpA)
+    // muting two interior bins flips exactly the touched gradient bits
+    val muted = clip(650, 1, b => if (b == 10 || b == 11) 0 else rising(b))
+    val fpMut = WavCodec.afp64(WavCodec.decode(wav(muted, 8000, 1)).get)
+    val editDist = java.lang.Long.bitCount(fpA ^ fpMut)
+    assert(editDist == 2, s"edit distance $editDist")
+    // the reversed envelope is maximally far
+    val rev = clip(650, 1, b => rising(64 - b))
+    assert(java.lang.Long.bitCount(
+      fpA ^ WavCodec.afp64(WavCodec.decode(wav(rev, 8000, 1)).get)) == 64)
+
+    val rows = Seq(
+      Row(1L, "audio", wav(a, 8000, 1), null),
+      Row(2L, "audio", wav(clip(650, 2, rising), 8000, 1), null), // louder copy
+      Row(3L, "audio", wav(muted, 8000, 1), null),                // local edit
+      Row(4L, "audio", wav(rev, 8000, 1), null),                  // unrelated
+      Row(5L, "audio", Array[Byte](1, 2, 3), null))               // undecodable
+    val lake = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val pairs = Multimodal.audioNearDupPairs(lake,
+        Multimodal.anyAudioFpHasher(), maxHamming = 6)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(pairs == Set((1L, 2L, 0), (1L, 3L, editDist), (2L, 3L, editDist)))
+  }
 }
