@@ -92,6 +92,30 @@ object MediaProbe {
       bb.array()
     }
 
+    def y4mBytes(groupSeed: Long, copySeed: Long): Array[Byte] = {
+      val w = 32; val h = 32
+      val g = lcg(groupSeed)
+      val c = lcg(copySeed)
+      // 8 frames of 9x8 cell-block luma from the GROUP; each copy replaces
+      // two of its frames (chosen by the copy seed) with its own patterns,
+      // so within-group pairs share >= 4 distinct frame signatures
+      val swapA = c() % 8
+      val swapB = (swapA + 1 + c() % 7) % 8
+      val frames = (0 until 8).map { f =>
+        val src = if (f == swapA || f == swapB) c else g
+        val cells = Array.fill(9 * 8)(src() % 256)
+        Array.tabulate[Byte](w * h) { i =>
+          val x = i % w; val y = i / w
+          cells((y * 8 / h) * 9 + x * 9 / w).toByte
+        }
+      }
+      val cb = 2 * ((w + 1) / 2) * ((h + 1) / 2)
+      val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n"
+        .getBytes("US-ASCII")
+      header ++ frames.flatMap(y =>
+        "FRAME\n".getBytes("US-ASCII") ++ y ++ Array.fill[Byte](cb)(-128))
+    }
+
     def gen(kind: String, make: (Long, Long) => Array[Byte]): Unit = {
       spark.range(n).repartition(64)
         .map { id =>
@@ -116,6 +140,7 @@ object MediaProbe {
       case "gen" =>
         gen("image", ppm)
         gen("audio", wavBytes)
+        gen("video", y4mBytes)
       case "phash" =>
         for (round <- 1 to 2)
           time(s"image-phash-$round")(Multimodal.perceptualHashes(
@@ -134,6 +159,10 @@ object MediaProbe {
           time(s"audio-pairs-$round")(p.count())
           Dedup.release(p)
         }
+      case "video" =>
+        for (round <- 1 to 2)
+          time(s"video-pairs-$round")(Multimodal.videoNearDupPairs(lake("video"),
+            Multimodal.y4mFrameHasher(), minSharedFrames = 4).count())
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

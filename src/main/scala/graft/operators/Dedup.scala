@@ -867,7 +867,7 @@ object Dedup {
     * distinct()-deduped — it is O(corpus), not O(pairs), so the dedupe is
     * cheap, unlike the candidate-set distinct the first-shared-band trick
     * removed. */
-  private def splitOversizedBuckets(slim: DataFrame, keyCols: Seq[String],
+  private[graft] def splitOversizedBuckets(slim: DataFrame, keyCols: Seq[String],
                                     maxBucket: Int,
                                     repPayload: Seq[String] = Nil): (DataFrame, DataFrame) = {
     if (maxBucket <= 0) return (slim, null)
@@ -1108,6 +1108,34 @@ object Dedup {
       .select(col("__bmin").as("id_a"), col("__id").as("id_b"),
         bit_count(col("__bmin_simhash").bitwiseXOR(col("simhash"))).as("hamming"))
       .distinct())
+  }
+
+  /** Cross-corpus signature matches — [[simhashBandPairs]]' ADMISSION form:
+    * every (incoming, corpus) pair of 64-bit signatures within `maxHamming`,
+    * with the same pigeonhole recall guarantee. The banded join runs
+    * incoming × corpus ONLY (never corpus × corpus), so a daily tick against
+    * a 100 TB lake costs ∝ |tick| · bucket overlap — the corpus keeps a
+    * signature STORE (id, simhash), never re-hashes, and the blobs/texts
+    * behind the signatures are never read. Feed `simhash64` frames for text
+    * or `Multimodal.perceptualHashes` frames (phash renamed simhash) for
+    * media. Returns (id_a = incoming, id_b = corpus, hamming),
+    * duplicate-free via the first-shared-band predicate. */
+  def simhashBandMatchesBetween(incoming: DataFrame, corpus: DataFrame,
+                                idCol: String, maxHamming: Int): DataFrame = {
+    val bands = maxHamming + 1
+    def bandVal(sim: Column, b: Int): Column = simhashBandVal(sim, b, bands)
+    val bi = simhashBandedFrame(incoming, idCol, maxHamming)
+    val bc = simhashBandedFrame(corpus, idCol, maxHamming)
+    val noEarlierBand = (0 until bands - 1).map { b =>
+      col("x.band") <= b ||
+        bandVal(col("x.simhash"), b) =!= bandVal(col("y.simhash"), b)
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    bi.as("x").join(bc.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))) <= maxHamming &&
+          noEarlierBand)
+      .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
   }
 
   /** Band b's bit-slice of a 64-bit SimHash signature under `bands`

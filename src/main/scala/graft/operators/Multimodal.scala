@@ -267,6 +267,98 @@ object Multimodal {
         .select(col("media_id"), col("phash").as("simhash")),
       "media_id", maxHamming, maxBucket, maxPairs)
 
+  /** Per-frame hash contract: (media_id, frame_idx, signature) per decodable
+    * frame — the clip-level analog of `BatchHasher`. */
+  type BatchFrameHasher =
+    Iterator[(Long, String, Array[Byte])] => Iterator[(Long, Int, Long)]
+
+  /** Per-frame perceptual dHash for REAL uncompressed video (`Y4mCodec`):
+    * every `everyNth`-th luma frame hashed; undecodable payloads dropped.
+    * Compressed video still goes through the stub seam — swap the decode
+    * inside for a JNI/FFmpeg-backed one and nothing downstream changes. */
+  def y4mFrameHasher(everyNth: Int = 1): BatchFrameHasher = rows =>
+    rows.flatMap { case (id, _, payload) =>
+      Y4mCodec.decodeFrames(payload).iterator.flatMap(fs =>
+        fs.iterator.zipWithIndex.collect {
+          case (img, i) if i % everyNth == 0 => (id, i, PnmCodec.dhash64(img))
+        })
+    }
+
+  /** mapPartitions frame-signature path: (media_id, frame_idx, fsig), one row
+    * per sampled decodable frame. Owns the few-file guard like
+    * [[perceptualHashes]]; the video blob never leaves its scan partition —
+    * only 64-bit frame signatures shuffle. */
+  def frameSignatures(df: DataFrame, hasher: BatchFrameHasher,
+                      payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Dedup.ensureParallel(df, costWeight = 4)
+      .select(col("media_id").cast("long"), col("kind"), col(payloadCol))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(hasher)
+      .toDF("media_id", "frame_idx", "fsig")
+  }
+
+  /** Clip-level near-dup pairs: clips sharing at least `minSharedFrames`
+    * DISTINCT frame signatures — `Dedup.sharedWindowPairs`' media twin
+    * (windows → frames), with the same oversized-bucket star collapse for
+    * boilerplate frames (test cards, black frames) and the same scale shape:
+    * signatures equi-join on their own value, no clip × clip pass exists.
+    * Returns (id_a, id_b, shared_frames). */
+  def videoNearDupPairs(df: DataFrame, hasher: BatchFrameHasher,
+                        minSharedFrames: Int = 2, maxBucket: Int = 4096,
+                        payloadCol: String = "payload"): DataFrame = {
+    require(minSharedFrames >= 1,
+      s"minSharedFrames must be >= 1, got $minSharedFrames")
+    val ex = frameSignatures(df, hasher, payloadCol)
+      .select(col("media_id").as("__id"), col("fsig").as("__wh"))
+      .distinct() // shared count = distinct shared signatures, repeats don't inflate
+    val (normal, star) = Dedup.splitOversizedBuckets(ex, Seq("__wh"), maxBucket)
+    val normalPairs = normal.as("a").join(normal.as("b"),
+        col("a.__wh") === col("b.__wh") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+    val all = if (star == null) normalPairs
+      else normalPairs.unionByName(
+        star.select(col("__bmin").as("id_a"), col("__id").as("id_b")))
+    all.groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minSharedFrames)
+  }
+
+  /** Media admission matches — the batch media tick against an existing
+    * lake: every (incoming, corpus) pair within `maxHamming`, where the
+    * corpus side is its persisted SIGNATURE STORE (media_id, phash) — the
+    * lake's blobs are never re-read, and the banded join runs
+    * incoming × corpus only (`Dedup.simhashBandMatchesBetween`). */
+  def mediaAdmissionMatches(corpusHashes: DataFrame, incoming: DataFrame,
+                            hasher: BatchHasher, maxHamming: Int = 6,
+                            payloadCol: String = "payload"): DataFrame =
+    Dedup.simhashBandMatchesBetween(
+      perceptualHashes(incoming, hasher, payloadCol)
+        .select(col("media_id"), col("phash").as("simhash")),
+      corpusHashes.select(col("media_id"), col("phash").as("simhash")),
+      "media_id", maxHamming)
+
+  /** Media admission gate — text's `Dedup.admitNew` for binary payloads: the
+    * incoming batch's rows that DECODE and have no within-radius perceptual
+    * match already in the corpus. Undecodable payloads are dropped (the
+    * curation semantic — an unreadable blob is filtered, not admitted
+    * unseen). Admit, then append the admitted rows' hashes to the signature
+    * store for the next tick. */
+  def admitNewMedia(corpusHashes: DataFrame, incoming: DataFrame,
+                    hasher: BatchHasher, maxHamming: Int = 6,
+                    payloadCol: String = "payload"): DataFrame = {
+    val inc = perceptualHashes(incoming, hasher, payloadCol)
+    val matches = Dedup.simhashBandMatchesBetween(
+      inc.select(col("media_id"), col("phash").as("simhash")),
+      corpusHashes.select(col("media_id"), col("phash").as("simhash")),
+      "media_id", maxHamming)
+    incoming
+      .join(inc.select(col("media_id")), Seq("media_id"), "left_semi")
+      .join(matches.select(col("id_a").as("media_id")), Seq("media_id"),
+        "left_anti")
+  }
+
   /** Size-aware repartitioning: choose the partition count from the TOTAL payload
     * size so each partition holds ~`targetBytes`, then spread rows by id hash —
     * prevents the skew where one partition holds all the videos and the rest hold

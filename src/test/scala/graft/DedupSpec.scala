@@ -119,6 +119,14 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 10L)))
     // and the exact Hamming filter still rejects pairs beyond the radius
     assert(Dedup.simhashBandPairs(sig, "doc_id", maxHamming = 9).count() == 0)
+    // the CROSS-corpus admission form inherits the same guarantee, emits
+    // each pair once (first-shared-band), and never pairs corpus × corpus
+    val corpus = Seq((1L, 0L), (5L, 0L)).toDF("doc_id", "simhash") // 5 dups 1
+    val incoming = Seq((2L, y), (3L, ~0L)).toDF("doc_id", "simhash")
+    val m = Dedup.simhashBandMatchesBetween(incoming, corpus, "doc_id", 12)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(m == Set((2L, 1L, 10L), (2L, 5L, 10L))) // 3 is 64 away; 1-5 never paired
   }
 
   test("minhash in-row signature (sketchCol) == MinHashSketch aggregate") {

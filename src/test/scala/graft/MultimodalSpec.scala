@@ -487,6 +487,99 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L, 0), (1L, 3L, editDist), (2L, 3L, editDist)))
   }
 
+  test("y4m video: real luma decode, chroma-blind frame hashes, clip near-dup " +
+       "by shared distinct frame signatures") {
+    import graft.operators.{PnmCodec, Y4mCodec}
+    val w = 36; val h = 32
+    def gray(f: (Int, Int) => Int): Array[Byte] =
+      Array.tabulate(w * h)(i => f(i % w, i / w).toByte)
+    def y4m(chroma: String, frames: Seq[Array[Byte]]): Array[Byte] = {
+      val cb = chroma match {
+        case "420jpeg" => 2 * ((w + 1) / 2) * ((h + 1) / 2)
+        case "444" => 2 * w * h
+        case "mono" => 0
+      }
+      s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C$chroma\n".getBytes("US-ASCII") ++
+        frames.flatMap(y => "FRAME\n".getBytes("US-ASCII") ++ y ++
+          Array.fill[Byte](cb)(128.toByte))
+    }
+    val p1 = gray((x, _) => x * 7)                 // rising ramp: hash -1
+    val p2 = gray((x, _) => (w - 1 - x) * 7)       // falling ramp: hash 0
+    val p3 = gray((x, _) => if ((x / 4) % 2 == 0) 200 else 50) // alternating
+    val p4 = gray((x, _) => if (x < 18) x * 7 else (35 - x) * 7) // tent
+
+    // decode: frame count, dimensions, luma-only; chroma mode is skipped by
+    // size, so the SAME luma under different chroma subsampling decodes (and
+    // hashes) identically
+    val c420 = Y4mCodec.decodeFrames(y4m("420jpeg", Seq(p1, p2, p3))).get
+    assert(c420.length == 3 && c420.head.width == w && c420.head.channels == 1)
+    val c444 = Y4mCodec.decodeFrames(y4m("444", Seq(p1, p2, p3))).get
+    assert(c420.zip(c444).forall { case (a, b) => a.pixels.sameElements(b.pixels) })
+    assert(PnmCodec.dhash64(c420.head) == -1L && PnmCodec.dhash64(c420(1)) == 0L)
+    assert(Y4mCodec.decodeFrames(y4m("mono", Seq(p1))).get.length == 1)
+    assert(Y4mCodec.decodeFrames("YUV4MPEG2 W4 H4\nJUNK".getBytes).isEmpty)
+    assert(Y4mCodec.decodeFrames(Array[Byte](1, 2, 3)).isEmpty)
+
+    // frame sampling: every 2nd frame keeps indices 0 and 2
+    val sampled = Multimodal.y4mFrameHasher(everyNth = 2)(
+      Iterator((7L, "video", y4m("420jpeg", Seq(p1, p2, p3))))).toSeq
+    assert(sampled.map(_._2) == Seq(0, 2))
+
+    // clip near-dup: clip2 shares {p1, p3} with clip1 across DIFFERENT chroma
+    // modes and frame order; repeats in clip3 don't inflate its single share
+    val rows = Seq(
+      Row(1L, "video", y4m("420jpeg", Seq(p1, p2, p3)), null),
+      Row(2L, "video", y4m("444", Seq(p3, p1, p4)), null),
+      Row(3L, "video", y4m("420jpeg", Seq(p2, p2, p2, p4)), null),
+      Row(4L, "video", Array[Byte](3, 3, 3), null)) // undecodable
+    val lake = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val pairs = Multimodal.videoNearDupPairs(lake,
+        Multimodal.y4mFrameHasher(), minSharedFrames = 2)
+      .select($"id_a", $"id_b", $"shared_frames").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(pairs == Set((1L, 2L, 2L)))
+  }
+
+  test("media admission gate: the tick joins the corpus SIGNATURE store only; " +
+       "dups and undecodables rejected, novel payloads admitted") {
+    def ppm(pix: Array[Byte], w: Int, h: Int): Array[Byte] =
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ pix
+    val w = 36; val h = 32
+    def ramp(f: (Int, Int) => Int): Array[Byte] = Array.tabulate(w * h * 3) { i =>
+      val px = i / 3; f(px % w, px / w).toByte
+    }
+    val a = ramp((x, _) => x * 7)
+    val edited = a.clone()
+    for (y <- 0 until 4; x <- 0 until 8; c <- 0 until 3)
+      edited((y * w + x) * 3 + c) = 250.toByte
+    val reversed = ramp((x, _) => (w - 1 - x) * 7)
+    val checker = ramp((x, _) => if ((x / 4) % 2 == 0) 200 else 50)
+    def lake(rows: Seq[Row]) = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), Multimodal.mediaSchema)
+    val corpus = lake(Seq(
+      Row(1L, "image", ppm(a, w, h), null),
+      Row(2L, "image", ppm(reversed, w, h), null)))
+    // the lake persists its signature store once; ticks never re-read blobs
+    val store = Multimodal.perceptualHashes(
+      corpus, Multimodal.anyImagePhashHasher())
+    val tick = lake(Seq(
+      Row(10L, "image", ppm(a, w, h), null),       // exact dup of 1
+      Row(11L, "image", ppm(edited, w, h), null),  // near-dup of 1
+      Row(12L, "image", ppm(checker, w, h), null), // novel
+      Row(13L, "image", Array[Byte](7, 7), null))) // undecodable
+    val matches = Multimodal.mediaAdmissionMatches(store, tick,
+        Multimodal.anyImagePhashHasher(), maxHamming = 6)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Int)]
+      .collect().toSet
+    assert(matches.map(m => (m._1, m._2)) == Set((10L, 1L), (11L, 1L)))
+    assert(matches.collect { case (10L, 1L, d) => d }.head == 0)
+    val admitted = Multimodal.admitNewMedia(store, tick,
+        Multimodal.anyImagePhashHasher(), maxHamming = 6)
+      .select($"media_id").as[Long].collect().toSet
+    assert(admitted == Set(12L)) // dup+near-dup rejected, junk dropped
+  }
+
   test("perceptualHashes owns the few-file parallelism guard") {
     import graft.operators.Dedup
     // a ONE-file media lake: without the guard the decode kernel would run
