@@ -1140,7 +1140,7 @@ object Dedup {
 
   /** Band b's bit-slice of a 64-bit SimHash signature under `bands`
     * pigeonhole bands (widths 64/bands ± 1). */
-  private def simhashBandVal(sim: Column, b: Int, bands: Int): Column = {
+  private[graft] def simhashBandVal(sim: Column, b: Int, bands: Int): Column = {
     val bounds = (0 to bands).map(i => i * 64 / bands)
     val lo = bounds(b)
     val w = bounds(b + 1) - lo
@@ -1150,7 +1150,7 @@ object Dedup {
 
   /** The exploded (id, simhash, band, bh) frame of the pigeonhole banding —
     * shared by `simhashBandPairs` and the pair-budget estimator. */
-  private def simhashBandedFrame(sig: DataFrame, idCol: String,
+  private[graft] def simhashBandedFrame(sig: DataFrame, idCol: String,
                                  maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 64, "maxHamming must be in [0, 64)")
     val bands = maxHamming + 1

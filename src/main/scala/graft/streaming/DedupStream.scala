@@ -142,4 +142,60 @@ object DedupStream {
     docs.withColumn("__content_sha", sha2(lower(trim(col(textCol))), 256))
       .withWatermark(eventTimeCol, watermark)
       .dropDuplicatesWithinWatermark("__content_sha")
+
+  /** Static corpus index for MEDIA admission: the pigeonhole banding of a
+    * perceptual SIGNATURE store — (corpus_id, csig, band, bh), one row per
+    * (signature, band), bands = maxHamming + 1, from the very same bit
+    * slicing the batch `Dedup.simhashBandPairs` uses, so stream and batch
+    * agree bit-for-bit on candidates. Build from
+    * `Multimodal.perceptualHashes` output once; the lake's blobs are never
+    * re-read by the stream. */
+  def mediaSignatureIndex(corpusHashes: DataFrame, maxHamming: Int): DataFrame =
+    graft.operators.Dedup.simhashBandedFrame(
+        corpusHashes.select(col("media_id"), col("phash").as("simhash")),
+        "media_id", maxHamming)
+      .select(col("__id").as("corpus_id"), col("simhash").as("csig"),
+        col("band"), col("bh"))
+
+  /** Flag streaming media whose perceptual hash lands within `maxHamming` of
+    * some corpus signature: arriving payloads decode+hash per micro-batch in
+    * a mapPartitions projection (the blob never leaves its partition), band
+    * hashes stream-static join the index (no state store), and the EXACT
+    * `bit_count(xor)` verifies in-flight — like the embedding path, the flag
+    * is a verified near-dup, not a candidate. Pairs sharing several bands
+    * are kept once by the first-shared-band predicate (streams forbid
+    * distinct). Returns (media_id, n_corpus_matches, matched_corpus_id,
+    * best_hamming); undecodable and zero-match payloads do not appear —
+    * compose as a suppression list, dropping undecodables separately. */
+  def nearDupMediaFlags(media: DataFrame, corpusIndex: DataFrame,
+                        hasher: graft.operators.Multimodal.BatchHasher,
+                        maxHamming: Int,
+                        payloadCol: String = "payload"): DataFrame = {
+    import graft.operators.Dedup.simhashBandVal
+    val spark = media.sparkSession
+    import spark.implicits._
+    val bands = maxHamming + 1
+    val sig = media
+      .select(col("media_id").cast("long"), col("kind"), col(payloadCol))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions(hasher)
+      .toDF("media_id", "ssig")
+    val bandStructs = (0 until bands).map(b => struct(lit(b).as("band"),
+      simhashBandVal(col("ssig"), b, bands).as("bh")))
+    val noEarlierBand = (0 until bands - 1).map { b =>
+      col("band") <= b ||
+        simhashBandVal(col("ssig"), b, bands) =!=
+          simhashBandVal(col("csig"), b, bands)
+    }.reduceOption(_ && _).getOrElse(lit(true))
+    sig.select(col("media_id"), col("ssig"),
+        explode(array(bandStructs: _*)).as("bb"))
+      .select(col("media_id"), col("ssig"), col("bb.band"), col("bb.bh"))
+      .join(corpusIndex, Seq("band", "bh")) // stream-static: no state store
+      .filter(bit_count(col("ssig").bitwiseXOR(col("csig"))) <= maxHamming)
+      .filter(noEarlierBand)
+      .groupBy(col("media_id"))
+      .agg(count(lit(1)).as("n_corpus_matches"),
+        min(col("corpus_id")).as("matched_corpus_id"),
+        min(bit_count(col("ssig").bitwiseXOR(col("csig")))).as("best_hamming"))
+  }
 }

@@ -87,4 +87,48 @@ class DedupStreamSpec extends SparkSpec {
       assert((ids & Set(1L, 2L)).size == 1) // exactly one arrival of the dup admitted
     } finally q.stop()
   }
+
+  test("stream-static media admission verifies exact hamming in-flight") {
+    import graft.operators.Multimodal
+    def ppm(pix: Array[Byte], w: Int, h: Int): Array[Byte] =
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ pix
+    val w = 36; val h = 32
+    def ramp(f: (Int, Int) => Int): Array[Byte] = Array.tabulate(w * h * 3) { i =>
+      val px = i / 3; f(px % w, px / w).toByte
+    }
+    val a = ramp((x, _) => x * 7)
+    val edited = a.clone()
+    for (y <- 0 until 4; x <- 0 until 8; c <- 0 until 3)
+      edited((y * w + x) * 3 + c) = 250.toByte
+    val corpus = Seq(
+      (100L, "image", ppm(a, w, h)),
+      (101L, "image", ppm(ramp((x, _) => (w - 1 - x) * 7), w, h)))
+      .toDF("media_id", "kind", "payload")
+    // the stream probes the SIGNATURE index, never the corpus blobs
+    val index = DedupStream.mediaSignatureIndex(
+      Multimodal.perceptualHashes(corpus, Multimodal.anyImagePhashHasher()),
+      maxHamming = 6)
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Array[Byte])]
+    val flags = DedupStream.nearDupMediaFlags(
+      input.toDF().toDF("media_id", "kind", "payload"), index,
+      Multimodal.anyImagePhashHasher(), maxHamming = 6)
+    val q = flags.writeStream.outputMode("complete")
+      .format("memory").queryName("mediaflags").start()
+    try {
+      input.addData(
+        (1L, "image", ppm(a, w, h)),      // exact dup of 100
+        (2L, "image", ppm(edited, w, h)), // near-dup of 100
+        (3L, "image", ppm(ramp((x, _) => if ((x / 4) % 2 == 0) 200 else 50),
+          w, h)),                         // novel
+        (4L, "image", Array[Byte](5, 5))) // undecodable
+      q.processAllAvailable()
+      val out = spark.sql(
+          "SELECT media_id, matched_corpus_id, best_hamming FROM mediaflags")
+        .as[(Long, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+      assert(out(1L) == (100L, 0)) // exact copy: hamming 0, verified in-flight
+      assert(out(2L)._1 == 100L && out(2L)._2 > 0 && out(2L)._2 <= 6)
+      assert(!out.contains(3L) && !out.contains(4L)) // novel + junk unflagged
+    } finally q.stop()
+  }
 }
