@@ -1119,13 +1119,28 @@ object Dedup {
     * behind the signatures are never read. Feed `simhash64` frames for text
     * or `Multimodal.perceptualHashes` frames (phash renamed simhash) for
     * media. Returns (id_a = incoming, id_b = corpus, hamming),
-    * duplicate-free via the first-shared-band predicate. */
+    * duplicate-free via the first-shared-band predicate.
+    *
+    * Flood guard (`collapseIdenticalCorpus`, default ON): the corpus side is
+    * contracted to ONE min-id representative per identical signature before
+    * banding — EXACT for matching (identical signatures are interchangeable:
+    * same bands, same hamming to any probe), and it removes the blowup a
+    * duplicate-dense lake would otherwise cause (thousands of blank images
+    * all hash to one signature; every probe near it would join them all).
+    * With the collapse on, `id_b` reports the representative, not every
+    * duplicate holder. Residual hazard — many DISTINCT corpus signatures
+    * colliding on one band slice — is bounded by the 2^(64/bands) slice
+    * space and the exact in-join hamming filter. */
   def simhashBandMatchesBetween(incoming: DataFrame, corpus: DataFrame,
-                                idCol: String, maxHamming: Int): DataFrame = {
+                                idCol: String, maxHamming: Int,
+                                collapseIdenticalCorpus: Boolean = true): DataFrame = {
     val bands = maxHamming + 1
     def bandVal(sim: Column, b: Int): Column = simhashBandVal(sim, b, bands)
+    val corpusSlim = if (!collapseIdenticalCorpus) corpus
+      else corpus.groupBy(col("simhash")).agg(min(col(idCol)).as(idCol))
+        .select(col(idCol), col("simhash"))
     val bi = simhashBandedFrame(incoming, idCol, maxHamming)
-    val bc = simhashBandedFrame(corpus, idCol, maxHamming)
+    val bc = simhashBandedFrame(corpusSlim, idCol, maxHamming)
     val noEarlierBand = (0 until bands - 1).map { b =>
       col("x.band") <= b ||
         bandVal(col("x.simhash"), b) =!= bandVal(col("y.simhash"), b)

@@ -232,11 +232,25 @@ object Multimodal {
     * guarantee, flood guards (`maxBucket` star collapse), and pair-budget
     * refusal (`maxPairs`) apply verbatim to images. Returns (id_a, id_b,
     * hamming). Radius guidance: 0 = same coarse luma field (re-encodes,
-    * rescales), ≤ 6 = localized edits; beyond ~8 prefer embedding LSH. */
+    * rescales), ≤ 6 = localized edits; beyond ~8 prefer embedding LSH.
+    *
+    * Cache lifecycle: the banding stage rides a persisted signature frame
+    * with the same session lifecycle as the batch text listings (q24/q25) —
+    * `spark.catalog.clearCache()` frees it between ticks of a long-running
+    * driver. */
   def imageNearDupPairs(df: DataFrame, hasher: BatchHasher,
                         maxHamming: Int = 6, maxBucket: Int = 0,
                         maxPairs: Long = 0L,
                         payloadCol: String = "payload"): DataFrame =
+    signatureNearDupPairs(df, hasher, maxHamming, maxBucket, maxPairs,
+      payloadCol)
+
+  /** Shared body of [[imageNearDupPairs]]/[[audioNearDupPairs]] — the
+    * modality lives entirely in the hasher. */
+  private def signatureNearDupPairs(df: DataFrame, hasher: BatchHasher,
+                                    maxHamming: Int, maxBucket: Int,
+                                    maxPairs: Long,
+                                    payloadCol: String): DataFrame =
     Dedup.simhashBandPairs(
       perceptualHashes(df, hasher, payloadCol)
         .select(col("media_id"), col("phash").as("simhash")),
@@ -255,17 +269,16 @@ object Multimodal {
     afpHasher(b => WavCodec.decode(b).orElse(JavaSoundCodec.decode(b)))
 
   /** Audio near-dup pairs — [[imageNearDupPairs]]' acoustic twin: decode →
-    * `WavCodec.afp64` per partition, then the same pigeonhole banding.
+    * `WavCodec.afp64` per partition, then the same pigeonhole banding (and
+    * the same cache lifecycle — see [[imageNearDupPairs]]).
     * Radius guidance: 0 = re-containered / gain-changed / resampled copies
     * (the envelope hash is invariant to all three), ≤ 6 = localized edits. */
   def audioNearDupPairs(df: DataFrame, hasher: BatchHasher,
                         maxHamming: Int = 6, maxBucket: Int = 0,
                         maxPairs: Long = 0L,
                         payloadCol: String = "payload"): DataFrame =
-    Dedup.simhashBandPairs(
-      perceptualHashes(df, hasher, payloadCol)
-        .select(col("media_id"), col("phash").as("simhash")),
-      "media_id", maxHamming, maxBucket, maxPairs)
+    signatureNearDupPairs(df, hasher, maxHamming, maxBucket, maxPairs,
+      payloadCol)
 
   /** Per-frame hash contract: (media_id, frame_idx, signature) per decodable
     * frame — the clip-level analog of `BatchHasher`. */
@@ -344,11 +357,18 @@ object Multimodal {
     * match already in the corpus. Undecodable payloads are dropped (the
     * curation semantic — an unreadable blob is filtered, not admitted
     * unseen). Admit, then append the admitted rows' hashes to the signature
-    * store for the next tick. */
+    * store for the next tick.
+    *
+    * The tick's hashes are checkpointed ONCE and read by both the match
+    * subtree and the decodability gate (the `admissionPairs` one-tokenize
+    * lesson — without it every payload decodes twice); `Dedup.release(result)`
+    * after the final action frees the tick-sized checkpoint (the composites'
+    * contract). */
   def admitNewMedia(corpusHashes: DataFrame, incoming: DataFrame,
                     hasher: BatchHasher, maxHamming: Int = 6,
                     payloadCol: String = "payload"): DataFrame = {
     val inc = perceptualHashes(incoming, hasher, payloadCol)
+      .localCheckpoint(eager = true) // tick-sized: (id, long) per decodable row
     val matches = Dedup.simhashBandMatchesBetween(
       inc.select(col("media_id"), col("phash").as("simhash")),
       corpusHashes.select(col("media_id"), col("phash").as("simhash")),

@@ -107,6 +107,8 @@ object PnmCodec {
     * nearest-sample when the source is smaller than the grid). Luma is the
     * integer-exact (77·R + 150·G + 29·B) >> 8; gray passes through. */
   def lumaGrid(img: Image, tw: Int, th: Int): Array[Int] = {
+    require(img.channels == 1 || img.channels == 3,
+      s"lumaGrid expects gray or RGB rasters, got channels=${img.channels}")
     val out = new Array[Int](tw * th)
     var y = 0
     while (y < th) {

@@ -155,7 +155,12 @@ object DedupStream {
         corpusHashes.select(col("media_id"), col("phash").as("simhash")),
         "media_id", maxHamming)
       .select(col("__id").as("corpus_id"), col("simhash").as("csig"),
-        col("band"), col("bh"))
+        col("band"), col("bh"),
+        // the radius is PART of the index: band numbering maps to different
+        // bit slices at different radii, so probing with a mismatched radius
+        // would silently lose the recall guarantee — the probe reads the
+        // radius from here instead of trusting a second copy of the value
+        lit(maxHamming).as("__maxHamming"))
 
   /** Flag streaming media whose perceptual hash lands within `maxHamming` of
     * some corpus signature: arriving payloads decode+hash per micro-batch in
@@ -164,32 +169,34 @@ object DedupStream {
     * `bit_count(xor)` verifies in-flight — like the embedding path, the flag
     * is a verified near-dup, not a candidate. Pairs sharing several bands
     * are kept once by the first-shared-band predicate (streams forbid
-    * distinct). Returns (media_id, n_corpus_matches, matched_corpus_id,
-    * best_hamming); undecodable and zero-match payloads do not appear —
-    * compose as a suppression list, dropping undecodables separately. */
+    * distinct). The radius comes FROM the index (`__maxHamming` — one
+    * bounded lookup at stream build time), so stream and index can never
+    * band-slice differently. Returns (media_id, n_corpus_matches,
+    * matched_corpus_id, best_hamming); undecodable and zero-match payloads
+    * do not appear — compose as a suppression list, dropping undecodables
+    * separately. */
   def nearDupMediaFlags(media: DataFrame, corpusIndex: DataFrame,
                         hasher: graft.operators.Multimodal.BatchHasher,
-                        maxHamming: Int,
                         payloadCol: String = "payload"): DataFrame = {
-    import graft.operators.Dedup.simhashBandVal
+    import graft.operators.Dedup.{simhashBandVal, simhashBandedFrame}
     val spark = media.sparkSession
     import spark.implicits._
+    val maxHamming = corpusIndex.select(col("__maxHamming")).head.getInt(0)
     val bands = maxHamming + 1
     val sig = media
       .select(col("media_id").cast("long"), col("kind"), col(payloadCol))
       .as[(Long, String, Array[Byte])]
       .mapPartitions(hasher)
       .toDF("media_id", "ssig")
-    val bandStructs = (0 until bands).map(b => struct(lit(b).as("band"),
-      simhashBandVal(col("ssig"), b, bands).as("bh")))
     val noEarlierBand = (0 until bands - 1).map { b =>
       col("band") <= b ||
         simhashBandVal(col("ssig"), b, bands) =!=
           simhashBandVal(col("csig"), b, bands)
     }.reduceOption(_ && _).getOrElse(lit(true))
-    sig.select(col("media_id"), col("ssig"),
-        explode(array(bandStructs: _*)).as("bb"))
-      .select(col("media_id"), col("ssig"), col("bb.band"), col("bb.bh"))
+    simhashBandedFrame(sig.select(col("media_id"), col("ssig").as("simhash")),
+        "media_id", maxHamming) // the batch slicing, verbatim — never forks
+      .select(col("__id").as("media_id"), col("simhash").as("ssig"),
+        col("band"), col("bh"))
       .join(corpusIndex, Seq("band", "bh")) // stream-static: no state store
       .filter(bit_count(col("ssig").bitwiseXOR(col("csig"))) <= maxHamming)
       .filter(noEarlierBand)

@@ -120,13 +120,21 @@ class DedupSpec extends SparkSpec {
     // and the exact Hamming filter still rejects pairs beyond the radius
     assert(Dedup.simhashBandPairs(sig, "doc_id", maxHamming = 9).count() == 0)
     // the CROSS-corpus admission form inherits the same guarantee, emits
-    // each pair once (first-shared-band), and never pairs corpus × corpus
+    // each pair once (first-shared-band), and never pairs corpus × corpus;
+    // identical corpus signatures contract to their min-id representative
+    // (the flood guard, default ON — exact for matching)
     val corpus = Seq((1L, 0L), (5L, 0L)).toDF("doc_id", "simhash") // 5 dups 1
     val incoming = Seq((2L, y), (3L, ~0L)).toDF("doc_id", "simhash")
     val m = Dedup.simhashBandMatchesBetween(incoming, corpus, "doc_id", 12)
       .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)]
       .collect().toSet
-    assert(m == Set((2L, 1L, 10L), (2L, 5L, 10L))) // 3 is 64 away; 1-5 never paired
+    assert(m == Set((2L, 1L, 10L))) // 3 is 64 away; 5 rides its representative 1
+    // collapse OFF enumerates every duplicate holder
+    val mAll = Dedup.simhashBandMatchesBetween(incoming, corpus, "doc_id", 12,
+        collapseIdenticalCorpus = false)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(mAll == Set((2L, 1L, 10L), (2L, 5L, 10L)))
   }
 
   test("minhash in-row signature (sketchCol) == MinHashSketch aggregate") {

@@ -112,7 +112,7 @@ class DedupStreamSpec extends SparkSpec {
     val input = MemoryStream[(Long, String, Array[Byte])]
     val flags = DedupStream.nearDupMediaFlags(
       input.toDF().toDF("media_id", "kind", "payload"), index,
-      Multimodal.anyImagePhashHasher(), maxHamming = 6)
+      Multimodal.anyImagePhashHasher()) // radius rides the index
     val q = flags.writeStream.outputMode("complete")
       .format("memory").queryName("mediaflags").start()
     try {
