@@ -1,0 +1,147 @@
+package graft.jobs
+
+import graft.operators.{Dedup, Multimodal}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CLI for the media-lake curation tick — the job a user of the multimodal
+  * near-dup operators actually runs: decode gate (undecodable payloads
+  * dropped) -> optional ADMISSION against an existing signature store
+  * (tick × store only; the lake's blobs are never re-read) -> within-tick
+  * perceptual near-dup clusters (banded pairs -> connected components ->
+  * min-id survivors) -> survivors parquet + the signature store for the
+  * NEXT tick, with an audit line. The media analog of `CurationJob`'s text
+  * pipeline, composed from the same operators the specs pin.
+  *
+  * Config JSON:
+  * {
+  *   "media_path": "<parquet (media_id, kind, payload)>",
+  *   "output_path": "<dir>",          // <dir>/media + <dir>/sigs
+  *   "modality": "image",             // image | audio | video
+  *   "max_hamming": 4,                // image/audio near-dup radius
+  *   "max_bucket": 4096,              // flood star-collapse for the pair join
+  *   "min_shared_frames": 2,          // video: clip near-dup threshold
+  *   "frame_every_nth": 1,            // video: frame sampling stride
+  *   "signature_store": ""            // optional existing store parquet:
+  *                                    //   image/audio (media_id, phash),
+  *                                    //   video (media_id, fsig); matched
+  *                                    //   incoming rows are rejected BEFORE
+  *                                    //   the within-tick dedup
+  * }
+  *
+  * The published store is the TICK's signatures only — append it to the
+  * lake's store (`VersionedFactStore`-style tick layout or a plain union)
+  * as the deployment's store maintenance; the job stays a pure function of
+  * its inputs. S13 idempotence: an existing non-empty output dir skips.
+  *
+  * Usage: MediaCurationJob <config.json> */
+object MediaCurationJob {
+
+  final case class Stats(total: Long, decodable: Long, admitted: Long,
+                         survivors: Long)
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args(0))
+    finally spark.stop()
+  }
+
+  /** Returns per-stage row counts (None = output existed, S13 skip). */
+  def run(spark: SparkSession, cfgPath: String): Option[Stats] = {
+    val cfg = spark.read.option("multiLine", true).json(cfgPath).first()
+    def str(f: String, d: String): String =
+      if (cfg.schema.fieldNames.contains(f) && !cfg.isNullAt(cfg.fieldIndex(f)))
+        cfg.get(cfg.fieldIndex(f)).toString else d
+    val outPath = cfg.getAs[String]("output_path")
+    if (!Maintenance.shouldRun(outPath)) return None
+
+    val modality = str("modality", "image")
+    val maxHamming = str("max_hamming", "4").toInt
+    val maxBucket = str("max_bucket", "4096").toInt
+    val minShared = str("min_shared_frames", "2").toInt
+    val everyNth = str("frame_every_nth", "1").toInt
+    val storePath = str("signature_store", "")
+    val media = spark.read.parquet(cfg.getAs[String]("media_path"))
+    val total = media.count()
+
+    val isVideo = modality == "video"
+    val hasher = modality match {
+      case "image" => Multimodal.anyImagePhashHasher()
+      case "audio" => Multimodal.anyAudioFpHasher()
+      case "video" => null // frame route below
+      case other => sys.error(s"unknown modality $other")
+    }
+    val frameHasher =
+      if (isVideo) Multimodal.y4mFrameHasher(everyNth) else null
+
+    // ONE decode pass: the tick's signatures, checkpointed — the decode gate,
+    // the admission probe, the pair join, and the published store all read it
+    val sigs = (if (isVideo)
+        Multimodal.frameSignatures(media, frameHasher) // (media_id, frame_idx, fsig)
+      else Multimodal.perceptualHashes(media, hasher)) // (media_id, phash)
+      .localCheckpoint(eager = true)
+    val decodableIds = sigs.select(col("media_id")).distinct()
+    val decodable = decodableIds.count()
+
+    // admission BEFORE within-tick dedup: rows already in the lake never
+    // compete for survivorship
+    val rejected: DataFrame = if (storePath.isEmpty) null
+      else if (isVideo)
+        Multimodal.videoAdmissionMatches(spark.read.parquet(storePath),
+            media, frameHasher, minShared)
+          .select(col("id_a").as("media_id")).distinct()
+      else Dedup.simhashBandMatchesBetween(
+          sigs.select(col("media_id"), col("phash").as("simhash")),
+          spark.read.parquet(storePath)
+            .select(col("media_id"), col("phash").as("simhash")),
+          "media_id", maxHamming)
+        .select(col("id_a").as("media_id")).distinct()
+    val admittedIds = (if (rejected == null) decodableIds
+      else decodableIds.join(rejected, Seq("media_id"), "left_anti"))
+      .localCheckpoint(eager = true)
+    val admitted = admittedIds.count()
+
+    // within-tick near-dup clusters over the ADMITTED signatures
+    val admittedSigs = sigs.join(admittedIds, Seq("media_id"), "left_semi")
+    val pairs = if (isVideo) {
+      val ex = admittedSigs.select(col("media_id").as("__id"),
+        col("fsig").as("__wh")).distinct()
+      val (normal, star) = Dedup.splitOversizedBuckets(ex, Seq("__wh"), maxBucket)
+      val normalPairs = normal.as("a").join(normal.as("b"),
+          col("a.__wh") === col("b.__wh") && col("a.__id") < col("b.__id"))
+        .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      val all = if (star == null) normalPairs
+        else normalPairs.unionByName(
+          star.select(col("__bmin").as("id_a"), col("__id").as("id_b")))
+      all.groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("shared_frames"))
+        .filter(col("shared_frames") >= minShared)
+    } else Dedup.simhashBandPairs(
+      admittedSigs.select(col("media_id"), col("phash").as("simhash")),
+      "media_id", maxHamming, maxBucket)
+    val labels = Dedup.components(pairs)
+    val losers = labels.filter(col("id") =!= col("component"))
+      .select(col("id").as("media_id"))
+    val survivorIds = admittedIds.join(losers, Seq("media_id"), "left_anti")
+
+    val survivorsDf = media.join(survivorIds, Seq("media_id"), "left_semi")
+    survivorsDf.write.mode("overwrite").parquet(s"$outPath/media")
+    // the tick's signature store: SURVIVOR signatures only (rejected and
+    // shadowed rows are represented by their store/survivor twins)
+    sigs.join(survivorIds, Seq("media_id"), "left_semi")
+      .write.mode("overwrite").parquet(s"$outPath/sigs")
+    val survivors = spark.read.parquet(s"$outPath/media").count()
+    Dedup.release(labels)
+    Seq(sigs, admittedIds).foreach(Dedup.release)
+    val stats = Stats(total, decodable, admitted, survivors)
+    System.err.println(s"[media-curate] $stats")
+    Some(stats)
+  }
+}

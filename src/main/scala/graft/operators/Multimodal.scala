@@ -338,6 +338,26 @@ object Multimodal {
       .filter(col("shared_frames") >= minSharedFrames)
   }
 
+  /** Video admission matches — [[videoNearDupPairs]]' tick form: every
+    * (incoming clip, corpus clip) pair sharing at least `minSharedFrames`
+    * DISTINCT frame signatures, where the corpus side is its persisted
+    * FRAME-SIGNATURE store (media_id, fsig) — incoming × corpus only, the
+    * lake's blobs never re-read. Returns (id_a = incoming, id_b = corpus,
+    * shared_frames). */
+  def videoAdmissionMatches(corpusFrameSigs: DataFrame, incoming: DataFrame,
+                            hasher: BatchFrameHasher, minSharedFrames: Int = 2,
+                            payloadCol: String = "payload"): DataFrame = {
+    require(minSharedFrames >= 1,
+      s"minSharedFrames must be >= 1, got $minSharedFrames")
+    frameSignatures(incoming, hasher, payloadCol)
+      .select(col("media_id").as("id_a"), col("fsig")).distinct()
+      .join(corpusFrameSigs.select(col("media_id").as("id_b"), col("fsig"))
+        .distinct(), Seq("fsig"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .filter(col("shared_frames") >= minSharedFrames)
+  }
+
   /** Media admission matches — the batch media tick against an existing
     * lake: every (incoming, corpus) pair within `maxHamming`, where the
     * corpus side is its persisted SIGNATURE STORE (media_id, phash) — the
