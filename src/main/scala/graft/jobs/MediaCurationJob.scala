@@ -68,8 +68,16 @@ object MediaCurationJob {
     val minShared = str("min_shared_frames", "2").toInt
     val everyNth = str("frame_every_nth", "1").toInt
     val storePath = str("signature_store", "")
+    val stageTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var tLast = System.nanoTime()
+    def lap(stage: String): Unit = {
+      val now = System.nanoTime()
+      stageTimes += stage -> (now - tLast) / 1e9
+      tLast = now
+    }
     val media = spark.read.parquet(cfg.getAs[String]("media_path"))
     val total = media.count()
+    lap("read+count")
 
     val isVideo = modality == "video"
     val hasher = modality match {
@@ -87,8 +95,10 @@ object MediaCurationJob {
         Multimodal.frameSignatures(media, frameHasher) // (media_id, frame_idx, fsig)
       else Multimodal.perceptualHashes(media, hasher)) // (media_id, phash)
       .localCheckpoint(eager = true)
+    lap("decode+hash")
     val decodableIds = sigs.select(col("media_id")).distinct()
     val decodable = decodableIds.count()
+    lap("decodable")
 
     // admission BEFORE within-tick dedup: rows already in the lake never
     // compete for survivorship
@@ -103,13 +113,19 @@ object MediaCurationJob {
             .select(col("media_id"), col("phash").as("simhash")),
           "media_id", maxHamming)
         .select(col("id_a").as("media_id")).distinct()
-    val admittedIds = (if (rejected == null) decodableIds
-      else decodableIds.join(rejected, Seq("media_id"), "left_anti"))
-      .localCheckpoint(eager = true)
-    val admitted = admittedIds.count()
+    val rejectedIds = if (rejected == null) null
+      else rejected.localCheckpoint(eager = true)
+    // rejected ids all decoded (they have signatures) and are distinct, so
+    // the admitted count never touches the payload column
+    val admitted =
+      decodable - (if (rejectedIds == null) 0L else rejectedIds.count())
+    lap("admission")
 
-    // within-tick near-dup clusters over the ADMITTED signatures
-    val admittedSigs = sigs.join(admittedIds, Seq("media_id"), "left_semi")
+    // within-tick near-dup clusters over the ADMITTED signatures — the
+    // rejected set is tick-bounded, so it broadcasts and the (narrow)
+    // signature frame never shuffles for the gate
+    val admittedSigs = if (rejectedIds == null) sigs
+      else sigs.join(broadcast(rejectedIds), Seq("media_id"), "left_anti")
     val pairs = if (isVideo) {
       val ex = admittedSigs.select(col("media_id").as("__id"),
         col("fsig").as("__wh")).distinct()
@@ -127,21 +143,41 @@ object MediaCurationJob {
       admittedSigs.select(col("media_id"), col("phash").as("simhash")),
       "media_id", maxHamming, maxBucket)
     val labels = Dedup.components(pairs)
+    lap("pairs+cc")
+    // EVERYTHING that falls out of the tick is small — junk, store dups, and
+    // cluster non-survivors — while the tick's rows carry payload blobs. So
+    // the final selection is one broadcast ANTI-join on the DROP set and the
+    // payloads never shuffle: the first cut semi-joined the (corpus-sized)
+    // survivor ID set instead, which planned the payload side into shuffle
+    // files before AQE's broadcast conversion could see the sizes. At 100 TB
+    // the drop set is tick-bounded while survivors approach corpus-sized —
+    // broadcasting the former is the shape that scales.
+    val undecodable = media.select(col("media_id")) // narrow: ids only
+      .join(decodableIds, Seq("media_id"), "left_anti")
     val losers = labels.filter(col("id") =!= col("component"))
       .select(col("id").as("media_id"))
-    val survivorIds = admittedIds.join(losers, Seq("media_id"), "left_anti")
+    val dropBase = undecodable.unionByName(losers)
+    val dropIds = (if (rejectedIds == null) dropBase
+      else dropBase.unionByName(rejectedIds))
+      .distinct().localCheckpoint(eager = true)
+    Dedup.release(labels)
+    lap("drop-set")
 
-    val survivorsDf = media.join(survivorIds, Seq("media_id"), "left_semi")
-    survivorsDf.write.mode("overwrite").parquet(s"$outPath/media")
+    media.join(broadcast(dropIds), Seq("media_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$outPath/media")
     // the tick's signature store: SURVIVOR signatures only (rejected and
     // shadowed rows are represented by their store/survivor twins)
-    sigs.join(survivorIds, Seq("media_id"), "left_semi")
+    sigs.join(broadcast(dropIds), Seq("media_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$outPath/sigs")
+    lap("write")
     val survivors = spark.read.parquet(s"$outPath/media").count()
-    Dedup.release(labels)
-    Seq(sigs, admittedIds).foreach(Dedup.release)
+    lap("count-back")
+    Seq(sigs, dropIds).foreach(Dedup.release)
+    if (rejectedIds != null) Dedup.release(rejectedIds)
     val stats = Stats(total, decodable, admitted, survivors)
     System.err.println(s"[media-curate] $stats")
+    System.err.println("[media-curate-times] " + stageTimes
+      .map { case (k, v) => f"$k=$v%.1fs" }.mkString(" "))
     Some(stats)
   }
 }
