@@ -149,10 +149,16 @@ object DedupStream {
     * slicing the batch `Dedup.simhashBandPairs` uses, so stream and batch
     * agree bit-for-bit on candidates. Build from
     * `Multimodal.perceptualHashes` output once; the lake's blobs are never
-    * re-read by the stream. */
+    * re-read by the stream. Identical store signatures contract to their
+    * min-id representative (the batch admission gate's flood guard — exact:
+    * same bands, same hamming to any probe), so a lake full of blank media
+    * cannot multiply every probe row; `matched_corpus_id` then reports the
+    * representative. */
   def mediaSignatureIndex(corpusHashes: DataFrame, maxHamming: Int): DataFrame =
     graft.operators.Dedup.simhashBandedFrame(
-        corpusHashes.select(col("media_id"), col("phash").as("simhash")),
+        corpusHashes.select(col("media_id"), col("phash").as("simhash"))
+          .groupBy(col("simhash")).agg(min(col("media_id")).as("media_id"))
+          .select(col("media_id"), col("simhash")),
         "media_id", maxHamming)
       .select(col("__id").as("corpus_id"), col("simhash").as("csig"),
         col("band"), col("bh"),

@@ -102,7 +102,8 @@ class DedupStreamSpec extends SparkSpec {
       edited((y * w + x) * 3 + c) = 250.toByte
     val corpus = Seq(
       (100L, "image", ppm(a, w, h)),
-      (101L, "image", ppm(ramp((x, _) => (w - 1 - x) * 7), w, h)))
+      (101L, "image", ppm(ramp((x, _) => (w - 1 - x) * 7), w, h)),
+      (102L, "image", ppm(a, w, h))) // identical twin of 100: contracts away
       .toDF("media_id", "kind", "payload")
     // the stream probes the SIGNATURE index, never the corpus blobs
     val index = DedupStream.mediaSignatureIndex(
@@ -124,9 +125,13 @@ class DedupStreamSpec extends SparkSpec {
         (4L, "image", Array[Byte](5, 5))) // undecodable
       q.processAllAvailable()
       val out = spark.sql(
-          "SELECT media_id, matched_corpus_id, best_hamming FROM mediaflags")
-        .as[(Long, Long, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
-      assert(out(1L) == (100L, 0)) // exact copy: hamming 0, verified in-flight
+          "SELECT media_id, matched_corpus_id, best_hamming, n_corpus_matches " +
+          "FROM mediaflags")
+        .as[(Long, Long, Int, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      // exact copy: hamming 0, verified in-flight; the identical store twin
+      // 102 contracted to its representative, so ONE match, not two
+      assert(out(1L) == (100L, 0, 1L))
       assert(out(2L)._1 == 100L && out(2L)._2 > 0 && out(2L)._2 <= 6)
       assert(!out.contains(3L) && !out.contains(4L)) // novel + junk unflagged
     } finally q.stop()
