@@ -32,7 +32,9 @@ import org.apache.spark.sql.functions._
   * The published store is the TICK's signatures only — append it to the
   * lake's store (`VersionedFactStore`-style tick layout or a plain union)
   * as the deployment's store maintenance; the job stays a pure function of
-  * its inputs. S13 idempotence: an existing non-empty output dir skips.
+  * its inputs. S13 idempotence: a `_DONE` marker under the output dir skips;
+  * a marker-less partial dir (crash between the two output writes) re-runs
+  * and heals via whole-dir overwrites.
   *
   * Usage: MediaCurationJob <config.json> */
 object MediaCurationJob {
@@ -60,7 +62,14 @@ object MediaCurationJob {
       if (cfg.schema.fieldNames.contains(f) && !cfg.isNullAt(cfg.fieldIndex(f)))
         cfg.get(cfg.fieldIndex(f)).toString else d
     val outPath = cfg.getAs[String]("output_path")
-    if (!Maintenance.shouldRun(outPath)) return None
+    // S13 gate on the COMPLETION marker, not the dir: the job writes two
+    // outputs (media, sigs) — a crash between them leaves a dir that a
+    // dir-existence gate would treat as done, silently skipping a store-less
+    // output forever. A marker-less partial dir re-runs, and every write is
+    // a whole-dir overwrite, so the re-run heals it (the BucketedStore /
+    // compact restart discipline applied at the job level).
+    val doneMarker = java.nio.file.Paths.get(outPath, "_DONE")
+    if (java.nio.file.Files.exists(doneMarker)) return None
 
     val modality = str("modality", "image")
     val maxHamming = str("max_hamming", "4").toInt
@@ -174,6 +183,7 @@ object MediaCurationJob {
     lap("count-back")
     Seq(sigs, dropIds).foreach(Dedup.release)
     if (rejectedIds != null) Dedup.release(rejectedIds)
+    java.nio.file.Files.createFile(doneMarker)
     val stats = Stats(total, decodable, admitted, survivors)
     System.err.println(s"[media-curate] $stats")
     System.err.println("[media-curate-times] " + stageTimes

@@ -68,8 +68,19 @@ class MediaCurationJobSpec extends SparkSpec {
     val sigs = spark.read.parquet(s"$dir/out/sigs")
       .select($"media_id").as[Long].collect().toSet
     assert(sigs == Set(1L, 4L))
-    // S13: a second run over the existing output is a no-op skip
+    // S13: a second run over the COMPLETED output is a no-op skip
     assert(MediaCurationJob.run(spark, cfg).isEmpty)
+    // a crash between the two output writes leaves no _DONE marker — the
+    // re-run must execute (not skip a store-less output forever) and heal
+    def rmTree(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles.foreach(rmTree); f.delete()
+    }
+    rmTree(new java.io.File(s"$dir/out/sigs"))
+    Files.delete(java.nio.file.Paths.get(s"$dir/out", "_DONE"))
+    assert(MediaCurationJob.run(spark, cfg).contains(
+      MediaCurationJob.Stats(5, 4, 3, 2)))
+    assert(spark.read.parquet(s"$dir/out/sigs")
+      .select($"media_id").as[Long].collect().toSet == Set(1L, 4L))
   }
 
   test("video modality: clip clustering by shared frames, frame-store admission") {
