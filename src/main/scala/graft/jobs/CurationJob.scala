@@ -122,7 +122,15 @@ object CurationJob {
       if (cfg.schema.fieldNames.contains(f) && !cfg.isNullAt(cfg.fieldIndex(f)))
         cfg.getSeq[String](cfg.fieldIndex(f)) else Nil
     val outPath = cfg.getAs[String]("output_path")
-    if (!Maintenance.shouldRun(outPath)) return None
+    // S13 gate on the COMPLETION marker, not the dir: the job can write up
+    // to four outputs (sink, bucketed table, shards, report) — a crash
+    // between them used to leave a dir the existence gate treated as done,
+    // silently skipping the missing tails forever. A marker-less partial
+    // dir re-runs; every output is a whole-dir/table overwrite, so the
+    // re-run heals it. (Pre-marker outputs: re-run once by deleting the dir,
+    // as before.)
+    val doneMarker = java.nio.file.Paths.get(outPath, "_DONE")
+    if (java.nio.file.Files.exists(doneMarker)) return None
 
     val idCol = str("id_col", "doc_id")
     val textCol = str("text_col", "text")
@@ -453,6 +461,7 @@ object CurationJob {
     System.err.println("[curate-times] " + stageTimes
       .map { case (k, v) => f"$k=$v%.1fs" }.mkString(" "))
     planListener.foreach(spark.listenerManager.unregister)
+    java.nio.file.Files.createFile(doneMarker)
     Some(stats)
   }
 }
