@@ -163,6 +163,32 @@ object MediaProbe {
         for (round <- 1 to 2)
           time(s"video-pairs-$round")(Multimodal.videoNearDupPairs(lake("video"),
             Multimodal.y4mFrameHasher(), minSharedFrames = 4).count())
+      case "admit" =>
+        // the admission tick vs the full lake's SIGNATURE store: 4000
+        // perturbed copies of existing groups (rejected at radius 4) + 1000
+        // novel groups (admitted) — expect rows=1000 EXACTLY
+        val storePath = s"$dir/image_store.parquet"
+        val fs = new java.io.File(storePath)
+        if (!fs.exists()) {
+          time("store-build")(0L)
+          Multimodal.perceptualHashes(lake("image"),
+              Multimodal.anyImagePhashHasher())
+            .write.parquet(storePath)
+          time("store-build")(spark.read.parquet(storePath).count())
+        }
+        val store = spark.read.parquet(storePath)
+        val tick = spark.range(5000).repartition(8)
+          .map { i =>
+            val id = 10000000L + i
+            if (i < 4000) (id, "image", ppm(i / 4 + 1, id + 1))
+            else (id, "image", ppm(5000000L + i, id + 1))
+          }.toDF("media_id", "kind", "payload")
+        for (round <- 1 to 2) {
+          val admittedDf = Multimodal.admitNewMedia(store, tick,
+            Multimodal.anyImagePhashHasher(), maxHamming = 4)
+          time(s"admit-$round")(admittedDf.count())
+          Dedup.release(admittedDf)
+        }
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
