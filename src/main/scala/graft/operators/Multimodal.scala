@@ -365,12 +365,13 @@ object Multimodal {
     * incoming × corpus only (`Dedup.simhashBandMatchesBetween`). */
   def mediaAdmissionMatches(corpusHashes: DataFrame, incoming: DataFrame,
                             hasher: BatchHasher, maxHamming: Int = 6,
-                            payloadCol: String = "payload"): DataFrame =
+                            payloadCol: String = "payload",
+                            collapseCorpus: Boolean = true): DataFrame =
     Dedup.simhashBandMatchesBetween(
       perceptualHashes(incoming, hasher, payloadCol)
         .select(col("media_id"), col("phash").as("simhash")),
       corpusHashes.select(col("media_id"), col("phash").as("simhash")),
-      "media_id", maxHamming)
+      "media_id", maxHamming, collapseCorpus)
 
   /** Media admission gate — text's `Dedup.admitNew` for binary payloads: the
     * incoming batch's rows that DECODE and have no within-radius perceptual
@@ -379,6 +380,12 @@ object Multimodal {
     * unseen). Admit, then append the admitted rows' hashes to the signature
     * store for the next tick.
     *
+    * `collapseCorpus` (default ON) is the flood guard's per-tick price: a
+    * narrow (id, hash) aggregate over the store each tick. A maintainer
+    * that keeps the store pre-collapsed — `MediaCurationJob` publishes
+    * survivor signatures, already duplicate-free per cluster — passes
+    * `false` and skips the corpus-order shuffle entirely.
+    *
     * The tick's hashes are checkpointed ONCE and read by both the match
     * subtree and the decodability gate (the `admissionPairs` one-tokenize
     * lesson — without it every payload decodes twice); `Dedup.release(result)`
@@ -386,13 +393,14 @@ object Multimodal {
     * contract). */
   def admitNewMedia(corpusHashes: DataFrame, incoming: DataFrame,
                     hasher: BatchHasher, maxHamming: Int = 6,
-                    payloadCol: String = "payload"): DataFrame = {
+                    payloadCol: String = "payload",
+                    collapseCorpus: Boolean = true): DataFrame = {
     val inc = perceptualHashes(incoming, hasher, payloadCol)
       .localCheckpoint(eager = true) // tick-sized: (id, long) per decodable row
     val matches = Dedup.simhashBandMatchesBetween(
       inc.select(col("media_id"), col("phash").as("simhash")),
       corpusHashes.select(col("media_id"), col("phash").as("simhash")),
-      "media_id", maxHamming)
+      "media_id", maxHamming, collapseCorpus)
     incoming
       .join(inc.select(col("media_id")), Seq("media_id"), "left_semi")
       .join(matches.select(col("id_a").as("media_id")), Seq("media_id"),
