@@ -48,12 +48,17 @@ object SortedHashedShinglesExpr {
     * column pipeline: `filter(split(lower(trim(text)), "\s+"), len > 0)` —
     * leading/trailing whitespace yields empty tokens that the non-empty
     * filter drops, so java `trim` (which strips all control whitespace, not
-    * just spaces) produces the identical token list. Lowercasing matches
-    * Spark's `Lower` fallback (default-locale `String.toLowerCase` beyond
-    * the ASCII fast path). */
+    * just spaces) produces the identical token list. Lowercasing goes
+    * through `UTF8String.toLowerCase` — the EXACT code Spark's `Lower`
+    * runs — so the kernels match the column forms bit-for-bit in every JVM
+    * default locale (a `tr_TR` JVM maps ASCII 'I' to dotless 'ı' under
+    * default-locale `String.toLowerCase`, silently breaking every
+    * kernel==column pin; `UTF8String`'s ASCII fast path cannot). All nine
+    * tokenizing kernels share this discipline — LocaleProofSpec pins it
+    * under a forced Turkish default locale. */
   private[functions] def positionalHashes(text: UTF8String,
                                           n: Int): Array[Long] = {
-    val words = text.toString.toLowerCase.trim.split("\\s+").filter(_.nonEmpty)
+    val words = text.toLowerCase.toString.trim.split("\\s+").filter(_.nonEmpty)
     val m = words.length - n + 1
     if (m <= 0) return Array.empty[Long]
     val hashes = new Array[Long](m)

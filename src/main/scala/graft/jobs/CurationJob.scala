@@ -129,8 +129,10 @@ object CurationJob {
     // dir re-runs; every output is a whole-dir/table overwrite, so the
     // re-run heals it. (Pre-marker outputs: re-run once by deleting the dir,
     // as before.)
-    val doneMarker = java.nio.file.Paths.get(outPath, "_DONE")
-    if (java.nio.file.Files.exists(doneMarker)) return None
+    // Gate + stamp ride the Hadoop FileSystem API (Maintenance.markerDone) so
+    // a non-local output_path (hdfs://, s3a://) gates identically to local.
+    if (Maintenance.markerDone(outPath, spark.sparkContext.hadoopConfiguration))
+      return None
 
     val idCol = str("id_col", "doc_id")
     val textCol = str("text_col", "text")
@@ -461,7 +463,7 @@ object CurationJob {
     System.err.println("[curate-times] " + stageTimes
       .map { case (k, v) => f"$k=$v%.1fs" }.mkString(" "))
     planListener.foreach(spark.listenerManager.unregister)
-    java.nio.file.Files.createFile(doneMarker)
+    Maintenance.touchDone(outPath, spark.sparkContext.hadoopConfiguration)
     Some(stats)
   }
 }

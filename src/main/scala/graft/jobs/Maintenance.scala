@@ -1,38 +1,74 @@
 package graft.jobs
 
-import java.nio.file.{Files, Path, Paths}
 import java.time.Instant
 import java.time.temporal.ChronoUnit
 
-import scala.jdk.CollectionConverters._
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
 
 /** Operational semantics of the reference's shell orchestration (SURVEY.md §2.1/§2.9):
   * idempotence gates and TTL retention. Driver-side utilities — they manage job
-  * artifacts, not the distributed data path. */
+  * artifacts, not the distributed data path.
+  *
+  * All paths resolve through the Hadoop `FileSystem` API (the
+  * `VersionedFactStore.compact` discipline), so the gates keep working the day
+  * the artifacts move from local disk to `hdfs://`/`s3a://` — a
+  * `java.nio.file` gate on a remote scheme silently never sees its marker and
+  * re-runs every tick. Local paths behave exactly as before (Hadoop's
+  * `file:` scheme is the default for scheme-less paths). Pass the job's
+  * `spark.sparkContext.hadoopConfiguration` when one exists so `fs.*` conf
+  * (credentials, endpoints) is honored; the default `Configuration()` is
+  * correct for plain local paths. */
 object Maintenance {
 
   /** S13: idempotence gate — skip a job tick whose output already exists
     * (ref: inputs/gen_mike_input_rf_linux.py:271-280). Returns true if the job
     * should run. */
-  def shouldRun(outputPath: String): Boolean = !Files.exists(Paths.get(outputPath))
+  def shouldRun(outputPath: String,
+                conf: Configuration = new Configuration()): Boolean = {
+    val p = new Path(outputPath)
+    !p.getFileSystem(conf).exists(p)
+  }
 
   /** Run `job` only if `outputPath` is absent; returns whether it ran. */
-  def runIdempotent(outputPath: String)(job: => Unit): Boolean =
-    if (shouldRun(outputPath)) { job; true } else false
+  def runIdempotent(outputPath: String,
+                    conf: Configuration = new Configuration())
+                   (job: => Unit): Boolean =
+    if (shouldRun(outputPath, conf)) { job; true } else false
+
+  /** S13 completion-marker gate for multi-output jobs (CurationJob /
+    * MediaCurationJob): true iff `dir/_DONE` exists — i.e. a PRIOR run wrote
+    * every output and then stamped the marker. A marker-less partial dir
+    * (crash between output writes) reports false and re-runs. */
+  def markerDone(dir: String, conf: Configuration): Boolean = {
+    val m = new Path(dir, "_DONE")
+    m.getFileSystem(conf).exists(m)
+  }
+
+  /** Stamp `dir/_DONE` — the LAST statement of a gated job's run. Fails if
+    * the marker already exists (two racing ticks cannot both claim the
+    * completion). */
+  def touchDone(dir: String, conf: Configuration): Unit = {
+    val m = new Path(dir, "_DONE")
+    m.getFileSystem(conf).create(m, /* overwrite = */ false).close()
+  }
 
   /** S14/T7: TTL retention — delete artifacts older than `ttlDays` under `dir`
     * (ref: flush_mike_data_in_bucket.sh:20-24, 60-day monthly flush). Returns the
     * deleted paths. Age is by last-modified time, like `find -mtime`. */
   def flushOlderThan(dir: String, ttlDays: Long,
-                     now: Instant = Instant.now()): Seq[Path] = {
-    val root = Paths.get(dir)
-    if (!Files.exists(root)) return Nil
-    val cutoff = now.minus(ttlDays, ChronoUnit.DAYS)
-    val doomed = Files.walk(root).iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .filter(p => Files.getLastModifiedTime(p).toInstant.isBefore(cutoff))
-      .toSeq
-    doomed.foreach(Files.delete)
+                     now: Instant = Instant.now(),
+                     conf: Configuration = new Configuration()): Seq[Path] = {
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return Nil
+    val cutoffMs = now.minus(ttlDays, ChronoUnit.DAYS).toEpochMilli
+    val it = fs.listFiles(root, /* recursive = */ true)
+    val doomed = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter(st => st.isFile && st.getModificationTime < cutoffMs)
+      .map(_.getPath).toSeq
+    doomed.foreach(p => fs.delete(p, false))
     doomed
   }
 }

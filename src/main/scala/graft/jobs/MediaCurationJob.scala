@@ -68,8 +68,10 @@ object MediaCurationJob {
     // output forever. A marker-less partial dir re-runs, and every write is
     // a whole-dir overwrite, so the re-run heals it (the BucketedStore /
     // compact restart discipline applied at the job level).
-    val doneMarker = java.nio.file.Paths.get(outPath, "_DONE")
-    if (java.nio.file.Files.exists(doneMarker)) return None
+    // Gate + stamp ride the Hadoop FileSystem API (Maintenance.markerDone) so
+    // a non-local output_path (hdfs://, s3a://) gates identically to local.
+    if (Maintenance.markerDone(outPath, spark.sparkContext.hadoopConfiguration))
+      return None
 
     val modality = str("modality", "image")
     val maxHamming = str("max_hamming", "4").toInt
@@ -113,8 +115,11 @@ object MediaCurationJob {
     // compete for survivorship
     val rejected: DataFrame = if (storePath.isEmpty) null
       else if (isVideo)
-        Multimodal.videoAdmissionMatches(spark.read.parquet(storePath),
-            media, frameHasher, minShared)
+        // the CHECKPOINTED tick signatures feed the probe — the "ONE decode
+        // pass" promise above holds for video too (the payload-form
+        // videoAdmissionMatches would re-decode every clip here)
+        Multimodal.videoAdmissionMatchesFromSigs(spark.read.parquet(storePath),
+            sigs, minShared)
           .select(col("id_a").as("media_id")).distinct()
       else Dedup.simhashBandMatchesBetween(
           sigs.select(col("media_id"), col("phash").as("simhash")),
@@ -135,20 +140,9 @@ object MediaCurationJob {
     // signature frame never shuffles for the gate
     val admittedSigs = if (rejectedIds == null) sigs
       else sigs.join(broadcast(rejectedIds), Seq("media_id"), "left_anti")
-    val pairs = if (isVideo) {
-      val ex = admittedSigs.select(col("media_id").as("__id"),
-        col("fsig").as("__wh")).distinct()
-      val (normal, star) = Dedup.splitOversizedBuckets(ex, Seq("__wh"), maxBucket)
-      val normalPairs = normal.as("a").join(normal.as("b"),
-          col("a.__wh") === col("b.__wh") && col("a.__id") < col("b.__id"))
-        .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      val all = if (star == null) normalPairs
-        else normalPairs.unionByName(
-          star.select(col("__bmin").as("id_a"), col("__id").as("id_b")))
-      all.groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("shared_frames"))
-        .filter(col("shared_frames") >= minShared)
-    } else Dedup.simhashBandPairs(
+    val pairs = if (isVideo)
+      Multimodal.videoNearDupPairsFromSigs(admittedSigs, minShared, maxBucket)
+    else Dedup.simhashBandPairs(
       admittedSigs.select(col("media_id"), col("phash").as("simhash")),
       "media_id", maxHamming, maxBucket)
     val labels = Dedup.components(pairs)
@@ -183,7 +177,7 @@ object MediaCurationJob {
     lap("count-back")
     Seq(sigs, dropIds).foreach(Dedup.release)
     if (rejectedIds != null) Dedup.release(rejectedIds)
-    java.nio.file.Files.createFile(doneMarker)
+    Maintenance.touchDone(outPath, spark.sparkContext.hadoopConfiguration)
     val stats = Stats(total, decodable, admitted, survivors)
     System.err.println(s"[media-curate] $stats")
     System.err.println("[media-curate-times] " + stageTimes

@@ -417,28 +417,31 @@ object Dedup {
       // persist-at-the-tagged-stage lesson), dropped as soon as they exist
       val tagged = tagExactGroups(shOldLive, blockCols)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val memberGroups = tagged.filter(col("__isDup"))
-        .groupBy(col("__rid")).agg(collect_list(col("__id")).as("__mids"))
+      // the expansion map as (rep, member) ROWS — one narrow row per corpus
+      // doc, reps mapping to themselves — never a per-rep collected array: a
+      // hot exact-dup group (millions of copies of one boilerplate doc — the
+      // exact lake the collapse route fires on) would materialize that array
+      // on one executor (r11 advice)
+      val expand = tagged.select(
+          when(col("__isDup"), col("__rid")).otherwise(col("__id"))
+            .as("__rep"),
+          col("__id").as("__mid"))
         .localCheckpoint(eager = true)
       val reps = tagged.filter(!col("__isDup"))
         .drop("__rid", "__rsh", "__isDup", "__shh")
         .localCheckpoint(eager = true)
       tagged.unpersist(blocking = false)
       releaseCorpus()
-      // ONE pass over the rep matches: each match fans out in-row to the rep
-      // itself plus its members — no self-union, no second verify read, and
-      // the verify plan keeps its full lineage for `release(result)`
+      // ONE pass over the rep matches: each match fans out to the rep itself
+      // plus its members through one equi-join on the expansion map — no
+      // self-union, no second verify read, and the verify plan keeps its
+      // full lineage for `release(result)`
       val rm = verifyJaccardBetween(shNew, reps, threshold,
         prefixCandidatesBetween(shNew, reps, threshold, blockCols,
           self = false))
-      val out = rm.join(memberGroups, rm("id_b") === memberGroups("__rid"),
-          "left")
-        .select(col("id_a"), col("jaccard"),
-          explode(when(col("__mids").isNull, array(col("id_b")))
-            .otherwise(concat(array(col("id_b")), col("__mids"))))
-            .as("id_b"))
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-      (out, () => Seq(memberGroups, reps).foreach(release))
+      val out = rm.join(expand, rm("id_b") === expand("__rep"))
+        .select(col("id_a"), col("__mid").as("id_b"), col("jaccard"))
+      (out, () => Seq(expand, reps).foreach(release))
     }
   }
 

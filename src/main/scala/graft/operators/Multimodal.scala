@@ -320,10 +320,21 @@ object Multimodal {
     * Returns (id_a, id_b, shared_frames). */
   def videoNearDupPairs(df: DataFrame, hasher: BatchFrameHasher,
                         minSharedFrames: Int = 2, maxBucket: Int = 4096,
-                        payloadCol: String = "payload"): DataFrame = {
+                        payloadCol: String = "payload"): DataFrame =
+    videoNearDupPairsFromSigs(frameSignatures(df, hasher, payloadCol),
+      minSharedFrames, maxBucket)
+
+  /** [[videoNearDupPairs]] over a PRECOMPUTED frame-signature frame
+    * (media_id, fsig — extra columns ignored): the form a tick that already
+    * checkpointed its `frameSignatures` output calls, so clips decode exactly
+    * ONCE per tick (decode dominates the tick's cost by design — see
+    * `MediaCurationJob`). Also the signature-store form: the persisted store
+    * (media_id, fsig) feeds it directly, no payloads anywhere. */
+  def videoNearDupPairsFromSigs(frameSigs: DataFrame, minSharedFrames: Int = 2,
+                                maxBucket: Int = 4096): DataFrame = {
     require(minSharedFrames >= 1,
       s"minSharedFrames must be >= 1, got $minSharedFrames")
-    val ex = frameSignatures(df, hasher, payloadCol)
+    val ex = frameSigs
       .select(col("media_id").as("__id"), col("fsig").as("__wh"))
       .distinct() // shared count = distinct shared signatures, repeats don't inflate
     val (normal, star) = Dedup.splitOversizedBuckets(ex, Seq("__wh"), maxBucket)
@@ -346,10 +357,19 @@ object Multimodal {
     * shared_frames). */
   def videoAdmissionMatches(corpusFrameSigs: DataFrame, incoming: DataFrame,
                             hasher: BatchFrameHasher, minSharedFrames: Int = 2,
-                            payloadCol: String = "payload"): DataFrame = {
+                            payloadCol: String = "payload"): DataFrame =
+    videoAdmissionMatchesFromSigs(corpusFrameSigs,
+      frameSignatures(incoming, hasher, payloadCol), minSharedFrames)
+
+  /** [[videoAdmissionMatches]] over the tick's PRECOMPUTED frame signatures
+    * (media_id, fsig) — a tick that already checkpointed `frameSignatures`
+    * feeds it directly and never decodes a payload twice. */
+  def videoAdmissionMatchesFromSigs(corpusFrameSigs: DataFrame,
+                                    incomingSigs: DataFrame,
+                                    minSharedFrames: Int = 2): DataFrame = {
     require(minSharedFrames >= 1,
       s"minSharedFrames must be >= 1, got $minSharedFrames")
-    frameSignatures(incoming, hasher, payloadCol)
+    incomingSigs
       .select(col("media_id").as("id_a"), col("fsig")).distinct()
       .join(corpusFrameSigs.select(col("media_id").as("id_b"), col("fsig"))
         .distinct(), Seq("fsig"))

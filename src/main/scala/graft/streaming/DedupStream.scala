@@ -187,7 +187,17 @@ object DedupStream {
     import graft.operators.Dedup.{simhashBandVal, simhashBandedFrame}
     val spark = media.sparkSession
     import spark.implicits._
-    val maxHamming = corpusIndex.select(col("__maxHamming")).head.getInt(0)
+    // fresh-lake bootstrap guard: an empty index has no radius to read — fail
+    // with intent instead of head's NoSuchElementException (the stream result
+    // must itself be a stream, so "return an empty static frame" is not an
+    // option here; skip the flags stage until the store has rows)
+    val maxHamming = corpusIndex.select(col("__maxHamming")).limit(1)
+      .collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "nearDupMediaFlags: corpus signature index is empty — build " +
+          "mediaSignatureIndex over a non-empty store, or skip the flags " +
+          "stage on fresh-lake bootstrap"))
+      .getInt(0)
     val bands = maxHamming + 1
     val sig = media
       .select(col("media_id").cast("long"), col("kind"), col(payloadCol))

@@ -77,7 +77,7 @@ class ExtensionsMaintenanceSpec extends SparkSpec {
     Files.setLastModifiedTime(old, java.nio.file.attribute.FileTime.from(
       Instant.now().minus(61, ChronoUnit.DAYS)))
     val deleted = Maintenance.flushOlderThan(dir.toString, 60)
-    assert(deleted.map(_.getFileName.toString) == Seq("old.csv"))
+    assert(deleted.map(_.getName) == Seq("old.csv"))
     assert(!Files.exists(old) && Files.exists(fresh))
   }
 }
