@@ -499,4 +499,174 @@ object OracleHashSql {
        |FROM scored WHERE cosine >= 0.98
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  // ---------- media-family oracles (q112+, r12) ----------
+  // The r11 verdict's top ask: red-capable DuckDB rows for the perceptual
+  // near-dup family. q112/q113 oracle the 64-bit pigeonhole banding and the
+  // collapse-corpus admission join over a SYNTHESIZED signature frame
+  // (xxhash64-of-group base, per-doc bit flips — brute-force O(n²) truth);
+  // q114/q118 the clip shared-frame semantics; q115–q117 go DECODE-INCLUSIVE:
+  // `SyntheticMedia`'s closed-form pixels are re-derived here in HUGEINT SQL
+  // and walked through the exact lumaGrid/dhash64 integer math, so the
+  // engine's PNM parse + luma fold + dhash bit assembly all sit under the
+  // driver's hash compare.
+
+  /** The synthesized 64-bit signature frame both q112 and q113 share:
+    * media_id = doc_id, base = xxhash64(doc_id % 97), then `doc_id % 4`
+    * bit flips at (doc_id·7 + j·17) % 64. Final CTE `sig`(media_id BIGINT,
+    * simhash BIGINT signed). */
+  private def synthSigCtes: String = {
+    val (frag, fin) = xxh64LongStages("ms", "d0", "grp", "media_id, grp")
+    val masks = (0 until 3).map { j =>
+      s"CASE WHEN media_id % 4 > $j THEN " +
+        sg(s"(1::HUGEINT << ((media_id * 7 + ${j * 17}) % 64))") +
+        " ELSE 0 END"
+    }
+    val sim = masks.foldLeft("xh")((acc, m) => s"xor($acc, $m)")
+    s"""d0 AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |  CAST(doc_id % 97 AS BIGINT) AS grp FROM documents),
+       |$frag,
+       |sig AS (SELECT media_id, $sim AS simhash FROM $fin)""".stripMargin
+  }
+
+  /** q112: every signature pair within hamming 6 — the banding recall
+    * guarantee, brute-forced. */
+  def q112MediaBandPairs: String =
+    s"""WITH $synthSigCtes
+       |SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q113: incoming (media_id % 5 = 0) × corpus-store matches within
+    * hamming 6, corpus contracted to min-id reps per identical signature
+    * (`simhashBandMatchesBetween`'s collapse flood guard, modeled exactly). */
+  def q113MediaAdmission: String =
+    s"""WITH $synthSigCtes,
+       |inc AS (SELECT media_id, simhash FROM sig WHERE media_id % 5 = 0),
+       |reps AS (
+       |  SELECT MIN(media_id) AS media_id, simhash
+       |  FROM sig WHERE media_id % 5 <> 0 GROUP BY simhash)
+       |SELECT i.media_id AS id_a, r.media_id AS id_b,
+       |  CAST(bit_count(xor(i.simhash, r.simhash)) AS INT) AS hamming
+       |FROM inc i JOIN reps r
+       |  ON bit_count(xor(i.simhash, r.simhash)) <= 6
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** The synthesized frame-signature frame q114/q118 share: clip media_id =
+    * doc_id with ((doc_id//60) % 4)+1 frames, frame j's signature =
+    * xxhash64((doc_id % 60)·8 + j) — same-group clips share their prefix
+    * frames. Final CTE `ex`(media_id, fsig) — DISTINCT per clip. */
+  private def synthFrameCtes: String = {
+    val (frag, fin) = xxh64LongStages("vf", "fr", "k", "media_id, k")
+    s"""d0 AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |  CAST(doc_id % 60 AS BIGINT) AS grp,
+       |  CAST((doc_id // 60) % 4 AS BIGINT) AS nf1 FROM documents),
+       |fr AS (
+       |  SELECT media_id, CAST(grp * 8 + j AS BIGINT) AS k
+       |  FROM d0 CROSS JOIN (SELECT unnest(range(0, 4)) AS j)
+       |  WHERE j <= nf1),
+       |$frag,
+       |ex AS (SELECT DISTINCT media_id, xh AS fsig FROM $fin)""".stripMargin
+  }
+
+  /** q114: clip pairs sharing >= 2 distinct frame signatures. */
+  def q114VideoSharedFrames: String =
+    s"""WITH $synthFrameCtes
+       |SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |  COUNT(*) AS shared_frames
+       |FROM ex a JOIN ex b ON a.fsig = b.fsig AND a.media_id < b.media_id
+       |GROUP BY a.media_id, b.media_id
+       |HAVING COUNT(*) >= 2
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q118: incoming clips (media_id % 7 = 0) × corpus frame store —
+    * `videoAdmissionMatchesFromSigs` semantics. */
+  def q118VideoAdmissionSigs: String =
+    s"""WITH $synthFrameCtes
+       |SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |  COUNT(*) AS shared_frames
+       |FROM (SELECT * FROM ex WHERE media_id % 7 = 0) a
+       |JOIN (SELECT * FROM ex WHERE media_id % 7 <> 0) b ON a.fsig = b.fsig
+       |GROUP BY a.media_id, b.media_id
+       |HAVING COUNT(*) >= 2
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** `SyntheticMedia.pixel(seed, i, c)` in HUGEINT SQL: two wraparound
+    * mixing rounds, xor-fold, low byte. `seed`/`i` are SQL expressions
+    * (seed an unsigned HUGEINT, i a small non-negative integer). */
+  private def synthPix(seed: String, i: String, c: Int): String = {
+    val u1 = addm(mulc(seed, BigInt(2654435761L)),
+      s"((($i) * 40503 + ${69427 * c + 98765})::HUGEINT)")
+    val u2 = addm(mulc(u1, BigInt("6364136223846793005")),
+      hug(BigInt("1442695040888963407")))
+    s"((${xoru(u2, shr(u2, 31))}) % 256::HUGEINT)"
+  }
+
+  /** The decode-inclusive dhash frame q115–q117 share: per-doc 72-cell luma
+    * plane from `SyntheticMedia`'s pixel function (gray pass-through for
+    * even groups, the exact (77R+150G+29B)>>8 integer fold for odd), then
+    * dhash64's adjacent-comparison bits. Final CTE `sig`(media_id, phash
+    * BIGINT signed). */
+  private def synthDhashCtes: String = {
+    // seed: the doc's perturbed cells use doc seed d+1000003, others grp
+    val pert = "((media_id % 3) >= 1 AND i = (media_id * 31) % 72) OR " +
+      "((media_id % 3) >= 2 AND i = (media_id * 31 + 29) % 72)"
+    val seed = s"(CASE WHEN $pert THEN (media_id + 1000003)::HUGEINT" +
+      " WHEN media_id % 101 = 0 THEN (media_id + 5000011)::HUGEINT" +
+      " ELSE grp::HUGEINT END)"
+    val luma = s"CASE WHEN grp % 2 = 0 THEN ${synthPix(seed, "i", 0)}" +
+      s" ELSE (77 * ${synthPix(seed, "i", 0)} + 150 * ${synthPix(seed, "i", 1)}" +
+      s" + 29 * ${synthPix(seed, "i", 2)}) // 256::HUGEINT END"
+    s"""d0 AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |  CAST(doc_id % 40 AS BIGINT) AS grp FROM documents),
+       |px AS (
+       |  SELECT media_id, grp, i, ($luma) AS lum
+       |  FROM d0 CROSS JOIN (SELECT unnest(range(0, 72)) AS i)),
+       |grid AS (
+       |  SELECT d.media_id, r.b,
+       |    (r.b // 8) * 9 + (r.b % 8) AS i1,
+       |    (r.b // 8) * 9 + (r.b % 8) + 1 AS i2
+       |  FROM d0 d CROSS JOIN (SELECT unnest(range(0, 64)) AS b) r),
+       |hb AS (
+       |  SELECT g.media_id,
+       |    SUM(CASE WHEN p1.lum < p2.lum THEN (1::HUGEINT << g.b)
+       |        ELSE 0::HUGEINT END) AS hu
+       |  FROM grid g
+       |  JOIN px p1 ON p1.media_id = g.media_id AND p1.i = g.i1
+       |  JOIN px p2 ON p2.media_id = g.media_id AND p2.i = g.i2
+       |  GROUP BY g.media_id),
+       |sig AS (SELECT media_id, ${sg("hu")} AS phash FROM hb)""".stripMargin
+  }
+
+  /** q115: the dhash64 values themselves — PNM parse + lumaGrid + bit
+    * assembly end-to-end under the driver's hash compare. */
+  def q115MediaDhash: String =
+    s"""WITH $synthDhashCtes
+       |SELECT media_id, phash FROM sig ORDER BY media_id""".stripMargin
+
+  /** q116: decode-inclusive near-dup pairs within hamming 8
+    * (`imageNearDupPairs` end-to-end), brute-forced. */
+  def q116MediaNearDupPairs: String =
+    s"""WITH $synthDhashCtes
+       |SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+       |FROM sig a JOIN sig b ON a.media_id < b.media_id
+       |WHERE bit_count(xor(a.phash, b.phash)) <= 8
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q117: `admitNewMedia` end-to-end — incoming docs (copy index % 5 = 0)
+    * admitted iff no corpus image within hamming 8 (corpus contracted to
+    * reps, which changes match ids but never the admitted set). */
+  def q117MediaAdmissionE2e: String =
+    s"""WITH $synthDhashCtes,
+       |inc AS (SELECT media_id, phash FROM sig WHERE (media_id // 40) % 5 = 0),
+       |corp AS (SELECT media_id, phash FROM sig WHERE (media_id // 40) % 5 <> 0),
+       |matched AS (
+       |  SELECT DISTINCT i.media_id
+       |  FROM inc i JOIN corp c ON bit_count(xor(i.phash, c.phash)) <= 8)
+       |SELECT media_id, 'image' AS kind FROM inc
+       |WHERE media_id NOT IN (SELECT media_id FROM matched)
+       |ORDER BY media_id""".stripMargin
 }

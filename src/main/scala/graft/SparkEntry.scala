@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.{TextFns, VectorFns}
-import graft.operators.{Bpe, Contamination, DataMix, Dedup, GopherRules, NgramLm, Similarity, TfIdf}
+import graft.operators.{Bpe, Contamination, DataMix, Dedup, GopherRules, Multimodal, NgramLm, Similarity, TfIdf}
 import graft.ops.{GeoOps, TimeSeriesOps}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -184,7 +184,14 @@ object SparkEntry {
     "q108_corpus_report" -> qCorpusReport,
     "q109_chunk_overlap" -> qChunkOverlap,
     "q110_fuzzy_contamination" -> qFuzzyContamination,
-    "q111_corpus_report_full" -> qCorpusReportFull)
+    "q111_corpus_report_full" -> qCorpusReportFull,
+    "q112_media_band_pairs" -> qMediaBandPairs,
+    "q113_media_admission_matches" -> qMediaAdmissionMatches,
+    "q114_video_shared_frames" -> qVideoSharedFrames,
+    "q115_media_dhash64" -> qMediaDhash,
+    "q116_media_near_dup_e2e" -> qMediaNearDupE2e,
+    "q117_media_admission_e2e" -> qMediaAdmitE2e,
+    "q118_video_admission_sigs" -> qVideoAdmissionSigs)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2164,6 +2171,107 @@ object SparkEntry {
         |          FROM pos JOIN bench USING (g)))
         |  GROUP BY word_idx)""".stripMargin
 
+  // ---------- media-family driver oracles (q112+, r12) ----------
+
+  /** Synthesized 64-bit perceptual-signature frame (q112/q113): base =
+    * xxhash64(doc_id % 97), then doc_id % 4 bit flips at
+    * (doc_id·7 + j·17) % 64 — ~5 docs per near-dup group at sf0.01, pair
+    * hamming ≤ 6 within a group, cross-group matches vanishing. Mirrored by
+    * `OracleHashSql.synthSigCtes` in HUGEINT SQL. */
+  private def mediaSigFrame(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("media_id"),
+        (col("doc_id").cast("long") % 97).as("grp"))
+    val sim = (0 until 3).foldLeft(xxhash64(col("grp"))) { (acc, j) =>
+      when(col("media_id") % 4 > j, acc.bitwiseXOR(expr(
+        s"shiftleft(CAST(1 AS BIGINT), CAST((media_id * 7 + ${j * 17}) % 64 AS INT))")))
+        .otherwise(acc)
+    }
+    d.select(col("media_id"), sim.as("simhash"))
+  }
+
+  /** q112: `Dedup.simhashBandPairs` (the media `imageNearDupPairs` banding
+    * stage verbatim) vs DuckDB's brute-force radius truth. */
+  private def qMediaBandPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashBandPairs(mediaSigFrame(s, dir), "media_id", maxHamming = 6)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** q113: `Dedup.simhashBandMatchesBetween` (the `mediaAdmissionMatches`
+    * engine, corpus collapse ON) vs the brute-force incoming × min-id-rep
+    * truth. */
+  private def qMediaAdmissionMatches(s: SparkSession, dir: String): DataFrame = {
+    val sig = mediaSigFrame(s, dir)
+    Dedup.simhashBandMatchesBetween(
+        sig.filter(col("media_id") % 5 === 0),
+        sig.filter(col("media_id") % 5 =!= 0),
+        "media_id", maxHamming = 6)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Synthesized clip frame-signature frame (q114/q118): clip doc_id has
+    * ((doc_id div 60) % 4)+1 frames, frame j's signature =
+    * xxhash64((doc_id % 60)·8 + j) — same-group clips share prefix frames,
+    * so shared count = min frame count. Mirrored by
+    * `OracleHashSql.synthFrameCtes`. */
+  private def videoFrameSigs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id").cast("long").as("media_id"))
+      .withColumn("j", explode(sequence(lit(0L), expr("media_id div 60") % 4)))
+      .withColumn("fsig", xxhash64((col("media_id") % 60) * 8 + col("j")))
+      .select("media_id", "fsig")
+
+  /** q114: `Multimodal.videoNearDupPairsFromSigs` (the clip near-dup engine
+    * the job's video tick runs) vs the distinct-shared-signature truth. */
+  private def qVideoSharedFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoNearDupPairsFromSigs(videoFrameSigs(s, dir),
+        minSharedFrames = 2, maxBucket = 4096)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** q118: `Multimodal.videoAdmissionMatchesFromSigs` — the video admission
+    * probe over a persisted frame-signature store. */
+  private def qVideoAdmissionSigs(s: SparkSession, dir: String): DataFrame = {
+    val fs = videoFrameSigs(s, dir)
+    Multimodal.videoAdmissionMatchesFromSigs(
+        fs.filter(col("media_id") % 7 =!= 0),
+        fs.filter(col("media_id") % 7 === 0),
+        minSharedFrames = 2)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** q115: REAL decode end-to-end — `SyntheticMedia`'s binary PGM/PPM lake
+    * through `Multimodal.perceptualHashes` (PnmCodec parse → lumaGrid →
+    * dhash64); DuckDB re-derives every pixel and the exact integer hash
+    * math. A single bit off anywhere in the decode chain turns the row red. */
+  private def qMediaDhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.perceptualHashes(
+        graft.operators.SyntheticMedia.mediaFrame(t(s, dir, "documents")),
+        Multimodal.anyImagePhashHasher())
+      .orderBy(col("media_id"))
+
+  /** q116: `Multimodal.imageNearDupPairs` end-to-end (decode + banding +
+    * exact hamming verify) vs brute force over the SQL-derived dhashes. */
+  private def qMediaNearDupE2e(s: SparkSession, dir: String): DataFrame =
+    Multimodal.imageNearDupPairs(
+        graft.operators.SyntheticMedia.mediaFrame(t(s, dir, "documents")),
+        Multimodal.anyImagePhashHasher(), maxHamming = 8)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** q117: `Multimodal.admitNewMedia` end-to-end — the media admission gate
+    * (decode gate + banded store match + anti-join) against the engine's own
+    * corpus signature store; incoming = copy index ≡ 0 (mod 5), so every
+    * group holds both sides. */
+  private def qMediaAdmitE2e(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.operators.SyntheticMedia.mediaFrame(t(s, dir, "documents"))
+    val incoming = media.filter(expr("media_id div 40") % 5 === 0)
+    val corpus = media.filter(expr("media_id div 40") % 5 =!= 0)
+    val corpusHashes = Multimodal.perceptualHashes(corpus,
+      Multimodal.anyImagePhashHasher())
+    Multimodal.admitNewMedia(corpusHashes, incoming,
+        Multimodal.anyImagePhashHasher(), maxHamming = 8)
+      .select(col("media_id"), col("kind"))
+      .orderBy(col("media_id"))
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -4006,6 +4114,18 @@ object SparkEntry {
         |WHERE c12 >= 5
         |ORDER BY pmi_e6 DESC, w1, w2 LIMIT 50""".stripMargin,
     "q111_corpus_report_full" -> OracleHashSql.q111CorpusReportFull,
+    // q112–q118 (r12): the media near-dup family under the driver's
+    // red-capable compare — signature-frame banding/admission (q112/q113),
+    // clip shared-frame semantics (q114/q118), and the DECODE-INCLUSIVE
+    // rows (q115–q117) where DuckDB re-derives SyntheticMedia's pixels in
+    // HUGEINT SQL and walks PnmCodec's exact lumaGrid/dhash64 integer math
+    "q112_media_band_pairs" -> OracleHashSql.q112MediaBandPairs,
+    "q113_media_admission_matches" -> OracleHashSql.q113MediaAdmission,
+    "q114_video_shared_frames" -> OracleHashSql.q114VideoSharedFrames,
+    "q115_media_dhash64" -> OracleHashSql.q115MediaDhash,
+    "q116_media_near_dup_e2e" -> OracleHashSql.q116MediaNearDupPairs,
+    "q117_media_admission_e2e" -> OracleHashSql.q117MediaAdmissionE2e,
+    "q118_video_admission_sigs" -> OracleHashSql.q118VideoAdmissionSigs,
     // q104: q95's corpus and window/first-occurrence rules, folded to
     // per-doc counts + the floor-divided e6 novelty instead of span surgery
     "q104_window_novelty" ->
