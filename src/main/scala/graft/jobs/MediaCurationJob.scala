@@ -98,7 +98,7 @@ object MediaCurationJob {
       case other => sys.error(s"unknown modality $other")
     }
     val frameHasher =
-      if (isVideo) Multimodal.y4mFrameHasher(everyNth) else null
+      if (isVideo) Multimodal.anyVideoFrameHasher(everyNth) else null
 
     // ONE decode pass: the tick's signatures, checkpointed — the decode gate,
     // the admission probe, the pair join, and the published store all read it

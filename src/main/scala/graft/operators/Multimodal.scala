@@ -16,8 +16,12 @@ import org.apache.spark.sql.types._
   * (decode → nearest-neighbor resize → exact per-channel stats), proving the
   * mapPartitions plumbing end-to-end with real pixels and samples; G.711
   * μ-law/A-law compressed audio decodes via the JDK's `javax.sound.sampled`
-  * (`JavaSoundCodec`). Only perceptual codecs (MP3/AAC/Opus, video), which
-  * genuinely are not in this JVM, remain STUBBED with a deterministic fake.
+  * (`JavaSoundCodec`); uncompressed video decodes via `Y4mCodec` and REAL
+  * compressed video via the JDK's own animated-GIF codec (`GifCodec` —
+  * LZW frames, palette color, disposal compositing). Only perceptual
+  * codecs with no decoder anywhere in the JDK (MP3/AAC/Opus audio,
+  * inter-predicted H.264/VP9/AV1 video) remain STUBBED with a
+  * deterministic fake.
   * Swapping one in means replacing the `BatchDecoder` value only; every plan
   * shape stays the same.
   *
@@ -295,6 +299,21 @@ object Multimodal {
         fs.iterator.zipWithIndex.collect {
           case (img, i) if i % everyNth == 0 => (id, i, PnmCodec.dhash64(img))
         })
+    }
+
+  /** Per-frame perceptual dHash via every real video route: uncompressed
+    * Y4M first, then animated GIF through the JDK's own codec
+    * (`GifCodec.decodeFrames` — real COMPRESSED video, frames composited
+    * per the GIF disposal semantics). One hasher for a mixed clip lake;
+    * undecodable payloads dropped. With this the stub seam covers only
+    * perceptual audio and inter-predicted video (H.264/VP9/AV1). */
+  def anyVideoFrameHasher(everyNth: Int = 1): BatchFrameHasher = rows =>
+    rows.flatMap { case (id, _, payload) =>
+      Y4mCodec.decodeFrames(payload).orElse(GifCodec.decodeFrames(payload))
+        .iterator.flatMap(fs =>
+          fs.iterator.zipWithIndex.collect {
+            case (img, i) if i % everyNth == 0 => (id, i, PnmCodec.dhash64(img))
+          })
     }
 
   /** mapPartitions frame-signature path: (media_id, frame_idx, fsig), one row
