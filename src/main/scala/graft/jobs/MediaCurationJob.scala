@@ -22,19 +22,32 @@ import org.apache.spark.sql.functions._
   *   "max_bucket": 4096,              // flood star-collapse for the pair join
   *   "min_shared_frames": 2,          // video: clip near-dup threshold
   *   "frame_every_nth": 1,            // video: frame sampling stride
-  *   "signature_store": ""            // optional existing store parquet:
+  *   "signature_store": "",           // optional existing store parquet:
   *                                    //   image/audio (media_id, phash),
   *                                    //   video (media_id, fsig); matched
   *                                    //   incoming rows are rejected BEFORE
   *                                    //   the within-tick dedup
+  *   "store_path": "",                // optional MAINTAINED store: a
+  *                                    //   `SignatureStore` tick-partitioned
+  *                                    //   dir read for admission AND updated
+  *                                    //   with the tick's survivor signatures
+  *                                    //   (idempotent per tick_id); overrides
+  *                                    //   signature_store
+  *   "tick_id": ""                    //   the tick's identity in the store
+  *                                    //   (default: the output dir's name)
   * }
   *
-  * The published store is the TICK's signatures only — append it to the
-  * lake's store (`VersionedFactStore`-style tick layout or a plain union)
-  * as the deployment's store maintenance; the job stays a pure function of
+  * With `store_path` the store maintenance lives INSIDE the job through
+  * `SignatureStore` (tick-partitioned dynamic overwrite + crash-safe
+  * compaction): replaying a tick rewrites exactly its own partition with
+  * identical content, so the store equals the union of every tick's
+  * survivor signatures no matter how often any tick re-runs. Without it the
+  * published store is the TICK's signatures only (`<dir>/sigs`) and the
+  * union is the deployment's business — the job stays a pure function of
   * its inputs. S13 idempotence: a `_DONE` marker under the output dir skips;
-  * a marker-less partial dir (crash between the two output writes) re-runs
-  * and heals via whole-dir overwrites.
+  * a marker-less partial dir (crash between the output writes and the store
+  * append) re-runs and heals via whole-dir overwrites + the idempotent
+  * tick append.
   *
   * Usage: MediaCurationJob <config.json> */
 object MediaCurationJob {
@@ -78,7 +91,33 @@ object MediaCurationJob {
     val maxBucket = str("max_bucket", "4096").toInt
     val minShared = str("min_shared_frames", "2").toInt
     val everyNth = str("frame_every_nth", "1").toInt
-    val storePath = str("signature_store", "")
+    val maintainedStore = str("store_path", "")
+    val tickId = {
+      val t = str("tick_id", "")
+      if (t.nonEmpty) t
+      else new org.apache.hadoop.fs.Path(outPath).getName
+    }
+    // Admission source: the maintained store (when it already holds OTHER
+    // ticks) wins over a plain signature_store parquet. The tick's OWN
+    // partition is excluded by a partition-pruned filter — a crash-heal
+    // replay (store appended, marker missing) would otherwise find its own
+    // signatures in the store, reject every row, and publish empty outputs.
+    val corpusStore: DataFrame =
+      if (maintainedStore.nonEmpty) {
+        val p = new org.apache.hadoop.fs.Path(maintainedStore)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val others = fs.exists(p) && fs.listStatus(p)
+          .exists(s => s.isDirectory &&
+            s.getPath.getName.startsWith("tick=") &&
+            s.getPath.getName != s"tick=$tickId")
+        if (others)
+          spark.read.parquet(maintainedStore)
+            .filter(col("tick") =!= tickId).drop("tick")
+        else null // fresh store (or only our own replayed tick): admit all
+      } else {
+        val sp = str("signature_store", "")
+        if (sp.isEmpty) null else spark.read.parquet(sp)
+      }
     val stageTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var tLast = System.nanoTime()
     def lap(stage: String): Unit = {
@@ -113,18 +152,16 @@ object MediaCurationJob {
 
     // admission BEFORE within-tick dedup: rows already in the lake never
     // compete for survivorship
-    val rejected: DataFrame = if (storePath.isEmpty) null
+    val rejected: DataFrame = if (corpusStore == null) null
       else if (isVideo)
         // the CHECKPOINTED tick signatures feed the probe — the "ONE decode
         // pass" promise above holds for video too (the payload-form
         // videoAdmissionMatches would re-decode every clip here)
-        Multimodal.videoAdmissionMatchesFromSigs(spark.read.parquet(storePath),
-            sigs, minShared)
+        Multimodal.videoAdmissionMatchesFromSigs(corpusStore, sigs, minShared)
           .select(col("id_a").as("media_id")).distinct()
       else Dedup.simhashBandMatchesBetween(
           sigs.select(col("media_id"), col("phash").as("simhash")),
-          spark.read.parquet(storePath)
-            .select(col("media_id"), col("phash").as("simhash")),
+          corpusStore.select(col("media_id"), col("phash").as("simhash")),
           "media_id", maxHamming)
         .select(col("id_a").as("media_id")).distinct()
     val rejectedIds = if (rejected == null) null
@@ -173,6 +210,18 @@ object MediaCurationJob {
     sigs.join(broadcast(dropIds), Seq("media_id"), "left_anti")
       .write.mode("overwrite").parquet(s"$outPath/sigs")
     lap("write")
+    // store maintenance INSIDE the job (the r11 verdict's "leaves the union
+    // to deployment" gap): the tick's survivor signatures land under their
+    // own tick= partition via the idempotent dynamic overwrite — re-running
+    // this tick rewrites the identical partition, so the store always equals
+    // the union of every tick's survivors. Reads back the just-written sigs
+    // parquet: no recompute, and a crash before this line re-runs the whole
+    // marker-less tick.
+    if (maintainedStore.nonEmpty) {
+      graft.io.SignatureStore.appendTick(
+        spark.read.parquet(s"$outPath/sigs"), maintainedStore, tickId)
+      lap("store-append")
+    }
     val survivors = spark.read.parquet(s"$outPath/media").count()
     lap("count-back")
     Seq(sigs, dropIds).foreach(Dedup.release)

@@ -83,6 +83,75 @@ class MediaCurationJobSpec extends SparkSpec {
       .select($"media_id").as[Long].collect().toSet == Set(1L, 4L))
   }
 
+  test("maintained store: multi-tick fold, crash-heal replay, compaction") {
+    val a = ramp((x, _) => x * 7)
+    val aEdit = a.clone()
+    for (y <- 0 until 4; x <- 0 until 8; c <- 0 until 3)
+      aEdit((y * w + x) * 3 + c) = 250.toByte
+    val checker = ramp((x, _) => if ((x / 4) % 2 == 0) 200 else 50)
+    val diag = ramp((x, y) => if (((x + y) / 6) % 2 == 0) 230 else 20)
+
+    val dir = Files.createTempDirectory("mediastore").toString
+    val store = s"$dir/store"
+    def cfgFor(tick: Int): String = writeCfg(Map(
+      "media_path" -> ("\"" + dir + s"/tick$tick\""),
+      "output_path" -> ("\"" + dir + s"/out$tick\""),
+      "modality" -> "\"image\"",
+      "max_hamming" -> "6",
+      "store_path" -> ("\"" + store + "\""),
+      "tick_id" -> ("\"t" + tick + "\"")))
+
+    // tick 1 against the FRESH store: everything admitted, cluster {1,2}
+    lake(Seq(Row(1L, "image", ppm(a)), Row(2L, "image", ppm(aEdit)),
+      Row(3L, "image", ppm(checker)))).write.parquet(s"$dir/tick1")
+    assert(MediaCurationJob.run(spark, cfgFor(1)).contains(
+      MediaCurationJob.Stats(3, 3, 3, 2)))
+    def storeIds: Set[Long] = graft.io.SignatureStore.read(spark, store)
+      .select($"media_id").as[Long].collect().toSet
+    assert(storeIds == Set(1L, 3L))
+
+    // tick 2: a re-upload of survivor 1's image (rejected by the store) and
+    // a genuinely novel pattern
+    lake(Seq(Row(11L, "image", ppm(a)), Row(12L, "image", ppm(diag))))
+      .write.parquet(s"$dir/tick2")
+    assert(MediaCurationJob.run(spark, cfgFor(2)).contains(
+      MediaCurationJob.Stats(2, 2, 1, 1)))
+    assert(storeIds == Set(1L, 3L, 12L)) // union of tick survivors
+
+    // marker present: replaying tick 2 is a no-op, store untouched
+    assert(MediaCurationJob.run(spark, cfgFor(2)).isEmpty)
+    assert(storeIds == Set(1L, 3L, 12L))
+
+    // crash-heal replay: store already appended, marker missing — the rerun
+    // must NOT reject its own rows against its own tick partition, and the
+    // idempotent dynamic overwrite leaves the store identical
+    Files.delete(java.nio.file.Paths.get(s"$dir/out2", "_DONE"))
+    assert(MediaCurationJob.run(spark, cfgFor(2)).contains(
+      MediaCurationJob.Stats(2, 2, 1, 1)))
+    assert(storeIds == Set(1L, 3L, 12L))
+    assert(spark.read.parquet(s"$dir/out2/media")
+      .select($"media_id").as[Long].collect().toSet == Set(12L))
+
+    // third tick, then compaction folds t1/t2 into one base partition with
+    // the store's rows bit-identical before and after
+    val cross = ramp((x, y) =>
+      if (x / 6 == y / 6 || x / 6 == 5 - y / 6) 240 else 15)
+    lake(Seq(Row(21L, "image", ppm(cross)))).write.parquet(s"$dir/tick3")
+    assert(MediaCurationJob.run(spark, cfgFor(3)).contains(
+      MediaCurationJob.Stats(1, 1, 1, 1)))
+    val beforeCompact = graft.io.SignatureStore.read(spark, store)
+      .as[(Long, Long)].collect().toSet
+    val rep = graft.io.SignatureStore.compact(spark, store, keepTicks = 1)
+    assert(rep.ticksBefore == 3 && rep.ticksAfter == 2)
+    assert(graft.io.SignatureStore.read(spark, store)
+      .as[(Long, Long)].collect().toSet == beforeCompact)
+    // a compacted store still admits correctly: replaying tick 3's content
+    // as a NEW tick gets rejected
+    lake(Seq(Row(31L, "image", ppm(cross)))).write.parquet(s"$dir/tick4")
+    assert(MediaCurationJob.run(spark, cfgFor(4)).contains(
+      MediaCurationJob.Stats(1, 1, 0, 0)))
+  }
+
   test("video modality: clip clustering by shared frames, frame-store admission") {
     def y4m(frames: Seq[Array[Byte]]): Array[Byte] = {
       val cb = 2 * ((w + 1) / 2) * ((h + 1) / 2)
