@@ -119,7 +119,6 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"pass_totals":[${passTotal(pass1)},${passTotal(pass2)}],"failed":$fs,"failed_count":${failures.size},"sf":"$sfDir"}"""
-    println(line)
     // The driver's artifact captures a bounded TAIL of stdout, and the full
     // line (110+ per-query timings) outgrew it — BENCH_r09.json lost every
     // timing before q46 to truncation. Persist the COMPLETE line to a stable
@@ -146,7 +145,15 @@ object Bench {
     val fsShort = failures.take(3)
       .map { case (k, v) => "\"" + k + "\":\"" + v.take(80) + "\"" }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"pass_totals":[${passTotal(pass1)},${passTotal(pass2)}],"failed_count":${failures.size},"failed":$fsShort,"slowest10":$slow,"bench_full":"${fullPath.toAbsolutePath}"}""")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"pass_totals":[${passTotal(pass1)},${passTotal(pass2)}],"failed_count":${failures.size},"failed":$fsShort,"slowest10":$slow,"bench_full":"${fullPath.toAbsolutePath}"}"""
+    // The compact summary prints FIRST (a head-reading parser finds it — r11
+    // verdict #3: the summary appearing only last left BENCH parsed=null),
+    // then the full per-query line (persisted above regardless — a bounded
+    // stdout tail may truncate its head), then the compact summary AGAIN so
+    // a tail-reading parser finds it whole no matter the capture window.
+    println(compact)
+    println(line)
+    println(compact)
     spark.stop()
     if (failures.nonEmpty) sys.exit(1)
   }

@@ -189,6 +189,55 @@ object MediaProbe {
           time(s"admit-$round")(admittedDf.count())
           Dedup.release(admittedDf)
         }
+      case "tick" =>
+        // r11 verdict #6: the in-job pairs+cc (42.9s) and write (26.9s)
+        // stage walls rode a burst-throttled host — this mode re-times them
+        // warm over alternating rounds (min across rounds = the attributable
+        // wall), and A/Bs the survivors write: A = the job's broadcast
+        // ANTI-join on the drop set vs B = broadcast SEMI-join on the
+        // survivor id set (same scan, same broadcast size class — measures
+        // whether the join direction changes what the payload scan pays).
+        val rounds = args.drop(2).headOption.map(_.toInt).getOrElse(3)
+        val media = lake("image")
+        for (r <- 1 to rounds) {
+          var t0 = System.nanoTime()
+          val sigs = Multimodal.perceptualHashes(media,
+              Multimodal.anyImagePhashHasher())
+            .localCheckpoint(eager = true)
+          val tHash = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          val pairs = Dedup.simhashBandPairs(
+            sigs.select(col("media_id"), col("phash").as("simhash")),
+            "media_id", maxHamming = 4, maxBucket = 4096)
+          val labels = Dedup.components(pairs)
+          val undecodable = media.select(col("media_id"))
+            .join(sigs.select(col("media_id")).distinct(), Seq("media_id"),
+              "left_anti")
+          val losers = labels.filter(col("id") =!= col("component"))
+            .select(col("id").as("media_id"))
+          val dropIds = undecodable.unionByName(losers).distinct()
+            .localCheckpoint(eager = true)
+          Dedup.release(labels)
+          val tPairs = (System.nanoTime() - t0) / 1e9
+          val nDrop = dropIds.count()
+          val survivorIds = sigs.select(col("media_id")).distinct()
+            .join(broadcast(dropIds), Seq("media_id"), "left_anti")
+            .localCheckpoint(eager = true)
+          def wa(): Double = { val t = System.nanoTime()
+            media.join(broadcast(dropIds), Seq("media_id"), "left_anti")
+              .write.mode("overwrite").parquet("/tmp/graft_tick_out_a")
+            (System.nanoTime() - t) / 1e9 }
+          def wb(): Double = { val t = System.nanoTime()
+            media.join(broadcast(survivorIds), Seq("media_id"), "left_semi")
+              .write.mode("overwrite").parquet("/tmp/graft_tick_out_b")
+            (System.nanoTime() - t) / 1e9 }
+          val (ta, tb) = if (r % 2 == 1) { val a = wa(); val b = wb(); (a, b) }
+            else { val b = wb(); val a = wa(); (a, b) }
+          println(f"PROBE tick-$r hash=$tHash%.1fs pairs+cc=$tPairs%.1fs " +
+            f"drop=$nDrop writeA_anti=$ta%.1fs writeB_semi=$tb%.1fs")
+          Seq(sigs, dropIds, survivorIds).foreach(Dedup.release)
+          spark.catalog.clearCache()
+        }
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

@@ -656,6 +656,81 @@ object OracleHashSql {
        |WHERE bit_count(xor(a.phash, b.phash)) <= 8
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** The decode-inclusive VIDEO frame-signature frame q119/q120 share:
+    * `SyntheticMedia.y4mClip` re-derived — clip d has (d % 3)+1 gray 9×8
+    * frames, frame f's luma = pixel(grp·8 + f, i, 0) with grp = d % 30 —
+    * then the per-frame dhash64 walk. Final CTE `vsig`(media_id,
+    * frame_idx, fsig BIGINT signed). */
+  private def synthVideoSigCtes: String = {
+    val lum = synthPix("((grp * 8 + f))::HUGEINT", "i", 0)
+    s"""d0 AS (SELECT CAST(doc_id AS BIGINT) AS media_id,
+       |  CAST(doc_id % 30 AS BIGINT) AS grp,
+       |  CAST(doc_id % 3 AS BIGINT) AS nf1 FROM documents),
+       |fr AS (
+       |  SELECT media_id, grp, f
+       |  FROM d0 CROSS JOIN (SELECT unnest(range(0, 3)) AS f)
+       |  WHERE f <= nf1),
+       |px AS (
+       |  SELECT media_id, f, i, ($lum) AS lum
+       |  FROM fr CROSS JOIN (SELECT unnest(range(0, 72)) AS i)),
+       |grid AS (
+       |  SELECT x.media_id, x.f, r.b,
+       |    (r.b // 8) * 9 + (r.b % 8) AS i1,
+       |    (r.b // 8) * 9 + (r.b % 8) + 1 AS i2
+       |  FROM fr x CROSS JOIN (SELECT unnest(range(0, 64)) AS b) r),
+       |hb AS (
+       |  SELECT g.media_id, g.f,
+       |    SUM(CASE WHEN p1.lum < p2.lum THEN (1::HUGEINT << g.b)
+       |        ELSE 0::HUGEINT END) AS hu
+       |  FROM grid g
+       |  JOIN px p1 ON p1.media_id = g.media_id AND p1.f = g.f AND p1.i = g.i1
+       |  JOIN px p2 ON p2.media_id = g.media_id AND p2.f = g.f AND p2.i = g.i2
+       |  GROUP BY g.media_id, g.f),
+       |vsig AS (SELECT media_id, CAST(f AS INT) AS frame_idx,
+       |  ${sg("hu")} AS fsig FROM hb)""".stripMargin
+  }
+
+  /** q119: the REAL Y4M decode chain end-to-end — stream-header walk, FRAME
+    * markers, luma-plane extraction, per-frame dhash64 — every frame's
+    * signature under the driver's hash compare. */
+  def q119VideoDhashFrames: String =
+    s"""WITH $synthVideoSigCtes
+       |SELECT media_id, frame_idx, fsig FROM vsig
+       |ORDER BY media_id, frame_idx""".stripMargin
+
+  /** q120: decode-inclusive clip near-dup pairs (shared >= 2 distinct
+    * DECODED frame signatures) — `videoNearDupPairs` with real payloads. */
+  def q120VideoNearDupE2e: String =
+    s"""WITH $synthVideoSigCtes,
+       |ex AS (SELECT DISTINCT media_id, fsig FROM vsig)
+       |SELECT a.media_id AS id_a, b.media_id AS id_b,
+       |  COUNT(*) AS shared_frames
+       |FROM ex a JOIN ex b ON a.fsig = b.fsig AND a.media_id < b.media_id
+       |GROUP BY a.media_id, b.media_id
+       |HAVING COUNT(*) >= 2
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q121: the REAL RIFF/WAVE decode chain + `WavCodec.afp64` end-to-end —
+    * `SyntheticMedia.wav` holds EXACTLY 65 mono frames, so the 65
+    * equal-duration energy bins degenerate to one sample each and bit i is
+    * |s_i|² < |s_{i+1}|² with amplitudes from the pixel function (signs
+    * alternate in the payload; energy is sign-blind). */
+  def q121AudioAfp64: String = {
+    val amp1 = synthPix("(media_id)::HUGEINT", "b", 0)
+    val amp2 = synthPix("(media_id)::HUGEINT", "(b + 1)", 0)
+    s"""WITH d0 AS (SELECT CAST(doc_id AS BIGINT) AS media_id FROM documents),
+       |bits AS (
+       |  SELECT media_id, b, ($amp1) AS a1, ($amp2) AS a2
+       |  FROM d0 CROSS JOIN (SELECT unnest(range(0, 64)) AS b)),
+       |hb AS (
+       |  SELECT media_id,
+       |    SUM(CASE WHEN a1 * a1 < a2 * a2 THEN (1::HUGEINT << b)
+       |        ELSE 0::HUGEINT END) AS hu
+       |  FROM bits GROUP BY media_id)
+       |SELECT media_id, ${sg("hu")} AS phash FROM hb
+       |ORDER BY media_id""".stripMargin
+  }
+
   /** q117: `admitNewMedia` end-to-end — incoming docs (copy index % 5 = 0)
     * admitted iff no corpus image within hamming 8 (corpus contracted to
     * reps, which changes match ids but never the admitted set). */

@@ -191,7 +191,10 @@ object SparkEntry {
     "q115_media_dhash64" -> qMediaDhash,
     "q116_media_near_dup_e2e" -> qMediaNearDupE2e,
     "q117_media_admission_e2e" -> qMediaAdmitE2e,
-    "q118_video_admission_sigs" -> qVideoAdmissionSigs)
+    "q118_video_admission_sigs" -> qVideoAdmissionSigs,
+    "q119_video_dhash_frames" -> qVideoDhashFrames,
+    "q120_video_near_dup_e2e" -> qVideoNearDupE2e,
+    "q121_audio_afp64" -> qAudioAfp64)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2272,6 +2275,32 @@ object SparkEntry {
       .orderBy(col("media_id"))
   }
 
+  /** q119: REAL Y4M decode end-to-end — `SyntheticMedia`'s 9×8 gray clips
+    * through `frameSignatures` (stream-header walk, FRAME markers, luma
+    * extraction, per-frame dhash64); DuckDB re-derives every frame pixel. */
+  private def qVideoDhashFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frameSignatures(
+        graft.operators.SyntheticMedia.videoFrame(t(s, dir, "documents")),
+        Multimodal.y4mFrameHasher())
+      .orderBy(col("media_id"), col("frame_idx"))
+
+  /** q120: `videoNearDupPairs` end-to-end with REAL decoded payloads (via
+    * the mixed-format `anyVideoFrameHasher` route the job runs). */
+  private def qVideoNearDupE2e(s: SparkSession, dir: String): DataFrame =
+    Multimodal.videoNearDupPairs(
+        graft.operators.SyntheticMedia.videoFrame(t(s, dir, "documents")),
+        Multimodal.anyVideoFrameHasher(), minSharedFrames = 2)
+      .orderBy(col("id_a"), col("id_b"))
+
+  /** q121: REAL RIFF/WAVE decode + `WavCodec.afp64` end-to-end — 65-frame
+    * payloads make the energy envelope per-sample, so DuckDB re-derives the
+    * exact fingerprint from the amplitude function. */
+  private def qAudioAfp64(s: SparkSession, dir: String): DataFrame =
+    Multimodal.perceptualHashes(
+        graft.operators.SyntheticMedia.audioFrame(t(s, dir, "documents")),
+        Multimodal.anyAudioFpHasher())
+      .orderBy(col("media_id"))
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -4126,6 +4155,9 @@ object SparkEntry {
     "q116_media_near_dup_e2e" -> OracleHashSql.q116MediaNearDupPairs,
     "q117_media_admission_e2e" -> OracleHashSql.q117MediaAdmissionE2e,
     "q118_video_admission_sigs" -> OracleHashSql.q118VideoAdmissionSigs,
+    "q119_video_dhash_frames" -> OracleHashSql.q119VideoDhashFrames,
+    "q120_video_near_dup_e2e" -> OracleHashSql.q120VideoNearDupE2e,
+    "q121_audio_afp64" -> OracleHashSql.q121AudioAfp64,
     // q104: q95's corpus and window/first-occurrence rules, folded to
     // per-doc counts + the floor-divided e6 novelty instead of span surgery
     "q104_window_novelty" ->

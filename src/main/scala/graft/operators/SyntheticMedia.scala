@@ -66,11 +66,67 @@ object SyntheticMedia {
 
   /** The (media_id, kind, payload) lake over a driver table's id column —
     * a deterministic per-row map, identical under any partitioning. */
-  def mediaFrame(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def mediaFrame(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    frameOf(docs, idCol, "image", ppm)
+
+  /** Number of video near-dup groups (doc_id % VGrp). */
+  val VGrp = 30L
+
+  /** Binary Y4M clip for doc `d`: ((d % 3) + 1) gray 9×8 frames; frame f's
+    * luma plane is the GROUP's pattern `pixel(grp·8 + f, i, 0)`, so
+    * same-group clips share their prefix frames — REAL decoded clip
+    * near-dups (q119/q120). C420 chroma planes are neutral fill (the
+    * consumers are chroma-blind by design). */
+  def y4mClip(d: Long): Array[Byte] = {
+    val g = d % VGrp
+    val nf = (d % 3).toInt + 1
+    val header = "YUV4MPEG2 W9 H8 F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+    val cb = 2 * ((9 + 1) / 2) * ((8 + 1) / 2)
+    header ++ (0 until nf).flatMap { f =>
+      val y = Array.tabulate[Byte](72)(i => pixel(g * 8 + f, i, 0).toByte)
+      "FRAME\n".getBytes("US-ASCII") ++ y ++ Array.fill[Byte](cb)(-128)
+    }
+  }
+
+  /** RIFF/WAVE mono 16-bit PCM for doc `d`: EXACTLY 65 frames, so
+    * `WavCodec.afp64`'s 65 equal-duration bins degenerate to one frame per
+    * bin and bit i compares single-sample energies — |s_i|² < |s_{i+1}|²
+    * with amplitudes from the pixel function, re-derivable in SQL (q121).
+    * Signs alternate (realistic zero-crossing audio); energy is
+    * sign-blind. */
+  def wav(d: Long): Array[Byte] = {
+    val n = 65
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(n * 2)
+    var b = 0
+    while (b < n) {
+      val amp = pixel(d, b, 0)
+      bb.putShort((if (b % 2 == 0) amp else -amp).toShort)
+      b += 1
+    }
+    bb.array()
+  }
+
+  /** The synthetic VIDEO lake (q119/q120). */
+  def videoFrame(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    frameOf(docs, idCol, "video", y4mClip)
+
+  /** The synthetic AUDIO lake (q121). */
+  def audioFrame(docs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    frameOf(docs, idCol, "audio", wav)
+
+  private def frameOf(docs: DataFrame, idCol: String, kind: String,
+                      make: Long => Array[Byte]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(idCol).cast("long")).as[Long]
-      .map(d => (d, "image", ppm(d)))
+      .map(d => (d, kind, make(d)))
       .toDF("media_id", "kind", "payload")
   }
 }

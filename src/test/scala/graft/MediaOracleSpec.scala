@@ -82,6 +82,38 @@ class MediaOracleSpec extends SparkSpec {
     assert(expectAdmitted.nonEmpty, "admission row must have true positives")
   }
 
+  test("real Y4M + WAV decode chains == independent pixel/amplitude models") {
+    // video: per-frame dhash from the pixel model, never via the codec
+    def expectedFrameDhash(d: Long, f: Int): Long = {
+      def luma(i: Int) =
+        SyntheticMedia.pixel((d % SyntheticMedia.VGrp) * 8 + f, i, 0)
+      (0 until 64).foldLeft(0L) { (h, b) =>
+        val i1 = (b / 8) * 9 + (b % 8)
+        if (luma(i1) < luma(i1 + 1)) h | (1L << b) else h
+      }
+    }
+    val vids = SyntheticMedia.videoFrame(docs)
+    val gotFrames = Multimodal.frameSignatures(vids,
+        Multimodal.y4mFrameHasher())
+      .as[(Long, Int, Long)].collect().toSet
+    val expectFrames = (for {
+      d <- 0L until 300L; f <- 0 to (d % 3).toInt
+    } yield (d, f, expectedFrameDhash(d, f))).toSet
+    assert(gotFrames == expectFrames)
+    // audio: afp64 from the amplitude model (65 frames -> per-sample bins)
+    def expectedAfp(d: Long): Long =
+      (0 until 64).foldLeft(0L) { (h, b) =>
+        val a1 = SyntheticMedia.pixel(d, b, 0).toLong
+        val a2 = SyntheticMedia.pixel(d, b + 1, 0).toLong
+        if (a1 * a1 < a2 * a2) h | (1L << b) else h
+      }
+    val gotAfp = Multimodal.perceptualHashes(SyntheticMedia.audioFrame(docs),
+        Multimodal.anyAudioFpHasher())
+      .as[(Long, Long)].collect().toMap
+    assert(gotAfp.size == 300)
+    (0L until 300L).foreach(d => assert(gotAfp(d) == expectedAfp(d)))
+  }
+
   test("signature banding engines == brute force on the synthetic sig frame") {
     // q112/q113's frame: xxhash64 base + bit flips, built directly (bases
     // fetched once from the engine's own xxhash64 — one tiny job)
