@@ -40,7 +40,7 @@ object BagOfWordsExpr {
     * dedup + sort in UTF8String binary order, the same collation Spark's
     * `array_sort` applies to strings. */
   def compute(text: UTF8String): UTF8String = {
-    val words = text.toLowerCase.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val words = KernelTok.words(text)
     if (words.isEmpty) return UTF8String.EMPTY_UTF8
     val set = new java.util.TreeSet[UTF8String]()
     var i = 0

@@ -50,7 +50,7 @@ object DistinctShinglesExpr {
   /** Referenced from generated code. Returns an empty array for docs shorter
     * than n words (the column form's `.otherwise(array())`). */
   def compute(text: UTF8String, n: Int): GenericArrayData = {
-    val words = text.toLowerCase.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val words = KernelTok.words(text)
     val m = words.length - n + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Any])
     val seen = new java.util.LinkedHashSet[String]()

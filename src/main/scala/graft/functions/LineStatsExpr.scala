@@ -91,7 +91,7 @@ object LineStatsExpr {
     }
 
     // ---- top-word concentration: value -> count, champion by (count, binary asc) ----
-    val words = text.toLowerCase.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val words = KernelTok.words(text)
     var wordChars = 0L
     val wordCounts = new java.util.HashMap[String, Long]()
     i = 0

@@ -69,7 +69,7 @@ object NgramRepetitionExpr {
 
   /** Referenced from generated code. */
   def compute(text: UTF8String): InternalRow = {
-    val words = text.toLowerCase.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val words = KernelTok.words(text)
     val L = words.length
     val wordLens = new Array[Long](L)
     var wordChars = 0L

@@ -70,7 +70,7 @@ object ScrubTokensExpr {
 
   /** Referenced from generated code. */
   def compute(text: UTF8String, starts: ArrayData, window: Int): InternalRow = {
-    val words = text.toLowerCase.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val words = KernelTok.words(text)
     val ns = starts.numElements()
     val sb = new java.lang.StringBuilder
     var kept = 0L

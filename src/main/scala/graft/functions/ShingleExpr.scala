@@ -58,7 +58,7 @@ object SortedHashedShinglesExpr {
     * under a forced Turkish default locale. */
   private[functions] def positionalHashes(text: UTF8String,
                                           n: Int): Array[Long] = {
-    val words = text.toLowerCase.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val words = KernelTok.words(text)
     val m = words.length - n + 1
     if (m <= 0) return Array.empty[Long]
     val hashes = new Array[Long](m)

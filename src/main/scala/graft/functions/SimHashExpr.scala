@@ -55,7 +55,7 @@ object SimHash64Expr {
     * OCCURRENCE contributes its hash bits, matching the aggregate form.
     * Returns null (no signature) for token-less documents. */
   def compute(text: UTF8String): java.lang.Long = {
-    val words = text.toLowerCase.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val words = KernelTok.words(text)
     if (words.isEmpty) return null
     val counts = new Array[Int](64)
     var i = 0

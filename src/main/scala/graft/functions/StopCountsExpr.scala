@@ -53,7 +53,7 @@ object StopCountsExpr {
   /** Referenced from generated code. Token semantics match `TextFns.words`. */
   def compute(text: UTF8String,
               sets: Array[java.util.HashSet[String]]): GenericArrayData = {
-    val words = text.toLowerCase.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val words = KernelTok.words(text)
     val counts = new Array[Long](sets.length)
     var i = 0
     while (i < words.length) {

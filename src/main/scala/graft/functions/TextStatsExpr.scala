@@ -74,7 +74,7 @@ object TextStatsExpr {
     * results are bit-identical to `array_sort(transform(bg, xxhash64))` +
     * max-run-length. */
   def compute(text: UTF8String, stops: java.util.HashSet[String]): InternalRow = {
-    val words = text.toLowerCase.toString.trim.split("\\s+").filter(_.nonEmpty)
+    val words = KernelTok.words(text)
     val nWords = words.length
     var charSum = 0L
     var stopCount = 0L

@@ -15,24 +15,35 @@ import org.apache.hadoop.fs.Path
   * the artifacts move from local disk to `hdfs://`/`s3a://` — a
   * `java.nio.file` gate on a remote scheme silently never sees its marker and
   * re-runs every tick. Local paths behave exactly as before (Hadoop's
-  * `file:` scheme is the default for scheme-less paths). Pass the job's
-  * `spark.sparkContext.hadoopConfiguration` when one exists so `fs.*` conf
-  * (credentials, endpoints) is honored; the default `Configuration()` is
-  * correct for plain local paths. */
+  * `file:` scheme is the default for scheme-less paths). The default conf is
+  * the ACTIVE SparkSession's `hadoopConfiguration` when one exists — jobs set
+  * credentials/endpoints via `spark.hadoop.*`, and a bare `new Configuration()`
+  * would miss them, failing the gate on exactly the remote schemes this API
+  * exists for. A bare Configuration is the fallback only when no session is up
+  * (plain local tooling). */
 object Maintenance {
+
+  /** The active session's Hadoop conf (carries `spark.hadoop.*` credentials /
+    * endpoints), else a plain one. Evaluated at CALL time (Scala default-arg
+    * semantics), so gates always see the session that is actually running. */
+  def sessionConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .orElse(org.apache.spark.sql.SparkSession.getDefaultSession)
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
 
   /** S13: idempotence gate — skip a job tick whose output already exists
     * (ref: inputs/gen_mike_input_rf_linux.py:271-280). Returns true if the job
     * should run. */
   def shouldRun(outputPath: String,
-                conf: Configuration = new Configuration()): Boolean = {
+                conf: Configuration = sessionConf()): Boolean = {
     val p = new Path(outputPath)
     !p.getFileSystem(conf).exists(p)
   }
 
   /** Run `job` only if `outputPath` is absent; returns whether it ran. */
   def runIdempotent(outputPath: String,
-                    conf: Configuration = new Configuration())
+                    conf: Configuration = sessionConf())
                    (job: => Unit): Boolean =
     if (shouldRun(outputPath, conf)) { job; true } else false
 
@@ -58,7 +69,7 @@ object Maintenance {
     * deleted paths. Age is by last-modified time, like `find -mtime`. */
   def flushOlderThan(dir: String, ttlDays: Long,
                      now: Instant = Instant.now(),
-                     conf: Configuration = new Configuration()): Seq[Path] = {
+                     conf: Configuration = sessionConf()): Seq[Path] = {
     val root = new Path(dir)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return Nil

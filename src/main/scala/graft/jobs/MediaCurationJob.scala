@@ -98,10 +98,13 @@ object MediaCurationJob {
       else new org.apache.hadoop.fs.Path(outPath).getName
     }
     // Admission source: the maintained store (when it already holds OTHER
-    // ticks) wins over a plain signature_store parquet. The tick's OWN
-    // partition is excluded by a partition-pruned filter — a crash-heal
-    // replay (store appended, marker missing) would otherwise find its own
-    // signatures in the store, reject every row, and publish empty outputs.
+    // ticks' partitions) wins over a plain signature_store parquet. The
+    // tick's OWN rows are excluded by `SignatureStore.readExcluding` — by
+    // the `src_tick` DATA column, not just the partition — so a crash-heal
+    // replay (store appended, marker missing) cannot find its own
+    // signatures and self-reject EVEN AFTER a compaction folded them into
+    // the reserved `tick=__folded__` partition, and other ticks' folded
+    // rows stay visible to the probe.
     val corpusStore: DataFrame =
       if (maintainedStore.nonEmpty) {
         val p = new org.apache.hadoop.fs.Path(maintainedStore)
@@ -111,8 +114,7 @@ object MediaCurationJob {
             s.getPath.getName.startsWith("tick=") &&
             s.getPath.getName != s"tick=$tickId")
         if (others)
-          spark.read.parquet(maintainedStore)
-            .filter(col("tick") =!= tickId).drop("tick")
+          graft.io.SignatureStore.readExcluding(spark, maintainedStore, tickId)
         else null // fresh store (or only our own replayed tick): admit all
       } else {
         val sp = str("signature_store", "")

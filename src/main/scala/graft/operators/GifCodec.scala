@@ -29,6 +29,16 @@ object GifCodec {
     * is bounded per frame; payload size says nothing about pixel count. */
   val MaxPixels: Long = 64L * 1024 * 1024
 
+  /** Aggregate materialization bound: every decoded frame is a full-canvas
+    * RGB copy, so the per-frame canvas guard alone leaves frameCount ×
+    * canvas unbounded — a few-KB LZW payload declaring a large screen and
+    * thousands of 1×1 sub-images would build hundreds of GB of rasters and
+    * OOM the executor (and OutOfMemoryError is not NonFatal: the row would
+    * not drop, the task would die). Y4M needs no such bound — uncompressed
+    * frames can never exceed the payload's own byte count. 128M pixels =
+    * 384 MB of frames per payload, worst case. */
+  val MaxTotalPixels: Long = 128L * 1024 * 1024
+
   private val Magic87 = "GIF87a".getBytes("US-ASCII")
   private val Magic89 = "GIF89a".getBytes("US-ASCII")
 
@@ -58,6 +68,9 @@ object GifCodec {
         (reader.getWidth(0), reader.getHeight(0))
       }
       if (sw <= 0 || sh <= 0 || sw.toLong * sh > MaxPixels) return None
+      // aggregate bomb guard: n full-canvas frames materialize n*sw*sh
+      // pixels regardless of payload size — refuse before allocating
+      if (n.toLong * sw * sh > MaxTotalPixels) return None
       val canvas = new java.awt.image.BufferedImage(sw, sh,
         java.awt.image.BufferedImage.TYPE_INT_ARGB)
       var previous: java.awt.image.BufferedImage = null
@@ -143,21 +156,24 @@ object GifCodec {
     val w = canvas.getWidth
     val h = canvas.getHeight
     val out = new Array[Byte](w * h * 3)
-    var y = 0
+    // the canvas is our own TYPE_INT_ARGB image, so its raster's backing
+    // int[] IS the packed ARGB pixels — read it directly instead of
+    // per-pixel getRGB (a ColorModel conversion per call, in the hot loop
+    // of a decode-bound job)
+    val argbs = canvas.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferInt].getData
+    var p = 0
     var i = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val argb = canvas.getRGB(x, y)
-        // transparent pixels carry no color — read as black, deterministically
-        val opaque = (argb >>> 24) != 0
-        out(i) = (if (opaque) (argb >> 16) & 0xff else 0).toByte
-        out(i + 1) = (if (opaque) (argb >> 8) & 0xff else 0).toByte
-        out(i + 2) = (if (opaque) argb & 0xff else 0).toByte
-        i += 3
-        x += 1
-      }
-      y += 1
+    val npx = w * h
+    while (p < npx) {
+      val argb = argbs(p)
+      // transparent pixels carry no color — read as black, deterministically
+      val opaque = (argb >>> 24) != 0
+      out(i) = (if (opaque) (argb >> 16) & 0xff else 0).toByte
+      out(i + 1) = (if (opaque) (argb >> 8) & 0xff else 0).toByte
+      out(i + 2) = (if (opaque) argb & 0xff else 0).toByte
+      i += 3
+      p += 1
     }
     PnmCodec.Image(w, h, 3, out)
   }

@@ -70,6 +70,15 @@ class ExtensionsMaintenanceSpec extends SparkSpec {
     assert(runs == 1)
   }
 
+  test("gates default to the ACTIVE session's Hadoop conf, not a bare one") {
+    // jobs configure remote-FS credentials/endpoints via spark.hadoop.*,
+    // which land in the session's hadoopConfiguration — a default-arg
+    // `new Configuration()` would miss them and break the very hdfs/s3a
+    // gating this API exists for. Default args evaluate at call time, so
+    // the running session is always the one consulted.
+    assert(Maintenance.sessionConf() eq spark.sparkContext.hadoopConfiguration)
+  }
+
   test("S14 TTL retention deletes only expired artifacts") {
     val dir = Files.createTempDirectory("flush")
     val old = dir.resolve("old.csv"); val fresh = dir.resolve("fresh.csv")

@@ -64,6 +64,22 @@ class GifCodecSpec extends SparkSpec {
   private def cellsOf(seed: Int): Array[Int] =
     Array.tabulate(72)(i => ((seed * 73 + i * 151) ^ (i * seed)) & 0xff)
 
+  test("aggregate bomb guard: frameCount x canvas beyond MaxTotalPixels is refused") {
+    // every decoded frame is a full-canvas RGB copy, so a payload whose
+    // canvas passes the per-frame guard can still materialize hundreds of
+    // GB via many tiny sub-images (a few-KB LZW stream — OutOfMemoryError
+    // would kill the task, not drop the row). Canvas 2048x2048 (4.2M px,
+    // well under MaxPixels) x 33 frames = 138M px > the 128M budget.
+    val big = new BufferedImage(2048, 2048, BufferedImage.TYPE_INT_RGB)
+    val tiny = new BufferedImage(1, 1, BufferedImage.TYPE_INT_RGB)
+    val bomb = animatedGif(big +: Seq.fill(32)(tiny))
+    assert(bomb.length < 100 * 1024) // the payload itself stays tiny
+    assert(GifCodec.decodeFrames(bomb).isEmpty)
+    // just inside the budget decodes fine (31 frames = 130M px < 134M)
+    val ok = animatedGif(big +: Seq.fill(30)(tiny))
+    assert(GifCodec.decodeFrames(ok).exists(_.size == 31))
+  }
+
   test("GIF round-trip: written frames decode with displayed-frame semantics") {
     val patterns = (1 to 4).map(cellsOf)
     val gif = animatedGif(patterns.map(cellFrame))

@@ -92,24 +92,46 @@ class LocaleProofSpec extends SparkSpec {
   }
 
   test("no kernel lowers through the default locale (source lint)") {
-    // LineStatsExpr/ScrubTokensExpr/StopCountsExpr share the exact tokenizer
-    // line the behavior pins above exercise; this lint keeps the landmine
-    // out of EVERY current and future kernel mechanically.
+    // Structural rule, not pattern-matching: tokenizing kernels lower ONLY
+    // through `KernelTok.words` (receiver typed UTF8String — the
+    // default-locale path is unrepresentable there), so the `toLowerCase`
+    // token is banned OUTRIGHT in every other kernel file, comments
+    // included aside, on code lines. This closes the pattern-lint gap where
+    // `val s = text.toString; s.toLowerCase` (no parens, not contiguous
+    // with toString) slipped a String-receiver lowering past a
+    // `toString.toLowerCase` + `toLowerCase()` check.
+    val allowed = Set(
+      "KernelTok.scala",        // the one sanctioned UTF8String lowering
+      "NormalizeTextExpr.scala" // lowers a UTF8String pre-accent-strip
+    )
     val dir = java.nio.file.Paths.get("src/main/scala/graft/functions")
-    val offenders = ysCollect(dir)
+    val offenders = ysCollect(dir, allowed)
     assert(offenders.isEmpty, s"default-locale lowering in kernels: $offenders")
+    // and inside the allowed files, the String-receiver shapes stay banned
+    val shapeOffenders = ysCollect(dir, Set.empty).filter(allowed)
+      .filter { name =>
+        val src = java.nio.file.Files.readString(dir.resolve(name))
+        src.contains("toString.toLowerCase") ||
+          codeLines(src).exists(_.matches(""".*\btoLowerCase\(\).*"""))
+      }
+    assert(shapeOffenders.isEmpty,
+      s"String-receiver lowering in allowlisted kernels: $shapeOffenders")
   }
 
-  private def ysCollect(dir: java.nio.file.Path): Seq[String] = {
+  private def codeLines(src: String): Iterator[String] =
+    src.linesIterator.filterNot(l =>
+      l.trim.startsWith("*") || l.trim.startsWith("//"))
+
+  /** Files under `dir` (minus `allowed`) with any code-line `toLowerCase`. */
+  private def ysCollect(dir: java.nio.file.Path,
+                        allowed: Set[String]): Seq[String] = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.list(dir).iterator().asScala
       .filter(_.toString.endsWith(".scala"))
+      .filterNot(p => allowed(p.getFileName.toString))
       .filter { p =>
-        val src = java.nio.file.Files.readString(p)
-        src.contains("toString.toLowerCase") ||
-          src.linesIterator.exists(l =>
-            !l.trim.startsWith("*") && !l.trim.startsWith("//") &&
-              l.matches(""".*\btoLowerCase\(\).*"""))
+        codeLines(java.nio.file.Files.readString(p))
+          .exists(_.contains("toLowerCase"))
       }
       .map(_.getFileName.toString).toSeq
   }

@@ -132,8 +132,9 @@ class MediaCurationJobSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out2/media")
       .select($"media_id").as[Long].collect().toSet == Set(12L))
 
-    // third tick, then compaction folds t1/t2 into one base partition with
-    // the store's rows bit-identical before and after
+    // third tick, then compaction folds t1/t2 into the reserved
+    // `tick=__folded__` base with the store's rows bit-identical before and
+    // after (t3 is the one real tick kept)
     val cross = ramp((x, y) =>
       if (x / 6 == y / 6 || x / 6 == 5 - y / 6) 240 else 15)
     lake(Seq(Row(21L, "image", ppm(cross)))).write.parquet(s"$dir/tick3")
@@ -142,7 +143,7 @@ class MediaCurationJobSpec extends SparkSpec {
     val beforeCompact = graft.io.SignatureStore.read(spark, store)
       .as[(Long, Long)].collect().toSet
     val rep = graft.io.SignatureStore.compact(spark, store, keepTicks = 1)
-    assert(rep.ticksBefore == 3 && rep.ticksAfter == 2)
+    assert(rep.ticksBefore == 3 && rep.ticksAfter == 1)
     assert(graft.io.SignatureStore.read(spark, store)
       .as[(Long, Long)].collect().toSet == beforeCompact)
     // a compacted store still admits correctly: replaying tick 3's content
@@ -150,6 +151,68 @@ class MediaCurationJobSpec extends SparkSpec {
     lake(Seq(Row(31L, "image", ppm(cross)))).write.parquet(s"$dir/tick4")
     assert(MediaCurationJob.run(spark, cfgFor(4)).contains(
       MediaCurationJob.Stats(1, 1, 0, 0)))
+
+    // crash-heal replay of an ALREADY-FOLDED tick (the compaction<->replay
+    // interaction): tick 2's rows now live under tick=__folded__, not its
+    // own partition. The replay must (a) still exclude its OWN signatures
+    // (src_tick identity — a partition filter would find them in the fold
+    // and self-reject every row, publishing empty outputs), (b) still SEE
+    // every other folded tick's rows (a fold-target-partition design hid
+    // them), and (c) leave the store set-identical (its re-landed partition
+    // duplicates its folded copies — harmless, absorbed by the next
+    // compaction's distinct, and no other tick's rows are overwritten).
+    Files.delete(java.nio.file.Paths.get(s"$dir/out2", "_DONE"))
+    new java.io.File(s"$dir/out2/media").listFiles().foreach(_.delete())
+    assert(MediaCurationJob.run(spark, cfgFor(2)).contains(
+      MediaCurationJob.Stats(2, 2, 1, 1)))
+    assert(spark.read.parquet(s"$dir/out2/media")
+      .select($"media_id").as[Long].collect().toSet == Set(12L))
+    assert(storeIds == Set(1L, 3L, 12L, 21L))
+    // the replay's duplicate rows absorb physically once its re-landed
+    // partition itself folds (same src_tick -> one row under distinct):
+    // land a newer tick, then compact everything older into the base
+    graft.io.SignatureStore.appendTick(
+      Seq((99L, 424242L)).toDF("media_id", "phash"), store, "t9")
+    graft.io.SignatureStore.compact(spark, store, keepTicks = 1)
+    val rows = graft.io.SignatureStore.read(spark, store)
+      .as[(Long, Long)].collect()
+    assert(rows.length == 5 && // {1,3,12,21} once each + t9's row
+      rows.map(_._1).toSet == Set(1L, 3L, 12L, 21L, 99L))
+  }
+
+  test("signature store: mtime tick ordering, reserved fold id refused") {
+    import graft.io.SignatureStore
+    val dir = Files.createTempDirectory("sigstore").toString
+    val store = s"$dir/store"
+    // daily tick ids sort WRONG lexicographically: out10 < out2 as strings,
+    // but out10 is the newer tick — compaction must keep by mtime, else the
+    // newest (still heal-eligible) tick folds away while stale out2 stays
+    SignatureStore.appendTick(
+      Seq((1L, 100L)).toDF("media_id", "phash"), store, "out2")
+    SignatureStore.appendTick(
+      Seq((2L, 200L)).toDF("media_id", "phash"), store, "out10")
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // force unambiguous mtimes (same-ms writes would fall back to the
+    // lexicographic tie-break and invert the scenario under test)
+    fs.setTimes(new org.apache.hadoop.fs.Path(store, "tick=out2"), 1000L, -1)
+    fs.setTimes(new org.apache.hadoop.fs.Path(store, "tick=out10"), 2000L, -1)
+    val rep = SignatureStore.compact(spark, store, keepTicks = 1)
+    assert(rep.ticksBefore == 2 && rep.ticksAfter == 1)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).filter(_.startsWith("tick=")).toSet
+    assert(parts == Set("tick=out10", s"tick=${SignatureStore.FoldedTick}"))
+    assert(SignatureStore.read(spark, store)
+      .as[(Long, Long)].collect().toSet == Set((1L, 100L), (2L, 200L)))
+    // provenance survives the fold: out2's row is still excludable
+    assert(SignatureStore.readExcluding(spark, store, "out2")
+      .as[(Long, Long)].collect().toSet == Set((2L, 200L)))
+    // no tick may claim the reserved fold partition
+    intercept[IllegalArgumentException] {
+      SignatureStore.appendTick(
+        Seq((3L, 300L)).toDF("media_id", "phash"), store,
+        SignatureStore.FoldedTick)
+    }
   }
 
   test("video modality: clip clustering by shared frames, frame-store admission") {
