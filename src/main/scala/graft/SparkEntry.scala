@@ -194,7 +194,9 @@ object SparkEntry {
     "q118_video_admission_sigs" -> qVideoAdmissionSigs,
     "q119_video_dhash_frames" -> qVideoDhashFrames,
     "q120_video_near_dup_e2e" -> qVideoNearDupE2e,
-    "q121_audio_afp64" -> qAudioAfp64)
+    "q121_audio_afp64" -> qAudioAfp64,
+    "q122_warc_ingest" -> qWarcIngest,
+    "q123_wet_docs" -> qWetDocs)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2224,10 +2226,16 @@ object SparkEntry {
       .select("media_id", "fsig")
 
   /** q114: `Multimodal.videoNearDupPairsFromSigs` (the clip near-dup engine
-    * the job's video tick runs) vs the distinct-shared-signature truth. */
+    * the job's video tick runs) vs the distinct-shared-signature truth. The
+    * DuckDB oracle is exact brute-force pairs, so the engine must run the
+    * EXACT path: the synthetic corpus has a FIXED 60 signature groups, so
+    * bucket size grows with sf and any finite `maxBucket` would star-collapse
+    * above it (sf10: ~8k-row buckets > 4096) — a correct engine turning the
+    * row red. `maxBucket = 0` IS the exact path (guard disabled, zero extra
+    * jobs); the flood guard itself is pinned by MultimodalSpec/DedupSpec. */
   private def qVideoSharedFrames(s: SparkSession, dir: String): DataFrame =
     Multimodal.videoNearDupPairsFromSigs(videoFrameSigs(s, dir),
-        minSharedFrames = 2, maxBucket = 4096)
+        minSharedFrames = 2, maxBucket = 0)
       .orderBy(col("id_a"), col("id_b"))
 
   /** q118: `Multimodal.videoAdmissionMatchesFromSigs` — the video admission
@@ -2285,11 +2293,15 @@ object SparkEntry {
       .orderBy(col("media_id"), col("frame_idx"))
 
   /** q120: `videoNearDupPairs` end-to-end with REAL decoded payloads (via
-    * the mixed-format `anyVideoFrameHasher` route the job runs). */
+    * the mixed-format `anyVideoFrameHasher` route the job runs). Exact path
+    * (`maxBucket = 0` disables the star-collapse guard) for the same reason
+    * as q114: the oracle is brute-force truth and the synthetic group count
+    * is sf-independent. */
   private def qVideoNearDupE2e(s: SparkSession, dir: String): DataFrame =
     Multimodal.videoNearDupPairs(
         graft.operators.SyntheticMedia.videoFrame(t(s, dir, "documents")),
-        Multimodal.anyVideoFrameHasher(), minSharedFrames = 2)
+        Multimodal.anyVideoFrameHasher(), minSharedFrames = 2,
+        maxBucket = 0)
       .orderBy(col("id_a"), col("id_b"))
 
   /** q121: REAL RIFF/WAVE decode + `WavCodec.afp64` end-to-end — 65-frame
@@ -2300,6 +2312,30 @@ object SparkEntry {
         graft.operators.SyntheticMedia.audioFrame(t(s, dir, "documents")),
         Multimodal.anyAudioFpHasher())
       .orderBy(col("media_id"))
+
+  /** q122: WARC ingestion end-to-end — `SyntheticWarc` renders REAL
+    * multi-record, gzip-member-per-record WARC files from the documents
+    * table; `Warc.recordsFromFrame` walks them with the production parser
+    * (CRLF headers, Content-Length framing, member-concatenated gzip); the
+    * response-type filter drops each file's warcinfo record. DuckDB
+    * re-derives URI, record id, BYTE length, and text from the table — any
+    * framing slip turns the row red. */
+  private def qWarcIngest(s: SparkSession, dir: String): DataFrame =
+    graft.io.Warc.recordsFromFrame(
+        graft.operators.SyntheticWarc.warcFrame(t(s, dir, "documents")))
+      .toDF()
+      .filter(col("rec_type") === "response")
+      .select(col("target_uri"), col("record_id"), col("content_length"),
+        col("payload").cast("string").as("text"))
+      .orderBy(col("target_uri"))
+
+  /** q123: the WET route — `conversion` records through `Warc.wetDocs`
+    * (the curation pipeline's entry row: url, date, text). */
+  private def qWetDocs(s: SparkSession, dir: String): DataFrame =
+    graft.io.Warc.wetDocs(graft.io.Warc.recordsFromFrame(
+        graft.operators.SyntheticWarc.warcFrame(t(s, dir, "documents"),
+          wet = true)))
+      .orderBy(col("url"))
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -4158,6 +4194,22 @@ object SparkEntry {
     "q119_video_dhash_frames" -> OracleHashSql.q119VideoDhashFrames,
     "q120_video_near_dup_e2e" -> OracleHashSql.q120VideoNearDupE2e,
     "q121_audio_afp64" -> OracleHashSql.q121AudioAfp64,
+    // q122/q123 (decode-inclusive, WARC): SyntheticWarc renders real
+    // gzip-member-per-record WARC bytes from `documents`; the engine PARSES
+    // them (Warc.recordsFromFrame), DuckDB re-derives every expected field
+    // directly from the table — header walk, CRLF framing, Content-Length
+    // byte math (strlen = UTF-8 bytes), gzip member concat all under compare
+    "q122_warc_ingest" ->
+      """SELECT 'http://graft.test/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+        |  '<urn:graft:doc:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+        |  CAST(strlen(COALESCE(text, '')) AS BIGINT) AS content_length,
+        |  COALESCE(text, '') AS text
+        |FROM documents ORDER BY target_uri""".stripMargin,
+    "q123_wet_docs" ->
+      """SELECT 'http://graft.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |  '2024-01-01T00:00:00Z' AS warc_date,
+        |  COALESCE(text, '') AS text
+        |FROM documents ORDER BY url""".stripMargin,
     // q104: q95's corpus and window/first-occurrence rules, folded to
     // per-doc counts + the floor-divided e6 novelty instead of span surgery
     "q104_window_novelty" ->

@@ -1,0 +1,105 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import graft.io.Warc
+import graft.operators.SyntheticWarc
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiling main for WARC ingestion (not part of the driver
+  * contract): writes a real `.warc.gz` lake (gzip member per record, the
+  * Common Crawl layout) from synthetic documents, then times the streaming
+  * parse + WET extraction — the receipt that ingestion is file-parallel,
+  * record-streaming, and decode-bound (no shuffle anywhere before the
+  * text frame exists).
+  *
+  * gen: <dir> [nDocs] [nFiles] — each doc's text is a deterministic ~1 KB
+  *   pseudo-paragraph, so nDocs=1M ≈ 1 GB of uncompressed capture.
+  * read: <dir> — Warc.records → count + byte census, then wetDocs →
+  *   length stats; prints wall seconds per stage.
+  *
+  * Usage: WarcProbe gen|read <dir> [nDocs] [nFiles] */
+object WarcProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("warc-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val mode = args(0)
+    val dir = args(1)
+    val nDocs = args.drop(2).headOption.map(_.toLong).getOrElse(200000L)
+    val nFiles = args.drop(3).headOption.map(_.toInt).getOrElse(64)
+
+    def timed[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[warc-probe] $label%-12s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    mode match {
+      case "gen" =>
+        // ~1 KB deterministic text per doc; one task per output file writes
+        // its member-concatenated .warc.gz directly (the real layout on
+        // disk, not parquet blobs)
+        timed("gen") {
+          spark.range(nFiles).as[Long].foreach { fid =>
+            val out = new java.io.BufferedOutputStream(
+              new java.io.FileOutputStream(s"$dir/part-$fid.warc.gz"), 1 << 16)
+            var d = fid
+            while (d < nDocs) {
+              val g = new java.util.zip.GZIPOutputStream(out)
+              g.write(SyntheticWarc.record(d, docText(d), wet = false))
+              g.finish()
+              d += nFiles
+            }
+            out.close()
+          }
+        }
+        val bytes = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".warc.gz")).map(_.length()).sum
+        println(s"[warc-probe] lake: $nDocs docs, $nFiles files, " +
+          f"${bytes / 1e9}%.2f GB gz")
+
+      case "read" =>
+        val recs = Warc.records(spark, dir + "/*.warc.gz")
+        val (n, payloadBytes) = timed("parse") {
+          val r = recs.agg(count(lit(1)), sum(col("content_length")))
+            .as[(Long, Long)].first()
+          r
+        }
+        println(f"[warc-probe] records=$n payloadGB=${payloadBytes / 1e9}%.2f")
+        val wet = timed("wet+stats") {
+          Warc.wetDocs(Warc.records(spark, dir + "/*.warc.gz"))
+            .select(length(col("text")).as("n"))
+            .agg(count(lit(1)), avg(col("n"))).as[(Long, Double)].first()
+        }
+        println(f"[warc-probe] wetDocs=${wet._1} avgChars=${wet._2}%.0f")
+
+      case other => sys.error(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+
+  /** ~1 KB deterministic pseudo-paragraph (UTF-8 ASCII) for doc `d`. */
+  private[graft] def docText(d: Long): String = {
+    val words = Array("the", "quick", "corpus", "stream", "record", "capture",
+      "parse", "filter", "sample", "token", "layer", "model", "batch", "scale")
+    val sb = new java.lang.StringBuilder(1100)
+    var s = d * 2654435761L + 12345L
+    var i = 0
+    while (sb.length < 1000) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      sb.append(words(((s >>> 33) % words.length).toInt)).append(' ')
+      i += 1
+      if (i % 12 == 0) sb.append("doc").append(d).append(". ")
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,232 @@
+package graft.io
+
+import java.io.{BufferedInputStream, ByteArrayInputStream, EOFException, InputStream}
+import java.util.zip.GZIPInputStream
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** WARC/WET ingestion — the source format a web-scale pretraining corpus
+  * actually arrives in (Common Crawl publishes WARC response captures and
+  * WET extracted-text conversions; ISO 28500). Zero dependencies: WARC is
+  * CRLF header lines + a `Content-Length`-framed payload, and `.warc.gz`
+  * is one gzip MEMBER per record concatenated — which the JDK's own
+  * `GZIPInputStream` decodes transparently.
+  *
+  * Scale posture (the part that matters at 100 TB): gzip is not splittable,
+  * so the unit of parallelism is the FILE — exactly how Common Crawl ships
+  * (a dump is ~64k files of ~1 GB each, far more than any cluster's task
+  * slots, so file-level parallelism saturates 1000 executors without any
+  * byte-range splitting). Each task STREAMS its file through the record
+  * parser: one record in memory at a time, bounded by `maxPayloadBytes`
+  * (oversized records are framed-skipped — the stream advances by
+  * Content-Length, the row is emitted with a null payload so censuses can
+  * count what was dropped, and memory stays bounded no matter what a
+  * hostile capture declares). The payload column carries raw bytes; it is
+  * born in the scan task and every downstream text/quality/dedup operator
+  * projects it away before any shuffle — the media-lake discipline
+  * (`Multimodal`) applied to web captures. This is `sc.binaryFiles` +
+  * a per-partition streaming parse, not `spark.read.format("binaryFile")`:
+  * the latter materializes whole files as single rows (a 1 GB cell in the
+  * scan), while `PortableDataStream` hands the parser an honest stream.
+  *
+  * The in-plane form (`recordsFromFrame`) runs the IDENTICAL parser over a
+  * binary column — the decode-inclusive oracle seam (q122/q123):
+  * `SyntheticWarc` renders real multi-record, multi-member-gzip WARC bytes
+  * from the documents table in closed form, this parser walks them for
+  * real, and DuckDB re-derives every expected field from the same table —
+  * header walk, CRLF framing, Content-Length byte math, and gzip member
+  * concatenation all sit under the driver's hash compare. */
+object Warc {
+
+  /** One parsed record. `payload` is null when the record was larger than
+    * the parse's `maxPayloadBytes` (framed-skipped, never truncated). */
+  final case class WarcRecord(file: String, rec_type: String,
+                              record_id: String, target_uri: String,
+                              warc_date: String, content_type: String,
+                              content_length: Long, payload: Array[Byte])
+
+  /** Default per-record payload bound: 100 MB (Common Crawl caps response
+    * captures at 1 MB; anything bigger here is a hostile or corrupt frame). */
+  val DefaultMaxPayloadBytes: Long = 100L * 1024 * 1024
+
+  /** Stream the records of one WARC (or concatenated-member `.warc.gz`)
+    * stream. Stops cleanly at EOF or at the first malformed frame (a
+    * truncated tail must not kill the 10,000-file ingest job — the file's
+    * good prefix is kept). The caller owns closing `in`. */
+  def parseRecords(file: String, in: InputStream,
+                   maxPayloadBytes: Long = DefaultMaxPayloadBytes): Iterator[WarcRecord] = {
+    val buf = new BufferedInputStream(in, 1 << 16)
+    // a corrupt FIRST gzip member throws at construction (the header is
+    // read eagerly) — that is "zero good records", not a task failure
+    val stream = if (isGzip(buf))
+      try new BufferedInputStream(new GZIPInputStream(buf, 1 << 16), 1 << 16)
+      catch { case _: java.io.IOException => return Iterator.empty }
+    else buf
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = null
+      private var done = false
+      private def advance(): Unit = {
+        try {
+          while (nextRec == null && !done) {
+            val version = skipToVersionLine(stream)
+            if (version == null) { done = true; return }
+            val headers = readHeaders(stream)
+            val len = headers.getOrElse("content-length", "-1").trim.toLong
+            if (len < 0) { done = true; return } // unframed: cannot advance
+            val payload: Array[Byte] =
+              if (len > maxPayloadBytes) { skipFully(stream, len); null }
+              else readFully(stream, len)
+            nextRec = WarcRecord(
+              file,
+              headers.getOrElse("warc-type", ""),
+              headers.getOrElse("warc-record-id", ""),
+              headers.getOrElse("warc-target-uri", ""),
+              headers.getOrElse("warc-date", ""),
+              headers.getOrElse("content-type", ""),
+              len, payload)
+          }
+        } catch {
+          // truncated/corrupt tail: keep the good prefix, stop the file
+          case _: EOFException | _: NumberFormatException |
+               _: java.util.zip.ZipException => done = true
+        }
+      }
+      override def hasNext: Boolean = {
+        if (nextRec == null && !done) advance()
+        nextRec != null
+      }
+      override def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException("WARC stream exhausted")
+        val r = nextRec; nextRec = null; r
+      }
+    }
+  }
+
+  /** Read a directory (or glob) of `.warc` / `.warc.gz` files. One task per
+    * file — the Common Crawl parallelism unit (see object doc); set
+    * `minPartitions` only to coalesce a many-tiny-files lake. */
+  def records(spark: SparkSession, path: String,
+              maxPayloadBytes: Long = DefaultMaxPayloadBytes,
+              minPartitions: Int = 0): Dataset[WarcRecord] = {
+    import spark.implicits._
+    val mp = if (minPartitions > 0) minPartitions
+      else spark.sparkContext.defaultMinPartitions
+    spark.createDataset(
+      spark.sparkContext.binaryFiles(path, mp).flatMap { case (file, pds) =>
+        val in = pds.open()
+        closeOnExhaust(parseRecords(file, in, maxPayloadBytes), in)
+      })
+  }
+
+  /** The identical parser over an IN-PLANE binary column (file_id, payload
+    * bytes) — the oracle seam, and the form a lake that already landed its
+    * captures as parquet blobs uses. */
+  def recordsFromFrame(df: DataFrame, fileIdCol: String = "file_id",
+                       payloadCol: String = "payload",
+                       maxPayloadBytes: Long = DefaultMaxPayloadBytes): Dataset[WarcRecord] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(fileIdCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
+      .flatMap { case (fid, bytes) =>
+        if (bytes == null) Iterator.empty
+        else parseRecords(fid, new ByteArrayInputStream(bytes), maxPayloadBytes)
+      }
+  }
+
+  /** WET semantics: the text documents of a capture — `conversion` records
+    * (WET proper) and `response` records with a text content type, payload
+    * decoded as UTF-8 → (url, warc_date, text). The downstream curation
+    * pipeline's entry row (CurationJob's documents contract). */
+  def wetDocs(records: Dataset[WarcRecord]): DataFrame =
+    records.toDF()
+      .filter((col("rec_type") === "conversion" ||
+               (col("rec_type") === "response" &&
+                col("content_type").startsWith("text/"))) &&
+              col("payload").isNotNull)
+      .select(col("target_uri").as("url"), col("warc_date"),
+        col("payload").cast("string").as("text"))
+
+  // ---- stream helpers ----
+
+  private def isGzip(buf: BufferedInputStream): Boolean = {
+    buf.mark(2)
+    val b0 = buf.read(); val b1 = buf.read()
+    buf.reset()
+    b0 == 0x1f && b1 == 0x8b
+  }
+
+  /** Skip inter-record CRLFs (the spec's two trailing CRLFs, leniently any
+    * number) to the `WARC/…` version line; null at EOF. */
+  private def skipToVersionLine(in: InputStream): String = {
+    var line = readLine(in)
+    while (line != null && line.isEmpty) line = readLine(in)
+    if (line == null) null
+    else if (line.startsWith("WARC/")) line
+    else throw new EOFException(s"expected WARC version line, got: $line")
+  }
+
+  /** Header lines to the blank separator; names lowercased (the spec is
+    * case-insensitive), values trimmed. */
+  private def readHeaders(in: InputStream): Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    var line = readLine(in)
+    while (line != null && line.nonEmpty) {
+      val i = line.indexOf(':')
+      if (i > 0)
+        m += line.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT) ->
+          line.substring(i + 1).trim
+      line = readLine(in)
+    }
+    if (line == null) throw new EOFException("EOF inside WARC header block")
+    m.result()
+  }
+
+  /** One ISO-8859-1 line up to LF (CR stripped); null at EOF-before-byte. */
+  private def readLine(in: InputStream): String = {
+    val sb = new java.lang.StringBuilder(96)
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') { sb.append(c.toChar); c = in.read() }
+    val n = sb.length()
+    if (n > 0 && sb.charAt(n - 1) == '\r') sb.setLength(n - 1)
+    sb.toString
+  }
+
+  private def readFully(in: InputStream, len: Long): Array[Byte] = {
+    val out = new Array[Byte](len.toInt)
+    var off = 0
+    while (off < len) {
+      val r = in.read(out, off, len.toInt - off)
+      if (r < 0) throw new EOFException("EOF inside WARC payload")
+      off += r
+    }
+    out
+  }
+
+  private def skipFully(in: InputStream, len: Long): Unit = {
+    var left = len
+    while (left > 0) {
+      val s = in.skip(left)
+      if (s > 0) left -= s
+      else if (in.read() < 0) throw new EOFException("EOF inside skipped payload")
+      else left -= 1
+    }
+  }
+
+  /** Close the backing stream when the record iterator drains (binaryFiles
+    * hands one open stream per file; a task that leaks 10k of them dies on
+    * fd exhaustion long before memory). */
+  private def closeOnExhaust(it: Iterator[WarcRecord],
+                             in: InputStream): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private var closed = false
+      override def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !closed) { closed = true; in.close() }
+        h
+      }
+      override def next(): WarcRecord = it.next()
+    }
+}

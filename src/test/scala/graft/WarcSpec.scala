@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+
+import graft.io.Warc
+import graft.operators.SyntheticWarc
+import org.apache.spark.sql.functions._
+
+/** WARC/WET ingestion: the production file route (`Warc.records` over
+  * `.warc` / member-concatenated `.warc.gz`), the in-plane oracle seam
+  * (`recordsFromFrame`), WET extraction, and the robustness contract —
+  * truncated tails keep their good prefix, oversized payloads frame-skip
+  * with bounded memory, garbage yields zero rows, never a task failure. */
+class WarcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gz(recs: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    recs.foreach { r =>
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(r); g.finish()
+    }
+    bos.toByteArray
+  }
+
+  private val texts = Seq(
+    (1L, "hello warc world"),
+    (2L, "payload with\r\nCRLF and a blank\r\n\r\nline kept verbatim"),
+    (3L, "ünïcøde → bytes ≠ chars"))
+
+  test("file route: .warc.gz and plain .warc parse identically to the in-plane form") {
+    val dir = Files.createTempDirectory("warc")
+    val recs = texts.map { case (d, t) => SyntheticWarc.record(d, t, wet = false) }
+    Files.write(dir.resolve("a.warc.gz"), gz(recs.take(2)))
+    Files.write(dir.resolve("b.warc"), recs.drop(2).flatten.toArray)
+    val rows = Warc.records(spark, dir.toString).collect()
+      .sortBy(_.target_uri)
+    assert(rows.length == 3)
+    assert(rows.map(_.rec_type).toSet == Set("response"))
+    assert(rows.map(_.target_uri).toSeq ==
+      texts.map { case (d, _) => SyntheticWarc.uri(d) })
+    // byte-exact payloads, including CRLFs and multi-byte UTF-8
+    (rows zip texts).foreach { case (r, (_, t)) =>
+      assert(new String(r.payload, UTF_8) == t)
+      assert(r.content_length == t.getBytes(UTF_8).length)
+    }
+    // the in-plane parser is the same code over the same bytes
+    val frame = Seq((77L, gz(recs))).toDF("file_id", "payload")
+    val inPlane = Warc.recordsFromFrame(frame).collect().sortBy(_.target_uri)
+    assert(inPlane.map(r => (r.target_uri, r.content_length,
+        new String(r.payload, UTF_8))).toSeq ==
+      rows.map(r => (r.target_uri, r.content_length,
+        new String(r.payload, UTF_8))).toSeq)
+  }
+
+  test("wetDocs: conversion records and text/* responses become (url, date, text)") {
+    val conv = SyntheticWarc.record(5L, "wet text", wet = true)
+    val resp = SyntheticWarc.record(6L, "resp text", wet = false)
+    val frame = Seq((1L, gz(Seq(conv, resp)))).toDF("file_id", "payload")
+    val docs = Warc.wetDocs(Warc.recordsFromFrame(frame))
+      .orderBy($"url").as[(String, String, String)].collect().toSeq
+    assert(docs == Seq(
+      (SyntheticWarc.uri(5L), "2024-01-01T00:00:00Z", "wet text"),
+      (SyntheticWarc.uri(6L), "2024-01-01T00:00:00Z", "resp text")))
+  }
+
+  test("robustness: truncated tail keeps prefix; oversized frame-skips; garbage is empty") {
+    val good = SyntheticWarc.record(1L, "kept", wet = false)
+    val truncated = SyntheticWarc.record(2L, "this record is cut off", wet = false)
+      .dropRight(15)
+    val it = Warc.parseRecords("t",
+      new java.io.ByteArrayInputStream(good ++ truncated))
+    assert(it.map(_.target_uri).toSeq == Seq(SyntheticWarc.uri(1L)))
+
+    // oversized: payload null, content_length reported, stream ADVANCES so
+    // the following record still parses (framed skip, not a bailout)
+    val big = SyntheticWarc.record(3L, "x" * 1000, wet = false)
+    val after = SyntheticWarc.record(4L, "after the big one", wet = false)
+    val rows = Warc.parseRecords("t",
+      new java.io.ByteArrayInputStream(big ++ after),
+      maxPayloadBytes = 100).toSeq
+    assert(rows.map(_.target_uri) ==
+      Seq(SyntheticWarc.uri(3L), SyntheticWarc.uri(4L)))
+    assert(rows.head.payload == null && rows.head.content_length == 1000)
+    assert(new String(rows(1).payload, UTF_8) == "after the big one")
+
+    assert(Warc.parseRecords("t", new java.io.ByteArrayInputStream(
+      "HTTP/1.1 200 OK\r\nnot a warc\r\n".getBytes(UTF_8))).isEmpty)
+    // corrupt gzip tail after a good member: prefix kept
+    val okMember = gz(Seq(good))
+    val corrupt = okMember ++ Array[Byte](0x1f, 0x8b.toByte, 8, 0, 9, 9, 9)
+    assert(Warc.parseRecords("t", new java.io.ByteArrayInputStream(corrupt))
+      .map(_.target_uri).toSeq == Seq(SyntheticWarc.uri(1L)))
+  }
+
+  test("warcFrame oracle seam: warcinfo leads each file, docs bundle by mod, bytes re-derivable") {
+    val docs = Seq((10L, "alpha"), (11L, "beta"), (12L, "gamma"), (22L, "delta"))
+      .toDF("doc_id", "text")
+    val recs = Warc.recordsFromFrame(SyntheticWarc.warcFrame(docs, nFiles = 2))
+    val byType = recs.groupBy($"rec_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(byType == Map("warcinfo" -> 2L, "response" -> 4L))
+    // doc 10 and 22 share file 0; 11 bundles into file 1 with... 11%2=1, 12%2=0
+    val f0 = recs.filter($"file" === "0" && $"rec_type" === "response")
+      .orderBy($"target_uri").collect().map(_.target_uri).toSeq
+    assert(f0 == Seq(10L, 12L, 22L).map(SyntheticWarc.uri))
+  }
+}
