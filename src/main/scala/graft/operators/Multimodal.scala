@@ -304,12 +304,17 @@ object Multimodal {
   /** Per-frame perceptual dHash via every real video route: uncompressed
     * Y4M first, then animated GIF through the JDK's own codec
     * (`GifCodec.decodeFrames` — real COMPRESSED video, frames composited
-    * per the GIF disposal semantics). One hasher for a mixed clip lake;
-    * undecodable payloads dropped. With this the stub seam covers only
-    * perceptual audio and inter-predicted video (H.264/VP9/AV1). */
+    * per the GIF disposal semantics), then MJPEG-in-AVI
+    * (`AviMjpegCodec.decodeFrames` — RIFF walk + per-frame JPEG decode,
+    * the camera/capture-card slice of a scraped lake). One hasher for a
+    * mixed clip lake; undecodable payloads dropped; each codec rejects on
+    * its magic in O(1), so the chain costs nothing on the wrong format.
+    * With this the stub seam covers only perceptual audio and
+    * inter-predicted video (H.264/VP9/AV1). */
   def anyVideoFrameHasher(everyNth: Int = 1): BatchFrameHasher = rows =>
     rows.flatMap { case (id, _, payload) =>
       Y4mCodec.decodeFrames(payload).orElse(GifCodec.decodeFrames(payload))
+        .orElse(AviMjpegCodec.decodeFrames(payload))
         .iterator.flatMap(fs =>
           fs.iterator.zipWithIndex.collect {
             case (img, i) if i % everyNth == 0 => (id, i, PnmCodec.dhash64(img))
