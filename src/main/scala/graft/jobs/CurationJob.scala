@@ -17,6 +17,12 @@ import org.apache.spark.sql.functions._
   * Config JSON:
   * {
   *   "documents_path": "<parquet (id, text, ...)>",
+  *   "input_format": "parquet",        // or "warc": documents_path is a dir/
+  *                                     //   glob of .warc/.warc.gz captures;
+  *                                     //   Warc.wetDocs supplies (url,
+  *                                     //   warc_date, text) and doc ids are
+  *                                     //   xxhash64(url) — the full
+  *                                     //   crawl-to-corpus path in ONE job
   *   "output_path": "<dir>",
   *   "id_col": "doc_id", "text_col": "text",
   *   "normalize_text": false,          // optional CCNet-style normalization
@@ -141,8 +147,18 @@ object CurationJob {
     // — on a 2-file sf10 corpus they serialized onto 2 tasks (r10 review).
     // Downstream operator guards see this Repartition and skip (no double
     // shuffle).
-    val raw = graft.operators.Dedup.ensureParallel(
-      spark.read.parquet(cfg.getAs[String]("documents_path")))
+    val docsPath = cfg.getAs[String]("documents_path")
+    val inputDf = str("input_format", "parquet") match {
+      case "parquet" => spark.read.parquet(docsPath)
+      case "warc" =>
+        // crawl-to-corpus: stream the WARC/WET captures (file-parallel,
+        // record-streaming — see io.Warc) into the pipeline's (id, text)
+        // contract; ids are xxhash64(url), deterministic across replays
+        graft.io.Warc.wetDocs(graft.io.Warc.records(spark, docsPath))
+          .withColumn(idCol, xxhash64(col("url")))
+      case other => sys.error(s"unknown input_format $other")
+    }
+    val raw = graft.operators.Dedup.ensureParallel(inputDf)
     // per-stage wall clock, logged at the end beside the row counts — the
     // receipt that says WHERE a full-stage run spends its time (r10: the
     // first sf10 receipt had to be diagnosed with jstack)

@@ -222,12 +222,41 @@ object Dedup {
                                blockCols: Seq[String]): DataFrame =
     prefixCandidatesBetween(sh, sh, threshold, blockCols, self = true)
 
+  /** Session-conf dial for the LOW-DIVERSITY flood route: when the estimated
+    * average prefix-token posting list exceeds this many docs, candidate
+    * generation switches from hash-ordered to DF-ORDERED prefixes (true
+    * PPJoin frequency order). <= 0 forces the df route (test hook); a huge
+    * value disables it. Default 64. */
+  val FloodAvgBucketKey = "spark.graft.dedup.floodAvgBucket"
+  val FloodAvgBucketDefault = 64L
+
   /** Cross-corpus form of the prefix-filter candidate join: candidates are
     * (A-doc, B-doc) pairs — the incremental-dedup primitive (new batch vs
     * existing corpus). `self = true` restores the one-corpus self-join with
     * its `id_a < id_b` ordering. The superset proof is pairwise and holds
-    * unchanged across two corpora. */
-  private def prefixCandidatesBetween(shA: DataFrame, shB: DataFrame,
+    * unchanged across two corpora.
+    *
+    * TOKEN ORDER IS ADAPTIVE (r12). The superset proof works in ANY total
+    * token order; hash order (arrays arrive sorted) is a good proxy for
+    * PPJoin's ascending-document-frequency order only while shingles are
+    * mostly rare. On a LOW-DIVERSITY corpus (tiny vocabulary relative to
+    * corpus size — boilerplate floods, template farms, synthetic text) every
+    * posting list is huge and the candidate join's Σ bucket² cost turns
+    * quadratic in the corpus even when the TRUE pair count is zero (measured:
+    * 14-stem synthetic docs, 8k docs 5 s → 20k docs > 9 min, 0 true pairs).
+    * The cure is the textbook one: order each prefix RAREST-FIRST, so
+    * prefixes fill with low-df (often doc-unique) tokens and posting lists
+    * collapse. A cheap probe (token count from array sizes — no explode —
+    * plus one approx-distinct pass, skipped for small inputs) estimates the
+    * average prefix bucket; past the dial it rebuilds the join arrays with
+    * tokens ENCODED as (min(df, 2³¹−1) << 31 | hash₃₁(token)) and sorted —
+    * ascending = rarest-first, and the encoding stays a join-equality proxy
+    * (a collision can only ADD candidates, the verify stage removes them),
+    * so the output pair set is IDENTICAL to the hash-ordered route's. The
+    * verify stage keeps reading the original hash-sorted arrays. Costs two
+    * extra token-stream shuffles (df + per-doc rebuild), paid only in the
+    * regime where the hash-ordered join would not finish at all. */
+  private def prefixCandidatesBetween(shA0: DataFrame, shB0: DataFrame,
                                       threshold: Double, blockCols: Seq[String],
                                       self: Boolean): DataFrame = {
     val tS = math.round(threshold * S)
@@ -240,12 +269,73 @@ object Dedup {
     // shingle frame, same pattern as the oversized-bucket guard) flips to the
     // array-free emit + dropDuplicates form. Both strategies produce the same
     // candidate SET — the choice is pure physics, invisible to the oracle.
-    val probed = if (self) shA else shA.unionByName(shB)
-    val meanP = probed.agg(coalesce(avg(greatest(
-        col("__sz") - expr(s"($tS * __sz + ${S - 1}) div $S") + 1, lit(0L))),
-        lit(0.0)))
-      .first().getDouble(0)
+    val probed = if (self) shA0 else shA0.unionByName(shB0)
+    val stats = probed.agg(
+        coalesce(avg(greatest(
+          col("__sz") - expr(s"($tS * __sz + ${S - 1}) div $S") + 1, lit(0L))),
+          lit(0.0)),
+        coalesce(sum(greatest(
+          col("__sz") - expr(s"($tS * __sz + ${S - 1}) div $S") + 1, lit(0L))),
+          lit(0L)),
+        coalesce(sum(col("__sz")), lit(0L)))
+      .first()
+    val meanP = stats.getDouble(0)
+    val prefixRows = stats.getLong(1)
+    val totalToks = stats.getLong(2)
     val dupFree = meanP <= 256.0
+
+    // low-diversity flood probe (see scaladoc). The join's output is
+    // r²·Σ df² (r = prefix fraction) — a SECOND moment, dominated by the
+    // common tokens, so a mean-df or vocabulary-count probe misses the
+    // regime entirely (measured: the 14-stem flood has meanDf < 1 because
+    // doc-unique shingles flood the vocabulary while 2.7k common shingles
+    // carry the cost). Estimate Σ df² from a ~200k-token sample: per token
+    // df_s ~ Binomial(df, f), so E[Σ df_s²] = f²Σdf² + f(1−f)T and the
+    // unbiased estimate is (Σdf_s² − (1−f)·sampleRows)/f². The dial then
+    // bounds est-join-rows PER PREFIX ROW — the df-weighted (size-biased)
+    // average posting list a prefix row actually meets. One tiny sampled
+    // shuffle, skipped when the prefix stream is small.
+    val floodDial = probed.sparkSession.conf
+      .get(FloodAvgBucketKey, FloodAvgBucketDefault.toString).toLong
+    val useDfOrder =
+      if (floodDial <= 0L) true
+      else if (prefixRows <= math.max(64L * 1024, floodDial) || totalToks == 0L)
+        false
+      else {
+        val f = math.min(1.0, 200000.0 / totalToks)
+        val s = probed.select(explode(col("__sh")).as("__tok"))
+          .sample(withReplacement = false, f, seed = 42)
+          .groupBy("__tok").agg(count(lit(1)).as("__c"))
+          .agg(coalesce(sum(col("__c") * col("__c")), lit(0L)),
+            coalesce(sum(col("__c")), lit(0L)))
+          .first()
+        val sumSq = s.getLong(0).toDouble
+        val sampleRows = s.getLong(1).toDouble
+        val dfSq = math.max(0.0, (sumSq - (1.0 - f) * sampleRows)) / (f * f)
+        val r = prefixRows.toDouble / totalToks
+        val estJoinRows = r * r * dfSq
+        estJoinRows / prefixRows > floodDial.toDouble
+      }
+    val (shA, shB) =
+      if (!useDfOrder) (shA0, shB0)
+      else {
+        val dfFrame = probed.select(explode(col("__sh")).as("__tok"))
+          .groupBy("__tok").agg(count(lit(1)).as("__df"))
+        def reorder(sh: DataFrame): DataFrame = {
+          val carried = sh.columns.filterNot(_ == "__sh").toSeq
+          sh.withColumn("__tok", explode(col("__sh")))
+            .join(dfFrame, "__tok")
+            .withColumn("__enc",
+              least(col("__df"), lit(0x7fffffffL)) * lit(1L << 31) +
+                shiftrightunsigned(col("__tok"), 33))
+            .groupBy(carried.map(col): _*)
+            .agg(sort_array(collect_list(col("__enc"))).as("__sh"))
+        }
+        // identical plans on both references -> exchange reuse covers the
+        // self-join's double read of the rebuilt frame
+        val a = reorder(shA0)
+        (a, if (self) a else reorder(shB0))
+      }
     def prefBase(sh: DataFrame): DataFrame = sh
       .withColumn("__alpha", expr(s"($tS * __sz + ${S - 1}) div $S"))
       .withColumn("__p", (col("__sz") - col("__alpha") + 1).cast("int"))

@@ -49,6 +49,50 @@ class CurationJobSpec extends SparkSpec {
     assert(CurationJob.run(spark, s"$dir/cfg.json").isEmpty)
   }
 
+  test("curation job: input_format=warc runs crawl-to-corpus in one job") {
+    val dir = Files.createTempDirectory("curationwarc")
+    Files.createDirectory(dir.resolve("captures"))
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    def gz(recs: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      recs.foreach { r =>
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(r); g.finish()
+      }
+      bos.toByteArray
+    }
+    import graft.operators.SyntheticWarc.record
+    // two capture files: a dup pair split ACROSS files (file-local parsing,
+    // corpus-global dedup), a distinct doc, a too-short doc, junk tail
+    Files.write(dir.resolve("captures/a.warc.gz"), gz(Seq(
+      record(1L, s"$filler the very same page content", wet = true),
+      record(3L, s"$filler entirely different content about rivers", wet = true))))
+    Files.write(dir.resolve("captures/b.warc.gz"), gz(Seq(
+      record(2L, s"$filler the very same page content", wet = true),
+      record(4L, "too short", wet = true))) ++ Array[Byte](1, 2, 3))
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/captures", "input_format": "warc",
+         | "output_path": "$dir/out",
+         | "min_words": 20, "ngram_n": 3, "jaccard_threshold": 0.8,
+         | "redact_pii": false}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    assert(stats.input == 4 && stats.afterQuality == 3 && stats.output == 2)
+    val out = spark.read.parquet(s"$dir/out")
+    // ids are xxhash64(url); the dup cluster keeps its min-id survivor and
+    // the url column rides through the whole pipeline
+    assert(out.select($"url").as[String].collect().toSet.subsetOf(
+      Set(1L, 2L, 3L).map(d => graft.operators.SyntheticWarc.uri(d))))
+    assert(out.count() == 2)
+    val survivors = out.select($"doc_id").as[Long].collect().toSet
+    val expected = spark.range(1).select(
+        xxhash64(lit(graft.operators.SyntheticWarc.uri(1L))),
+        xxhash64(lit(graft.operators.SyntheticWarc.uri(2L))))
+      .as[(Long, Long)].head()
+    assert(survivors.contains(math.min(expected._1, expected._2)) ||
+      // blockless dedup keeps exactly one of the dup pair either way
+      survivors.intersect(Set(expected._1, expected._2)).size == 1)
+  }
+
   test("curation job: gopher gate, window scrub, and DSIR resample stages") {
     val dir = Files.createTempDirectory("curation2")
     def words(a: Int, b: Int) = (a until b).map(i => s"w$i").mkString(" ")

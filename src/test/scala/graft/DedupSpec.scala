@@ -90,6 +90,56 @@ class DedupSpec extends SparkSpec {
     assert(fast == brute)
   }
 
+  test("df-ordered prefix route: identical pair set, auto-trips on low-diversity floods") {
+    def withDial[A](v: String)(body: => A): A = {
+      val prior = spark.conf.getOption(Dedup.FloodAvgBucketKey)
+      spark.conf.set(Dedup.FloodAvgBucketKey, v)
+      try body finally prior match {
+        case Some(p) => spark.conf.set(Dedup.FloodAvgBucketKey, p)
+        case None => spark.conf.unset(Dedup.FloodAvgBucketKey)
+      }
+    }
+    def pairs() = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5,
+        Seq("lang")).select($"id_a", $"id_b", round($"jaccard", 9))
+      .as[(Long, Long, Double)].collect().toSet
+    // any total token order yields the same verified pairs: forced df order
+    // (dial <= 0) == forced hash order (huge dial) on the standard fixture
+    val hashPairs = withDial(Long.MaxValue.toString)(pairs())
+    val dfPairs = withDial("0")(pairs())
+    assert(dfPairs == hashPairs && hashPairs.nonEmpty)
+    // and across the BETWEEN form (incremental admission)
+    val newDocs = Seq((100L,
+      "the quick brown fox jumps over the lazy dog again and again", "en"))
+      .toDF("doc_id", "text", "lang")
+    def admits() = Dedup.incrementalJaccardMatches(docs, newDocs,
+        "doc_id", "text", 3, 0.5, Seq("lang"))
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(withDial("0")(admits()) == withDial(Long.MaxValue.toString)(admits()))
+
+    // LOW-DIVERSITY flood (the r12 WARC-drive discovery): ~3k docs over a
+    // 14-stem vocabulary + one doc-unique token each. True near-dup pairs:
+    // zero. Hash-ordered prefixes bucket on the ~2.7k common shingles and
+    // the candidate join goes quadratic (measured: 118M candidates / >9 min
+    // at 20k docs; 2.69M already at this n); df-ordered prefixes fill with
+    // the doc-unique shingles and the join collapses. The sampled
+    // second-moment probe must AUTO-detect the regime (mean df is ~1 here —
+    // a mean-based probe provably misses it); its cost ratio grows linearly
+    // in n (~20 at n=3000, ~135 at n=20000 where the default dial of 64
+    // trips — the FloodProbe receipt), so the spec pins the trip mechanism
+    // at an explicit low dial to stay fast.
+    val flood = spark.range(3000).as[Long]
+      .map(d => (d, WarcProbe.docText(d))).toDF("doc_id", "text")
+    withDial("8") {
+      val cand = Dedup.ngramPrefixCandidates(flood, "doc_id", "text", 3, 0.8, Nil)
+      assert(cand.count() < 100000) // hash order emits 2.69M at this n
+      val auto = Dedup.ngramJaccardPairs(flood, "doc_id", "text", 3, 0.8, Nil)
+      assert(auto.count() == 0)
+    }
+    // and the probe must NOT trip the standard fixture at the default dial
+    // (plans unchanged for healthy corpora — pinned by the bench bands too)
+    assert(pairs() == hashPairs)
+  }
+
   test("prefix-filter candidate generation is sub-quadratic on unrelated docs") {
     // 60 unrelated docs in ONE block: all-pairs would enumerate 1770 candidates;
     // prefix filtering joins on shared shingle tokens, of which there are none
