@@ -69,6 +69,7 @@ object WarcProbe {
 
       case "read" =>
         val recs = Warc.records(spark, dir + "/*.warc.gz")
+        println(s"[warc-probe] partitions=${recs.rdd.getNumPartitions}")
         val (n, payloadBytes) = timed("parse") {
           val r = recs.agg(count(lit(1)), sum(col("content_length")))
             .as[(Long, Long)].first()

@@ -103,15 +103,20 @@ object Warc {
     }
   }
 
-  /** Read a directory (or glob) of `.warc` / `.warc.gz` files. One task per
-    * file — the Common Crawl parallelism unit (see object doc); set
-    * `minPartitions` only to coalesce a many-tiny-files lake. */
+  /** Read a directory (or glob) of `.warc` / `.warc.gz` files. The file is
+    * the parallelism unit (see object doc) — but `binaryFiles` BUNDLES
+    * files into combine-splits sized `totalBytes / minPartitions`, and its
+    * `defaultMinPartitions` is min(parallelism, 2): the 64-file 0.4 GB
+    * probe lake would parse on TWO tasks. Default to the cluster's
+    * `defaultParallelism` so splits stay at or below ~one-file granularity
+    * on any real lake; pass `minPartitions` explicitly only to coalesce a
+    * many-tiny-files directory. */
   def records(spark: SparkSession, path: String,
               maxPayloadBytes: Long = DefaultMaxPayloadBytes,
               minPartitions: Int = 0): Dataset[WarcRecord] = {
     import spark.implicits._
     val mp = if (minPartitions > 0) minPartitions
-      else spark.sparkContext.defaultMinPartitions
+      else spark.sparkContext.defaultParallelism
     spark.createDataset(
       spark.sparkContext.binaryFiles(path, mp).flatMap { case (file, pds) =>
         val in = pds.open()
