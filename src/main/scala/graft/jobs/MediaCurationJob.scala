@@ -33,8 +33,16 @@ import org.apache.spark.sql.functions._
   *                                    //   with the tick's survivor signatures
   *                                    //   (idempotent per tick_id); overrides
   *                                    //   signature_store
-  *   "tick_id": ""                    //   the tick's identity in the store
+  *   "tick_id": "",                   //   the tick's identity in the store
   *                                    //   (default: the output dir's name)
+  *   "store_keep_ticks": 0            // optional store compaction: after the
+  *                                    //   tick's append, fold all but the
+  *                                    //   newest N tick partitions into the
+  *                                    //   reserved base (SignatureStore
+  *                                    //   .compact — crash-safe, replay-
+  *                                    //   transparent via src_tick); 0 = off.
+  *                                    //   A year of daily ticks stays a few
+  *                                    //   partitions instead of 365
   * }
   *
   * With `store_path` the store maintenance lives INSIDE the job through
@@ -223,6 +231,20 @@ object MediaCurationJob {
       graft.io.SignatureStore.appendTick(
         spark.read.parquet(s"$outPath/sigs"), maintainedStore, tickId)
       lap("store-append")
+      // in-job maintenance: compaction BEFORE the _DONE stamp is safe — a
+      // crash mid-compact leaves duplicates or stale dirs (both
+      // read-correct, absorbed by the next run), and a marker-less replay
+      // re-runs the whole tick whose admission excludes its own rows by
+      // src_tick wherever compaction moved them
+      val keepTicks = str("store_keep_ticks", "0").toInt
+      if (keepTicks > 0) {
+        val rep = graft.io.SignatureStore.compact(spark, maintainedStore,
+          keepTicks)
+        if (rep.ticksBefore != rep.ticksAfter)
+          System.err.println(s"[media-curate] store compacted: " +
+            s"${rep.ticksBefore} -> ${rep.ticksAfter} tick partitions")
+        lap("store-compact")
+      }
     }
     val survivors = spark.read.parquet(s"$outPath/media").count()
     lap("count-back")

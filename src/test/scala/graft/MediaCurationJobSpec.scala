@@ -180,6 +180,37 @@ class MediaCurationJobSpec extends SparkSpec {
       rows.map(_._1).toSet == Set(1L, 3L, 12L, 21L, 99L))
   }
 
+  test("maintained store: in-job compaction (store_keep_ticks) folds, stays admission-correct") {
+    val a = ramp((x, _) => x * 7)
+    val checker = ramp((x, _) => if ((x / 4) % 2 == 0) 200 else 50)
+    val dir = Files.createTempDirectory("mediacompact").toString
+    val store = s"$dir/store"
+    def cfgFor(tick: Int): String = writeCfg(Map(
+      "media_path" -> ("\"" + dir + s"/tick$tick\""),
+      "output_path" -> ("\"" + dir + s"/out$tick\""),
+      "modality" -> "\"image\"", "max_hamming" -> "6",
+      "store_path" -> ("\"" + store + "\""),
+      "tick_id" -> ("\"t" + tick + "\""),
+      "store_keep_ticks" -> "1"))
+    lake(Seq(Row(1L, "image", ppm(a)))).write.parquet(s"$dir/tick1")
+    assert(MediaCurationJob.run(spark, cfgFor(1)).contains(
+      MediaCurationJob.Stats(1, 1, 1, 1)))
+    lake(Seq(Row(11L, "image", ppm(checker)))).write.parquet(s"$dir/tick2")
+    assert(MediaCurationJob.run(spark, cfgFor(2)).contains(
+      MediaCurationJob.Stats(1, 1, 1, 1)))
+    // tick2's run compacted: t1 folded into the reserved base, t2 kept
+    val fs = new org.apache.hadoop.fs.Path(store).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(store))
+      .map(_.getPath.getName).filter(_.startsWith("tick=")).toSet
+    assert(parts ==
+      Set("tick=t2", s"tick=${graft.io.SignatureStore.FoldedTick}"))
+    // the folded signature still rejects a re-upload of tick 1's content
+    lake(Seq(Row(21L, "image", ppm(a)))).write.parquet(s"$dir/tick3")
+    assert(MediaCurationJob.run(spark, cfgFor(3)).contains(
+      MediaCurationJob.Stats(1, 1, 0, 0)))
+  }
+
   test("signature store: mtime tick ordering, reserved fold id refused") {
     import graft.io.SignatureStore
     val dir = Files.createTempDirectory("sigstore").toString

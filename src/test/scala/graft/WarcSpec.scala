@@ -54,6 +54,35 @@ class WarcSpec extends SparkSpec {
         new String(r.payload, UTF_8))).toSeq)
   }
 
+  test("file reads scale splits with cluster parallelism (binaryFiles audit)") {
+    // binaryFiles sizes combine-splits at totalBytes / max(cluster
+    // defaultParallelism, minPartitions), floored at the 4 MB open cost and
+    // packed cut-on-exceed — so a multi-file lake of real-sized (> 4 MB)
+    // files must land MORE THAN ONE split on a multi-core session without
+    // any caller-side minPartitions (the single-task-ingest hazard the
+    // ParallelismAudit family guards elsewhere). Incompressible ~5 MB
+    // payloads keep each file above the open-cost floor, as real captures
+    // are.
+    val dir = Files.createTempDirectory("warcpar")
+    val rng = new scala.util.Random(7)
+    (0 until 8).foreach { i =>
+      val blob = new Array[Byte](5 * 1024 * 1024)
+      rng.nextBytes(blob)
+      val rec = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+        s"WARC-Target-URI: http://graft.test/blob/$i\r\n" +
+        s"Content-Length: ${blob.length}\r\n\r\n").getBytes(UTF_8) ++
+        blob ++ "\r\n\r\n".getBytes(UTF_8)
+      Files.write(dir.resolve(f"p$i%02d.warc.gz"), gz(Seq(rec)))
+    }
+    val ds = Warc.records(spark, dir.toString)
+    // local[4] session, 40 MB over 8 files -> bytes/core 18 MB (with open
+    // cost), cut-on-exceed packing = 2+ splits; the exact count is packing
+    // detail, single-split bundling is the defect
+    assert(ds.rdd.getNumPartitions > 1,
+      s"bundled into ${ds.rdd.getNumPartitions} partitions")
+    assert(ds.count() == 8)
+  }
+
   test("wetDocs: conversion records and text/* responses become (url, date, text)") {
     val conv = SyntheticWarc.record(5L, "wet text", wet = true)
     val resp = SyntheticWarc.record(6L, "resp text", wet = false)
