@@ -196,7 +196,8 @@ object SparkEntry {
     "q120_video_near_dup_e2e" -> qVideoNearDupE2e,
     "q121_audio_afp64" -> qAudioAfp64,
     "q122_warc_ingest" -> qWarcIngest,
-    "q123_wet_docs" -> qWetDocs)
+    "q123_wet_docs" -> qWetDocs,
+    "q124_flood_dedup_df_route" -> qFloodDedupDfRoute)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2337,6 +2338,41 @@ object SparkEntry {
           wet = true)))
       .orderBy(col("url"))
 
+  /** q124: the df-ordered (rarest-first) prefix route under the driver's
+    * hash compare — the flood-adaptive machinery was spec-only. A
+    * LOW-DIVERSITY corpus is synthesized in closed form (8-stem vocabulary,
+    * 25 near-dup groups, one doc-unique trailing marker — the shape that
+    * makes hash-ordered prefixes quadratic), the route is FORCED via the
+    * dial (the conf is read eagerly at operator construction, inside the
+    * restore window), and DuckDB re-derives the same text and brute-forces
+    * exact Jaccard truth. Any slip in the df encoding, the prefix rebuild,
+    * or the candidate-superset proof under the reordering turns the row
+    * red. */
+  private def qFloodDedupDfRoute(s: SparkSession, dir: String): DataFrame = {
+    val prior = s.conf.getOption(Dedup.FloodAvgBucketKey)
+    s.conf.set(Dedup.FloodAvgBucketKey, "0") // force the df-ordered route
+    try {
+      import s.implicits._
+      val stems = Array("alpha", "beta", "gamma", "delta",
+        "epsil", "zeta", "eta", "theta")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("long")).filter(col("doc_id") < 2000)
+        .as[Long].map { d =>
+          val pert = (d / 25) % 60
+          val words = (0 until 60).map { i =>
+            val bump = if (i.toLong == pert) d % 97 else 0L
+            stems(((d % 25 * 7 + i * 3 + bump) % 8).toInt)
+          }
+          (d, words.mkString(" ") + s" d$d")
+        }.toDF("doc_id", "text")
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8, Nil)
+        .orderBy(col("id_a"), col("id_b"))
+    } finally prior match {
+      case Some(p) => s.conf.set(Dedup.FloodAvgBucketKey, p)
+      case None => s.conf.unset(Dedup.FloodAvgBucketKey)
+    }
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -4210,6 +4246,35 @@ object SparkEntry {
         |  '2024-01-01T00:00:00Z' AS warc_date,
         |  COALESCE(text, '') AS text
         |FROM documents ORDER BY url""".stripMargin,
+    // q124: re-derive the closed-form low-diversity corpus and brute-force
+    // exact Jaccard — truth for the FORCED df-ordered candidate route
+    "q124_flood_dedup_df_route" ->
+      """WITH ids AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS d FROM documents WHERE doc_id < 2000),
+        |gen AS (
+        |  SELECT d, array_to_string(list_transform(range(0, 60), i ->
+        |      list_extract(['alpha','beta','gamma','delta','epsil','zeta','eta','theta'],
+        |        1 + CAST((d % 25 * 7 + i * 3 +
+        |          CASE WHEN i = (d // 25) % 60 THEN d % 97 ELSE 0 END) % 8 AS INT))
+        |    ), ' ') || ' d' || CAST(d AS VARCHAR) AS text
+        |  FROM ids),
+        |toks AS (
+        |  SELECT d AS doc_id,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM gen),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE) AS jaccard
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |SELECT id_a, id_b, jaccard FROM pairs
+        |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin,
     // q104: q95's corpus and window/first-occurrence rules, folded to
     // per-doc counts + the floor-divided e6 novelty instead of span surgery
     "q104_window_novelty" ->
