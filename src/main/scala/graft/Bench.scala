@@ -145,7 +145,13 @@ object Bench {
     val fsShort = failures.take(3)
       .map { case (k, v) => "\"" + k + "\":\"" + v.take(80) + "\"" }
       .mkString("{", ",", "}")
-    val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"pass_totals":[${passTotal(pass1)},${passTotal(pass2)}],"failed_count":${failures.size},"failed":$fsShort,"slowest10":$slow,"bench_full":"${fullPath.toAbsolutePath}"}"""
+    val summaryPath = fullDir.resolve("latest_summary.json")
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","n_queries":${results.size},"pass_totals":[${passTotal(pass1)},${passTotal(pass2)}],"failed_count":${failures.size},"failed":$fsShort,"slowest10":$slow,"bench_full":"${fullPath.toAbsolutePath}","summary_file":"${summaryPath.toAbsolutePath}"}"""
+    // The compact summary is also WRITTEN to a fixed sidecar path (r12
+    // verdict #4 — two rounds of stdout-capture truncation fights end here:
+    // a parser that misses every printed copy can always read the tiny
+    // stable file named in `summary_file`/the final printed line).
+    java.nio.file.Files.writeString(summaryPath, compact + "\n")
     // The compact summary prints FIRST (a head-reading parser finds it — r11
     // verdict #3: the summary appearing only last left BENCH parsed=null),
     // then the full per-query line (persisted above regardless — a bounded

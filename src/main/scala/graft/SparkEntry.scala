@@ -197,7 +197,8 @@ object SparkEntry {
     "q121_audio_afp64" -> qAudioAfp64,
     "q122_warc_ingest" -> qWarcIngest,
     "q123_wet_docs" -> qWetDocs,
-    "q124_flood_dedup_df_route" -> qFloodDedupDfRoute)
+    "q124_flood_dedup_df_route" -> qFloodDedupDfRoute,
+    "q125_http_response_docs" -> qHttpResponseDocs)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2338,6 +2339,22 @@ object SparkEntry {
           wet = true)))
       .orderBy(col("url"))
 
+  /** q125: REAL HTTP response captures end-to-end — `SyntheticWarc
+    * .httpWarcFrame` renders `application/http; msgtype=response` records
+    * whose payloads are full HTTP messages (status lines incl. 404s,
+    * case-varied headers, Content-Length framing with trailing junk,
+    * 13-byte chunked transfer coding with extensions and trailers, an
+    * ISO-8859-1 charset body); `Warc.textDocs` parses the envelope for
+    * real. DuckDB re-derives status, media type, and the decoded text from
+    * `documents` in closed form — any slip in the header split, chunk walk,
+    * charset decode, CL truncation, or the HTTP-level (not WARC-level)
+    * media-type filter turns the row red. */
+  private def qHttpResponseDocs(s: SparkSession, dir: String): DataFrame =
+    graft.io.Warc.textDocs(graft.io.Warc.recordsFromFrame(
+        graft.operators.SyntheticWarc.httpWarcFrame(t(s, dir, "documents"))))
+      .toDF()
+      .orderBy(col("url"))
+
   /** q124: the df-ordered (rarest-first) prefix route under the driver's
     * hash compare — the flood-adaptive machinery was spec-only. A
     * LOW-DIVERSITY corpus is synthesized in closed form (8-stem vocabulary,
@@ -4246,6 +4263,19 @@ object SparkEntry {
         |  '2024-01-01T00:00:00Z' AS warc_date,
         |  COALESCE(text, '') AS text
         |FROM documents ORDER BY url""".stripMargin,
+    // q125 (decode-inclusive, HTTP): SyntheticWarc renders true
+    // application/http response captures; the engine parses the HTTP
+    // envelope for real (status line, chunked framing, charset,
+    // Content-Length truncation, HTTP-level media-type filter); DuckDB
+    // re-derives every expected field from the variant map in closed form
+    "q125_http_response_docs" ->
+      """SELECT 'http://graft.test/doc/' || CAST(doc_id AS VARCHAR) AS url,
+        |  '2024-01-01T00:00:00Z' AS warc_date,
+        |  CAST(CASE WHEN doc_id % 11 = 3 THEN 404 ELSE 200 END AS INT) AS http_status,
+        |  CASE WHEN doc_id % 3 = 1 THEN 'text/html' ELSE 'text/plain' END AS mime,
+        |  CASE WHEN doc_id % 3 = 2 THEN COALESCE(text, '') || ' café'
+        |       ELSE COALESCE(text, '') END AS text
+        |FROM documents WHERE doc_id % 7 <> 2 ORDER BY url""".stripMargin,
     // q124: re-derive the closed-form low-diversity corpus and brute-force
     // exact Jaccard — truth for the FORCED df-ordered candidate route
     "q124_flood_dedup_df_route" ->

@@ -74,9 +74,15 @@ object Warc {
             val headers = readHeaders(stream)
             val len = headers.getOrElse("content-length", "-1").trim.toLong
             if (len < 0) { done = true; return } // unframed: cannot advance
+            // > Int.MaxValue is oversized REGARDLESS of the dial: a JVM
+            // byte[] cannot hold it, and `len.toInt` would go negative —
+            // NegativeArraySizeException is not in the catch set below, so
+            // without this bound a hostile header past a raised
+            // maxPayloadBytes killed the task instead of framed-skipping
             val payload: Array[Byte] =
-              if (len > maxPayloadBytes) { skipFully(stream, len); null }
-              else readFully(stream, len)
+              if (len > maxPayloadBytes || len > Int.MaxValue - 8) {
+                skipFully(stream, len); null
+              } else readFully(stream, len)
             nextRec = WarcRecord(
               file,
               headers.getOrElse("warc-type", ""),
@@ -142,18 +148,206 @@ object Warc {
       }
   }
 
-  /** WET semantics: the text documents of a capture — `conversion` records
-    * (WET proper) and `response` records with a text content type, payload
-    * decoded as UTF-8 → (url, warc_date, text). The downstream curation
+  /** One text document extracted from a capture, with its HTTP provenance
+    * (`textDocs`). WET `conversion` records carry status 200 and the
+    * WARC-level content type; HTTP `response` captures carry the parsed
+    * status line and the HTTP-level media type. */
+  final case class TextDoc(url: String, warc_date: String,
+                           http_status: Int, mime: String, text: String)
+
+  /** The text documents of a capture, ONE parse pass per record (a union of
+    * per-shape routes would re-stream every file once per shape). Three
+    * record shapes, matching what real crawls actually ship:
+    *
+    *  - `conversion` records (WET proper): payload IS the extracted text,
+    *    UTF-8 by the WET spec. status 200, mime from the WARC content type.
+    *  - `response` records with WARC-level `application/http` content type
+    *    (the ISO-28500 shape every Common Crawl `.warc.gz` uses): the
+    *    payload is a full HTTP message — status line, headers, body. The
+    *    envelope is parsed ([[parseHttpResponse]]): headers split at the
+    *    first blank line, `Transfer-Encoding: chunked` bodies de-chunked,
+    *    HTTP `Content-Length` honored (trailing capture junk dropped), body
+    *    decoded by the `charset=` of the HTTP `Content-Type` (UTF-8
+    *    fallback). Kept iff the HTTP-level media type is `text/ *` — the
+    *    WARC-level type says "this is an HTTP message", only the HTTP
+    *    header knows what the body is. ALL statuses are kept here, with
+    *    the parsed status in `http_status` — [[wetDocs]] applies the 2xx
+    *    gate, censuses can count redirects/404s.
+    *  - `response` records whose WARC-level content type is itself
+    *    `text/ *` (nonstandard, but seen in homegrown archivers): payload
+    *    treated as bare UTF-8 text, status 200.
+    *
+    * Until r13 the engine handled only the last shape — on a real crawl the
+    * `text/ *` filter silently dropped EVERY response record (r12 verdict
+    * #1); q125 now pins the envelope math (status, chunked framing,
+    * charset, content-length truncation) under the driver's hash compare. */
+  def textDocs(records: Dataset[WarcRecord]): Dataset[TextDoc] = {
+    val spark = records.sparkSession
+    import spark.implicits._
+    records.flatMap { r =>
+      if (r.payload == null) Iterator.empty
+      else if (r.rec_type == "conversion")
+        Iterator.single(TextDoc(r.target_uri, r.warc_date, 200,
+          mimeOf(r.content_type, "text/plain"),
+          new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)))
+      else if (r.rec_type != "response") Iterator.empty
+      else if (r.content_type.startsWith("application/http"))
+        parseHttpResponse(r.payload) match {
+          case Some(m) if m.mime.startsWith("text/") =>
+            Iterator.single(TextDoc(r.target_uri, r.warc_date, m.status,
+              m.mime, m.bodyText))
+          case _ => Iterator.empty
+        }
+      else if (r.content_type.startsWith("text/"))
+        Iterator.single(TextDoc(r.target_uri, r.warc_date, 200,
+          mimeOf(r.content_type, "text/plain"),
+          new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)))
+      else Iterator.empty
+    }
+  }
+
+  /** WET semantics: the text documents of a capture → (url, warc_date,
+    * text), successful fetches only (2xx — the CCNet/WET convention; use
+    * [[textDocs]] to see redirects and errors). The downstream curation
     * pipeline's entry row (CurationJob's documents contract). */
   def wetDocs(records: Dataset[WarcRecord]): DataFrame =
-    records.toDF()
-      .filter((col("rec_type") === "conversion" ||
-               (col("rec_type") === "response" &&
-                col("content_type").startsWith("text/"))) &&
-              col("payload").isNotNull)
-      .select(col("target_uri").as("url"), col("warc_date"),
-        col("payload").cast("string").as("text"))
+    textDocs(records).toDF()
+      .filter(col("http_status") >= 200 && col("http_status") <= 299)
+      .select(col("url"), col("warc_date"), col("text"))
+
+  // ---- HTTP envelope (the payload of an `application/http` response) ----
+
+  /** A parsed HTTP response message. `mime` is the lowercased media type of
+    * the HTTP `Content-Type` (parameters stripped); `bodyText` the body
+    * decoded by that header's `charset=` (UTF-8 fallback, malformed bytes
+    * replaced — a capture must never kill the task). */
+  final case class HttpMessage(status: Int, mime: String, bodyText: String)
+
+  /** Parse one HTTP response message (RFC 9112 framing, lenient):
+    * status line + headers up to the first blank line, then the body —
+    * de-chunked when `Transfer-Encoding: chunked` (chunk extensions and
+    * trailers ignored), else truncated to HTTP `Content-Length` when
+    * present and sane (real captures carry trailing CRLFs the WARC frame
+    * includes but the message does not). None when the payload is not an
+    * HTTP response (no `HTTP/` status line) — the caller drops the record
+    * rather than gluing headers onto text. */
+  def parseHttpResponse(payload: Array[Byte]): Option[HttpMessage] = {
+    val headerEnd = indexOfBlankLine(payload)
+    if (headerEnd < 0) return None
+    // header block is ASCII-compatible by spec; 8859-1 keeps bytes 1:1
+    val head = new String(payload, 0, headerEnd,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lines = head.split("\n").map(l =>
+      if (l.nonEmpty && l.last == '\r') l.dropRight(1) else l)
+    if (lines.isEmpty || !lines(0).startsWith("HTTP/")) return None
+    val status = {
+      val parts = lines(0).split(" ", 3)
+      if (parts.length < 2) return None
+      try parts(1).trim.toInt catch { case _: NumberFormatException => return None }
+    }
+    val headers = lines.drop(1).flatMap { l =>
+      val i = l.indexOf(':')
+      if (i > 0) Some(l.substring(0, i).trim
+        .toLowerCase(java.util.Locale.ROOT) -> l.substring(i + 1).trim)
+      else None
+    }.toMap
+    val bodyStart = bodyStartAfter(payload, headerEnd)
+    val chunked = headers.get("transfer-encoding")
+      .exists(_.toLowerCase(java.util.Locale.ROOT).contains("chunked"))
+    val body: Array[Byte] =
+      if (chunked) dechunk(payload, bodyStart)
+      else {
+        val cl = headers.get("content-length").flatMap(v =>
+          try Some(v.trim.toLong) catch { case _: NumberFormatException => None })
+        val avail = payload.length - bodyStart
+        val take = cl match {
+          case Some(n) if n >= 0 && n <= avail => n.toInt
+          case _ => avail
+        }
+        java.util.Arrays.copyOfRange(payload, bodyStart, bodyStart + take)
+      }
+    val contentType = headers.getOrElse("content-type", "")
+    Some(HttpMessage(status, mimeOf(contentType, ""),
+      new String(body, charsetOf(contentType))))
+  }
+
+  /** Media type of a Content-Type value: lowercased, parameters stripped. */
+  private def mimeOf(contentType: String, dflt: String): String = {
+    val semi = contentType.indexOf(';')
+    val m = (if (semi >= 0) contentType.substring(0, semi) else contentType)
+      .trim.toLowerCase(java.util.Locale.ROOT)
+    if (m.isEmpty) dflt else m
+  }
+
+  /** `charset=` parameter of a Content-Type value (quotes stripped,
+    * case-insensitive); UTF-8 when absent, unknown, or unsupported. */
+  private def charsetOf(contentType: String): java.nio.charset.Charset = {
+    val lower = contentType.toLowerCase(java.util.Locale.ROOT)
+    val i = lower.indexOf("charset=")
+    if (i < 0) return java.nio.charset.StandardCharsets.UTF_8
+    var v = contentType.substring(i + 8)
+    val semi = v.indexOf(';')
+    if (semi >= 0) v = v.substring(0, semi)
+    v = v.trim.stripPrefix("\"").stripSuffix("\"").trim
+    try java.nio.charset.Charset.forName(v)
+    catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+  }
+
+  /** Byte offset of the first blank line (the CRLFCRLF — leniently LFLF —
+    * header/body separator); -1 when none. Returns the offset where the
+    * header block ENDS (start of the first empty line's terminator). */
+  private def indexOfBlankLine(b: Array[Byte]): Int = {
+    var i = 0
+    while (i < b.length) {
+      if (b(i) == '\n') {
+        if (i + 2 < b.length && b(i + 1) == '\r' && b(i + 2) == '\n') return i + 1
+        if (i + 1 < b.length && b(i + 1) == '\n') return i + 1
+        // also accept a bare "\n\r\n"/"\n\n" handled above; CRLFCRLF hits
+        // the first branch because the '\n' at i is CRLF's LF
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** First body byte after the blank-line separator at `sepStart`. */
+  private def bodyStartAfter(b: Array[Byte], sepStart: Int): Int =
+    if (sepStart + 1 < b.length && b(sepStart) == '\r') sepStart + 2
+    else sepStart + 1
+
+  /** Decode a `Transfer-Encoding: chunked` body: hex-size line (chunk
+    * extensions after ';' ignored) + data + CRLF, terminated by a 0 chunk
+    * (trailers ignored). Lenient: a malformed frame yields the bytes
+    * accumulated so far — a truncated capture keeps its good prefix. */
+  private def dechunk(b: Array[Byte], start: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(16, b.length - start))
+    var i = start
+    var going = true
+    while (going) {
+      // read the size line
+      var j = i
+      while (j < b.length && b(j) != '\n') j += 1
+      if (j >= b.length) going = false
+      else {
+        var line = new String(b, i, j - i,
+          java.nio.charset.StandardCharsets.ISO_8859_1).trim
+        val semi = line.indexOf(';')
+        if (semi >= 0) line = line.substring(0, semi).trim
+        val size =
+          try java.lang.Long.parseLong(line, 16)
+          catch { case _: NumberFormatException => -1L }
+        if (size <= 0 || j + 1 + size > b.length) going = false // 0 = done
+        else {
+          out.write(b, j + 1, size.toInt)
+          i = j + 1 + size.toInt
+          // skip the chunk-terminating CRLF (lenient: LF alone)
+          if (i < b.length && b(i) == '\r') i += 1
+          if (i < b.length && b(i) == '\n') i += 1
+        }
+      }
+    }
+    out.toByteArray
+  }
 
   // ---- stream helpers ----
 

@@ -68,6 +68,102 @@ object SyntheticWarc {
 
   def uri(d: Long): String = s"http://graft.test/doc/$d"
 
+  /** (file_id, payload) lake of TRUE HTTP response captures — the shape a
+    * real Common Crawl `.warc.gz` has (WARC-level content type
+    * `application/http; msgtype=response`, payload = full HTTP message) —
+    * so q125 puts the envelope math itself under the driver's hash compare.
+    * Deterministic per-doc variants cover the parse surface:
+    *   - doc_id % 11 == 3 → status `404 Not Found` (else `200 OK`): the
+    *     status-line walk and wetDocs' 2xx gate.
+    *   - doc_id % 7 == 2 → `application/pdf` body: the HTTP-level (not
+    *     WARC-level) media-type filter must drop it.
+    *   - else by doc_id % 3:
+    *     0 → `text/plain; charset=UTF-8`, Content-Length framing, with two
+    *         junk bytes after the body inside the WARC frame (the parser
+    *         must truncate to the HTTP Content-Length);
+    *     1 → lowercase `content-type: text/html` (header case-insensitivity,
+    *         charset-absent UTF-8 default) with `Transfer-Encoding: chunked`
+    *         — 13-byte chunks, an extension on the first size line, ending
+    *         `0` chunk + trailer;
+    *     2 → `text/plain; charset=ISO-8859-1`, body = text + " café"
+    *         encoded LATIN-1 (the é is ONE byte, 0xE9 — a parser that
+    *         ignores the charset and decodes UTF-8 corrupts it). */
+  def httpWarcFrame(docs: DataFrame, nFiles: Int = 50): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"),
+        coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .groupByKey(_._1 % nFiles)
+      .mapGroups { (fid, it) =>
+        val bos = new ByteArrayOutputStream(1 << 16)
+        def member(rec: Array[Byte]): Unit = {
+          val g = new GZIPOutputStream(bos)
+          g.write(rec); g.finish()
+        }
+        member(warcinfo(fid))
+        it.toArray.sortBy(_._1).foreach { case (d, text) =>
+          member(httpRecord(d, text))
+        }
+        (fid, bos.toByteArray)
+      }
+      .toDF("file_id", "payload")
+  }
+
+  /** One HTTP response capture's uncompressed WARC bytes (see
+    * [[httpWarcFrame]] for the per-doc variant map). */
+  def httpRecord(d: Long, text: String): Array[Byte] = {
+    val statusLine =
+      if (d % 11 == 3) "HTTP/1.1 404 Not Found" else "HTTP/1.1 200 OK"
+    val http: Array[Byte] =
+      if (d % 7 == 2) {
+        val body = s"%PDF-1.4 synthetic $d".getBytes(UTF_8)
+        (s"$statusLine\r\n" +
+         s"Content-Type: application/pdf\r\n" +
+         s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+      } else d % 3 match {
+        case 0 =>
+          val body = text.getBytes(UTF_8)
+          (s"$statusLine\r\n" +
+           s"Content-Type: text/plain; charset=UTF-8\r\n" +
+           s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++
+            body ++ "\r\n".getBytes(UTF_8) // junk past Content-Length
+        case 1 =>
+          val body = text.getBytes(UTF_8)
+          val chunks = new ByteArrayOutputStream(body.length + 64)
+          var off = 0
+          var first = true
+          while (off < body.length) {
+            val n = math.min(13, body.length - off)
+            val ext = if (first) ";synthetic=1" else ""
+            chunks.write(s"${n.toHexString}$ext\r\n".getBytes(UTF_8))
+            chunks.write(body, off, n)
+            chunks.write("\r\n".getBytes(UTF_8))
+            off += n; first = false
+          }
+          chunks.write("0\r\nX-Trailer: t\r\n\r\n".getBytes(UTF_8))
+          (s"$statusLine\r\n" +
+           s"content-type: text/html\r\n" +
+           s"Transfer-Encoding: chunked\r\n\r\n").getBytes(UTF_8) ++
+            chunks.toByteArray
+        case _ =>
+          val body = (text + " café")
+            .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+          (s"$statusLine\r\n" +
+           s"Content-Type: text/plain; charset=ISO-8859-1\r\n" +
+           s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+      }
+    val header =
+      s"WARC/1.0\r\n" +
+      s"WARC-Type: response\r\n" +
+      s"WARC-Record-ID: <urn:graft:doc:$d>\r\n" +
+      s"WARC-Target-URI: ${uri(d)}\r\n" +
+      s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n"
+    header.getBytes(UTF_8) ++ http ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
   private def warcinfo(fid: Long): Array[Byte] = {
     val payload = s"software: graft-ingest\r\nfile: $fid\r\n".getBytes(UTF_8)
     val header =

@@ -123,6 +123,74 @@ class WarcSpec extends SparkSpec {
       .map(_.target_uri).toSeq == Seq(SyntheticWarc.uri(1L)))
   }
 
+  test("HTTP envelope: chunked decode, charset, CL truncation, status — the real-capture battery") {
+    // the synthetic variant map (httpRecord): pick doc ids that hit each case
+    //   0 -> %3=0: CL framing + trailing junk      10 -> %3=1: chunked text/html
+    //   5 -> %3=2: ISO-8859-1 ' café'              3 -> %11=3: 404 (and %3=0)
+    //   16 -> %7=2: application/pdf (dropped)
+    val docs = Seq((0L, "zero doc body"), (10L, "ten doc body is long enough for chunks"),
+      (5L, "five doc"), (3L, "four-oh-four body"), (16L, "pdf never seen"))
+      .toDF("doc_id", "text")
+    val td = Warc.textDocs(Warc.recordsFromFrame(
+        SyntheticWarc.httpWarcFrame(docs, nFiles = 2)))
+      .collect().sortBy(_.url)
+    // pdf dropped by the HTTP-level media type; everything else kept
+    assert(td.map(_.url).toSeq ==
+      Seq(0L, 10L, 3L, 5L).map(SyntheticWarc.uri).sorted)
+    val byId = td.map(r => r.url -> r).toMap
+    val d0 = byId(SyntheticWarc.uri(0L))
+    assert(d0.http_status == 200 && d0.mime == "text/plain" &&
+      d0.text == "zero doc body") // junk past Content-Length truncated
+    val d10 = byId(SyntheticWarc.uri(10L))
+    assert(d10.mime == "text/html" &&
+      d10.text == "ten doc body is long enough for chunks") // de-chunked
+    val d5 = byId(SyntheticWarc.uri(5L))
+    assert(d5.text == "five doc café") // 0xE9 decoded as LATIN-1, not UTF-8
+    val d3 = byId(SyntheticWarc.uri(3L))
+    assert(d3.http_status == 404 && d3.text == "four-oh-four body")
+    // wetDocs = the 2xx text projection: the 404 and the pdf are gone
+    val wet = Warc.wetDocs(Warc.recordsFromFrame(
+        SyntheticWarc.httpWarcFrame(docs, nFiles = 2)))
+      .orderBy($"url").as[(String, String, String)].collect().toSeq
+    assert(wet.map(_._1) == Seq(0L, 10L, 5L).map(SyntheticWarc.uri).sorted)
+  }
+
+  test("HTTP envelope robustness: non-HTTP payloads drop, never glue headers onto text") {
+    // an application/http record whose payload is NOT an HTTP message
+    val bogus = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://graft.test/bogus\r\n" +
+      "Content-Type: application/http; msgtype=response\r\n" +
+      "Content-Length: 9\r\n\r\nnot http!\r\n\r\n").getBytes(UTF_8)
+    val frame = Seq((1L, gz(Seq(bogus)))).toDF("file_id", "payload")
+    assert(Warc.textDocs(Warc.recordsFromFrame(frame)).isEmpty)
+    // direct parser checks: LFLF separator, quoted+mixed-case charset,
+    // truncated chunk keeps its good prefix, missing CL takes the remainder
+    val lflf = "HTTP/1.1 200 OK\nContent-Type: text/plain\n\nbody here"
+    val m1 = Warc.parseHttpResponse(lflf.getBytes(UTF_8)).get
+    assert(m1.status == 200 && m1.mime == "text/plain" && m1.bodyText == "body here")
+    val quoted = "HTTP/1.1 200 OK\r\nContent-Type: text/plain; CHARSET=\"ISO-8859-1\"\r\n\r\n"
+      .getBytes(UTF_8) ++ Array[Byte]('c', 0xE9.toByte)
+    assert(Warc.parseHttpResponse(quoted).get.bodyText == "cé")
+    val cut = ("HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n" +
+      "5\r\nhello\r\nff\r\nway too short").getBytes(UTF_8)
+    assert(Warc.parseHttpResponse(cut).get.bodyText == "hello")
+    assert(Warc.parseHttpResponse("junk".getBytes(UTF_8)).isEmpty)
+  }
+
+  test("hostile Content-Length past Int.MaxValue frame-skips even with the dial raised") {
+    val good = SyntheticWarc.record(1L, "kept", wet = false)
+    val hostile = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://graft.test/huge\r\n" +
+      "Content-Length: 3000000000\r\n\r\n").getBytes(UTF_8)
+    // dial raised past 2 GiB: before r13 this allocated new Array(len.toInt)
+    // with a NEGATIVE size — NegativeArraySizeException is not in the catch
+    // set, so the task died instead of skipping (r12 verdict #3)
+    val rows = Warc.parseRecords("t",
+      new java.io.ByteArrayInputStream(good ++ hostile),
+      maxPayloadBytes = 4L * 1024 * 1024 * 1024).toSeq
+    assert(rows.map(_.target_uri) == Seq(SyntheticWarc.uri(1L)))
+  }
+
   test("warcFrame oracle seam: warcinfo leads each file, docs bundle by mod, bytes re-derivable") {
     val docs = Seq((10L, "alpha"), (11L, "beta"), (12L, "gamma"), (22L, "delta"))
       .toDF("doc_id", "text")
