@@ -198,7 +198,8 @@ object SparkEntry {
     "q122_warc_ingest" -> qWarcIngest,
     "q123_wet_docs" -> qWetDocs,
     "q124_flood_dedup_df_route" -> qFloodDedupDfRoute,
-    "q125_http_response_docs" -> qHttpResponseDocs)
+    "q125_http_response_docs" -> qHttpResponseDocs,
+    "q126_html_to_text" -> qHtmlToText)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2355,6 +2356,34 @@ object SparkEntry {
       .toDF()
       .orderBy(col("url"))
 
+  /** q126: HTML→text extraction — closed-form synthetic HTML wrapped around
+    * each document (DOCTYPE, title with numeric character references, style
+    * and script elements whose raw text contains fake tags and a bare `<`,
+    * a comment hiding markup, a quoted attribute containing `>`, the
+    * entity-escaped document text, `&nbsp;`), stripped by the codegen
+    * `HtmlToTextExpr` kernel. DuckDB re-derives the expected text in closed
+    * form — any slip in raw-text skipping, comment/declaration dropping,
+    * quote-aware tag scan, entity decode, or whitespace collapse turns the
+    * row red. */
+  private def qHtmlToText(s: SparkSession, dir: String): DataFrame = {
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      coalesce(col("text"), lit("")), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val id = col("doc_id").cast("string")
+    val html = concat(
+      lit("<!DOCTYPE html><html><head><title>Doc "), id,
+      lit(" &#68;&#x6f;c</title>" +
+        "<style type=\"text/css\">body { color: #fff; } p > a { x: y; }</style>" +
+        "<script>if (1 < 2) { document.write(\"<p>not text</p>\"); }</script>" +
+        "</head>\n<body><!-- comment <p>ghost</p> -->" +
+        "<h1 class=\"t\" data-x=\"a>b\">Doc &amp; "), id,
+      lit("</h1>\n<p>"), esc,
+      lit("</p>&nbsp;<a href='x>y'>end</a></body></html>"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        graft.functions.TextFns.htmlToText(html).as("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q124: the df-ordered (rarest-first) prefix route under the driver's
     * hash compare — the flood-adaptive machinery was spec-only. A
     * LOW-DIVERSITY corpus is synthesized in closed form (8-stem vocabulary,
@@ -4276,6 +4305,18 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 2 THEN COALESCE(text, '') || ' café'
         |       ELSE COALESCE(text, '') END AS text
         |FROM documents WHERE doc_id % 7 <> 2 ORDER BY url""".stripMargin,
+    // q126: the synthetic HTML is closed-form, so the EXPECTED extraction is
+    // too — title text + decoded refs + h1 text + the ws-collapsed document
+    // text + trailing anchor, everything else (style/script/comment/tags)
+    // stripped
+    "q126_html_to_text" ->
+      """WITH c AS (
+        |  SELECT doc_id, trim(regexp_replace(COALESCE(text, ''), '\s+', ' ', 'g')) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  'Doc ' || CAST(doc_id AS VARCHAR) || ' Doc Doc & ' || CAST(doc_id AS VARCHAR) ||
+        |  CASE WHEN t = '' THEN '' ELSE ' ' || t END || ' end' AS text
+        |FROM c ORDER BY doc_id""".stripMargin,
     // q124: re-derive the closed-form low-diversity corpus and brute-force
     // exact Jaccard — truth for the FORCED df-ordered candidate route
     "q124_flood_dedup_df_route" ->

@@ -202,6 +202,12 @@ object TextFns {
     * chained-column reference the equivalence spec pins it against. */
   def normalizeText(text: Column): Column = NormalizeTextExpr(text)
 
+  /** Deterministic HTML→text extraction (script/style/comment drop, tags →
+    * whitespace, entity decode, whitespace collapse) — the step between a
+    * raw `text/html` web capture and the curation pipeline's text contract.
+    * Backed by the native single-pass [[HtmlToTextExpr]] kernel. */
+  def htmlToText(text: Column): Column = HtmlToTextExpr(text)
+
   /** Reference column-chain implementation of [[normalizeText]]. */
   def normalizeTextCols(text: Column): Column =
     trim(regexp_replace(

@@ -18,11 +18,15 @@ import org.apache.spark.sql.functions._
   * {
   *   "documents_path": "<parquet (id, text, ...)>",
   *   "input_format": "parquet",        // or "warc": documents_path is a dir/
-  *                                     //   glob of .warc/.warc.gz captures;
-  *                                     //   Warc.wetDocs supplies (url,
-  *                                     //   warc_date, text) and doc ids are
-  *                                     //   xxhash64(url) — the full
-  *                                     //   crawl-to-corpus path in ONE job
+  *                                     //   glob of .warc/.warc.gz captures
+  *                                     //   (WET conversions OR raw HTTP
+  *                                     //   response records — the envelope
+  *                                     //   is parsed, 2xx text kept);
+  *                                     //   doc ids are xxhash64(url) — the
+  *                                     //   full crawl-to-corpus path in ONE
+  *                                     //   job
+  *   "warc_html_to_text": true,        //   strip text/html captures to text
+  *                                     //   (HtmlToTextExpr) in the scan
   *   "output_path": "<dir>",
   *   "id_col": "doc_id", "text_col": "text",
   *   "normalize_text": false,          // optional CCNet-style normalization
@@ -153,8 +157,22 @@ object CurationJob {
       case "warc" =>
         // crawl-to-corpus: stream the WARC/WET captures (file-parallel,
         // record-streaming — see io.Warc) into the pipeline's (id, text)
-        // contract; ids are xxhash64(url), deterministic across replays
-        graft.io.Warc.wetDocs(graft.io.Warc.records(spark, docsPath))
+        // contract; ids are xxhash64(url), deterministic across replays.
+        // Successful fetches only (2xx); raw `text/html` response captures
+        // are stripped to text IN the scan stage (codegen HtmlToTextExpr)
+        // unless warc_html_to_text=false — without this, markup soup walks
+        // through every downstream quality gate
+        val td = graft.io.Warc.textDocs(
+            graft.io.Warc.records(spark, docsPath)).toDF()
+          .filter(col("http_status") >= 200 && col("http_status") <= 299)
+        val stripped =
+          if (str("warc_html_to_text", "true").toBoolean)
+            td.withColumn("text",
+              when(col("mime") === "text/html",
+                graft.functions.TextFns.htmlToText(col("text")))
+                .otherwise(col("text")))
+          else td
+        stripped.select(col("url"), col("warc_date"), col("text"))
           .withColumn(idCol, xxhash64(col("url")))
       case other => sys.error(s"unknown input_format $other")
     }

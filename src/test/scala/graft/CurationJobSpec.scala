@@ -93,6 +93,60 @@ class CurationJobSpec extends SparkSpec {
       survivors.intersect(Set(expected._1, expected._2)).size == 1)
   }
 
+  test("curation job: raw HTML response captures — envelope parse + html_to_text in one job") {
+    val dir = Files.createTempDirectory("curationhtml")
+    Files.createDirectory(dir.resolve("captures"))
+    def gz(recs: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      recs.foreach { r =>
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(r); g.finish()
+      }
+      bos.toByteArray
+    }
+    import java.nio.charset.StandardCharsets.UTF_8
+    def capture(d: Long, status: String, bodyHtml: String): Array[Byte] = {
+      val body = bodyHtml.getBytes(UTF_8)
+      val http = (s"HTTP/1.1 $status\r\n" +
+        "Content-Type: text/html; charset=UTF-8\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:graft:doc:$d>\r\n" +
+        s"WARC-Target-URI: ${graft.operators.SyntheticWarc.uri(d)}\r\n" +
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes(UTF_8) ++
+        http ++ "\r\n\r\n".getBytes(UTF_8)
+    }
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    def page(text: String): String =
+      s"""<!DOCTYPE html><html><head><title>t</title><style>p{c:1}</style>
+         |<script>var x = "<p>no</p>";</script></head>
+         |<body><h1>Heading</h1><p>$text</p></body></html>""".stripMargin
+    // dup pair split across files; a distinct page; a 404 (dropped by 2xx)
+    Files.write(dir.resolve("captures/a.warc.gz"), gz(Seq(
+      capture(1L, "200 OK", page(s"$filler the very same page content")),
+      capture(3L, "200 OK", page(s"$filler entirely different content about rivers")))))
+    Files.write(dir.resolve("captures/b.warc.gz"), gz(Seq(
+      capture(2L, "200 OK", page(s"$filler the very same page content")),
+      capture(4L, "404 Not Found", page(s"$filler never enters the corpus at all")))))
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/captures", "input_format": "warc",
+         | "output_path": "$dir/out",
+         | "min_words": 20, "ngram_n": 3, "jaccard_threshold": 0.8,
+         | "redact_pii": false}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    // 404 dropped at the scan; 3 pages in; dup pair collapses to 1 survivor
+    assert(stats.input == 3 && stats.output == 2, stats)
+    val out = spark.read.parquet(s"$dir/out")
+    val texts = out.select($"text").as[String].collect().toSeq
+    // markup gone, script/style gone, heading + body text extracted
+    texts.foreach { t =>
+      assert(!t.contains("<") && !t.contains("var x"), t)
+      assert(t.startsWith("t Heading w1 w2 "), t)
+    }
+  }
+
   test("curation job: gopher gate, window scrub, and DSIR resample stages") {
     val dir = Files.createTempDirectory("curation2")
     def words(a: Int, b: Int) = (a until b).map(i => s"w$i").mkString(" ")
