@@ -731,6 +731,59 @@ object OracleHashSql {
        |ORDER BY media_id""".stripMargin
   }
 
+  /** One tick's within-tick dedup chain over `src`(media_id, phash): exact
+    * pairs at hamming ≤ 8 → recursive-CTE closure → min-id survivors.
+    * Emits CTEs p/e/r/doom/surv suffixed `n`. */
+  private def tickCcCtes(n: Int, src: String): String =
+    s"""p$n AS MATERIALIZED (
+       |  SELECT a.media_id AS ia, b.media_id AS ib
+       |  FROM $src a JOIN $src b ON a.media_id < b.media_id
+       |  WHERE bit_count(xor(a.phash, b.phash)) <= 8),
+       |e$n AS MATERIALIZED (
+       |  SELECT ia AS a, ib AS b FROM p$n UNION SELECT ib, ia FROM p$n),
+       |r$n(id, comp) AS (
+       |  SELECT a, a FROM e$n
+       |  UNION
+       |  SELECT e.b, r.comp FROM r$n r JOIN e$n e ON e.a = r.id),
+       |doom$n AS (
+       |  SELECT id FROM (SELECT id, MIN(comp) AS comp FROM r$n GROUP BY id) t
+       |  WHERE id <> comp),
+       |surv$n AS MATERIALIZED (
+       |  SELECT media_id, phash FROM $src
+       |  WHERE media_id NOT IN (SELECT id FROM doom$n))""".stripMargin
+
+  /** q127: three composed MediaCurationJob ticks against one maintained
+    * store — tick 1 dedups fresh, tick 2 admits against tick 1's survivors
+    * then folds them, tick 3 admits against the post-fold union. The whole
+    * admission × dedup × fold chain re-derived in closed form. */
+  def q127MediaStoreTicks: String =
+    s"""WITH RECURSIVE $synthDhashCtes,
+       |sigm AS MATERIALIZED (SELECT media_id, phash FROM sig),
+       |s1 AS MATERIALIZED (
+       |  SELECT media_id, phash FROM sigm WHERE ((media_id // 40) % 5) IN (1, 2)),
+       |${tickCcCtes(1, "s1")},
+       |s2a AS MATERIALIZED (
+       |  SELECT media_id, phash FROM sigm WHERE ((media_id // 40) % 5) IN (3, 4)),
+       |rej2 AS (
+       |  SELECT DISTINCT i.media_id FROM s2a i JOIN surv1 c
+       |  ON bit_count(xor(i.phash, c.phash)) <= 8),
+       |s2 AS MATERIALIZED (
+       |  SELECT * FROM s2a WHERE media_id NOT IN (SELECT media_id FROM rej2)),
+       |${tickCcCtes(2, "s2")},
+       |s3a AS MATERIALIZED (
+       |  SELECT media_id, phash FROM sigm WHERE ((media_id // 40) % 5) = 0),
+       |store3 AS (SELECT * FROM surv1 UNION ALL SELECT * FROM surv2),
+       |rej3 AS (
+       |  SELECT DISTINCT i.media_id FROM s3a i JOIN store3 c
+       |  ON bit_count(xor(i.phash, c.phash)) <= 8),
+       |s3 AS MATERIALIZED (
+       |  SELECT * FROM s3a WHERE media_id NOT IN (SELECT media_id FROM rej3)),
+       |${tickCcCtes(3, "s3")}
+       |SELECT CAST(1 AS INT) AS tick, media_id FROM surv1
+       |UNION ALL SELECT 2, media_id FROM surv2
+       |UNION ALL SELECT 3, media_id FROM surv3
+       |ORDER BY tick, media_id""".stripMargin
+
   /** q117: `admitNewMedia` end-to-end — incoming docs (copy index % 5 = 0)
     * admitted iff no corpus image within hamming 8 (corpus contracted to
     * reps, which changes match ids but never the admitted set). */

@@ -199,7 +199,8 @@ object SparkEntry {
     "q123_wet_docs" -> qWetDocs,
     "q124_flood_dedup_df_route" -> qFloodDedupDfRoute,
     "q125_http_response_docs" -> qHttpResponseDocs,
-    "q126_html_to_text" -> qHtmlToText)
+    "q126_html_to_text" -> qHtmlToText,
+    "q127_media_store_ticks" -> qMediaStoreTicks)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2356,6 +2357,54 @@ object SparkEntry {
       .toDF()
       .orderBy(col("url"))
 
+  /** q127: the maintained signature store ACROSS TICKS under the driver's
+    * hash compare — the multi-tick twin of q78's closure discipline (r12
+    * verdict #7). Three real `MediaCurationJob` runs against one store:
+    * tick t1 seeds it, t2 admits against t1's published survivors and then
+    * COMPACTS t1 into the reserved fold partition (store_keep_ticks=1), t3
+    * admits against the post-fold store (`SignatureStore.readExcluding`
+    * walking `tick=__folded__` rows by src_tick + t2's live partition).
+    * DuckDB re-derives all three survivor sets in closed form — the
+    * admission chain composes, so a fold that lost/duplicated-wrong rows,
+    * an exclusion slip, or a store read past the compare turns the row
+    * red. The query itself also REQUIRES the fold physically happened
+    * (t1's partition gone, `__folded__` present). */
+  private def qMediaStoreTicks(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.operators.SyntheticMedia.mediaFrame(t(s, dir, "documents"))
+      .localCheckpoint(eager = true) // synthesize once, feed three ticks
+    val g5 = expr("media_id div 40") % 5
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q127").toString
+    val store = s"$tmp/store"
+    def tick(name: String, m: DataFrame, keepTicks: Int): DataFrame = {
+      m.write.parquet(s"$tmp/$name/in")
+      val keep = if (keepTicks > 0) s""", "store_keep_ticks": $keepTicks""" else ""
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$tmp/$name/cfg.json"),
+        s"""{"media_path": "$tmp/$name/in", "output_path": "$tmp/$name/out",
+           | "modality": "image", "max_hamming": 8,
+           | "store_path": "$store", "tick_id": "$name"$keep}"""
+          .stripMargin.replace("\n", " "))
+      graft.jobs.MediaCurationJob.run(s, s"$tmp/$name/cfg.json")
+      s.read.parquet(s"$tmp/$name/out/media").select(col("media_id"))
+    }
+    val t1 = tick("t1", media.filter(g5 === 1 || g5 === 2), 0)
+    val t2 = tick("t2", media.filter(g5 === 3 || g5 === 4), keepTicks = 1)
+    // the fold must have physically happened before t3 probes the store
+    val storePath = new org.apache.hadoop.fs.Path(store)
+    val fs = storePath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(storePath,
+        s"tick=${graft.io.SignatureStore.FoldedTick}")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(storePath, "tick=t1")),
+      "q127 store did not compact t1 into the fold partition")
+    val t3 = tick("t3", media.filter(g5 === 0), 0)
+    graft.operators.Dedup.release(media)
+    t1.withColumn("tick", lit(1))
+      .unionByName(t2.withColumn("tick", lit(2)))
+      .unionByName(t3.withColumn("tick", lit(3)))
+      .select(col("tick"), col("media_id"))
+      .orderBy(col("tick"), col("media_id"))
+  }
+
   /** q126: HTML→text extraction — closed-form synthetic HTML wrapped around
     * each document (DOCTYPE, title with numeric character references, style
     * and script elements whose raw text contains fake tags and a bare `<`,
@@ -2378,7 +2427,9 @@ object SparkEntry {
         "<h1 class=\"t\" data-x=\"a>b\">Doc &amp; "), id,
       lit("</h1>\n<p>"), esc,
       lit("</p>&nbsp;<a href='x>y'>end</a></body></html>"))
-    t(s, dir, "documents")
+    // few-file guard: the extraction kernel must not run at file-count
+    // parallelism on a 2-file corpus (ParallelismAudit contract)
+    graft.operators.Dedup.ensureParallel(t(s, dir, "documents"))
       .select(col("doc_id"),
         graft.functions.TextFns.htmlToText(html).as("text"))
       .orderBy(col("doc_id"))
@@ -4305,6 +4356,9 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 2 THEN COALESCE(text, '') || ' café'
         |       ELSE COALESCE(text, '') END AS text
         |FROM documents WHERE doc_id % 7 <> 2 ORDER BY url""".stripMargin,
+    // q127: the cross-tick store chain (dedup -> admit -> fold -> admit)
+    // re-derived tick by tick with three recursive-CTE closures
+    "q127_media_store_ticks" -> OracleHashSql.q127MediaStoreTicks,
     // q126: the synthetic HTML is closed-form, so the EXPECTED extraction is
     // too — title text + decoded refs + h1 text + the ws-collapsed document
     // text + trailing anchor, everything else (style/script/comment/tags)

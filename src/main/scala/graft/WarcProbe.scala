@@ -67,6 +67,54 @@ object WarcProbe {
         println(s"[warc-probe] lake: $nDocs docs, $nFiles files, " +
           f"${bytes / 1e9}%.2f GB gz")
 
+      case "genhtml" =>
+        // render a documents parquet (args: <outDir> <docsParquet> [nFiles])
+        // as a lake of TRUE HTTP response captures with HTML bodies — the
+        // input shape the r13 crawl-to-corpus census drives end to end
+        // (envelope parse + html_to_text + quality + dedup + mixture).
+        // Text is entity-escaped into the page so extraction re-derives it
+        // exactly; WARC-Date varies by doc for a mixture stratum.
+        val docsParquet = args(2)
+        val nf = args.drop(3).headOption.map(_.toInt).getOrElse(64)
+        new java.io.File(dir).mkdirs()
+        timed("genhtml") {
+          spark.read.parquet(docsParquet)
+            .select(col("doc_id").cast("long"),
+              coalesce(col("text"), lit("")).as("text"))
+            .as[(Long, String)]
+            .groupByKey(_._1 % nf)
+            .mapGroups { (fid, it) =>
+              val out = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(s"$dir/part-$fid.warc.gz"), 1 << 16)
+              var n = 0L
+              it.foreach { case (d, text) =>
+                val esc = text.replace("&", "&amp;")
+                  .replace("<", "&lt;").replace(">", "&gt;")
+                val body = (s"<!DOCTYPE html><html><head><title>doc $d</title>" +
+                  "<style>body{margin:0}</style></head><body>" +
+                  s"<p>$esc</p></body></html>").getBytes(UTF_8)
+                val http = (s"HTTP/1.1 200 OK\r\n" +
+                  "Content-Type: text/html; charset=UTF-8\r\n" +
+                  s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+                val rec = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+                  s"WARC-Record-ID: <urn:graft:doc:$d>\r\n" +
+                  s"WARC-Target-URI: ${SyntheticWarc.uri(d)}\r\n" +
+                  s"WARC-Date: 2024-01-0${d % 4 + 1}T00:00:00Z\r\n" +
+                  "Content-Type: application/http; msgtype=response\r\n" +
+                  s"Content-Length: ${http.length}\r\n\r\n").getBytes(UTF_8) ++
+                  http ++ "\r\n\r\n".getBytes(UTF_8)
+                val g = new java.util.zip.GZIPOutputStream(out)
+                g.write(rec); g.finish()
+                n += 1
+              }
+              out.close()
+              n
+            }.agg(sum(col("value"))).as[Long].first()
+        }
+        val gbytes = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".warc.gz")).map(_.length()).sum
+        println(f"[warc-probe] html lake: $nf files, ${gbytes / 1e9}%.2f GB gz")
+
       case "read" =>
         val recs = Warc.records(spark, dir + "/*.warc.gz")
         println(s"[warc-probe] partitions=${recs.rdd.getNumPartitions}")
