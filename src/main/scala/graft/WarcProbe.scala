@@ -33,8 +33,8 @@ object WarcProbe {
     import spark.implicits._
     val mode = args(0)
     val dir = args(1)
-    val nDocs = args.drop(2).headOption.map(_.toLong).getOrElse(200000L)
-    val nFiles = args.drop(3).headOption.map(_.toInt).getOrElse(64)
+    lazy val nDocs = args.drop(2).headOption.map(_.toLong).getOrElse(200000L)
+    lazy val nFiles = args.drop(3).headOption.map(_.toInt).getOrElse(64)
 
     def timed[A](label: String)(body: => A): A = {
       val t0 = System.nanoTime()
@@ -90,8 +90,15 @@ object WarcProbe {
               it.foreach { case (d, text) =>
                 val esc = text.replace("&", "&amp;")
                   .replace("<", "&lt;").replace(">", "&gt;")
-                val body = (s"<!DOCTYPE html><html><head><title>doc $d</title>" +
-                  "<style>body{margin:0}</style></head><body>" +
+                // title is CONSTANT: duplicate-amplified docs must extract
+                // to byte-identical text so exact-collapse can contract
+                // them, as real repeated boilerplate does. (Measured: a
+                // doc-unique token in every page defeats collapseExact and
+                // the ×100-amplified sf10 groups go clique-quadratic in the
+                // prefix-candidate join — 68 GB spill; that regime is
+                // priced by the pair-budget estimator, not a census.)
+                val body = ("<!DOCTYPE html><html><head><title>graft capture" +
+                  "</title><style>body{margin:0}</style></head><body>" +
                   s"<p>$esc</p></body></html>").getBytes(UTF_8)
                 val http = (s"HTTP/1.1 200 OK\r\n" +
                   "Content-Type: text/html; charset=UTF-8\r\n" +

@@ -176,7 +176,18 @@ object CurationJob {
           .withColumn(idCol, xxhash64(col("url")))
       case other => sys.error(s"unknown input_format $other")
     }
-    val raw = graft.operators.Dedup.ensureParallel(inputDf)
+    val inputFormat = str("input_format", "parquet")
+    val raw0 = graft.operators.Dedup.ensureParallel(inputDf)
+    // Decode-bound sources (warc) pin the extracted documents ONCE: the
+    // input count plus the quality battery's self-joins would otherwise
+    // re-run the gzip parse + envelope walk + html strip per plan
+    // reference — a full corpus decode each time at 100 TB. Parquet
+    // re-reads are cheap (metadata counts, pruned columns), so only
+    // non-parquet inputs pay the cache boundary; released as soon as the
+    // quality stage materializes.
+    val raw = if (inputFormat != "parquet")
+      raw0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else raw0
     // per-stage wall clock, logged at the end beside the row counts — the
     // receipt that says WHERE a full-stage run spends its time (r10: the
     // first sf10 receipt had to be diagnosed with jstack)
@@ -289,6 +300,8 @@ object CurationJob {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterQuality = gated.count()
     lap("quality")
+    // gated is materialized — the decode-bound input cache is dead
+    if (raw ne raw0) raw.unpersist(blocking = false)
 
     // 2. near-dup corpus dedup (subsumes exact dups at jaccard 1.0)
     val deduped = Dedup.dedupedCorpus(gated, idCol, textCol,
