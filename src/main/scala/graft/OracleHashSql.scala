@@ -760,10 +760,12 @@ object OracleHashSql {
     s"""WITH RECURSIVE $synthDhashCtes,
        |sigm AS MATERIALIZED (SELECT media_id, phash FROM sig),
        |s1 AS MATERIALIZED (
-       |  SELECT media_id, phash FROM sigm WHERE ((media_id // 40) % 5) IN (1, 2)),
+       |  SELECT media_id, phash FROM sigm
+       |  WHERE media_id < 2000 AND ((media_id // 40) % 5) IN (1, 2)),
        |${tickCcCtes(1, "s1")},
        |s2a AS MATERIALIZED (
-       |  SELECT media_id, phash FROM sigm WHERE ((media_id // 40) % 5) IN (3, 4)),
+       |  SELECT media_id, phash FROM sigm
+       |  WHERE media_id < 2000 AND ((media_id // 40) % 5) IN (3, 4)),
        |rej2 AS (
        |  SELECT DISTINCT i.media_id FROM s2a i JOIN surv1 c
        |  ON bit_count(xor(i.phash, c.phash)) <= 8),
@@ -771,7 +773,8 @@ object OracleHashSql {
        |  SELECT * FROM s2a WHERE media_id NOT IN (SELECT media_id FROM rej2)),
        |${tickCcCtes(2, "s2")},
        |s3a AS MATERIALIZED (
-       |  SELECT media_id, phash FROM sigm WHERE ((media_id // 40) % 5) = 0),
+       |  SELECT media_id, phash FROM sigm
+       |  WHERE media_id < 2000 AND ((media_id // 40) % 5) = 0),
        |store3 AS (SELECT * FROM surv1 UNION ALL SELECT * FROM surv2),
        |rej3 AS (
        |  SELECT DISTINCT i.media_id FROM s3a i JOIN store3 c

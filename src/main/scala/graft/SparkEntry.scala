@@ -200,7 +200,8 @@ object SparkEntry {
     "q124_flood_dedup_df_route" -> qFloodDedupDfRoute,
     "q125_http_response_docs" -> qHttpResponseDocs,
     "q126_html_to_text" -> qHtmlToText,
-    "q127_media_store_ticks" -> qMediaStoreTicks)
+    "q127_media_store_ticks" -> qMediaStoreTicks,
+    "q128_html_main_text" -> qHtmlMainText)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2357,6 +2358,32 @@ object SparkEntry {
       .toDF()
       .orderBy(col("url"))
 
+  /** q128: main-text (boilerplate-stripped) extraction — each document
+    * wrapped in a page with planted boilerplate: a short title, an
+    * all-link nav bar (word count PASSES so only the link-density rule
+    * kills it), a 3-word heading, the content paragraph, a mixed
+    * content+link paragraph (kept WITH its anchor text), an all-link
+    * footer. DuckDB re-derives the kept blocks in closed form — a slip in
+    * block cutting, link-char accounting, or either classification rule
+    * turns the row red. */
+  private def qHtmlMainText(s: SparkSession, dir: String): DataFrame = {
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      coalesce(col("text"), lit("")), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val html = concat(
+      lit("<html><head><title>graft capture</title>" +
+        "<style>nav { color: red; }</style></head><body>" +
+        "<nav><a href=\"/\">Home</a> <a>About</a> <a>Contact</a> " +
+        "<a>Careers</a> <a>Blog</a> <a>Press</a></nav>" +
+        "<h1>A short head</h1><p>"), esc,
+      lit("</p><p>Read the full story at <a>this link</a> now please</p>" +
+        "<footer><a>terms of service</a> <a>privacy policy notice</a>" +
+        "</footer></body></html>"))
+    graft.operators.Dedup.ensureParallel(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        graft.functions.TextFns.htmlMainText(html).as("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q127: the maintained signature store ACROSS TICKS under the driver's
     * hash compare — the multi-tick twin of q78's closure discipline (r12
     * verdict #7). Three real `MediaCurationJob` runs against one store:
@@ -2370,7 +2397,11 @@ object SparkEntry {
     * red. The query itself also REQUIRES the fold physically happened
     * (t1's partition gone, `__folded__` present). */
   private def qMediaStoreTicks(s: SparkSession, dir: String): DataFrame = {
-    val media = graft.operators.SyntheticMedia.mediaFrame(t(s, dir, "documents"))
+    // doc_id < 2000 (the q55/q124 convention): the row pins STORE SEMANTICS
+    // — fold, exclusion, composed admission — which are corpus-size
+    // invariant; the store's scale story is the 500k-image receipt family
+    val media = graft.operators.SyntheticMedia.mediaFrame(
+        t(s, dir, "documents").filter(col("doc_id") < 2000))
       .localCheckpoint(eager = true) // synthesize once, feed three ticks
     val g5 = expr("media_id div 40") % 5
     val tmp = java.nio.file.Files.createTempDirectory("graft_q127").toString
@@ -4356,6 +4387,22 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 = 2 THEN COALESCE(text, '') || ' café'
         |       ELSE COALESCE(text, '') END AS text
         |FROM documents WHERE doc_id % 7 <> 2 ORDER BY url""".stripMargin,
+    // q128: the planted boilerplate is closed-form — expected = the
+    // ws-collapsed document paragraph (iff it clears the 5-word floor) +
+    // the mixed paragraph with its anchor text; nav/title/heading/footer
+    // drop by word count or link density
+    "q128_html_main_text" ->
+      """WITH c AS (
+        |  SELECT doc_id, trim(regexp_replace(COALESCE(text, ''), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, t,
+        |    len(list_filter(string_split_regex(t, ' '), x -> len(x) > 0)) AS nw
+        |  FROM c)
+        |SELECT doc_id,
+        |  CASE WHEN nw >= 5 THEN t || chr(10) ELSE '' END ||
+        |  'Read the full story at this link now please' AS text
+        |FROM w ORDER BY doc_id""".stripMargin,
     // q127: the cross-tick store chain (dedup -> admit -> fold -> admit)
     // re-derived tick by tick with three recursive-CTE closures
     "q127_media_store_ticks" -> OracleHashSql.q127MediaStoreTicks,

@@ -208,6 +208,16 @@ object TextFns {
     * Backed by the native single-pass [[HtmlToTextExpr]] kernel. */
   def htmlToText(text: Column): Column = HtmlToTextExpr(text)
 
+  /** MAIN-text extraction: [[htmlToText]]'s machinery plus block-level
+    * boilerplate classification (jusText's word-count + link-density
+    * rules) — navigation/footer link soup drops, content blocks keep.
+    * Backed by the native single-pass [[HtmlMainTextExpr]] kernel. */
+  def htmlMainText(text: Column): Column = HtmlMainTextExpr(text)
+
+  def htmlMainText(text: Column, minWords: Int,
+                   maxLinkDensityE6: Int): Column =
+    HtmlMainTextExpr(text, minWords, maxLinkDensityE6)
+
   /** Reference column-chain implementation of [[normalizeText]]. */
   def normalizeTextCols(text: Column): Column =
     trim(regexp_replace(

@@ -27,6 +27,9 @@ import org.apache.spark.sql.functions._
   *                                     //   job
   *   "warc_html_to_text": true,        //   strip text/html captures to text
   *                                     //   (HtmlToTextExpr) in the scan
+  *   "warc_html_extract": "full",      //   or "main": block-level
+  *                                     //   boilerplate drop (jusText rules,
+  *                                     //   HtmlMainTextExpr)
   *   "output_path": "<dir>",
   *   "id_col": "doc_id", "text_col": "text",
   *   "normalize_text": false,          // optional CCNet-style normalization
@@ -166,12 +169,21 @@ object CurationJob {
             graft.io.Warc.records(spark, docsPath)).toDF()
           .filter(col("http_status") >= 200 && col("http_status") <= 299)
         val stripped =
-          if (str("warc_html_to_text", "true").toBoolean)
+          if (!str("warc_html_to_text", "true").toBoolean) td
+          else {
+            // "full" = html_to_text (WET-equivalent whole page);
+            // "main" = html_main_text (block-level boilerplate drop —
+            // nav/footer link soup stays out of the corpus)
+            val extractor: org.apache.spark.sql.Column =
+              str("warc_html_extract", "full") match {
+                case "main" =>
+                  graft.functions.TextFns.htmlMainText(col("text"))
+                case _ => graft.functions.TextFns.htmlToText(col("text"))
+              }
             td.withColumn("text",
-              when(col("mime") === "text/html",
-                graft.functions.TextFns.htmlToText(col("text")))
+              when(col("mime") === "text/html", extractor)
                 .otherwise(col("text")))
-          else td
+          }
         stripped.select(col("url"), col("warc_date"), col("text"))
           .withColumn(idCol, xxhash64(col("url")))
       case other => sys.error(s"unknown input_format $other")
