@@ -2429,11 +2429,22 @@ object SparkEntry {
       "q127 store did not compact t1 into the fold partition")
     val t3 = tick("t3", media.filter(g5 === 0), 0)
     graft.operators.Dedup.release(media)
-    t1.withColumn("tick", lit(1))
+    val out = t1.withColumn("tick", lit(1))
       .unionByName(t2.withColumn("tick", lit(2)))
       .unionByName(t3.withColumn("tick", lit(3)))
       .select(col("tick"), col("media_id"))
       .orderBy(col("tick"), col("media_id"))
+      // pin the (survivor-bounded) result so the run's temp tree — three
+      // tick lakes with payload blobs — can be deleted NOW instead of
+      // leaking one tree per verify/bench invocation
+      .localCheckpoint(eager = true)
+    def rmTree(f: java.io.File): Unit = {
+      val kids = f.listFiles()
+      if (kids != null) kids.foreach(rmTree)
+      f.delete(); ()
+    }
+    rmTree(new java.io.File(tmp))
+    out
   }
 
   /** q126: HTML→text extraction — closed-form synthetic HTML wrapped around
@@ -4385,6 +4396,8 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 11 = 3 THEN 404 ELSE 200 END AS INT) AS http_status,
         |  CASE WHEN doc_id % 3 = 1 THEN 'text/html' ELSE 'text/plain' END AS mime,
         |  CASE WHEN doc_id % 3 = 2 THEN COALESCE(text, '') || ' café'
+        |       WHEN doc_id % 3 = 1 AND doc_id % 5 = 2
+        |         THEN '<meta charset="ISO-8859-1">' || COALESCE(text, '') || ' café'
         |       ELSE COALESCE(text, '') END AS text
         |FROM documents WHERE doc_id % 7 <> 2 ORDER BY url""".stripMargin,
     // q128: the planted boilerplate is closed-form — expected = the

@@ -267,8 +267,15 @@ object Warc {
         java.util.Arrays.copyOfRange(payload, bodyStart, bodyStart + take)
       }
     val contentType = headers.getOrElse("content-type", "")
-    Some(HttpMessage(status, mimeOf(contentType, ""),
-      new String(body, charsetOf(contentType))))
+    val mime = mimeOf(contentType, "")
+    // charset resolution order (what real crawl pipelines do): the HTTP
+    // header's charset= param; else, for HTML, a <meta charset=…> /
+    // http-equiv declaration sniffed from the first 1 KB of the body
+    // (ASCII-compatible by the HTML spec's own pre-scan rule); else UTF-8
+    val cs = charsetParam(contentType)
+      .orElse(if (mime == "text/html") sniffMetaCharset(body) else None)
+      .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+    Some(HttpMessage(status, mime, new String(body, cs)))
   }
 
   /** Media type of a Content-Type value: lowercased, parameters stripped. */
@@ -279,18 +286,33 @@ object Warc {
     if (m.isEmpty) dflt else m
   }
 
-  /** `charset=` parameter of a Content-Type value (quotes stripped,
-    * case-insensitive); UTF-8 when absent, unknown, or unsupported. */
-  private def charsetOf(contentType: String): java.nio.charset.Charset = {
-    val lower = contentType.toLowerCase(java.util.Locale.ROOT)
+  /** `charset=` parameter of a Content-Type-shaped value (quotes stripped,
+    * case-insensitive); None when absent, unknown, or unsupported. */
+  private def charsetParam(value: String): Option[java.nio.charset.Charset] = {
+    val lower = value.toLowerCase(java.util.Locale.ROOT)
     val i = lower.indexOf("charset=")
-    if (i < 0) return java.nio.charset.StandardCharsets.UTF_8
-    var v = contentType.substring(i + 8)
-    val semi = v.indexOf(';')
-    if (semi >= 0) v = v.substring(0, semi)
-    v = v.trim.stripPrefix("\"").stripSuffix("\"").trim
-    try java.nio.charset.Charset.forName(v)
-    catch { case _: Exception => java.nio.charset.StandardCharsets.UTF_8 }
+    if (i < 0) return None
+    var v = value.substring(i + 8)
+    // token ends at the first param/attribute/tag delimiter
+    val end = v.indexWhere(c => c == ';' || c == '>' || c == ' ' ||
+      c == '\t' || c == '\r' || c == '\n' || c == '/')
+    if (end >= 0) v = v.substring(0, end)
+    v = v.trim.stripPrefix("\"").stripSuffix("\"")
+      .stripPrefix("'").stripSuffix("'").trim
+    if (v.isEmpty) None
+    else try Some(java.nio.charset.Charset.forName(v))
+    catch { case _: Exception => None }
+  }
+
+  /** HTML `<meta charset=…>` / `http-equiv Content-Type` pre-scan over the
+    * first 1 KB of the body (ASCII-compatible per the HTML spec's encoding
+    * sniffing rule) — the fallback when the HTTP header names no charset. */
+  private def sniffMetaCharset(
+      body: Array[Byte]): Option[java.nio.charset.Charset] = {
+    val n = math.min(body.length, 1024)
+    if (n == 0) return None
+    charsetParam(new String(body, 0, n,
+      java.nio.charset.StandardCharsets.ISO_8859_1))
   }
 
   /** Byte offset of the first blank line (the CRLFCRLF — leniently LFLF —

@@ -30,6 +30,10 @@ import org.apache.spark.sql.functions._
   *   "warc_html_extract": "full",      //   or "main": block-level
   *                                     //   boilerplate drop (jusText rules,
   *                                     //   HtmlMainTextExpr)
+  *   "warc_derive_lang": false,        //   derive a `lang` column via the
+  *                                     //   q28 language-ID kernel so
+  *                                     //   block_cols/mixture/report strata
+  *                                     //   work on raw crawls
   *   "output_path": "<dir>",
   *   "id_col": "doc_id", "text_col": "text",
   *   "normalize_text": false,          // optional CCNet-style normalization
@@ -184,8 +188,15 @@ object CurationJob {
               when(col("mime") === "text/html", extractor)
                 .otherwise(col("text")))
           }
-        stripped.select(col("url"), col("warc_date"), col("text"))
+        val based = stripped.select(col("url"), col("warc_date"), col("text"))
           .withColumn(idCol, xxhash64(col("url")))
+        // crawl captures carry no language column; the q28 language-ID
+        // kernel can derive one at the scan so block_cols/mixture/report
+        // strata work on raw crawls too
+        if (str("warc_derive_lang", "false").toBoolean)
+          based.withColumn("lang",
+            graft.functions.TextFns.langIdPredict(col("text")))
+        else based
       case other => sys.error(s"unknown input_format $other")
     }
     val inputFormat = str("input_format", "parquet")

@@ -129,7 +129,14 @@ object SyntheticWarc {
            s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++
             body ++ "\r\n".getBytes(UTF_8) // junk past Content-Length
         case 1 =>
-          val body = text.getBytes(UTF_8)
+          // sub-variant d%5==2: NO charset anywhere in the headers — the
+          // body declares it via <meta charset="ISO-8859-1"> and carries a
+          // LATIN-1 é, so only header->meta sniffing decodes it right
+          val body =
+            if (d % 5 == 2)
+              ("<meta charset=\"ISO-8859-1\">" + text + " café")
+                .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+            else text.getBytes(UTF_8)
           val chunks = new ByteArrayOutputStream(body.length + 64)
           var off = 0
           var first = true

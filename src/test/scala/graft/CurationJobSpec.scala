@@ -133,6 +133,7 @@ class CurationJobSpec extends SparkSpec {
     Files.writeString(dir.resolve("cfg.json"),
       s"""{"documents_path": "$dir/captures", "input_format": "warc",
          | "output_path": "$dir/out",
+         | "warc_derive_lang": true,
          | "min_words": 20, "ngram_n": 3, "jaccard_threshold": 0.8,
          | "redact_pii": false}""".stripMargin)
     val stats = CurationJob.run(spark, s"$dir/cfg.json").get
@@ -145,6 +146,9 @@ class CurationJobSpec extends SparkSpec {
       assert(!t.contains("<") && !t.contains("var x"), t)
       assert(t.startsWith("t Heading w1 w2 "), t)
     }
+    // the derived lang column rides the whole pipeline (q28 kernel at scan)
+    assert(out.columns.contains("lang") &&
+      out.filter($"lang".isNull).isEmpty)
   }
 
   test("curation job: gopher gate, window scrub, and DSIR resample stages") {

@@ -177,6 +177,32 @@ class WarcSpec extends SparkSpec {
     assert(Warc.parseHttpResponse("junk".getBytes(UTF_8)).isEmpty)
   }
 
+  test("meta-charset sniffing: header wins, meta fills the gap, html-only") {
+    def http(headers: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\n$headers\r\n").getBytes(UTF_8) ++ body
+    val latin1 = java.nio.charset.StandardCharsets.ISO_8859_1
+    // no header charset + <meta charset> in the body -> sniffed
+    val m1 = Warc.parseHttpResponse(http("Content-Type: text/html\r\n",
+      "<meta charset='ISO-8859-1'><p>café</p>".getBytes(latin1))).get
+    assert(m1.bodyText == "<meta charset='ISO-8859-1'><p>café</p>")
+    // header charset WINS over a lying meta tag (the HTTP layer is
+    // authoritative per the HTML spec's precedence)
+    val m2 = Warc.parseHttpResponse(http(
+      "Content-Type: text/html; charset=UTF-8\r\n",
+      "<meta charset=\"ISO-8859-1\">café".getBytes(latin1))).get
+    assert(m2.bodyText.contains("caf�"), m2.bodyText) // 0xE9 invalid UTF-8
+    // meta is sniffed for text/html ONLY — a plain-text body with the same
+    // bytes stays UTF-8
+    val m3 = Warc.parseHttpResponse(http("Content-Type: text/plain\r\n",
+      "<meta charset='ISO-8859-1'>café".getBytes(latin1))).get
+    assert(m3.bodyText.contains("caf�"))
+    // http-equiv form sniffs too
+    val m4 = Warc.parseHttpResponse(http("Content-Type: text/html\r\n",
+      ("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
+        "charset=ISO-8859-1\">café").getBytes(latin1))).get
+    assert(m4.bodyText.endsWith("café"))
+  }
+
   test("hostile Content-Length past Int.MaxValue frame-skips even with the dial raised") {
     val good = SyntheticWarc.record(1L, "kept", wet = false)
     val hostile = ("WARC/1.0\r\nWARC-Type: response\r\n" +
