@@ -201,7 +201,8 @@ object SparkEntry {
     "q125_http_response_docs" -> qHttpResponseDocs,
     "q126_html_to_text" -> qHtmlToText,
     "q127_media_store_ticks" -> qMediaStoreTicks,
-    "q128_html_main_text" -> qHtmlMainText)
+    "q128_html_main_text" -> qHtmlMainText,
+    "q129_url_normalize" -> qUrlNormalize)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2358,6 +2359,30 @@ object SparkEntry {
       .toDF()
       .orderBy(col("url"))
 
+  /** q129: URL canonicalization — closed-form synthetic URLs covering the
+    * whole rule surface (mixed-case scheme/host, default vs real ports,
+    * leading/trailing/only tracking params, fragments) through the codegen
+    * `UrlNormalizeExpr`/`UrlHostExpr` kernels; DuckDB re-derives the
+    * canonical form and host exactly. */
+  private def qUrlNormalize(s: SparkSession, dir: String): DataFrame = {
+    val id = col("doc_id").cast("string")
+    val m5 = (col("doc_id") % 5).cast("string")
+    val url = concat(
+      lit("HTTP://Example"), m5, lit(".COM"),
+      when(col("doc_id") % 2 === 0, lit(":80")).otherwise(lit(":8080")),
+      lit("/Path/"), id,
+      when(col("doc_id") % 3 === 0, concat(lit("?utm_source=x&q="), id))
+        .when(col("doc_id") % 3 === 1,
+          concat(lit("?q="), id, lit("&utm_campaign=y&fbclid=z")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+    graft.operators.Dedup.ensureParallel(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        graft.functions.UrlFns.urlNormalize(url).as("url_norm"),
+        graft.functions.UrlFns.urlHost(url).as("host"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q128: main-text (boilerplate-stripped) extraction — each document
     * wrapped in a page with planted boilerplate: a short title, an
     * all-link nav bar (word count PASSES so only the link-density rule
@@ -4400,6 +4425,17 @@ object SparkEntry {
         |         THEN '<meta charset="ISO-8859-1">' || COALESCE(text, '') || ' café'
         |       ELSE COALESCE(text, '') END AS text
         |FROM documents WHERE doc_id % 7 <> 2 ORDER BY url""".stripMargin,
+    // q129: the rule surface is closed-form — lower scheme/host, strip :80
+    // (keep :8080), drop tracking params and fragments, keep path case
+    "q129_url_normalize" ->
+      """SELECT doc_id,
+        |  'http://example' || CAST(doc_id % 5 AS VARCHAR) || '.com' ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '' ELSE ':8080' END ||
+        |  '/Path/' || CAST(doc_id AS VARCHAR) ||
+        |  CASE WHEN doc_id % 3 IN (0, 1) THEN '?q=' || CAST(doc_id AS VARCHAR) ELSE '' END
+        |    AS url_norm,
+        |  'example' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q128: the planted boilerplate is closed-form — expected = the
     // ws-collapsed document paragraph (iff it clears the 5-word floor) +
     // the mixed paragraph with its anchor text; nav/title/heading/footer

@@ -34,6 +34,10 @@ import org.apache.spark.sql.functions._
   *                                     //   q28 language-ID kernel so
   *                                     //   block_cols/mixture/report strata
   *                                     //   work on raw crawls
+  *   "warc_url_normalize": true,       //   canonicalize urls (q129 kernel)
+  *                                     //   BEFORE ids are assigned
+  *   "warc_url_dedup": false,          //   one row per canonical url
+  *                                     //   (deterministic min-capture)
   *   "output_path": "<dir>",
   *   "id_col": "doc_id", "text_col": "text",
   *   "normalize_text": false,          // optional CCNet-style normalization
@@ -188,8 +192,28 @@ object CurationJob {
               when(col("mime") === "text/html", extractor)
                 .otherwise(col("text")))
           }
-        val based = stripped.select(col("url"), col("warc_date"), col("text"))
-          .withColumn(idCol, xxhash64(col("url")))
+        // URL canonicalization BEFORE ids: the same page arrives as
+        // `HTTP://Host:80/a?utm_...#f` and `http://host/a`, and ids keyed
+        // on raw URIs double-count it (q129 kernel; identity on already-
+        // canonical urls, so on by default)
+        val canon =
+          if (str("warc_url_normalize", "true").toBoolean)
+            stripped.withColumn("url",
+              graft.functions.UrlFns.urlNormalize(col("url")))
+          else stripped
+        val projected = canon.select(col("url"), col("warc_date"), col("text"))
+        // optional URL-level dedup: one row per canonical url, the
+        // lexicographically-least (warc_date, text) capture surviving —
+        // deterministic across task order, unlike dropDuplicates
+        val urlDeduped =
+          if (str("warc_url_dedup", "false").toBoolean)
+            projected
+              .groupBy(col("url"))
+              .agg(min(struct(col("warc_date"), col("text"))).as("__w"))
+              .select(col("url"), col("__w.warc_date").as("warc_date"),
+                col("__w.text").as("text"))
+          else projected
+        val based = urlDeduped.withColumn(idCol, xxhash64(col("url")))
         // crawl captures carry no language column; the q28 language-ID
         // kernel can derive one at the scan so block_cols/mixture/report
         // strata work on raw crawls too

@@ -151,6 +151,53 @@ class CurationJobSpec extends SparkSpec {
       out.filter($"lang".isNull).isEmpty)
   }
 
+  test("curation job: url normalization + url-level dedup unify re-fetched captures") {
+    val dir = Files.createTempDirectory("curationurl")
+    Files.createDirectory(dir.resolve("captures"))
+    def gz(recs: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      recs.foreach { r =>
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(r); g.finish()
+      }
+      bos.toByteArray
+    }
+    import java.nio.charset.StandardCharsets.UTF_8
+    def wet(uri: String, date: String, text: String): Array[Byte] = {
+      val payload = text.getBytes(UTF_8)
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Target-URI: $uri\r\nWARC-Date: $date\r\n" +
+        s"Content-Type: text/plain\r\nContent-Length: ${payload.length}\r\n\r\n")
+        .getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
+    }
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    // the same page fetched THREE ways (case/port/tracking variants) plus a
+    // genuinely different page on the same host
+    Files.write(dir.resolve("captures/a.warc.gz"), gz(Seq(
+      wet("HTTP://Site.test:80/page?utm_source=x", "2024-01-02T00:00:00Z",
+        s"$filler re-fetch later"),
+      wet("http://site.test/page", "2024-01-01T00:00:00Z",
+        s"$filler the first fetch"),
+      wet("http://site.test/page#frag", "2024-01-03T00:00:00Z",
+        s"$filler re-fetch latest"),
+      wet("http://site.test/other", "2024-01-01T00:00:00Z",
+        s"$filler another page entirely about rivers and lakes"))))
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/captures", "input_format": "warc",
+         | "output_path": "$dir/out", "warc_url_dedup": true,
+         | "min_words": 20, "ngram_n": 3, "jaccard_threshold": 0.8,
+         | "redact_pii": false}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    // 4 captures -> 2 canonical urls; the survivor is the deterministic
+    // lexicographic-min (warc_date, text) capture
+    assert(stats.input == 2 && stats.output == 2, stats)
+    val out = spark.read.parquet(s"$dir/out")
+    val rows = out.select($"url", $"text").as[(String, String)]
+      .collect().toMap
+    assert(rows.keySet == Set("http://site.test/page", "http://site.test/other"))
+    assert(rows("http://site.test/page") == s"$filler the first fetch")
+  }
+
   test("curation job: gopher gate, window scrub, and DSIR resample stages") {
     val dir = Files.createTempDirectory("curation2")
     def words(a: Int, b: Int) = (a until b).map(i => s"w$i").mkString(" ")

@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.UrlFns
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** URL canonicalization kernels: the rule surface, the lenient non-URL
+  * passthrough, and the codegen/SQL contracts. */
+class UrlFnsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def n(u: String): String =
+    UrlFns.normalize(UTF8String.fromString(u)).toString
+  private def h(u: String): String = {
+    val r = UrlFns.host(UTF8String.fromString(u))
+    if (r == null) null else r.toString
+  }
+
+  test("scheme/host lower; default ports strip; real ports keep") {
+    assert(n("HTTP://Example.COM/a") == "http://example.com/a")
+    assert(n("http://example.com:80/a") == "http://example.com/a")
+    assert(n("https://example.com:443/a") == "https://example.com/a")
+    assert(n("http://example.com:8080/a") == "http://example.com:8080/a")
+    assert(n("https://example.com:80/a") == "https://example.com:80/a",
+      ":80 is NOT https' default")
+    assert(n("HTTP://EXAMPLE.COM") == "http://example.com/")
+  }
+
+  test("fragments drop; tracking params drop; order and case of the rest keep") {
+    assert(n("http://e.com/a#section") == "http://e.com/a")
+    assert(n("http://e.com/a?utm_source=x&q=1&UTM_medium=y") ==
+      "http://e.com/a?q=1")
+    assert(n("http://e.com/a?q=1&fbclid=abc&b=2") == "http://e.com/a?q=1&b=2")
+    assert(n("http://e.com/a?utm_source=x") == "http://e.com/a")
+    assert(n("http://e.com/a?B=2&a=1") == "http://e.com/a?B=2&a=1",
+      "param order/case preserved")
+    assert(n("http://e.com/CaseyPath/X") == "http://e.com/CaseyPath/X")
+    assert(n("http://e.com/a?gclid=1#f") == "http://e.com/a")
+  }
+
+  test("lenient: non-URLs pass through; hosts resolve or null") {
+    assert(n("not a url at all") == "not a url at all")
+    assert(n("") == "")
+    assert(h("not a url") == null)
+    assert(h("HTTP://Example.COM:8080/x?q=1") == "example.com")
+    assert(h("http://[::1]:8080/x") == "[::1]")
+    assert(h("http://[::1]/x") == "[::1]")
+    assert(h("http://e.com") == "e.com")
+  }
+
+  test("codegen column forms ≡ interpreted; SQL registration; null host type") {
+    val battery = Seq("HTTP://A.COM:80/x?utm_source=1&q=2#f",
+      "https://B.org:443", "junk", "", "http://c.net:9/Y?fbclid=z")
+    val df = battery.toDF("u")
+    assert(df.select(UrlFns.urlNormalize($"u")).as[String].collect().toSeq ==
+      battery.map(n))
+    assert(df.select(UrlFns.urlHost($"u")).as[Option[String]].collect().toSeq ==
+      battery.map(u => Option(h(u))))
+    UrlFns.register(spark)
+    df.createOrReplaceTempView("url_battery")
+    assert(spark.sql("SELECT url_normalize(u), url_host(u) FROM url_battery")
+      .as[(String, Option[String])].collect().toSeq ==
+      battery.map(u => (n(u), Option(h(u)))))
+  }
+}
