@@ -38,6 +38,12 @@ import org.apache.spark.sql.functions._
   *                                     //   BEFORE ids are assigned
   *   "warc_url_dedup": false,          //   one row per canonical url
   *                                     //   (deterministic min-capture)
+  *   "host_blocklist": ["spam.test"],  //   canonical hosts dropped at scan
+  *   "host_cap": 0,                    //   per-site quota on the dedup
+  *                                     //   survivors (0 = off): at most N
+  *                                     //   docs per host, k-bounded TopK
+  *                                     //   aggregate, deterministic min-id
+  *                                     //   survivors; needs the url column
   *   "output_path": "<dir>",
   *   "id_col": "doc_id", "text_col": "text",
   *   "normalize_text": false,          // optional CCNet-style normalization
@@ -118,7 +124,8 @@ object CurationJob {
                    afterDecontam: Option[Long] = None,
                    afterLineCap: Option[Long] = None,
                    afterNovelty: Option[Long] = None,
-                   afterFuzzy: Option[Long] = None)
+                   afterFuzzy: Option[Long] = None,
+                   afterHostCap: Option[Long] = None)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
@@ -201,7 +208,17 @@ object CurationJob {
             stripped.withColumn("url",
               graft.functions.UrlFns.urlNormalize(col("url")))
           else stripped
-        val projected = canon.select(col("url"), col("warc_date"), col("text"))
+        // optional host blocklist: spam/adult/trap domains drop at the
+        // scan (exact canonical-host match against a config-sized set —
+        // a literal IN filter, no join)
+        val blocked = strSeq("host_blocklist")
+        val hostGated =
+          if (blocked.isEmpty) canon
+          else canon.filter(!coalesce(
+            graft.functions.UrlFns.urlHost(col("url")), lit(""))
+            .isin(blocked: _*))
+        val projected = hostGated.select(
+          col("url"), col("warc_date"), col("text"))
         // optional URL-level dedup: one row per canonical url, the
         // lexicographically-least (warc_date, text) capture surviving —
         // deterministic across task order, unlike dropDuplicates
@@ -388,6 +405,28 @@ object CurationJob {
       pinned
     }
 
+    // 2a-hosts. optional per-site quota (a `url` column required — the warc
+    // route's shape): at most `host_cap` docs per canonical host, the
+    // lexicographically-least ids surviving — deterministic, and the
+    // k-bounded TopK aggregate keeps the shuffle at k rows per (host,
+    // mapper) instead of a corpus-wide window sort. Template farms and
+    // crawler traps stop owning the corpus here.
+    val hostCap = str("host_cap", "0").toInt
+    val (afterHostCap, hostCapped) =
+      if (hostCap > 0) {
+        require(deduped.columns.contains("url"),
+          "host_cap needs a url column (input_format=warc)")
+        val cols = deduped.columns.toSeq
+        val withHost = deduped.withColumn("__host",
+          coalesce(graft.functions.UrlFns.urlHost(col("url")), lit("")))
+        val capped = graft.ops.TopK.topKPerGroup(withHost, Seq("__host"),
+            sortKey = lit(0L), tie = col(idCol), payload = cols.map(col),
+            k = hostCap)
+          .select(cols.map(col): _*)
+        val pinned = pin(capped)
+        (Some({ val c = pinned.count(); lap("host_cap"); c }), pinned)
+      } else (None, deduped)
+
     // 2a-lines. optional corpus-global line cap across the survivors: each
     // duplicate line keeps its k earliest (doc, position) copies (k = 1 is
     // hard line dedup); docs scrubbed down to nothing are dropped, the
@@ -395,13 +434,13 @@ object CurationJob {
     val lineCap = str("line_freq_cap", "0").toInt
     val (afterLineCap, lineCapped) =
       if (lineCap > 0) {
-        val s = Dedup.lineFrequencyCap(deduped, idCol, textCol, lineCap)
+        val s = Dedup.lineFrequencyCap(hostCapped, idCol, textCol, lineCap)
           .filter(length(col(textCol)) > 0)
           .select(col(idCol), col(textCol).as("__capped"))
-        val joined = pin(deduped.drop(textCol).join(s, Seq(idCol))
+        val joined = pin(hostCapped.drop(textCol).join(s, Seq(idCol))
           .withColumnRenamed("__capped", textCol))
         (Some({ val c = joined.count(); lap("line_cap"); c }), joined)
-      } else (None, deduped)
+      } else (None, hostCapped)
 
     // 2a-novelty. optional doc-level duplication gate: drop documents whose
     // fraction of corpus-first windows is below the floor — the remedy when
@@ -552,7 +591,7 @@ object CurationJob {
     releaseBoundary(boundary)
     val stats = Stats(input, afterQuality, afterDedup, output,
       afterWindowScrub, afterResample, afterDecontam,
-      afterLineCap, afterNovelty, afterFuzzy)
+      afterLineCap, afterNovelty, afterFuzzy, afterHostCap)
     System.err.println(s"[curate] $stats")
     System.err.println("[curate-times] " + stageTimes
       .map { case (k, v) => f"$k=$v%.1fs" }.mkString(" "))

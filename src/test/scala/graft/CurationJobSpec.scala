@@ -198,6 +198,53 @@ class CurationJobSpec extends SparkSpec {
     assert(rows("http://site.test/page") == s"$filler the first fetch")
   }
 
+  test("curation job: host blocklist drops at scan; host_cap quotas per site") {
+    val dir = Files.createTempDirectory("curationhost")
+    Files.createDirectory(dir.resolve("captures"))
+    def gz(recs: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      recs.foreach { r =>
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(r); g.finish()
+      }
+      bos.toByteArray
+    }
+    import java.nio.charset.StandardCharsets.UTF_8
+    def wet(uri: String, text: String): Array[Byte] = {
+      val payload = text.getBytes(UTF_8)
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Target-URI: $uri\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        s"Content-Type: text/plain\r\nContent-Length: ${payload.length}\r\n\r\n")
+        .getBytes(UTF_8) ++ payload ++ "\r\n\r\n".getBytes(UTF_8)
+    }
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    val bulkUrls = (0 until 4).map(i => s"http://bulk.test/p$i")
+    Files.write(dir.resolve("captures/a.warc.gz"), gz(
+      bulkUrls.zipWithIndex.map { case (u, i) =>
+        wet(u, s"$filler bulk page about subject$i entirely distinct topic$i")
+      } ++ Seq(
+        wet("http://spam.test/x", s"$filler spam page never enters at all"),
+        wet("http://ok.test/y", s"$filler a single good page about rivers"))))
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/captures", "input_format": "warc",
+         | "output_path": "$dir/out",
+         | "host_blocklist": ["spam.test"], "host_cap": 2,
+         | "min_words": 20, "ngram_n": 3, "jaccard_threshold": 0.8,
+         | "redact_pii": false}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    // spam.test never enters (scan filter); bulk.test capped 4 -> 2
+    assert(stats.input == 5 && stats.afterHostCap == Some(3) &&
+      stats.output == 3, stats)
+    val out = spark.read.parquet(s"$dir/out")
+    val kept = out.select($"url").as[String].collect().toSet
+    assert(kept.contains("http://ok.test/y") && !kept.exists(_.contains("spam")))
+    // the two bulk survivors are the DETERMINISTIC least-id ones
+    val expected = spark.createDataset(bulkUrls).toDF("url")
+      .select($"url", xxhash64($"url").as("id"))
+      .orderBy($"id").limit(2).select($"url").as[String].collect().toSet
+    assert(kept.intersect(bulkUrls.toSet) == expected, kept)
+  }
+
   test("curation job: gopher gate, window scrub, and DSIR resample stages") {
     val dir = Files.createTempDirectory("curation2")
     def words(a: Int, b: Int) = (a until b).map(i => s"w$i").mkString(" ")
