@@ -122,6 +122,25 @@ object WarcProbe {
           .filter(_.getName.endsWith(".warc.gz")).map(_.length()).sum
         println(f"[warc-probe] html lake: $nf files, ${gbytes / 1e9}%.2f GB gz")
 
+      case "stream" =>
+        // drive streaming ingestion over an existing lake: the landing-dir
+        // watcher delivers every file across maxFilesPerTrigger-bounded
+        // micro-batches; prints per-batch doc counts + wall laps
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("warcstream-ckpt").toString
+        val total = new java.util.concurrent.atomic.AtomicLong()
+        val t0 = System.nanoTime()
+        val q = graft.streaming.WarcStream.run(spark, dir, ckpt,
+          maxFilesPerTrigger = 16) { docs =>
+          val docsN = docs.count()
+          total.addAndGet(docsN)
+          println(f"[warc-probe] batch docs=$docsN " +
+            f"t=${(System.nanoTime() - t0) / 1e9}%.1f s")
+        }
+        q.processAllAvailable(); q.stop()
+        println(f"[warc-probe] stream total=${total.get()} " +
+          f"wall=${(System.nanoTime() - t0) / 1e9}%.1f s")
+
       case "read" =>
         val recs = Warc.records(spark, dir + "/*.warc.gz")
         println(s"[warc-probe] partitions=${recs.rdd.getNumPartitions}")

@@ -83,4 +83,27 @@ class WarcStreamSpec extends SparkSpec {
       .select($"text").as[String].head()
     assert(http == "http capture body")
   }
+
+  test("checkpoint restart: already-delivered files are not re-delivered") {
+    val tmp = Files.createTempDirectory("warcstream2")
+    val landing = tmp.resolve("landing"); Files.createDirectory(landing)
+    val ckpt = tmp.resolve("ckpt").toString
+    val seen = scala.collection.mutable.ArrayBuffer[String]()
+    def sink(docs: DataFrame): Unit =
+      seen.synchronized { seen ++= docs.select($"url").as[String].collect() }
+
+    Files.write(landing.resolve("a.warc.gz"), gz(Seq(
+      SyntheticWarc.record(1L, "wave one doc", wet = true))))
+    val q1 = WarcStream.run(spark, landing.toString, ckpt)(sink)
+    try q1.processAllAvailable() finally q1.stop()
+    assert(seen.toSeq == Seq(SyntheticWarc.uri(1L)))
+
+    // a NEW query on the SAME checkpoint sees only files landed since
+    Files.write(landing.resolve("b.warc.gz"), gz(Seq(
+      SyntheticWarc.record(2L, "wave two doc", wet = true))))
+    val q2 = WarcStream.run(spark, landing.toString, ckpt)(sink)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(seen.toSeq == Seq(SyntheticWarc.uri(1L), SyntheticWarc.uri(2L)),
+      s"restart re-delivered: $seen")
+  }
 }
