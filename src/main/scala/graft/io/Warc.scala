@@ -190,15 +190,18 @@ object Warc {
         Iterator.single(TextDoc(r.target_uri, r.warc_date, 200,
           mimeOf(r.content_type, "text/plain"),
           new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)))
-      else if (r.rec_type != "response") Iterator.empty
-      else if (r.content_type.startsWith("application/http"))
+      else if (r.rec_type == "response" &&
+               r.content_type.startsWith("application/http"))
         parseHttpResponse(r.payload) match {
           case Some(m) if m.mime.startsWith("text/") =>
             Iterator.single(TextDoc(r.target_uri, r.warc_date, m.status,
               m.mime, m.bodyText))
           case _ => Iterator.empty
         }
-      else if (r.content_type.startsWith("text/"))
+      // `resource` records carry the raw resource directly (no HTTP
+      // envelope); nonstandard bare-text responses look the same
+      else if ((r.rec_type == "response" || r.rec_type == "resource") &&
+               r.content_type.startsWith("text/"))
         Iterator.single(TextDoc(r.target_uri, r.warc_date, 200,
           mimeOf(r.content_type, "text/plain"),
           new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)))
@@ -266,6 +269,25 @@ object Warc {
         }
         java.util.Arrays.copyOfRange(payload, bodyStart, bodyStart + take)
       }
+    // WARC stores the payload AS TRANSMITTED (ISO 28500), so a server that
+    // sent `Content-Encoding: gzip`/`deflate` leaves a compressed body in
+    // the capture — decode it, leniently (a corrupt stream keeps whatever
+    // decoded plus nothing, and an unknown coding passes through raw)
+    val decoded = headers.get("content-encoding")
+      .map(_.toLowerCase(java.util.Locale.ROOT).trim) match {
+      case Some(enc) if enc.contains("gzip") || enc == "x-gzip" =>
+        decodeLenient(body,
+          in => new GZIPInputStream(in, 1 << 16))
+      case Some("deflate") =>
+        // zlib-wrapped per RFC 9110; broken servers send raw deflate —
+        // try zlib first, fall back to the raw stream
+        val zlib = decodeLenient(body,
+          in => new java.util.zip.InflaterInputStream(in))
+        if (zlib.nonEmpty || body.isEmpty) zlib
+        else decodeLenient(body, in => new java.util.zip.InflaterInputStream(
+          in, new java.util.zip.Inflater(true)))
+      case _ => body
+    }
     val contentType = headers.getOrElse("content-type", "")
     val mime = mimeOf(contentType, "")
     // charset resolution order (what real crawl pipelines do): the HTTP
@@ -273,9 +295,24 @@ object Warc {
     // http-equiv declaration sniffed from the first 1 KB of the body
     // (ASCII-compatible by the HTML spec's own pre-scan rule); else UTF-8
     val cs = charsetParam(contentType)
-      .orElse(if (mime == "text/html") sniffMetaCharset(body) else None)
+      .orElse(if (mime == "text/html") sniffMetaCharset(decoded) else None)
       .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
-    Some(HttpMessage(status, mime, new String(body, cs)))
+    Some(HttpMessage(status, mime, new String(decoded, cs)))
+  }
+
+  /** Decode `bytes` through `wrap`, keeping whatever decoded before any
+    * corruption (lenient: a truncated stream yields its good prefix; a
+    * stream whose very header is broken yields empty). */
+  private def decodeLenient(bytes: Array[Byte],
+      wrap: InputStream => InputStream): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 3))
+    try {
+      val in = wrap(new ByteArrayInputStream(bytes))
+      val buf = new Array[Byte](8192)
+      var r = in.read(buf)
+      while (r > 0) { out.write(buf, 0, r); r = in.read(buf) }
+    } catch { case _: java.io.IOException => () }
+    out.toByteArray
   }
 
   /** Media type of a Content-Type value: lowercased, parameters stripped. */

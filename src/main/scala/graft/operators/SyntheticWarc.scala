@@ -123,11 +123,25 @@ object SyntheticWarc {
          s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
       } else d % 3 match {
         case 0 =>
-          val body = text.getBytes(UTF_8)
-          (s"$statusLine\r\n" +
-           s"Content-Type: text/plain; charset=UTF-8\r\n" +
-           s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++
-            body ++ "\r\n".getBytes(UTF_8) // junk past Content-Length
+          // sub-variant d%7==3: the body is stored AS TRANSMITTED with
+          // `Content-Encoding: gzip` (ISO 28500 keeps the wire form) — the
+          // parser must gunzip it or the text turns to binary soup
+          if (d % 7 == 3) {
+            val gz = new ByteArrayOutputStream()
+            val g = new GZIPOutputStream(gz)
+            g.write(text.getBytes(UTF_8)); g.finish()
+            val body = gz.toByteArray
+            (s"$statusLine\r\n" +
+             s"Content-Type: text/plain; charset=UTF-8\r\n" +
+             s"Content-Encoding: gzip\r\n" +
+             s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+          } else {
+            val body = text.getBytes(UTF_8)
+            (s"$statusLine\r\n" +
+             s"Content-Type: text/plain; charset=UTF-8\r\n" +
+             s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++
+              body ++ "\r\n".getBytes(UTF_8) // junk past Content-Length
+          }
         case 1 =>
           // sub-variant d%5==2: NO charset anywhere in the headers — the
           // body declares it via <meta charset="ISO-8859-1"> and carries a

@@ -203,6 +203,59 @@ class WarcSpec extends SparkSpec {
     assert(m4.bodyText.endsWith("café"))
   }
 
+  test("Content-Encoding bodies decode: gzip, zlib deflate, raw deflate, corrupt-lenient") {
+    def http(headers: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n$headers\r\n")
+        .getBytes(UTF_8) ++ body
+    def gzBytes(s: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos)
+      g.write(s.getBytes(UTF_8)); g.finish(); bos.toByteArray
+    }
+    assert(Warc.parseHttpResponse(http("Content-Encoding: gzip\r\n",
+      gzBytes("gzipped body text"))).get.bodyText == "gzipped body text")
+    // zlib-wrapped deflate (the RFC form)
+    val zlib = {
+      val d = new java.util.zip.Deflater()
+      d.setInput("zlib body".getBytes(UTF_8)); d.finish()
+      val out = new Array[Byte](256); val n = d.deflate(out)
+      java.util.Arrays.copyOf(out, n)
+    }
+    assert(Warc.parseHttpResponse(http("Content-Encoding: deflate\r\n", zlib))
+      .get.bodyText == "zlib body")
+    // raw deflate (broken-server form) falls back
+    val raw = {
+      val d = new java.util.zip.Deflater(-1, true)
+      d.setInput("raw deflate body".getBytes(UTF_8)); d.finish()
+      val out = new Array[Byte](256); val n = d.deflate(out)
+      java.util.Arrays.copyOf(out, n)
+    }
+    assert(Warc.parseHttpResponse(http("Content-Encoding: deflate\r\n", raw))
+      .get.bodyText == "raw deflate body")
+    // corrupt gzip: lenient empty, never a task death
+    assert(Warc.parseHttpResponse(http("Content-Encoding: gzip\r\n",
+      Array[Byte](0x1f, 0x8b.toByte, 9, 9, 9))).get.bodyText == "")
+    // chunked + gzip compose (transfer decode first, then content decode)
+    val gz = gzBytes("chunked and gzipped")
+    val chunked = (s"${gz.length.toHexString}\r\n").getBytes(UTF_8) ++ gz ++
+      "\r\n0\r\n\r\n".getBytes(UTF_8)
+    assert(Warc.parseHttpResponse(http(
+      "Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n", chunked))
+      .get.bodyText == "chunked and gzipped")
+  }
+
+  test("resource records with text content types extract as bare text") {
+    val res = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
+      "WARC-Target-URI: http://graft.test/res\r\n" +
+      "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      "Content-Type: text/plain\r\nContent-Length: 13\r\n\r\n" +
+      "resource text\r\n\r\n").getBytes(UTF_8)
+    val docs = Warc.textDocs(Warc.recordsFromFrame(
+      Seq((1L, gz(Seq(res)))).toDF("file_id", "payload"))).collect()
+    assert(docs.length == 1 && docs(0).text == "resource text" &&
+      docs(0).http_status == 200)
+  }
+
   test("hostile Content-Length past Int.MaxValue frame-skips even with the dial raised") {
     val good = SyntheticWarc.record(1L, "kept", wet = false)
     val hostile = ("WARC/1.0\r\nWARC-Type: response\r\n" +
