@@ -202,7 +202,8 @@ object SparkEntry {
     "q126_html_to_text" -> qHtmlToText,
     "q127_media_store_ticks" -> qMediaStoreTicks,
     "q128_html_main_text" -> qHtmlMainText,
-    "q129_url_normalize" -> qUrlNormalize)
+    "q129_url_normalize" -> qUrlNormalize,
+    "q130_banned_word_gate" -> qBannedWordGate)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2359,6 +2360,24 @@ object SparkEntry {
       .toDF()
       .orderBy(col("url"))
 
+  /** q130: the C4-style banned-wordlist gate — per-doc hit counts over a
+    * fixed word list in ONE compiled tokenize pass (`StopCountsExpr`,
+    * kernel token semantics), docs over the threshold dropped. DuckDB
+    * re-derives both the count and the gate with the established
+    * tokenizer; the list uses words that actually occur in the corpus so
+    * the gate bites. */
+  private def qBannedWordGate(s: SparkSession, dir: String): DataFrame = {
+    val banned = Seq("agg", "vector", "tide")
+    val hits = element_at(
+      graft.functions.StopCountsExpr(
+        coalesce(col("text"), lit("")), Seq(banned)), 1)
+    graft.operators.Dedup.ensureParallel(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        graft.functions.PushdownFence(hits).as("banned_hits"))
+      .filter(col("banned_hits") <= 2)
+      .orderBy(col("doc_id"))
+  }
+
   /** q129: URL canonicalization — closed-form synthetic URLs covering the
     * whole rule surface (mixed-case scheme/host, default vs real ports,
     * leading/trailing/only tracking params, fragments) through the codegen
@@ -4425,6 +4444,20 @@ object SparkEntry {
         |         THEN '<meta charset="ISO-8859-1">' || COALESCE(text, '') || ' café'
         |       ELSE COALESCE(text, '') END AS text
         |FROM documents WHERE doc_id % 7 <> 2 ORDER BY url""".stripMargin,
+    // q130: banned-word hits re-derived with the established tokenizer;
+    // both the count and the threshold gate sit under the compare
+    "q130_banned_word_gate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(COALESCE(text, ''))), '\s+'),
+        |    w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, CAST(len(list_filter(ws,
+        |    w -> w IN ('agg', 'vector', 'tide'))) AS BIGINT) AS banned_hits
+        |  FROM toks)
+        |SELECT doc_id, banned_hits FROM h WHERE banned_hits <= 2
+        |ORDER BY doc_id""".stripMargin,
     // q129: the rule surface is closed-form — lower scheme/host, strip :80
     // (keep :8080), drop tracking params and fragments, keep path case
     "q129_url_normalize" ->

@@ -52,6 +52,9 @@ import org.apache.spark.sql.functions._
   *                                     //   hash — run it when dedup should
   *                                     //   collide `Café  2024` with `cafe 0`
   *   "min_words": 20,                  // quality gate
+  *   "banned_words": ["badword"],      // optional C4-style wordlist gate
+  *   "max_banned_hits": 0,             //   (docs with more hits drop;
+  *                                     //   0 = any hit drops)
   *   "min_char_entropy_e6": 0,         // optional sub-word gibberish gate
   *                                     //   (0 = off; 2000000 = 2.0 nats)
   *   "gopher_rules": true,             // optional Gopher line-rule battery
@@ -335,12 +338,21 @@ object CurationJob {
     // below the head guard's Repartition into the parquet scan, where it
     // runs at file-count parallelism — the r11 audit caught exactly this
     // (the r10 head-guard comment believed the exchange covered it)
+    // optional C4-style banned-wordlist gate: docs with more than
+    // max_banned_hits tokens from the list drop (0 = any hit drops);
+    // one compiled tokenize pass (q130 kernel), fenced like its siblings
+    val bannedWords = strSeq("banned_words")
     val wordGated = docs.filter(graft.functions.PushdownFence(
         TextStatsExpr(col(textCol), Nil)("n_words") >=
           str("min_words", "20").toLong))
       .filter(if (minEntropy > 0)
         graft.functions.PushdownFence(
           graft.functions.CharEntropyExpr(col(textCol)) >= minEntropy)
+      else lit(true))
+      .filter(if (bannedWords.nonEmpty)
+        graft.functions.PushdownFence(element_at(
+          graft.functions.StopCountsExpr(col(textCol), Seq(bannedWords)), 1)
+          <= str("max_banned_hits", "0").toLong)
       else lit(true))
     val lineGated = if (str("gopher_rules", "false").toBoolean) {
         val reline = str("reline_words_per_line", "0").toInt

@@ -245,6 +245,26 @@ class CurationJobSpec extends SparkSpec {
     assert(kept.intersect(bulkUrls.toSet) == expected, kept)
   }
 
+  test("curation job: banned-wordlist gate drops flagged docs at the threshold") {
+    val dir = Files.createTempDirectory("curationbanned")
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    Seq(
+      (1L, s"$filler perfectly fine content about rivers"),
+      (2L, s"$filler casino content with one hit only"),
+      (3L, s"$filler casino casino content with two distinct hits"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$dir/docs")
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/docs", "output_path": "$dir/out",
+         | "banned_words": ["casino"], "max_banned_hits": 1,
+         | "min_words": 20, "ngram_n": 3, "jaccard_threshold": 0.8,
+         | "redact_pii": false}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    assert(stats.afterQuality == 2 && stats.output == 2, stats)
+    assert(spark.read.parquet(s"$dir/out").select($"doc_id")
+      .as[Long].collect().toSet == Set(1L, 2L))
+  }
+
   test("curation job: gopher gate, window scrub, and DSIR resample stages") {
     val dir = Files.createTempDirectory("curation2")
     def words(a: Int, b: Int) = (a until b).map(i => s"w$i").mkString(" ")
