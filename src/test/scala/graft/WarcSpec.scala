@@ -270,6 +270,47 @@ class WarcSpec extends SparkSpec {
     assert(rows.map(_.target_uri) == Seq(SyntheticWarc.uri(1L)))
   }
 
+  test("fuzz: random and mutated inputs never kill the parsers (fixed seed)") {
+    val rng = new scala.util.Random(20260815)
+    // pure garbage payloads through the HTTP envelope parser
+    (0 until 300).foreach { _ =>
+      val b = new Array[Byte](rng.nextInt(400))
+      rng.nextBytes(b)
+      Warc.parseHttpResponse(b) // must return, never throw
+    }
+    // HTTP-shaped prefixes with garbage tails (chunked markers included)
+    (0 until 200).foreach { i =>
+      val head = s"HTTP/1.1 ${rng.nextInt(1000)} X\r\n" +
+        (if (i % 2 == 0) "Transfer-Encoding: chunked\r\n" else "") +
+        (if (i % 3 == 0) "Content-Encoding: gzip\r\n" else "") +
+        s"Content-Length: ${rng.nextInt(500) - 100}\r\n\r\n"
+      val tail = new Array[Byte](rng.nextInt(300))
+      rng.nextBytes(tail)
+      Warc.parseHttpResponse(head.getBytes(UTF_8) ++ tail)
+    }
+    // mutated VALID warc streams through the record parser: flip bytes at
+    // random offsets; the iterator must terminate without throwing
+    val valid = (0 until 5).flatMap(d =>
+      SyntheticWarc.record(d.toLong, s"doc $d " + ("x" * rng.nextInt(50)),
+        wet = d % 2 == 0)).toArray
+    (0 until 200).foreach { _ =>
+      val mutated = valid.clone()
+      (0 until 1 + rng.nextInt(8)).foreach { _ =>
+        mutated(rng.nextInt(mutated.length)) = rng.nextInt(256).toByte
+      }
+      val n = Warc.parseRecords("fuzz",
+        new java.io.ByteArrayInputStream(mutated)).size
+      assert(n <= 5)
+    }
+    // mutated gzip members
+    (0 until 100).foreach { _ =>
+      val mutated = gz(Seq(valid)).clone()
+      mutated(rng.nextInt(mutated.length)) = rng.nextInt(256).toByte
+      Warc.parseRecords("fuzz",
+        new java.io.ByteArrayInputStream(mutated)).size
+    }
+  }
+
   test("warcFrame oracle seam: warcinfo leads each file, docs bundle by mod, bytes re-derivable") {
     val docs = Seq((10L, "alpha"), (11L, "beta"), (12L, "gamma"), (22L, "delta"))
       .toDF("doc_id", "text")
