@@ -234,7 +234,8 @@ object Warc {
     * includes but the message does not). None when the payload is not an
     * HTTP response (no `HTTP/` status line) — the caller drops the record
     * rather than gluing headers onto text. */
-  def parseHttpResponse(payload: Array[Byte]): Option[HttpMessage] = {
+  def parseHttpResponse(payload: Array[Byte],
+                        maxBodyBytes: Long = DefaultMaxPayloadBytes): Option[HttpMessage] = {
     val headerEnd = indexOfBlankLine(payload)
     if (headerEnd < 0) return None
     // header block is ASCII-compatible by spec; 8859-1 keeps bytes 1:1
@@ -276,16 +277,17 @@ object Warc {
     val decoded = headers.get("content-encoding")
       .map(_.toLowerCase(java.util.Locale.ROOT).trim) match {
       case Some(enc) if enc.contains("gzip") || enc == "x-gzip" =>
-        decodeLenient(body,
+        decodeLenient(body, maxBodyBytes,
           in => new GZIPInputStream(in, 1 << 16))
       case Some("deflate") =>
         // zlib-wrapped per RFC 9110; broken servers send raw deflate —
         // try zlib first, fall back to the raw stream
-        val zlib = decodeLenient(body,
+        val zlib = decodeLenient(body, maxBodyBytes,
           in => new java.util.zip.InflaterInputStream(in))
         if (zlib.nonEmpty || body.isEmpty) zlib
-        else decodeLenient(body, in => new java.util.zip.InflaterInputStream(
-          in, new java.util.zip.Inflater(true)))
+        else decodeLenient(body, maxBodyBytes,
+          in => new java.util.zip.InflaterInputStream(
+            in, new java.util.zip.Inflater(true)))
       case _ => body
     }
     val contentType = headers.getOrElse("content-type", "")
@@ -302,15 +304,23 @@ object Warc {
 
   /** Decode `bytes` through `wrap`, keeping whatever decoded before any
     * corruption (lenient: a truncated stream yields its good prefix; a
-    * stream whose very header is broken yields empty). */
-  private def decodeLenient(bytes: Array[Byte],
+    * stream whose very header is broken yields empty). Output is CAPPED at
+    * `maxOut` — a compression BOMB (a KB-sized gzip body expanding to GBs;
+    * the WARC frame bounds only the COMPRESSED size) must not OOM the
+    * task; the capped prefix is kept, same as any other truncation. */
+  private def decodeLenient(bytes: Array[Byte], maxOut: Long,
       wrap: InputStream => InputStream): Array[Byte] = {
-    val out = new java.io.ByteArrayOutputStream(math.max(64, bytes.length * 3))
+    val cap = math.min(maxOut, Int.MaxValue - 8L).toInt
+    val out = new java.io.ByteArrayOutputStream(
+      math.min(cap.toLong, math.max(64L, bytes.length * 3L)).toInt)
     try {
       val in = wrap(new ByteArrayInputStream(bytes))
       val buf = new Array[Byte](8192)
       var r = in.read(buf)
-      while (r > 0) { out.write(buf, 0, r); r = in.read(buf) }
+      while (r > 0 && out.size() < cap) {
+        out.write(buf, 0, math.min(r, cap - out.size()))
+        r = if (out.size() < cap) in.read(buf) else -1
+      }
     } catch { case _: java.io.IOException => () }
     out.toByteArray
   }

@@ -235,6 +235,13 @@ class WarcSpec extends SparkSpec {
     // corrupt gzip: lenient empty, never a task death
     assert(Warc.parseHttpResponse(http("Content-Encoding: gzip\r\n",
       Array[Byte](0x1f, 0x8b.toByte, 9, 9, 9))).get.bodyText == "")
+    // compression BOMB: a tiny gzip body expanding far past the cap keeps
+    // only the capped prefix — never an OOM-sized allocation
+    val bomb = gzBytes("z" * (10 * 1024 * 1024))
+    val capped = Warc.parseHttpResponse(
+      http("Content-Encoding: gzip\r\n", bomb), maxBodyBytes = 1000).get
+    assert(capped.bodyText.length == 1000 &&
+      capped.bodyText.forall(_ == 'z'))
     // chunked + gzip compose (transfer decode first, then content decode)
     val gz = gzBytes("chunked and gzipped")
     val chunked = (s"${gz.length.toHexString}\r\n").getBytes(UTF_8) ++ gz ++
