@@ -102,9 +102,20 @@ object UrlFns {
     if (parts == null) return input
     val scheme = asciiLower(parts._1)
     var hostPort = asciiLower(parts._2)
-    if ((scheme == "http" && hostPort.endsWith(":80")) ||
-        (scheme == "https" && hostPort.endsWith(":443")))
-      hostPort = hostPort.substring(0, hostPort.lastIndexOf(':'))
+    // the final colon is a PORT separator only outside a bracketed IPv6
+    // literal: `[2001:db8::80]`-shaped (or unterminated-bracket garbage)
+    // authorities must not be truncated inside the brackets — the corrupted
+    // url_norm would poison the xxhash64 doc ids derived from it (r13
+    // advice). With no '[' at all the colon is a port separator as before.
+    val colon = hostPort.lastIndexOf(':')
+    val openBr = hostPort.indexOf('[')
+    val closeBr = hostPort.lastIndexOf(']')
+    val portSep = colon >= 0 &&
+      (openBr < 0 || (closeBr > openBr && closeBr < colon))
+    if (portSep &&
+        ((scheme == "http" && hostPort.endsWith(":80")) ||
+         (scheme == "https" && hostPort.endsWith(":443"))))
+      hostPort = hostPort.substring(0, colon)
     var rest = parts._3
     // drop the fragment
     val hash = rest.indexOf('#')

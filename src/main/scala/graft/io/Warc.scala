@@ -132,6 +132,50 @@ object Warc {
       })
   }
 
+  /** Hadoop Configuration made Serializable (write/readFields round-trip) so
+    * an exact-path read can ship the session's FS settings to executors —
+    * the same pattern Spark's own datasources use internally. */
+  private final class SerHadoopConf(
+      @transient private var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    def value: org.apache.hadoop.conf.Configuration = conf
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /** Parse an EXPLICIT list of capture files — no glob expansion, no
+    * comma-splitting. `binaryFiles`' path argument is comma-split and then
+    * glob-expanded (Hadoop `setInputPaths` + `GlobPattern`), so a landing
+    * file named `a,b.warc.gz` or carrying `{}[]*?` mis-resolves through it
+    * (r13 advice); here each path is opened EXACTLY as named via the
+    * FileSystem API — the route the streaming watcher uses, whose paths
+    * come from the file-source listing and are already exact. Paths round
+    * through `java.net.URI` when they parse as one (the file source emits
+    * percent-encoded URIs), else are taken verbatim. */
+  def recordsFromPaths(spark: SparkSession, paths: Seq[String],
+                       maxPayloadBytes: Long = DefaultMaxPayloadBytes): Dataset[WarcRecord] = {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    if (paths.isEmpty) return spark.emptyDataset[WarcRecord]
+    val bc = sc.broadcast(new SerHadoopConf(sc.hadoopConfiguration))
+    val maxPB = maxPayloadBytes
+    val slices = math.max(1, math.min(paths.size, sc.defaultParallelism))
+    spark.createDataset(sc.parallelize(paths, slices).flatMap { p =>
+      val hp =
+        try new org.apache.hadoop.fs.Path(new java.net.URI(p))
+        catch { case _: Exception => new org.apache.hadoop.fs.Path(p) }
+      val fs = hp.getFileSystem(bc.value.value)
+      val in = fs.open(hp)
+      closeOnExhaust(parseRecords(p, in, maxPB), in)
+    })
+  }
+
   /** The identical parser over an IN-PLANE binary column (file_id, payload
     * bytes) — the oracle seam, and the form a lake that already landed its
     * captures as parquet blobs uses. */
@@ -280,14 +324,22 @@ object Warc {
         decodeLenient(body, maxBodyBytes,
           in => new GZIPInputStream(in, 1 << 16))
       case Some("deflate") =>
-        // zlib-wrapped per RFC 9110; broken servers send raw deflate —
-        // try zlib first, fall back to the raw stream
+        // zlib-wrapped per RFC 9110; broken servers send raw deflate. A raw
+        // stream whose first two bytes HAPPEN to parse as a zlib header
+        // decodes to a short garbage prefix, not to empty — so when the
+        // zlib attempt looks suspicious (empty, or shorter than the
+        // compressed input — deflate output virtually always expands), the
+        // raw framing is decoded too and the LONGER result wins (r13
+        // advice). Well-formed zlib bodies still pay a single decode.
         val zlib = decodeLenient(body, maxBodyBytes,
           in => new java.util.zip.InflaterInputStream(in))
-        if (zlib.nonEmpty || body.isEmpty) zlib
-        else decodeLenient(body, maxBodyBytes,
-          in => new java.util.zip.InflaterInputStream(
-            in, new java.util.zip.Inflater(true)))
+        if (body.isEmpty || zlib.length >= body.length) zlib
+        else {
+          val raw = decodeLenient(body, maxBodyBytes,
+            in => new java.util.zip.InflaterInputStream(
+              in, new java.util.zip.Inflater(true)))
+          if (zlib.length >= raw.length) zlib else raw
+        }
       case _ => body
     }
     val contentType = headers.getOrElse("content-type", "")
@@ -353,13 +405,26 @@ object Warc {
 
   /** HTML `<meta charset=…>` / `http-equiv Content-Type` pre-scan over the
     * first 1 KB of the body (ASCII-compatible per the HTML spec's encoding
-    * sniffing rule) — the fallback when the HTTP header names no charset. */
+    * sniffing rule) — the fallback when the HTTP header names no charset.
+    * The scan is restricted to the inside of `<meta …>` tags (r13 advice):
+    * ordinary body text like "charset=latin1" near the top of a page must
+    * not flip the whole document's decode. */
   private def sniffMetaCharset(
       body: Array[Byte]): Option[java.nio.charset.Charset] = {
     val n = math.min(body.length, 1024)
     if (n == 0) return None
-    charsetParam(new String(body, 0, n,
-      java.nio.charset.StandardCharsets.ISO_8859_1))
+    val head = new String(body, 0, n,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lower = head.toLowerCase(java.util.Locale.ROOT)
+    var i = lower.indexOf("<meta")
+    while (i >= 0) {
+      val gt = lower.indexOf('>', i)
+      val stop = if (gt < 0) head.length else gt
+      val cs = charsetParam(head.substring(i, stop))
+      if (cs.isDefined) return cs
+      i = lower.indexOf("<meta", stop)
+    }
+    None
   }
 
   /** Byte offset of the first blank line (the CRLFCRLF — leniently LFLF —

@@ -252,7 +252,11 @@ object CurationJob {
     // re-reads are cheap (metadata counts, pruned columns), so only
     // non-parquet inputs pay the cache boundary; released as soon as the
     // quality stage materializes.
-    val raw = if (inputFormat != "parquet")
+    // persist() returns `this`, so an identity test (`raw ne raw0`) can
+    // never detect the cache — track it with a flag (r13 advice: the
+    // decoded corpus stayed pinned for the whole job)
+    val rawCached = inputFormat != "parquet"
+    val raw = if (rawCached)
       raw0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     else raw0
     // per-stage wall clock, logged at the end beside the row counts — the
@@ -377,7 +381,7 @@ object CurationJob {
     val afterQuality = gated.count()
     lap("quality")
     // gated is materialized — the decode-bound input cache is dead
-    if (raw ne raw0) raw.unpersist(blocking = false)
+    if (rawCached) raw.unpersist(blocking = false)
 
     // 2. near-dup corpus dedup (subsumes exact dups at jaccard 1.0)
     val deduped = Dedup.dedupedCorpus(gated, idCol, textCol,

@@ -52,12 +52,16 @@ object WarcStream {
       .writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // bounded: at most maxFilesPerTrigger paths per batch
+        // bounded: at most maxFilesPerTrigger paths per batch. Re-read via
+        // the EXACT-path route — `records`' binaryFiles argument is
+        // comma-split and glob-expanded, so a landing file named
+        // `a,b.warc.gz` (or carrying {}[]*?) would mis-resolve through
+        // paths.mkString(",") (r13 advice)
         val paths = batch.select(col("path"))
           .as(Encoders.STRING).collect()
         if (paths.nonEmpty)
           sink(Warc.textDocs(
-            Warc.records(spark, paths.mkString(","),
+            Warc.recordsFromPaths(spark, paths.toSeq,
               maxPayloadBytes)).toDF())
         ()
       }

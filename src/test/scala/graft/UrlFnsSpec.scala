@@ -48,6 +48,23 @@ class UrlFnsSpec extends SparkSpec {
     assert(h("http://e.com") == "e.com")
   }
 
+  test("bracketed IPv6 authorities: the default-port strip applies outside brackets only") {
+    // a colon INSIDE the bracketed literal is never a port separator — the
+    // strip must not truncate inside the brackets (r13 advice: the corrupted
+    // url_norm poisons the xxhash64 doc ids derived from it)
+    assert(n("http://[2001:db8::80]/x") == "http://[2001:db8::80]/x")
+    assert(n("https://[2001:db8::443]/x") == "https://[2001:db8::443]/x")
+    assert(n("HTTP://[2001:DB8::80]") == "http://[2001:db8::80]/")
+    // unterminated-bracket garbage (the case where endsWith(":80") CAN be
+    // true with the colon inside the literal) passes through un-mangled
+    assert(n("http://[2001:db8::80/x") == "http://[2001:db8::80/x")
+    assert(n("HTTPS://[2001:db8::443") == "https://[2001:db8::443/")
+    // a REAL default port after the brackets still strips
+    assert(n("http://[::1]:80/x") == "http://[::1]/x")
+    assert(n("https://[::1]:443/x") == "https://[::1]/x")
+    assert(n("http://[::1]:8080/x") == "http://[::1]:8080/x")
+  }
+
   test("codegen column forms ≡ interpreted; SQL registration; null host type") {
     val battery = Seq("HTTP://A.COM:80/x?utm_source=1&q=2#f",
       "https://B.org:443", "junk", "", "http://c.net:9/Y?fbclid=z")

@@ -201,6 +201,18 @@ class WarcSpec extends SparkSpec {
       ("<meta http-equiv=\"Content-Type\" content=\"text/html; " +
         "charset=ISO-8859-1\">café").getBytes(latin1))).get
     assert(m4.bodyText.endsWith("café"))
+    // ordinary body text mentioning "charset=" OUTSIDE any <meta> tag must
+    // not flip the whole document's decode (r13 advice: the sniff is a
+    // meta-tag pre-scan, not a raw substring search)
+    val m5 = Warc.parseHttpResponse(http("Content-Type: text/html\r\n",
+      "<p>set charset=ISO-8859-1 in your config</p><p>café</p>"
+        .getBytes(UTF_8))).get
+    assert(m5.bodyText.endsWith("café</p>"), m5.bodyText)
+    // and a meta tag AFTER such body text is still found
+    val m6 = Warc.parseHttpResponse(http("Content-Type: text/html\r\n",
+      ("<p>charset=UTF-8 is common</p><meta charset=ISO-8859-1>café")
+        .getBytes(latin1))).get
+    assert(m6.bodyText.endsWith("café"), m6.bodyText)
   }
 
   test("Content-Encoding bodies decode: gzip, zlib deflate, raw deflate, corrupt-lenient") {
@@ -249,6 +261,78 @@ class WarcSpec extends SparkSpec {
     assert(Warc.parseHttpResponse(http(
       "Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n", chunked))
       .get.bodyText == "chunked and gzipped")
+  }
+
+  test("deflate fallback keeps the LONGER decode when a raw stream's head mimics a zlib header") {
+    def http(body: Array[Byte]): Array[Byte] =
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n" +
+        "Content-Encoding: deflate\r\n\r\n").getBytes(UTF_8) ++ body
+    def rawDeflate(s: String): Array[Byte] = {
+      val d = new java.util.zip.Deflater(
+        java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+      d.setInput(s.getBytes(UTF_8)); d.finish()
+      val out = new Array[Byte](4096); val n = d.deflate(out)
+      java.util.Arrays.copyOf(out, n)
+    }
+    // lenient zlib decode length (the engine's decodeLenient semantics):
+    // whatever inflated before the stream errored
+    def zlibLen(b: Array[Byte]): Int = {
+      val in = new java.util.zip.InflaterInputStream(
+        new java.io.ByteArrayInputStream(b))
+      val buf = new Array[Byte](4096); var total = 0
+      try {
+        var r = in.read(buf)
+        while (r > 0) { total += r; r = in.read(buf) }
+      } catch { case _: java.io.IOException => () }
+      total
+    }
+    // CRAFTED collision (a canonical Deflater can't emit one — its first
+    // block always has BFINAL=1, an odd first byte, never zlib's CM=8): a
+    // raw-deflate stream opening with a NON-FINAL STORED block whose
+    // header bytes 08 1D are simultaneously a valid zlib header
+    // (CM=8, CINFO=0, 0x081D % 31 == 0, no FDICT). The zlib view then
+    // reads byte 2 as a stored block of LEN 0xFFE2 — whose NLEN check
+    // passes because the raw view's first two stored-data bytes are
+    // 1D 00 — and copies the rest of the stream as a NONEMPTY garbage
+    // prefix before hitting EOF: exactly the case the pre-r14
+    // empty-output-only fallback kept as "decoded".
+    val storedPayload = Array[Byte](0x1D, 0x00) ++
+      "stored-block text part one!".getBytes(UTF_8)
+    assert(storedPayload.length == 29)
+    val restText =
+      "and the remainder of the document body, long enough to matter. " * 3
+    val body = Array[Byte](0x08, 0x1D, 0x00, 0xE2.toByte, 0xFF.toByte) ++
+      storedPayload ++ rawDeflate(restText)
+    val zl = zlibLen(body)
+    assert(zl > 0 && zl < body.length, s"collision construction broke: $zl")
+    val expected = storedPayload ++ restText.getBytes(UTF_8)
+    assert(Warc.parseHttpResponse(http(body)).get.bodyText ==
+      new String(expected, UTF_8))
+    // plain raw-deflate (zlib decode empty) still falls back
+    val plain = rawDeflate("unambiguous raw deflate body")
+    if (zlibLen(plain) == 0)
+      assert(Warc.parseHttpResponse(http(plain)).get.bodyText ==
+        "unambiguous raw deflate body")
+  }
+
+  test("recordsFromPaths: comma/glob-hostile file names read exactly as named") {
+    val dir = java.nio.file.Files.createTempDirectory("warcpaths")
+    // a comma (binaryFiles' path-list separator) AND glob metacharacters —
+    // every one of these mis-resolves through a binaryFiles path string
+    val hostile = dir.resolve("cap,01{x}[a]*b?.warc.gz")
+    java.nio.file.Files.write(hostile, gz(Seq(
+      SyntheticWarc.record(1L, "hostile-name doc", wet = true))))
+    val plain = dir.resolve("plain.warc.gz")
+    java.nio.file.Files.write(plain, gz(Seq(
+      SyntheticWarc.record(2L, "plain doc", wet = true))))
+    val docs = Warc.textDocs(Warc.recordsFromPaths(spark,
+        Seq(hostile.toString, plain.toString)))
+      .collect().sortBy(_.url)
+    assert(docs.map(_.url).toSeq ==
+      Seq(1L, 2L).map(SyntheticWarc.uri).sorted)
+    assert(docs.map(_.text).toSet == Set("hostile-name doc", "plain doc"))
+    // empty path list: empty dataset, no job
+    assert(Warc.recordsFromPaths(spark, Nil).isEmpty)
   }
 
   test("resource records with text content types extract as bare text") {

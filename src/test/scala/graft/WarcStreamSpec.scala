@@ -84,6 +84,29 @@ class WarcStreamSpec extends SparkSpec {
     assert(http == "http capture body")
   }
 
+  test("hostile landing-file names (comma + glob metacharacters) deliver intact") {
+    // the micro-batch re-read goes through exact paths, never a
+    // comma-joined glob string (r13 advice) — a file named `a,b{x}.warc`
+    // must neither split into bogus paths nor glob-expand
+    val tmp = Files.createTempDirectory("warcstream3")
+    val landing = tmp.resolve("landing"); Files.createDirectory(landing)
+    val seen = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    def sink(docs: DataFrame): Unit =
+      seen.synchronized {
+        seen ++= docs.select($"url", $"text").as[(String, String)].collect()
+      }
+    Files.write(landing.resolve("a,b{x}[1]*c.warc.gz"), gz(Seq(
+      SyntheticWarc.record(1L, "hostile stream doc", wet = true))))
+    Files.write(landing.resolve("sane.warc.gz"), gz(Seq(
+      SyntheticWarc.record(2L, "sane stream doc", wet = true))))
+    val q = WarcStream.run(spark, landing.toString,
+      tmp.resolve("ckpt").toString)(sink)
+    try q.processAllAvailable() finally q.stop()
+    assert(seen.toSet == Set(
+      SyntheticWarc.uri(1L) -> "hostile stream doc",
+      SyntheticWarc.uri(2L) -> "sane stream doc"), seen)
+  }
+
   test("checkpoint restart: already-delivered files are not re-delivered") {
     val tmp = Files.createTempDirectory("warcstream2")
     val landing = tmp.resolve("landing"); Files.createDirectory(landing)
