@@ -76,6 +76,13 @@ object WarcProbe {
         // exactly; WARC-Date varies by doc for a mixture stratum.
         val docsParquet = args(2)
         val nf = args.drop(3).headOption.map(_.toInt).getOrElse(64)
+        // 5th arg "uniq": render a DOC-UNIQUE token into every page title —
+        // the measured r13 landmine shape (near-identical ≠ identical, so
+        // collapseExact cannot contract the amplified groups and the
+        // prefix-candidate join goes clique-quadratic). Used by the budget-
+        // refusal receipt; the default constant title stays the honest
+        // boilerplate census.
+        val uniqTitle = args.drop(4).headOption.contains("uniq")
         new java.io.File(dir).mkdirs()
         timed("genhtml") {
           spark.read.parquet(docsParquet)
@@ -97,7 +104,9 @@ object WarcProbe {
                 // the ×100-amplified sf10 groups go clique-quadratic in the
                 // prefix-candidate join — 68 GB spill; that regime is
                 // priced by the pair-budget estimator, not a census.)
-                val body = ("<!DOCTYPE html><html><head><title>graft capture" +
+                val title =
+                  if (uniqTitle) s"graft capture $d" else "graft capture"
+                val body = (s"<!DOCTYPE html><html><head><title>$title" +
                   "</title><style>body{margin:0}</style></head><body>" +
                   s"<p>$esc</p></body></html>").getBytes(UTF_8)
                 val http = (s"HTTP/1.1 200 OK\r\n" +

@@ -383,11 +383,17 @@ object CurationJob {
     // gated is materialized — the decode-bound input cache is dead
     if (rawCached) raw.unpersist(blocking = false)
 
-    // 2. near-dup corpus dedup (subsumes exact dups at jaccard 1.0)
+    // 2. near-dup corpus dedup (subsumes exact dups at jaccard 1.0).
+    // `max_candidates` (default Dedup.DefaultMaxCandidates, 0 disables):
+    // the sampled prefix-bucket price gate — a clique-quadratic flood (the
+    // r13 doc-unique-title landmine: ~5e9 candidates, 68 GB spill, ENOSPC)
+    // refuses HERE with a remedies message instead of dying mid-shuffle
     val deduped = Dedup.dedupedCorpus(gated, idCol, textCol,
       n = str("ngram_n", "3").toInt,
       threshold = str("jaccard_threshold", "0.8").toDouble,
-      blockCols = strSeq("block_cols"))
+      blockCols = strSeq("block_cols"),
+      maxCandidates =
+        str("max_candidates", Dedup.DefaultMaxCandidates.toString).toLong)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterDedup = deduped.count()
     lap("dedup")
@@ -514,7 +520,9 @@ object CurationJob {
         val benchDf = benchFrame(benchPath)
           .select(col(idCol), col(textCol))
         val matches = Dedup.incrementalJaccardMatches(decontaminated,
-          benchDf, idCol, textCol, str("ngram_n", "3").toInt, fuzzyT, Nil)
+          benchDf, idCol, textCol, str("ngram_n", "3").toInt, fuzzyT, Nil,
+          maxCandidates =
+            str("max_candidates", Dedup.DefaultMaxCandidates.toString).toLong)
         val joined = pin(decontaminated.join(
           matches.select(col("id_b").as(idCol)).distinct(),
           Seq(idCol), "left_anti"))

@@ -25,6 +25,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dedup {
 
+  /** Default candidate budget for the COMPOSITE dedup routes (`dedupedCorpus`
+    * and CurationJob's dedup stage): generous — two orders of magnitude above
+    * any legitimate near-dup corpus measured at sf10 (~10⁷ candidates), and
+    * safely below the clique-quadratic regimes (the r13 doc-unique-title
+    * landmine priced at ≳5·10⁹, which at ~16 bytes/candidate became a 68 GB
+    * spill and ENOSPC). At 10⁹ the candidate traffic is ~16 GB — tolerable
+    * on a cluster, survivable on one node; past it the corpus needs thinning
+    * (host caps, line dedup, banded routes), not a bigger disk. Raise the
+    * dial deliberately for deployments that can eat more. */
+  val DefaultMaxCandidates: Long = 1000L * 1000 * 1000
+
   /** Exact dedup by normalized content hash: keeps the lowest-id row per group.
     * One hash aggregate (sha-bucket shuffle); survivors carry the group size. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -219,8 +230,11 @@ object Dedup {
     * old all-pairs-within-block candidate space). `sh` is a prepared shingle
     * frame (see `shingleFrame`). */
   private def prefixCandidates(sh: DataFrame, threshold: Double,
-                               blockCols: Seq[String]): DataFrame =
-    prefixCandidatesBetween(sh, sh, threshold, blockCols, self = true)
+                               blockCols: Seq[String],
+                               maxCandidates: Long = 0L,
+                               budgetOp: String = "prefix-filter join"): DataFrame =
+    prefixCandidatesBetween(sh, sh, threshold, blockCols, self = true,
+      maxCandidates = maxCandidates, budgetOp = budgetOp)
 
   /** Session-conf dial for the LOW-DIVERSITY flood route: when the estimated
     * average prefix-token posting list exceeds this many docs, candidate
@@ -256,9 +270,81 @@ object Dedup {
     * verify stage keeps reading the original hash-sorted arrays. Costs two
     * extra token-stream shuffles (df + per-doc rebuild), paid only in the
     * regime where the hash-ordered join would not finish at all. */
+  /** The shared prepare stage of the prefix-filter join: the dup-free/flood
+    * probes, the (adaptive) df-reorder, and the prefix-array build — split
+    * out so the candidate-BUDGET estimator prices the SAME prefix frames
+    * the join will read (estimating the pre-reorder frame would overstate
+    * the flood route by orders of magnitude). `prefB` is null for a
+    * self-join. `prefixRows` = Σ prefix lengths over both sides (the
+    * sampling denominator). */
+  private final case class PrefixJoinPrep(prefA: DataFrame, prefB: DataFrame,
+                                          dupFree: Boolean, prefixRows: Long)
+
   private def prefixCandidatesBetween(shA0: DataFrame, shB0: DataFrame,
                                       threshold: Double, blockCols: Seq[String],
-                                      self: Boolean): DataFrame = {
+                                      self: Boolean,
+                                      maxCandidates: Long = 0L,
+                                      budgetOp: String = "prefix-filter join"): DataFrame = {
+    val tS = math.round(threshold * S)
+    val prep = preparePrefixJoin(shA0, shB0, threshold, blockCols, self)
+    val prefA = prep.prefA
+    val prefB = if (self) prefA else prep.prefB
+    if (maxCandidates > 0L) {
+      // the r13 landmine gate: one SAMPLED histogram over the prefix-token
+      // buckets prices the join's output before any quadratic shuffle
+      // materializes (BASELINE.md r13: the doc-unique-title regime walked
+      // past the raw-listing guards into a 68 GB spill and ENOSPC because
+      // the COMPOSITE path had no budget)
+      val est = estimatePrefixCandidateRows(
+        prefA, if (self) null else prefB, blockCols, prep.prefixRows)
+      require(est <= maxCandidates,
+        s"$budgetOp: the prefix-token bucket histogram estimates ~$est " +
+          s"candidate join rows (sampled, unbiased), over the maxCandidates " +
+          s"budget of $maxCandidates — refusing before any quadratic " +
+          "shuffle materializes. Remedies: raise maxCandidates (CurationJob " +
+          "dial max_candidates), raise the Jaccard threshold (shorter " +
+          "prefixes, rarer tokens), add/refine block_cols, or thin the " +
+          "flood upstream (collapseExact contracts only IDENTICAL shingle " +
+          "sets — NEAR-identical template farms need host_cap, line-level " +
+          "dedup, or a simhash/minhash route whose banding bounds bucket " +
+          "size).")
+    }
+    val lengthAndBlocks = blockCols
+      .map(c => col(s"x.$c") === col(s"y.$c"))
+      .foldLeft(
+        col("x.__tok") === col("y.__tok") &&
+          (if (self) col("x.__id") < col("y.__id") else lit(true)) &&
+          // SSJoin length filter at candidate time: t·max(|A|,|B|) <= min(|A|,|B|)
+          col("x.__sz") * S >= lit(tS) * col("y.__sz") &&
+          col("y.__sz") * S >= lit(tS) * col("x.__sz"))(_ && _)
+    if (prep.dupFree) {
+      // both sides carry their full (sorted) prefix array so a pair sharing k
+      // prefix tokens is emitted only from the SMALLEST shared one — the
+      // first-shared-band trick of the MinHash/SimHash joins, which replaces
+      // the old `.distinct()` dedupe shuffle on the candidate pair set
+      def sel(pref: DataFrame): DataFrame = pref.select(
+        (col("__id") +: col("__sz") +: col("__pref") +:
+          explode(col("__pref")).as("__tok") +:
+          blockCols.map(col)): _*)
+      sel(prefA).as("x").join(sel(prefB).as("y"), lengthAndBlocks &&
+          col("x.__tok") === graft.functions.SortedIntersectMin(
+            col("x.__pref"), col("y.__pref")))
+        .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+    } else {
+      // long-document regime: rows carry one token, pairs dedupe after the join
+      def sel(pref: DataFrame): DataFrame = pref.select(
+        (col("__id") +: col("__sz") +:
+          explode(col("__pref")).as("__tok") +:
+          blockCols.map(col)): _*)
+      sel(prefA).as("x").join(sel(prefB).as("y"), lengthAndBlocks)
+        .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
+        .dropDuplicates("id_a", "id_b")
+    }
+  }
+
+  private def preparePrefixJoin(shA0: DataFrame, shB0: DataFrame,
+                                threshold: Double, blockCols: Seq[String],
+                                self: Boolean): PrefixJoinPrep = {
     val tS = math.round(threshold * S)
     // Adaptive dedupe strategy. The dup-free join ships each doc's full prefix
     // array on every exploded token row — O(p²) longs per doc through the
@@ -340,53 +426,92 @@ object Dedup {
       .withColumn("__alpha", expr(s"($tS * __sz + ${S - 1}) div $S"))
       .withColumn("__p", (col("__sz") - col("__alpha") + 1).cast("int"))
       .withColumn("__pref", slice(col("__sh"), lit(1), col("__p")))
-    val lengthAndBlocks = blockCols
-      .map(c => col(s"x.$c") === col(s"y.$c"))
-      .foldLeft(
-        col("x.__tok") === col("y.__tok") &&
-          (if (self) col("x.__id") < col("y.__id") else lit(true)) &&
-          // SSJoin length filter at candidate time: t·max(|A|,|B|) <= min(|A|,|B|)
-          col("x.__sz") * S >= lit(tS) * col("y.__sz") &&
-          col("y.__sz") * S >= lit(tS) * col("x.__sz"))(_ && _)
-    if (dupFree) {
-      // both sides carry their full (sorted) prefix array so a pair sharing k
-      // prefix tokens is emitted only from the SMALLEST shared one — the
-      // first-shared-band trick of the MinHash/SimHash joins, which replaces
-      // the old `.distinct()` dedupe shuffle on the candidate pair set
-      def pref(sh: DataFrame): DataFrame = prefBase(sh).select(
-        (col("__id") +: col("__sz") +: col("__pref") +:
-          explode(col("__pref")).as("__tok") +:
-          blockCols.map(col)): _*)
-      pref(shA).as("x").join(pref(shB).as("y"), lengthAndBlocks &&
-          col("x.__tok") === graft.functions.SortedIntersectMin(
-            col("x.__pref"), col("y.__pref")))
-        .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
-    } else {
-      // long-document regime: rows carry one token, pairs dedupe after the join
-      def pref(sh: DataFrame): DataFrame = prefBase(sh).select(
-        (col("__id") +: col("__sz") +:
-          explode(col("__pref")).as("__tok") +:
-          blockCols.map(col)): _*)
-      pref(shA).as("x").join(pref(shB).as("y"), lengthAndBlocks)
-        .select(col("x.__id").as("id_a"), col("y.__id").as("id_b"))
-        .dropDuplicates("id_a", "id_b")
+    PrefixJoinPrep(prefBase(shA), if (self) null else prefBase(shB),
+      dupFree, prefixRows)
+  }
+
+  /** Estimated output rows of the prefix-filter candidate join — Σ over
+    * (prefix-token, blockCols) buckets of n·(n−1)/2 (self) or n_A·n_B
+    * (cross): the exact number of same-bucket row combinations the join
+    * will examine, and an upper bound on emitted candidates (the SSJoin
+    * length filter and the first-shared-token dedupe only remove rows).
+    * Estimated from a ≤~400k-token Bernoulli sample of the exploded prefix
+    * stream: with n_s ~ Binomial(n, f) per bucket, E[Σ n_s(n_s−1)/2] =
+    * f²·Σ n(n−1)/2 and E[Σ n_{A,s}·n_{B,s}] = f²·Σ n_A·n_B (independent
+    * draws), so dividing by f² is unbiased; at f = 1 (small inputs) it is
+    * exact. The flood regimes this prices are dominated by huge buckets,
+    * where the sampled counts are large and the relative error small —
+    * the same Σdf² logic as the flood-route probe. */
+  private def estimatePrefixCandidateRows(prefA: DataFrame, prefB: DataFrame,
+                                          blockCols: Seq[String],
+                                          totalPrefixRows: Long): Long = {
+    val f = math.min(1.0, 400000.0 / math.max(1L, totalPrefixRows).toDouble)
+    def toks(pref: DataFrame): DataFrame = {
+      val t = pref.select(
+        (explode(col("__pref")).as("__tok") +: blockCols.map(col)): _*)
+      if (f >= 1.0) t else t.sample(withReplacement = false, f, seed = 42)
     }
+    val keys = (col("__tok") +: blockCols.map(col))
+    val sampled =
+      if (prefB == null)
+        toks(prefA).groupBy(keys: _*).agg(count(lit(1)).as("__n"))
+          // exact integral arithmetic (the bucketPairBudget convention)
+          .agg(coalesce(sum(expr("__n * (__n - 1) div 2")), lit(0L)))
+          .first().getLong(0)
+      else {
+        val a = toks(prefA).withColumn("__ca", lit(1L))
+          .withColumn("__cb", lit(0L))
+        val b = toks(prefB).withColumn("__ca", lit(0L))
+          .withColumn("__cb", lit(1L))
+        a.unionByName(b).groupBy(keys: _*)
+          .agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+          .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)))
+          .first().getLong(0)
+      }
+    val est = sampled.toDouble / (f * f)
+    if (est >= Long.MaxValue.toDouble) Long.MaxValue else math.round(est)
   }
 
   def ngramPrefixCandidates(docs: DataFrame, idCol: String, textCol: String,
                             n: Int, threshold: Double,
-                            blockCols: Seq[String]): DataFrame =
+                            blockCols: Seq[String],
+                            maxCandidates: Long = 0L): DataFrame =
     prefixCandidates(
       liveShingles(shingleFrame(docs, idCol, textCol, n, blockCols)), threshold,
-      blockCols)
+      blockCols, maxCandidates, "ngramPrefixCandidates")
+
+  /** Pre-flight candidate budget for the n-gram Jaccard prefix join at the
+    * same configuration — the `estimateMinhashPairs` twin for the PPJoin
+    * route: one shingle pass + one sampled prefix-bucket histogram, no
+    * joins. Runs the SAME probes and (adaptive) df-reorder as the real
+    * join, so the estimate prices the plan that would actually execute. */
+  def estimateNgramJaccardCandidates(docs: DataFrame, idCol: String,
+                                     textCol: String, n: Int,
+                                     threshold: Double,
+                                     blockCols: Seq[String] = Nil): Long = {
+    val sh = shingleFrame(docs, idCol, textCol, n, blockCols)
+    val prep = preparePrefixJoin(liveShingles(sh), liveShingles(sh), threshold,
+      blockCols, self = true)
+    val est = estimatePrefixCandidateRows(prep.prefA, null, blockCols,
+      prep.prefixRows)
+    sh.unpersist(blocking = false)
+    est
+  }
 
   /** Near-dup pairs by EXACT n-gram Jaccard: prefix-filter candidates (superset)
     * + sorted-intersect verify. Output identical to all-pairs enumeration, plan
-    * sub-quadratic. Returns (id_a, id_b, jaccard) with id_a < id_b. */
+    * sub-quadratic. Returns (id_a, id_b, jaccard) with id_a < id_b.
+    * `maxCandidates > 0` prices the candidate join with a sampled
+    * prefix-bucket histogram first and REFUSES (IllegalArgumentException,
+    * actionable message) when the estimate exceeds it — the r13
+    * doc-unique-token landmine gate. 0 = unguarded (raw listing semantics,
+    * matching the other pair-listing ops' default). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, threshold: Double,
-                        blockCols: Seq[String]): DataFrame =
-    ngramJaccardPairsManaged(docs, idCol, textCol, n, threshold, blockCols)._1
+                        blockCols: Seq[String],
+                        maxCandidates: Long = 0L): DataFrame =
+    ngramJaccardPairsManaged(docs, idCol, textCol, n, threshold, blockCols,
+      maxCandidates = maxCandidates)._1
 
   /** `ngramJaccardPairs` plus the handle composites use to free the operator's
     * internal persisted shingle frame once the pair set has been consumed.
@@ -432,12 +557,14 @@ object Dedup {
   private def ngramJaccardPairsManaged(
       docs: DataFrame, idCol: String, textCol: String, n: Int,
       threshold: Double, blockCols: Seq[String],
-      collapseExact: Boolean = false): (DataFrame, () => Unit) = {
+      collapseExact: Boolean = false,
+      maxCandidates: Long = 0L): (DataFrame, () => Unit) = {
     val sh = shingleFrame(docs, idCol, textCol, n, blockCols)
     val live = liveShingles(sh)
     if (!collapseExact)
       (verifyJaccard(live, threshold,
-        prefixCandidates(live, threshold, blockCols)),
+        prefixCandidates(live, threshold, blockCols, maxCandidates,
+          "ngramJaccardPairs")),
         () => sh.unpersist(blocking = false))
     else {
       // persisted at the TAGGED stage: both the identity branch and the
@@ -451,8 +578,12 @@ object Dedup {
           lit(1.0).as("jaccard"))
       val reps = tagged.filter(!col("__isDup"))
         .drop("__rid", "__rsh", "__isDup", "__shh")
+      // budget applies POST-collapse: pricing the reps frame, the one the
+      // join actually reads — an exact-dup flood that the collapse absorbs
+      // must not trip the refusal
       (verifyJaccard(reps, threshold,
-        prefixCandidates(reps, threshold, blockCols))
+        prefixCandidates(reps, threshold, blockCols, maxCandidates,
+          "ngramJaccardPairs(collapseExact)"))
         .unionByName(identity),
         () => { sh.unpersist(blocking = false)
           tagged.unpersist(blocking = false) })
@@ -492,10 +623,12 @@ object Dedup {
   private def crossMatchesManaged(
       shNew: DataFrame, shOldLive: DataFrame, threshold: Double,
       blockCols: Seq[String], releaseCorpus: () => Unit,
-      forceCollapse: Option[Boolean] = None): (DataFrame, () => Unit) = {
+      forceCollapse: Option[Boolean] = None,
+      maxCandidates: Long = 0L): (DataFrame, () => Unit) = {
     def direct = (verifyJaccardBetween(shNew, shOldLive, threshold,
       prefixCandidatesBetween(shNew, shOldLive, threshold, blockCols,
-        self = false)), () => ())
+        self = false, maxCandidates = maxCandidates,
+        budgetOp = "incrementalJaccardMatches")), () => ())
     val collapse = forceCollapse.getOrElse {
       val stats = shOldLive.agg(count(lit(1)).as("n"),
         approx_count_distinct(xxhash64(col("__sh"))).as("d")).first()
@@ -528,7 +661,8 @@ object Dedup {
       // full lineage for `release(result)`
       val rm = verifyJaccardBetween(shNew, reps, threshold,
         prefixCandidatesBetween(shNew, reps, threshold, blockCols,
-          self = false))
+          self = false, maxCandidates = maxCandidates,
+          budgetOp = "incrementalJaccardMatches(collapse)"))
       val out = rm.join(expand, rm("id_b") === expand("__rep"))
         .select(col("id_a"), col("__mid").as("id_b"), col("jaccard"))
       (out, () => Seq(expand, reps).foreach(release))
@@ -552,22 +686,26 @@ object Dedup {
   def incrementalJaccardMatches(corpus: DataFrame, incoming: DataFrame,
                                 idCol: String, textCol: String, n: Int,
                                 threshold: Double,
-                                blockCols: Seq[String]): DataFrame =
+                                blockCols: Seq[String],
+                                maxCandidates: Long = 0L): DataFrame =
     incrementalJaccardMatchesImpl(corpus, incoming, idCol, textCol, n,
-      threshold, blockCols, forceCollapse = None)
+      threshold, blockCols, forceCollapse = None,
+      maxCandidates = maxCandidates)
 
   /** [[incrementalJaccardMatches]] with the collapse route pinned — for the
     * equivalence spec and A/B probes only. */
   private[graft] def incrementalJaccardMatchesImpl(
       corpus: DataFrame, incoming: DataFrame, idCol: String, textCol: String,
       n: Int, threshold: Double, blockCols: Seq[String],
-      forceCollapse: Option[Boolean]): DataFrame = {
+      forceCollapse: Option[Boolean],
+      maxCandidates: Long = 0L): DataFrame = {
     val shNew = liveShingles(
       shingleFrame(incoming, idCol, textCol, n, blockCols, viaCheckpoint = true))
     val shOldH =
       shingleFrame(corpus, idCol, textCol, n, blockCols, viaCheckpoint = true)
     crossMatchesManaged(shNew, liveShingles(shOldH), threshold, blockCols,
-      releaseCorpus = () => release(shOldH), forceCollapse = forceCollapse)._1
+      releaseCorpus = () => release(shOldH), forceCollapse = forceCollapse,
+      maxCandidates = maxCandidates)._1
   }
 
   /** Admission filter: the incoming docs with NO near-dup already in the
@@ -1532,14 +1670,23 @@ object Dedup {
     * duplicate-dense corpus (the web norm; the ×100-amplified sf10 rehearsal)
     * pays n−1 identity edges per group instead of Σ bucket² exploding
     * prefix-candidate joins. Survivor sets are provably identical — see
-    * `ngramJaccardPairsManaged`. */
+    * `ngramJaccardPairsManaged`.
+    *
+    * `maxCandidates` (default [[DefaultMaxCandidates]], r14): the sampled
+    * prefix-bucket histogram prices the candidate join BEFORE any quadratic
+    * shuffle and refuses loudly past the budget — collapseExact contracts
+    * only IDENTICAL shingle sets, so a NEAR-identical flood (one doc-unique
+    * token per template copy: the measured r13 landmine, 68 GB spill →
+    * ENOSPC) walks straight past it; the budget turns that dead run into an
+    * actionable refusal. 0 disables. */
   def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String,
                     n: Int, threshold: Double,
                     blockCols: Seq[String],
-                    collapseExact: Boolean = true): DataFrame = {
+                    collapseExact: Boolean = true,
+                    maxCandidates: Long = DefaultMaxCandidates): DataFrame = {
     val (pairs, free) =
       ngramJaccardPairsManaged(docs, idCol, textCol, n, threshold, blockCols,
-        collapseExact)
+        collapseExact, maxCandidates)
     survivors(docs, idCol, pairs, free)
   }
 

@@ -49,6 +49,38 @@ class CurationJobSpec extends SparkSpec {
     assert(CurationJob.run(spark, s"$dir/cfg.json").isEmpty)
   }
 
+  test("curation job: max_candidates dial refuses the near-identical flood loudly") {
+    val dir = Files.createTempDirectory("curation_budget")
+    // the r13 landmine shape at miniature scale: one doc-unique token per
+    // otherwise-identical template copy — collapseExact can't contract it,
+    // the candidate join would go clique-quadratic
+    // the unique token rides mid-document (3 of 18 shingles), so pairwise
+    // Jaccard is 15/21 ≈ 0.71 < 0.8: candidates are quadratic, TRUE pairs
+    // are zero — the exact regime that spilled the disk dry in r13
+    (0 until 300).map { i =>
+      (i.toLong, "the shared template body with unique" + i + " many " +
+        "common words alpha beta gamma delta epsilon zeta eta theta " +
+        "iota kappa lambda")
+    }.toDF("doc_id", "text").write.parquet(s"$dir/docs")
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/docs", "output_path": "$dir/out",
+         | "min_words": 5, "ngram_n": 3, "jaccard_threshold": 0.8,
+         | "max_candidates": 2000}""".stripMargin)
+    val ex = intercept[IllegalArgumentException] {
+      CurationJob.run(spark, s"$dir/cfg.json")
+    }
+    assert(ex.getMessage.contains("maxCandidates budget of 2000"),
+      ex.getMessage)
+    // raising the dial lets the identical job through (no true near-dup
+    // pairs at 0.8 — every doc survives)
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/docs", "output_path": "$dir/out",
+         | "min_words": 5, "ngram_n": 3, "jaccard_threshold": 0.8,
+         | "max_candidates": 1000000}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    assert(stats.output == 300, stats)
+  }
+
   test("curation job: input_format=warc runs crawl-to-corpus in one job") {
     val dir = Files.createTempDirectory("curationwarc")
     Files.createDirectory(dir.resolve("captures"))

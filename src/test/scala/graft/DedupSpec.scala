@@ -617,6 +617,78 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("candidate budget: the doc-unique-token landmine refuses in the COMPOSITE, " +
+      "collapse-absorbed floods don't trip, results unchanged under budget") {
+    // BASELINE.md r13 landmine shape: near-identical template copies whose
+    // ONE doc-unique token defeats collapseExact (shingle sets differ), so
+    // the prefix-candidate join goes clique-quadratic while TRUE pairs are
+    // few — the regime that died on ENOSPC instead of refusing
+    val landmine = (0 until 400).map { i =>
+      (i.toLong, s"unique$i the shared template body with many common " +
+        "words alpha beta gamma delta epsilon zeta")
+    }.toDF("doc_id", "text")
+    // pre-flight estimator: exact at this size (sample fraction 1), an
+    // upper bound on emitted candidates and within a small factor of them
+    // on this all-colliding corpus
+    val est = Dedup.estimateNgramJaccardCandidates(landmine, "doc_id",
+      "text", n = 3, threshold = 0.8)
+    val emitted = Dedup.ngramPrefixCandidates(landmine, "doc_id", "text",
+      n = 3, threshold = 0.8, blockCols = Nil).count()
+    assert(est >= emitted, s"estimate $est below emitted $emitted")
+    assert(est <= 20 * math.max(emitted, 1L),
+      s"estimate $est looser than 20x emitted $emitted")
+    spark.catalog.clearCache()
+    // the COMPOSITE refuses loudly at call time — before the quadratic
+    // join shuffle materializes (this is the r13 wiring gap: the raw
+    // listings were guarded, dedupedCorpus was not)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.dedupedCorpus(landmine, "doc_id", "text", n = 3,
+        threshold = 0.8, blockCols = Nil, maxCandidates = 1000L)
+    }
+    assert(ex.getMessage.contains("maxCandidates budget of 1000"),
+      ex.getMessage)
+    assert(ex.getMessage.contains("max_candidates"), ex.getMessage)
+    spark.catalog.clearCache()
+    // an EXACT-duplicate flood is absorbed by collapseExact BEFORE the
+    // budget is priced: 50 identical copies of each template must not trip
+    // a budget that the 20 representatives fit — the gate prices the join
+    // that actually runs, not the raw corpus
+    val exactFlood = (0 until 1000).map { i =>
+      (i.toLong, s"template number ${i % 20} body with words alpha beta " +
+        "gamma delta epsilon zeta eta theta iota kappa")
+    }.toDF("doc_id", "text")
+    val survivors = Dedup.dedupedCorpus(exactFlood, "doc_id", "text", n = 3,
+      threshold = 0.8, blockCols = Nil, maxCandidates = 10000L)
+    assert(survivors.count() == 20)
+    Dedup.release(survivors)
+    spark.catalog.clearCache()
+    // under a generous budget the survivor set is IDENTICAL to the
+    // unguarded route (the gate is pure physics, invisible to results)
+    val docs01 = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select($"doc_id", $"text").limit(300)
+    val gated = Dedup.dedupedCorpus(docs01, "doc_id", "text", n = 3,
+      threshold = 0.7, blockCols = Nil)
+      .select($"doc_id").as[Long].collect().toSet
+    spark.catalog.clearCache()
+    val ungated = Dedup.dedupedCorpus(docs01, "doc_id", "text", n = 3,
+      threshold = 0.7, blockCols = Nil, maxCandidates = 0L)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(gated == ungated)
+    spark.catalog.clearCache()
+    // the incremental (bench x corpus) route carries the same dial
+    val bench = (0 until 50).map { i =>
+      (100000L + i, s"unique${i * 7} the shared template body with many " +
+        "common words alpha beta gamma delta epsilon zeta")
+    }.toDF("doc_id", "text")
+    val exInc = intercept[IllegalArgumentException] {
+      Dedup.incrementalJaccardMatches(landmine, bench, "doc_id", "text",
+        n = 3, threshold = 0.8, blockCols = Nil, maxCandidates = 100L)
+    }
+    assert(exInc.getMessage.contains("incrementalJaccardMatches"),
+      exInc.getMessage)
+    spark.catalog.clearCache()
+  }
+
   test("admitIntoComponents: batch merges clusters, min-id contract, singletons join") {
     // existing lake labels: cluster {1,2} rooted at 1, cluster {7,9} rooted
     // at 7; corpus doc 50 was never paired (no labels row)
