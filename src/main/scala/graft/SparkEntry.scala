@@ -203,7 +203,8 @@ object SparkEntry {
     "q127_media_store_ticks" -> qMediaStoreTicks,
     "q128_html_main_text" -> qHtmlMainText,
     "q129_url_normalize" -> qUrlNormalize,
-    "q130_banned_word_gate" -> qBannedWordGate)
+    "q130_banned_word_gate" -> qBannedWordGate,
+    "q131_lang_id_margins" -> qLangIdMargins)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2378,6 +2379,38 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q131: multi-class language-ID margins — the fastText-LID serving path
+    * (`Classifier.multiclassMargins` over hashed char-2/3-gram features,
+    * the codegen `CharNgramBucketsExpr` kernel) with deterministic
+    * e3-integer one-vs-rest weights (q85's formula extended per language),
+    * plus the argmax pick with the lexicographic tie-break. The oracle
+    * re-derives EVERYTHING: `substr` char n-grams, the byte-exact FNV-1a
+    * HUGEINT walk, positive-mod bucketing, the weight formula, all four
+    * margins per doc, and the pick. Training is spec-pinned separately
+    * (bit-exact vs a local reference + true separation on a planted
+    * trilingual corpus) — float-free serving is what an oracle can hash. */
+  private def qLangIdMargins(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = 64
+    val weights = Seq("de", "en", "fr", "it").zipWithIndex.flatMap {
+      case (l, li) => (0 until dim).map { b =>
+        (l, b, ((li.toLong * dim + b) * 2654435761L) % 4294967296L % 2001L
+          - 1000L)
+      }
+    }.toDF("lang", "bucket", "w_e3")
+    val m = graft.operators.Classifier.multiclassMargins(
+      t(s, dir, "documents"), "doc_id", "text", weights,
+      nMin = 2, nMax = 3, dim = dim)
+    val pick = m.groupBy(col("doc_id"))
+      .agg(min(struct((-col("margin_e3")).as("n"), col("lang").as("l")))
+        .as("__w"))
+      .select(col("doc_id"), col("__w.l").as("__best"))
+    m.join(pick, Seq("doc_id"))
+      .withColumn("is_pick", col("lang") === col("__best"))
+      .drop("__best")
+      .orderBy(col("doc_id"), col("lang"))
+  }
+
   /** q129: URL canonicalization — closed-form synthetic URLs covering the
     * whole rule surface (mixed-case scheme/host, default vs real ports,
     * leading/trailing/only tracking params, fragments) through the codegen
@@ -4444,6 +4477,64 @@ object SparkEntry {
         |         THEN '<meta charset="ISO-8859-1">' || COALESCE(text, '') || ' café'
         |       ELSE COALESCE(text, '') END AS text
         |FROM documents WHERE doc_id % 7 <> 2 ORDER BY url""".stripMargin,
+    // q131: char-2/3-gram LID margins — substr n-grams, the q85 byte-exact
+    // FNV HUGEINT walk on distinct grams, positive-mod buckets, the
+    // per-language weight formula, all margins + argmax under the compare
+    "q131_lang_id_margins" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lower(trim(text)) AS t FROM documents),
+        |grams AS (
+        |  SELECT doc_id, unnest(flatten([
+        |    list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+        |      i -> substr(t, CAST(i AS BIGINT), 2)),
+        |    list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+        |      i -> substr(t, CAST(i AS BIGINT), 3))
+        |  ])) AS g
+        |  FROM docs),
+        |gd AS (SELECT DISTINCT g FROM grams),
+        |fnv AS (
+        |  SELECT g, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |      THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+        |    AS fnv
+        |  FROM (
+        |    SELECT g, list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(0, octet_length(encode(g))), i ->
+        |          CAST(strpos('123456789ABCDEF',
+        |                 hex(encode(g))[CAST(2*i+1 AS BIGINT)]) * 16
+        |             + strpos('123456789ABCDEF',
+        |                 hex(encode(g))[CAST(2*i+2 AS BIGINT)]) AS BIGINT))),
+        |      (h, byt) -> ((h - (h % 256)
+        |          + xor(CAST(h % 256 AS BIGINT), byt)::HUGEINT)
+        |        * 1099511628211::HUGEINT)
+        |        % 18446744073709551616::HUGEINT) AS h
+        |    FROM gd)),
+        |bucketed AS (
+        |  SELECT gr.doc_id, CAST(((f.fnv % 64) + 64) % 64 AS INT) AS b
+        |  FROM grams gr JOIN fnv f USING (g)),
+        |counts AS (
+        |  SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM bucketed GROUP BY 1, 2),
+        |langs AS (SELECT * FROM (VALUES ('de', 0), ('en', 1), ('fr', 2),
+        |  ('it', 3)) AS l(lang, li)),
+        |w AS (
+        |  SELECT l.lang, CAST(b AS INT) AS b,
+        |    ((l.li * 64 + b) * 2654435761) % 4294967296 % 2001 - 1000 AS w_e3
+        |  FROM langs l, (SELECT unnest(range(0, 64)) AS b)),
+        |m AS (
+        |  SELECT c.doc_id, w.lang, CAST(SUM(c.cnt) AS BIGINT) AS n_grams,
+        |    CAST(SUM(c.cnt * w.w_e3) AS BIGINT) AS margin_e3
+        |  FROM counts c JOIN w USING (b) GROUP BY 1, 2),
+        |pick AS (
+        |  SELECT doc_id, lang AS best FROM (
+        |    SELECT doc_id, lang, ROW_NUMBER() OVER (
+        |      PARTITION BY doc_id ORDER BY margin_e3 DESC, lang ASC) AS rn
+        |    FROM m)
+        |  WHERE rn = 1)
+        |SELECT m.doc_id, m.lang, m.n_grams, m.margin_e3,
+        |  m.lang = p.best AS is_pick
+        |FROM m JOIN pick p USING (doc_id)
+        |ORDER BY m.doc_id, m.lang""".stripMargin,
     // q130: banned-word hits re-derived with the established tokenizer;
     // both the count and the threshold gate sit under the compare
     "q130_banned_word_gate" ->

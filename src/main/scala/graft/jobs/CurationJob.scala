@@ -234,10 +234,16 @@ object CurationJob {
                 col("__w.text").as("text"))
           else projected
         val based = urlDeduped.withColumn(idCol, xxhash64(col("url")))
-        // crawl captures carry no language column; the q28 language-ID
-        // kernel can derive one at the scan so block_cols/mixture/report
-        // strata work on raw crawls too
-        if (str("warc_derive_lang", "false").toBoolean)
+        // crawl captures carry no language column; warc_derive_lang
+        // derives one. Backend choice (r14): with `lang_id_weights_path`
+        // set, the fastText-shape multi-class classifier (hashed
+        // char-n-gram margins, argmax — q131's serving path) classifies
+        // AFTER the decode cache below (predictLanguage aggregates the
+        // corpus, so inlining it here would double-run the gzip+envelope
+        // walk); the in-scan q28 stopword heuristic remains the zero-setup
+        // fallback and the backstop for gram-less docs.
+        if (str("warc_derive_lang", "false").toBoolean &&
+            str("lang_id_weights_path", "").isEmpty)
           based.withColumn("lang",
             graft.functions.TextFns.langIdPredict(col("text")))
         else based
@@ -316,12 +322,37 @@ object CurationJob {
     val input = raw.count()
     lap("read+count")
 
+    // 0a. classifier-backed language ID (r14): `lang_id_weights_path` names
+    // a (lang, bucket, w_e3) parquet trained by `Classifier.trainMulticlass`
+    // (or any one-vs-rest linear head over the q131 feature contract —
+    // char n-grams `lang_id_ngram_min..max`, FNV buckets mod `lang_id_dim`;
+    // dials MUST match training). Runs on the post-cache frame — the
+    // margin aggregate + argmax read the decoded corpus from the persist,
+    // never re-decoding; the weights frame broadcasts; the join back is
+    // id-keyed. Gram-less docs (and the parquet route's null langs) fall
+    // back to the q28 stopword heuristic — never a null stratum.
+    val langWeightsPath = str("lang_id_weights_path", "")
+    val langed = if (langWeightsPath.isEmpty) raw else {
+      val w = spark.read.parquet(langWeightsPath)
+      val pred = graft.operators.Classifier.predictLanguage(
+        raw, idCol, textCol, w,
+        nMin = str("lang_id_ngram_min", "2").toInt,
+        nMax = str("lang_id_ngram_max", "3").toInt,
+        dim = str("lang_id_dim", "4096").toInt)
+      raw.drop("lang")
+        .join(pred.select(col(idCol), col("lang").as("__lang")),
+          Seq(idCol), "left")
+        .withColumn("lang", coalesce(col("__lang"),
+          graft.functions.TextFns.langIdPredict(col(textCol))))
+        .drop("__lang")
+    }
+
     // 0. optional CCNet-style normalization — the canonical form every
     // downstream gate, hash, and sink sees (scan-stage projection, no shuffle)
     val normalizeOn = str("normalize_text", "false").toBoolean
     val docs = if (normalizeOn)
-        raw.withColumn(textCol, TextFns.normalizeText(col(textCol)))
-      else raw
+        langed.withColumn(textCol, TextFns.normalizeText(col(textCol)))
+      else langed
     // The BENCH side must see the same canonical form: a normalized corpus
     // matched against a raw bench set silently misses every contaminated doc
     // whose only difference from the bench text is case/accents/digits —

@@ -101,4 +101,90 @@ class ClassifierSpec extends SparkSpec {
     assert(math_.min > legal.max,
       s"positive class must outrank: math=$math_ legal=$legal")
   }
+
+  // ---- multi-class language ID (r14) ----
+
+  /** Local mirror of CharNgramFns.buckets: codepoint windows, FNV-1a over
+    * each window's UTF-8 bytes, positive mod. */
+  private def charBuckets(text: String, nMin: Int, nMax: Int,
+                          d: Int): Seq[Int] = {
+    val lowered = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+      .trim().toLowerCase.toString
+    val cps = lowered.codePoints().toArray
+    for {
+      n <- nMin to nMax
+      i <- 0 to cps.length - n
+    } yield {
+      val h = RollingHash64.hashBytes(new String(cps, i, n)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (((h % d) + d) % d).toInt
+    }
+  }
+
+  test("char_ngram_buckets kernel: codepoint windows == local mirror, incl. non-ASCII") {
+    val battery = Seq("hello world", "  Héllo WÖRLD  ", "a🙂b" /* a🙂b */,
+      "ab", "a", "", "ñandú çedilla")
+    val df = battery.toDF("t")
+    val got = df.select(graft.functions.CharNgramFns.charNgramBuckets(
+        lower(trim($"t")), 2, 3, dim)).as[Seq[Int]].collect().toSeq
+    val want = battery.map(t => charBuckets(t, 2, 3, dim))
+    assert(got == want)
+    // the emoji is ONE window position (one codepoint), not two UTF-16 units
+    assert(charBuckets("a🙂b", 3, 3, dim).size == 1)
+  }
+
+  /** Deterministic planted "language": words over a per-language alphabet,
+    * fixed-seed generator — languages differ exactly in character-sequence
+    * statistics, the signal char-n-gram LID keys on. */
+  private def plantedDoc(lang: Int, docIdx: Int): String = {
+    val alphabet = "abcdefghijklmnopqrstuvwxyz".drop(lang * 7).take(7)
+    val rnd = new scala.util.Random(lang * 10007 + docIdx)
+    (0 until 25).map { _ =>
+      (0 until 3 + rnd.nextInt(5))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.mkString(" ")
+  }
+
+  test("trainMulticlass: separates a planted trilingual corpus, " +
+      "held-out prediction correct, partition-invariant") {
+    val langs = Seq("aa", "bb", "cc")
+    val train = (for {
+      (l, li) <- langs.zipWithIndex
+      d <- 0 until 20
+    } yield (li * 100L + d, plantedDoc(li, d), l)).toDF("doc_id", "text", "lang")
+    val model = Classifier.trainMulticlass(train, "doc_id", "text", "lang",
+      nMin = 2, nMax = 3, dim = 128, iters = 6, lr = 2.0)
+    assert(model.map(_._1) == langs, "labels in lexicographic order")
+    // partition-invariance: the quantized carriers make the learned heads
+    // bit-identical under any input layout
+    val model2 = Classifier.trainMulticlass(train.repartition(7), "doc_id",
+      "text", "lang", nMin = 2, nMax = 3, dim = 128, iters = 6, lr = 2.0)
+    assert(model.map(_._2.toSeq) == model2.map(_._2.toSeq),
+      "multiclass training must be partition-invariant")
+    // held-out docs (unseen indices) classify correctly via argmax serve
+    val heldOut = (for {
+      (l, li) <- langs.zipWithIndex
+      d <- 50 until 55
+    } yield (1000L + li * 10 + d, plantedDoc(li, d), l))
+    val w = Classifier.multiclassWeightsFrame(spark, model)
+    val pred = Classifier.predictLanguage(
+        heldOut.toDF("doc_id", "text", "lang"), "doc_id", "text", w,
+        nMin = 2, nMax = 3, dim = 128)
+      .select($"doc_id", $"lang").as[(Long, String)].collect().toMap
+    for ((id, _, l) <- heldOut)
+      assert(pred(id) == l, s"doc $id: predicted ${pred(id)}, planted $l")
+    // dense weights: n_grams is language-invariant and every scored doc
+    // carries a margin for every language
+    val m = Classifier.multiclassMargins(
+      heldOut.toDF("doc_id", "text", "lang"), "doc_id", "text", w,
+      nMin = 2, nMax = 3, dim = 128)
+    val perDoc = m.groupBy($"doc_id")
+      .agg(countDistinct($"lang").as("k"), countDistinct($"n_grams").as("g"))
+      .as[(Long, Long, Long)].collect()
+    assert(perDoc.forall(r => r._2 == 3 && r._3 == 1), perDoc.toSeq)
+    // a gram-less doc (shorter than nMin codepoints) drops, the
+    // occurrence-scorer convention
+    assert(Classifier.predictLanguage(Seq((9L, "x")).toDF("doc_id", "text"),
+      "doc_id", "text", w, nMin = 2, nMax = 3, dim = 128).isEmpty)
+  }
 }

@@ -49,6 +49,58 @@ class CurationJobSpec extends SparkSpec {
     assert(CurationJob.run(spark, s"$dir/cfg.json").isEmpty)
   }
 
+  test("curation job: classifier-backed warc_derive_lang via lang_id_weights_path") {
+    val dir = Files.createTempDirectory("curation_lid")
+    // planted bilingual corpus: languages differ in character statistics
+    // (disjoint alphabets) — the signal char-n-gram LID keys on
+    def doc(lang: Int, idx: Int): String = {
+      val alphabet = "abcdefghijklmnopqrstuvwxyz".drop(lang * 8).take(8)
+      val rnd = new scala.util.Random(lang * 7919 + idx)
+      (0 until 25).map { _ =>
+        (0 until 3 + rnd.nextInt(4))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.mkString(" ")
+    }
+    val train = (for {
+      (l, li) <- Seq("aa", "bb").zipWithIndex
+      d <- 0 until 15
+    } yield (li * 100L + d, doc(li, d), l)).toDF("doc_id", "text", "lang")
+    val model = graft.operators.Classifier.trainMulticlass(train, "doc_id",
+      "text", "lang", nMin = 2, nMax = 3, dim = 128, iters = 6, lr = 2.0)
+    graft.operators.Classifier.multiclassWeightsFrame(spark, model)
+      .write.parquet(s"$dir/lid_weights")
+    // a crawl lake of UNSEEN docs in both planted languages
+    def gz(recs: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      recs.foreach { r =>
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(r); g.finish()
+      }
+      bos.toByteArray
+    }
+    val docs = (for {
+      li <- Seq(0, 1); d <- 50 until 53
+    } yield (li * 1000L + d, doc(li, d), if (li == 0) "aa" else "bb"))
+    Files.write(dir.resolve("crawl.warc.gz"), gz(docs.map { case (id, t, _) =>
+      graft.operators.SyntheticWarc.record(id, t, wet = true) }))
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/crawl.warc.gz", "input_format": "warc",
+         | "output_path": "$dir/out", "min_words": 5,
+         | "warc_derive_lang": true,
+         | "lang_id_weights_path": "$dir/lid_weights",
+         | "lang_id_dim": 128, "lang_id_ngram_min": 2, "lang_id_ngram_max": 3,
+         | "partition_by": ["lang"]}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    assert(stats.output == 6, stats)
+    val out = spark.read.parquet(s"$dir/out")
+      .select($"url", $"lang").as[(String, String)].collect().toMap
+    for ((id, _, l) <- docs)
+      assert(out(graft.operators.SyntheticWarc.uri(id)) == l,
+        s"doc $id: got ${out(graft.operators.SyntheticWarc.uri(id))}, planted $l")
+    assert(Files.exists(dir.resolve("out/lang=aa")) &&
+      Files.exists(dir.resolve("out/lang=bb")))
+  }
+
   test("curation job: max_candidates dial refuses the near-identical flood loudly") {
     val dir = Files.createTempDirectory("curation_budget")
     // the r13 landmine shape at miniature scale: one doc-unique token per
