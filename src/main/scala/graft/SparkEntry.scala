@@ -204,7 +204,8 @@ object SparkEntry {
     "q128_html_main_text" -> qHtmlMainText,
     "q129_url_normalize" -> qUrlNormalize,
     "q130_banned_word_gate" -> qBannedWordGate,
-    "q131_lang_id_margins" -> qLangIdMargins)
+    "q131_lang_id_margins" -> qLangIdMargins,
+    "q132_per_lang_perplexity" -> qPerLangPerplexity)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2379,6 +2380,26 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q132: PER-LANGUAGE perplexity bucketing — the q89 CCNet gate the way
+    * real multilingual pipelines run it (CCNet/mC4 split by language FIRST;
+    * one global LM scores every minority language as gibberish): ONE job
+    * trains all five languages' bigram LMs (`NgramLm.trainBigramBy` — the
+    * strata ride the count-aggregate keys, no per-language loop), every doc
+    * scores under ITS language's model with that language's vocabulary in
+    * the smoothing denominator, and terciles are ranked WITHIN language
+    * (`rankBuckets(strata = lang)`). The oracle re-derives per-lang counts,
+    * vocab, every scaled log-prob, and the per-lang even-spread rule. */
+  private def qPerLangPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val lm = NgramLm.trainBigramBy(d, "text", Seq("lang"))
+    val scored = NgramLm.scoreBigramBy(d, "doc_id", "text", lm)
+    graft.ops.Quantiles.rankBuckets(scored, "doc_id", col("avg_nll_e6"),
+        nBuckets = 3, binStep = 10000L, strata = Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("avg_nll_e6"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q131: multi-class language-ID margins — the fastText-LID serving path
     * (`Classifier.multiclassMargins` over hashed char-2/3-gram features,
     * the codegen `CharNgramBucketsExpr` kernel) with deterministic
@@ -4477,6 +4498,41 @@ object SparkEntry {
         |         THEN '<meta charset="ISO-8859-1">' || COALESCE(text, '') || ' café'
         |       ELSE COALESCE(text, '') END AS text
         |FROM documents WHERE doc_id % 7 <> 2 ORDER BY url""".stripMargin,
+    // q132: the q89 machinery with lang threaded through every CTE key —
+    // per-lang counts/vocab/log-probs and per-lang even-spread terciles
+    "q132_per_lang_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang, unnest(range(1, len(ts) + 1)) AS idx,
+        |    unnest(ts) AS token
+        |  FROM (SELECT doc_id, lang,
+        |          list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |            w -> len(w) > 0) AS ts
+        |        FROM documents)),
+        |bigr AS (
+        |  SELECT a.doc_id, a.lang, a.token AS w1, b.token AS w2
+        |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1),
+        |bc AS (SELECT lang, w1, w2, COUNT(*) AS c12 FROM bigr GROUP BY 1, 2, 3),
+        |ctx AS (SELECT lang, w1, SUM(c12) AS c1 FROM bc GROUP BY 1, 2),
+        |v AS (SELECT lang, COUNT(DISTINCT token) AS vs FROM toks GROUP BY 1),
+        |scored AS (
+        |  SELECT g.doc_id, g.lang,
+        |    CAST(round(ln((c.c12 + 1) / (x.c1 + v.vs)) * 1000000) AS BIGINT)
+        |      AS lp
+        |  FROM bigr g JOIN bc c USING (lang, w1, w2)
+        |  JOIN ctx x USING (lang, w1) JOIN v USING (lang)),
+        |per AS (
+        |  SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    CAST(-SUM(lp) AS BIGINT) // COUNT(*) AS avg_nll_e6
+        |  FROM scored GROUP BY 1, 2),
+        |r AS (
+        |  SELECT doc_id, lang, n_bigrams, avg_nll_e6,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY avg_nll_e6, doc_id) AS BIGINT) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM per)
+        |SELECT doc_id, lang, n_bigrams, avg_nll_e6,
+        |  CAST((rn - 1) * 3 // n + 1 AS INT) AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
     // q131: char-2/3-gram LID margins — substr n-grams, the q85 byte-exact
     // FNV HUGEINT walk on distinct grams, positive-mod buckets, the
     // per-language weight formula, all margins + argmax under the compare

@@ -377,9 +377,32 @@ object CurationJob {
     // max_banned_hits tokens from the list drop (0 = any hit drops);
     // one compiled tokenize pass (q130 kernel), fenced like its siblings
     val bannedWords = strSeq("banned_words")
+    // per-LANGUAGE word floor (r14): `min_words_by_lang` maps lang → floor,
+    // unlisted languages fall back to `min_words` — real multilingual
+    // curation thresholds per language (a CJK doc carries far fewer
+    // space-separated words per unit of content than an English one).
+    // Still one fenced scan-stage predicate: the map folds into a CASE.
+    val minWordsDefault = str("min_words", "20").toLong
+    val minWordsByLang: Map[String, Long] =
+      if (cfg.schema.fieldNames.contains("min_words_by_lang") &&
+          !cfg.isNullAt(cfg.fieldIndex("min_words_by_lang"))) {
+        val r = cfg.getStruct(cfg.fieldIndex("min_words_by_lang"))
+        r.schema.fieldNames.map(k =>
+          k -> r.get(r.fieldIndex(k)).toString.toDouble.toLong).toMap
+      } else Map.empty
+    val wordFloor: org.apache.spark.sql.Column =
+      if (minWordsByLang.isEmpty) lit(minWordsDefault)
+      else {
+        require(docs.columns.contains("lang"),
+          "min_words_by_lang needs a lang column (provide one, or set " +
+            "warc_derive_lang / lang_id_weights_path)")
+        minWordsByLang.toSeq.sortBy(_._1).foldLeft(
+          lit(minWordsDefault)) { case (acc, (l, v)) =>
+          when(col("lang") === l, lit(v)).otherwise(acc)
+        }
+      }
     val wordGated = docs.filter(graft.functions.PushdownFence(
-        TextStatsExpr(col(textCol), Nil)("n_words") >=
-          str("min_words", "20").toLong))
+        TextStatsExpr(col(textCol), Nil)("n_words") >= wordFloor))
       .filter(if (minEntropy > 0)
         graft.functions.PushdownFence(
           graft.functions.CharEntropyExpr(col(textCol)) >= minEntropy)

@@ -91,6 +91,67 @@ object NgramLm {
       .withColumn("avg_nll_e6", Quantiles.div(col("nll_e6"), col("n_bigrams")))
   }
 
+  /** A per-stratum bigram LM family (r14): `bigrams`/`contexts` carry the
+    * strata columns in their keys, `vocab` is one (strata → v) row per
+    * stratum. The per-LANGUAGE curation shape — real CCNet/mC4 pipelines
+    * split by language FIRST and train one LM per language; one global LM
+    * scores every non-majority language as gibberish. */
+  final case class StrataBigramLm(bigrams: DataFrame, contexts: DataFrame,
+                                  vocab: DataFrame, strata: Seq[String])
+
+  /** [[trainBigram]] keyed by `strata` (e.g. `Seq("lang")`): the SAME two
+    * count aggregates with the strata columns in the group keys — one job
+    * trains every stratum's LM in one pass, no per-language loop, no
+    * driver-side model state. Shuffle stays bounded by Σ per-stratum
+    * distinct bigrams. */
+  def trainBigramBy(docs: DataFrame, textCol: String,
+                    strata: Seq[String]): StrataBigramLm = {
+    require(strata.nonEmpty, "strata must be non-empty (use trainBigram)")
+    val toks = Dedup.ensureParallel(docs)
+      .select((strata.map(col) :+ TextFns.words(col(textCol)).as("__ts")): _*)
+    val bigrams = toks
+      .select((strata.map(col) :+ explode(bigramPairs(col("__ts")))
+        .as("__b")): _*)
+      .groupBy((strata.map(col) :+ col("__b.w1").as("w1") :+
+        col("__b.w2").as("w2")): _*)
+      .agg(count(lit(1)).as("c12"))
+    val contexts = bigrams
+      .groupBy((strata.map(col) :+ col("w1")): _*)
+      .agg(sum(col("c12")).as("c1"))
+    val vocab = toks
+      .select((strata.map(col) :+ explode(col("__ts")).as("__t")): _*)
+      .groupBy(strata.map(col): _*)
+      .agg(countDistinct(col("__t")).as("__v"))
+    StrataBigramLm(bigrams, contexts, vocab, strata)
+  }
+
+  /** [[scoreBigram]] under a per-stratum LM family: every document scores
+    * under ITS OWN stratum's model (bigram/context joins keyed by
+    * strata + words, the vocab-sized model sides broadcast; smoothing uses
+    * the stratum's V). Documents whose stratum has no trained model drop
+    * (inner vocab join) — score against the family you trained. */
+  def scoreBigramBy(docs: DataFrame, idCol: String, textCol: String,
+                    lm: StrataBigramLm): DataFrame = {
+    val strata = lm.strata
+    val docBi = Dedup.ensureParallel(docs)
+      .select((col(idCol) +: strata.map(col) :+
+        explode(bigramPairs(TextFns.words(col(textCol)))).as("__b")): _*)
+      .select((col(idCol) +: strata.map(col) :+ col("__b.w1").as("w1") :+
+        col("__b.w2").as("w2")): _*)
+    val lp = round(
+      log((coalesce(col("c12"), lit(0L)) + 1L).cast("double") /
+        (coalesce(col("c1"), lit(0L)) + col("__v")).cast("double"))
+        * 1e6).cast("long")
+    docBi
+      .join(lm.bigrams, strata ++ Seq("w1", "w2"), "left")
+      .join(broadcast(lm.contexts), strata :+ "w1", "left")
+      .join(broadcast(lm.vocab), strata)
+      .withColumn("__lp", lp)
+      .groupBy((col(idCol) +: strata.map(col)): _*)
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("__lp"))).as("nll_e6"))
+      .withColumn("avg_nll_e6", Quantiles.div(col("nll_e6"), col("n_bigrams")))
+  }
+
   /** Domain log-likelihood-ratio scoring (the DSIR/CCNet selection signal,
     * Xie et al. 2023 arXiv:2302.03169): score every document under an
     * IN-DOMAIN LM and a BASE LM and emit `llr_e6 = base avg-NLL − domain

@@ -49,6 +49,39 @@ class CurationJobSpec extends SparkSpec {
     assert(CurationJob.run(spark, s"$dir/cfg.json").isEmpty)
   }
 
+  test("curation job: min_words_by_lang applies per-language floors, min_words backs off") {
+    val dir = Files.createTempDirectory("curation_mwbl")
+    def words(n: Int, tag: String): String =
+      (1 to n).map(i => s"$tag$i").mkString(" ")
+    Seq(
+      (1L, words(12, "en"), "en"),  // en floor 20: drops
+      (2L, words(25, "en"), "en"),  // en floor 20: keeps
+      (3L, words(12, "zh"), "zh"),  // zh floor 8: keeps
+      (4L, words(5, "zh"), "zh"),   // zh floor 8: drops
+      (5L, words(12, "fr"), "fr"))  // unlisted -> min_words 10: keeps
+      .toDF("doc_id", "text", "lang").write.parquet(s"$dir/docs")
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/docs", "output_path": "$dir/out",
+         | "min_words": 10,
+         | "min_words_by_lang": {"en": 20, "zh": 8},
+         | "ngram_n": 3, "jaccard_threshold": 0.9}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    assert(stats.afterQuality == 3, stats)
+    val kept = spark.read.parquet(s"$dir/out")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 5L), kept)
+    // the dial without a lang column refuses with an actionable message
+    Seq((1L, words(25, "x"))).toDF("doc_id", "text")
+      .write.parquet(s"$dir/docs2")
+    Files.writeString(dir.resolve("cfg2.json"),
+      s"""{"documents_path": "$dir/docs2", "output_path": "$dir/out2",
+         | "min_words_by_lang": {"en": 20}}""".stripMargin)
+    val ex = intercept[IllegalArgumentException] {
+      CurationJob.run(spark, s"$dir/cfg2.json")
+    }
+    assert(ex.getMessage.contains("lang column"), ex.getMessage)
+  }
+
   test("curation job: classifier-backed warc_derive_lang via lang_id_weights_path") {
     val dir = Files.createTempDirectory("curation_lid")
     // planted bilingual corpus: languages differ in character statistics

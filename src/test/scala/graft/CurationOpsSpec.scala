@@ -356,6 +356,37 @@ class CurationOpsSpec extends SparkSpec {
       (10L, 1L, 1098612L, 1098612L)))
   }
 
+  test("per-stratum bigram LM family: one pass == per-lang filtered training, " +
+      "per-lang smoothing, strata-less docs drop") {
+    import graft.operators.NgramLm
+    val docs = Seq(
+      (1L, "a b a b", "en"), (2L, "a b", "en"), (3L, "b a", "en"),
+      (4L, "x y x y x", "de"), (5L, "y x", "de"), (6L, "z", "de"))
+      .toDF("doc_id", "text", "lang")
+    val fam = NgramLm.trainBigramBy(docs, "text", Seq("lang"))
+    // the family scores every doc exactly as its language's SOLO-trained
+    // LM would (same counts, same per-lang V in the smoothing denominator)
+    val famScores = NgramLm.scoreBigramBy(docs, "doc_id", "text", fam)
+      .select($"doc_id", $"lang", $"n_bigrams", $"nll_e6", $"avg_nll_e6")
+      .as[(Long, String, Long, Long, Long)].collect().toSet
+    val soloScores = Seq("en", "de").flatMap { l =>
+      val slice = docs.filter($"lang" === l)
+      val lm = NgramLm.trainBigram(slice, "text")
+      NgramLm.scoreBigram(slice, "doc_id", "text", lm)
+        .select($"doc_id", lit(l).as("lang"), $"n_bigrams", $"nll_e6",
+          $"avg_nll_e6")
+        .as[(Long, String, Long, Long, Long)].collect()
+    }.toSet
+    assert(famScores == soloScores,
+      s"family $famScores != per-lang solo $soloScores")
+    // vocab is per-stratum: en V=2, de V=3 (x, y, z)
+    assert(fam.vocab.as[(String, Long)].collect().toSet ==
+      Set(("en", 2L), ("de", 3L)))
+    // a doc in a stratum the family never trained drops (inner vocab join)
+    val alien = Seq((9L, "a b", "fr")).toDF("doc_id", "text", "lang")
+    assert(NgramLm.scoreBigramBy(alien, "doc_id", "text", fam).isEmpty)
+  }
+
   test("domainLlr: in-domain docs outrank out-of-domain; llr is the avg-NLL gap") {
     import graft.operators.NgramLm
     val docs = Seq(
