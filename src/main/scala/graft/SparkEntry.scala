@@ -205,7 +205,8 @@ object SparkEntry {
     "q129_url_normalize" -> qUrlNormalize,
     "q130_banned_word_gate" -> qBannedWordGate,
     "q131_lang_id_margins" -> qLangIdMargins,
-    "q132_per_lang_perplexity" -> qPerLangPerplexity)
+    "q132_per_lang_perplexity" -> qPerLangPerplexity,
+    "q133_justext_main_text" -> qJustextMainText)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2380,6 +2381,52 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q133: jusText main-text extraction — q128's planted page upgraded to
+    * the r14 four-class scheme (stopword density + context
+    * re-classification). Every rule bites somewhere on the page: the nav
+    * and footer die on link density; the 4-word h1 is SHORT in a mixed
+    * neighborhood (dies); the DOC TEXT's verdict is a pure integer function
+    * of its word count and stopword density (variable per doc — DuckDB
+    * re-derives it); the 4-word "It was so good" is rescued ONLY when the
+    * doc text is GOOD on its left (its right neighbor is always good); a
+    * stopword-dense long block is GOOD; two NEARGOOD blocks (one
+    * [low,high)-density, one dense-but-short) are rescued by the adjacent
+    * GOOD; a fluent zero-stopword sales pitch and a fluent
+    * newsletter-signup NEARGOOD between BADs both die. */
+  private def qJustextMainText(s: SparkSession, dir: String): DataFrame = {
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      coalesce(col("text"), lit("")), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    val html = concat(
+      lit("<html><body>" +
+        "<nav><a href=\"/\">Home</a> <a>About</a> <a>Contact</a> " +
+        "<a>Careers</a></nav>" +
+        "<h1>Quarterly earnings report summary</h1><p>"), esc,
+      lit("</p><p>It was so good</p>" +
+        "<p>the cat sat on the mat and the dog lay in the sun today</p>" +
+        "<p>a cat ran to the park today</p>" +
+        "<p>it was the best of the worst</p>" +
+        "<p>buy cheap deals now best offers sale discount here</p>" +
+        "<p>please sign up for our newsletter to get the latest updates</p>" +
+        "<footer><a>terms of service</a> <a>privacy policy</a></footer>" +
+        "</body></html>"))
+    // function words PLUS corpus-frequent words (the synthetic corpus is
+    // technical word-soup with almost no English function words — jusText
+    // lists are per-language/per-corpus dials, and a list the corpus never
+    // hits would leave the doc-text verdict constant): 449/500 GOOD-or-
+    // NEARGOOD, 33 GOOD-above-lenHigh (rescuing the short block), 51 BAD
+    // at sf0.01 — every branch of the verdict function carries variance.
+    // None of these words appear in the PLANTED blocks, whose verdicts
+    // stay closed-form.
+    val stops = Seq("the", "a", "an", "and", "of", "to", "in", "it",
+      "was", "is", "for", "on", "with", "that", "join", "hash", "row",
+      "batch", "scan", "column", "filter", "data")
+    graft.operators.Dedup.ensureParallel(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        graft.functions.TextFns.htmlMainTextJustext(html, 5, 500000, stops,
+          10, 250000, 450000).as("text"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q132: PER-LANGUAGE perplexity bucketing — the q89 CCNet gate the way
     * real multilingual pipelines run it (CCNet/mC4 split by language FIRST;
     * one global LM scores every minority language as gibberish): ONE job
@@ -4498,6 +4545,34 @@ object SparkEntry {
         |         THEN '<meta charset="ISO-8859-1">' || COALESCE(text, '') || ' café'
         |       ELSE COALESCE(text, '') END AS text
         |FROM documents WHERE doc_id % 7 <> 2 ORDER BY url""".stripMargin,
+    // q133: the planted page's block verdicts re-derived — the doc text's
+    // class is a pure integer function of its word count and stopword hits
+    // (>=0.25 density keeps it: GOOD outright or NEARGOOD rescued by the
+    // good block on its right); the 4-word short block survives ONLY left
+    // of a GOOD doc text (>0.45 density AND >10 words); the three planted
+    // keeps are constants; nav/footer/h1/sales-pitch/newsletter die
+    "q133_justext_main_text" ->
+      """WITH c AS (
+        |  SELECT doc_id, trim(regexp_replace(COALESCE(text, ''), '\s+', ' ', 'g')) AS t
+        |  FROM documents),
+        |w AS (
+        |  SELECT doc_id, t,
+        |    CAST(len(list_filter(string_split(t, ' '), x -> len(x) > 0))
+        |      AS BIGINT) AS nw,
+        |    CAST(len(list_filter(string_split(t, ' '), x -> lower(x) IN
+        |      ('the','a','an','and','of','to','in','it','was','is','for',
+        |       'on','with','that','join','hash','row','batch','scan',
+        |       'column','filter','data'))) AS BIGINT) AS sh
+        |  FROM c)
+        |SELECT doc_id,
+        |  (CASE WHEN nw >= 5 AND sh * 1000000 >= 250000 * nw
+        |        THEN t || chr(10) ELSE '' END) ||
+        |  (CASE WHEN nw > 10 AND sh * 1000000 >= 450000 * nw
+        |        THEN 'It was so good' || chr(10) ELSE '' END) ||
+        |  'the cat sat on the mat and the dog lay in the sun today' ||
+        |  chr(10) || 'a cat ran to the park today' || chr(10) ||
+        |  'it was the best of the worst' AS text
+        |FROM w ORDER BY doc_id""".stripMargin,
     // q132: the q89 machinery with lang threaded through every CTE key —
     // per-lang counts/vocab/log-probs and per-lang even-spread terciles
     "q132_per_lang_perplexity" ->

@@ -11,8 +11,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * tag/entity machinery plus BLOCK-level boilerplate classification, the
   * reason WET files still carry "Home About Contact" navigation soup and
   * real curation pipelines run a block scorer (jusText/trafilatura family).
-  * Deterministic and closed-form by design so the q128 oracle can re-derive
-  * the expected output in DuckDB.
+  * Deterministic and closed-form by design so the q128/q133 oracles can
+  * re-derive the expected output in DuckDB.
   *
   * Semantics:
   *  1. The page is cut into BLOCKS at block-level tag boundaries (open or
@@ -24,20 +24,49 @@ import org.apache.spark.unsafe.types.UTF8String
   *  2. Within a block, text extracts with the identical rules as
   *     `html_to_text` (script/style/comment drop, entity decode, whitespace
   *     collapse) — PLUS the chars contributed inside `<a>…</a>` are counted
-  *     as LINK text (nesting-safe).
-  *  3. A block is BOILERPLATE and drops when (jusText's two load-bearing
-  *     rules, integer-exact):
-  *       - fewer than `minWords` words (default 5), or
-  *       - link density > `maxLinkDensityE6`/10⁶, where density =
-  *         link non-space chars / total non-space chars (default 500000
-  *         = one half).
-  *  4. Output = kept blocks joined by a single '\n' (line structure feeds
+  *     as LINK text (nesting-safe), and each completed word is checked
+  *     against the stopword list (ASCII-case-folded exact token match).
+  *  3. With an EMPTY stopword list (the pre-r14 surface, q128): a block is
+  *     boilerplate and drops when it has fewer than `minWords` words or
+  *     link density > `maxLinkDensityE6`/10⁶ (density = link non-space
+  *     chars / total non-space chars).
+  *  4. With a stopword list (r14): the jusText four-class scheme
+  *     (Pomikálek 2011), integer-exact with word counts standing in for
+  *     jusText's char lengths (documented divergence — words are what the
+  *     engine's other rules count):
+  *       - link density > max                        → BAD
+  *       - words < minWords                          → BAD if any link
+  *                                                     chars else SHORT
+  *       - stop density ≥ stopHighE6/10⁶             → GOOD if words >
+  *                                                     lenHighWords else
+  *                                                     NEARGOOD
+  *       - stop density ≥ stopLowE6/10⁶              → NEARGOOD
+  *       - else                                      → BAD
+  *     (stop density = stopword tokens / words — a block dense in function
+  *     words is REAL TEXT regardless of length.) Then ONE context pass
+  *     against the context-free GOOD/BAD neighbors (page edges count BAD):
+  *       - SHORT    → GOOD iff the nearest GOOD/BAD block on BOTH sides is
+  *                    GOOD (short-but-real paragraphs between good prose
+  *                    are rescued), else BAD
+  *       - NEARGOOD → GOOD iff the nearest GOOD/BAD block on EITHER side
+  *                    is GOOD, else BAD (fluent-looking boilerplate in a
+  *                    bad neighborhood dies here)
+  *     This is jusText's published shape with the neargood-chain tiebreak
+  *     simplified to a single deterministic pass — every verdict is a pure
+  *     integer function of the block list, which is what makes the q133
+  *     oracle possible.
+  *  5. Output = kept blocks joined by a single '\n' (line structure feeds
   *     the Gopher line rules downstream).
   *
   * `html_to_text` remains the right call when the WHOLE page is wanted
   * (WET-equivalent extraction); this one is the corpus-quality dial. */
 case class HtmlMainTextExpr(child: Expression, minWords: Int,
-                            maxLinkDensityE6: Int) extends UnaryExpression {
+                            maxLinkDensityE6: Int,
+                            stopwords: Seq[String] = Nil,
+                            lenHighWords: Int = 10,
+                            stopLowE6: Int = 250000,
+                            stopHighE6: Int = 450000)
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -46,13 +75,22 @@ case class HtmlMainTextExpr(child: Expression, minWords: Int,
   override def dataType: DataType = StringType
   override def prettyName: String = "html_main_text"
 
+  @transient private lazy val stopSet: java.util.HashSet[String] = {
+    val h = new java.util.HashSet[String]()
+    stopwords.foreach(w => h.add(w.toLowerCase(java.util.Locale.ROOT)))
+    h
+  }
+
   override def nullSafeEval(input: Any): Any =
     HtmlMainTextExpr.extract(input.asInstanceOf[UTF8String], minWords,
-      maxLinkDensityE6)
+      maxLinkDensityE6, stopSet, lenHighWords, stopLowE6, stopHighE6)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("stopSet", stopSet, "java.util.HashSet")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HtmlMainTextExpr.extract($c, $minWords, $maxLinkDensityE6)")
+      s"graft.functions.HtmlMainTextExpr.extract($c, $minWords, " +
+        s"$maxLinkDensityE6, $setRef, $lenHighWords, $stopLowE6, $stopHighE6)")
+  }
 
   override protected def withNewChildInternal(
       newChild: Expression): HtmlMainTextExpr = copy(child = newChild)
@@ -67,6 +105,16 @@ object HtmlMainTextExpr {
     "td", "th", "h1", "h2", "h3", "h4", "h5", "h6", "blockquote", "pre",
     "br", "hr", "nav", "header", "footer", "aside", "form", "body",
     "head", "html", "title", "main", "figure")
+
+  // context-free block classes
+  private final val Bad = 0
+  private final val Short = 1
+  private final val NearGood = 2
+  private final val Good = 3
+
+  private final class Block(val text: String, val words: Long,
+                            val chars: Long, val linkChars: Long,
+                            val stopHits: Long)
 
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
@@ -133,11 +181,12 @@ object HtmlMainTextExpr {
   }
 
   /** Referenced from generated Java code — must stay public. */
-  def extract(input: UTF8String, minWords: Int,
-              maxLinkDensityE6: Int): UTF8String = {
+  def extract(input: UTF8String, minWords: Int, maxLinkDensityE6: Int,
+              stopSet: java.util.HashSet[String], lenHighWords: Int,
+              stopLowE6: Int, stopHighE6: Int): UTF8String = {
     val s = input.toString
     val n = s.length
-    val out = new java.lang.StringBuilder(n)
+    val blocks = new scala.collection.mutable.ArrayBuffer[Block]()
     // current block state
     val block = new java.lang.StringBuilder(256)
     var pendingWs = false
@@ -145,26 +194,32 @@ object HtmlMainTextExpr {
     var chars = 0L      // non-space chars in the block
     var linkChars = 0L  // non-space chars contributed inside <a>…</a>
     var linkDepth = 0
+    var stopHits = 0L
+    var wordStart = 0   // builder offset where the in-progress word began
+    def endWord(): Unit =
+      if (block.length() > wordStart) {
+        if (!stopSet.isEmpty &&
+            stopSet.contains(asciiLower(block.substring(wordStart))))
+          stopHits += 1
+        wordStart = block.length()
+      }
     def emit(c: Char): Unit =
       if (isWs(c)) pendingWs = true
       else {
-        if (pendingWs && block.length > 0) block.append(' ')
-        if (pendingWs || block.length == 0) words += 1
+        if (pendingWs && block.length > 0) { endWord(); block.append(' ') }
+        if (pendingWs || block.length == 0) { words += 1; wordStart = block.length() }
         pendingWs = false
         block.append(c)
         chars += 1
         if (linkDepth > 0) linkChars += 1
       }
     def cutBlock(): Unit = {
-      if (block.length > 0 &&
-          words >= minWords &&
-          linkChars * 1000000L <= maxLinkDensityE6.toLong * chars) {
-        if (out.length > 0) out.append('\n')
-        out.append(block)
-      }
+      endWord()
+      if (block.length > 0)
+        blocks += new Block(block.toString, words, chars, linkChars, stopHits)
       block.setLength(0)
       pendingWs = false
-      words = 0L; chars = 0L; linkChars = 0L
+      words = 0L; chars = 0L; linkChars = 0L; stopHits = 0L; wordStart = 0
       // linkDepth survives a cut: an <a> spanning a block boundary keeps
       // counting (malformed but common markup)
     }
@@ -216,8 +271,8 @@ object HtmlMainTextExpr {
                 !(cp >= 0xD800 && cp <= 0xDFFF)) {
               if (cp < 0x10000) emit(cp.toChar)
               else {
-                if (pendingWs && block.length > 0) block.append(' ')
-                if (pendingWs || block.length == 0) words += 1
+                if (pendingWs && block.length > 0) { endWord(); block.append(' ') }
+                if (pendingWs || block.length == 0) { words += 1; wordStart = block.length() }
                 pendingWs = false
                 block.appendCodePoint(cp)
                 chars += 2
@@ -240,6 +295,70 @@ object HtmlMainTextExpr {
       } else { emit(c); i += 1 }
     }
     cutBlock()
+
+    val out = new java.lang.StringBuilder(n)
+    def keep(b: Block): Unit = {
+      if (out.length > 0) out.append('\n')
+      out.append(b.text)
+    }
+    if (stopSet.isEmpty) {
+      // legacy two-rule surface (q128): word floor + link density
+      var k = 0
+      while (k < blocks.length) {
+        val b = blocks(k)
+        if (b.words >= minWords &&
+            b.linkChars * 1000000L <= maxLinkDensityE6.toLong * b.chars)
+          keep(b)
+        k += 1
+      }
+    } else {
+      // jusText four-class scheme (scaladoc §4), all integer arithmetic
+      val m = blocks.length
+      val cls = new Array[Int](m)
+      var k = 0
+      while (k < m) {
+        val b = blocks(k)
+        cls(k) =
+          if (b.linkChars * 1000000L > maxLinkDensityE6.toLong * b.chars) Bad
+          else if (b.words < minWords) { if (b.linkChars > 0) Bad else Short }
+          else if (b.stopHits * 1000000L >= stopHighE6.toLong * b.words) {
+            if (b.words > lenHighWords) Good else NearGood
+          }
+          else if (b.stopHits * 1000000L >= stopLowE6.toLong * b.words)
+            NearGood
+          else Bad
+        k += 1
+      }
+      // nearest context-free GOOD/BAD neighbor on each side; edges are BAD
+      val prevCtx = new Array[Int](m)
+      val nextCtx = new Array[Int](m)
+      var carry = Bad
+      k = 0
+      while (k < m) {
+        prevCtx(k) = carry
+        if (cls(k) == Good || cls(k) == Bad) carry = cls(k)
+        k += 1
+      }
+      carry = Bad
+      k = m - 1
+      while (k >= 0) {
+        nextCtx(k) = carry
+        if (cls(k) == Good || cls(k) == Bad) carry = cls(k)
+        k -= 1
+      }
+      k = 0
+      while (k < m) {
+        val resolved = cls(k) match {
+          case Short =>
+            if (prevCtx(k) == Good && nextCtx(k) == Good) Good else Bad
+          case NearGood =>
+            if (prevCtx(k) == Good || nextCtx(k) == Good) Good else Bad
+          case c => c
+        }
+        if (resolved == Good) keep(blocks(k))
+        k += 1
+      }
+    }
     UTF8String.fromString(out.toString)
   }
 
@@ -252,6 +371,17 @@ object HtmlMainTextExpr {
     org.apache.spark.sql.graft.ColumnBridge.column(
       HtmlMainTextExpr(org.apache.spark.sql.graft.ColumnBridge.expression(c),
         minWords, maxLinkDensityE6))
+
+  /** Column form with the full jusText dial set (stopwords enable the
+    * four-class + context scheme). */
+  def apply(c: org.apache.spark.sql.Column, minWords: Int,
+            maxLinkDensityE6: Int, stopwords: Seq[String],
+            lenHighWords: Int, stopLowE6: Int,
+            stopHighE6: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      HtmlMainTextExpr(org.apache.spark.sql.graft.ColumnBridge.expression(c),
+        minWords, maxLinkDensityE6, stopwords, lenHighWords, stopLowE6,
+        stopHighE6))
 
   /** Register as SQL: `html_main_text(x[, minWords, maxLinkDensityE6])`. */
   def register(spark: SparkSession): Unit =

@@ -218,6 +218,15 @@ object TextFns {
                    maxLinkDensityE6: Int): Column =
     HtmlMainTextExpr(text, minWords, maxLinkDensityE6)
 
+  /** [[htmlMainText]] with the full jusText dial set (r14): a stopword list
+    * enables the four-class scheme — stopword-density classification plus
+    * the SHORT/NEARGOOD context pass (see [[HtmlMainTextExpr]] §4). */
+  def htmlMainTextJustext(text: Column, minWords: Int, maxLinkDensityE6: Int,
+                          stopwords: Seq[String], lenHighWords: Int,
+                          stopLowE6: Int, stopHighE6: Int): Column =
+    HtmlMainTextExpr(text, minWords, maxLinkDensityE6, stopwords,
+      lenHighWords, stopLowE6, stopHighE6)
+
   /** Reference column-chain implementation of [[normalizeText]]. */
   def normalizeTextCols(text: Column): Column =
     trim(regexp_replace(

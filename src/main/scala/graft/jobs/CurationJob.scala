@@ -191,11 +191,26 @@ object CurationJob {
           else {
             // "full" = html_to_text (WET-equivalent whole page);
             // "main" = html_main_text (block-level boilerplate drop —
-            // nav/footer link soup stays out of the corpus)
+            // nav/footer link soup stays out of the corpus);
+            // "justext" (r14) = the four-class scheme — REQUIRES
+            // justext_stopwords (the per-language stopword list is what
+            // stopword density means); lenHigh/stopLow/stopHigh dials
+            // default to the paper-shaped 10 words / 0.25 / 0.45
             val extractor: org.apache.spark.sql.Column =
               str("warc_html_extract", "full") match {
                 case "main" =>
                   graft.functions.TextFns.htmlMainText(col("text"))
+                case "justext" =>
+                  val sw = strSeq("justext_stopwords")
+                  require(sw.nonEmpty,
+                    "warc_html_extract=justext needs justext_stopwords")
+                  graft.functions.TextFns.htmlMainTextJustext(col("text"),
+                    str("justext_min_words", "5").toInt,
+                    str("justext_max_link_density_e6", "500000").toInt,
+                    sw,
+                    str("justext_len_high_words", "10").toInt,
+                    str("justext_stop_low_e6", "250000").toInt,
+                    str("justext_stop_high_e6", "450000").toInt)
                 case _ => graft.functions.TextFns.htmlToText(col("text"))
               }
             td.withColumn("text",

@@ -49,6 +49,54 @@ class CurationJobSpec extends SparkSpec {
     assert(CurationJob.run(spark, s"$dir/cfg.json").isEmpty)
   }
 
+  test("curation job: warc_html_extract=justext drops fluent zero-stopword boilerplate") {
+    val dir = Files.createTempDirectory("curation_justext")
+    def gz(recs: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      recs.foreach { r =>
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(r); g.finish()
+      }
+      bos.toByteArray
+    }
+    import java.nio.charset.StandardCharsets.UTF_8
+    def capture(d: Long, bodyHtml: String): Array[Byte] = {
+      val body = bodyHtml.getBytes(UTF_8)
+      val http = ("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=UTF-8\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: ${graft.operators.SyntheticWarc.uri(d)}\r\n" +
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes(UTF_8) ++
+        http ++ "\r\n\r\n".getBytes(UTF_8)
+    }
+    val good = "the cat sat on the mat and the dog lay in the sun today " +
+      "and it was the best of all the days that the cat had seen"
+    val pitch = "buy cheap deals now best offers sale discount here " +
+      "premium quality products shipped fast worldwide free"
+    // the sales pitch passes the legacy "main" rules (long, no links) but
+    // has zero stopwords — only the justext mode kills it
+    Files.write(dir.resolve("c.warc.gz"), gz(Seq(
+      capture(1L, s"<html><body><p>$good</p><p>$pitch</p></body></html>"))))
+    def run(mode: String, out: String): String = {
+      Files.writeString(dir.resolve(s"cfg_$out.json"),
+        s"""{"documents_path": "$dir/c.warc.gz", "input_format": "warc",
+           | "output_path": "$dir/$out", "min_words": 5,
+           | "warc_html_extract": "$mode",
+           | "justext_stopwords": ["the","a","an","and","of","to","in",
+           |   "it","was","is","for","on","with","that","all","had"]}"""
+          .stripMargin)
+      CurationJob.run(spark, s"$dir/cfg_$out.json")
+      spark.read.parquet(s"$dir/$out").select($"text").as[String].head()
+    }
+    val mainText = run("main", "out_main")
+    assert(mainText.contains(pitch) && mainText.contains(good), mainText)
+    val jt = run("justext", "out_justext")
+    assert(jt == good, jt)
+  }
+
   test("curation job: min_words_by_lang applies per-language floors, min_words backs off") {
     val dir = Files.createTempDirectory("curation_mwbl")
     def words(n: Int, tag: String): String =

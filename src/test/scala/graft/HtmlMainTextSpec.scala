@@ -11,8 +11,8 @@ class HtmlMainTextSpec extends SparkSpec {
 
   private def x(html: String, minWords: Int = 5,
                 maxLd: Int = 500000): String =
-    HtmlMainTextExpr.extract(UTF8String.fromString(html), minWords, maxLd)
-      .toString
+    HtmlMainTextExpr.extract(UTF8String.fromString(html), minWords, maxLd,
+      new java.util.HashSet[String](), 10, 250000, 450000).toString
 
   test("content blocks keep, boilerplate blocks drop") {
     val page =
@@ -89,6 +89,57 @@ class HtmlMainTextSpec extends SparkSpec {
       .as[String].collect().toSeq == battery.map(x(_)))
     assert(spark.sql("SELECT html_main_text(h, 2, 500000) FROM main_battery")
       .as[String].collect().toSeq == battery.map(x(_, minWords = 2)))
+  }
+
+  // ---- jusText four-class scheme (r14: stopword density + context) ----
+
+  private val stops = Seq("the", "a", "an", "and", "of", "to", "in", "it",
+    "was", "is", "for", "on", "with", "that")
+
+  private def xj(html: String): String = {
+    val set = new java.util.HashSet[String]()
+    stops.foreach(set.add)
+    HtmlMainTextExpr.extract(UTF8String.fromString(html), 5, 500000,
+      set, 10, 250000, 450000).toString
+  }
+
+  private val good = "the cat sat on the mat and the dog lay in the sun today"
+  private val zeroStop = "buy cheap deals now best offers sale discount here"
+
+  test("jusText mode: stopword-dense blocks are real text, zero-stopword prose is boilerplate") {
+    // the long zero-stopword block passed the LEGACY rules (>= 5 words, no
+    // links) but dies under the stopword rule — the fluent-boilerplate flip
+    assert(x(s"<p>$zeroStop</p>") == zeroStop)
+    assert(xj(s"<p>$zeroStop</p>") == "")
+    // stopword-dense long block is GOOD standalone
+    assert(xj(s"<p>$good</p>") == good)
+    // stopword-dense SHORT-ish block (<= lenHigh words) is only NEARGOOD:
+    // alone on a page (edges are BAD) it dies; next to a GOOD block it lives
+    val dense7 = "it was the best of the worst"
+    assert(xj(s"<p>$dense7</p>") == "")
+    assert(xj(s"<p>$good</p><p>$dense7</p>") == s"$good\n$dense7")
+  }
+
+  test("jusText mode: SHORT blocks rescue between GOOD neighbors only") {
+    val short4 = "It was so good"
+    // GOOD | SHORT | GOOD -> rescued
+    assert(xj(s"<p>$good</p><p>$short4</p><p>$good</p>") ==
+      s"$good\n$short4\n$good")
+    // BAD | SHORT | GOOD -> mixed neighborhood, dies
+    assert(xj(s"<p>$zeroStop</p><p>$short4</p><p>$good</p>") == good)
+    // page edge counts BAD: SHORT at the start dies even before GOOD
+    assert(xj(s"<p>$short4</p><p>$good</p>") == good)
+  }
+
+  test("jusText mode: NEARGOOD lives next to GOOD, dies between BADs") {
+    val nearGood = "please sign up for our newsletter to get the latest updates"
+    // between BADs (fluent-looking boilerplate in a bad neighborhood): dies
+    assert(xj(s"<p>$zeroStop</p><p>$nearGood</p><p>$zeroStop</p>") == "")
+    // after a GOOD block: lives (either-side rule)
+    assert(xj(s"<p>$good</p><p>$nearGood</p>") == s"$good\n$nearGood")
+    // link-dense blocks stay BAD regardless of stopword density
+    val linky = "read all of it at <a>the page of the day with the story</a>"
+    assert(xj(s"<p>$good</p><p>$linky</p>") == good)
   }
 
   test("kept-everything page equals html_to_text modulo block newlines") {
