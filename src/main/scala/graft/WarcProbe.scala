@@ -166,6 +166,35 @@ object WarcProbe {
         }
         println(f"[warc-probe] wetDocs=${wet._1} avgChars=${wet._2}%.0f")
 
+      case "write" =>
+        // WET export census (args: <outDir> <docsParquet> [nFiles]): write
+        // the documents table as conversion records, then parse it back
+        // and require the doc count to survive — throughput receipt for
+        // the r14 `Warc.write` sink
+        val docsParquet = args(2)
+        val nf = args.drop(3).headOption.map(_.toInt).getOrElse(64)
+        val docs = spark.read.parquet(docsParquet)
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .withColumn("url", concat(lit("http://graft.test/doc/"),
+            col("doc_id")))
+          .withColumn("warc_date", concat(lit("2024-01-0"),
+            (col("doc_id") % 4 + 1).cast("string"), lit("T00:00:00Z")))
+          .select(col("url"), col("warc_date"), col("text"))
+        val inCount = docs.count()
+        val written = timed("write") {
+          Warc.write(docs.repartition(nf), dir)
+        }
+        val bytes = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".warc.gz")).map(_.length()).sum
+        println(f"[warc-probe] wrote $written records / $nf files, " +
+          f"${bytes / 1e9}%.2f GB gz")
+        val back = timed("readback") {
+          Warc.textDocs(Warc.records(spark, dir)).count()
+        }
+        require(back == inCount && written == inCount,
+          s"round-trip drift: in=$inCount written=$written back=$back")
+        println(s"[warc-probe] round-trip OK: $back docs")
+
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

@@ -335,6 +335,48 @@ class WarcSpec extends SparkSpec {
     assert(Warc.recordsFromPaths(spark, Nil).isEmpty)
   }
 
+  test("Warc.write: WET export round-trips bit-equal through the parser") {
+    val dir = java.nio.file.Files.createTempDirectory("warcwrite").toString
+    val docs = Seq(
+      ("http://graft.test/a", "2024-01-01T00:00:00Z", "plain ascii doc"),
+      ("http://graft.test/b", "2024-02-02T12:34:56Z",
+        "unicode café 日本語 🙂 and\nnewlines\twith tabs"),
+      ("http://graft.test/c", "2024-03-03T00:00:00Z", ""),
+      ("http://graft.test/d", "2024-04-04T00:00:00Z",
+        "WARC/1.0\r\nContent-Length: 5\r\n\r\nfake!"), // header-shaped body
+      ("http://graft.test/e", "2024-05-05T00:00:00Z", "x" * 100000))
+      .toDF("url", "warc_date", "text")
+    val written = graft.io.Warc.write(docs.repartition(2), dir)
+    assert(written == 5L)
+    // files: gzip member per record, conversion type, parse route reads them
+    val back = Warc.textDocs(Warc.records(spark, dir))
+      .collect().map(d => (d.url, d.warc_date, d.text)).toSet
+    val want = docs.as[(String, String, String)].collect().toSet
+    assert(back == want, s"round-trip drift: ${back.diff(want)} / ${want.diff(back)}")
+    // statuses/mimes carry the WET conventions
+    val td = Warc.textDocs(Warc.records(spark, dir)).collect()
+    assert(td.forall(d => d.http_status == 200 && d.mime == "text/plain"))
+    // exact-path route reads the export too (no glob dependence)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz")).map(_.getPath).toSeq
+    assert(files.size == 2)
+    assert(Warc.textDocs(Warc.recordsFromPaths(spark, files)).count() == 5L)
+    // deterministic re-export: same partitions -> byte-identical files
+    val dir2 = java.nio.file.Files.createTempDirectory("warcwrite2").toString
+    graft.io.Warc.write(docs.repartition(2), dir2)
+    for (f <- files) {
+      val twin = new java.io.File(dir2, new java.io.File(f).getName)
+      assert(java.util.Arrays.equals(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f)),
+        java.nio.file.Files.readAllBytes(twin.toPath)), s"bytes drift: $f")
+    }
+    // empty frame: zero records, no files
+    val edir = java.nio.file.Files.createTempDirectory("warcwrite3").toString
+    assert(graft.io.Warc.write(docs.limit(0), edir) == 0L)
+    assert(!new java.io.File(edir).listFiles().exists(
+      _.getName.endsWith(".warc.gz")))
+  }
+
   test("resource records with text content types extract as bare text") {
     val res = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
       "WARC-Target-URI: http://graft.test/res\r\n" +
