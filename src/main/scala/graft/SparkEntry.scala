@@ -206,7 +206,10 @@ object SparkEntry {
     "q130_banned_word_gate" -> qBannedWordGate,
     "q131_lang_id_margins" -> qLangIdMargins,
     "q132_per_lang_perplexity" -> qPerLangPerplexity,
-    "q133_justext_main_text" -> qJustextMainText)
+    "q133_justext_main_text" -> qJustextMainText,
+    "q134_bm25_topk" -> qBm25TopK,
+    "q135_link_graph_rank" -> qLinkGraphRank,
+    "q136_anchor_texts" -> qAnchorTexts)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2427,6 +2430,80 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** Synthetic deterministic crawl for the link-graph rows (q135/q136):
+    * page i lives at site i%23 and links (a) its site's hub page i%10 —
+    * href deliberately MIXED-CASE with the default :443 port, so
+    * normalization is load-bearing; (b) page (7i+1)%n via a ROOT-RELATIVE
+    * href, so RFC 3986 resolution is load-bearing; (c) page (13i+5)%n on
+    * the NEXT site with a tracking param and an `&amp;`-escaped separator,
+    * so entity decoding and tracking-param stripping are load-bearing.
+    * The DuckDB oracles re-derive the edges from these closed-form
+    * formulas — the engine must arrive at the same graph through
+    * extract_links → url_resolve → url_normalize. */
+  private def linkCrawlPages(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.count()
+    val i = col("doc_id")
+    def str(c: org.apache.spark.sql.Column) = c.cast("string")
+    val site = str(pmod(i, lit(23L)))
+    val page = concat(lit("https://site"), site, lit(".example.com/p/"), str(i))
+    val html = concat(
+      lit("<html><body><h1>Page "), str(i), lit("</h1>"),
+      lit("<a href=\"HTTPS://Site"), site, lit(".Example.COM:443/p/"),
+      str(pmod(i, lit(10L))), lit("\">hub "), str(pmod(i, lit(10L))),
+      lit("</a> <a href='/p/"), str(pmod(i * 7L + 1L, lit(n))),
+      lit("'>next "), str(pmod(i, lit(7L))),
+      lit("</a> <a href=\"https://site"), str(pmod(i + 1L, lit(23L))),
+      lit(".example.com/p/"), str(pmod(i * 13L + 5L, lit(n))),
+      lit("?utm_source=feed&amp;x="), str(pmod(i, lit(3L))),
+      lit("\">cross</a></body></html>"))
+    graft.operators.Dedup.ensureParallel(docs)
+      .select(page.as("url"), html.as("html"))
+  }
+
+  /** q135: crawl link graph + scaled-integer PageRank — the centrality
+    * prior web curation keys on (Common Crawl publishes host ranks for
+    * this). Raw HTML → extract_links → url_resolve → url_normalize →
+    * distinct edges → 3 PageRank iterations, every step integer-exact;
+    * DuckDB re-derives the graph in closed form and unrolls the three
+    * iterations as CTEs. Top-50 nodes by (rank desc, url asc). */
+  private def qLinkGraphRank(s: SparkSession, dir: String): DataFrame = {
+    val links = graft.operators.LinkGraph.links(
+      linkCrawlPages(s, dir), "url", "html")
+    graft.operators.LinkGraph.pageRank(links, iters = 3)
+      .orderBy(col("pr_e12").desc, col("node"))
+      .limit(50)
+  }
+
+  /** q136: anchor-text aggregation — per target URL, the top-3 anchor
+    * texts by occurrence (ties: FNV-1a 64 asc, q67's hash-verified total
+    * order). The strongest free-text description of a page is what OTHER
+    * pages call it; this is the signal's build step. Self-links and
+    * duplicate (src,dst) pairs keep — multiplicity IS the anchor count. */
+  private def qAnchorTexts(s: SparkSession, dir: String): DataFrame = {
+    val links = graft.operators.LinkGraph.links(
+      linkCrawlPages(s, dir), "url", "html")
+    graft.operators.LinkGraph.anchorTopK(links, 3)
+      .orderBy(col("dst"), col("rn"))
+  }
+
+  /** q134: BM25 top-10 retrieval — the sparse-retrieval primitive
+    * (decontamination-by-retrieval, seed-set mining, the lexical half of
+    * hybrid search). Queries are every 37th document's first five words;
+    * scoring is the quantized Lucene BM25 (exact scaled integers — see
+    * [[graft.operators.Bm25]]), so DuckDB re-derives every score and the
+    * full (score desc, doc_id asc) ranking bit-for-bit. */
+  private def qBm25TopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(pmod(col("doc_id"), lit(37L)) === 0L)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(graft.functions.TextFns.words(col("text")), 1, 5),
+          " ").as("q_text"))
+    graft.operators.Bm25.topK(docs, "doc_id", "text",
+      queries, "q_id", "q_text", k = 10)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** q132: PER-LANGUAGE perplexity bucketing — the q89 CCNet gate the way
     * real multilingual pipelines run it (CCNet/mC4 split by language FIRST;
     * one global LM scores every minority language as gibberish): ONE job
@@ -4611,6 +4688,171 @@ object SparkEntry {
     // q131: char-2/3-gram LID margins — substr n-grams, the q85 byte-exact
     // FNV HUGEINT walk on distinct grams, positive-mod buckets, the
     // per-language weight formula, all margins + argmax under the compare
+    // q136: the synthetic crawl's links are closed-form (see
+    // linkCrawlPages) — raw link rows re-derived from the formulas
+    // (self-links and duplicates KEPT: multiplicity is the anchor count),
+    // ranked per target by (count desc, FNV-1a 64 asc — q67's machinery)
+    "q136_anchor_texts" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT 'https://site' || CAST(doc_id % 23 AS VARCHAR) ||
+        |      '.example.com/p/' || CAST(doc_id % 10 AS VARCHAR) AS dst,
+        |    'hub ' || CAST(doc_id % 10 AS VARCHAR) AS anchor
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://site' || CAST(doc_id % 23 AS VARCHAR) ||
+        |      '.example.com/p/' || CAST((7 * doc_id + 1) % n AS VARCHAR),
+        |    'next ' || CAST(doc_id % 7 AS VARCHAR)
+        |  FROM documents, nn
+        |  UNION ALL
+        |  SELECT 'https://site' || CAST((doc_id + 1) % 23 AS VARCHAR) ||
+        |      '.example.com/p/' || CAST((13 * doc_id + 5) % n AS VARCHAR) ||
+        |      '?x=' || CAST(doc_id % 3 AS VARCHAR),
+        |    'cross'
+        |  FROM documents, nn),
+        |counted AS (
+        |  SELECT dst, anchor, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM raw GROUP BY dst, anchor),
+        |ad AS (SELECT DISTINCT anchor FROM counted),
+        |fnv AS (
+        |  SELECT anchor, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |      THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+        |    AS fnv
+        |  FROM (
+        |    SELECT anchor, list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(0, octet_length(encode(anchor))), i ->
+        |          CAST(strpos('123456789ABCDEF',
+        |                 hex(encode(anchor))[CAST(2*i+1 AS BIGINT)]) * 16
+        |             + strpos('123456789ABCDEF',
+        |                 hex(encode(anchor))[CAST(2*i+2 AS BIGINT)]) AS BIGINT))),
+        |      (h, byt) -> ((h - (h % 256)
+        |          + xor(CAST(h % 256 AS BIGINT), byt)::HUGEINT)
+        |        * 1099511628211::HUGEINT)
+        |        % 18446744073709551616::HUGEINT) AS h
+        |    FROM ad)),
+        |ranked AS (
+        |  SELECT c.dst, c.anchor, c.cnt,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c.dst
+        |      ORDER BY c.cnt DESC, f.fnv ASC) AS INT) AS rn
+        |  FROM counted c JOIN fnv f USING (anchor))
+        |SELECT dst, rn, anchor, cnt FROM ranked
+        |WHERE rn <= 3 ORDER BY dst, rn""".stripMargin,
+    // q135: edges re-derived from linkCrawlPages' closed-form link
+    // formulas (the engine must reach the same graph through
+    // extract_links -> url_resolve -> url_normalize); three PageRank
+    // iterations unrolled as CTEs with the engine's exact integer
+    // arithmetic: r0 = 1e12 // m, teleport = 150e12 // (1000 m),
+    // contribution = (pr * 850) // (1000 * out_deg)
+    "q135_link_graph_rank" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT 'https://site' || CAST(doc_id % 23 AS VARCHAR) ||
+        |      '.example.com/p/' || CAST(doc_id AS VARCHAR) AS src,
+        |    'https://site' || CAST(doc_id % 23 AS VARCHAR) ||
+        |      '.example.com/p/' || CAST(doc_id % 10 AS VARCHAR) AS dst
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://site' || CAST(doc_id % 23 AS VARCHAR) ||
+        |      '.example.com/p/' || CAST(doc_id AS VARCHAR),
+        |    'https://site' || CAST(doc_id % 23 AS VARCHAR) ||
+        |      '.example.com/p/' || CAST((7 * doc_id + 1) % n AS VARCHAR)
+        |  FROM documents, nn
+        |  UNION ALL
+        |  SELECT 'https://site' || CAST(doc_id % 23 AS VARCHAR) ||
+        |      '.example.com/p/' || CAST(doc_id AS VARCHAR),
+        |    'https://site' || CAST((doc_id + 1) % 23 AS VARCHAR) ||
+        |      '.example.com/p/' || CAST((13 * doc_id + 5) % n AS VARCHAR) ||
+        |      '?x=' || CAST(doc_id % 3 AS VARCHAR)
+        |  FROM documents, nn),
+        |edges AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+        |nodes AS (SELECT src AS node FROM edges
+        |          UNION SELECT dst AS node FROM edges),
+        |c AS (SELECT COUNT(*) AS m FROM nodes),
+        |outd AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS out_deg
+        |         FROM edges GROUP BY src),
+        |ind AS (SELECT dst AS node, CAST(COUNT(*) AS BIGINT) AS in_deg
+        |        FROM edges GROUP BY dst),
+        |r0 AS (SELECT node, 1000000000000 // m AS pr FROM nodes, c),
+        |r1 AS (
+        |  SELECT n.node, CAST((SELECT 150000000000000 // (1000 * m) FROM c)
+        |    + COALESCE(SUM((r.pr * 850) // (1000 * o.out_deg)), 0)
+        |    AS BIGINT) AS pr
+        |  FROM nodes n
+        |  LEFT JOIN edges e ON e.dst = n.node
+        |  LEFT JOIN r0 r ON r.node = e.src
+        |  LEFT JOIN outd o ON o.node = e.src
+        |  GROUP BY n.node),
+        |r2 AS (
+        |  SELECT n.node, CAST((SELECT 150000000000000 // (1000 * m) FROM c)
+        |    + COALESCE(SUM((r.pr * 850) // (1000 * o.out_deg)), 0)
+        |    AS BIGINT) AS pr
+        |  FROM nodes n
+        |  LEFT JOIN edges e ON e.dst = n.node
+        |  LEFT JOIN r1 r ON r.node = e.src
+        |  LEFT JOIN outd o ON o.node = e.src
+        |  GROUP BY n.node),
+        |r3 AS (
+        |  SELECT n.node, CAST((SELECT 150000000000000 // (1000 * m) FROM c)
+        |    + COALESCE(SUM((r.pr * 850) // (1000 * o.out_deg)), 0)
+        |    AS BIGINT) AS pr
+        |  FROM nodes n
+        |  LEFT JOIN edges e ON e.dst = n.node
+        |  LEFT JOIN r2 r ON r.node = e.src
+        |  LEFT JOIN outd o ON o.node = e.src
+        |  GROUP BY n.node)
+        |SELECT n.node, COALESCE(o.out_deg, 0) AS out_deg,
+        |  COALESCE(i2.in_deg, 0) AS in_deg, r3.pr AS pr_e12
+        |FROM nodes n
+        |LEFT JOIN outd o ON o.node = n.node
+        |LEFT JOIN ind i2 ON i2.node = n.node
+        |JOIN r3 ON r3.node = n.node
+        |ORDER BY pr_e12 DESC, n.node LIMIT 50""".stripMargin,
+    // q134: quantized Lucene BM25 re-derived end to end — tf/dl/df, the
+    // rounded-ln idf, the integer length norm, the floor-div per-term
+    // score, and the (score desc, doc_id asc) ranking
+    "q134_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS token FROM toks)
+        |  GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY doc_id),
+        |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+        |              (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS tot),
+        |av AS (SELECT (1000 * tot) // n AS avgdl_e3 FROM st),
+        |q AS (SELECT doc_id AS q_id, unnest(list_distinct(ws[1:5])) AS token
+        |      FROM toks WHERE doc_id % 37 = 0),
+        |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+        |        WHERE token IN (SELECT token FROM q) GROUP BY token),
+        |idf AS (SELECT token,
+        |    CAST(round(ln(((SELECT CAST(n AS DOUBLE) FROM st) - df + 0.5)
+        |      / (df + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf_e6
+        |  FROM dfq),
+        |nrm AS (SELECT doc_id,
+        |    250000 + (750000000 * dl) // (SELECT avgdl_e3 FROM av) AS norm_e6
+        |  FROM dl),
+        |hits AS (
+        |  SELECT q.q_id, tf.doc_id,
+        |    (idf.idf_e6 * tf.tf * 2200)
+        |      // (1000 * tf.tf + (1200 * nrm.norm_e6) // 1000000) AS term_e6
+        |  FROM tf JOIN q USING (token) JOIN idf USING (token)
+        |  JOIN nrm ON nrm.doc_id = tf.doc_id),
+        |sc AS (
+        |  SELECT q_id, doc_id, CAST(SUM(term_e6) AS BIGINT) AS score_e6,
+        |    CAST(COUNT(*) AS BIGINT) AS n_terms
+        |  FROM hits GROUP BY q_id, doc_id),
+        |ranked AS (
+        |  SELECT q_id, doc_id, score_e6, n_terms,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY score_e6 DESC, doc_id) AS INT) AS rn
+        |  FROM sc)
+        |SELECT q_id, rn, doc_id, score_e6, n_terms FROM ranked
+        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
     "q131_lang_id_margins" ->
       """WITH docs AS (
         |  SELECT doc_id, lower(trim(text)) AS t FROM documents),

@@ -1,0 +1,260 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression: hyperlink extraction from raw HTML — the
+  * kernel that turns a crawl into a LINK GRAPH. Every web-scale curation
+  * stack keys quality priors on link structure (Common Crawl publishes
+  * host-level ranks for exactly this reason), and the graph's edges come
+  * from precisely this operation: every `<a href=…>` in every captured
+  * page, with its anchor text (the strongest free-text description of the
+  * TARGET page that exists anywhere on the web).
+  *
+  * One compiled pass, zero regex, zero DOM — same discipline as
+  * [[HtmlToTextExpr]], whose tag-walking helpers it shares. Semantics
+  * (closed-form; q135/q136 re-derive the expected edges in DuckDB):
+  *
+  *  1. `<script>`/`<style>` content skips whole (HTML5 raw-text rules): a
+  *     `document.write('<a href=…>')` is data, not a link.
+  *  2. Comments, `<!DOCTYPE …>`, and `<? … >` skip whole.
+  *  3. An `<a>` open tag is scanned attribute-by-attribute (quote-aware —
+  *     `>` inside a quoted value does not end the tag): the FIRST `href`
+  *     attribute wins (duplicate attributes are ignored per the HTML
+  *     parsing spec). Values may be double-quoted, single-quoted, or
+  *     unquoted (runs to whitespace or `>`).
+  *  4. Character references in the href DECODE (`&amp;` is the legally
+  *     required escape of `&` in attribute values, and real pages use it);
+  *     surrounding ASCII whitespace strips per the URL spec.
+  *  5. The anchor text runs to the matching `</a>` — or to the next `<a`
+  *     open tag (HTML implicitly closes an open anchor there) or
+  *     end-of-input — and is extracted with [[HtmlToTextExpr]]'s exact
+  *     text rules (nested tags → space, entities decode, whitespace
+  *     collapses, trimmed), so `anchor` composes with every downstream
+  *     tokenizer unchanged.
+  *  6. Anchors WITHOUT an href (or with a whitespace-only one) emit
+  *     nothing — they carry no edge.
+  *
+  * Returns `array<struct<href:string, anchor:string>>` in document order
+  * (duplicates preserved — multiplicity is signal; dedup is the graph
+  * builder's decision, not the parser's). */
+case class ExtractLinksExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"extract_links requires a string argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ExtractLinksExpr.schema
+  override def prettyName: String = "extract_links"
+
+  override def nullSafeEval(input: Any): Any =
+    ExtractLinksExpr.extract(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExtractLinksExpr.extract($c)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): ExtractLinksExpr = copy(child = newChild)
+}
+
+object ExtractLinksExpr {
+  import HtmlToTextExpr.{asciiLower, isAsciiLetter, isWs, skipRawText, skipTag, tagNameAt}
+
+  val schema: DataType = ArrayType(StructType(Seq(
+    StructField("href", StringType, nullable = false),
+    StructField("anchor", StringType, nullable = false))),
+    containsNull = false)
+
+  /** Decode character references in an attribute value (no tag stripping,
+    * no whitespace collapse — a URL's internal spacing is its own): the
+    * five XML names + `&nbsp;` + numeric `&#NN;`/`&#xHH;`; anything else
+    * stays literal (bare ampersands are the common case in query strings). */
+  private def decodeRefs(s: String): String = {
+    if (s.indexOf('&') < 0) return s
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        var j = i + 1
+        val lim = math.min(n, i + 12)
+        while (j < lim && s.charAt(j) != ';') j += 1
+        var consumed = false
+        if (j < lim && j < n && s.charAt(j) == ';' && j > i + 1) {
+          val body = s.substring(i + 1, j)
+          if (body.charAt(0) == '#') {
+            val num = body.substring(1)
+            val cp =
+              try {
+                if (num.nonEmpty && (num.charAt(0) == 'x' || num.charAt(0) == 'X'))
+                  Integer.parseInt(num.substring(1), 16)
+                else Integer.parseInt(num)
+              } catch { case _: NumberFormatException => -1 }
+            if (cp >= 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF)) {
+              sb.appendCodePoint(cp); consumed = true
+            }
+          } else asciiLower(body) match {
+            case "amp" => sb.append('&'); consumed = true
+            case "lt" => sb.append('<'); consumed = true
+            case "gt" => sb.append('>'); consumed = true
+            case "quot" => sb.append('"'); consumed = true
+            case "apos" => sb.append('\''); consumed = true
+            case "nbsp" => sb.append(' '); consumed = true
+            case _ => ()
+          }
+        }
+        if (consumed) i = j + 1 else { sb.append('&'); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Strip leading/trailing ASCII whitespace (the URL spec's first step on
+    * an href value). */
+  private def trimAsciiWs(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && isWs(s.charAt(a))) a += 1
+    while (b > a && isWs(s.charAt(b - 1))) b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
+  /** Parse the attributes of the `<a …>` tag opening at `lt`; returns the
+    * raw value of the FIRST `href` attribute (null when absent) — the tag
+    * end is re-derived by the caller via [[HtmlToTextExpr.skipTag]], whose
+    * quote rules this walk mirrors exactly. */
+  private def findHref(s: String, lt: Int, tagEnd: Int): String = {
+    // past "<a"
+    var i = lt + 2
+    val end = math.min(tagEnd, s.length)
+    while (i < end) {
+      val c = s.charAt(i)
+      if (isWs(c) || c == '/') { i += 1 }
+      else if (c == '>') return null
+      else {
+        // attribute name
+        val nameStart = i
+        while (i < end && !isWs(s.charAt(i)) && s.charAt(i) != '=' &&
+          s.charAt(i) != '>' && s.charAt(i) != '/') i += 1
+        val name = asciiLower(s.substring(nameStart, i))
+        while (i < end && isWs(s.charAt(i))) i += 1
+        if (i < end && s.charAt(i) == '=') {
+          i += 1
+          while (i < end && isWs(s.charAt(i))) i += 1
+          if (i < end) {
+            val q = s.charAt(i)
+            val value =
+              if (q == '"' || q == '\'') {
+                val vs = i + 1
+                var j = vs
+                while (j < end && s.charAt(j) != q) j += 1
+                val v = s.substring(vs, math.min(j, end))
+                i = if (j < end) j + 1 else end
+                v
+              } else {
+                val vs = i
+                var j = vs
+                while (j < end && !isWs(s.charAt(j)) && s.charAt(j) != '>') j += 1
+                val v = s.substring(vs, j)
+                i = j
+                v
+              }
+            if (name == "href") return value
+          }
+        }
+        // valueless attribute named href carries no URL; keep scanning
+      }
+    }
+    null
+  }
+
+  /** Referenced from generated Java code — must stay public. */
+  def extract(input: UTF8String): GenericArrayData = {
+    val s = input.toString
+    val n = s.length
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef](8)
+    var i = 0
+    while (i < n) {
+      if (s.charAt(i) == '<') {
+        val next = if (i + 1 < n) s.charAt(i + 1) else 0.toChar
+        if (s.regionMatches(i, "<!--", 0, 4)) {
+          val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (tagNameAt(s, i + 1, "script")) {
+          i = skipRawText(s, i, "script")
+        } else if (tagNameAt(s, i + 1, "style")) {
+          i = skipRawText(s, i, "style")
+        } else if (tagNameAt(s, i + 1, "a")) {
+          val tagEnd = skipTag(s, i)
+          val rawHref = findHref(s, i, tagEnd - 1)
+          // self-closing "<a …/>": lenient empty anchor (HTML5 would ignore
+          // the slash, but a truncation-tolerant parser must not over-read)
+          val selfClosing = tagEnd >= 2 && tagEnd - 2 > i &&
+            s.charAt(tagEnd - 2) == '/' && s.charAt(tagEnd - 1) == '>'
+          var innerEnd = tagEnd
+          var resume = tagEnd
+          if (!selfClosing) {
+            var j = tagEnd
+            var found = false
+            while (j < n && !found) {
+              if (s.charAt(j) == '<') {
+                if (s.regionMatches(j, "<!--", 0, 4)) {
+                  val end = s.indexOf("-->", j + 4)
+                  j = if (end < 0) n else end + 3
+                } else if (tagNameAt(s, j + 1, "script")) {
+                  j = skipRawText(s, j, "script")
+                } else if (j + 1 < n && s.charAt(j + 1) == '/' &&
+                  tagNameAt(s, j + 2, "a")) {
+                  innerEnd = j; resume = skipTag(s, j); found = true
+                } else if (tagNameAt(s, j + 1, "a")) {
+                  // implicit close: the next anchor starts here — reprocess it
+                  innerEnd = j; resume = j; found = true
+                } else if (tagNameAt(s, j + 1, "style")) {
+                  j = skipRawText(s, j, "style")
+                } else if (j + 1 < n && (isAsciiLetter(s.charAt(j + 1)) ||
+                  s.charAt(j + 1) == '/' || s.charAt(j + 1) == '!' ||
+                  s.charAt(j + 1) == '?')) {
+                  j = skipTag(s, j)
+                } else j += 1
+              } else j += 1
+            }
+            if (!found) { innerEnd = n; resume = n }
+          }
+          if (rawHref != null) {
+            val href = trimAsciiWs(decodeRefs(rawHref))
+            if (href.nonEmpty) {
+              val anchor =
+                HtmlToTextExpr.extract(
+                  UTF8String.fromString(s.substring(tagEnd, innerEnd)))
+              out += new GenericInternalRow(Array[Any](
+                UTF8String.fromString(href), anchor))
+            }
+          }
+          i = resume
+        } else if (next == '!' || next == '?' || isAsciiLetter(next) ||
+          next == '/') {
+          i = skipTag(s, i)
+        } else i += 1
+      } else i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Column form — direct expression construction, no registry required. */
+  def apply(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      ExtractLinksExpr(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
+
+  /** Register as a SQL function: `SELECT extract_links(x)`. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "extract_links", exprs => ExtractLinksExpr(exprs.head), "built-in")
+}

@@ -61,16 +61,16 @@ case class HtmlToTextExpr(child: Expression) extends UnaryExpression {
 
 object HtmlToTextExpr {
 
-  private def isWs(c: Char): Boolean =
+  private[functions] def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
       c == '\r'
 
-  private def isAsciiLetter(c: Char): Boolean =
+  private[functions] def isAsciiLetter(c: Char): Boolean =
     (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
   /** ASCII-only case fold (entity names are ASCII by the HTML grammar) —
     * locale-free by construction, per the LocaleProof kernel rule. */
-  private def asciiLower(s: String): String = {
+  private[functions] def asciiLower(s: String): String = {
     val a = s.toCharArray
     var i = 0
     while (i < a.length) {
@@ -83,7 +83,7 @@ object HtmlToTextExpr {
 
   /** True when `s` holds `name` (ASCII, lowercase) at `at`, case-blind,
     * followed by a tag-name terminator (ws, '>', '/', or end). */
-  private def tagNameAt(s: String, at: Int, name: String): Boolean = {
+  private[functions] def tagNameAt(s: String, at: Int, name: String): Boolean = {
     if (at + name.length > s.length) return false
     var k = 0
     while (k < name.length) {
@@ -98,7 +98,7 @@ object HtmlToTextExpr {
 
   /** Index just past the '>' that closes the tag opening at `lt`
     * (quote-aware); `s.length` when unterminated. */
-  private def skipTag(s: String, lt: Int): Int = {
+  private[functions] def skipTag(s: String, lt: Int): Int = {
     var i = lt + 1
     var quote: Char = 0
     while (i < s.length) {
@@ -114,7 +114,7 @@ object HtmlToTextExpr {
   /** Index just past the raw-text element (script/style) whose open tag
     * starts at `lt`: past the open tag, then case-blind to `</name`, then
     * past that close tag's '>'. `s.length` when unterminated. */
-  private def skipRawText(s: String, lt: Int, name: String): Int = {
+  private[functions] def skipRawText(s: String, lt: Int, name: String): Int = {
     var i = skipTag(s, lt)
     while (i < s.length) {
       if (s.charAt(i) == '<' && i + 1 < s.length && s.charAt(i + 1) == '/' &&

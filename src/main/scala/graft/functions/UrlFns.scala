@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -63,6 +63,33 @@ case class UrlHostExpr(child: Expression) extends UnaryExpression {
          |${ev.isNull} = (${ev.value} == null);""".stripMargin)
   override protected def withNewChildInternal(
       newChild: Expression): UrlHostExpr = copy(child = newChild)
+}
+
+/** RFC 3986 §5 relative-reference resolution: `url_resolve(base, href)` —
+  * the step between [[graft.functions.ExtractLinksExpr link extraction]]
+  * and [[UrlNormalizeExpr canonicalization]]. A crawled page's hrefs are
+  * mostly RELATIVE (`/a/b`, `../c`, `?q=1`, `//cdn.example.com/x`); a link
+  * graph built from raw hrefs would connect nothing. Null-lenient: a null
+  * base or href yields null (the row simply contributes no edge). */
+case class UrlResolveExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"url_resolve requires (string, string), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "url_resolve"
+  override def nullSafeEval(base: Any, href: Any): Any =
+    UrlFns.resolve(base.asInstanceOf[UTF8String],
+      href.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (b, h) => s"graft.functions.UrlFns.resolve($b, $h)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UrlResolveExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 object UrlFns {
@@ -150,6 +177,100 @@ object UrlFns {
     if (h.isEmpty) null else UTF8String.fromString(h)
   }
 
+  /** RFC 3986 §5.2.4 remove_dot_segments over an absolute path. */
+  private def removeDotSegments(path: String): String = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    var trailingSlash = false
+    var i = 0
+    val n = path.length
+    while (i < n) {
+      var j = path.indexOf('/', i)
+      val seg = if (j < 0) { j = n; path.substring(i) } else path.substring(i, j)
+      seg match {
+        case "" | "." => trailingSlash = true
+        case ".." =>
+          if (out.nonEmpty) out.remove(out.length - 1)
+          trailingSlash = true
+        case s =>
+          out += s
+          trailingSlash = j < n
+      }
+      i = j + 1
+    }
+    "/" + out.mkString("/") + (if (trailingSlash && out.nonEmpty) "/" else "")
+  }
+
+  /** Referenced from generated Java code — must stay public.
+    *
+    * RFC 3986 §5 resolution, crawl-lenient:
+    *  - href with `://` → href (already absolute);
+    *  - non-hierarchical absolute href (`mailto:`, `javascript:`, `tel:`,
+    *    `data:` — a scheme `[A-Za-z][A-Za-z0-9+.-]*:` before any `/?#`)
+    *    → href unchanged (the graph builder's scheme filter drops it);
+    *  - base without `://` → null (no authority to resolve against);
+    *  - `//host/x` → base scheme + `:` + href;
+    *  - `/rooted` → scheme://authority + remove_dot_segments(href);
+    *  - `?query` → base path + href; empty href / `#frag` → base
+    *    (its own fragment dropped — a self-link);
+    *  - relative path → merged with the base path's directory, dot
+    *    segments removed. */
+  def resolve(baseIn: UTF8String, hrefIn: UTF8String): UTF8String = {
+    val href = hrefIn.toString
+    if (href.contains("://")) return hrefIn
+    // non-hierarchical absolute URI: scheme ":" not followed by "//"
+    var k = 0
+    while (k < href.length && href.charAt(k) != ':' && href.charAt(k) != '/' &&
+      href.charAt(k) != '?' && href.charAt(k) != '#') k += 1
+    if (k > 0 && k < href.length && href.charAt(k) == ':' &&
+        isAsciiLetterAt(href, 0)) return hrefIn
+    val base = baseIn.toString
+    val parts = split(base)
+    if (parts == null) return null
+    val scheme = parts._1
+    val auth = parts._2
+    // base path/query, fragment-free
+    var rest = parts._3
+    val bh = rest.indexOf('#')
+    if (bh >= 0) rest = rest.substring(0, bh)
+    val bq = rest.indexOf('?')
+    val basePath = if (bq >= 0) rest.substring(0, bq) else rest
+    val root = scheme + "://" + auth
+    if (href.isEmpty || href.charAt(0) == '#')
+      return UTF8String.fromString(root + rest)
+    if (href.startsWith("//"))
+      return UTF8String.fromString(scheme + ":" + href)
+    if (href.charAt(0) == '?')
+      return UTF8String.fromString(
+        root + (if (basePath.isEmpty) "/" else basePath) + href)
+    // split href into path-part and suffix (query/fragment travel verbatim)
+    var pe = 0
+    while (pe < href.length && href.charAt(pe) != '?' && href.charAt(pe) != '#')
+      pe += 1
+    val hrefPath = href.substring(0, pe)
+    val suffix = href.substring(pe)
+    val merged =
+      if (hrefPath.startsWith("/")) hrefPath
+      else {
+        val dir = basePath.lastIndexOf('/') match {
+          case -1 => "/"
+          case d => basePath.substring(0, d + 1)
+        }
+        dir + hrefPath
+      }
+    UTF8String.fromString(root + removeDotSegments(merged) + suffix)
+  }
+
+  private def isAsciiLetterAt(s: String, i: Int): Boolean = {
+    val c = s.charAt(i)
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  }
+
+  def urlResolve(base: org.apache.spark.sql.Column,
+                 href: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      UrlResolveExpr(org.apache.spark.sql.graft.ColumnBridge.expression(base),
+        org.apache.spark.sql.graft.ColumnBridge.expression(href)))
+
   def urlNormalize(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graft.ColumnBridge.column(
       UrlNormalizeExpr(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
@@ -158,11 +279,14 @@ object UrlFns {
     org.apache.spark.sql.graft.ColumnBridge.column(
       UrlHostExpr(org.apache.spark.sql.graft.ColumnBridge.expression(c)))
 
-  /** Register as SQL: `url_normalize(x)`, `url_host(x)`. */
+  /** Register as SQL: `url_normalize(x)`, `url_host(x)`,
+    * `url_resolve(base, href)`. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "url_normalize", exprs => UrlNormalizeExpr(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "url_host", exprs => UrlHostExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "url_resolve", exprs => UrlResolveExpr(exprs.head, exprs(1)), "built-in")
   }
 }
