@@ -1,0 +1,102 @@
+package graft
+
+import graft.operators.{Bm25, LinkGraph}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiling main for the r14 retrieval/link-graph operators (not
+  * part of the driver contract): synthesizes the q135 crawl shape at any
+  * node count and times edge building (extract_links → url_resolve →
+  * url_normalize → distinct) and PageRank at a production iteration count,
+  * plus BM25 retrieval over a real sf directory — the receipts that the
+  * link graph's per-iteration cost is flat (edges persist once, rank
+  * frames stay node-sized) and that BM25's cost is the tf index build,
+  * not the query fan-out.
+  *
+  * Usage:
+  *   GraphProbe rank <nPages> [iters]      — synthetic crawl + PageRank
+  *   GraphProbe bm25 <sfDir> [k] [every]   — BM25 top-k, queries = every
+  *                                           `every`-th doc's first 5 words
+  */
+object GraphProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "32") + "]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("graph-probe").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](label: String)(body: => A): A = {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[graph-probe] $label%-14s ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    args(0) match {
+      case "rank" =>
+        val n = args(1).toLong
+        val iters = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+        val i = col("id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val site = str(pmod(i, lit(997L))) // ~1k sites at any scale
+        val html = concat(
+          lit("<html><body><h1>Page "), str(i), lit("</h1>"),
+          lit("<a href=\"HTTPS://Site"), site, lit(".Example.COM:443/p/"),
+          str(pmod(i, lit(1000L))), lit("\">hub "), str(pmod(i, lit(10L))),
+          lit("</a> <a href='/p/"), str(pmod(i * 7L + 1L, lit(n))),
+          lit("'>next "), str(pmod(i, lit(7L))),
+          lit("</a> <a href=\"https://site"), str(pmod(i + 1L, lit(997L))),
+          lit(".example.com/p/"), str(pmod(i * 13L + 5L, lit(n))),
+          lit("?utm_source=feed&amp;x="), str(pmod(i, lit(3L))),
+          lit("\">cross</a></body></html>"))
+        val pages = spark.range(n).select(
+          concat(lit("https://site"), site, lit(".example.com/p/"), str(i))
+            .as("url"),
+          html.as("html"))
+          .repartition(spark.sparkContext.defaultParallelism)
+        val links = timed("links") {
+          val l = LinkGraph.links(pages, "url", "html")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          println(s"[graph-probe] links rows=${l.count()}")
+          l
+        }
+        val ranked = timed(s"pagerank x$iters") {
+          val r = LinkGraph.pageRank(links, iters = iters)
+          println(s"[graph-probe] nodes=${r.count()}")
+          r
+        }
+        timed("top20") {
+          ranked.orderBy(col("pr_e12").desc, col("node")).limit(20)
+            .collect().take(5).foreach(r => println(s"[graph-probe]   $r"))
+        }
+      case "bm25" =>
+        val dir = args(1)
+        val k = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+        val every = args.drop(3).headOption.map(_.toLong).getOrElse(37L)
+        val maxHits = args.drop(4).headOption.map(_.toLong).getOrElse(0L)
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val queries = docs
+          .filter(pmod(col("doc_id"), lit(every)) === 0L)
+          .select(col("doc_id").as("q_id"),
+            array_join(slice(graft.functions.TextFns.words(col("text")),
+              1, 5), " ").as("q_text"))
+        println(s"[graph-probe] docs=${docs.count()} queries=${queries.count()}")
+        timed("bm25") {
+          try {
+            val out = Bm25.topK(docs, "doc_id", "text", queries,
+              "q_id", "q_text", k = k, maxHits = maxHits)
+            println(s"[graph-probe] result rows=${out.count()}")
+          } catch {
+            case e: IllegalArgumentException =>
+              println(s"[graph-probe] REFUSED: ${e.getMessage}")
+          }
+        }
+      case other => sys.error(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+}

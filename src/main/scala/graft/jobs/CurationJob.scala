@@ -25,6 +25,17 @@ import org.apache.spark.sql.functions._
   *                                     //   doc ids are xxhash64(url) — the
   *                                     //   full crawl-to-corpus path in ONE
   *                                     //   job
+  *                                     // or "jsonl": documents_path is a
+  *                                     //   dir/glob of .jsonl(.gz) release
+  *                                     //   files (Dolma/C4 layout)
+  *   "jsonl_schema": "doc_id BIGINT, text STRING, lang STRING, source STRING",
+  *                                     //   explicit DDL — NO inference pass
+  *   "jsonl_id_hash_col": "",          //   hash a string id col (e.g.
+  *                                     //   Dolma's "id") to the long id
+  *                                     //   contract via xxhash64
+  *   "jsonl_export_path": "",          // re-publish the curated corpus as
+  *                                     //   gzip JSONL ("" = off; the lake
+  *                                     //   stays parquet)
   *   "warc_html_to_text": true,        //   strip text/html captures to text
   *                                     //   (HtmlToTextExpr) in the scan
   *   "warc_html_extract": "full",      //   or "main": block-level
@@ -175,6 +186,21 @@ object CurationJob {
     val docsPath = cfg.getAs[String]("documents_path")
     val inputDf = str("input_format", "parquet") match {
       case "parquet" => spark.read.parquet(docsPath)
+      case "jsonl" =>
+        // JSONL interchange (the Dolma/C4-release layout: one JSON object
+        // per line, optionally .gz): EXPLICIT schema — inference would be
+        // a second full pass over the corpus at 100 TB, and a schema
+        // drifting under inference is a silent contract change. gz JSONL
+        // is line-splittable only per-file, so parallelism = file count —
+        // the release layout's own sharding (like WARC).
+        val ddl = str("jsonl_schema",
+          "doc_id BIGINT, text STRING, lang STRING, source STRING")
+        val df = spark.read.schema(ddl).json(docsPath)
+        // releases with string ids (Dolma's "id") hash to the engine's
+        // long id contract deterministically
+        val hashFrom = str("jsonl_id_hash_col", "")
+        if (hashFrom.nonEmpty) df.withColumn(idCol, xxhash64(col(hashFrom)))
+        else df
       case "warc" =>
         // crawl-to-corpus: stream the WARC/WET captures (file-parallel,
         // record-streaming — see io.Warc) into the pipeline's (id, text)
@@ -656,6 +682,17 @@ object CurationJob {
       graft.io.BucketedStore.save(spark.read.parquet(outPath), bucketTable,
         idCol, str("output_buckets", "16").toInt)
       lap("bucketed_publish")
+    }
+    // 5b2. optional JSONL interchange export: re-publish the curated corpus
+    // in the layout open-data releases ship (one JSON object per line, gzip
+    // members, one .json.gz per partition — the read path's own sharding).
+    // The LAKE stays parquet (pruned scans, pushdown); JSONL is the
+    // interchange twin, same discipline as the WET export (io.Warc.write).
+    val jsonlPath = str("jsonl_export_path", "")
+    if (jsonlPath.nonEmpty) {
+      spark.read.parquet(outPath).write.mode("overwrite")
+        .option("compression", "gzip").json(jsonlPath)
+      lap("jsonl_export")
     }
     // 5c. optional deterministic shard export (q81 semantics):
     // <output_path>_shards/shard=K/ parquet, each shard streaming in its

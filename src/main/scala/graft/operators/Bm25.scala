@@ -42,7 +42,7 @@ object Bm25 {
   def topK(docs: DataFrame, idCol: String, textCol: String,
            queries: DataFrame, qIdCol: String, qTextCol: String,
            k: Int, k1E3: Long = 1200L, bE3: Long = 750L,
-           minDf: Long = 1L): DataFrame = {
+           minDf: Long = 1L, maxHits: Long = 0L): DataFrame = {
     require(k >= 1 && k1E3 >= 0 && bE3 >= 0 && bE3 <= 1000,
       s"need k >= 1, k1E3 >= 0, bE3 in [0,1000], got $k/$k1E3/$bE3")
     val tf = Dedup.ensureParallel(docs)
@@ -61,12 +61,28 @@ object Bm25 {
     // df over the full corpus, but only for the query's terms: the broadcast
     // semi-restriction keeps the aggregate's OUTPUT query-sized (the shuffle
     // input is the tf frame either way — that aggregate is the index build)
-    val idf = tf.join(broadcast(qTok), "token")
+    val dfq = tf.join(broadcast(qTok), "token")
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
-      .select(col("token"),
-        round(log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
-          (col("df") + lit(0.5)) + lit(1.0)) * 1e6).cast("long").as("idf_e6"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // query-vocabulary-sized
+    val idf = dfq.select(col("token"),
+      round(log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
+        (col("df") + lit(0.5)) + lit(1.0)) * 1e6).cast("long").as("idf_e6"))
+    // hit-volume budget (the pair-budget discipline applied to retrieval):
+    // the scoring join emits EXACTLY Σ_{(q,t∈q)} df(t) rows — a corpus
+    // whose query terms are stopword-frequent (every term in most docs)
+    // goes output-quadratic by construction. One query-sized agg prices it
+    // before the join materializes; refuse loudly, never ENOSPC.
+    if (maxHits > 0L) {
+      val est = qTerms.join(broadcast(dfq), "token")
+        .agg(coalesce(sum(col("df")), lit(0L))).first().getLong(0)
+      require(est <= maxHits,
+        s"bm25TopK: the per-term document frequencies bound the scoring " +
+          s"join at $est hit rows, over the maxHits budget of $maxHits — " +
+          s"refusing before any join work. Raise maxHits, raise minDf " +
+          s"(stopword-frequent query terms carry ~zero idf but pay full " +
+          s"scan cost), or batch the query set.")
+    }
     val normed = dl.select(col(idCol),
       (lit((1000L - bE3) * 1000L) +
         Quantiles.div(lit(bE3 * 1000000L) * col("dl"), lit(avgdlE3)))

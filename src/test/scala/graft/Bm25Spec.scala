@@ -46,6 +46,25 @@ class Bm25Spec extends SparkSpec {
     assert(out.head._3 == 2L && out.head._5 == 2L)
   }
 
+  test("topK: maxHits budget refuses the stopword-frequent regime loudly") {
+    // every query term appears in most docs: hit volume = Σ df = 2 + 2
+    val queries = Seq((1L, "banana cherry")).toDF("q_id", "q_text")
+    val e = intercept[IllegalArgumentException] {
+      Bm25.topK(docs, "doc_id", "text", queries, "q_id", "q_text",
+        k = 2, maxHits = 3L).collect()
+    }
+    assert(e.getMessage.contains("4 hit rows"))
+    assert(e.getMessage.contains("refusing before any join work"))
+    // under budget: identical results to the ungated run
+    val gated = Bm25.topK(docs, "doc_id", "text", queries, "q_id", "q_text",
+      k = 2, maxHits = 4L).orderBy($"q_id", $"rn")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    val open = Bm25.topK(docs, "doc_id", "text", queries, "q_id", "q_text",
+      k = 2).orderBy($"q_id", $"rn")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(gated == open && gated.nonEmpty)
+  }
+
   test("topK: partitioning-invariant") {
     val big = (0L until 300L).map { i =>
       (i, s"w${i % 7} w${i % 11} w${i % 13} common w${i % 3}")

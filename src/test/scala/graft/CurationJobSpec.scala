@@ -49,6 +49,43 @@ class CurationJobSpec extends SparkSpec {
     assert(CurationJob.run(spark, s"$dir/cfg.json").isEmpty)
   }
 
+  test("curation job: jsonl release in, curated lake out, jsonl export round-trips") {
+    val dir = Files.createTempDirectory("curation_jsonl")
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    // the Dolma-style release shape: string ids, gzip JSONL shards
+    Seq(
+      ("a-1", s"$filler first document about rivers", "en", "src0"),
+      ("a-2", s"$filler second document about tides", "en", "src0"),
+      ("a-3", "too short", "en", "src0"),
+      ("b-1", s"$filler dritte deutsche urkunde über seen", "de", "src1"))
+      .toDF("id", "text", "lang", "source")
+      .repartition(2)
+      .write.option("compression", "gzip").json(s"$dir/release")
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/release", "input_format": "jsonl",
+         | "jsonl_schema": "id STRING, text STRING, lang STRING, source STRING",
+         | "jsonl_id_hash_col": "id",
+         | "output_path": "$dir/out", "jsonl_export_path": "$dir/export",
+         | "min_words": 20, "ngram_n": 3, "jaccard_threshold": 0.8,
+         | "block_cols": ["lang"], "redact_pii": false,
+         | "partition_by": []}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    assert(stats.input == 4 && stats.afterQuality == 3 && stats.output == 3)
+    val lake = spark.read.parquet(s"$dir/out")
+    // string ids hashed to the long contract, deterministically
+    val wantIds = Seq("a-1", "a-2", "b-1")
+      .map(s => Seq(s).toDF("id").select(xxhash64($"id")).as[Long].head())
+      .toSet
+    assert(lake.select($"doc_id").as[Long].collect().toSet == wantIds)
+    // the JSONL export is gzip members that parse back to the SAME corpus
+    val export = spark.read.schema(lake.schema).json(s"$dir/export")
+    assert(export.select($"doc_id", $"text").as[(Long, String)]
+      .collect().sorted.toSeq ==
+      lake.select($"doc_id", $"text").as[(Long, String)]
+        .collect().sorted.toSeq)
+    assert(Files.list(dir.resolve("export")).iterator().hasNext)
+  }
+
   test("curation job: warc_html_extract=justext drops fluent zero-stopword boilerplate") {
     val dir = Files.createTempDirectory("curation_justext")
     def gz(recs: Seq[Array[Byte]]): Array[Byte] = {
