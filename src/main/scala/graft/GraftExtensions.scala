@@ -75,5 +75,38 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.VectorSumAgg].getName, "vector_sum"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.VectorSumAgg(exprs.head)))
+    // crawl kernels (r13/r14): URL canonicalization, RFC 3986 resolution,
+    // HTML text extraction, hyperlink extraction — the SQL surface of the
+    // crawl-to-corpus path
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("url_normalize"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.UrlNormalizeExpr].getName, "url_normalize"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.UrlNormalizeExpr(exprs.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("url_host"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.UrlHostExpr].getName, "url_host"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.UrlHostExpr(exprs.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("url_resolve"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.UrlResolveExpr].getName, "url_resolve"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.UrlResolveExpr(exprs.head, exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("html_to_text"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.HtmlToTextExpr].getName, "html_to_text"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.HtmlToTextExpr(exprs.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("extract_links"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.ExtractLinksExpr].getName, "extract_links"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.ExtractLinksExpr(exprs.head)))
   }
 }

@@ -77,7 +77,10 @@ case class HtmlMainTextExpr(child: Expression, minWords: Int,
 
   @transient private lazy val stopSet: java.util.HashSet[String] = {
     val h = new java.util.HashSet[String]()
-    stopwords.foreach(w => h.add(w.toLowerCase(java.util.Locale.ROOT)))
+    // the SAME fold the match side applies to document tokens (extract
+    // lowers via asciiLower) — locale-free by construction, and a config
+    // word like "The" folds identically on both sides
+    stopwords.foreach(w => h.add(HtmlToTextExpr.asciiLower(w)))
     h
   }
 

@@ -50,6 +50,12 @@ import org.apache.spark.sql.functions._
   *   "warc_url_dedup": false,          //   one row per canonical url
   *                                     //   (deterministic min-capture)
   *   "host_blocklist": ["spam.test"],  //   canonical hosts dropped at scan
+  *   "link_host_rank_iters": 0,        //   host-level PageRank prior from
+  *                                     //   the crawl's OWN link structure
+  *                                     //   (0 = off): hrefs from raw html,
+  *                                     //   host->host edges, rank
+  *                                     //   broadcast back as
+  *                                     //   `host_rank_e12` per doc
   *   "host_cap": 0,                    //   per-site quota on the dedup
   *                                     //   survivors (0 = off): at most N
   *                                     //   docs per host, k-bounded TopK
@@ -212,6 +218,32 @@ object CurationJob {
         val td = graft.io.Warc.textDocs(
             graft.io.Warc.records(spark, docsPath)).toDF()
           .filter(col("http_status") >= 200 && col("http_status") <= 299)
+        // optional host-level link-graph rank (the Common-Crawl-style
+        // centrality prior: hosts the crawl itself vouches for): hrefs are
+        // extracted from the RAW text/html captures BEFORE stripping (the
+        // link structure does not survive html_to_text), resolved against
+        // their page, canonicalized, collapsed to host->host edges, and
+        // PageRank'd — the rank frame is HOST-sized, so it broadcasts back
+        // onto the corpus as `host_rank_e12` with no corpus shuffle. Costs
+        // one extra decode pass over the captures when the dial is on.
+        val hostRankIters = str("link_host_rank_iters", "0").toInt
+        val hostRanks: Option[DataFrame] =
+          if (hostRankIters <= 0) None
+          else {
+            val pageLinks = graft.operators.LinkGraph.links(
+              td.filter(col("mime") === "text/html")
+                .select(col("url"), col("text").as("html")),
+              "url", "html")
+            val hostEdges = pageLinks.select(
+                graft.functions.UrlFns.urlHost(col("src")).as("src"),
+                graft.functions.UrlFns.urlHost(col("dst")).as("dst"))
+              .filter(col("src").isNotNull && col("dst").isNotNull &&
+                col("src") =!= col("dst"))
+            Some(graft.operators.LinkGraph.pageRank(hostEdges,
+                iters = hostRankIters)
+              .select(col("node").as("__host"),
+                col("pr_e12").as("host_rank_e12")))
+          }
         val stripped =
           if (!str("warc_html_to_text", "true").toBoolean) td
           else {
@@ -283,11 +315,19 @@ object CurationJob {
         // corpus, so inlining it here would double-run the gzip+envelope
         // walk); the in-scan q28 stopword heuristic remains the zero-setup
         // fallback and the backstop for gram-less docs.
-        if (str("warc_derive_lang", "false").toBoolean &&
-            str("lang_id_weights_path", "").isEmpty)
-          based.withColumn("lang",
-            graft.functions.TextFns.langIdPredict(col("text")))
-        else based
+        val withLang =
+          if (str("warc_derive_lang", "false").toBoolean &&
+              str("lang_id_weights_path", "").isEmpty)
+            based.withColumn("lang",
+              graft.functions.TextFns.langIdPredict(col("text")))
+          else based
+        hostRanks match {
+          case Some(r) => withLang.join(broadcast(r),
+              graft.functions.UrlFns.urlHost(col("url")) === col("__host"),
+              "left")
+            .drop("__host")
+          case None => withLang
+        }
       case other => sys.error(s"unknown input_format $other")
     }
     val inputFormat = str("input_format", "parquet")

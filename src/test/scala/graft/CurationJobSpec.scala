@@ -353,6 +353,68 @@ class CurationJobSpec extends SparkSpec {
       out.filter($"lang".isNull).isEmpty)
   }
 
+  test("curation job: link_host_rank_iters attaches the crawl's own host-rank prior") {
+    val dir = Files.createTempDirectory("curationrank")
+    Files.createDirectory(dir.resolve("captures"))
+    import java.nio.charset.StandardCharsets.UTF_8
+    def gz(recs: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      recs.foreach { r =>
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(r); g.finish()
+      }
+      bos.toByteArray
+    }
+    def capture(uri: String, bodyHtml: String): Array[Byte] = {
+      val body = bodyHtml.getBytes(UTF_8)
+      val http = ("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=UTF-8\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Record-ID: <urn:graft:$uri>\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes(UTF_8) ++
+        http ++ "\r\n\r\n".getBytes(UTF_8)
+    }
+    val filler = (1 to 30).map(i => s"w$i").mkString(" ")
+    def page(text: String, hrefs: String*): String =
+      s"<html><body><p>$text</p>" +
+        hrefs.map(h => s"""<a href="$h">x</a>""").mkString(" ") +
+        "</body></html>"
+    // hosts a and c both link host b; b links c; nobody links a
+    Files.write(dir.resolve("captures/a.warc.gz"), gz(Seq(
+      capture("http://hosta.test/p1",
+        page(s"$filler page one about rivers", "http://hostb.test/x")),
+      capture("http://hostb.test/p2",
+        page(s"$filler page two about tides", "/local", "http://hostc.test/y")),
+      capture("http://hostc.test/p3",
+        page(s"$filler page three about lakes", "http://hostb.test/z")))))
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/captures", "input_format": "warc",
+         | "output_path": "$dir/out", "link_host_rank_iters": 2,
+         | "min_words": 20, "ngram_n": 3, "jaccard_threshold": 0.8,
+         | "redact_pii": false}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    assert(stats.input == 3 && stats.output == 3, stats)
+    val out = spark.read.parquet(s"$dir/out")
+    val got = out.select(graft.functions.UrlFns.urlHost($"url"),
+        $"host_rank_e12")
+      .as[(String, Long)].collect().toMap
+    // the SAME edges through the operator directly = the expected ranks
+    // (the /local href resolves within hostb and drops as a self-host edge)
+    val want = graft.operators.LinkGraph.pageRank(
+        Seq(("hosta.test", "hostb.test"), ("hostc.test", "hostb.test"),
+          ("hostb.test", "hostc.test")).toDF("src", "dst"), iters = 2)
+      .select($"node", $"pr_e12").as[(String, Long)].collect().toMap
+    assert(got == want, s"got $got want $want")
+    // linked hosts outrank the never-linked source host (b and c trade
+    // mass in this tiny cycle; a only decays)
+    assert(got("hostb.test") > got("hosta.test") &&
+      got("hostc.test") > got("hosta.test"))
+  }
+
   test("curation job: url normalization + url-level dedup unify re-fetched captures") {
     val dir = Files.createTempDirectory("curationurl")
     Files.createDirectory(dir.resolve("captures"))

@@ -47,6 +47,21 @@ class ExtensionsMaintenanceSpec extends SparkSpec {
       graft.functions.SimHash64Expr.compute(
         org.apache.spark.unsafe.types.UTF8String.fromString("a b c")).longValue())
     assert(r.getLong(5) == 2L)
+    // crawl kernels injected by the extensions
+    val u = s2.sql(
+      """SELECT url_normalize('HTTP://Ex.COM:80/a?utm_source=x&q=1#f') AS un,
+        |  url_host('https://A.example.com:8443/x') AS uh,
+        |  url_resolve('https://h.test/a/b/c.html', '../up.html') AS ur,
+        |  extract_links('<a href="https://t.test/x?p=1&amp;q=2">go</a>') AS el,
+        |  html_to_text('<p>a &amp; b</p><script>var x;</script>') AS ht
+        |""".stripMargin).collect().head
+    assert(u.getString(4) == "a & b")
+    assert(u.getString(0) == "http://ex.com/a?q=1")
+    assert(u.getString(1) == "a.example.com")
+    assert(u.getString(2) == "https://h.test/a/up.html")
+    val link = u.getSeq[org.apache.spark.sql.Row](3).head
+    assert(link.getString(0) == "https://t.test/x?p=1&q=2" &&
+      link.getString(1) == "go")
     // aggregate functions injected by the extensions
     val agg = s2.sql(
       """SELECT g,
