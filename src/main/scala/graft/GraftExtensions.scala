@@ -108,5 +108,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[graft.functions.ExtractLinksExpr].getName, "extract_links"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         graft.functions.ExtractLinksExpr(exprs.head)))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("robots_rules"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.RobotsRulesExpr].getName, "robots_rules"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.RobotsRulesExpr(exprs.head, exprs(1))))
+    ext.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("robots_allowed"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.RobotsAllowedExpr].getName, "robots_allowed"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.RobotsAllowedExpr(exprs.head, exprs(1), exprs(2))))
   }
 }

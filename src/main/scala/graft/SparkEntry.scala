@@ -209,7 +209,8 @@ object SparkEntry {
     "q133_justext_main_text" -> qJustextMainText,
     "q134_bm25_topk" -> qBm25TopK,
     "q135_link_graph_rank" -> qLinkGraphRank,
-    "q136_anchor_texts" -> qAnchorTexts)
+    "q136_anchor_texts" -> qAnchorTexts,
+    "q137_robots_gate" -> qRobotsGate)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2504,6 +2505,44 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** q137: RFC 9309 robots verdicts — crawl governance (retroactive robots
+    * compliance over a captured corpus; Common Crawl ships robots.txt
+    * captures so consumers can do exactly this). Each host's synthetic
+    * robots.txt carries a `*` group (prefix disallow + a LONGER allow that
+    * rescues a sub-tree) and a `graftbot` group (its own disallow + a
+    * blanket allow), plus a Sitemap line and comments; the engine must
+    * select the right group per agent, apply longest-match with
+    * allow-wins-ties, and DuckDB re-derives both verdict columns in
+    * closed form (prefix-only rules → starts_with algebra). */
+  private def qRobotsGate(s: SparkSession, dir: String): DataFrame = {
+    val i = col("doc_id")
+    val site = pmod(i, lit(23L))
+    def str(c: org.apache.spark.sql.Column) = c.cast("string")
+    val robots = concat(
+      lit("# synthetic robots\nUser-agent: *\nDisallow: /p/"), str(site),
+      lit("\nAllow: /p/"), str(site), str(pmod(site, lit(10L))),
+      lit("\n\nUser-agent: graftbot\nDisallow: /p/"), str(site * 2L),
+      lit("\nAllow: /\nSitemap: https://x.test/s.xml\n"))
+    val path = concat(lit("/p/"), str(i))
+    val withRules = graft.operators.Dedup.ensureParallel(
+        t(s, dir, "documents"))
+      .select(col("doc_id"), path.as("path"),
+        graft.functions.RobotsExprs.robotsRules(robots, lit("graftbot"))
+          .as("__rg"),
+        graft.functions.RobotsExprs.robotsRules(robots, lit("otherbot"))
+          .as("__ro"))
+    withRules.select(col("doc_id"), col("path"),
+      graft.functions.RobotsExprs.robotsAllowed(col("path"),
+        transform(col("__rg"), x => x.getField("pattern")),
+        transform(col("__rg"), x => x.getField("allow")))
+        .as("allowed_graftbot"),
+      graft.functions.RobotsExprs.robotsAllowed(col("path"),
+        transform(col("__ro"), x => x.getField("pattern")),
+        transform(col("__ro"), x => x.getField("allow")))
+        .as("allowed_other"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q132: PER-LANGUAGE perplexity bucketing — the q89 CCNet gate the way
     * real multilingual pipelines run it (CCNet/mC4 split by language FIRST;
     * one global LM scores every minority language as gibberish): ONE job
@@ -4688,6 +4727,21 @@ object SparkEntry {
     // q131: char-2/3-gram LID margins — substr n-grams, the q85 byte-exact
     // FNV HUGEINT walk on distinct grams, positive-mod buckets, the
     // per-language weight formula, all margins + argmax under the compare
+    // q137: prefix-only rules make the RFC 9309 verdicts closed-form
+    // starts_with algebra — graftbot's group is (Disallow /p/<2s>, Allow /),
+    // the * group is (Disallow /p/<s>, Allow /p/<s><s%10>) with the longer
+    // allow rescuing its sub-tree; group selection, longest-match, and the
+    // sitemap/comment/empty-line handling all sit under the hash compare
+    "q137_robots_gate" ->
+      """SELECT doc_id, '/p/' || CAST(doc_id AS VARCHAR) AS path,
+        |  NOT starts_with(CAST(doc_id AS VARCHAR),
+        |    CAST(2 * (doc_id % 23) AS VARCHAR)) AS allowed_graftbot,
+        |  (NOT starts_with(CAST(doc_id AS VARCHAR),
+        |      CAST(doc_id % 23 AS VARCHAR)))
+        |   OR starts_with(CAST(doc_id AS VARCHAR),
+        |      CAST(doc_id % 23 AS VARCHAR) ||
+        |      CAST((doc_id % 23) % 10 AS VARCHAR)) AS allowed_other
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q136: the synthetic crawl's links are closed-form (see
     // linkCrawlPages) — raw link rows re-derived from the formulas
     // (self-links and duplicates KEPT: multiplicity is the anchor count),

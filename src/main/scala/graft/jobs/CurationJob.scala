@@ -50,6 +50,13 @@ import org.apache.spark.sql.functions._
   *   "warc_url_dedup": false,          //   one row per canonical url
   *                                     //   (deterministic min-capture)
   *   "host_blocklist": ["spam.test"],  //   canonical hosts dropped at scan
+  *   "robots_path": "",                //   retroactive RFC 9309 compliance:
+  *                                     //   parquet (host, robots_txt) — each
+  *                                     //   host's governing group for
+  *                                     //   robots_agent parses once,
+  *                                     //   broadcasts, verdicts in-row;
+  *                                     //   hostless robots rows allow
+  *   "robots_agent": "*",              //   product token to govern by
   *   "link_host_rank_iters": 0,        //   host-level PageRank prior from
   *                                     //   the crawl's OWN link structure
   *                                     //   (0 = off): hrefs from raw html,
@@ -293,7 +300,37 @@ object CurationJob {
           else canon.filter(!coalesce(
             graft.functions.UrlFns.urlHost(col("url")), lit(""))
             .isin(blocked: _*))
-        val projected = hostGated.select(
+        // optional retroactive robots compliance (RFC 9309): robots_path is
+        // a parquet of (host, robots_txt) — e.g. extracted from the dump's
+        // own robots captures; each host's governing rule group for
+        // robots_agent is parsed ONCE on the host-sized frame, broadcast,
+        // and every capture's path gets the longest-match verdict in-row.
+        // Hosts with no robots row allow everything (the protocol's
+        // default).
+        val robotsPath = str("robots_path", "")
+        val robotsGated =
+          if (robotsPath.isEmpty) hostGated
+          else {
+            val agent = str("robots_agent", "*")
+            val rb = spark.read.parquet(robotsPath).select(
+              col("host").as("__rhost"),
+              graft.functions.RobotsExprs.robotsRules(
+                col("robots_txt"), lit(agent)).as("__rules"))
+            val urlPath = {
+              val p = regexp_replace(col("url"),
+                "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+              when(p === "", lit("/")).otherwise(p)
+            }
+            hostGated.join(broadcast(rb),
+                graft.functions.UrlFns.urlHost(col("url")) === col("__rhost"),
+                "left")
+              .filter(col("__rules").isNull ||
+                graft.functions.RobotsExprs.robotsAllowed(urlPath,
+                  transform(col("__rules"), x => x.getField("pattern")),
+                  transform(col("__rules"), x => x.getField("allow"))))
+              .drop("__rhost", "__rules")
+          }
+        val projected = robotsGated.select(
           col("url"), col("warc_date"), col("text"))
         // optional URL-level dedup: one row per canonical url, the
         // lexicographically-least (warc_date, text) capture surviving —

@@ -56,6 +56,13 @@ class ExtensionsMaintenanceSpec extends SparkSpec {
         |  html_to_text('<p>a &amp; b</p><script>var x;</script>') AS ht
         |""".stripMargin).collect().head
     assert(u.getString(4) == "a & b")
+    val rv = s2.sql(
+      """SELECT robots_allowed('/private/x',
+        |  transform(r, x -> x.pattern), transform(r, x -> x.allow)) AS v
+        |FROM (SELECT robots_rules(
+        |  concat('User-agent: *', chr(10), 'Disallow: /private'),
+        |  'anybot') AS r)""".stripMargin).collect().head
+    assert(!rv.getBoolean(0))
     assert(u.getString(0) == "http://ex.com/a?q=1")
     assert(u.getString(1) == "a.example.com")
     assert(u.getString(2) == "https://h.test/a/up.html")

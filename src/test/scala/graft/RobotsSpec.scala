@@ -1,0 +1,105 @@
+package graft
+
+import graft.functions.RobotsExprs
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** RFC 9309 robots kernels: group selection, rule parsing, longest-match
+  * verdicts, wildcard/anchor patterns. */
+class RobotsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rules(txt: String, agent: String): Seq[(String, Boolean)] = {
+    val arr = RobotsExprs.rules(UTF8String.fromString(txt),
+      UTF8String.fromString(agent))
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 2)
+      (r.getUTF8String(0).toString, r.getBoolean(1))
+    }
+  }
+
+  private def verdict(path: String, rs: Seq[(String, Boolean)]): Boolean = {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    RobotsExprs.allowed(UTF8String.fromString(path),
+      new GenericArrayData(rs.map(r => UTF8String.fromString(r._1)).toArray),
+      new GenericArrayData(rs.map(_._2).toArray))
+  }
+
+  private val robotsTxt =
+    """# a comment line
+      |User-agent: BigCrawler
+      |Disallow: /private
+      |Allow: /private/ok
+      |
+      |User-agent: Spot
+      |User-agent: OtherBot
+      |Disallow: /
+      |
+      |Sitemap: https://x.test/sitemap.xml
+      |User-agent: *
+      |Disallow: /tmp   # trailing comment
+      |Disallow:
+      |Allow: /tmp/keep
+      |""".stripMargin
+
+  test("rules: group selection — named longest-prefix, shared groups, * fallback") {
+    assert(rules(robotsTxt, "bigcrawler") ==
+      Seq(("/private", false), ("/private/ok", true)))
+    // longest UA prefix wins: "bigcrawler-news/1.0" still matches BigCrawler
+    assert(rules(robotsTxt, "BigCrawler-News") ==
+      Seq(("/private", false), ("/private/ok", true)))
+    // two UA lines share one group
+    assert(rules(robotsTxt, "spot") == Seq(("/", false)))
+    assert(rules(robotsTxt, "otherbot") == Seq(("/", false)))
+    // unknown agent -> the * group; empty-path Disallow ignored; Sitemap
+    // line does not break anything
+    assert(rules(robotsTxt, "randombot") ==
+      Seq(("/tmp", false), ("/tmp/keep", true)))
+    // robots with NO matching group and no * -> empty rules = allow all
+    assert(rules("User-agent: x\nDisallow: /", "ybot").isEmpty)
+  }
+
+  test("allowed: longest-match wins, allow wins ties, no match allows") {
+    val rs = Seq(("/p", false), ("/p/special", true), ("/q", false))
+    assert(!verdict("/p/other", rs))       // /p disallows
+    assert(verdict("/p/special/x", rs))    // longer allow overrides
+    assert(verdict("/r/anything", rs))     // no rule matches
+    // equal-length tie -> allow
+    assert(verdict("/ab", Seq(("/a", false), ("/a", true))))
+    // empty rule set (no governing group) allows
+    assert(verdict("/x", Nil))
+  }
+
+  test("patterns: * wildcards and $ anchors") {
+    assert(verdict("/a/img_x.jpg", Seq(("/a/*.jpg", false))) == false)
+    assert(verdict("/a/img_x.jpgx", Seq(("/a/*.jpg$", false))) == true)
+    assert(verdict("/a/img_x.jpg", Seq(("/a/*.jpg$", false))) == false)
+    // * spans multiple segments; prefix semantics after the wildcard
+    assert(verdict("/x/y/z/file.pdf?dl=1", Seq(("/*/file.pdf", false))) == false)
+    // $ alone anchors an exact path
+    assert(verdict("/", Seq(("/$", false))) == false)
+    assert(verdict("/x", Seq(("/$", false))) == true)
+    // star-only pattern disallows everything it prefixes (i.e. everything)
+    assert(verdict("/whatever", Seq(("*", false))) == false)
+  }
+
+  test("column forms evaluate in-plane and under codegen") {
+    val df = Seq(
+      ("/private/ok/page", robotsTxt),
+      ("/private/secret", robotsTxt),
+      ("/open", robotsTxt))
+      .toDF("path", "robots")
+    val out2 = df
+      .withColumn("r", RobotsExprs.robotsRules(col("robots"),
+        lit("bigcrawler")))
+      .select(col("path"), RobotsExprs.robotsAllowed(col("path"),
+        expr("transform(r, x -> x.pattern)"),
+        expr("transform(r, x -> x.allow)")).as("ok"))
+      .orderBy(col("path"))
+      .as[(String, Boolean)].collect().toSeq
+    assert(out2 == Seq(
+      ("/open", true),
+      ("/private/ok/page", true),
+      ("/private/secret", false)))
+  }
+}
