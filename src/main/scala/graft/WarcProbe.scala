@@ -131,6 +131,50 @@ object WarcProbe {
           .filter(_.getName.endsWith(".warc.gz")).map(_.length()).sum
         println(f"[warc-probe] html lake: $nf files, ${gbytes / 1e9}%.2f GB gz")
 
+      case "genlinks" =>
+        // link-rich HTML lake (SyntheticWarc.htmlRecord: q135's crawl shape
+        // — hub/next/cross links over nSites hosts) from a documents
+        // parquet, PLUS a companion robots parquet at <dir>_robots (even
+        // sites disallow /p/1 for graftbot, a longer allow rescues /p/12)
+        // — the fixture for the FULL-DIAL crawl-to-corpus census: envelope
+        // + extraction + lang + host-rank + robots + dedup in one job.
+        val docsParquet = args(2)
+        val nf = args.drop(3).headOption.map(_.toInt).getOrElse(64)
+        val nSites = args.drop(4).headOption.map(_.toInt).getOrElse(23)
+        new java.io.File(dir).mkdirs()
+        timed("genlinks") {
+          val docs = spark.read.parquet(docsParquet)
+          val n = docs.count()
+          docs.select(col("doc_id").cast("long"),
+              coalesce(col("text"), lit("")).as("text"))
+            .as[(Long, String)]
+            .groupByKey(_._1 % nf)
+            .mapGroups { (fid, it) =>
+              val out = new java.io.BufferedOutputStream(
+                new java.io.FileOutputStream(s"$dir/part-$fid.warc.gz"), 1 << 16)
+              var cnt = 0L
+              it.foreach { case (d, text) =>
+                val g = new java.util.zip.GZIPOutputStream(out)
+                g.write(SyntheticWarc.htmlRecord(d, text, n, nSites))
+                g.finish()
+                cnt += 1
+              }
+              out.close()
+              cnt
+            }.agg(sum(col("value"))).as[Long].first()
+        }
+        spark.range(nSites).select(
+            concat(lit("site"), col("id"), lit(".example.com")).as("host"),
+            when(col("id") % 2 === 0,
+              lit("User-agent: graftbot\nDisallow: /p/1\nAllow: /p/12\n" +
+                "User-agent: *\nAllow: /\n"))
+              .otherwise(lit("User-agent: *\nAllow: /\n")).as("robots_txt"))
+          .write.mode("overwrite").parquet(dir + "_robots")
+        val lb = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".warc.gz")).map(_.length()).sum
+        println(f"[warc-probe] link lake: $nf files, ${lb / 1e9}%.2f GB gz " +
+          s"+ robots at ${dir}_robots")
+
       case "stream" =>
         // drive streaming ingestion over an existing lake: the landing-dir
         // watcher delivers every file across maxFilesPerTrigger-bounded

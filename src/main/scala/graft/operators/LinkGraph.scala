@@ -4,7 +4,6 @@ import graft.functions.{ExtractLinksExpr, UrlFns}
 import graft.ops.Quantiles
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Crawl link graph: hyperlink edges out of captured HTML, and the
   * PageRank-style centrality prior every web-curation stack keys on
@@ -66,15 +65,25 @@ object LinkGraph {
                dampE3: Long = 850L): DataFrame = {
     require(iters >= 1 && dampE3 >= 0 && dampE3 <= 1000,
       s"need iters >= 1 and dampE3 in [0,1000], got $iters/$dampE3")
+    // STAGE PINNING (the CurationJob/Dedup convention): an iterative
+    // operator must TRUNCATE lineage, not just cache it. persist() keeps
+    // the full logical plan — with a decode-heavy upstream (a WARC crawl)
+    // embedded at every leaf, iteration k's plan goes ~2^k and the driver
+    // dies stringifying it before a task runs (measured: a 1.2 GB plan
+    // string OOM at 500k captures). localCheckpoint(eager) pins edges once
+    // and each rank snapshot to a LogicalRDD, so every iteration's plan is
+    // one join-agg layer deep regardless of iters or upstream. (On a
+    // multi-executor cluster, swap for reliable checkpointing — local
+    // snapshots die with their executor; same truncation contract.)
     val edges = edgesIn
       .select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst").as("node")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val n = nodes.count() // one scalar action; the teleport term needs it
     val outDeg = edges.groupBy(col("src").as("node"))
       .agg(count(lit(1)).as("out_deg"))
@@ -91,12 +100,13 @@ object LinkGraph {
           Quantiles.div(col("pr_e12") * dampE3,
             lit(1000L) * col("out_deg")).as("c"))
         .groupBy("node").agg(sum(col("c")).as("inflow"))
+      // eager checkpoint materializes BEFORE the rank it was built from is
+      // released; only the newest snapshot is ever re-read
       val next = nodes.join(inflow, Seq("node"), "left")
         .select(col("node"),
           (lit(teleport) + coalesce(col("inflow"), lit(0L))).as("pr_e12"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize BEFORE releasing the rank it was built from
-      if (prev != null) prev.unpersist(blocking = false)
+        .localCheckpoint(true)
+      if (prev != null) Dedup.release(prev)
       prev = next
       rank = next
     }

@@ -110,6 +110,64 @@ object SyntheticWarc {
       .toDF("file_id", "payload")
   }
 
+  /** (file_id, payload) lake of LINK-RICH HTML captures: plain 200
+    * `text/html` responses whose bodies carry the q135 crawl shape — a hub
+    * link on the page's own site, a root-relative next link, and a
+    * cross-site link — plus the document text. Pages spread over `nSites`
+    * hosts (`https://site<d%nSites>.example.com/p/<d>`). The e2e fixture
+    * for crawl-to-corpus WITH the host-rank prior and the robots gate: the
+    * link structure is real enough to extract/resolve/rank, and every
+    * capture still walks the full HTTP envelope path. */
+  def htmlWarcFrame(docs: DataFrame, nFiles: Int = 50,
+                    nSites: Int = 23): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val n = docs.count()
+    docs.select(col("doc_id").cast("long"),
+        coalesce(col("text"), lit("")).as("text"))
+      .as[(Long, String)]
+      .groupByKey(_._1 % nFiles)
+      .mapGroups { (fid, it) =>
+        val bos = new ByteArrayOutputStream(1 << 16)
+        def member(rec: Array[Byte]): Unit = {
+          val g = new GZIPOutputStream(bos)
+          g.write(rec); g.finish()
+        }
+        member(warcinfo(fid))
+        it.toArray.sortBy(_._1).foreach { case (d, text) =>
+          member(htmlRecord(d, text, n, nSites))
+        }
+        (fid, bos.toByteArray)
+      }
+      .toDF("file_id", "payload")
+  }
+
+  /** One link-rich HTML capture (see [[htmlWarcFrame]]). */
+  def htmlRecord(d: Long, text: String, nDocs: Long, nSites: Int): Array[Byte] = {
+    val s = d % nSites
+    val esc = text.replace("&", "&amp;").replace("<", "&lt;")
+    val html =
+      s"""<html><head><title>Page $d</title></head><body><h1>Page $d</h1>
+         |<p>$esc</p>
+         |<a href="https://site$s.example.com/p/${d % 10}">hub ${d % 10}</a>
+         |<a href='/p/${(d * 7 + 1) % nDocs}'>next ${d % 7}</a>
+         |<a href="https://site${(d + 1) % nSites}.example.com/p/${(d * 13 + 5) % nDocs}">cross</a>
+         |</body></html>""".stripMargin
+    val body = html.getBytes(UTF_8)
+    val http = (s"HTTP/1.1 200 OK\r\n" +
+      s"Content-Type: text/html; charset=UTF-8\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+    val header =
+      s"WARC/1.0\r\n" +
+      s"WARC-Type: response\r\n" +
+      s"WARC-Record-ID: <urn:graft:doc:$d>\r\n" +
+      s"WARC-Target-URI: https://site$s.example.com/p/$d\r\n" +
+      s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      s"Content-Type: application/http; msgtype=response\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n"
+    header.getBytes(UTF_8) ++ http ++ "\r\n\r\n".getBytes(UTF_8)
+  }
+
   /** One HTTP response capture's uncompressed WARC bytes (see
     * [[httpWarcFrame]] for the per-doc variant map). */
   def httpRecord(d: Long, text: String): Array[Byte] = {
