@@ -210,7 +210,8 @@ object SparkEntry {
     "q134_bm25_topk" -> qBm25TopK,
     "q135_link_graph_rank" -> qLinkGraphRank,
     "q136_anchor_texts" -> qAnchorTexts,
-    "q137_robots_gate" -> qRobotsGate)
+    "q137_robots_gate" -> qRobotsGate,
+    "q138_link_components" -> qLinkComponents)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2543,6 +2544,29 @@ object SparkEntry {
       .orderBy(col("doc_id"))
   }
 
+  /** q138: connected components over the crawl's SAME-SITE link graph —
+    * site-cluster / mirror-family detection, the dedup CC machinery
+    * (min-label propagation with checkpointed rounds) generalized from
+    * near-dup pairs to hyperlink structure. Node ids are closed-form longs
+    * (site·10⁷ + pathId·10) so DuckDB's recursive closure re-derives every
+    * label; the cross-site edge is deliberately excluded (it makes the
+    * 23-site graph one giant component — a constant, not a signal). */
+  private def qLinkComponents(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.count()
+    val i = col("doc_id")
+    val site = pmod(i, lit(23L))
+    val page = (site * 10000000L + i * 10L).as("id_a")
+    val hub = (site * 10000000L + pmod(i, lit(10L)) * 10L).as("id_b")
+    val nxt = (site * 10000000L + pmod(i * 7L + 1L, lit(n)) * 10L).as("id_b")
+    val pairs = docs.select(page, hub)
+      .unionByName(docs.select(page, nxt))
+      .filter(col("id_a") =!= col("id_b"))
+    Dedup.components(pairs)
+      .select(col("id").as("node_id"), col("component"))
+      .orderBy(col("node_id"))
+  }
+
   /** q132: PER-LANGUAGE perplexity bucketing — the q89 CCNet gate the way
     * real multilingual pipelines run it (CCNet/mC4 split by language FIRST;
     * one global LM scores every minority language as gibberish): ONE job
@@ -4727,6 +4751,28 @@ object SparkEntry {
     // q131: char-2/3-gram LID margins — substr n-grams, the q85 byte-exact
     // FNV HUGEINT walk on distinct grams, positive-mod buckets, the
     // per-language weight formula, all margins + argmax under the compare
+    // q138: the same-site link graph's node ids are closed-form longs, so
+    // the recursive closure re-derives every component label (q49's
+    // discipline over hyperlink structure instead of near-dup pairs)
+    "q138_link_components" ->
+      """WITH RECURSIVE nn AS (SELECT COUNT(*) AS n FROM documents),
+        |pairs AS (
+        |  SELECT (doc_id % 23) * 10000000 + doc_id * 10 AS id_a,
+        |         (doc_id % 23) * 10000000 + (doc_id % 10) * 10 AS id_b
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT (doc_id % 23) * 10000000 + doc_id * 10,
+        |         (doc_id % 23) * 10000000 + ((7 * doc_id + 1) % n) * 10
+        |  FROM documents, nn),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs WHERE id_a <> id_b
+        |  UNION SELECT id_b, id_a FROM pairs WHERE id_a <> id_b),
+        |reach(id, comp) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id)
+        |SELECT id AS node_id, MIN(comp) AS component
+        |FROM reach GROUP BY id ORDER BY node_id""".stripMargin,
     // q137: prefix-only rules make the RFC 9309 verdicts closed-form
     // starts_with algebra — graftbot's group is (Disallow /p/<2s>, Allow /),
     // the * group is (Disallow /p/<s>, Allow /p/<s><s%10>) with the longer

@@ -88,6 +88,24 @@ case class RobotsAllowedExpr(first: Expression, second: Expression,
     copy(first = newFirst, second = newSecond, third = newThird)
 }
 
+/** `robots_sitemaps(txt)` → the file's Sitemap URLs (see
+  * [[RobotsExprs.sitemaps]]). */
+case class RobotsSitemapsExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"robots_sitemaps requires a string argument, got ${child.dataType.simpleString}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "robots_sitemaps"
+  override def nullSafeEval(input: Any): Any =
+    RobotsExprs.sitemaps(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RobotsExprs.sitemaps($c)")
+  override protected def withNewChildInternal(
+      newChild: Expression): RobotsSitemapsExpr = copy(child = newChild)
+}
+
 object RobotsExprs {
 
   val rulesSchema: DataType = ArrayType(StructType(Seq(
@@ -170,6 +188,24 @@ object RobotsExprs {
       new GenericInternalRow(Array[Any](UTF8String.fromString(p),
         a)): AnyRef
     }.toArray)
+  }
+
+  /** Sitemap URLs from a robots.txt body (non-group records per RFC 9309
+    * §2.2.4: they apply regardless of user agent, in file order, duplicates
+    * kept). Referenced from generated code — stays public. */
+  def sitemaps(txtIn: UTF8String): GenericArrayData = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[AnyRef]
+    txtIn.toString.split("\n", -1).foreach { raw =>
+      val noCr = if (raw.nonEmpty && raw.last == '\r') raw.dropRight(1) else raw
+      val hash = noCr.indexOf('#')
+      val line = (if (hash >= 0) noCr.substring(0, hash) else noCr).trim
+      val colon = line.indexOf(':')
+      if (colon > 0 && asciiLower(line.substring(0, colon).trim) == "sitemap") {
+        val v = line.substring(colon + 1).trim
+        if (v.nonEmpty) out += UTF8String.fromString(v)
+      }
+    }
+    new GenericArrayData(out.toArray)
   }
 
   /** Wildcard pattern match: `*` = any run of chars, trailing `$` anchors
@@ -269,5 +305,11 @@ object RobotsExprs {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "robots_allowed",
       exprs => RobotsAllowedExpr(exprs.head, exprs(1), exprs(2)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "robots_sitemaps", exprs => RobotsSitemapsExpr(exprs.head), "built-in")
   }
+
+  def robotsSitemaps(txt: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      RobotsSitemapsExpr(org.apache.spark.sql.graft.ColumnBridge.expression(txt)))
 }

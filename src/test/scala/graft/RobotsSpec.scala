@@ -83,6 +83,19 @@ class RobotsSpec extends SparkSpec {
     assert(verdict("/whatever", Seq(("*", false))) == false)
   }
 
+  test("sitemaps: non-group records in file order, comments stripped, dups kept") {
+    val arr = RobotsExprs.sitemaps(UTF8String.fromString(robotsTxt))
+    assert((0 until arr.numElements()).map(arr.getUTF8String(_).toString) ==
+      Seq("https://x.test/sitemap.xml"))
+    val multi = RobotsExprs.sitemaps(UTF8String.fromString(
+      "SITEMAP: https://a.test/1.xml # c\nUser-agent: *\n" +
+        "sitemap: https://a.test/2.xml\nSitemap: https://a.test/1.xml\n" +
+        "Sitemap:\n"))
+    assert((0 until multi.numElements()).map(multi.getUTF8String(_).toString) ==
+      Seq("https://a.test/1.xml", "https://a.test/2.xml",
+        "https://a.test/1.xml"))
+  }
+
   test("column forms evaluate in-plane and under codegen") {
     val df = Seq(
       ("/private/ok/page", robotsTxt),
