@@ -211,7 +211,8 @@ object SparkEntry {
     "q135_link_graph_rank" -> qLinkGraphRank,
     "q136_anchor_texts" -> qAnchorTexts,
     "q137_robots_gate" -> qRobotsGate,
-    "q138_link_components" -> qLinkComponents)
+    "q138_link_components" -> qLinkComponents,
+    "q139_hybrid_rrf" -> qHybridRrf)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2567,6 +2568,40 @@ object SparkEntry {
       .orderBy(col("node_id"))
   }
 
+  /** q139: HYBRID retrieval — reciprocal-rank fusion (Cormack et al. 2009)
+    * of the sparse (BM25, q134) and dense (quantized cosine, q26) lists:
+    * rrf_e6(q,d) = Σ_lists ⌊10⁶/(60 + rank)⌋, top-5 per query by
+    * (rrf desc, doc_id asc). The modern search-stack default — each list
+    * covers the other's blind spots, and the fusion needs only ranks, so
+    * the integer-exact discipline carries through: DuckDB re-derives both
+    * rankings AND the fused order. Doc and vector ids share the 0..N-1
+    * id space (embeddings are the documents' embeddings). */
+  private def qHybridRrf(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val queries = docs.filter(pmod(col("doc_id"), lit(37L)) === 0L)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(graft.functions.TextFns.words(col("text")), 1, 5),
+          " ").as("q_text"))
+    val sparse = graft.operators.Bm25.topK(docs, "doc_id", "text",
+        queries, "q_id", "q_text", k = 10)
+      .select(col("q_id"), col("doc_id"), col("rn").cast("long").as("r_s"))
+    val dense = Similarity.bruteForceTopK(
+        emb.filter(pmod(col("vec_id"), lit(37L)) === 0L), emb, k = 10)
+      .select(col("query_id").as("q_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("r_d"))
+    val fused = sparse.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (coalesce(graft.ops.Quantiles.div(lit(1000000L),
+            lit(60L) + col("r_s")), lit(0L)) +
+          coalesce(graft.ops.Quantiles.div(lit(1000000L),
+            lit(60L) + col("r_d")), lit(0L))).as("rrf_e6"))
+    graft.ops.TopK.topKPerGroup(fused, Seq("q_id"), col("rrf_e6"),
+      col("doc_id"), Seq(col("doc_id"), col("rrf_e6")), 5)
+      .select(col("q_id"), col("rn"), col("doc_id"), col("rrf_e6"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** q132: PER-LANGUAGE perplexity bucketing — the q89 CCNet gate the way
     * real multilingual pipelines run it (CCNet/mC4 split by language FIRST;
     * one global LM scores every minority language as gibberish): ONE job
@@ -4751,6 +4786,84 @@ object SparkEntry {
     // q131: char-2/3-gram LID margins — substr n-grams, the q85 byte-exact
     // FNV HUGEINT walk on distinct grams, positive-mod buckets, the
     // per-language weight formula, all margins + argmax under the compare
+    // q139: both rankings re-derived (q134's BM25 CTEs at k=10 + q26's
+    // quantized-cosine CTEs over the q-set), then the RRF fold and the
+    // fused (rrf desc, doc_id asc) order — all integer floor-div
+    "q139_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS token FROM toks)
+        |  GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY doc_id),
+        |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+        |              (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS tot),
+        |av AS (SELECT (1000 * tot) // n AS avgdl_e3 FROM st),
+        |qq AS (SELECT doc_id AS q_id, unnest(list_distinct(ws[1:5])) AS token
+        |       FROM toks WHERE doc_id % 37 = 0),
+        |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+        |        WHERE token IN (SELECT token FROM qq) GROUP BY token),
+        |idf AS (SELECT token,
+        |    CAST(round(ln(((SELECT CAST(n AS DOUBLE) FROM st) - df + 0.5)
+        |      / (df + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf_e6
+        |  FROM dfq),
+        |nrm AS (SELECT doc_id,
+        |    250000 + (750000000 * dl) // (SELECT avgdl_e3 FROM av) AS norm_e6
+        |  FROM dl),
+        |hits AS (
+        |  SELECT qq.q_id, tf.doc_id,
+        |    (idf.idf_e6 * tf.tf * 2200)
+        |      // (1000 * tf.tf + (1200 * nrm.norm_e6) // 1000000) AS term_e6
+        |  FROM tf JOIN qq USING (token) JOIN idf USING (token)
+        |  JOIN nrm ON nrm.doc_id = tf.doc_id),
+        |sparse AS (
+        |  SELECT q_id, doc_id, rn FROM (
+        |    SELECT q_id, doc_id,
+        |      CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY CAST(SUM(term_e6) AS BIGINT) DESC, doc_id) AS BIGINT)
+        |        AS rn
+        |    FROM hits GROUP BY q_id, doc_id)
+        |  WHERE rn <= 10),
+        |qv AS (SELECT vec_id AS q_id, embedding AS v FROM embeddings
+        |       WHERE vec_id % 37 = 0),
+        |pairs AS (
+        |  SELECT qv.q_id, e.vec_id AS doc_id,
+        |    CAST(list_sum(list_transform(range(1, len(qv.v) + 1), i ->
+        |      CAST(ROUND(CAST(qv.v[i] AS DOUBLE) * 1000000.0) AS BIGINT) *
+        |      CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE) /
+        |    (sqrt(CAST(list_sum(list_transform(range(1, len(qv.v) + 1), i ->
+        |      CAST(ROUND(CAST(qv.v[i] AS DOUBLE) * 1000000.0) AS BIGINT) *
+        |      CAST(ROUND(CAST(qv.v[i] AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE)) *
+        |     sqrt(CAST(list_sum(list_transform(range(1, len(e.embedding) + 1), i ->
+        |      CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) *
+        |      CAST(ROUND(CAST(e.embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT))) AS DOUBLE)))
+        |      AS cosine
+        |  FROM qv, embeddings e WHERE e.vec_id != qv.q_id),
+        |dense AS (
+        |  SELECT q_id, doc_id, rn FROM (
+        |    SELECT q_id, doc_id,
+        |      CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |        ORDER BY round(cosine, 6) DESC, doc_id) AS BIGINT) AS rn
+        |    FROM pairs)
+        |  WHERE rn <= 10),
+        |fused AS (
+        |  SELECT COALESCE(s.q_id, d.q_id) AS q_id,
+        |    COALESCE(s.doc_id, d.doc_id) AS doc_id,
+        |    COALESCE(1000000 // (60 + s.rn), 0)
+        |      + COALESCE(1000000 // (60 + d.rn), 0) AS rrf_e6
+        |  FROM sparse s FULL OUTER JOIN dense d
+        |    ON s.q_id = d.q_id AND s.doc_id = d.doc_id),
+        |ranked AS (
+        |  SELECT q_id, doc_id, rrf_e6,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY rrf_e6 DESC, doc_id) AS INT) AS rn
+        |  FROM fused)
+        |SELECT q_id, rn, doc_id, rrf_e6 FROM ranked
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
     // q138: the same-site link graph's node ids are closed-form longs, so
     // the recursive closure re-derives every component label (q49's
     // discipline over hyperlink structure instead of near-dup pairs)

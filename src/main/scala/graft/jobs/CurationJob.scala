@@ -57,6 +57,10 @@ import org.apache.spark.sql.functions._
   *                                     //   broadcasts, verdicts in-row;
   *                                     //   hostless robots rows allow
   *   "robots_agent": "*",              //   product token to govern by
+  *   "robots_from_crawl": false,       //   derive robots from the dump's
+  *                                     //   OWN /robots.txt captures (one
+  *                                     //   deterministic row per host; the
+  *                                     //   robots docs leave the corpus)
   *   "link_host_rank_iters": 0,        //   host-level PageRank prior from
   *                                     //   the crawl's OWN link structure
   *                                     //   (0 = off): hrefs from raw html,
@@ -308,20 +312,44 @@ object CurationJob {
         // Hosts with no robots row allow everything (the protocol's
         // default).
         val robotsPath = str("robots_path", "")
-        val robotsGated =
-          if (robotsPath.isEmpty) hostGated
-          else {
+        val robotsFromCrawl = str("robots_from_crawl", "false").toBoolean
+        val urlPath = {
+          val p = regexp_replace(col("url"),
+            "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
+          when(p === "", lit("/")).otherwise(p)
+        }
+        // robots source: an external (host, robots_txt) parquet, or —
+        // robots_from_crawl — the dump ITSELF (Common Crawl ships each
+        // host's robots.txt capture alongside its pages): one row per host,
+        // the lexicographically-least (warc_date, body) capture surviving
+        // (deterministic, the warc_url_dedup discipline). The robots
+        // captures themselves leave the corpus in from-crawl mode — they
+        // are governance, not content.
+        val robotsSrc: Option[DataFrame] =
+          if (robotsFromCrawl)
+            Some(td.filter(urlPath === "/robots.txt")
+              .select(graft.functions.UrlFns.urlHost(col("url")).as("host"),
+                col("warc_date"), col("text"))
+              .filter(col("host").isNotNull)
+              .groupBy(col("host"))
+              .agg(min(struct(col("warc_date"), col("text"))).as("__w"))
+              .select(col("host"), col("__w.text").as("robots_txt")))
+          else if (robotsPath.nonEmpty)
+            Some(spark.read.parquet(robotsPath)
+              .select(col("host"), col("robots_txt")))
+          else None
+        val robotsGated = robotsSrc match {
+          case None => hostGated
+          case Some(src) =>
             val agent = str("robots_agent", "*")
-            val rb = spark.read.parquet(robotsPath).select(
-              col("host").as("__rhost"),
+            val rb = src.select(col("host").as("__rhost"),
               graft.functions.RobotsExprs.robotsRules(
                 col("robots_txt"), lit(agent)).as("__rules"))
-            val urlPath = {
-              val p = regexp_replace(col("url"),
-                "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", "")
-              when(p === "", lit("/")).otherwise(p)
-            }
-            hostGated.join(broadcast(rb),
+            val base =
+              if (robotsFromCrawl)
+                hostGated.filter(urlPath =!= "/robots.txt")
+              else hostGated
+            base.join(broadcast(rb),
                 graft.functions.UrlFns.urlHost(col("url")) === col("__rhost"),
                 "left")
               .filter(col("__rules").isNull ||
@@ -329,7 +357,7 @@ object CurationJob {
                   transform(col("__rules"), x => x.getField("pattern")),
                   transform(col("__rules"), x => x.getField("allow"))))
               .drop("__rhost", "__rules")
-          }
+        }
         val projected = robotsGated.select(
           col("url"), col("warc_date"), col("text"))
         // optional URL-level dedup: one row per canonical url, the

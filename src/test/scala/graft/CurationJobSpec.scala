@@ -464,6 +464,52 @@ class CurationJobSpec extends SparkSpec {
       "http://hosta.test/open/three", "http://hostb.test/private/four"))
   }
 
+  test("curation job: robots_from_crawl — the dump's own robots.txt captures govern") {
+    val dir = Files.createTempDirectory("curationselfrobots")
+    Files.createDirectory(dir.resolve("captures"))
+    import java.nio.charset.StandardCharsets.UTF_8
+    def gz(recs: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      recs.foreach { r =>
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(r); g.finish()
+      }
+      bos.toByteArray
+    }
+    def wet(uri: String, text: String): Array[Byte] = {
+      val payload = text.getBytes(UTF_8)
+      (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+        s"WARC-Record-ID: <urn:graft:$uri>\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        "Content-Type: text/plain\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes(UTF_8) ++
+        payload ++ "\r\n\r\n".getBytes(UTF_8)
+    }
+    def filler(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    Files.write(dir.resolve("captures/a.warc.gz"), gz(Seq(
+      // the host's robots capture travels WITH its pages
+      wet("http://hosta.test/robots.txt",
+        "User-agent: graftbot\nDisallow: /private\nAllow: /private/ok\n"),
+      wet("http://hosta.test/private/one", s"${filler("a")} page about rivers"),
+      wet("http://hosta.test/private/ok/two", s"${filler("b")} page about tides"),
+      wet("http://hostb.test/private/four", s"${filler("d")} page about seas"))))
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/captures", "input_format": "warc",
+         | "output_path": "$dir/out",
+         | "robots_from_crawl": true, "robots_agent": "graftbot",
+         | "min_words": 20, "ngram_n": 3, "jaccard_threshold": 0.8,
+         | "redact_pii": false}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    // the robots capture itself and the disallowed page both leave at the
+    // scan; rule-less hostb is untouched
+    assert(stats.input == 2 && stats.output == 2, stats)
+    val urls = spark.read.parquet(s"$dir/out")
+      .select($"url").as[String].collect().toSet
+    assert(urls == Set("http://hosta.test/private/ok/two",
+      "http://hostb.test/private/four"))
+  }
+
   test("curation job: url normalization + url-level dedup unify re-fetched captures") {
     val dir = Files.createTempDirectory("curationurl")
     Files.createDirectory(dir.resolve("captures"))

@@ -53,7 +53,11 @@ class PlanAuditSpec extends SparkSpec {
     // frames — the q89 shape; the corpus itself is never on either side
     "q106_source_kl", "q107_collocations",
     // q111: embeds q106's KL (the same 1-row corpus-total cross)
-    "q111_corpus_report_full")
+    "q111_corpus_report_full",
+    // q139: embeds q26's brute-force dense list — the query-batch broadcast
+    // nested-loop (query-sized side broadcast, corpus streamed once) that
+    // IS the exact-baseline retrieval shape
+    "q139_hybrid_rrf")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where designed") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
