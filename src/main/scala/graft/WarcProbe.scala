@@ -210,6 +210,38 @@ object WarcProbe {
         }
         println(f"[warc-probe] wetDocs=${wet._1} avgChars=${wet._2}%.0f")
 
+      case "cdx" =>
+        // Indexed-export + selective-fetch census (args: <outDir>
+        // <docsParquet> [nFiles] [fetchEvery]): writeIndexed the corpus,
+        // persist the CDX parquet, then fetch 1/fetchEvery of the records
+        // by BYTE RANGE and compare against a full scan — the receipt that
+        // the index turns the lake into a random-access record store.
+        val docsParquet = args(2)
+        val nf = args.drop(3).headOption.map(_.toInt).getOrElse(64)
+        val every = args.drop(4).headOption.map(_.toLong).getOrElse(500L)
+        val docs = spark.read.parquet(docsParquet)
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .withColumn("url", concat(lit("http://graft.test/doc/"),
+            col("doc_id")))
+          .withColumn("warc_date", lit("2024-01-01T00:00:00Z"))
+          .select(col("url"), col("warc_date"), col("text"))
+        val idx = timed("writeIndexed") {
+          val i = Warc.writeIndexed(docs.repartition(nf), dir)
+          i.write.mode("overwrite").parquet(dir + "_cdx")
+          spark.read.parquet(dir + "_cdx")
+        }
+        println(s"[warc-probe] index rows=${idx.count()}")
+        val picked = idx.filter(pmod(col("doc_id"), lit(every)) === 0L)
+        val nPicked = picked.count()
+        timed(s"fetch $nPicked") {
+          val n = Warc.textDocs(Warc.recordsIndexed(picked)).count()
+          println(s"[warc-probe] fetched=$n (selected $nPicked)")
+        }
+        timed("full scan") {
+          println(s"[warc-probe] full=${
+            Warc.textDocs(Warc.records(spark, dir)).count()}")
+        }
+
       case "write" =>
         // WET export census (args: <outDir> <docsParquet> [nFiles]): write
         // the documents table as conversion records, then parse it back

@@ -275,6 +275,148 @@ object Warc {
       .first().getLong(0)
   }
 
+  /** Byte counter in front of the (buffered) file stream: gzip-member
+    * offsets must be COMPRESSED-stream positions, so the counter sits
+    * OUTERMOST — every member() byte ticks it immediately, buffering
+    * happens below. */
+  private final class CountingOutputStream(under: java.io.OutputStream)
+      extends java.io.OutputStream {
+    var count: Long = 0L
+    override def write(b: Int): Unit = { under.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      under.write(b, off, len); count += len
+    }
+    override def flush(): Unit = under.flush()
+    override def close(): Unit = under.close()
+  }
+
+  /** [[write]] PLUS a CDX-style index: returns one row per exported record
+    * — `(file, offset, length, url, doc_id)`, where [offset, offset+length)
+    * is the record's own gzip member inside its `.warc.gz`. This is the
+    * Common Crawl access pattern: the dump ships an index so consumers
+    * fetch the HANDFUL of records they need by byte range instead of
+    * scanning petabytes ([[recordsIndexed]] is the read side). Persist the
+    * returned frame (e.g. parquet at `<dir>_cdx`) — it IS the artifact.
+    *
+    * Same streaming shape as [[write]]: one file per input partition, one
+    * partition-lifetime Deflater, no shuffle; the index rows ride out of
+    * the same mapPartitions, so indexing costs one long counter per byte
+    * written. */
+  def writeIndexed(docs: DataFrame, dir: String, urlCol: String = "url",
+                   dateCol: String = "warc_date",
+                   textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val bc = sc.broadcast(new SerHadoopConf(sc.hadoopConfiguration))
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    dirPath.getFileSystem(sc.hadoopConfiguration).mkdirs(dirPath)
+    docs.select(col(urlCol).cast("string"), col(dateCol).cast("string"),
+        col(textCol).cast("string"))
+      .as[(String, String, String)]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val fileName = f"part-$pid%05d.warc.gz"
+          val file = new org.apache.hadoop.fs.Path(dir, fileName)
+          val fs = file.getFileSystem(bc.value.value)
+          val counting = new CountingOutputStream(
+            new java.io.BufferedOutputStream(fs.create(file, true), 1 << 16))
+          val out = counting
+          val deflater = new java.util.zip.Deflater(
+            java.util.zip.Deflater.DEFAULT_COMPRESSION, true)
+          val crc = new java.util.zip.CRC32
+          val buf = new Array[Byte](1 << 16)
+          def writeIntLE(v: Int): Unit = {
+            out.write(v & 0xff); out.write((v >>> 8) & 0xff)
+            out.write((v >>> 16) & 0xff); out.write((v >>> 24) & 0xff)
+          }
+          def member(bytes: Array[Byte]): Unit = {
+            out.write(Array[Byte](0x1f, 0x8b.toByte, 8, 0, 0, 0, 0, 0, 0,
+              0xff.toByte))
+            deflater.reset()
+            deflater.setInput(bytes)
+            deflater.finish()
+            while (!deflater.finished()) {
+              val k = deflater.deflate(buf)
+              if (k > 0) out.write(buf, 0, k)
+            }
+            crc.reset(); crc.update(bytes)
+            writeIntLE(crc.getValue.toInt); writeIntLE(bytes.length)
+          }
+          val index = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Long, Long, String, Long)]
+          try {
+            it.foreach { case (url, date, text) =>
+              val u = if (url == null) "" else url
+              val payload = (if (text == null) "" else text)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val id = org.apache.spark.sql.catalyst.expressions
+                .XxHash64Function.hash(payload,
+                  org.apache.spark.sql.types.BinaryType, 42L)
+              val header = ("WARC/1.0\r\n" +
+                "WARC-Type: conversion\r\n" +
+                s"WARC-Record-ID: <urn:graft:doc:${xxhashOf(u)}:$id>\r\n" +
+                s"WARC-Target-URI: $u\r\n" +
+                s"WARC-Date: ${if (date == null) "" else date}\r\n" +
+                "Content-Type: text/plain\r\n" +
+                s"Content-Length: ${payload.length}\r\n\r\n")
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              val rec = new Array[Byte](header.length + payload.length + 4)
+              System.arraycopy(header, 0, rec, 0, header.length)
+              System.arraycopy(payload, 0, rec, header.length, payload.length)
+              rec(rec.length - 4) = '\r'; rec(rec.length - 3) = '\n'
+              rec(rec.length - 2) = '\r'; rec(rec.length - 1) = '\n'
+              val before = counting.count
+              member(rec)
+              index += ((s"$dir/$fileName", before, counting.count - before,
+                u, xxhashOf(u)))
+            }
+          } finally {
+            try out.close() finally deflater.end()
+          }
+          index.iterator
+        }
+      }
+      .toDF("file", "offset", "length", "url", "doc_id")
+  }
+
+  /** Selective BYTE-RANGE reads against a [[writeIndexed]] index: parse
+    * ONLY the records whose index rows are passed in — each file opens
+    * once per partition, seeks member by member in offset order, and
+    * gunzips exactly `length` bytes per record. At 100 TB this is the
+    * difference between fetching kilobytes and scanning the dump: the
+    * index (url/doc_id-keyed, parquet) prunes at the SQL layer, and the
+    * capture files serve as a random-access record store. */
+  def recordsIndexed(index: DataFrame,
+                     maxPayloadBytes: Long = DefaultMaxPayloadBytes): Dataset[WarcRecord] = {
+    val spark = index.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val bc = sc.broadcast(new SerHadoopConf(sc.hadoopConfiguration))
+    val maxPB = maxPayloadBytes
+    index.select(col("file").cast("string"), col("offset").cast("long"),
+        col("length").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (file, rows) =>
+        val hp =
+          try new org.apache.hadoop.fs.Path(new java.net.URI(file))
+          catch { case _: Exception => new org.apache.hadoop.fs.Path(file) }
+        val fs = hp.getFileSystem(bc.value.value)
+        val in = fs.open(hp)
+        val recs = rows.toArray.sortBy(_._2).iterator.flatMap {
+          case (_, offset, length) =>
+            in.seek(offset)
+            val bytes = new Array[Byte](length.toInt)
+            in.readFully(bytes)
+            parseRecords(file, new ByteArrayInputStream(bytes), maxPB)
+        }
+        closeOnExhaust(recs, in)
+      }
+  }
+
   /** xxhash64 of a string's UTF-8 bytes with Spark's seed (the engine's
     * url→doc_id convention) — keeps exported record ids deterministic. */
   private def xxhashOf(s: String): Long =

@@ -377,6 +377,51 @@ class WarcSpec extends SparkSpec {
       _.getName.endsWith(".warc.gz")))
   }
 
+  test("writeIndexed + recordsIndexed: CDX byte ranges fetch exactly the selected records") {
+    val dir = java.nio.file.Files.createTempDirectory("warccdx").toString
+    val docs = (0L until 40L).map { i =>
+      (s"http://graft.test/p/$i", "2024-01-01T00:00:00Z",
+        s"document $i body " + ("x" * (i.toInt * 7 % 90)))
+    }.toDF("url", "warc_date", "text")
+    val index = graft.io.Warc.writeIndexed(docs.repartition(3), dir)
+      .persist()
+    assert(index.count() == 40L)
+    // the index IS a valid cover: ranges are disjoint, in-file, and tile
+    // each file from byte 0 to its end
+    val byFile = index.as[(String, Long, Long, String, Long)].collect()
+      .groupBy(_._1)
+    assert(byFile.size == 3)
+    byFile.foreach { case (f, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.head._2 == 0L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._2 + a._3 == b._2, s"gap in $f")
+        case _ => ()
+      }
+      val fileLen = new java.io.File(new java.net.URI(f).getPath match {
+        case p if p.nonEmpty => p
+        case _ => f
+      }).length()
+      assert(sorted.last._2 + sorted.last._3 == fileLen ||
+        new java.io.File(f).length() == sorted.last._2 + sorted.last._3)
+    }
+    // select a scattered 25% by url and fetch ONLY those ranges
+    val picked = index.filter($"doc_id" % 4 === 0)
+    val fetched = graft.io.Warc.textDocs(graft.io.Warc.recordsIndexed(picked))
+      .collect().map(d => (d.url, d.text)).toSet
+    val pickedUrls = picked.select($"url").as[String].collect().toSet
+    val want = docs.as[(String, String, String)].collect()
+      .filter(t => pickedUrls.contains(t._1))
+      .map(t => (t._1, t._3)).toSet
+    assert(fetched == want && fetched.nonEmpty)
+    // empty selection fetches nothing
+    assert(graft.io.Warc.recordsIndexed(index.limit(0)).count() == 0L)
+    // the indexed write's files parse identically through the FULL route
+    assert(graft.io.Warc.textDocs(graft.io.Warc.records(spark, dir))
+      .count() == 40L)
+    index.unpersist()
+  }
+
   test("resource records with text content types extract as bare text") {
     val res = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
       "WARC-Target-URI: http://graft.test/res\r\n" +
