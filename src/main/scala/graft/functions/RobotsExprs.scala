@@ -169,22 +169,30 @@ object RobotsExprs {
         }
       }
     }
-    // governing group: longest UA token that prefix-matches the agent
-    // token; "*" matches with length 0 (weakest)
-    var best: Group = null
+    // governing groups: longest UA token that prefix-matches the agent
+    // token; "*" matches with length 0 (weakest). RFC 9309 §2.2.1: rules
+    // of ALL groups matching the same agent combine — real robots.txt
+    // files repeat `User-agent: *` groups, and keeping only the first
+    // silently drops the later groups' Disallow lines (r14 advice). Two
+    // passes: find the winning match length, then merge every group that
+    // achieves it, in file order.
+    def matchLen(ua: String): Int =
+      if (ua == "*") 0
+      else if (ua.nonEmpty && agent.startsWith(ua)) ua.length
+      else -1
     var bestLen = -1
     groups.foreach { g =>
       g.uas.foreach { ua =>
-        if (ua == "*") {
-          if (bestLen < 0) { best = g; bestLen = 0 }
-        } else if (agent.startsWith(ua) && ua.length > bestLen) {
-          best = g; bestLen = ua.length
-        }
+        val len = matchLen(ua)
+        if (len > bestLen) bestLen = len
       }
     }
-    if (best == null)
+    if (bestLen < 0)
       return new GenericArrayData(Array.empty[AnyRef])
-    new GenericArrayData(best.rules.map { case (p, a) =>
+    val merged = groups.iterator
+      .filter(_.uas.exists(matchLen(_) == bestLen))
+      .flatMap(_.rules)
+    new GenericArrayData(merged.map { case (p, a) =>
       new GenericInternalRow(Array[Any](UTF8String.fromString(p),
         a)): AnyRef
     }.toArray)
@@ -219,10 +227,14 @@ object RobotsExprs {
     var starPi = -1
     var starSi = -1
     while (si < path.length) {
-      if (pi < pat.length && (pat.charAt(pi) == path.charAt(si))) {
-        pi += 1; si += 1
-      } else if (pi < pat.length && pat.charAt(pi) == '*') {
+      // `*` must be tested BEFORE literal equality: '*' is a legal RFC
+      // 3986 path char, and consuming a pattern '*' as a literal against
+      // a path '*' records no backtrack point — false negatives for
+      // anchored patterns like `/a*b$` vs `/a*cb` (r14 advice).
+      if (pi < pat.length && pat.charAt(pi) == '*') {
         starPi = pi; starSi = si; pi += 1
+      } else if (pi < pat.length && (pat.charAt(pi) == path.charAt(si))) {
+        pi += 1; si += 1
       } else if (starPi >= 0) {
         starSi += 1; si = starSi; pi = starPi + 1
       } else {

@@ -80,13 +80,19 @@ case class UrlResolveExpr(left: Expression, right: Expression)
       s"url_resolve requires (string, string), got " +
         s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
   override def dataType: DataType = StringType
-  override def prettyName: String = "url_resolve"
+  // resolve() returns null for a base with no authority even when both
+  // inputs are non-null, so the expression is nullable REGARDLESS of its
+  // children — defineCodeGen would leave ev.isNull false around a null
+  // value and NPE the UnsafeRow writer on the first garbage base URI
+  // (r14 advice, high).
+  override def nullable: Boolean = true
   override def nullSafeEval(base: Any, href: Any): Any =
     UrlFns.resolve(base.asInstanceOf[UTF8String],
       href.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (b, h) => s"graft.functions.UrlFns.resolve($b, $h)")
+    nullSafeCodeGen(ctx, ev, (b, h) =>
+      s"""${ev.value} = graft.functions.UrlFns.resolve($b, $h);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): UrlResolveExpr =
     copy(left = newLeft, right = newRight)
@@ -216,8 +222,12 @@ object UrlFns {
     *    segments removed. */
   def resolve(baseIn: UTF8String, hrefIn: UTF8String): UTF8String = {
     val href = hrefIn.toString
-    if (href.contains("://")) return hrefIn
-    // non-hierarchical absolute URI: scheme ":" not followed by "//"
+    // absolute iff a scheme colon appears BEFORE any '/', '?' or '#' —
+    // covers both hierarchical (`http://…`) and non-hierarchical
+    // (`mailto:`, `javascript:`) references. A bare `contains("://")`
+    // would misclassify a RELATIVE href whose query embeds a URL
+    // (`/redirect?to=https://x.com`) as absolute and lose the edge
+    // (r14 advice).
     var k = 0
     while (k < href.length && href.charAt(k) != ':' && href.charAt(k) != '/' &&
       href.charAt(k) != '?' && href.charAt(k) != '#') k += 1

@@ -295,13 +295,21 @@ object Warc {
     * is the record's own gzip member inside its `.warc.gz`. This is the
     * Common Crawl access pattern: the dump ships an index so consumers
     * fetch the HANDFUL of records they need by byte range instead of
-    * scanning petabytes ([[recordsIndexed]] is the read side). Persist the
-    * returned frame (e.g. parquet at `<dir>_cdx`) — it IS the artifact.
+    * scanning petabytes ([[recordsIndexed]] is the read side). The write
+    * is EAGER: the returned frame is pinned (localCheckpoint) after a
+    * single internal action, so re-actions on the result, task retries
+    * triggered by a later job, and speculative re-reads replay the pinned
+    * index blocks — they never re-run the file writes (r14 advice; a
+    * retry DURING the one internal action re-creates its partition's file
+    * with `overwrite = true` and deterministic content, so replay is
+    * idempotent). Persist the result to parquet (e.g. `<dir>_cdx`) — it
+    * IS the artifact.
     *
     * Same streaming shape as [[write]]: one file per input partition, one
-    * partition-lifetime Deflater, no shuffle; the index rows ride out of
-    * the same mapPartitions, so indexing costs one long counter per byte
-    * written. */
+    * partition-lifetime Deflater, no shuffle. Index rows EMIT AS MEMBERS
+    * WRITE (one-in-flight iterator, not a partition-sized buffer), so the
+    * per-partition memory bound is one record regardless of partition
+    * row count; indexing costs one long counter per byte written. */
   def writeIndexed(docs: DataFrame, dir: String, urlCol: String = "url",
                    dateCol: String = "warc_date",
                    textCol: String = "text"): DataFrame = {
@@ -345,10 +353,26 @@ object Warc {
             crc.reset(); crc.update(bytes)
             writeIntLE(crc.getValue.toInt); writeIntLE(bytes.length)
           }
-          val index = scala.collection.mutable.ArrayBuffer
-            .empty[(String, Long, Long, String, Long)]
-          try {
-            it.foreach { case (url, date, text) =>
+          // crash-safe close: a task failure mid-iteration never reaches
+          // the on-exhaust close below, so the stream/Deflater release
+          // rides the task-completion listener (idempotent with it)
+          var closed = false
+          def closeAll(): Unit = if (!closed) {
+            closed = true
+            try out.close() finally deflater.end()
+          }
+          org.apache.spark.TaskContext.get() match {
+            case null => ()
+            case tc => tc.addTaskCompletionListener[Unit](_ => closeAll())
+          }
+          new Iterator[(String, Long, Long, String, Long)] {
+            override def hasNext: Boolean = {
+              val h = it.hasNext
+              if (!h) closeAll()
+              h
+            }
+            override def next(): (String, Long, Long, String, Long) = {
+              val (url, date, text) = it.next()
               val u = if (url == null) "" else url
               val payload = (if (text == null) "" else text)
                 .getBytes(java.nio.charset.StandardCharsets.UTF_8)
@@ -370,16 +394,14 @@ object Warc {
               rec(rec.length - 2) = '\r'; rec(rec.length - 1) = '\n'
               val before = counting.count
               member(rec)
-              index += ((s"$dir/$fileName", before, counting.count - before,
-                u, xxhashOf(u)))
+              (s"$dir/$fileName", before, counting.count - before,
+                u, xxhashOf(u))
             }
-          } finally {
-            try out.close() finally deflater.end()
           }
-          index.iterator
         }
       }
       .toDF("file", "offset", "length", "url", "doc_id")
+      .localCheckpoint(true)
   }
 
   /** Selective BYTE-RANGE reads against a [[writeIndexed]] index: parse
@@ -408,10 +430,20 @@ object Warc {
         val in = fs.open(hp)
         val recs = rows.toArray.sortBy(_._2).iterator.flatMap {
           case (_, offset, length) =>
-            in.seek(offset)
-            val bytes = new Array[Byte](length.toInt)
-            in.readFully(bytes)
-            parseRecords(file, new ByteArrayInputStream(bytes), maxPB)
+            // hostile/corrupt index entries: a length a JVM byte[] cannot
+            // hold (or a nonsense offset/length) must not kill the task —
+            // the parser's oversize discipline applied at the index seam:
+            // emit the row with a null payload, skip the fetch (r14
+            // verdict #4)
+            if (length > Int.MaxValue - 8 || length <= 0 || offset < 0)
+              Iterator.single(WarcRecord(file, "", "", "", "", "",
+                length, null))
+            else {
+              in.seek(offset)
+              val bytes = new Array[Byte](length.toInt)
+              in.readFully(bytes)
+              parseRecords(file, new ByteArrayInputStream(bytes), maxPB)
+            }
         }
         closeOnExhaust(recs, in)
       }

@@ -1,8 +1,9 @@
 package graft.operators
 
 import graft.functions.TextFns
+import graft.io.BucketedStore
 import graft.ops.Quantiles
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -28,14 +29,155 @@ import org.apache.spark.storage.StorageLevel
   * decisive for reproducibility.
   *
   * Scale: the query table is BROADCAST twice (its distinct terms restrict
-  * both the df aggregate's output and the tf frame before anything heavy);
-  * the only corpus-sized shuffles are the tf aggregate and the per-doc
-  * length join. The tf frame persists once and feeds tf/dl/df. Nothing
+  * both the df frame and the tf frame before anything heavy); the only
+  * corpus-sized shuffles are the tf aggregate and the per-doc length join
+  * — and on the PERSISTED index route ([[Bm25Index]]) even those are paid
+  * ONCE at build time: tf and dl save bucketed+sorted on the doc id (their
+  * serve-time join is exchange-free), df saves bucketed on the token (the
+  * tick merge is exchange-free on the corpus-vocabulary side). Nothing
   * output-side exceeds |queries|·k rows — the TopK heap aggregate never
   * materializes a full ranking. */
 object Bm25 {
 
-  /** Top-`k` docs per query by BM25. Returns (qIdCol, rn, idCol, score_e6,
+  /** The persisted serving index: the corpus-sized aggregates a BM25 search
+    * needs, paid once at build and maintained INCREMENTALLY by [[add]] /
+    * [[remove]] ticks — the q78/q62 admission discipline applied to
+    * retrieval (r14 verdict #1: a per-call corpus scan is not a serving
+    * stack).
+    *
+    *  - `tf` (id, token, tf): the postings. Bucketed+sorted on the id.
+    *  - `dl` (id, dl): per-doc token counts. Same bucketing ⇒ the serve-time
+    *    length-norm join moves zero corpus rows.
+    *  - `df` (token, df): FULL-vocabulary document frequencies — the point
+    *    of the index: serve-time restricts it to the query's terms by
+    *    broadcast instead of re-aggregating the corpus.
+    *  - `nDocs` / `totTokens`: the scalars behind idf and avgdl.
+    *
+    * Maintenance contract: [[add]]/[[remove]] produce frames EXACTLY equal
+    * to a from-scratch [[buildIndex]] over the post-tick corpus (exact
+    * integer count arithmetic — spec-pinned bit-for-bit, and q140 pins the
+    * add-tick under the DuckDB full-rebuild oracle). [[save]] each tick:
+    * the returned frames are lazy views over the stored ones, and chaining
+    * ticks without re-saving deepens the plan (the VersionedFactStore
+    * rolling-tick discipline).
+    *
+    * One blind spot, documented: a doc whose text tokenizes to NOTHING
+    * leaves no tf/dl row — build counts it in `nDocs` (it is a real doc for
+    * avgdl), but a later [[remove]] of its id cannot see it. Remove ticks
+    * assume removed ids carried ≥ 1 token; track empty docs upstream. */
+  final case class Bm25Index(tf: DataFrame, dl: DataFrame, df: DataFrame,
+                             idCol: String, nDocs: Long, totTokens: Long) {
+    /** Persist as BucketedStore tables `<name>_tf/_dl/_df/_meta`. */
+    def save(name: String, nBuckets: Int = 8): Unit = {
+      BucketedStore.save(tf, s"${name}_tf", idCol, nBuckets)
+      BucketedStore.save(dl, s"${name}_dl", idCol, nBuckets)
+      BucketedStore.save(df, s"${name}_df", "token", nBuckets)
+      val spark = tf.sparkSession
+      import spark.implicits._
+      Seq((idCol, nDocs, totTokens)).toDF("id_col", "n_docs", "tot_tokens")
+        .write.mode("overwrite").saveAsTable(s"${name}_meta")
+    }
+  }
+
+  object Bm25Index {
+    def load(spark: SparkSession, name: String): Bm25Index = {
+      val meta = spark.table(s"${name}_meta").first()
+      Bm25Index(BucketedStore.load(spark, s"${name}_tf"),
+        BucketedStore.load(spark, s"${name}_dl"),
+        BucketedStore.load(spark, s"${name}_df"),
+        meta.getString(0), meta.getLong(1), meta.getLong(2))
+    }
+  }
+
+  /** Build the serving index: ONE tokenize pass, one tf aggregate (the
+    * only corpus shuffle), dl/df/scalars derived off it. The tf frame is
+    * persisted for the derivation fan-out; [[Bm25Index.save]] (or the
+    * caller's own action) consumes it. */
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
+    val tf = Dedup.ensureParallel(docs)
+      .select(col(idCol), explode(TextFns.words(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.count()
+    val totTokens = dl.agg(coalesce(sum(col("dl")), lit(0L)))
+      .first().getLong(0)
+    Bm25Index(tf, dl, df, idCol, nDocs, totTokens)
+  }
+
+  /** Admission tick: fold a batch of NEW docs into the index — work is
+    * O(batch) plus one exchange-free (bucketed) merge per frame, never a
+    * corpus re-scan. Ids must be new; re-admitting a live id double-counts
+    * (dedup the batch against the corpus first — the engine's admission
+    * operators exist for exactly that). */
+  def add(index: Bm25Index, batch: DataFrame, textCol: String): Bm25Index = {
+    val idc = index.idCol
+    val btf = Dedup.ensureParallel(batch)
+      .select(col(idc), explode(TextFns.words(col(textCol))).as("token"))
+      .groupBy(col(idc), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bdl = btf.groupBy(col(idc)).agg(sum(col("tf")).as("dl"))
+    val bdf = btf.groupBy(col("token")).agg(count(lit(1)).as("bdf"))
+    val addedDocs = batch.count()
+    val addedTokens = bdl.agg(coalesce(sum(col("dl")), lit(0L)))
+      .first().getLong(0)
+    val mergedDf = index.df.join(bdf, Seq("token"), "full_outer")
+      .select(col("token"),
+        (coalesce(col("df"), lit(0L)) + coalesce(col("bdf"), lit(0L)))
+          .as("df"))
+    Bm25Index(index.tf.unionByName(btf), index.dl.unionByName(bdl),
+      mergedDf, idc, index.nDocs + addedDocs,
+      index.totTokens + addedTokens)
+  }
+
+  /** Deletion tick (the q86 inverse): drop `ids` (a one-column frame of
+    * doc ids) from the index. df decrements by the removed docs' postings
+    * and zero-df tokens drop, so the result is exactly the rebuild over
+    * the surviving corpus. Unknown ids no-op. */
+  def remove(index: Bm25Index, ids: DataFrame): Bm25Index = {
+    val idc = index.idCol
+    val doomed = ids.select(col(ids.columns.head).as(idc)).distinct()
+    val rtf = index.tf.join(broadcast(doomed), Seq(idc))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rdf = rtf.groupBy(col("token")).agg(count(lit(1)).as("rdf"))
+    val removedTokens = rtf.agg(coalesce(sum(col("tf")), lit(0L)))
+      .first().getLong(0)
+    val removedDocs = index.dl.join(broadcast(doomed), Seq(idc)).count()
+    val newDf = index.df.join(rdf, Seq("token"), "left")
+      .select(col("token"),
+        (col("df") - coalesce(col("rdf"), lit(0L))).as("df"))
+      .filter(col("df") > 0L)
+    Bm25Index(index.tf.join(broadcast(doomed), Seq(idc), "left_anti"),
+      index.dl.join(broadcast(doomed), Seq(idc), "left_anti"),
+      newDf, idc, index.nDocs - removedDocs,
+      index.totTokens - removedTokens)
+  }
+
+  /** Serve a query batch from the index: identical semantics (and exact
+    * scores) to [[topK]], but the corpus-sized aggregates come from the
+    * store — per-call work is the query-restricted postings join, not the
+    * corpus tokenize/aggregate. On a bucketed-saved index the tf⋈dl join
+    * is exchange-free (both sides bucket on the id, the broadcast term
+    * restriction preserves the scan's partitioning). */
+  def search(index: Bm25Index, queries: DataFrame, qIdCol: String,
+             qTextCol: String, k: Int, k1E3: Long = 1200L, bE3: Long = 750L,
+             minDf: Long = 1L, maxHits: Long = 0L): DataFrame = {
+    require(k >= 1 && k1E3 >= 0 && bE3 >= 0 && bE3 <= 1000,
+      s"need k >= 1, k1E3 >= 0, bE3 in [0,1000], got $k/$k1E3/$bE3")
+    val qTerms = queries.select(col(qIdCol),
+      explode(array_distinct(TextFns.words(col(qTextCol)))).as("token"))
+    val qTok = qTerms.select(col("token")).distinct()
+    val dfq = index.df.join(broadcast(qTok), "token")
+    rankedHits(index.tf, index.dl, dfq, index.nDocs, index.totTokens,
+      index.idCol, qTerms, qIdCol, k, k1E3, bE3, minDf, maxHits)
+  }
+
+  /** Top-`k` docs per query by BM25, from scratch in one call (build the
+    * corpus aggregates, score, discard) — the ad-hoc form; a serving stack
+    * uses [[buildIndex]]/[[search]]. Returns (qIdCol, rn, idCol, score_e6,
     * n_terms) — rn is 1-based rank by (score desc, doc id asc), n_terms the
     * number of query terms the doc matched. Queries with no matching doc
     * emit nothing. */
@@ -53,8 +195,6 @@ object Bm25 {
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val nDocs = docs.count()
     val totTokens = dl.agg(coalesce(sum(col("dl")), lit(0L))).first().getLong(0)
-    require(totTokens > 0L, "BM25 over an empty corpus")
-    val avgdlE3 = 1000L * totTokens / nDocs
     val qTerms = queries.select(col(qIdCol),
       explode(array_distinct(TextFns.words(col(qTextCol)))).as("token"))
     val qTok = qTerms.select(col("token")).distinct()
@@ -63,9 +203,25 @@ object Bm25 {
     // input is the tf frame either way — that aggregate is the index build)
     val dfq = tf.join(broadcast(qTok), "token")
       .groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= minDf)
       .persist(StorageLevel.MEMORY_AND_DISK) // query-vocabulary-sized
-    val idf = dfq.select(col("token"),
+    rankedHits(tf, dl, dfq, nDocs, totTokens, idCol, qTerms, qIdCol,
+      k, k1E3, bE3, minDf, maxHits)
+  }
+
+  /** The shared scoring tail: `dfq` is the query-term-restricted df frame
+    * (pre-minDf); everything downstream — the hit-volume budget, idf, the
+    * length norm, the per-term quantized score, the per-query heap top-k —
+    * is identical between the ad-hoc and the indexed route (that identity
+    * IS q140's oracle). */
+  private def rankedHits(tf: DataFrame, dl: DataFrame, dfq: DataFrame,
+                         nDocs: Long, totTokens: Long, idCol: String,
+                         qTerms: DataFrame, qIdCol: String, k: Int,
+                         k1E3: Long, bE3: Long, minDf: Long,
+                         maxHits: Long): DataFrame = {
+    require(totTokens > 0L, "BM25 over an empty corpus")
+    val avgdlE3 = 1000L * totTokens / nDocs
+    val dfg = dfq.filter(col("df") >= minDf)
+    val idf = dfg.select(col("token"),
       round(log((lit(nDocs.toDouble) - col("df") + lit(0.5)) /
         (col("df") + lit(0.5)) + lit(1.0)) * 1e6).cast("long").as("idf_e6"))
     // hit-volume budget (the pair-budget discipline applied to retrieval):
@@ -74,7 +230,7 @@ object Bm25 {
     // goes output-quadratic by construction. One query-sized agg prices it
     // before the join materializes; refuse loudly, never ENOSPC.
     if (maxHits > 0L) {
-      val est = qTerms.join(broadcast(dfq), "token")
+      val est = qTerms.join(broadcast(dfg), "token")
         .agg(coalesce(sum(col("df")), lit(0L))).first().getLong(0)
       require(est <= maxHits,
         s"bm25TopK: the per-term document frequencies bound the scoring " +

@@ -110,11 +110,21 @@ object LinkGraph {
       prev = next
       rank = next
     }
+    // RELEASE CONTRACT: the iteration's internal snapshots (edges, nodes,
+    // the final rank) are implementation detail — pin the RESULT once,
+    // then free every internal block, so two pageRank calls in a session
+    // leave no residue beyond their own results (r14 verdict #2). The
+    // caller frees the returned frame with [[Dedup.release]] after its
+    // final action — the same contract as the dedup composites.
     val out = rank
       .join(outDeg, Seq("node"), "left")
       .join(inDeg, Seq("node"), "left")
       .select(col("node"), coalesce(col("out_deg"), lit(0L)).as("out_deg"),
         coalesce(col("in_deg"), lit(0L)).as("in_deg"), col("pr_e12"))
+      .localCheckpoint(true)
+    Dedup.release(rank)
+    Dedup.release(nodes)
+    Dedup.release(edges)
     out
   }
 

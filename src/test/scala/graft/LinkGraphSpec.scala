@@ -142,6 +142,33 @@ class LinkGraphSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("pageRank release contract: two calls leave no blocks beyond their results") {
+    // r14 verdict #2: the iteration's internal edges/nodes/rank snapshots
+    // are localCheckpoint blocks that clearCache() does not cover — the
+    // operator must free them itself once the result is pinned, and
+    // Dedup.release(result) must leave ZERO residue (the dedup-composite
+    // contract applied to the graph operator).
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    val edges = (0 until 120).map { i =>
+      (s"n${i % 30}", s"n${(i * 11 + 3) % 30}")
+    }.toDF("src", "dst")
+    val r1 = LinkGraph.pageRank(edges, iters = 2)
+    val r2 = LinkGraph.pageRank(edges, iters = 3)
+    assert(r1.count() > 0 && r2.count() > 0)
+    val mid = spark.sparkContext.getPersistentRDDs.values.toSeq
+    assert(mid.size <= 2,
+      s"internal snapshots leaked past the operator: ${mid.map(_.toString)}")
+    graft.operators.Dedup.release(r1)
+    graft.operators.Dedup.release(r2)
+    def residual = spark.sparkContext.getPersistentRDDs.values.toSeq
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (residual.nonEmpty && System.nanoTime() < deadline) Thread.sleep(100)
+    assert(residual.isEmpty,
+      s"residual cached blocks after release: ${residual.map(_.toString)}")
+  }
+
   test("anchorTopK: counts ranked, ties on FNV hash asc, empty anchors drop") {
     val ls = Seq(
       ("s1", "t", "alpha"), ("s2", "t", "alpha"), ("s3", "t", "beta"),

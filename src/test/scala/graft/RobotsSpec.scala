@@ -59,6 +59,28 @@ class RobotsSpec extends SparkSpec {
     assert(rules("User-agent: x\nDisallow: /", "ybot").isEmpty)
   }
 
+  test("rules: ALL groups at the winning UA match combine (RFC 9309 §2.2.1)") {
+    // real robots.txt files repeat `User-agent: *` groups; dropping the
+    // later ones silently allows their Disallow paths (r14 advice)
+    val repeated =
+      """User-agent: *
+        |Disallow: /a
+        |
+        |User-agent: spot
+        |Disallow: /s
+        |
+        |User-agent: *
+        |Disallow: /b
+        |Allow: /b/ok
+        |""".stripMargin
+    assert(rules(repeated, "randombot") ==
+      Seq(("/a", false), ("/b", false), ("/b/ok", true)))
+    // named groups repeat too — and the * groups do NOT leak into a
+    // named-agent merge
+    assert(rules(repeated + "\nUser-agent: spot\nAllow: /s/ok\n", "spot") ==
+      Seq(("/s", false), ("/s/ok", true)))
+  }
+
   test("allowed: longest-match wins, allow wins ties, no match allows") {
     val rs = Seq(("/p", false), ("/p/special", true), ("/q", false))
     assert(!verdict("/p/other", rs))       // /p disallows
@@ -81,6 +103,12 @@ class RobotsSpec extends SparkSpec {
     assert(verdict("/x", Seq(("/$", false))) == true)
     // star-only pattern disallows everything it prefixes (i.e. everything)
     assert(verdict("/whatever", Seq(("*", false))) == false)
+    // a literal '*' in the PATH (legal RFC 3986 path char) must not consume
+    // the pattern's wildcard: `/a*b$` matches `/a*cb` only via backtrack
+    // (r14 advice — literal-equality-before-star recorded no star point)
+    assert(verdict("/a*cb", Seq(("/a*b$", false))) == false)
+    assert(verdict("/a*c", Seq(("/a*b$", false))) == true)
+    assert(verdict("/x*y", Seq(("/x*y$", false))) == false)
   }
 
   test("sitemaps: non-group records in file order, comments stripped, dups kept") {

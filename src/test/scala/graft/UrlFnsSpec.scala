@@ -79,4 +79,42 @@ class UrlFnsSpec extends SparkSpec {
       .as[(String, Option[String])].collect().toSeq ==
       battery.map(u => (n(u), Option(h(u)))))
   }
+
+  private def res(base: String, href: String): String = {
+    val r = UrlFns.resolve(UTF8String.fromString(base),
+      UTF8String.fromString(href))
+    if (r == null) null else r.toString
+  }
+
+  test("resolve: absolute only when the scheme colon precedes any /?#") {
+    // a RELATIVE href whose query embeds a URL must resolve against the
+    // base, not pass through as 'absolute' (r14 advice: the bare
+    // contains(\"://\") check lost these edges to the http(s) filter)
+    assert(res("http://e.com/dir/page", "/redirect?to=https://x.com") ==
+      "http://e.com/redirect?to=https://x.com")
+    assert(res("http://e.com/dir/page", "a?u=http://y.org/z") ==
+      "http://e.com/dir/a?u=http://y.org/z")
+    assert(res("http://e.com/p", "#frag?fake=https://x.com") ==
+      "http://e.com/p")
+    // genuinely absolute and non-hierarchical hrefs still pass through
+    assert(res("http://e.com/p", "https://other.net/q") ==
+      "https://other.net/q")
+    assert(res("http://e.com/p", "mailto:a@b.c") == "mailto:a@b.c")
+  }
+
+  test("resolve: null-safe under WHOLE-STAGE CODEGEN for authority-less bases") {
+    // resolve() returns null for a base with no '://' even when both inputs
+    // are non-null — defineCodeGen left isNull=false and the UnsafeRow
+    // writer NPE'd on the first garbage WARC-Target-URI (r14 advice, high).
+    // The filter + downstream normalize force the codegen path end to end.
+    val rows = Seq(("garbage-uri", "/a"), ("http://e.com/d/p", "x"),
+      ("also bad", "rel/y"), ("http://f.org", "//cdn.h.io/z"))
+      .toDF("base", "href")
+    val out = rows
+      .select(UrlFns.urlNormalize(
+        UrlFns.urlResolve($"base", $"href")).as("dst"))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(out == Seq(None, Some("http://e.com/d/x"), None,
+      Some("http://cdn.h.io/z")))
+  }
 }

@@ -422,6 +422,47 @@ class WarcSpec extends SparkSpec {
     index.unpersist()
   }
 
+  test("writeIndexed is EAGER: re-actions replay the pinned index, never the file writes") {
+    // r14 advice: a lazy index frame re-ran the partition writes on every
+    // action (second action, task retry, speculation) — duplicating files.
+    // Decisive probe: delete the exported files AFTER writeIndexed returns;
+    // if any later action re-ran the write, the files would reappear.
+    val dir = java.nio.file.Files.createTempDirectory("warceager").toString
+    val docs = (0L until 12L).map { i =>
+      (s"http://graft.test/e/$i", "2024-01-01T00:00:00Z", s"body $i")
+    }.toDF("url", "warc_date", "text")
+    val index = graft.io.Warc.writeIndexed(docs.repartition(2), dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+    assert(files.length == 2, "writeIndexed materialized at return time")
+    files.foreach(f => assert(f.delete()))
+    assert(index.count() == 12L)
+    assert(index.filter($"doc_id" =!= 0L).count() >= 11L)
+    assert(!new java.io.File(dir).listFiles()
+      .exists(_.getName.endsWith(".warc.gz")),
+      "an action on the index frame re-ran the file writes")
+  }
+
+  test("recordsIndexed: hostile index entries frame-skip with a null payload") {
+    val dir = java.nio.file.Files.createTempDirectory("warchostile").toString
+    val docs = Seq(("http://graft.test/h/0", "2024-01-01T00:00:00Z", "ok body"))
+      .toDF("url", "warc_date", "text")
+    val index = graft.io.Warc.writeIndexed(docs.repartition(1), dir)
+    val good = index.select($"file", $"offset", $"length").as[(String, Long, Long)]
+      .head()
+    // a length no JVM byte[] can hold, a negative offset, a zero length —
+    // each must yield a null-payload row, not a dead task (r14 verdict #4)
+    val hostile = Seq((good._1, 0L, 3000000000L), (good._1, -5L, 10L),
+      (good._1, 0L, 0L)).toDF("file", "offset", "length")
+    val out = graft.io.Warc.recordsIndexed(index.select($"file", $"offset",
+        $"length").union(hostile))
+      .collect()
+    assert(out.length == 4)
+    assert(out.count(_.payload == null) == 3)
+    assert(out.count(r => r.payload != null &&
+      r.target_uri == "http://graft.test/h/0") == 1)
+  }
+
   test("resource records with text content types extract as bare text") {
     val res = ("WARC/1.0\r\nWARC-Type: resource\r\n" +
       "WARC-Target-URI: http://graft.test/res\r\n" +
