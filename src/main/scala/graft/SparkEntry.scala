@@ -212,7 +212,9 @@ object SparkEntry {
     "q136_anchor_texts" -> qAnchorTexts,
     "q137_robots_gate" -> qRobotsGate,
     "q138_link_components" -> qLinkComponents,
-    "q139_hybrid_rrf" -> qHybridRrf)
+    "q139_hybrid_rrf" -> qHybridRrf,
+    "q140_bm25_indexed" -> qBm25Indexed,
+    "q141_hybrid_served" -> qHybridServed)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2507,6 +2509,77 @@ object SparkEntry {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** q140: BM25 served from the PERSISTED, INCREMENTALLY-MAINTAINED index
+    * — the q58/q72 degeneracy pattern applied to retrieval: the corpus
+    * splits 4/5 base + 1/5 "daily batch"; the index builds over the base,
+    * an [[graft.operators.Bm25.add]] admission tick folds the batch in,
+    * the ticked index round-trips through its BucketedStore form (tf/dl
+    * bucketed on doc_id — the serve-time length-norm join is
+    * exchange-free, spec-pinned in Bm25Spec), and the search must equal
+    * q134's from-scratch answer bit-for-bit — the oracle IS q134's
+    * full-corpus SQL, verbatim. */
+  private def qBm25Indexed(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(pmod(col("doc_id"), lit(37L)) === 0L)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(graft.functions.TextFns.words(col("text")), 1, 5),
+          " ").as("q_text"))
+    val name = "graft_q140_bm25_" +
+      new java.io.File(dir).getName.replace('.', '_')
+    val base = graft.operators.Bm25.buildIndex(
+      docs.filter(pmod(col("doc_id"), lit(5L)) =!= 4L), "doc_id", "text")
+    val ticked = graft.operators.Bm25.add(base,
+      docs.filter(pmod(col("doc_id"), lit(5L)) === 4L), "text")
+    ticked.save(name)
+    val loaded = graft.operators.Bm25.Bm25Index.load(s, name)
+    graft.operators.Bm25.search(loaded, queries, "q_id", "q_text", k = 10)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** q141: the PRODUCTION hybrid — q139's fusion with both lists served
+    * from persisted indexes instead of per-call corpus scans: sparse from
+    * the BucketedStore BM25 index (q140's machinery), dense from the
+    * saved IVF+PQ index under a PARTIAL probe (q77's machinery — Knuth
+    * seed centroids, cell-partitioned parquet served under dynamic
+    * partition pruning, plan-pinned in PlanAuditSpec). The oracle
+    * re-derives BOTH rankings (q134's BM25 CTEs + q77's coarse-assign/
+    * PQ-codes/ADC CTEs at the q-set) and the RRF fold. */
+  private def qHybridServed(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val dname = new java.io.File(dir).getName.replace('.', '_')
+    val queries = docs.filter(pmod(col("doc_id"), lit(37L)) === 0L)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(graft.functions.TextFns.words(col("text")), 1, 5),
+          " ").as("q_text"))
+    val bmName = s"graft_q141_bm25_$dname"
+    graft.operators.Bm25.buildIndex(docs, "doc_id", "text").save(bmName)
+    val sparse = graft.operators.Bm25.search(
+        graft.operators.Bm25.Bm25Index.load(s, bmName),
+        queries, "q_id", "q_text", k = 10)
+      .select(col("q_id"), col("doc_id"), col("rn").cast("long").as("r_s"))
+    val cents = Similarity.kmeansCentroids(emb, nCentroids = 16, iters = 0)
+    val didx = Similarity.buildIvfPqIndexFrom(emb, cents, m = 4, ksub = 16,
+      iters = 0)
+    val tmp = s"/tmp/graft_q141_ivfpq_$dname"
+    didx.save(tmp)
+    val dloaded = Similarity.IvfPqIndex.load(s, tmp)
+    val dense = Similarity.ivfPqSearch(dloaded,
+        emb.filter(pmod(col("vec_id"), lit(37L)) === 0L), k = 10, nProbe = 1)
+      .select(col("query_id").as("q_id"), col("neighbor_id").as("doc_id"),
+        col("rank").cast("long").as("r_d"))
+    val fused = sparse.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (coalesce(graft.ops.Quantiles.div(lit(1000000L),
+            lit(60L) + col("r_s")), lit(0L)) +
+          coalesce(graft.ops.Quantiles.div(lit(1000000L),
+            lit(60L) + col("r_d")), lit(0L))).as("rrf_e6"))
+    graft.ops.TopK.topKPerGroup(fused, Seq("q_id"), col("rrf_e6"),
+      col("doc_id"), Seq(col("doc_id"), col("rrf_e6")), 5)
+      .select(col("q_id"), col("rn"), col("doc_id"), col("rrf_e6"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** q137: RFC 9309 robots verdicts — crawl governance (retroactive robots
     * compliance over a captured corpus; Common Crawl ships robots.txt
     * captures so consumers can do exactly this). Each host's synthetic
@@ -2831,6 +2904,180 @@ object SparkEntry {
       case None => s.conf.unset(Dedup.FloodAvgBucketKey)
     }
   }
+
+  /** q134/q140 shared oracle: quantized Lucene BM25 re-derived end to end
+    * over the FULL corpus — the indexed+ticked route (q140) must reproduce
+    * the from-scratch route (q134) bit-for-bit, so one SQL pins both. */
+  private val bm25TopkSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(ws) AS token FROM toks)
+      |  GROUP BY doc_id, token),
+      |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+      |       FROM tf GROUP BY doc_id),
+      |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+      |              (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS tot),
+      |av AS (SELECT (1000 * tot) // n AS avgdl_e3 FROM st),
+      |q AS (SELECT doc_id AS q_id, unnest(list_distinct(ws[1:5])) AS token
+      |      FROM toks WHERE doc_id % 37 = 0),
+      |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+      |        WHERE token IN (SELECT token FROM q) GROUP BY token),
+      |idf AS (SELECT token,
+      |    CAST(round(ln(((SELECT CAST(n AS DOUBLE) FROM st) - df + 0.5)
+      |      / (df + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf_e6
+      |  FROM dfq),
+      |nrm AS (SELECT doc_id,
+      |    250000 + (750000000 * dl) // (SELECT avgdl_e3 FROM av) AS norm_e6
+      |  FROM dl),
+      |hits AS (
+      |  SELECT q.q_id, tf.doc_id,
+      |    (idf.idf_e6 * tf.tf * 2200)
+      |      // (1000 * tf.tf + (1200 * nrm.norm_e6) // 1000000) AS term_e6
+      |  FROM tf JOIN q USING (token) JOIN idf USING (token)
+      |  JOIN nrm ON nrm.doc_id = tf.doc_id),
+      |sc AS (
+      |  SELECT q_id, doc_id, CAST(SUM(term_e6) AS BIGINT) AS score_e6,
+      |    CAST(COUNT(*) AS BIGINT) AS n_terms
+      |  FROM hits GROUP BY q_id, doc_id),
+      |ranked AS (
+      |  SELECT q_id, doc_id, score_e6, n_terms,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY score_e6 DESC, doc_id) AS INT) AS rn
+      |  FROM sc)
+      |SELECT q_id, rn, doc_id, score_e6, n_terms FROM ranked
+      |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+
+  /** q141 oracle: the BM25 CTEs (bm25TopkSql's machinery, k = 10) + the
+    * IVF+PQ ADC CTEs (q77's machinery re-keyed to the %37 query set,
+    * nProbe = 1, k = 10) + q139's RRF fold over the two rank lists. */
+  private val hybridServedSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(
+      |    string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(ws) AS token FROM toks)
+      |  GROUP BY doc_id, token),
+      |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+      |       FROM tf GROUP BY doc_id),
+      |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+      |              (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS tot),
+      |av AS (SELECT (1000 * tot) // n AS avgdl_e3 FROM st),
+      |q AS (SELECT doc_id AS q_id, unnest(list_distinct(ws[1:5])) AS token
+      |      FROM toks WHERE doc_id % 37 = 0),
+      |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+      |        WHERE token IN (SELECT token FROM q) GROUP BY token),
+      |idf AS (SELECT token,
+      |    CAST(round(ln(((SELECT CAST(n AS DOUBLE) FROM st) - df + 0.5)
+      |      / (df + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf_e6
+      |  FROM dfq),
+      |nrm AS (SELECT doc_id,
+      |    250000 + (750000000 * dl) // (SELECT avgdl_e3 FROM av) AS norm_e6
+      |  FROM dl),
+      |bhits AS (
+      |  SELECT q.q_id, tf.doc_id,
+      |    (idf.idf_e6 * tf.tf * 2200)
+      |      // (1000 * tf.tf + (1200 * nrm.norm_e6) // 1000000) AS term_e6
+      |  FROM tf JOIN q USING (token) JOIN idf USING (token)
+      |  JOIN nrm ON nrm.doc_id = tf.doc_id),
+      |sc AS (
+      |  SELECT q_id, doc_id, CAST(SUM(term_e6) AS BIGINT) AS score_e6
+      |  FROM bhits GROUP BY q_id, doc_id),
+      |sparse AS (
+      |  SELECT q_id, doc_id, rn FROM (
+      |    SELECT q_id, doc_id,
+      |      CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |        ORDER BY score_e6 DESC, doc_id) AS BIGINT) AS rn
+      |    FROM sc) WHERE rn <= 10),
+      |dq AS (
+      |  SELECT vec_id, list_transform(embedding, x ->
+      |    CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS cv
+      |  FROM embeddings),
+      |dn AS (
+      |  SELECT vec_id, cv,
+      |    sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE)) AS nrm
+      |  FROM dq),
+      |coarse AS (
+      |  SELECT vec_id AS coarse_id, cv AS coarse_v, nrm AS coarse_n FROM dn
+      |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
+      |assign AS (
+      |  SELECT vec_id, coarse_id AS cell FROM (
+      |    SELECT v.vec_id, c.coarse_id,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+      |        ROUND(CAST(list_sum(list_transform(range(1, len(v.cv) + 1),
+      |            i -> v.cv[i] * c.coarse_v[i])) AS DOUBLE) /
+      |          (v.nrm * c.coarse_n), 6) DESC, c.coarse_id) AS rk
+      |    FROM dn v CROSS JOIN coarse c) WHERE rk = 1),
+      |seeds AS (
+      |  SELECT ROW_NUMBER() OVER (ORDER BY (vec_id * 2654435761) % 4294967296,
+      |      vec_id) - 1 AS centroid_id, cv
+      |  FROM dq ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
+      |sub AS (SELECT * FROM (VALUES (0, 1, 16), (1, 17, 16), (2, 33, 16),
+      |  (3, 49, 16)) AS t(s, off, len)),
+      |books AS (
+      |  SELECT r.s, sd.centroid_id,
+      |    list_slice(sd.cv, r.off, r.off + r.len - 1) AS centv,
+      |    list_sum(list_transform(list_slice(sd.cv, r.off, r.off + r.len - 1),
+      |      x -> x * x)) AS centn2
+      |  FROM seeds sd CROSS JOIN sub r),
+      |cand AS (
+      |  SELECT v.vec_id, b.s, b.centroid_id,
+      |    b.centn2 - 2 * list_sum(list_transform(range(1, r.len + 1), i ->
+      |      list_slice(v.cv, r.off, r.off + r.len - 1)[i] * b.centv[i])) AS d2
+      |  FROM dq v CROSS JOIN sub r JOIN books b ON b.s = r.s),
+      |codes AS (
+      |  SELECT vec_id, s, centroid_id AS code FROM (
+      |    SELECT vec_id, s, centroid_id,
+      |      ROW_NUMBER() OVER (PARTITION BY vec_id, s
+      |        ORDER BY d2, centroid_id) AS rn
+      |    FROM cand) WHERE rn = 1),
+      |dqueries AS (
+      |  SELECT dn.vec_id AS query_id, dn.cv,
+      |    sqrt(CAST(list_sum(list_transform(dn.cv, x -> x * x)) AS DOUBLE)) AS qn,
+      |    a.cell AS probe_cell
+      |  FROM dn JOIN assign a USING (vec_id) WHERE dn.vec_id % 37 = 0),
+      |dhits AS (
+      |  SELECT qu.query_id, qu.qn, c.vec_id AS neighbor_id,
+      |    SUM(list_sum(list_transform(range(1, r.len + 1), i ->
+      |      list_slice(qu.cv, r.off, r.off + r.len - 1)[i] * b.centv[i])))
+      |      AS num,
+      |    SUM(b.centn2) AS cn2
+      |  FROM codes c
+      |  JOIN assign a ON a.vec_id = c.vec_id
+      |  JOIN sub r ON r.s = c.s
+      |  JOIN books b ON b.s = c.s AND b.centroid_id = c.code
+      |  JOIN dqueries qu ON a.cell = qu.probe_cell
+      |  WHERE qu.query_id != c.vec_id
+      |  GROUP BY 1, 2, 3),
+      |dpairs AS (
+      |  SELECT query_id, neighbor_id,
+      |    CAST(num AS DOUBLE) / (qn * sqrt(CAST(cn2 AS DOUBLE))) AS cosine
+      |  FROM dhits),
+      |dense AS (
+      |  SELECT query_id AS q_id, neighbor_id AS doc_id, rn FROM (
+      |    SELECT query_id, neighbor_id,
+      |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY round(cosine, 6) DESC, neighbor_id) AS BIGINT) AS rn
+      |    FROM dpairs) WHERE rn <= 10),
+      |fused AS (
+      |  SELECT COALESCE(s.q_id, d.q_id) AS q_id,
+      |    COALESCE(s.doc_id, d.doc_id) AS doc_id,
+      |    COALESCE(1000000 // (60 + s.rn), 0)
+      |      + COALESCE(1000000 // (60 + d.rn), 0) AS rrf_e6
+      |  FROM sparse s FULL OUTER JOIN dense d
+      |    ON s.q_id = d.q_id AND s.doc_id = d.doc_id),
+      |ranked AS (
+      |  SELECT q_id, doc_id, rrf_e6,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+      |      ORDER BY rrf_e6 DESC, doc_id) AS INT) AS rn
+      |  FROM fused)
+      |SELECT q_id, rn, doc_id, rrf_e6 FROM ranked
+      |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_agg" ->
@@ -5024,48 +5271,15 @@ object SparkEntry {
     // q134: quantized Lucene BM25 re-derived end to end — tf/dl/df, the
     // rounded-ln idf, the integer length norm, the floor-div per-term
     // score, and the (score desc, doc_id asc) ranking
-    "q134_bm25_topk" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(
-        |    string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
-        |  FROM documents),
-        |tf AS (
-        |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, unnest(ws) AS token FROM toks)
-        |  GROUP BY doc_id, token),
-        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
-        |       FROM tf GROUP BY doc_id),
-        |st AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
-        |              (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS tot),
-        |av AS (SELECT (1000 * tot) // n AS avgdl_e3 FROM st),
-        |q AS (SELECT doc_id AS q_id, unnest(list_distinct(ws[1:5])) AS token
-        |      FROM toks WHERE doc_id % 37 = 0),
-        |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
-        |        WHERE token IN (SELECT token FROM q) GROUP BY token),
-        |idf AS (SELECT token,
-        |    CAST(round(ln(((SELECT CAST(n AS DOUBLE) FROM st) - df + 0.5)
-        |      / (df + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf_e6
-        |  FROM dfq),
-        |nrm AS (SELECT doc_id,
-        |    250000 + (750000000 * dl) // (SELECT avgdl_e3 FROM av) AS norm_e6
-        |  FROM dl),
-        |hits AS (
-        |  SELECT q.q_id, tf.doc_id,
-        |    (idf.idf_e6 * tf.tf * 2200)
-        |      // (1000 * tf.tf + (1200 * nrm.norm_e6) // 1000000) AS term_e6
-        |  FROM tf JOIN q USING (token) JOIN idf USING (token)
-        |  JOIN nrm ON nrm.doc_id = tf.doc_id),
-        |sc AS (
-        |  SELECT q_id, doc_id, CAST(SUM(term_e6) AS BIGINT) AS score_e6,
-        |    CAST(COUNT(*) AS BIGINT) AS n_terms
-        |  FROM hits GROUP BY q_id, doc_id),
-        |ranked AS (
-        |  SELECT q_id, doc_id, score_e6, n_terms,
-        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
-        |      ORDER BY score_e6 DESC, doc_id) AS INT) AS rn
-        |  FROM sc)
-        |SELECT q_id, rn, doc_id, score_e6, n_terms FROM ranked
-        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    "q134_bm25_topk" -> bm25TopkSql,
+    // q140: the indexed route with an admission tick must DEGENERATE to
+    // the from-scratch full-corpus answer — q134's oracle, verbatim (the
+    // q58/q72 pattern: one SQL, two engine routes)
+    "q140_bm25_indexed" -> bm25TopkSql,
+    // q141: both served rankings re-derived — the BM25 CTEs (q134) + the
+    // coarse-assign/PQ-codes/ADC CTEs (q77, at the %37 q-set, nProbe=1,
+    // k=10) — then q139's RRF fold over them
+    "q141_hybrid_served" -> hybridServedSql,
     "q131_lang_id_margins" ->
       """WITH docs AS (
         |  SELECT doc_id, lower(trim(text)) AS t FROM documents),

@@ -65,6 +65,116 @@ class Bm25Spec extends SparkSpec {
     assert(gated == open && gated.nonEmpty)
   }
 
+  private val big = (0L until 300L).map { i =>
+    (i, s"w${i % 7} w${i % 11} w${i % 13} common w${i % 3}")
+  }.toDF("doc_id", "text")
+  private val bigQueries = Seq((1L, "w1 w2 common"), (2L, "w5 w10"))
+    .toDF("q_id", "q_text")
+
+  private type Hit = (Long, Int, Long, Long, Long)
+  private def hits(df: org.apache.spark.sql.DataFrame): Seq[Hit] =
+    df.orderBy($"q_id", $"rn").as[Hit].collect().toSeq
+
+  /** The index as a value: every frame collected sorted + the scalars —
+    * the bit-for-bit comparison the tick contract promises. */
+  private def indexValue(i: Bm25.Bm25Index) = (
+    i.tf.select($"doc_id", $"token", $"tf").as[(Long, String, Long)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq,
+    i.dl.select($"doc_id", $"dl").as[(Long, Long)].collect().sorted.toSeq,
+    i.df.select($"token", $"df").as[(String, Long)].collect().sorted.toSeq,
+    i.nDocs, i.totTokens)
+
+  test("index: build -> save -> load -> search reproduces topK exactly") {
+    val fromScratch = hits(Bm25.topK(big, "doc_id", "text", bigQueries,
+      "q_id", "q_text", k = 5))
+    val idx = Bm25.buildIndex(big, "doc_id", "text")
+    idx.save("bm25_spec_idx", nBuckets = 4)
+    val loaded = Bm25.Bm25Index.load(spark, "bm25_spec_idx")
+    assert(loaded.idCol == "doc_id" && loaded.nDocs == 300L)
+    val served = hits(Bm25.search(loaded, bigQueries, "q_id", "q_text", k = 5))
+    assert(served == fromScratch && served.size == 10)
+    // the dials behave identically on the served route
+    assert(hits(Bm25.search(loaded, bigQueries, "q_id", "q_text", k = 5,
+      minDf = 50L)) ==
+      hits(Bm25.topK(big, "doc_id", "text", bigQueries, "q_id", "q_text",
+        k = 5, minDf = 50L)))
+    val e = intercept[IllegalArgumentException] {
+      Bm25.search(loaded, bigQueries, "q_id", "q_text", k = 5, maxHits = 10L)
+    }
+    assert(e.getMessage.contains("refusing before any join work"))
+  }
+
+  test("add/remove ticks == full rebuild, bit-for-bit; unknown ids no-op") {
+    val head = big.filter($"doc_id" < 250L)
+    val tail = big.filter($"doc_id" >= 250L)
+    // admission tick: fold the tail batch into the head index
+    val ticked = Bm25.add(Bm25.buildIndex(head, "doc_id", "text"),
+      tail, "text")
+    val full = Bm25.buildIndex(big, "doc_id", "text")
+    assert(indexValue(ticked) == indexValue(full))
+    // serving off the ticked index == the from-scratch answer (q140's pin)
+    assert(hits(Bm25.search(ticked, bigQueries, "q_id", "q_text", k = 5)) ==
+      hits(Bm25.topK(big, "doc_id", "text", bigQueries, "q_id", "q_text",
+        k = 5)))
+    // deletion tick: the inverse — removing the tail ids recovers the head
+    // index exactly (zero-df tokens drop); unknown ids change nothing
+    val removed = Bm25.remove(full,
+      tail.select($"doc_id").unionByName(Seq(99999L).toDF("doc_id")))
+    assert(indexValue(removed) ==
+      indexValue(Bm25.buildIndex(head, "doc_id", "text")))
+  }
+
+  test("served search: the corpus-side tf-dl join is exchange-free off the bucketed store") {
+    // the 100 TB contract: per-search corpus work is a co-located scan —
+    // the postings and length frames bucket on the doc id, so the length
+    // norm join moves ZERO corpus rows; the first shuffle any corpus row
+    // sees is the hit-sized (q_id, doc_id) score aggregate. Baseline: the
+    // same search over UNBUCKETED frames pays two corpus exchanges.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      def count(p: SparkPlan): Int = {
+        val self = p match { case _: ShuffleExchangeLike => 1; case _ => 0 }
+        val kids = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case q: QueryStageExec => Seq(q.plan)
+          case other => other.children
+        }
+        self + kids.map(count).sum
+      }
+      count(df.queryExecution.executedPlan)
+    }
+    val idx = Bm25.buildIndex(big, "doc_id", "text")
+    idx.save("bm25_spec_xfree", nBuckets = 4)
+    val loaded = Bm25.Bm25Index.load(spark, "bm25_spec_xfree")
+    // unbucketed twin: identical frames, no layout
+    val flat = loaded.copy(
+      tf = loaded.tf.collect().toSeq
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .toDF("doc_id", "token", "tf"),
+      dl = loaded.dl.collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+        .toDF("doc_id", "dl"))
+    // broadcast hints still apply under -1 (hints beat config); only the
+    // corpus-vs-corpus join regime is forced, as at real scale
+    val th = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val served = Bm25.search(loaded, bigQueries, "q_id", "q_text", k = 5)
+      val unbucketed = Bm25.search(flat, bigQueries, "q_id", "q_text", k = 5)
+      assert(hits(served) == hits(unbucketed))
+      val (eb, eu) = (exchanges(served), exchanges(unbucketed))
+      assert(eb == eu - 2,
+        s"bucketed route must elide exactly the two corpus-side exchanges " +
+          s"of the tf-dl join (bucketed=$eb, unbucketed=$eu)")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", th)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("topK: partitioning-invariant") {
     val big = (0L until 300L).map { i =>
       (i, s"w${i % 7} w${i % 11} w${i % 13} common w${i % 3}")

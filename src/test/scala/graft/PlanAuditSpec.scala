@@ -57,7 +57,10 @@ class PlanAuditSpec extends SparkSpec {
     // q139: embeds q26's brute-force dense list — the query-batch broadcast
     // nested-loop (query-sized side broadcast, corpus streamed once) that
     // IS the exact-baseline retrieval shape
-    "q139_hybrid_rrf")
+    "q139_hybrid_rrf",
+    // q141: q77's packed 1-row centroid/codebook broadcasts (seed pick,
+    // cell argmax, ADC tables) on the served dense side
+    "q141_hybrid_served")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where designed") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
@@ -142,6 +145,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(cellsScan.nonEmpty, s"no persisted cells scan in q77:\n$plan")
     assert(cellsScan.exists(_.contains("dynamicpruning")),
       s"q77 cells scan is not dynamically pruned:\n${cellsScan.mkString("\n")}")
+  }
+
+  test("q141's served dense side reads its cells under dynamic partition pruning") {
+    // the production hybrid must SERVE, not scan: the dense list comes off
+    // the persisted IVF+PQ index, so its cell-partitioned parquet read is
+    // restricted to the probed cells by a runtime DPP filter — the same
+    // contract as q77, re-pinned on the fused row (r14 verdict #1)
+    val df = SparkEntry.queries("q141_hybrid_served")(spark, dir)
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    val cellsScan = plan.split("\n")
+      .filter(l => l.contains("FileScan") && l.contains("cells"))
+    assert(cellsScan.nonEmpty, s"no persisted cells scan in q141:\n$plan")
+    assert(cellsScan.exists(_.contains("dynamicpruning")),
+      s"q141 cells scan is not dynamically pruned:\n${cellsScan.mkString("\n")}")
   }
 
   test("narrow projections prune parquet columns at the scan (ReadSchema)") {
