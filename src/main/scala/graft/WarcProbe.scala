@@ -242,6 +242,39 @@ object WarcProbe {
             Warc.textDocs(Warc.records(spark, dir)).count()}")
         }
 
+      case "cdxj" =>
+        // CDXJ-interop census (args: <outDir> <docsParquet> [nFiles]
+        // [fetchEvery]): like `cdx`, but the index travels through the
+        // OFFICIAL Common Crawl plain-text format — writeIndexed →
+        // cdxjLines (gzip text shards) → cdxjIndex → byte-range fetch —
+        // the receipt that a real dump's own cdx-*.gz serves this engine.
+        val docsParquet = args(2)
+        val nf = args.drop(3).headOption.map(_.toInt).getOrElse(64)
+        val every = args.drop(4).headOption.map(_.toLong).getOrElse(500L)
+        val docs = spark.read.parquet(docsParquet)
+          .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"))
+          .withColumn("url", concat(lit("http://graft.test/doc/"),
+            col("doc_id")))
+          .withColumn("warc_date", lit("2024-01-01T00:00:00Z"))
+          .select(col("url"), col("warc_date"), col("text"))
+        timed("writeIndexed+cdxj") {
+          val i = Warc.writeIndexed(docs.repartition(nf), dir)
+          Warc.cdxjLines(i).orderBy(col("value"))
+            .write.mode("overwrite").option("compression", "gzip")
+            .text(dir + "_cdxj")
+        }
+        val idx = timed("parse cdxj") {
+          val p = Warc.cdxjIndex(spark, dir + "_cdxj").persist()
+          println(s"[warc-probe] cdxj rows=${p.count()}")
+          p
+        }
+        val picked = idx.filter(pmod(col("doc_id"), lit(every)) === 0L)
+        val nPicked = picked.count()
+        timed(s"fetch $nPicked") {
+          val n = Warc.textDocs(Warc.recordsIndexed(picked)).count()
+          println(s"[warc-probe] fetched=$n (selected $nPicked)")
+        }
+
       case "write" =>
         // WET export census (args: <outDir> <docsParquet> [nFiles]): write
         // the documents table as conversion records, then parse it back

@@ -449,6 +449,72 @@ object Warc {
       }
   }
 
+  /** Parse the official Common Crawl CDXJ plain-text index format into the
+    * [[recordsIndexed]] frame shape, so selective byte-range fetch works
+    * against a REAL dump's own index (CC publishes `cdx-*.gz` shards; no
+    * index build pass over petabytes). A CDXJ line is
+    * `<SURT key> <14-digit timestamp> {json}` where the JSON carries
+    * STRING-valued `url`, `offset`, `length`, `filename` (plus
+    * `mime`/`status`/`digest`, kept when present — they prune at the SQL
+    * layer before any fetch). Whole-file gzip shards decompress through
+    * the text source's codec handling; malformed lines (no JSON object, or
+    * missing any fetch-critical field) drop — a 300-billion-line index
+    * tolerates damage, a reader that dies on one bad line does not.
+    *
+    * `base` prefixes the JSON's dump-root-relative filenames (pass "" when
+    * filenames are already absolute, e.g. a locally-written index).
+    * `doc_id` is xxhash64(url) with Spark's seed — the same id
+    * [[writeIndexed]] emits, so either index serves the same SQL. */
+  def cdxjIndex(spark: SparkSession, path: String,
+                base: String = ""): DataFrame = {
+    val jsonSchema = org.apache.spark.sql.types.StructType(Seq(
+      "url", "offset", "length", "filename", "mime", "status", "digest")
+      .map(f => org.apache.spark.sql.types.StructField(f,
+        org.apache.spark.sql.types.StringType)))
+    spark.read.text(path)
+      .select(col("value"),
+        locate("{", col("value")).as("__j"))
+      .filter(col("__j") > 0)
+      .select(
+        substring_index(col("value"), " ", 1).as("surt"),
+        element_at(split(col("value"), " ", 3), 2).as("timestamp"),
+        from_json(expr("substring(value, __j)"), jsonSchema).as("j"))
+      .select(col("surt"), col("timestamp"),
+        (if (base.isEmpty) col("j.filename")
+         else concat(lit(base.stripSuffix("/") + "/"), col("j.filename")))
+          .as("file"),
+        col("j.offset").cast("long").as("offset"),
+        col("j.length").cast("long").as("length"),
+        col("j.url").as("url"),
+        xxhash64(col("j.url")).as("doc_id"),
+        col("j.mime").as("mime"), col("j.status").as("status"),
+        col("j.digest").as("digest"))
+      .filter(col("file").isNotNull && col("offset").isNotNull &&
+        col("length").isNotNull && col("url").isNotNull)
+  }
+
+  /** The write side of the interop: render a [[writeIndexed]] index frame
+    * as official CDXJ lines (SURT key = comma-reversed host + `)/` +
+    * path-and-query; JSON via `to_json` so urls with quotes escape
+    * correctly). Sort before writing for a spec-compliant shard
+    * (`.orderBy("surt", "timestamp")`); timestamps are the caller's
+    * capture time in the 14-digit form. */
+  def cdxjLines(index: DataFrame,
+                timestamp: String = "20260101000000"): DataFrame = {
+    val pathQ = expr("CASE WHEN locate('/', url, locate('://', url) + 3) = 0" +
+      " THEN '/' ELSE substr(url, locate('/', url, locate('://', url) + 3))" +
+      " END")
+    index.select(concat_ws(" ",
+      concat(array_join(reverse(split(
+        graft.functions.UrlFns.urlHost(col("url")), "\\.")), ","),
+        lit(")"), pathQ),
+      lit(timestamp),
+      to_json(struct(col("url"),
+        col("offset").cast("string").as("offset"),
+        col("length").cast("string").as("length"),
+        col("file").as("filename")))).as("value"))
+  }
+
   /** xxhash64 of a string's UTF-8 bytes with Spark's seed (the engine's
     * url→doc_id convention) — keeps exported record ids deterministic. */
   private def xxhashOf(s: String): Long =

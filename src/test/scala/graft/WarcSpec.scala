@@ -443,6 +443,52 @@ class WarcSpec extends SparkSpec {
       "an action on the index frame re-ran the file writes")
   }
 
+  test("CDXJ interop: a real-format index round-trips and serves byte-range fetches") {
+    val dir = java.nio.file.Files.createTempDirectory("warccdxj").toString
+    val docs = (0L until 30L).map { i =>
+      (s"http://site${i % 3}.test/p/$i?q=$i", "2024-01-01T00:00:00Z",
+        s"cdxj body $i " + ("y" * (i.toInt * 5 % 40)))
+    }.toDF("url", "warc_date", "text")
+    val index = graft.io.Warc.writeIndexed(docs.repartition(2), s"$dir/warc")
+    // export official CDXJ lines, write as a gzip shard (the CC layout),
+    // parse back — the frame must carry the same fetch-critical cover
+    val lines = graft.io.Warc.cdxjLines(index).orderBy($"value")
+    lines.coalesce(1).write.option("compression", "gzip")
+      .text(s"$dir/cdx")
+    val parsed = graft.io.Warc.cdxjIndex(spark, s"$dir/cdx")
+    assert(parsed.count() == 30L)
+    // SURT keys are the official shape: comma-reversed host )/ path?query
+    val surt0 = parsed.filter($"url" === "http://site0.test/p/0?q=0")
+      .select($"surt").as[String].head()
+    assert(surt0 == "test,site0)/p/0?q=0")
+    assert(parsed.select($"file", $"offset", $"length", $"url", $"doc_id")
+      .as[(String, Long, Long, String, Long)].collect().toSet ==
+      index.as[(String, Long, Long, String, Long)].collect().toSet)
+    // byte-range fetch THROUGH the parsed CDXJ == filtered full parse
+    val picked = parsed.filter($"doc_id" % 3 === 0)
+    val fetched = graft.io.Warc.textDocs(graft.io.Warc.recordsIndexed(picked))
+      .collect().map(d => (d.url, d.text)).toSet
+    val pickedUrls = picked.select($"url").as[String].collect().toSet
+    val full = graft.io.Warc.textDocs(
+        graft.io.Warc.records(spark, s"$dir/warc"))
+      .collect().filter(d => pickedUrls.contains(d.url))
+      .map(d => (d.url, d.text)).toSet
+    assert(fetched == full && fetched.nonEmpty)
+    // dump-root-relative filenames resolve through `base`; damaged and
+    // field-missing lines drop instead of killing the read
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(s"$dir/rel.cdxj"),
+      """test,rel)/a 20240101000000 {"url": "http://rel.test/a", "offset": "0", "length": "10", "filename": "segments/part-0.warc.gz"}
+        |garbage line without json
+        |test,rel)/b 20240101000000 {"url": "http://rel.test/b", "offset": "7"}
+        |""".stripMargin)
+    val rel = graft.io.Warc.cdxjIndex(spark, s"$dir/rel.cdxj",
+      base = "s3a://bucket/dump/")
+    assert(rel.count() == 1L)
+    assert(rel.select($"file").as[String].head() ==
+      "s3a://bucket/dump/segments/part-0.warc.gz")
+  }
+
   test("recordsIndexed: hostile index entries frame-skip with a null payload") {
     val dir = java.nio.file.Files.createTempDirectory("warchostile").toString
     val docs = Seq(("http://graft.test/h/0", "2024-01-01T00:00:00Z", "ok body"))
