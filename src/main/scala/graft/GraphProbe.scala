@@ -95,6 +95,59 @@ object GraphProbe {
               println(s"[graph-probe] REFUSED: ${e.getMessage}")
           }
         }
+      case "frontier" =>
+        // Frontier census (args: frontier <nPages> [hostCap]): the q135
+        // synthetic crawl shape → links → host-level PageRank prior +
+        // per-host robots (odd sites disallow /p/1*) → the prioritized,
+        // robots-clean, host-capped fetch list. The receipt: frontier cost
+        // is one distinct + anti-join + host-sized broadcasts + the TopK
+        // heap — output bounded by sites × hostCap, never candidate-sized.
+        val n = args(1).toLong
+        val hostCap = args.drop(2).headOption.map(_.toInt).getOrElse(50)
+        val i = col("id")
+        def str(c: org.apache.spark.sql.Column) = c.cast("string")
+        val site = str(pmod(i, lit(997L)))
+        val html = concat(
+          lit("<a href=\"https://site"), site, lit(".example.com/p/"),
+          str(pmod(i * 7L + 1L, lit(4L * n))), lit("\">next</a>"),
+          lit("<a href=\"https://site"), str(pmod(i + 1L, lit(997L))),
+          lit(".example.com/p/"), str(pmod(i * 13L + 5L, lit(4L * n))),
+          lit("\">cross</a>"))
+        val pages = spark.range(n).select(
+          concat(lit("https://site"), site, lit(".example.com/p/"), str(i))
+            .as("url"), html.as("html"))
+          .repartition(spark.sparkContext.defaultParallelism)
+        val links = timed("links") {
+          val l = LinkGraph.links(pages, "url", "html")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          println(s"[graph-probe] links rows=${l.count()}")
+          l
+        }
+        val hosts = timed("host rank") {
+          val h = LinkGraph.pageRank(links
+            .select(graft.functions.UrlFns.urlHost(col("src")).as("src"),
+              graft.functions.UrlFns.urlHost(col("dst")).as("dst"))
+            .filter(col("src") =!= col("dst")), iters = 3)
+          println(s"[graph-probe] hosts=${h.count()}")
+          h
+        }
+        val robots = spark.range(997).select(
+          concat(lit("site"), str(i), lit(".example.com")).as("host"),
+          when(pmod(i, lit(2L)) === 1L,
+            lit("User-agent: *\nDisallow: /p/1\n"))
+            .otherwise(lit("User-agent: *\nAllow: /\n")).as("robots_txt"))
+        val crawled = pages.select(col("url"))
+        timed("frontier") {
+          val f = LinkGraph.frontier(links, crawled,
+            hosts.select(col("node"), col("pr_e12")), robots,
+            hostCap = hostCap)
+          val stats = f.agg(count(lit(1)), countDistinct(col("host")),
+            max(col("rn"))).first()
+          println(s"[graph-probe] frontier urls=${stats.getLong(0)} " +
+            s"hosts=${stats.getLong(1)} maxPerHost=${stats.getInt(2)}")
+        }
+        graft.operators.Dedup.release(hosts)
+
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

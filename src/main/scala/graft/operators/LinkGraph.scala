@@ -128,6 +128,82 @@ object LinkGraph {
     out
   }
 
+  /** Crawl-frontier construction — the natural consumer of everything the
+    * crawl side built (r14 verdict #5): from the current crawl's resolved
+    * link frame ([[links]]), emit the prioritized, robots-clean list of
+    * what to FETCH NEXT.
+    *
+    *  - Candidates = link targets ∪ the hosts' `Sitemap:` URLs
+    *    ([[graft.functions.RobotsExprs.sitemaps]]), http(s)-only,
+    *    canonical, DISTINCT — minus everything in `crawled` (anti-join:
+    *    the undiscovered set).
+    *  - Governance: each host's robots.txt parses ONCE on the host-sized
+    *    `robots` frame (columns `host`, `robots_txt`), broadcasts, and
+    *    the RFC 9309 verdict runs in-row at the scan; a host with no
+    *    robots row is allowed (no robots = allow, per the RFC).
+    *  - Priority: `hostRank` (host key + a rank column — `pr_e12` if
+    *    present, else the second column; e.g. the host-level [[pageRank]]
+    *    prior) broadcasts on; unknown hosts rank 0.
+    *  - Politeness: at most `hostCap` urls per host per frontier round —
+    *    the TopK heap discipline (never a corpus window), picked by the
+    *    url's FNV-1a 64 asc (q67's hash-verified total order: the pick is
+    *    deterministic under any partitioning).
+    *
+    * Returns (url, host, host_rank_e12, rn); fetch order = host_rank_e12
+    * desc, then the same FNV tie — sort the RESULT, which is
+    * hostCap-bounded per host, never the candidate set. */
+  def frontier(links: DataFrame, crawled: DataFrame,
+               hostRank: DataFrame = null, robots: DataFrame = null,
+               agent: String = "graftbot", hostCap: Int = 100): DataFrame = {
+    require(hostCap >= 1, s"hostCap must be >= 1, got $hostCap")
+    val linkUrls = links.select(col("dst").as("url"))
+    val cand = (if (robots == null) linkUrls
+      else linkUrls.unionByName(robots
+        .select(explode(graft.functions.RobotsExprs.robotsSitemaps(
+          col("robots_txt"))).as("__sm"))
+        .select(UrlFns.urlNormalize(col("__sm")).as("url"))))
+      .filter(col("url").startsWith("http://") ||
+        col("url").startsWith("https://"))
+      .distinct()
+    val fresh = cand.join(
+      crawled.select(col(crawled.columns.head).as("url")), Seq("url"),
+      "left_anti")
+    val pathOf = expr("CASE WHEN locate('/', url, locate('://', url) + 3)" +
+      " = 0 THEN '/' ELSE substr(url, locate('/', url," +
+      " locate('://', url) + 3)) END")
+    val withHost = fresh.select(col("url"),
+        UrlFns.urlHost(col("url")).as("host"), pathOf.as("__path"))
+      .filter(col("host").isNotNull)
+    val gated =
+      if (robots == null) withHost.drop("__path")
+      else {
+        val rules = robots.select(col("host"),
+          graft.functions.RobotsExprs.robotsRules(col("robots_txt"),
+            lit(agent)).as("__rg"))
+        withHost.join(broadcast(rules), Seq("host"), "left")
+          .filter(col("__rg").isNull ||
+            graft.functions.RobotsExprs.robotsAllowed(col("__path"),
+              transform(col("__rg"), x => x.getField("pattern")),
+              transform(col("__rg"), x => x.getField("allow"))))
+          .drop("__path", "__rg")
+      }
+    val ranked =
+      if (hostRank == null) gated.withColumn("host_rank_e12", lit(0L))
+      else {
+        val cols = hostRank.columns
+        val rankCol = if (cols.contains("pr_e12")) "pr_e12" else cols(1)
+        gated.join(broadcast(hostRank.select(col(cols.head).as("host"),
+            col(rankCol).cast("long").as("host_rank_e12"))), Seq("host"),
+            "left")
+          .withColumn("host_rank_e12",
+            coalesce(col("host_rank_e12"), lit(0L)))
+      }
+    graft.ops.TopK.topKPerGroup(ranked, Seq("host"), lit(0L),
+      graft.functions.RollingHash64(col("url")),
+      Seq(col("url"), col("host_rank_e12")), hostCap)
+      .select(col("url"), col("host"), col("host_rank_e12"), col("rn"))
+  }
+
   /** Top-`k` anchor texts per TARGET url by occurrence count (ties: the
     * anchor's FNV-1a 64 hash asc — q67's hash-verified total order, so the
     * ranking is identical under any partitioning and re-derivable in plain

@@ -142,6 +142,44 @@ class LinkGraphSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("frontier: undiscovered ∪ sitemaps, robots-clean, host-capped, rank-prioritized") {
+    def fnv(s: String): Long =
+      graft.functions.RollingHash64.hashBytes(s.getBytes("UTF-8"))
+    val ls = Seq(
+      ("http://seed.test/", "http://a.test/p1", ""),
+      ("http://seed.test/", "http://a.test/p2", ""),
+      ("http://seed.test/", "http://a.test/p3", ""),     // already crawled
+      ("http://seed.test/", "http://a.test/bad/x", ""),  // robots-disallowed
+      ("http://seed.test/", "http://b.test/q1", ""),
+      ("http://seed.test/", "http://b.test/q1", ""),     // dup collapses
+      ("http://seed.test/", "http://b.test/q2", ""),
+      ("http://seed.test/", "mailto:x@y.test", ""))      // non-http drops
+      .toDF("src", "dst", "anchor")
+    val crawled = Seq("http://a.test/p3", "http://seed.test/").toDF("url")
+    val robots = Seq(("a.test",
+      "User-agent: *\nDisallow: /bad\nSitemap: http://a.test/sm.xml\n"))
+      .toDF("host", "robots_txt")
+    val hostRank = Seq(("b.test", 500L)).toDF("node", "pr_e12")
+    val out = LinkGraph.frontier(ls, crawled, hostRank, robots, hostCap = 2)
+      .orderBy($"host_rank_e12".desc,
+        graft.functions.RollingHash64($"url"))
+      .as[(String, String, Long, Int)].collect().toSeq
+    // a.test candidates after governance: p1, p2, sm.xml (p3 crawled, /bad
+    // disallowed) — the cap keeps the TWO smallest-FNV urls; b.test keeps
+    // both, at rank 500, so they lead the fetch order
+    val aKept = Seq("http://a.test/p1", "http://a.test/p2",
+      "http://a.test/sm.xml").sortBy(fnv).take(2)
+    val bKept = Seq("http://b.test/q1", "http://b.test/q2").sortBy(fnv)
+    assert(out.map(_._1) == bKept ++ aKept)
+    assert(out.map(_._3) == Seq(500L, 500L, 0L, 0L))
+    assert(out.forall(_._4 <= 2))
+    // no robots/rank inputs: everything undiscovered is eligible
+    val open = LinkGraph.frontier(ls, crawled)
+      .as[(String, String, Long, Int)].collect().map(_._1).toSet
+    assert(open == Set("http://a.test/p1", "http://a.test/p2",
+      "http://a.test/bad/x", "http://b.test/q1", "http://b.test/q2"))
+  }
+
   test("pageRank release contract: two calls leave no blocks beyond their results") {
     // r14 verdict #2: the iteration's internal edges/nodes/rank snapshots
     // are localCheckpoint blocks that clearCache() does not cover — the
