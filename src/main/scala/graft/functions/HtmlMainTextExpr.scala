@@ -99,7 +99,86 @@ case class HtmlMainTextExpr(child: Expression, minWords: Int,
       newChild: Expression): HtmlMainTextExpr = copy(child = newChild)
 }
 
+/** Per-LANGUAGE jusText (r14 verdict #6): `html_main_text_by_lang(html,
+  * lang)` — jusText's stopword-density classes are only meaningful against
+  * the language's OWN function words (the paper ships one stopword list
+  * per language; a French page measured against an English list scores
+  * every content block stopword-free and drops it). This is the q132
+  * strata pattern applied to extraction: ONE kernel, the row's `lang`
+  * column selects its list in-row — no per-language job loop, no shuffle.
+  * Langs with no configured list (or a null-safe-missed lang) fall back to
+  * `fallback` (empty = the legacy two-rule surface). Dials are shared
+  * across languages; per-lang thresholds belong in curation
+  * (`min_words_by_lang`), not extraction. */
+case class HtmlMainTextByLangExpr(left: Expression, right: Expression,
+                                  stopwordsByLang: Map[String, Seq[String]],
+                                  fallback: Seq[String] = Nil,
+                                  minWords: Int = 5,
+                                  maxLinkDensityE6: Int = 500000,
+                                  lenHighWords: Int = 10,
+                                  stopLowE6: Int = 250000,
+                                  stopHighE6: Int = 450000)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"html_main_text_by_lang requires (string, string), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_main_text_by_lang"
+
+  @transient private lazy val setsRef:
+      java.util.HashMap[String, java.util.HashSet[String]] = {
+    val m = new java.util.HashMap[String, java.util.HashSet[String]]()
+    stopwordsByLang.foreach { case (l, ws) =>
+      val h = new java.util.HashSet[String]()
+      ws.foreach(w => h.add(HtmlToTextExpr.asciiLower(w)))
+      m.put(l, h)
+    }
+    m
+  }
+  @transient private lazy val fallbackSet: java.util.HashSet[String] = {
+    val h = new java.util.HashSet[String]()
+    fallback.foreach(w => h.add(HtmlToTextExpr.asciiLower(w)))
+    h
+  }
+
+  override def nullSafeEval(html: Any, lang: Any): Any =
+    HtmlMainTextExpr.extractByLang(html.asInstanceOf[UTF8String],
+      lang.asInstanceOf[UTF8String], setsRef, fallbackSet, minWords,
+      maxLinkDensityE6, lenHighWords, stopLowE6, stopHighE6)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsR = ctx.addReferenceObj("setsByLang", setsRef,
+      "java.util.HashMap")
+    val fbR = ctx.addReferenceObj("fallbackSet", fallbackSet,
+      "java.util.HashSet")
+    defineCodeGen(ctx, ev, (h, l) =>
+      s"graft.functions.HtmlMainTextExpr.extractByLang($h, $l, $setsR, " +
+        s"$fbR, $minWords, $maxLinkDensityE6, $lenHighWords, $stopLowE6, " +
+        s"$stopHighE6)")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HtmlMainTextByLangExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object HtmlMainTextExpr {
+
+  /** Referenced from generated Java code — must stay public: the per-lang
+    * dispatch in front of [[extract]]. */
+  def extractByLang(html: UTF8String, lang: UTF8String,
+                    sets: java.util.HashMap[String, java.util.HashSet[String]],
+                    fallback: java.util.HashSet[String], minWords: Int,
+                    maxLinkDensityE6: Int, lenHighWords: Int,
+                    stopLowE6: Int, stopHighE6: Int): UTF8String = {
+    val s = sets.get(lang.toString)
+    extract(html, minWords, maxLinkDensityE6,
+      if (s == null) fallback else s, lenHighWords, stopLowE6, stopHighE6)
+  }
 
   /** HTML5 flow-content tags that CUT a block. Sorted-set membership over
     * ASCII-folded names. */

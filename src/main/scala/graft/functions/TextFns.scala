@@ -227,6 +227,22 @@ object TextFns {
     HtmlMainTextExpr(text, minWords, maxLinkDensityE6, stopwords,
       lenHighWords, stopLowE6, stopHighE6)
 
+  /** [[htmlMainTextJustext]] with PER-LANGUAGE stopword lists: the row's
+    * `lang` column picks its list in-row (the q132 strata pattern applied
+    * to extraction — see [[HtmlMainTextByLangExpr]]); unlisted langs fall
+    * back to `fallback`. */
+  def htmlMainTextJustextByLang(text: Column, lang: Column,
+                                stopwordsByLang: Map[String, Seq[String]],
+                                fallback: Seq[String], minWords: Int,
+                                maxLinkDensityE6: Int, lenHighWords: Int,
+                                stopLowE6: Int, stopHighE6: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      HtmlMainTextByLangExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(text),
+        org.apache.spark.sql.graft.ColumnBridge.expression(lang),
+        stopwordsByLang, fallback, minWords, maxLinkDensityE6,
+        lenHighWords, stopLowE6, stopHighE6))
+
   /** Reference column-chain implementation of [[normalizeText]]. */
   def normalizeTextCols(text: Column): Column =
     trim(regexp_replace(

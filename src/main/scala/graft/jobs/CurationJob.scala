@@ -40,7 +40,13 @@ import org.apache.spark.sql.functions._
   *                                     //   (HtmlToTextExpr) in the scan
   *   "warc_html_extract": "full",      //   or "main": block-level
   *                                     //   boilerplate drop (jusText rules,
-  *                                     //   HtmlMainTextExpr)
+  *                                     //   HtmlMainTextExpr); "justext":
+  *                                     //   the four-class scheme — needs
+  *                                     //   justext_stopwords, or (r15)
+  *                                     //   justext_stopwords_by_lang =
+  *                                     //   {"en": [...], ...}: an in-row
+  *                                     //   lang probe routes each page to
+  *                                     //   ITS language's list
   *   "warc_derive_lang": false,        //   derive a `lang` column via the
   *                                     //   q28 language-ID kernel so
   *                                     //   block_cols/mixture/report strata
@@ -271,15 +277,42 @@ object CurationJob {
                   graft.functions.TextFns.htmlMainText(col("text"))
                 case "justext" =>
                   val sw = strSeq("justext_stopwords")
-                  require(sw.nonEmpty,
-                    "warc_html_extract=justext needs justext_stopwords")
-                  graft.functions.TextFns.htmlMainTextJustext(col("text"),
-                    str("justext_min_words", "5").toInt,
-                    str("justext_max_link_density_e6", "500000").toInt,
-                    sw,
-                    str("justext_len_high_words", "10").toInt,
-                    str("justext_stop_low_e6", "250000").toInt,
-                    str("justext_stop_high_e6", "450000").toInt)
+                  // r15: justext_stopwords_by_lang = {"en": [...], ...} —
+                  // stopword DENSITY is only meaningful against the page's
+                  // own language's function words (jusText ships one list
+                  // per language). The lang is probed IN-ROW on the
+                  // whole-page text (q28 kernel over html_to_text — one
+                  // extra decode in the same scan stage, no shuffle, no
+                  // second pass over the lake) and selects the list per
+                  // row; probe langs outside the map fall back to
+                  // justext_stopwords (may be empty = legacy two-rule).
+                  val byLang: Map[String, Seq[String]] =
+                    if (cfg.schema.fieldNames
+                          .contains("justext_stopwords_by_lang") &&
+                        !cfg.isNullAt(cfg.fieldIndex(
+                          "justext_stopwords_by_lang"))) {
+                      val r = cfg.getStruct(cfg.fieldIndex(
+                        "justext_stopwords_by_lang"))
+                      r.schema.fieldNames.map(k =>
+                        k -> r.getSeq[String](r.fieldIndex(k))).toMap
+                    } else Map.empty
+                  require(sw.nonEmpty || byLang.nonEmpty,
+                    "warc_html_extract=justext needs justext_stopwords " +
+                      "(or justext_stopwords_by_lang)")
+                  val minW = str("justext_min_words", "5").toInt
+                  val mld = str("justext_max_link_density_e6", "500000").toInt
+                  val lenHigh = str("justext_len_high_words", "10").toInt
+                  val stopLow = str("justext_stop_low_e6", "250000").toInt
+                  val stopHigh = str("justext_stop_high_e6", "450000").toInt
+                  if (byLang.isEmpty)
+                    graft.functions.TextFns.htmlMainTextJustext(col("text"),
+                      minW, mld, sw, lenHigh, stopLow, stopHigh)
+                  else
+                    graft.functions.TextFns.htmlMainTextJustextByLang(
+                      col("text"),
+                      graft.functions.TextFns.langIdPredict(
+                        graft.functions.TextFns.htmlToText(col("text"))),
+                      byLang, sw, minW, mld, lenHigh, stopLow, stopHigh)
                 case _ => graft.functions.TextFns.htmlToText(col("text"))
               }
             td.withColumn("text",

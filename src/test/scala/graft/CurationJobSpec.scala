@@ -134,6 +134,63 @@ class CurationJobSpec extends SparkSpec {
     assert(jt == good, jt)
   }
 
+  test("curation job: justext_stopwords_by_lang extracts each page under ITS language's list") {
+    val dir = Files.createTempDirectory("curation_jtlang")
+    def gz(recs: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      recs.foreach { r =>
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(r); g.finish()
+      }
+      bos.toByteArray
+    }
+    import java.nio.charset.StandardCharsets.UTF_8
+    def capture(d: Long, bodyHtml: String): Array[Byte] = {
+      val body = bodyHtml.getBytes(UTF_8)
+      val http = ("HTTP/1.1 200 OK\r\n" +
+        "Content-Type: text/html; charset=UTF-8\r\n" +
+        s"Content-Length: ${body.length}\r\n\r\n").getBytes(UTF_8) ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: ${graft.operators.SyntheticWarc.uri(d)}\r\n" +
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes(UTF_8) ++
+        http ++ "\r\n\r\n".getBytes(UTF_8)
+    }
+    val goodEn = "the cat sat on the mat and the dog lay in the sun today " +
+      "and it was the best of all the days that the cat had seen"
+    val goodFr = "le chat est sur le tapis et les chiens sont dans la " +
+      "maison et le jour est beau et la nuit est calme"
+    val pitch = "buy cheap deals now best offers sale discount here " +
+      "premium quality products shipped fast worldwide free"
+    Files.write(dir.resolve("c.warc.gz"), gz(Seq(
+      capture(1L, s"<html><body><p>$goodEn</p><p>$pitch</p></body></html>"),
+      capture(2L, s"<html><body><p>$goodFr</p><p>$pitch</p></body></html>"))))
+    val enList = """["the","a","an","and","of","to","in","it","was","is",
+                   |"for","on","with","that","all","had"]""".stripMargin
+    def run(extraDials: String, out: String): Set[String] = {
+      Files.writeString(dir.resolve(s"cfg_$out.json"),
+        s"""{"documents_path": "$dir/c.warc.gz", "input_format": "warc",
+           | "output_path": "$dir/$out", "min_words": 5,
+           | "warc_html_extract": "justext", $extraDials}""".stripMargin)
+      CurationJob.run(spark, s"$dir/cfg_$out.json")
+      spark.read.parquet(s"$dir/$out").select($"text").as[String]
+        .collect().toSet
+    }
+    // ONE list (the q133 surface): the French page's content paragraph has
+    // ~zero ENGLISH stopwords — it is classified boilerplate and the whole
+    // page dies at the word floor. The motivating defect.
+    assert(run(s""""justext_stopwords": $enList""", "out_en") ==
+      Set(goodEn))
+    // per-language lists: the in-row lang probe routes each page to ITS
+    // list — both content paragraphs survive, the pitch dies under both
+    assert(run(
+      s""""justext_stopwords_by_lang": {"en": $enList,
+         |  "fr": ["le","la","les","et","est","un","une","dans","il",
+         |         "sont","sur"]}""".stripMargin, "out_bilingual") ==
+      Set(goodEn, goodFr))
+  }
+
   test("curation job: min_words_by_lang applies per-language floors, min_words backs off") {
     val dir = Files.createTempDirectory("curation_mwbl")
     def words(n: Int, tag: String): String =
