@@ -214,7 +214,8 @@ object SparkEntry {
     "q138_link_components" -> qLinkComponents,
     "q139_hybrid_rrf" -> qHybridRrf,
     "q140_bm25_indexed" -> qBm25Indexed,
-    "q141_hybrid_served" -> qHybridServed)
+    "q141_hybrid_served" -> qHybridServed,
+    "q142_crawl_frontier" -> qFrontier)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2578,6 +2579,49 @@ object SparkEntry {
       col("doc_id"), Seq(col("doc_id"), col("rrf_e6")), 5)
       .select(col("q_id"), col("rn"), col("doc_id"), col("rrf_e6"))
       .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** q142: crawl-frontier construction under the oracle — every stage of
+    * [[graft.operators.LinkGraph.frontier]] in closed form so DuckDB
+    * re-derives the ENTIRE fetch list: candidate targets (two link
+    * formulas per page, half pointing past the crawled horizon) ∪ each
+    * site's `Sitemap:` URL; the anti-join against the crawled set
+    * (a target is crawled iff its index < N on its own host); the RFC
+    * 9309 verdict (q137's starts_with algebra: prefix disallow, longer
+    * allow rescues one sub-tree); the closed-form host rank; and the
+    * per-host cap-5 pick by FNV-1a asc (q136's byte-exact HUGEINT FNV
+    * walk re-derives the politeness ordering itself). */
+  private def qFrontier(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val n = docs.count()
+    val i = col("doc_id")
+    def str(c: org.apache.spark.sql.Column) = c.cast("string")
+    val site = pmod(i, lit(23L))
+    val pageUrl = concat(lit("https://s"), str(site), lit(".test/p/"),
+      str(i))
+    val dst1 = concat(lit("https://s"), str(site), lit(".test/p/"),
+      str(pmod(i * 7L + 1L, lit(2L * n))))
+    val nextSite = pmod(site + 1L, lit(23L))
+    val dst2 = concat(lit("https://s"), str(nextSite), lit(".test/p/"),
+      str(pmod(i * 13L + 5L, lit(2L * n))))
+    val links = docs
+      .select(pageUrl.as("src"), dst1.as("dst"), lit("").as("anchor"))
+      .unionByName(docs
+        .select(pageUrl.as("src"), dst2.as("dst"), lit("").as("anchor")))
+    val crawled = docs.select(pageUrl.as("url"))
+    val sites = docs.select(site.as("k")).distinct()
+    val robots = sites.select(
+      concat(lit("s"), str(col("k")), lit(".test")).as("host"),
+      concat(lit("User-agent: *\nDisallow: /p/"), str(col("k")),
+        lit("\nAllow: /p/"), str(col("k")), str(pmod(col("k"), lit(10L))),
+        lit("\nSitemap: https://s"), str(col("k")),
+        lit(".test/sitemap.xml\n")).as("robots_txt"))
+    val hostRank = sites.select(
+      concat(lit("s"), str(col("k")), lit(".test")).as("host"),
+      ((lit(23L) - col("k")) * lit(1000000L)).as("pr_e12"))
+    graft.operators.LinkGraph.frontier(links, crawled, hostRank, robots,
+        agent = "graftbot", hostCap = 5)
+      .orderBy(col("host"), col("rn"))
   }
 
   /** q137: RFC 9309 robots verdicts — crawl governance (retroactive robots
@@ -5280,6 +5324,62 @@ object SparkEntry {
     // coarse-assign/PQ-codes/ADC CTEs (q77, at the %37 q-set, nProbe=1,
     // k=10) — then q139's RRF fold over them
     "q141_hybrid_served" -> hybridServedSql,
+    // q142: the whole frontier re-derived — candidates, the crawled-set
+    // anti-join (index < N on its own host), q137's robots starts_with
+    // algebra, the closed-form host rank, and the per-host cap-5 pick by
+    // q136's byte-exact FNV walk
+    "q142_crawl_frontier" ->
+      """WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+        |raw AS (
+        |  SELECT doc_id % 23 AS k, (7 * doc_id + 1) % (2 * n) AS m
+        |  FROM documents, nn
+        |  UNION ALL
+        |  SELECT (doc_id % 23 + 1) % 23, (13 * doc_id + 5) % (2 * n)
+        |  FROM documents, nn),
+        |cand AS (SELECT DISTINCT k, m FROM raw),
+        |fresh AS (
+        |  SELECT k, m FROM cand, nn WHERE NOT (m < n AND m % 23 = k)),
+        |gated AS (
+        |  SELECT 's' || CAST(k AS VARCHAR) || '.test' AS host, k,
+        |    'https://s' || CAST(k AS VARCHAR) || '.test/p/' ||
+        |      CAST(m AS VARCHAR) AS url
+        |  FROM fresh
+        |  WHERE NOT starts_with(CAST(m AS VARCHAR), CAST(k AS VARCHAR))
+        |     OR starts_with(CAST(m AS VARCHAR),
+        |          CAST(k AS VARCHAR) || CAST(k % 10 AS VARCHAR))),
+        |sm AS (SELECT DISTINCT doc_id % 23 AS k FROM documents),
+        |pool AS (
+        |  SELECT host, k, url FROM gated
+        |  UNION ALL
+        |  SELECT 's' || CAST(k AS VARCHAR) || '.test', k,
+        |    'https://s' || CAST(k AS VARCHAR) || '.test/sitemap.xml'
+        |  FROM sm),
+        |ud AS (SELECT DISTINCT url FROM pool),
+        |fnv AS (
+        |  SELECT url, CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |      THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+        |    AS fnv
+        |  FROM (
+        |    SELECT url, list_reduce(
+        |      list_prepend(14695981039346656037::HUGEINT,
+        |        list_transform(range(0, octet_length(encode(url))), i ->
+        |          CAST(strpos('123456789ABCDEF',
+        |                 hex(encode(url))[CAST(2*i+1 AS BIGINT)]) * 16
+        |             + strpos('123456789ABCDEF',
+        |                 hex(encode(url))[CAST(2*i+2 AS BIGINT)]) AS BIGINT))),
+        |      (h, byt) -> ((h - (h % 256)
+        |          + xor(CAST(h % 256 AS BIGINT), byt)::HUGEINT)
+        |        * 1099511628211::HUGEINT)
+        |        % 18446744073709551616::HUGEINT) AS h
+        |    FROM ud)),
+        |ranked AS (
+        |  SELECT p.host, p.k, p.url,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY p.host
+        |      ORDER BY f.fnv ASC) AS INT) AS rn
+        |  FROM pool p JOIN fnv f USING (url))
+        |SELECT url, host, CAST((23 - k) * 1000000 AS BIGINT)
+        |  AS host_rank_e12, rn
+        |FROM ranked WHERE rn <= 5 ORDER BY host, rn""".stripMargin,
     "q131_lang_id_margins" ->
       """WITH docs AS (
         |  SELECT doc_id, lower(trim(text)) AS t FROM documents),
