@@ -95,6 +95,56 @@ object GraphProbe {
               println(s"[graph-probe] REFUSED: ${e.getMessage}")
           }
         }
+      case "bm25serve" =>
+        // Serving-stack census (args: bm25serve <nDocs> [nQueries] [k]):
+        // the r15 buildIndex/search split's receipt — the corpus
+        // tokenize/aggregate is paid ONCE at build; each served search
+        // costs the query-restricted postings join (the from-scratch topK
+        // run alongside pays the build EVERY call). Synthetic corpus:
+        // 20 terms/doc over a 100,003-term vocabulary (df ≈ 100 at 500k
+        // docs — the healthy regime, not the stopword landmine).
+        val nDocs = args(1).toLong
+        val nQueries = args.drop(2).headOption.map(_.toInt).getOrElse(1000)
+        val k = args.drop(3).headOption.map(_.toInt).getOrElse(10)
+        val i = col("id")
+        val text = concat_ws(" ", (0 until 20).map(j =>
+          concat(lit("w"), pmod(i * lit(2 * j + 7) + lit(j),
+            lit(100003L)).cast("string"))): _*)
+        val docs = spark.range(nDocs)
+          .select(i.as("doc_id"), text.as("text"))
+          .repartition(spark.sparkContext.defaultParallelism)
+        val every = math.max(1L, nDocs / nQueries)
+        val queries = docs.filter(pmod(col("doc_id"), lit(every)) === 0L)
+          .select(col("doc_id").as("q_id"),
+            array_join(slice(graft.functions.TextFns.words(col("text")),
+              1, 5), " ").as("q_text"))
+        println(s"[graph-probe] docs=$nDocs queries=${queries.count()}")
+        timed("build+save") {
+          Bm25.buildIndex(docs, "doc_id", "text")
+            .save("bm25_probe_idx", nBuckets = 32)
+        }
+        val loaded = Bm25.Bm25Index.load(spark, "bm25_probe_idx")
+        (1 to 3).foreach { pass =>
+          timed(s"search#$pass") {
+            println(s"[graph-probe] served rows=" +
+              Bm25.search(loaded, queries, "q_id", "q_text", k = k).count())
+          }
+        }
+        timed("tick 1%+save") {
+          val batch = spark.range(nDocs, nDocs + nDocs / 100)
+            .select(col("id").as("doc_id"),
+              concat_ws(" ", (0 until 20).map(j =>
+                concat(lit("w"), pmod(col("id") * lit(2 * j + 7) + lit(j),
+                  lit(100003L)).cast("string"))): _*).as("text"))
+          Bm25.add(loaded, batch, "text").save("bm25_probe_idx2",
+            nBuckets = 32)
+        }
+        timed("from-scratch") {
+          println(s"[graph-probe] topK rows=" +
+            Bm25.topK(docs, "doc_id", "text", queries, "q_id", "q_text",
+              k = k).count())
+        }
+
       case "frontier" =>
         // Frontier census (args: frontier <nPages> [hostCap]): the q135
         // synthetic crawl shape → links → host-level PageRank prior +
