@@ -215,7 +215,8 @@ object SparkEntry {
     "q139_hybrid_rrf" -> qHybridRrf,
     "q140_bm25_indexed" -> qBm25Indexed,
     "q141_hybrid_served" -> qHybridServed,
-    "q142_crawl_frontier" -> qFrontier)
+    "q142_crawl_frontier" -> qFrontier,
+    "q143_sitemap_parse" -> qSitemapParse)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2531,7 +2532,9 @@ object SparkEntry {
       docs.filter(pmod(col("doc_id"), lit(5L)) =!= 4L), "doc_id", "text")
     val ticked = graft.operators.Bm25.add(base,
       docs.filter(pmod(col("doc_id"), lit(5L)) === 4L), "text")
-    ticked.save(name)
+    // 32 buckets: the layout's parallelism dial — the serve-time scans run
+    // at bucket-count parallelism by design (no exchange below them)
+    ticked.save(name, nBuckets = 32)
     val loaded = graft.operators.Bm25.Bm25Index.load(s, name)
     graft.operators.Bm25.search(loaded, queries, "q_id", "q_text", k = 10)
       .orderBy(col("q_id"), col("rn"))
@@ -2554,7 +2557,8 @@ object SparkEntry {
         array_join(slice(graft.functions.TextFns.words(col("text")), 1, 5),
           " ").as("q_text"))
     val bmName = s"graft_q141_bm25_$dname"
-    graft.operators.Bm25.buildIndex(docs, "doc_id", "text").save(bmName)
+    graft.operators.Bm25.buildIndex(docs, "doc_id", "text")
+      .save(bmName, nBuckets = 32)
     val sparse = graft.operators.Bm25.search(
         graft.operators.Bm25.Bm25Index.load(s, bmName),
         queries, "q_id", "q_text", k = 10)
@@ -2622,6 +2626,46 @@ object SparkEntry {
     graft.operators.LinkGraph.frontier(links, crawled, hostRank, robots,
         agent = "graftbot", hostCap = 5)
       .orderBy(col("host"), col("rn"))
+  }
+
+  /** q143: sitemap-protocol parsing — the frontier's EXPANSION step
+    * ([[graft.functions.SitemapExpr]]) under the oracle. Each doc renders
+    * one of the three shipped shapes in closed form: `<urlset>` with two
+    * entries (one carrying `lastmod` and an `&amp;` reference the kernel
+    * must decode), `<sitemapindex>` with a nested child (kind =
+    * "sitemap"), or the plain-text form with a non-URL line the parser
+    * must drop. DuckDB re-derives every (pos, loc, lastmod, kind) row
+    * without parsing anything — the shapes are closed-form by doc_id. */
+  private def qSitemapParse(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val i = col("doc_id")
+    def str(c: org.apache.spark.sql.Column) = c.cast("string")
+    val k = pmod(i, lit(23L))
+    val urlset = concat(
+      lit("<?xml version=\"1.0\"?>\n<urlset xmlns=\"http://www.sitemaps" +
+        ".org/schemas/sitemap/0.9\">\n <url>\n  <loc> https://s"), str(k),
+      lit(".test/p/"), str(i), lit(" </loc>\n  <lastmod>2024-01-0"),
+      str(pmod(i, lit(4L)) + 1L),
+      lit("</lastmod>\n </url>\n <url><loc>https://s"), str(k),
+      lit(".test/x?a="), str(i),
+      lit("&amp;b=1</loc></url>\n</urlset>\n"))
+    val index = concat(
+      lit("<sitemapindex>\n <sitemap>\n  <loc>https://s"), str(k),
+      lit(".test/sm/"), str(i),
+      lit(".xml</loc>\n </sitemap>\n</sitemapindex>\n"))
+    val plain = concat(
+      lit("https://s"), str(k), lit(".test/t/"), str(i),
+      lit("\nnot a url line\nhttps://s"), str(k), lit(".test/t2/"), str(i),
+      lit("\n"))
+    val body = when(pmod(i, lit(3L)) === 0L, urlset)
+      .when(pmod(i, lit(3L)) === 1L, index)
+      .otherwise(plain)
+    Dedup.ensureParallel(docs)
+      .select(col("doc_id"),
+        posexplode(graft.functions.SitemapExpr(body)).as(Seq("pos", "e")))
+      .select(col("doc_id"), col("pos"), col("e.loc").as("loc"),
+        col("e.lastmod").as("lastmod"), col("e.kind").as("kind"))
+      .orderBy(col("doc_id"), col("pos"))
   }
 
   /** q137: RFC 9309 robots verdicts — crawl governance (retroactive robots
@@ -5324,6 +5368,44 @@ object SparkEntry {
     // coarse-assign/PQ-codes/ADC CTEs (q77, at the %37 q-set, nProbe=1,
     // k=10) — then q139's RRF fold over them
     "q141_hybrid_served" -> hybridServedSql,
+    // q143: the sitemap shapes are closed-form by doc_id, so the oracle
+    // emits the expected (pos, loc, lastmod, kind) rows directly — the
+    // engine must reach them THROUGH the XML/plain-text parse (tag walk,
+    // &amp; decode, whitespace trim, non-URL-line drop)
+    "q143_sitemap_parse" ->
+      """SELECT doc_id, CAST(pos AS INTEGER) AS pos, loc, lastmod, kind
+        |FROM (
+        |  SELECT doc_id, 0 AS pos,
+        |    'https://s' || CAST(doc_id % 23 AS VARCHAR) || '.test/p/' ||
+        |      CAST(doc_id AS VARCHAR) AS loc,
+        |    '2024-01-0' || CAST(doc_id % 4 + 1 AS VARCHAR) AS lastmod,
+        |    'url' AS kind
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |    'https://s' || CAST(doc_id % 23 AS VARCHAR) || '.test/x?a=' ||
+        |      CAST(doc_id AS VARCHAR) || '&b=1',
+        |    CAST(NULL AS VARCHAR), 'url'
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 0,
+        |    'https://s' || CAST(doc_id % 23 AS VARCHAR) || '.test/sm/' ||
+        |      CAST(doc_id AS VARCHAR) || '.xml',
+        |    CAST(NULL AS VARCHAR), 'sitemap'
+        |  FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT doc_id, 0,
+        |    'https://s' || CAST(doc_id % 23 AS VARCHAR) || '.test/t/' ||
+        |      CAST(doc_id AS VARCHAR),
+        |    CAST(NULL AS VARCHAR), 'url'
+        |  FROM documents WHERE doc_id % 3 = 2
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |    'https://s' || CAST(doc_id % 23 AS VARCHAR) || '.test/t2/' ||
+        |      CAST(doc_id AS VARCHAR),
+        |    CAST(NULL AS VARCHAR), 'url'
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |ORDER BY doc_id, pos""".stripMargin,
     // q142: the whole frontier re-derived — candidates, the crawled-set
     // anti-join (index < N on its own host), q137's robots starts_with
     // algebra, the closed-form host rank, and the per-host cap-5 pick by

@@ -76,7 +76,7 @@ object ExtractLinksExpr {
     * no whitespace collapse — a URL's internal spacing is its own): the
     * five XML names + `&nbsp;` + numeric `&#NN;`/`&#xHH;`; anything else
     * stays literal (bare ampersands are the common case in query strings). */
-  private def decodeRefs(s: String): String = {
+  private[functions] def decodeRefs(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val n = s.length
     val sb = new java.lang.StringBuilder(n)

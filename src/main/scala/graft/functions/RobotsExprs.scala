@@ -106,6 +106,36 @@ case class RobotsSitemapsExpr(child: Expression)
       newChild: Expression): RobotsSitemapsExpr = copy(child = newChild)
 }
 
+/** `robots_crawl_delay_ms(txt, agent)` → the governing group's
+  * Crawl-delay in milliseconds, null when absent (see
+  * [[RobotsExprs.crawlDelayMs]]). */
+case class RobotsCrawlDelayExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"robots_crawl_delay_ms requires (string, string), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "robots_crawl_delay_ms"
+  override def nullSafeEval(txt: Any, agent: Any): Any =
+    RobotsExprs.crawlDelayMs(txt.asInstanceOf[UTF8String],
+      agent.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tmp = ctx.freshName("delay")
+    nullSafeCodeGen(ctx, ev, (t, a) =>
+      s"""java.lang.Long $tmp =
+         |  graft.functions.RobotsExprs.crawlDelayMs($t, $a);
+         |${ev.isNull} = ($tmp == null);
+         |if (!${ev.isNull}) ${ev.value} = $tmp.longValue();""".stripMargin)
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): RobotsCrawlDelayExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 object RobotsExprs {
 
   val rulesSchema: DataType = ArrayType(StructType(Seq(
@@ -124,16 +154,16 @@ object RobotsExprs {
     new String(a)
   }
 
-  /** Referenced from generated Java code — must stay public. Parse the
-    * governing group's rules for `agent` (see class doc). */
-  def rules(txtIn: UTF8String, agentIn: UTF8String): GenericArrayData = {
-    val txt = txtIn.toString
-    val agent = asciiLower(agentIn.toString.trim)
-    // one pass: collect (uaTokens, rules) groups. A group is a maximal run
-    // of User-agent lines followed by its rule lines; a User-agent line
-    // after a rule line starts a NEW group (RFC 9309 §2.2.1).
-    case class Group(uas: scala.collection.mutable.ArrayBuffer[String],
-                     rules: scala.collection.mutable.ArrayBuffer[(String, Boolean)])
+  private final case class Group(
+      uas: scala.collection.mutable.ArrayBuffer[String],
+      rules: scala.collection.mutable.ArrayBuffer[(String, Boolean)],
+      delays: scala.collection.mutable.ArrayBuffer[String])
+
+  /** One pass: collect (uaTokens, rules, delays) groups. A group is a
+    * maximal run of User-agent lines followed by its rule lines; a
+    * User-agent line after a rule line starts a NEW group (RFC 9309
+    * §2.2.1). */
+  private def parseGroups(txt: String): Seq[Group] = {
     val groups = scala.collection.mutable.ArrayBuffer.empty[Group]
     var cur: Group = null
     var curOpenForUa = false // true while consecutive UA lines accumulate
@@ -151,6 +181,7 @@ object RobotsExprs {
             case "user-agent" =>
               if (!curOpenForUa) {
                 cur = Group(scala.collection.mutable.ArrayBuffer.empty,
+                  scala.collection.mutable.ArrayBuffer.empty,
                   scala.collection.mutable.ArrayBuffer.empty)
                 groups += cur
                 curOpenForUa = true
@@ -161,6 +192,11 @@ object RobotsExprs {
               // empty-path rules are ignored (bare `Disallow:` = allow all)
               if (cur != null && value.nonEmpty)
                 cur.rules += ((value, key == "allow"))
+            case "crawl-delay" =>
+              // de-facto rule line (Bing/Yandex honor it): attaches to the
+              // group like Allow/Disallow
+              curOpenForUa = false
+              if (cur != null && value.nonEmpty) cur.delays += value
             case "sitemap" =>
               () // non-group record: does NOT terminate UA accumulation
             case _ =>
@@ -169,13 +205,17 @@ object RobotsExprs {
         }
       }
     }
-    // governing groups: longest UA token that prefix-matches the agent
-    // token; "*" matches with length 0 (weakest). RFC 9309 §2.2.1: rules
-    // of ALL groups matching the same agent combine — real robots.txt
-    // files repeat `User-agent: *` groups, and keeping only the first
-    // silently drops the later groups' Disallow lines (r14 advice). Two
-    // passes: find the winning match length, then merge every group that
-    // achieves it, in file order.
+    groups.toSeq
+  }
+
+  /** The governing groups for `agent`: longest UA token that
+    * prefix-matches the agent token; "*" matches with length 0 (weakest).
+    * RFC 9309 §2.2.1: rules of ALL groups matching the same agent combine
+    * — real robots.txt files repeat `User-agent: *` groups, and keeping
+    * only the first silently drops the later groups' Disallow lines (r14
+    * advice). Two passes: find the winning match length, then merge every
+    * group that achieves it, in file order. */
+  private def winningGroups(groups: Seq[Group], agent: String): Seq[Group] = {
     def matchLen(ua: String): Int =
       if (ua == "*") 0
       else if (ua.nonEmpty && agent.startsWith(ua)) ua.length
@@ -187,15 +227,42 @@ object RobotsExprs {
         if (len > bestLen) bestLen = len
       }
     }
-    if (bestLen < 0)
-      return new GenericArrayData(Array.empty[AnyRef])
-    val merged = groups.iterator
-      .filter(_.uas.exists(matchLen(_) == bestLen))
-      .flatMap(_.rules)
+    if (bestLen < 0) Nil
+    else groups.filter(_.uas.exists(matchLen(_) == bestLen))
+  }
+
+  /** Referenced from generated Java code — must stay public. Parse the
+    * governing groups' rules for `agent` (see class doc). */
+  def rules(txtIn: UTF8String, agentIn: UTF8String): GenericArrayData = {
+    val agent = asciiLower(agentIn.toString.trim)
+    val merged = winningGroups(parseGroups(txtIn.toString), agent)
+      .iterator.flatMap(_.rules)
     new GenericArrayData(merged.map { case (p, a) =>
       new GenericInternalRow(Array[Any](UTF8String.fromString(p),
         a)): AnyRef
     }.toArray)
+  }
+
+  /** Referenced from generated Java code — must stay public. The
+    * governing `Crawl-delay` for `agent`, in MILLISECONDS (the directive
+    * is seconds, commonly fractional — "0.5" ships in the wild); null
+    * when the governing groups carry none or only unparseable values.
+    * Merged groups take the MAXIMUM (conservative politeness). Not part
+    * of RFC 9309, but Bing/Yandex-class crawlers honor it and a polite
+    * frontier should too — compose with
+    * [[graft.operators.LinkGraph.frontier]]'s per-host cap. */
+  def crawlDelayMs(txtIn: UTF8String, agentIn: UTF8String): java.lang.Long = {
+    val agent = asciiLower(agentIn.toString.trim)
+    val delays = winningGroups(parseGroups(txtIn.toString), agent)
+      .iterator.flatMap(_.delays)
+      .flatMap { v =>
+        try {
+          val d = v.toDouble
+          if (d.isNaN || d < 0 || d > 1e6) None
+          else Some(math.round(d * 1000.0))
+        } catch { case _: NumberFormatException => None }
+      }.toSeq
+    if (delays.isEmpty) null else java.lang.Long.valueOf(delays.max)
   }
 
   /** Sitemap URLs from a robots.txt body (non-group records per RFC 9309
@@ -319,7 +386,17 @@ object RobotsExprs {
       exprs => RobotsAllowedExpr(exprs.head, exprs(1), exprs(2)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "robots_sitemaps", exprs => RobotsSitemapsExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "robots_crawl_delay_ms",
+      exprs => RobotsCrawlDelayExpr(exprs.head, exprs(1)), "built-in")
   }
+
+  def robotsCrawlDelayMs(txt: org.apache.spark.sql.Column,
+                         agent: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      RobotsCrawlDelayExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(txt),
+        org.apache.spark.sql.graft.ColumnBridge.expression(agent)))
 
   def robotsSitemaps(txt: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.graft.ColumnBridge.column(

@@ -67,15 +67,20 @@ object Bm25 {
     * assume removed ids carried ≥ 1 token; track empty docs upstream. */
   final case class Bm25Index(tf: DataFrame, dl: DataFrame, df: DataFrame,
                              idCol: String, nDocs: Long, totTokens: Long) {
-    /** Persist as BucketedStore tables `<name>_tf/_dl/_df/_meta`. */
+    /** Persist as BucketedStore tables `<name>_tf/_dl/_df/_meta`. The
+      * 1-row meta frame rides the same save path: a non-persistent
+      * metastore forgets the catalog entry between sessions while the
+      * warehouse DIRECTORY survives, and only BucketedStore.save clears
+      * that stale location (restart-idempotent publish). */
     def save(name: String, nBuckets: Int = 8): Unit = {
       BucketedStore.save(tf, s"${name}_tf", idCol, nBuckets)
       BucketedStore.save(dl, s"${name}_dl", idCol, nBuckets)
       BucketedStore.save(df, s"${name}_df", "token", nBuckets)
       val spark = tf.sparkSession
       import spark.implicits._
-      Seq((idCol, nDocs, totTokens)).toDF("id_col", "n_docs", "tot_tokens")
-        .write.mode("overwrite").saveAsTable(s"${name}_meta")
+      BucketedStore.save(
+        Seq((idCol, nDocs, totTokens)).toDF("id_col", "n_docs", "tot_tokens"),
+        s"${name}_meta", "id_col", 1)
     }
   }
 

@@ -134,9 +134,11 @@ object LinkGraph {
     * what to FETCH NEXT.
     *
     *  - Candidates = link targets ∪ the hosts' `Sitemap:` URLs
-    *    ([[graft.functions.RobotsExprs.sitemaps]]), http(s)-only,
-    *    canonical, DISTINCT — minus everything in `crawled` (anti-join:
-    *    the undiscovered set).
+    *    ([[graft.functions.RobotsExprs.sitemaps]]) ∪ the entries of any
+    *    FETCHED sitemap bodies (`sitemapDocs`, columns `url`/`body` —
+    *    [[graft.functions.SitemapExpr]] expands urlset pages and nested
+    *    index children alike), http(s)-only, canonical, DISTINCT — minus
+    *    everything in `crawled` (anti-join: the undiscovered set).
     *  - Governance: each host's robots.txt parses ONCE on the host-sized
     *    `robots` frame (columns `host`, `robots_txt`), broadcasts, and
     *    the RFC 9309 verdict runs in-row at the scan; a host with no
@@ -154,14 +156,23 @@ object LinkGraph {
     * hostCap-bounded per host, never the candidate set. */
   def frontier(links: DataFrame, crawled: DataFrame,
                hostRank: DataFrame = null, robots: DataFrame = null,
-               agent: String = "graftbot", hostCap: Int = 100): DataFrame = {
+               agent: String = "graftbot", hostCap: Int = 100,
+               sitemapDocs: DataFrame = null): DataFrame = {
     require(hostCap >= 1, s"hostCap must be >= 1, got $hostCap")
     val linkUrls = links.select(col("dst").as("url"))
-    val cand = (if (robots == null) linkUrls
+    val withSitemapUrls = if (robots == null) linkUrls
       else linkUrls.unionByName(robots
         .select(explode(graft.functions.RobotsExprs.robotsSitemaps(
           col("robots_txt"))).as("__sm"))
-        .select(UrlFns.urlNormalize(col("__sm")).as("url"))))
+        .select(UrlFns.urlNormalize(col("__sm")).as("url")))
+    // fetched sitemap BODIES expand ([[graft.functions.SitemapExpr]]):
+    // their <loc> entries — page urls AND nested index children, both
+    // fetchable — join the candidate pool
+    val cand = (if (sitemapDocs == null) withSitemapUrls
+      else withSitemapUrls.unionByName(sitemapDocs
+        .select(explode(graft.functions.SitemapExpr(col("body")))
+          .as("__e"))
+        .select(UrlFns.urlNormalize(col("__e.loc")).as("url"))))
       .filter(col("url").startsWith("http://") ||
         col("url").startsWith("https://"))
       .distinct()
@@ -171,8 +182,13 @@ object LinkGraph {
     val pathOf = expr("CASE WHEN locate('/', url, locate('://', url) + 3)" +
       " = 0 THEN '/' ELSE substr(url, locate('/', url," +
       " locate('://', url) + 3)) END")
+    // the host column is FENCED: Catalyst would push the isNotNull filter
+    // (with UrlHostExpr inlined) through the candidate distinct's exchange
+    // straight into the source scan — the kernel would run at file-count
+    // parallelism below the guard (the shingleFrame pushdown trap)
     val withHost = fresh.select(col("url"),
-        UrlFns.urlHost(col("url")).as("host"), pathOf.as("__path"))
+        graft.functions.PushdownFence(
+          UrlFns.urlHost(col("url"))).as("host"), pathOf.as("__path"))
       .filter(col("host").isNotNull)
     val gated =
       if (robots == null) withHost.drop("__path")

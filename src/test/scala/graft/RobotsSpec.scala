@@ -111,6 +111,38 @@ class RobotsSpec extends SparkSpec {
     assert(verdict("/x*y", Seq(("/x*y$", false))) == false)
   }
 
+  test("crawl-delay: governing group's value in millis, fractional, merged-max, null absent") {
+    def delay(txt: String, agent: String): Option[Long] = {
+      val r = RobotsExprs.crawlDelayMs(UTF8String.fromString(txt),
+        UTF8String.fromString(agent))
+      if (r == null) None else Some(r.longValue())
+    }
+    val txt =
+      """User-agent: slow
+        |Crawl-delay: 2.5
+        |Disallow: /x
+        |
+        |User-agent: *
+        |Crawl-delay: 1
+        |
+        |User-agent: *
+        |Crawl-delay: 3
+        |""".stripMargin
+    assert(delay(txt, "slowbot") == Some(2500L))
+    // the two merged * groups: conservative max
+    assert(delay(txt, "otherbot") == Some(3000L))
+    // absent / unparseable -> null; a crawl-delay does NOT break its group
+    assert(delay("User-agent: a\nDisallow: /x\n", "a") == None)
+    assert(delay("User-agent: a\nCrawl-delay: soon\n", "a") == None)
+    assert(rules("User-agent: a\nCrawl-delay: 1\nDisallow: /x\n", "a") ==
+      Seq(("/x", false)))
+    // column/codegen form, null-safe
+    val df = Seq((txt, "otherbot"), ("User-agent: a\nDisallow: /\n", "a"))
+      .toDF("t", "ua")
+    assert(df.select(RobotsExprs.robotsCrawlDelayMs(col("t"), col("ua")))
+      .as[Option[Long]].collect().toSeq == Seq(Some(3000L), None))
+  }
+
   test("sitemaps: non-group records in file order, comments stripped, dups kept") {
     val arr = RobotsExprs.sitemaps(UTF8String.fromString(robotsTxt))
     assert((0 until arr.numElements()).map(arr.getUTF8String(_).toString) ==

@@ -1,0 +1,81 @@
+package graft
+
+import graft.functions.SitemapExpr
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Sitemap-protocol parser: the three shipped shapes, entity decode,
+  * namespace tolerance, damage tolerance, and the frontier composition. */
+class SitemapSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def parse(body: String): Seq[(String, Option[String], String)] = {
+    val arr = SitemapExpr.parse(UTF8String.fromString(body))
+    (0 until arr.numElements()).map { i =>
+      val r = arr.getStruct(i, 3)
+      (r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) None else Some(r.getUTF8String(1).toString),
+        r.getUTF8String(2).toString)
+    }
+  }
+
+  test("urlset: loc + optional lastmod, entity decode, whitespace trim") {
+    val xml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        | <url>
+        |  <loc> https://e.com/a </loc>
+        |  <lastmod>2024-02-03</lastmod>
+        | </url>
+        | <url><loc>https://e.com/b?x=1&amp;y=2</loc></url>
+        | <url><lastmod>2024-01-01</lastmod></url>
+        |</urlset>""".stripMargin
+    assert(parse(xml) == Seq(
+      ("https://e.com/a", Some("2024-02-03"), "url"),
+      ("https://e.com/b?x=1&y=2", None, "url")))
+  }
+
+  test("sitemapindex: nested children carry kind=sitemap; namespace prefixes tolerate") {
+    val xml =
+      """<sm:sitemapindex xmlns:sm="http://www.sitemaps.org/schemas/sitemap/0.9">
+        | <sm:sitemap><sm:loc>https://e.com/sm1.xml</sm:loc></sm:sitemap>
+        | <sm:sitemap>
+        |  <sm:loc>https://e.com/sm2.xml</sm:loc>
+        |  <sm:lastmod>2024-05-05</sm:lastmod>
+        | </sm:sitemap>
+        |</sm:sitemapindex>""".stripMargin
+    assert(parse(xml) == Seq(
+      ("https://e.com/sm1.xml", None, "sitemap"),
+      ("https://e.com/sm2.xml", Some("2024-05-05"), "sitemap")))
+  }
+
+  test("plain-text form: http(s) lines only; damage yields the parseable prefix") {
+    assert(parse("https://e.com/a\n# comment\nftp://no\nhttps://e.com/b\n") ==
+      Seq(("https://e.com/a", None, "url"), ("https://e.com/b", None, "url")))
+    // stray <loc> outside a parent drops; truncated tail keeps the prefix
+    assert(parse("<urlset><loc>https://orphan</loc>" +
+      "<url><loc>https://e.com/ok</loc></url><url><loc>https://e.com/cut") ==
+      Seq(("https://e.com/ok", None, "url")))
+    assert(parse("") == Nil)
+    assert(parse("<<<>>>") == Nil)
+  }
+
+  test("frontier expands fetched sitemap bodies (pages AND nested children)") {
+    val links = Seq(("http://seed.test/", "http://a.test/p1", ""))
+      .toDF("src", "dst", "anchor")
+    val crawled = Seq("http://seed.test/", "http://a.test/fromsm1")
+      .toDF("url")
+    val smBodies = Seq(("http://a.test/sm.xml",
+      "<urlset><url><loc>http://a.test/fromsm1</loc></url>" +
+        "<url><loc>http://a.test/fromsm2</loc></url></urlset>"),
+      ("http://a.test/smidx.xml",
+        "<sitemapindex><sitemap><loc>http://a.test/child.xml</loc>" +
+          "</sitemap></sitemapindex>"))
+      .toDF("url", "body")
+    val out = graft.operators.LinkGraph.frontier(links, crawled,
+        sitemapDocs = smBodies)
+      .select($"url").as[String].collect().toSet
+    // fromsm1 already crawled; fromsm2 and the nested child are fetchable
+    assert(out == Set("http://a.test/p1", "http://a.test/fromsm2",
+      "http://a.test/child.xml"))
+  }
+}
