@@ -73,6 +73,17 @@ import org.apache.spark.sql.functions._
   *                                     //   host->host edges, rank
   *                                     //   broadcast back as
   *                                     //   `host_rank_e12` per doc
+  *   "frontier_output_path": "",       //   r15: emit the NEXT-fetch list
+  *                                     //   (LinkGraph.frontier: link
+  *                                     //   targets ∪ sitemaps minus the
+  *                                     //   dump, robots-clean, host-rank
+  *                                     //   prioritized, per-host capped)
+  *   "frontier_host_cap": 100,         //   politeness cap per host
+  *   "bm25_index_table": "",           //   r15: publish the BM25 serving
+  *                                     //   index over the curated corpus
+  *                                     //   (q140 machinery; Bm25.add/
+  *                                     //   remove ticks maintain it)
+  *   "bm25_index_buckets": 32,         //   its BucketedStore layout dial
   *   "host_cap": 0,                    //   per-site quota on the dedup
   *                                     //   survivors (0 = off): at most N
   *                                     //   docs per host, k-bounded TopK
@@ -244,13 +255,20 @@ object CurationJob {
         // onto the corpus as `host_rank_e12` with no corpus shuffle. Costs
         // one extra decode pass over the captures when the dial is on.
         val hostRankIters = str("link_host_rank_iters", "0").toInt
+        // the resolved link frame serves two dials (host-rank prior and
+        // the frontier export below); built once when either is on —
+        // each consumer pays its own decode pass over the raw captures
+        val frontierPath = str("frontier_output_path", "")
+        val pageLinksOpt: Option[DataFrame] =
+          if (hostRankIters <= 0 && frontierPath.isEmpty) None
+          else Some(graft.operators.LinkGraph.links(
+            td.filter(col("mime") === "text/html")
+              .select(col("url"), col("text").as("html")),
+            "url", "html"))
         val hostRanks: Option[DataFrame] =
           if (hostRankIters <= 0) None
           else {
-            val pageLinks = graft.operators.LinkGraph.links(
-              td.filter(col("mime") === "text/html")
-                .select(col("url"), col("text").as("html")),
-              "url", "html")
+            val pageLinks = pageLinksOpt.get
             val hostEdges = pageLinks.select(
                 graft.functions.UrlFns.urlHost(col("src")).as("src"),
                 graft.functions.UrlFns.urlHost(col("dst")).as("dst"))
@@ -390,6 +408,25 @@ object CurationJob {
                   transform(col("__rules"), x => x.getField("pattern")),
                   transform(col("__rules"), x => x.getField("allow"))))
               .drop("__rhost", "__rules")
+        }
+        // optional CRAWL-FRONTIER export (r15): the job's self-governing
+        // loop closes — the same dump that became the corpus emits the
+        // prioritized, robots-clean list of what to FETCH NEXT
+        // (LinkGraph.frontier: link targets ∪ sitemap URLs minus the
+        // dump's own canonical urls, this job's robots source and
+        // host-rank prior composed in, per-host cap via
+        // frontier_host_cap). One extra decode pass when on.
+        if (frontierPath.nonEmpty) {
+          graft.operators.LinkGraph.frontier(
+              pageLinksOpt.get,
+              td.select(graft.functions.UrlFns.urlNormalize(col("url"))
+                .as("url")),
+              hostRank = hostRanks.map(_.select(col("__host").as("host"),
+                col("host_rank_e12"))).orNull,
+              robots = robotsSrc.orNull,
+              agent = str("robots_agent", "*"),
+              hostCap = str("frontier_host_cap", "100").toInt)
+            .write.mode("overwrite").parquet(frontierPath)
         }
         val projected = robotsGated.select(
           col("url"), col("warc_date"), col("text"))
@@ -820,6 +857,20 @@ object CurationJob {
       graft.io.BucketedStore.save(spark.read.parquet(outPath), bucketTable,
         idCol, str("output_buckets", "16").toInt)
       lap("bucketed_publish")
+    }
+    // 5b3. optional RETRIEVAL-INDEX publication (r15, q140's machinery):
+    // the BM25 serving artifact built over EXACTLY what was written — tf/dl
+    // bucketed on the id, full-vocab df bucketed on the token, scalars in
+    // meta. Day-two admission ticks maintain it with Bm25.add/remove
+    // (bit-for-bit == rebuild, spec-pinned) instead of re-scanning the
+    // corpus; search serves off the store with an exchange-free corpus
+    // side. nBuckets ≈ corpus bytes / 128 MB at real scale.
+    val bm25Table = str("bm25_index_table", "")
+    if (bm25Table.nonEmpty) {
+      graft.operators.Bm25
+        .buildIndex(spark.read.parquet(outPath), idCol, textCol)
+        .save(bm25Table, str("bm25_index_buckets", "32").toInt)
+      lap("bm25_index_publish")
     }
     // 5b2. optional JSONL interchange export: re-publish the curated corpus
     // in the layout open-data releases ship (one JSON object per line, gzip

@@ -472,6 +472,74 @@ class CurationJobSpec extends SparkSpec {
       got("hostc.test") > got("hosta.test"))
   }
 
+  test("curation job: frontier export + BM25 index publication close the crawl loop") {
+    val dir = Files.createTempDirectory("curationfrontier")
+    Files.createDirectory(dir.resolve("captures"))
+    import java.nio.charset.StandardCharsets.UTF_8
+    def gz(recs: Seq[Array[Byte]]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      recs.foreach { r =>
+        val g = new java.util.zip.GZIPOutputStream(bos)
+        g.write(r); g.finish()
+      }
+      bos.toByteArray
+    }
+    def capture(uri: String, ctype: String, body: String): Array[Byte] = {
+      val b = body.getBytes(UTF_8)
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+        s"Content-Length: ${b.length}\r\n\r\n").getBytes(UTF_8) ++ b
+      (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        "Content-Type: application/http; msgtype=response\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes(UTF_8) ++
+        http ++ "\r\n\r\n".getBytes(UTF_8)
+    }
+    def filler(tag: String) = (1 to 30).map(i => s"$tag$i").mkString(" ")
+    Files.write(dir.resolve("captures/c.warc.gz"), gz(Seq(
+      capture("http://hosta.test/p1", "text/html; charset=UTF-8",
+        s"<html><body><p>${filler("r")} rivers</p>" +
+          """<a href="http://hostb.test/x">b</a>""" +
+          """<a href="/secret/z">s</a>""" +
+          """<a href="/p1b">sib</a></body></html>"""),
+      capture("http://hosta.test/p1b", "text/html; charset=UTF-8",
+        s"<html><body><p>${filler("l")} lakes</p></body></html>"),
+      capture("http://hostb.test/p2", "text/html; charset=UTF-8",
+        s"<html><body><p>${filler("z")} zebra canyon</p></body></html>"),
+      capture("http://hosta.test/robots.txt", "text/plain",
+        "User-agent: *\nDisallow: /secret\n" +
+          "Sitemap: http://hosta.test/sm.xml\n"))))
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/captures", "input_format": "warc",
+         | "output_path": "$dir/out", "min_words": 20,
+         | "robots_from_crawl": true, "link_host_rank_iters": 2,
+         | "frontier_output_path": "$dir/frontier",
+         | "frontier_host_cap": 10,
+         | "bm25_index_table": "cj_bm25_idx",
+         | "redact_pii": false}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    assert(stats.output == 3, stats) // robots capture leaves the corpus
+    // the frontier: hostb/x (undiscovered) and hosta's sitemap URL; the
+    // disallowed /secret/z and the already-captured /p1b are excluded
+    val fr = spark.read.parquet(s"$dir/frontier")
+    assert(fr.select($"url").as[String].collect().toSet ==
+      Set("http://hostb.test/x", "http://hosta.test/sm.xml"))
+    assert(fr.columns.toSet ==
+      Set("url", "host", "host_rank_e12", "rn"))
+    // hostb is linked (by p1) — its frontier row carries real rank mass
+    assert(fr.filter($"host" === "hostb.test")
+      .select($"host_rank_e12").as[Long].head() > 0L)
+    // the published BM25 index serves the curated corpus
+    val idx = graft.operators.Bm25.Bm25Index.load(spark, "cj_bm25_idx")
+    assert(idx.nDocs == 3L)
+    val hit = graft.operators.Bm25.search(idx,
+        Seq((1L, "zebra")).toDF("q_id", "q_text"), "q_id", "q_text", k = 1)
+      .select($"doc_id").as[Long].head()
+    assert(hit == spark.read.parquet(s"$dir/out")
+      .filter($"url" === "http://hostb.test/p2")
+      .select($"doc_id").as[Long].head())
+  }
+
   test("curation job: robots_path retroactively honors RFC 9309 rules per host") {
     val dir = Files.createTempDirectory("curationrobots")
     Files.createDirectory(dir.resolve("captures"))
