@@ -303,7 +303,9 @@ object Warc {
     * retry DURING the one internal action re-creates its partition's file
     * with `overwrite = true` and deterministic content, so replay is
     * idempotent). Persist the result to parquet (e.g. `<dir>_cdx`) — it
-    * IS the artifact.
+    * IS the artifact — then free the pinned blocks with
+    * `Dedup.release(index)` (the release contract every
+    * lineage-truncating operator here shares).
     *
     * Same streaming shape as [[write]]: one file per input partition, one
     * partition-lifetime Deflater, no shuffle. Index rows EMIT AS MEMBERS

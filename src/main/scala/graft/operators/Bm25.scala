@@ -66,7 +66,15 @@ object Bm25 {
     * avgdl), but a later [[remove]] of its id cannot see it. Remove ticks
     * assume removed ids carried ≥ 1 token; track empty docs upstream. */
   final case class Bm25Index(tf: DataFrame, dl: DataFrame, df: DataFrame,
-                             idCol: String, nDocs: Long, totTokens: Long) {
+                             idCol: String, nDocs: Long, totTokens: Long,
+                             pinned: Seq[DataFrame] = Nil) {
+    /** Free the persisted build/tick frames this in-memory index pins
+      * (the pageRank/dedup release contract): call after the final action
+      * on an UNSAVED index — [[save]] calls it itself, the stored tables
+      * are the artifact from then on and [[Bm25Index.load]] pins
+      * nothing. */
+    def release(): Unit = pinned.foreach(_.unpersist(blocking = false))
+
     /** Persist as BucketedStore tables `<name>_tf/_dl/_df/_meta`. The
       * 1-row meta frame rides the same save path: a non-persistent
       * metastore forgets the catalog entry between sessions while the
@@ -81,6 +89,9 @@ object Bm25 {
       BucketedStore.save(
         Seq((idCol, nDocs, totTokens)).toDF("id_col", "n_docs", "tot_tokens"),
         s"${name}_meta", "id_col", 1)
+      // the saves consumed the in-memory frames: the tables are the
+      // artifact now, serve via load()
+      release()
     }
   }
 
@@ -109,7 +120,7 @@ object Bm25 {
     val nDocs = docs.count()
     val totTokens = dl.agg(coalesce(sum(col("dl")), lit(0L)))
       .first().getLong(0)
-    Bm25Index(tf, dl, df, idCol, nDocs, totTokens)
+    Bm25Index(tf, dl, df, idCol, nDocs, totTokens, pinned = Seq(tf))
   }
 
   /** Admission tick: fold a batch of NEW docs into the index — work is
@@ -135,7 +146,7 @@ object Bm25 {
           .as("df"))
     Bm25Index(index.tf.unionByName(btf), index.dl.unionByName(bdl),
       mergedDf, idc, index.nDocs + addedDocs,
-      index.totTokens + addedTokens)
+      index.totTokens + addedTokens, pinned = index.pinned :+ btf)
   }
 
   /** Deletion tick (the q86 inverse): drop `ids` (a one-column frame of
@@ -158,7 +169,7 @@ object Bm25 {
     Bm25Index(index.tf.join(broadcast(doomed), Seq(idc), "left_anti"),
       index.dl.join(broadcast(doomed), Seq(idc), "left_anti"),
       newDf, idc, index.nDocs - removedDocs,
-      index.totTokens - removedTokens)
+      index.totTokens - removedTokens, pinned = index.pinned :+ rtf)
   }
 
   /** Serve a query batch from the index: identical semantics (and exact

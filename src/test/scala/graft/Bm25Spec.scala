@@ -124,6 +124,33 @@ class Bm25Spec extends SparkSpec {
       indexValue(Bm25.buildIndex(head, "doc_id", "text")))
   }
 
+  test("index release contract: save() frees the build/tick pins; release() covers the unsaved path") {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    def residual = spark.sparkContext.getPersistentRDDs.values.toSeq
+    def awaitEmpty(label: String): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (residual.nonEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      assert(residual.isEmpty,
+        s"$label left cached blocks: ${residual.map(_.toString)}")
+    }
+    // save() consumes the in-memory index: the stored tables are the
+    // artifact, and the build + tick persists free themselves
+    val base = Bm25.buildIndex(big.filter($"doc_id" < 200L),
+      "doc_id", "text")
+    Bm25.add(base, big.filter($"doc_id" >= 200L), "text")
+      .save("bm25_spec_release", nBuckets = 4)
+    awaitEmpty("save()")
+    // the unsaved route frees explicitly, after its final action
+    val mem = Bm25.buildIndex(big, "doc_id", "text")
+    assert(Bm25.search(mem, bigQueries, "q_id", "q_text", k = 3)
+      .count() > 0)
+    mem.release()
+    awaitEmpty("release()")
+  }
+
   test("served search: the corpus-side tf-dl join is exchange-free off the bucketed store") {
     // the 100 TB contract: per-search corpus work is a co-located scan —
     // the postings and length frames bucket on the doc id, so the length
