@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   *   "jsonl_export_path": "",          // re-publish the curated corpus as
   *                                     //   gzip JSONL ("" = off; the lake
   *                                     //   stays parquet)
+  *   "wet_export_path": "",            // r15: re-publish as WET .warc.gz
+  *                                     //   (conversion records, gzip
+  *                                     //   member per record)
+  *   "wet_export_indexed": false,      //   + the CDX parquet at
+  *                                     //   `<path>_cdx` (byte-range
+  *                                     //   fetch / CDXJ interop)
   *   "warc_html_to_text": true,        //   strip text/html captures to text
   *                                     //   (HtmlToTextExpr) in the scan
   *   "warc_html_extract": "full",      //   or "main": block-level
@@ -882,6 +888,30 @@ object CurationJob {
       spark.read.parquet(outPath).write.mode("overwrite")
         .option("compression", "gzip").json(jsonlPath)
       lap("jsonl_export")
+    }
+    // 5b4. optional WET interchange export (r15 closes the loop the r14
+    // sink opened): re-publish the curated corpus in the format it
+    // arrived in — conversion records, one gzip member per record
+    // (io.Warc.write). `wet_export_indexed` writes the CDX index parquet
+    // alongside (`<path>_cdx`), making the export a random-access record
+    // store (Warc.recordsIndexed / the official-CDXJ twin via
+    // Warc.cdxjLines). Frames without url/warc_date columns get
+    // deterministic urn ids / empty dates.
+    val wetPath = str("wet_export_path", "")
+    if (wetPath.nonEmpty) {
+      val curated0 = spark.read.parquet(outPath)
+      val curated = Seq("url" -> concat(lit("urn:graft:doc:"), col(idCol)),
+          "warc_date" -> lit("")).foldLeft(curated0) {
+        case (d, (c, dflt)) =>
+          if (d.columns.contains(c)) d else d.withColumn(c, dflt)
+      }
+      if (str("wet_export_indexed", "false").toBoolean) {
+        val idx = graft.io.Warc.writeIndexed(curated, wetPath,
+          textCol = textCol)
+        idx.write.mode("overwrite").parquet(wetPath + "_cdx")
+        graft.operators.Dedup.release(idx)
+      } else graft.io.Warc.write(curated, wetPath, textCol = textCol)
+      lap("wet_export")
     }
     // 5c. optional deterministic shard export (q81 semantics):
     // <output_path>_shards/shard=K/ parquet, each shard streaming in its
