@@ -139,6 +139,13 @@ object LinkGraph {
     *    [[graft.functions.SitemapExpr]] expands urlset pages and nested
     *    index children alike), http(s)-only, canonical, DISTINCT — minus
     *    everything in `crawled` (anti-join: the undiscovered set).
+    *  - RECRAWL scheduling: when `crawled` carries a SECOND column (the
+    *    fetch date, W3C-datetime string), a crawled url whose sitemap
+    *    entry advertises a NEWER `<lastmod>` re-admits — sitemaps exist
+    *    precisely so crawlers re-fetch what changed instead of everything.
+    *    Comparison is lexicographic over the W3C forms (date-only vs
+    *    datetime mixes conservatively). A 1-column `crawled` keeps the
+    *    fetched-is-final semantics.
     *  - Governance: each host's robots.txt parses ONCE on the host-sized
     *    `robots` frame (columns `host`, `robots_txt`), broadcasts, and
     *    the RFC 9309 verdict runs in-row at the scan; a host with no
@@ -159,26 +166,41 @@ object LinkGraph {
                agent: String = "graftbot", hostCap: Int = 100,
                sitemapDocs: DataFrame = null): DataFrame = {
     require(hostCap >= 1, s"hostCap must be >= 1, got $hostCap")
-    val linkUrls = links.select(col("dst").as("url"))
+    val nullStr = lit(null).cast("string")
+    val linkUrls = links.select(col("dst").as("url"),
+      nullStr.as("__lastmod"))
     val withSitemapUrls = if (robots == null) linkUrls
       else linkUrls.unionByName(robots
         .select(explode(graft.functions.RobotsExprs.robotsSitemaps(
           col("robots_txt"))).as("__sm"))
-        .select(UrlFns.urlNormalize(col("__sm")).as("url")))
+        .select(UrlFns.urlNormalize(col("__sm")).as("url"),
+          nullStr.as("__lastmod")))
     // fetched sitemap BODIES expand ([[graft.functions.SitemapExpr]]):
     // their <loc> entries — page urls AND nested index children, both
-    // fetchable — join the candidate pool
-    val cand = (if (sitemapDocs == null) withSitemapUrls
+    // fetchable — join the candidate pool, carrying their advertised
+    // lastmod (the recrawl signal)
+    val candAll = (if (sitemapDocs == null) withSitemapUrls
       else withSitemapUrls.unionByName(sitemapDocs
         .select(explode(graft.functions.SitemapExpr(col("body")))
           .as("__e"))
-        .select(UrlFns.urlNormalize(col("__e.loc")).as("url"))))
+        .select(UrlFns.urlNormalize(col("__e.loc")).as("url"),
+          col("__e.lastmod").as("__lastmod"))))
       .filter(col("url").startsWith("http://") ||
         col("url").startsWith("https://"))
-      .distinct()
-    val fresh = cand.join(
-      crawled.select(col(crawled.columns.head).as("url")), Seq("url"),
-      "left_anti")
+    // one row per url with its best-known lastmod (the same shuffle the
+    // plain distinct paid)
+    val cand = candAll.groupBy(col("url"))
+      .agg(max(col("__lastmod")).as("__lastmod"))
+    val crawledCols = crawled.columns
+    val crawledN = crawled.select(col(crawledCols.head).as("url"),
+      (if (crawledCols.length > 1) col(crawledCols(1)).cast("string")
+       else nullStr).as("__fetched"),
+      lit(true).as("__crawled"))
+    val fresh = cand.join(crawledN, Seq("url"), "left")
+      .filter(col("__crawled").isNull ||
+        (col("__lastmod").isNotNull && col("__fetched").isNotNull &&
+          col("__lastmod") > col("__fetched")))
+      .drop("__lastmod", "__fetched", "__crawled")
     val pathOf = expr("CASE WHEN locate('/', url, locate('://', url) + 3)" +
       " = 0 THEN '/' ELSE substr(url, locate('/', url," +
       " locate('://', url) + 3)) END")

@@ -59,6 +59,34 @@ class SitemapSpec extends SparkSpec {
     assert(parse("<<<>>>") == Nil)
   }
 
+  test("recrawl: a crawled url re-admits only when its sitemap lastmod advances past the fetch") {
+    val links = Seq.empty[(String, String, String)]
+      .toDF("src", "dst", "anchor")
+    val crawled = Seq(
+      ("http://a.test/fresh", "2024-03-01T00:00:00Z"),  // fetched AFTER lastmod
+      ("http://a.test/stale", "2024-01-01T00:00:00Z"),  // lastmod advanced
+      ("http://a.test/nolm", "2024-01-01T00:00:00Z"))   // sitemap has no lastmod
+      .toDF("url", "fetched_at")
+    val sm = Seq(("http://a.test/sm.xml",
+      "<urlset>" +
+        "<url><loc>http://a.test/fresh</loc>" +
+        "<lastmod>2024-02-01T00:00:00Z</lastmod></url>" +
+        "<url><loc>http://a.test/stale</loc>" +
+        "<lastmod>2024-02-01T00:00:00Z</lastmod></url>" +
+        "<url><loc>http://a.test/nolm</loc></url>" +
+        "<url><loc>http://a.test/brand-new</loc></url>" +
+        "</urlset>")).toDF("url", "body")
+    val out = graft.operators.LinkGraph.frontier(links, crawled,
+        sitemapDocs = sm)
+      .select($"url").as[String].collect().toSet
+    assert(out == Set("http://a.test/stale", "http://a.test/brand-new"))
+    // the 1-column crawled frame keeps fetched-is-final semantics
+    val strict = graft.operators.LinkGraph.frontier(links,
+        crawled.select($"url"), sitemapDocs = sm)
+      .select($"url").as[String].collect().toSet
+    assert(strict == Set("http://a.test/brand-new"))
+  }
+
   test("frontier expands fetched sitemap bodies (pages AND nested children)") {
     val links = Seq(("http://seed.test/", "http://a.test/p1", ""))
       .toDF("src", "dst", "anchor")
