@@ -84,6 +84,68 @@ class WarcStreamSpec extends SparkSpec {
     assert(http == "http capture body")
   }
 
+  test("streaming retrieval-index maintenance: per-batch Bm25 ticks == one-shot build") {
+    // the serving index under the landing-dir watcher: each micro-batch
+    // folds its documents in with Bm25.add and publishes the NEXT
+    // generation (A/B alternation — a bucketed table cannot overwrite
+    // itself while being read; the VersionedFactStore swap discipline on
+    // catalog tables). The final generation must equal the one-shot build
+    // over everything that landed — compute was batch-sized per tick, the
+    // result is bit-for-bit the rebuild.
+    val tmp = Files.createTempDirectory("warcstreambm25")
+    val landing = tmp.resolve("landing"); Files.createDirectory(landing)
+    spark.sql("DROP TABLE IF EXISTS bm25_stream_a_meta")
+    spark.sql("DROP TABLE IF EXISTS bm25_stream_b_meta")
+    var cur = "" // current published generation ("" = none yet)
+    def sink(docs: DataFrame): Unit = {
+      val batch = docs.select(xxhash64(col("url")).as("doc_id"),
+        col("text"))
+      if (batch.isEmpty) return
+      val next =
+        if (cur.isEmpty)
+          graft.operators.Bm25.buildIndex(batch, "doc_id", "text")
+        else graft.operators.Bm25.add(
+          graft.operators.Bm25.Bm25Index.load(spark, cur), batch, "text")
+      val nextName =
+        if (cur == "bm25_stream_a") "bm25_stream_b" else "bm25_stream_a"
+      next.save(nextName, nBuckets = 4)
+      cur = nextName
+    }
+    Files.write(landing.resolve("t1.warc.gz"), gz(Seq(
+      SyntheticWarc.record(1L, "alpha beta gamma retrieval", wet = true),
+      SyntheticWarc.record(2L, "beta delta epsilon corpus", wet = true))))
+    val q = WarcStream.run(spark, landing.toString,
+      tmp.resolve("ckpt").toString, maxFilesPerTrigger = 1)(sink)
+    try {
+      q.processAllAvailable()
+      Files.write(landing.resolve("t2.warc.gz"), gz(Seq(
+        SyntheticWarc.record(3L, "gamma zeta alpha serving", wet = true))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val ticked = graft.operators.Bm25.Bm25Index.load(spark, cur)
+    assert(ticked.nDocs == 3L)
+    // one-shot twin over the same landed files, same id convention
+    val batchDocs = Warc.textDocs(Warc.records(spark, landing.toString))
+      .toDF().select(xxhash64(col("url")).as("doc_id"), col("text"))
+    val oneShot = graft.operators.Bm25.buildIndex(batchDocs,
+      "doc_id", "text")
+    def value(i: graft.operators.Bm25.Bm25Index) = (
+      i.tf.select($"doc_id", $"token", $"tf").as[(Long, String, Long)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq,
+      i.df.select($"token", $"df").as[(String, Long)].collect()
+        .sorted.toSeq,
+      i.nDocs, i.totTokens)
+    assert(value(ticked) == value(oneShot))
+    val queries = Seq((1L, "alpha gamma")).toDF("q_id", "q_text")
+    assert(graft.operators.Bm25.search(ticked, queries, "q_id", "q_text",
+        k = 3).orderBy($"rn").as[(Long, Int, Long, Long, Long)]
+        .collect().toSeq ==
+      graft.operators.Bm25.search(oneShot, queries, "q_id", "q_text",
+        k = 3).orderBy($"rn").as[(Long, Int, Long, Long, Long)]
+        .collect().toSeq)
+    oneShot.release()
+  }
+
   test("hostile landing-file names (comma + glob metacharacters) deliver intact") {
     // the micro-batch re-read goes through exact paths, never a
     // comma-joined glob string (r13 advice) — a file named `a,b{x}.warc`
