@@ -177,17 +177,31 @@ object Bm25 {
     * store — per-call work is the query-restricted postings join, not the
     * corpus tokenize/aggregate. On a bucketed-saved index the tf⋈dl join
     * is exchange-free (both sides bucket on the id, the broadcast term
-    * restriction preserves the scan's partitioning). */
+    * restriction preserves the scan's partitioning).
+    *
+    * `allowedIds` (one doc-id column, optional) is METADATA-FILTERED
+    * serving, Lucene semantics: candidates restrict to the allowed set
+    * BEFORE the per-query top-k fills, while idf/avgdl stay CORPUS-level
+    * — a filter narrows who competes, it does not re-weigh the language
+    * (surviving docs score bit-identically to the unfiltered search;
+    * spec-pinned). The semi-join rides the id bucketing, exchange-free
+    * on the postings side. */
   def search(index: Bm25Index, queries: DataFrame, qIdCol: String,
              qTextCol: String, k: Int, k1E3: Long = 1200L, bE3: Long = 750L,
-             minDf: Long = 1L, maxHits: Long = 0L): DataFrame = {
+             minDf: Long = 1L, maxHits: Long = 0L,
+             allowedIds: DataFrame = null): DataFrame = {
     require(k >= 1 && k1E3 >= 0 && bE3 >= 0 && bE3 <= 1000,
       s"need k >= 1, k1E3 >= 0, bE3 in [0,1000], got $k/$k1E3/$bE3")
     val qTerms = queries.select(col(qIdCol),
       explode(array_distinct(TextFns.words(col(qTextCol)))).as("token"))
     val qTok = qTerms.select(col("token")).distinct()
     val dfq = index.df.join(broadcast(qTok), "token")
-    rankedHits(index.tf, index.dl, dfq, index.nDocs, index.totTokens,
+    val tf =
+      if (allowedIds == null) index.tf
+      else index.tf.join(
+        allowedIds.select(col(allowedIds.columns.head).as(index.idCol))
+          .distinct(), Seq(index.idCol), "left_semi")
+    rankedHits(tf, index.dl, dfq, index.nDocs, index.totTokens,
       index.idCol, qTerms, qIdCol, k, k1E3, bE3, minDf, maxHits)
   }
 

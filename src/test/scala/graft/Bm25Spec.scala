@@ -124,6 +124,26 @@ class Bm25Spec extends SparkSpec {
       indexValue(Bm25.buildIndex(head, "doc_id", "text")))
   }
 
+  test("search: metadata-filtered serving — candidates restrict, corpus stats keep") {
+    val idx = Bm25.buildIndex(big, "doc_id", "text")
+    val evens = big.filter($"doc_id" % 2 === 0).select($"doc_id")
+    val filtered = hits(Bm25.search(idx, bigQueries, "q_id", "q_text",
+      k = 5, allowedIds = evens))
+    // Lucene semantics: the expected list is the UNFILTERED ranking
+    // restricted to the allowed docs, re-ranked, top-5 — with the scores
+    // UNCHANGED (idf/avgdl stay corpus-level; a filter narrows who
+    // competes, it does not re-weigh the language)
+    val full = hits(Bm25.search(idx, bigQueries, "q_id", "q_text", k = 300))
+    val expected = full.filter(_._3 % 2 == 0)
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._4, r._3)).take(5).zipWithIndex
+          .map { case (r, i) => (r._1, i + 1, r._3, r._4, r._5) }
+      }.sortBy(r => (r._1, r._2))
+    assert(filtered == expected && filtered.nonEmpty)
+    assert(filtered.forall(_._3 % 2 == 0))
+    idx.release()
+  }
+
   test("index release contract: save() frees the build/tick pins; release() covers the unsaved path") {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
