@@ -87,6 +87,41 @@ class SitemapSpec extends SparkSpec {
     assert(strict == Set("http://a.test/brand-new"))
   }
 
+  test("fuzz: random and mutated bodies never kill the crawl kernels (fixed seed)") {
+    // the WarcSpec fuzz discipline applied to the r15 kernels: sitemap
+    // parse, robots crawl-delay, URL resolve — all total functions over
+    // arbitrary strings; a crawl feeds them the open web
+    val rnd = new scala.util.Random(271828L)
+    val seeds = Seq(
+      "<urlset><url><loc>https://e.com/a</loc></url></urlset>",
+      "<sitemapindex><sitemap><loc>https://e.com/s.xml</loc></sitemap></sitemapindex>",
+      "https://e.com/a\nhttps://e.com/b",
+      "User-agent: *\nCrawl-delay: 1.5\nDisallow: /a\nSitemap: https://e.com/s.xml")
+    val alphabet = "<>/lochurst :=.&;#\n\r\tabc0129-\"'%$*".toCharArray
+    for (i <- 0 until 400) {
+      val body =
+        if (i % 4 == 0) // pure noise
+          new String(Array.fill(rnd.nextInt(300))(
+            alphabet(rnd.nextInt(alphabet.length))))
+        else { // mutated seed: splice noise into a valid shape
+          val s = seeds(rnd.nextInt(seeds.length))
+          val cut = rnd.nextInt(s.length + 1)
+          s.substring(0, cut) +
+            new String(Array.fill(rnd.nextInt(20))(
+              alphabet(rnd.nextInt(alphabet.length)))) +
+            s.substring(rnd.nextInt(s.length + 1).min(s.length))
+        }
+      val u = UTF8String.fromString(body)
+      SitemapExpr.parse(u) // must not throw
+      graft.functions.RobotsExprs.crawlDelayMs(u,
+        UTF8String.fromString("graftbot"))
+      graft.functions.RobotsExprs.rules(u, UTF8String.fromString("x"))
+      graft.functions.UrlFns.resolve(
+        UTF8String.fromString("http://e.com/d/p"), u)
+      graft.functions.UrlFns.resolve(u, UTF8String.fromString("../x"))
+    }
+  }
+
   test("frontier expands fetched sitemap bodies (pages AND nested children)") {
     val links = Seq(("http://seed.test/", "http://a.test/p1", ""))
       .toDF("src", "dst", "anchor")
