@@ -191,11 +191,16 @@ object LinkGraph {
     // plain distinct paid)
     val cand = candAll.groupBy(col("url"))
       .agg(max(col("__lastmod")).as("__lastmod"))
+    // one row per crawled url at its LATEST fetch: a re-fetched page must
+    // compare lastmod against the newest fetch (an older row would wrongly
+    // re-admit it), and duplicate crawled urls must not multiply the join
     val crawledCols = crawled.columns
     val crawledN = crawled.select(col(crawledCols.head).as("url"),
-      (if (crawledCols.length > 1) col(crawledCols(1)).cast("string")
-       else nullStr).as("__fetched"),
-      lit(true).as("__crawled"))
+        (if (crawledCols.length > 1) col(crawledCols(1)).cast("string")
+         else nullStr).as("__fetched"))
+      .groupBy(col("url"))
+      .agg(max(col("__fetched")).as("__fetched"))
+      .withColumn("__crawled", lit(true))
     val fresh = cand.join(crawledN, Seq("url"), "left")
       .filter(col("__crawled").isNull ||
         (col("__lastmod").isNotNull && col("__fetched").isNotNull &&

@@ -85,6 +85,16 @@ class SitemapSpec extends SparkSpec {
         crawled.select($"url"), sitemapDocs = sm)
       .select($"url").as[String].collect().toSet
     assert(strict == Set("http://a.test/brand-new"))
+    // a RE-FETCHED url compares against its LATEST fetch: the stale row's
+    // old date must not re-admit it, and the duplicate must not multiply
+    // frontier rows
+    val refetched = crawled.unionByName(Seq(
+      ("http://a.test/stale", "2024-03-01T00:00:00Z")) // newer than lastmod
+      .toDF("url", "fetched_at"))
+    val out2 = graft.operators.LinkGraph.frontier(links, refetched,
+        sitemapDocs = sm)
+      .select($"url").as[String].collect().toSeq.sorted
+    assert(out2 == Seq("http://a.test/brand-new"))
   }
 
   test("fuzz: random and mutated bodies never kill the crawl kernels (fixed seed)") {
