@@ -689,8 +689,18 @@ object Similarity {
     * `pqSearch` over the whole encoded corpus (cells partition it). */
   def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, k: Int,
                   nProbe: Int = 4, m: Int = 0, idCol: String = "vec_id",
-                  vecCol: String = "embedding"): DataFrame = {
+                  vecCol: String = "embedding",
+                  allowedIds: DataFrame = null): DataFrame = {
     val mm = resolveM(index, m)
+    // metadata-filtered serving (the Bm25.search(allowedIds) contract on
+    // the dense side): candidates restrict BEFORE the per-query top-k
+    // fills; surviving neighbors score identically to the unfiltered
+    // search (the ADC arithmetic sees the same codes)
+    val cells =
+      if (allowedIds == null) index.cells
+      else index.cells.join(
+        allowedIds.select(col(allowedIds.columns.head).as("neighbor_id"))
+          .distinct(), Seq("neighbor_id"), "left_semi")
     val centroidArr = index.centroids
       .agg(collect_list(struct(col("centroid_id"), col("centv"), col("centn")))
         .as("cents"))
@@ -707,7 +717,7 @@ object Similarity {
         adcDotTables(ranges).as("tabs"),
         adcNormTables(mm).as("n2s"))
     if (!index.residual) {
-      rankTopK(adcScore(index.cells
+      rankTopK(adcScore(cells
           .join(broadcast(probes.drop("qv")), Seq("cell")))
         .filter(col("query_id") =!= col("neighbor_id")), k)
     } else {
@@ -734,7 +744,7 @@ object Similarity {
       def lookupSum(tables: Column): Column =
         aggregate(zip_with(col("codes"), tables,
           (code, tab) => element_at(tab, code + 1)), lit(0L), (acc, x) => acc + x)
-      val scored = index.cells
+      val scored = cells
         .join(broadcast(rProbes), Seq("cell"))
         .join(broadcast(crossPacked), Seq("cell"))
         .withColumn("cosine",

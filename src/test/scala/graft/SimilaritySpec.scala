@@ -159,6 +159,38 @@ class SimilaritySpec extends SparkSpec {
     assert(derived == full)
   }
 
+  test("IVF+PQ: metadata-filtered serving — candidates restrict, scores unchanged") {
+    // the Bm25.search(allowedIds) contract on the dense side: the filtered
+    // top-k is the UNFILTERED ranking restricted to the allowed ids and
+    // re-ranked, with identical cosines (the ADC arithmetic sees the same
+    // codes; a filter narrows who competes, never how they score). Both
+    // the raw and the residual (IVFADC) scoring branches hold it.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val queries = emb.filter($"vec_id" < 5)
+    val evens = emb.filter($"vec_id" % 2 === 0).select($"vec_id")
+    for (residual <- Seq(false, true)) {
+      val idx = Similarity.buildIvfPqIndex(emb, nCentroids = 8, m = 4,
+        ksub = 8, iters = 1, residual = residual)
+      val filtered = Similarity.ivfPqSearch(idx, queries, k = 5,
+          nProbe = 8, allowedIds = evens)
+        .select($"query_id", $"neighbor_id", round($"cosine", 9), $"rank")
+        .as[(Long, Long, Double, Int)].collect().toSeq
+        .sortBy(r => (r._1, r._4))
+      val full = Similarity.ivfPqSearch(idx, queries, k = 1000, nProbe = 8)
+        .select($"query_id", $"neighbor_id", round($"cosine", 9), $"rank")
+        .as[(Long, Long, Double, Int)].collect().toSeq
+      val expected = full.filter(_._2 % 2 == 0)
+        .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+          rows.sortBy(_._4).take(5).zipWithIndex
+            .map { case (r, i) => (r._1, r._2, r._3, i + 1) }
+        }.sortBy(r => (r._1, r._4))
+      assert(filtered == expected && filtered.nonEmpty,
+        s"residual=$residual")
+      assert(filtered.forall(_._2 % 2 == 0))
+    }
+  }
+
   test("IVF+PQ: planted duplicates retrieved at rank 1 under a partial probe") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select($"vec_id", $"embedding")
