@@ -216,7 +216,9 @@ object SparkEntry {
     "q140_bm25_indexed" -> qBm25Indexed,
     "q141_hybrid_served" -> qHybridServed,
     "q142_crawl_frontier" -> qFrontier,
-    "q143_sitemap_parse" -> qSitemapParse)
+    "q143_sitemap_parse" -> qSitemapParse,
+    "q144_hard_negatives" -> qHardNegatives,
+    "q145_split_by_component" -> qSplitByComponent)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2684,6 +2686,50 @@ object SparkEntry {
       .orderBy(col("doc_id"), col("pos"))
   }
 
+  /** q144: hard-negative mining — the retrieval-TRAINING data product
+    * (DPR/contrastive fine-tuning needs, per query, the top-ranked
+    * documents that are NOT the gold answer: confusable by the retriever,
+    * clean by the labels). Queries are q134's (%37 first-5-words); the
+    * gold pair is the query's own source doc (its top hit by
+    * construction); `Bm25.search(excludePairs = gold)` anti-joins the
+    * hit-sized score frame before the top-k heap fills, so every emitted
+    * rank is a usable negative. The oracle is q134's machinery with the
+    * gold exclusion injected before the ranking — rank math, scores, and
+    * the exclusion all under the hash. */
+  private def qHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(pmod(col("doc_id"), lit(37L)) === 0L)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(graft.functions.TextFns.words(col("text")), 1, 5),
+          " ").as("q_text"))
+    val gold = queries.select(col("q_id"), col("q_id").as("doc_id"))
+    graft.operators.Bm25.search(
+        graft.operators.Bm25.buildIndex(docs, "doc_id", "text"),
+        queries, "q_id", "q_text", k = 10, excludePairs = gold)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** q145: LEAKAGE-CONTROLLED train/val/test split — membership keys on
+    * the dedup COMPONENT root (q49's clusters over the planted near-dup
+    * slice), so a near-duplicate cluster lands in ONE split and a test
+    * doc can never have a train twin (the silent benchmark-inflation
+    * failure of plain id-hash splits). Unlabeled docs are their own
+    * singleton key. The oracle composes q49's recursive closure with
+    * q61's Knuth-threshold CASE applied to the key — keying, clustering,
+    * and assignment all under the hash. */
+  private def qSplitByComponent(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
+    val labels = Dedup.components(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, blockCols = Seq("lang")))
+    graft.operators.DataMix.assignSplitByComponent(
+        docs.select(col("doc_id")), "doc_id",
+        labels.select(col("id"), col("component")),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select(col("doc_id"), col("split_key"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   /** q137: RFC 9309 robots verdicts — crawl governance (retroactive robots
     * compliance over a captured corpus; Common Crawl ships robots.txt
     * captures so consumers can do exactly this). Each host's synthetic
@@ -3009,10 +3055,17 @@ object SparkEntry {
     }
   }
 
-  /** q134/q140 shared oracle: quantized Lucene BM25 re-derived end to end
-    * over the FULL corpus — the indexed+ticked route (q140) must reproduce
-    * the from-scratch route (q134) bit-for-bit, so one SQL pins both. */
-  private val bm25TopkSql: String =
+  /** q134/q140/q144 shared oracle machinery: quantized Lucene BM25
+    * re-derived end to end over the FULL corpus. One SQL body, an
+    * injectable pre-ranking filter: "" pins the plain top-k (q134
+    * from-scratch == q140 indexed+ticked, bit-for-bit); the
+    * gold-exclusion predicate pins hard-negative mining (q144). */
+  private def bm25RankedSql(scFilter: String): String =
+    bm25TopkSqlBody.replace("FROM sc__FILTER__", s"FROM sc$scFilter")
+
+  private lazy val bm25TopkSql: String = bm25RankedSql("")
+
+  private val bm25TopkSqlBody: String =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(
       |    string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
@@ -3051,7 +3104,7 @@ object SparkEntry {
       |  SELECT q_id, doc_id, score_e6, n_terms,
       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
       |      ORDER BY score_e6 DESC, doc_id) AS INT) AS rn
-      |  FROM sc)
+      |  FROM sc__FILTER__)
       |SELECT q_id, rn, doc_id, score_e6, n_terms FROM ranked
       |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
 
@@ -5384,6 +5437,50 @@ object SparkEntry {
     // coarse-assign/PQ-codes/ADC CTEs (q77, at the %37 q-set, nProbe=1,
     // k=10) — then q139's RRF fold over them
     "q141_hybrid_served" -> hybridServedSql,
+    // q144: q134's BM25 machinery with the gold pair excluded BEFORE the
+    // ranking — the mined negatives' ranks and scores re-derive exactly
+    "q144_hard_negatives" -> bm25RankedSql(" WHERE doc_id <> q_id"),
+    // q145: q49's recursive closure (the component per doc) + q61's
+    // Knuth-threshold CASE applied to the COMPONENT key (docs without a
+    // cluster key on their own id)
+    "q145_split_by_component" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents WHERE doc_id < 2000),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+        |comp AS (SELECT id AS doc_id, MIN(comp) AS component
+        |         FROM reach GROUP BY id),
+        |keyed AS (
+        |  SELECT d.doc_id,
+        |    CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS split_key
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 2000) d
+        |  LEFT JOIN comp c USING (doc_id))
+        |SELECT doc_id, split_key,
+        |  CASE WHEN (split_key * 2654435761) % 4294967296 / 4294967296.0 < 0.9
+        |         THEN 'train'
+        |       WHEN (split_key * 2654435761) % 4294967296 / 4294967296.0 < 0.95
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM keyed ORDER BY doc_id""".stripMargin,
     // q143: the sitemap shapes are closed-form by doc_id, so the oracle
     // emits the expected (pos, loc, lastmod, kind) rows directly — the
     // engine must reach them THROUGH the XML/plain-text parse (tag walk,

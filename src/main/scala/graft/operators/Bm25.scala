@@ -185,11 +185,20 @@ object Bm25 {
     * — a filter narrows who competes, it does not re-weigh the language
     * (surviving docs score bit-identically to the unfiltered search;
     * spec-pinned). The semi-join rides the id bucketing, exchange-free
-    * on the postings side. */
+    * on the postings side.
+    *
+    * `excludePairs` (columns = query id, doc id, optional) is PER-QUERY
+    * exclusion — the hard-negative-mining primitive: exclude each query's
+    * GOLD documents and the top-k that fills is exactly the
+    * retrieval-training negatives (BM25-confusable, label-clean). The
+    * anti-join lands on the hit-sized score frame before the top-k heap,
+    * so exclusion costs one broadcast of the gold set (q144 pins the
+    * whole route under the DuckDB oracle). */
   def search(index: Bm25Index, queries: DataFrame, qIdCol: String,
              qTextCol: String, k: Int, k1E3: Long = 1200L, bE3: Long = 750L,
              minDf: Long = 1L, maxHits: Long = 0L,
-             allowedIds: DataFrame = null): DataFrame = {
+             allowedIds: DataFrame = null,
+             excludePairs: DataFrame = null): DataFrame = {
     require(k >= 1 && k1E3 >= 0 && bE3 >= 0 && bE3 <= 1000,
       s"need k >= 1, k1E3 >= 0, bE3 in [0,1000], got $k/$k1E3/$bE3")
     val qTerms = queries.select(col(qIdCol),
@@ -202,7 +211,8 @@ object Bm25 {
         allowedIds.select(col(allowedIds.columns.head).as(index.idCol))
           .distinct(), Seq(index.idCol), "left_semi")
     rankedHits(tf, index.dl, dfq, index.nDocs, index.totTokens,
-      index.idCol, qTerms, qIdCol, k, k1E3, bE3, minDf, maxHits)
+      index.idCol, qTerms, qIdCol, k, k1E3, bE3, minDf, maxHits,
+      excludePairs)
   }
 
   /** Top-`k` docs per query by BM25, from scratch in one call (build the
@@ -247,7 +257,8 @@ object Bm25 {
                          nDocs: Long, totTokens: Long, idCol: String,
                          qTerms: DataFrame, qIdCol: String, k: Int,
                          k1E3: Long, bE3: Long, minDf: Long,
-                         maxHits: Long): DataFrame = {
+                         maxHits: Long,
+                         excludePairs: DataFrame = null): DataFrame = {
     require(totTokens > 0L, "BM25 over an empty corpus")
     val avgdlE3 = 1000L * totTokens / nDocs
     val dfg = dfq.filter(col("df") >= minDf)
@@ -281,8 +292,14 @@ object Bm25 {
           lit(1000L) * col("tf") +
             Quantiles.div(lit(k1E3) * col("norm_e6"), lit(1000000L)))
           .as("term_e6"))
-    val scores = hits.groupBy(col(qIdCol), col(idCol))
+    val scores0 = hits.groupBy(col(qIdCol), col(idCol))
       .agg(sum(col("term_e6")).as("score_e6"), count(lit(1)).as("n_terms"))
+    val scores =
+      if (excludePairs == null) scores0
+      else scores0.join(broadcast(excludePairs
+          .select(col(excludePairs.columns.head).as(qIdCol),
+            col(excludePairs.columns(1)).as(idCol)).distinct()),
+        Seq(qIdCol, idCol), "left_anti")
     graft.ops.TopK.topKPerGroup(scores, Seq(qIdCol), col("score_e6"),
       col(idCol), Seq(col(idCol), col("score_e6"), col("n_terms")), k)
       .select(col(qIdCol), col("rn"), col(idCol), col("score_e6"),

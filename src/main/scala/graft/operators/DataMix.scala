@@ -133,6 +133,34 @@ object DataMix {
     df.withColumn("split", expr)
   }
 
+  /** LEAKAGE-CONTROLLED split assignment (r15): membership keys on the
+    * doc's dedup COMPONENT root instead of its own id, so a near-duplicate
+    * CLUSTER lands in one split — a plain id-hash split GUARANTEES
+    * train/test leakage at corpus scale (with a 10% near-dup rate, ~1% of
+    * test docs have a train twin; benchmark numbers inflate silently).
+    * `labels` = (id, component) from `Dedup.components` / the admission
+    * ticks; docs with no label row are their own singleton cluster (the
+    * key falls back to the id). Same Knuth arithmetic as [[assignSplit]]
+    * applied to the key, so splits stay stable under any partitioning,
+    * re-runs, AND incremental admission — a new doc joining an existing
+    * cluster inherits the cluster's split (its component root is the
+    * standing minimum, which admission ticks preserve). Emits `split_key`
+    * beside `split` so the keying itself sits under the oracle (q145).
+    * Scale: one id-keyed join against the labels frame — co-located
+    * (exchange-free) when both sides live in the BucketedStore layout the
+    * curation job publishes. */
+  def assignSplitByComponent(df: DataFrame, idCol: String,
+                             labels: DataFrame,
+                             splits: Seq[(String, Double)]): DataFrame = {
+    val lab = labels.select(col(labels.columns.head).as(idCol),
+      col(labels.columns(1)).as("__comp"))
+    df.join(lab, Seq(idCol), "left")
+      .withColumn("split_key",
+        coalesce(col("__comp"), col(idCol).cast("long")))
+      .drop("__comp")
+      .transform(d => assignSplit(d, "split_key", splits))
+  }
+
   /** Deterministic per-stratum subsample: the `n` rows of each stratum with
     * the SMALLEST Knuth hash of their id — a reproducible "uniform" sample
     * (same rows under any partitioning, engine, or re-run; the property

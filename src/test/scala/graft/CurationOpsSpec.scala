@@ -188,6 +188,40 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("assignSplitByComponent: clusters land whole, singletons fall back, admission inherits") {
+    val docs = (0L until 3000L).map(i => Tuple1(i)).toDF("doc_id")
+    // clusters of 3: {0,1,2}->0, {3,4,5}->3, ... for the first 1500 ids;
+    // the rest are unlabeled singletons
+    val labels = (0L until 1500L).map(i => (i, i - i % 3))
+      .toDF("id", "component")
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val out = graft.operators.DataMix.assignSplitByComponent(
+        docs, "doc_id", labels, splits)
+      .as[(Long, Long, String)].collect()
+    assert(out.length == 3000)
+    val byDoc = out.map(r => r._1 -> (r._2, r._3)).toMap
+    // the LEAKAGE contract: every cluster maps to exactly one split
+    for (root <- 0L until 1500L by 3L) {
+      assert(Set(byDoc(root), byDoc(root + 1), byDoc(root + 2)).size == 1,
+        s"cluster $root straddles splits")
+      assert(byDoc(root)._1 == root)
+    }
+    // unlabeled docs key on their own id — identical to the plain split
+    val plain = graft.operators.DataMix.assignSplit(
+        docs.filter($"doc_id" >= 1500L), "doc_id", splits)
+      .as[(Long, String)].collect().toMap
+    out.filter(_._1 >= 1500L).foreach { r =>
+      assert(r._2 == r._1 && r._3 == plain(r._1))
+    }
+    // incremental admission: a NEW doc joining cluster 0 inherits the
+    // cluster's split verbatim (the root is the standing minimum)
+    val grown = graft.operators.DataMix.assignSplitByComponent(
+        Seq(9999L).toDF("doc_id"), "doc_id",
+        Seq((9999L, 0L)).toDF("id", "component"), splits)
+      .as[(Long, Long, String)].head()
+    assert(grown._2 == 0L && grown._3 == byDoc(0L)._2)
+  }
+
   test("sampleStratified: exact cap per stratum, partition-invariant, rank = hash order") {
     val df = (0L until 2000L).map(i => (s"src${i % 4}", i)).toDF("src", "id")
     val a = graft.operators.DataMix
