@@ -690,7 +690,8 @@ object Similarity {
   def ivfPqSearch(index: IvfPqIndex, queries: DataFrame, k: Int,
                   nProbe: Int = 4, m: Int = 0, idCol: String = "vec_id",
                   vecCol: String = "embedding",
-                  allowedIds: DataFrame = null): DataFrame = {
+                  allowedIds: DataFrame = null,
+                  excludePairs: DataFrame = null): DataFrame = {
     val mm = resolveM(index, m)
     // metadata-filtered serving (the Bm25.search(allowedIds) contract on
     // the dense side): candidates restrict BEFORE the per-query top-k
@@ -701,6 +702,15 @@ object Similarity {
       else index.cells.join(
         allowedIds.select(col(allowedIds.columns.head).as("neighbor_id"))
           .distinct(), Seq("neighbor_id"), "left_semi")
+    // per-query GOLD exclusion (Bm25.search(excludePairs) on the dense
+    // side — the hard-negative-mining primitive for the dense retriever):
+    // anti-join on the candidate-sized scored frame before the heap
+    def excl(scored: DataFrame): DataFrame =
+      if (excludePairs == null) scored
+      else scored.join(broadcast(excludePairs
+          .select(col(excludePairs.columns.head).as("query_id"),
+            col(excludePairs.columns(1)).as("neighbor_id")).distinct()),
+        Seq("query_id", "neighbor_id"), "left_anti")
     val centroidArr = index.centroids
       .agg(collect_list(struct(col("centroid_id"), col("centv"), col("centn")))
         .as("cents"))
@@ -717,9 +727,9 @@ object Similarity {
         adcDotTables(ranges).as("tabs"),
         adcNormTables(mm).as("n2s"))
     if (!index.residual) {
-      rankTopK(adcScore(cells
+      rankTopK(excl(adcScore(cells
           .join(broadcast(probes.drop("qv")), Seq("cell")))
-        .filter(col("query_id") =!= col("neighbor_id")), k)
+        .filter(col("query_id") =!= col("neighbor_id"))), k)
     } else {
       // IVFADC scoring: reconstruction = centroid(cell) + decode(codes), so
       //   num   = dot(q, centv)  +  Σ_s tabs[s][code_s]          (exact longs)
@@ -752,7 +762,7 @@ object Similarity {
           (col("qn") * sqrt((col("centn2") + lit(2L) * lookupSum(col("xtabs")) +
             lookupSum(col("n2s"))).cast("double"))))
         .filter(col("query_id") =!= col("neighbor_id"))
-      rankTopK(scored, k)
+      rankTopK(excl(scored), k)
     }
   }
 

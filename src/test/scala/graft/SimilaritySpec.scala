@@ -188,6 +188,23 @@ class SimilaritySpec extends SparkSpec {
       assert(filtered == expected && filtered.nonEmpty,
         s"residual=$residual")
       assert(filtered.forall(_._2 % 2 == 0))
+      // per-query GOLD exclusion (dense hard negatives): drop each
+      // query's own top hit — the result is the unfiltered ranking minus
+      // those pairs, re-ranked, cosines unchanged
+      val gold = full.filter(_._4 == 1).map(r => (r._1, r._2))
+      val mined = Similarity.ivfPqSearch(idx, queries, k = 5, nProbe = 8,
+          excludePairs = gold.toDF("q", "n"))
+        .select($"query_id", $"neighbor_id", round($"cosine", 9), $"rank")
+        .as[(Long, Long, Double, Int)].collect().toSeq
+        .sortBy(r => (r._1, r._4))
+      val goldSet = gold.toSet
+      val minedWant = full.filterNot(r => goldSet.contains((r._1, r._2)))
+        .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+          rows.sortBy(_._4).take(5).zipWithIndex
+            .map { case (r, i) => (r._1, r._2, r._3, i + 1) }
+        }.sortBy(r => (r._1, r._4))
+      assert(mined == minedWant && mined.nonEmpty, s"residual=$residual")
+      assert(mined.forall(r => !goldSet.contains((r._1, r._2))))
     }
   }
 
