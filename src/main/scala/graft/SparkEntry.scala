@@ -218,7 +218,8 @@ object SparkEntry {
     "q142_crawl_frontier" -> qFrontier,
     "q143_sitemap_parse" -> qSitemapParse,
     "q144_hard_negatives" -> qHardNegatives,
-    "q145_split_by_component" -> qSplitByComponent)
+    "q145_split_by_component" -> qSplitByComponent,
+    "q146_quality_survivors_by" -> qSurvivorsBy)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -2727,6 +2728,25 @@ object SparkEntry {
         labels.select(col("id"), col("component")),
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
       .select(col("doc_id"), col("split_key"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q146: QUALITY-AWARE dedup survivor selection — the composites default
+    * to min-id winners (cheapest deterministic choice); real curation
+    * keeps the BEST duplicate (RefinedWeb keeps the longest capture of a
+    * template family). `Dedup.survivorsBy` keeps each q49-cluster's
+    * max-`n_chars` member (tie: min id), singletons surviving as
+    * themselves; one TopK heap per component, never a corpus window. The
+    * oracle composes q49's closure with a per-key (n_chars desc, id)
+    * ROW_NUMBER — clustering, keying, and the winner rule all hashed. */
+  private def qSurvivorsBy(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
+    val labels = Dedup.components(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, blockCols = Seq("lang")))
+    Dedup.survivorsBy(docs, "doc_id",
+        labels.select(col("id"), col("component")), col("n_chars"))
+      .select(col("doc_id"), col("n_chars"))
       .orderBy(col("doc_id"))
   }
 
@@ -5481,6 +5501,44 @@ object SparkEntry {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM keyed ORDER BY doc_id""".stripMargin,
+    // q146: q49's closure + the quality-winner rule — per component key,
+    // the max-n_chars member (tie: min id) survives
+    "q146_quality_survivors_by" ->
+      """WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM documents WHERE doc_id < 2000),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+        |comp AS (SELECT id AS doc_id, MIN(comp) AS component
+        |         FROM reach GROUP BY id),
+        |keyed AS (
+        |  SELECT d.doc_id, d.n_chars,
+        |    COALESCE(c.component, d.doc_id) AS k
+        |  FROM (SELECT doc_id, n_chars FROM documents WHERE doc_id < 2000) d
+        |  LEFT JOIN comp c USING (doc_id))
+        |SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY k
+        |      ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM keyed) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     // q143: the sitemap shapes are closed-form by doc_id, so the oracle
     // emits the expected (pos, loc, lastmod, kind) rows directly — the
     // engine must reach them THROUGH the XML/plain-text parse (tag walk,

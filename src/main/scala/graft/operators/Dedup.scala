@@ -1679,6 +1679,31 @@ object Dedup {
     * token per template copy: the measured r13 landmine, 68 GB spill →
     * ENOSPC) walks straight past it; the budget turns that dead run into an
     * actionable refusal. 0 disables. */
+  /** Quality-aware survivor selection (r15): given cluster `labels`
+    * ((id, component) — [[components]] / the admission ticks) and a scored
+    * corpus, keep the HIGHEST-`scoreCol` member of every cluster (tie: min
+    * id — q67's deterministic total order), unlabeled docs surviving as
+    * their own singletons. The min-id winner the composites default to is
+    * the cheapest deterministic choice; real curation often wants the
+    * best duplicate instead (RefinedWeb keeps the longest capture of a
+    * template family, a crawl keeps the 200-status twin over the 206).
+    * One TopK heap per component — never a corpus window; the labels join
+    * is exchange-free off the BucketedStore layout. Returns the surviving
+    * rows of `docs` (all columns). */
+  def survivorsBy(docs: DataFrame, idCol: String, labels: DataFrame,
+                  scoreCol: org.apache.spark.sql.Column): DataFrame = {
+    val lab = labels.select(col(labels.columns.head).as(idCol),
+      col(labels.columns(1)).as("__comp"))
+    val keyed = docs.join(lab, Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("__comp"), col(idCol).cast("long")))
+      .withColumn("__score", scoreCol.cast("long"))
+    val winners = graft.ops.TopK.topKPerGroup(
+        keyed.select(col("__comp"), col("__score"), col(idCol)),
+        Seq("__comp"), col("__score"), col(idCol), Seq(col(idCol)), 1)
+      .select(col(idCol))
+    docs.join(winners, Seq(idCol), "left_semi")
+  }
+
   def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String,
                     n: Int, threshold: Double,
                     blockCols: Seq[String],

@@ -224,6 +224,24 @@ class DedupSpec extends SparkSpec {
     assert(out == Set(1L, 4L, 5L))
   }
 
+  test("survivorsBy: the best-scored cluster member wins, singletons survive, ties break on id") {
+    val corpus = Seq(
+      (1L, 30L), (2L, 90L), (3L, 90L), // one cluster: 2 and 3 tie on score
+      (4L, 10L),                       // labeled singleton cluster
+      (5L, 1L))                        // unlabeled -> own singleton
+      .toDF("doc_id", "quality")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("id", "component")
+    val out = Dedup.survivorsBy(corpus, "doc_id", labels, $"quality")
+      .as[(Long, Long)].collect().toSet
+    // cluster {1,2,3}: score 90 ties between 2 and 3 -> min id 2 wins
+    assert(out == Set((2L, 90L), (4L, 10L), (5L, 1L)))
+    // degenerate: keeping by min id itself == the composites' default rule
+    val minId = Dedup.survivorsBy(corpus, "doc_id", labels, -$"doc_id")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(minId == Set(1L, 4L, 5L))
+  }
+
   test("embedding cosine pairs: injected duplicate vector found, blocking respected") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),
