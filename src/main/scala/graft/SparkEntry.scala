@@ -2560,32 +2560,49 @@ object SparkEntry {
         array_join(slice(graft.functions.TextFns.words(col("text")), 1, 5),
           " ").as("q_text"))
     // SERVING semantics: the indexes are the standing artifacts — build
-    // only when absent or stale (meta/corpus count mismatch — the cheap
-    // cache validation; a regenerated sf dir under a surviving warehouse
-    // must rebuild, never serve old data). The first call in a session
+    // only when absent or stale. Freshness = a CONTENT fingerprint
+    // (bit_xor(xxhash64(id, payload)) over the corpus — order-independent
+    // and overflow-free under ANSI, stored beside each
+    // index at build), not a row count: a regenerated sf dir with the
+    // same cardinality but different content under a surviving warehouse
+    // must rebuild, never serve old rankings. The first call in a session
     // pays the build; every later call measures what the row claims:
-    // retrieval off the persisted stores.
+    // retrieval off the persisted stores. One corpus pass prices the
+    // check (the same pass the old count-only check paid).
     val bmName = s"graft_q141_bm25_$dname"
-    val nDocs = docs.count()
-    val bmFresh = s.catalog.tableExists(s"${bmName}_meta") &&
-      s.table(s"${bmName}_meta").first().getLong(1) == nDocs
-    if (!bmFresh)
+    val docFp = docs.agg(
+      bit_xor(xxhash64(col("doc_id"), col("text"))).as("fp"))
+      .first().getLong(0)
+    val bmFresh = s.catalog.tableExists(s"${bmName}_fp") &&
+      s.table(s"${bmName}_fp").first().getLong(0) == docFp
+    if (!bmFresh) {
       graft.operators.Bm25.buildIndex(docs, "doc_id", "text")
         .save(bmName, nBuckets = 32)
+      import s.implicits._
+      graft.io.BucketedStore.save(Seq(docFp).toDF("fp"), s"${bmName}_fp",
+        "fp", 1)
+    }
     val sparse = graft.operators.Bm25.search(
         graft.operators.Bm25.Bm25Index.load(s, bmName),
         queries, "q_id", "q_text", k = 10)
       .select(col("q_id"), col("doc_id"), col("rn").cast("long").as("r_s"))
-    val tmp = s"/tmp/graft_q141_ivfpq_$dname"
-    val nVecs = emb.count()
-    val denseFresh = new java.io.File(s"$tmp/cells").exists() &&
-      (try s.read.parquet(s"$tmp/cells").count() == nVecs
+    // the dense cache lives UNDER THE SESSION'S WAREHOUSE like the BM25
+    // tables (a fixed /tmp path races concurrent sessions on one host)
+    val tmp = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      .getPath.stripSuffix("/") + s"/graft_q141_ivfpq_$dname"
+    val embFp = emb.agg(
+      bit_xor(xxhash64(col("vec_id"), col("embedding"))).as("fp"))
+      .first().getLong(0)
+    val denseFresh =
+      (try s.read.parquet(s"$tmp/fp").first().getLong(0) == embFp
        catch { case _: Exception => false })
     if (!denseFresh) {
       val cents = Similarity.kmeansCentroids(emb, nCentroids = 16,
         iters = 0)
       Similarity.buildIvfPqIndexFrom(emb, cents, m = 4, ksub = 16,
         iters = 0).save(tmp)
+      import s.implicits._
+      Seq(embFp).toDF("fp").write.mode("overwrite").parquet(s"$tmp/fp")
     }
     val dloaded = Similarity.IvfPqIndex.load(s, tmp)
     val dense = Similarity.ivfPqSearch(dloaded,

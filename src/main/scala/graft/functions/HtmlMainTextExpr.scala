@@ -4,6 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -145,20 +146,45 @@ case class HtmlMainTextByLangExpr(left: Expression, right: Expression,
     h
   }
 
-  override def nullSafeEval(html: Any, lang: Any): Any =
-    HtmlMainTextExpr.extractByLang(html.asInstanceOf[UTF8String],
-      lang.asInstanceOf[UTF8String], setsRef, fallbackSet, minWords,
-      maxLinkDensityE6, lenHighWords, stopLowE6, stopHighE6)
+  // NOT null-safe on `lang`: a null lang routes to the fallback list (the
+  // documented contract) instead of dropping the page's text outright —
+  // the default BinaryExpression null-safety would return NULL and lose
+  // the whole document over a missing language tag. A null `html` is
+  // still NULL (there is nothing to extract).
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val html = left.eval(input)
+    if (html == null) null
+    else {
+      val lang = right.eval(input)
+      HtmlMainTextExpr.extractByLang(html.asInstanceOf[UTF8String],
+        if (lang == null) null else lang.asInstanceOf[UTF8String],
+        setsRef, fallbackSet, minWords, maxLinkDensityE6, lenHighWords,
+        stopLowE6, stopHighE6)
+    }
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val setsR = ctx.addReferenceObj("setsByLang", setsRef,
       "java.util.HashMap")
     val fbR = ctx.addReferenceObj("fallbackSet", fallbackSet,
       "java.util.HashSet")
-    defineCodeGen(ctx, ev, (h, l) =>
-      s"graft.functions.HtmlMainTextExpr.extractByLang($h, $l, $setsR, " +
-        s"$fbR, $minWords, $maxLinkDensityE6, $lenHighWords, $stopLowE6, " +
-        s"$stopHighE6)")
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val langVar = ctx.freshName("graftLang")
+    ev.copy(code =
+      code"""
+        ${leftGen.code}
+        boolean ${ev.isNull} = true;
+        UTF8String ${ev.value} = null;
+        if (!${leftGen.isNull}) {
+          ${rightGen.code}
+          UTF8String $langVar = ${rightGen.isNull} ? null : ${rightGen.value};
+          ${ev.value} = graft.functions.HtmlMainTextExpr.extractByLang(
+            ${leftGen.value}, $langVar, $setsR, $fbR, $minWords,
+            $maxLinkDensityE6, $lenHighWords, $stopLowE6, $stopHighE6);
+          ${ev.isNull} = false;
+        }
+      """)
   }
 
   override protected def withNewChildrenInternal(
@@ -169,13 +195,15 @@ case class HtmlMainTextByLangExpr(left: Expression, right: Expression,
 object HtmlMainTextExpr {
 
   /** Referenced from generated Java code — must stay public: the per-lang
-    * dispatch in front of [[extract]]. */
+    * dispatch in front of [[extract]]. A null `lang` (the language prober
+    * abstained) routes to the fallback list, same as an unconfigured
+    * language. */
   def extractByLang(html: UTF8String, lang: UTF8String,
                     sets: java.util.HashMap[String, java.util.HashSet[String]],
                     fallback: java.util.HashSet[String], minWords: Int,
                     maxLinkDensityE6: Int, lenHighWords: Int,
                     stopLowE6: Int, stopHighE6: Int): UTF8String = {
-    val s = sets.get(lang.toString)
+    val s = if (lang == null) null else sets.get(lang.toString)
     extract(html, minWords, maxLinkDensityE6,
       if (s == null) fallback else s, lenHighWords, stopLowE6, stopHighE6)
   }

@@ -506,10 +506,15 @@ object Warc {
     val pathQ = expr("CASE WHEN locate('/', url, locate('://', url) + 3) = 0" +
       " THEN '/' ELSE substr(url, locate('/', url, locate('://', url) + 3))" +
       " END")
-    index.select(concat_ws(" ",
-      concat(array_join(reverse(split(
-        graft.functions.UrlFns.urlHost(col("url")), "\\.")), ","),
-        lit(")"), pathQ),
+    // non-hierarchical urls (no '://' host — e.g. the `urn:graft:doc:` ids
+    // a WET export synthesizes) have no SURT form; key on the raw url so
+    // the line stays 3-field and re-parses (a null host under concat_ws
+    // would silently drop the key and shift the timestamp into its slot)
+    val host = graft.functions.UrlFns.urlHost(col("url"))
+    val surtKey = when(host.isNotNull,
+      concat(array_join(reverse(split(host, "\\.")), ","), lit(")"), pathQ))
+      .otherwise(col("url"))
+    index.select(concat_ws(" ", surtKey,
       lit(timestamp),
       to_json(struct(col("url"),
         col("offset").cast("string").as("offset"),

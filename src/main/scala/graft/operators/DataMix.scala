@@ -148,7 +148,11 @@ object DataMix {
     * beside `split` so the keying itself sits under the oracle (q145).
     * Scale: one id-keyed join against the labels frame — co-located
     * (exchange-free) when both sides live in the BucketedStore layout the
-    * curation job publishes. */
+    * curation job publishes. Unlabeled singletons key on the id itself
+    * when it is integral and on `xxhash64(id)` otherwise — a string id
+    * under `cast("long")` would null the split_key for every unlabeled
+    * doc, funneling them all into one split and silently skewing the
+    * advertised proportions. */
   def assignSplitByComponent(df: DataFrame, idCol: String,
                              labels: DataFrame,
                              splits: Seq[(String, Double)]): DataFrame = {
@@ -156,7 +160,7 @@ object DataMix {
       col(labels.columns(1)).as("__comp"))
     df.join(lab, Seq(idCol), "left")
       .withColumn("split_key",
-        coalesce(col("__comp"), col(idCol).cast("long")))
+        coalesce(col("__comp"), Dedup.singletonKey(df, idCol)))
       .drop("__comp")
       .transform(d => assignSplit(d, "split_key", splits))
   }

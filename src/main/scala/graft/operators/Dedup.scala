@@ -1689,17 +1689,40 @@ object Dedup {
     * template family, a crawl keeps the 200-status twin over the 206).
     * One TopK heap per component — never a corpus window; the labels join
     * is exchange-free off the BucketedStore layout. Returns the surviving
-    * rows of `docs` (all columns). */
+    * rows of `docs` (all columns). Unlabeled singletons key on the id
+    * itself when it is integral (exact, collision-free) and on
+    * `xxhash64(id)` otherwise — a string/url id under `cast("long")`
+    * would go NULL (or throw under ANSI) and collapse EVERY unlabeled doc
+    * into one null-keyed cluster: silent corpus loss. */
+  /** The singleton-cluster key for docs with no label row: the id itself
+    * when integral (exact), `xxhash64(id)` for string/url/etc ids (the
+    * engine's url→id convention). Shared by [[survivorsBy]] and
+    * `DataMix.assignSplitByComponent`. */
+  private[graft] def singletonKey(df: DataFrame, idCol: String):
+      org.apache.spark.sql.Column =
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType =>
+        col(idCol).cast("long")
+      case _ => xxhash64(col(idCol))
+    }
+
   def survivorsBy(docs: DataFrame, idCol: String, labels: DataFrame,
                   scoreCol: org.apache.spark.sql.Column): DataFrame = {
     val lab = labels.select(col(labels.columns.head).as(idCol),
       col(labels.columns(1)).as("__comp"))
+    val idKey = singletonKey(docs, idCol)
     val keyed = docs.join(lab, Seq(idCol), "left")
-      .withColumn("__comp", coalesce(col("__comp"), col(idCol).cast("long")))
+      .withColumn("__comp", coalesce(col("__comp"), idKey))
       .withColumn("__score", scoreCol.cast("long"))
+    // the heap's tie key must be a long: the id itself when integral (the
+    // documented min-id tie), its xxhash64 otherwise (still a
+    // deterministic total order, just not lexicographic)
     val winners = graft.ops.TopK.topKPerGroup(
         keyed.select(col("__comp"), col("__score"), col(idCol)),
-        Seq("__comp"), col("__score"), col(idCol), Seq(col(idCol)), 1)
+        Seq("__comp"), col("__score"), idKey, Seq(col(idCol)), 1)
       .select(col(idCol))
     docs.join(winners, Seq(idCol), "left_semi")
   }

@@ -222,6 +222,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(grown._2 == 0L && grown._3 == byDoc(0L)._2)
   }
 
+  test("assignSplitByComponent: STRING ids — unlabeled docs spread across splits") {
+    // the old cast("long") fallback nulled every unlabeled string id into
+    // ONE split_key, silently skewing the advertised proportions
+    val docs = (0 until 400).map(i => Tuple1(s"http://s${i % 7}.test/p/$i"))
+      .toDF("url")
+    val labels = Seq(("http://s0.test/p/0", 7L), ("http://s1.test/p/1", 7L))
+      .toDF("id", "component")
+    val splits = Seq("train" -> 0.8, "test" -> 0.2)
+    val out = graft.operators.DataMix.assignSplitByComponent(
+        docs, "url", labels, splits)
+      .as[(String, Long, String)].collect()
+    assert(out.length == 400)
+    // the labeled cluster lands whole
+    val clustered = out.filter(r =>
+      r._1 == "http://s0.test/p/0" || r._1 == "http://s1.test/p/1")
+    assert(clustered.map(_._2).toSet == Set(7L) &&
+      clustered.map(_._3).toSet.size == 1)
+    // unlabeled docs carry DISTINCT non-null keys and hit both splits
+    val singles = out.filterNot(r =>
+      r._1 == "http://s0.test/p/0" || r._1 == "http://s1.test/p/1")
+    assert(singles.map(_._2).distinct.length == singles.length)
+    val frac = singles.count(_._3 == "train").toDouble / singles.length
+    assert(frac > 0.6 && frac < 0.95, s"train fraction $frac")
+  }
+
   test("sampleStratified: exact cap per stratum, partition-invariant, rank = hash order") {
     val df = (0L until 2000L).map(i => (s"src${i % 4}", i)).toDF("src", "id")
     val a = graft.operators.DataMix

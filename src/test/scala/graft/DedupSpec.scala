@@ -242,6 +242,21 @@ class DedupSpec extends SparkSpec {
     assert(minId == Set(1L, 4L, 5L))
   }
 
+  test("survivorsBy: STRING ids — every unlabeled doc is its own singleton") {
+    // under the old cast("long") fallback every unlabeled url-keyed doc
+    // went NULL and collapsed into ONE cluster: silent corpus loss
+    val corpus = Seq(("http://a.test/1", 10L), ("http://a.test/2", 20L),
+        ("http://a.test/3", 30L), ("http://b.test/1", 5L))
+      .toDF("url", "quality")
+    val labels = Seq(("http://a.test/1", 1L), ("http://a.test/2", 1L))
+      .toDF("id", "component")
+    val out = Dedup.survivorsBy(corpus, "url", labels, $"quality")
+      .select($"url").as[String].collect().toSet
+    // cluster keeps its best; BOTH unlabeled docs survive individually
+    assert(out == Set("http://a.test/2", "http://a.test/3",
+      "http://b.test/1"))
+  }
+
   test("embedding cosine pairs: injected duplicate vector found, blocking respected") {
     val embs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.0f), 0),

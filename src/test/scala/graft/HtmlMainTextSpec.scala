@@ -150,4 +150,32 @@ class HtmlMainTextSpec extends SparkSpec {
     val whole = HtmlToTextExpr.extract(UTF8String.fromString(page)).toString
     assert(x(page).replace('\n', ' ') == whole)
   }
+
+  test("by-lang: a NULL lang routes to the fallback list, not a NULL page") {
+    val en = Seq("the", "and", "of", "in", "on", "it", "was")
+    val page = s"<p>$good</p><p>$zeroStop</p>"
+    val rows = Seq((1L, page, "en"), (2L, page, null: String),
+        (3L, null: String, "en"))
+      .toDF("id", "html", "lang")
+    val out = rows.select($"id",
+        TextFns.htmlMainTextJustextByLang($"html", $"lang",
+          Map("xx" -> Seq("zzz")), fallback = en, minWords = 5,
+          maxLinkDensityE6 = 500000, lenHighWords = 10,
+          stopLowE6 = 250000, stopHighE6 = 450000).as("main"))
+      .orderBy($"id").as[(Long, String)].collect()
+    // "en" has no configured list -> fallback; NULL lang -> the SAME
+    // fallback route (the prober abstained, the page must not drop)
+    assert(out(0)._2 == good && out(1)._2 == good)
+    // a NULL page stays NULL: nothing to extract
+    assert(out(2)._2 == null)
+    // interpreted expression agrees with the codegen route
+    val expr = graft.functions.HtmlMainTextByLangExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        UTF8String.fromString(page),
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.catalyst.expressions.Literal(null,
+        org.apache.spark.sql.types.StringType),
+      Map("xx" -> Seq("zzz")), fallback = en)
+    assert(expr.eval(null).toString == good)
+  }
 }

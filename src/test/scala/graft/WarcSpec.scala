@@ -489,6 +489,30 @@ class WarcSpec extends SparkSpec {
       "s3a://bucket/dump/segments/part-0.warc.gz")
   }
 
+  test("cdxjLines: non-hierarchical urls key on the raw url, 3-field line survives") {
+    // a WET export synthesizes `urn:graft:doc:` ids with no '://' host —
+    // the SURT formula has no host to reverse; the line must keep its
+    // 3-field shape (key timestamp json) instead of silently dropping the
+    // null key and letting the timestamp re-parse as the surt
+    val index = Seq(
+        ("urn:graft:doc:42", 0L, 10L, "part-0.warc.gz"),
+        ("http://ok.test/a", 10L, 20L, "part-0.warc.gz"))
+      .toDF("url", "offset", "length", "file")
+    val lines = graft.io.Warc.cdxjLines(index)
+      .select($"value").as[String].collect().sorted
+    val urn = lines.find(_.contains("urn:graft:doc:42")).get
+    assert(urn.startsWith("urn:graft:doc:42 20260101000000 {"))
+    val ok = lines.find(_.contains("ok.test")).get
+    assert(ok.startsWith("test,ok)/a 20260101000000 {"))
+    // both re-parse: the urn line's json still carries the fetch cover
+    val dir = java.nio.file.Files.createTempDirectory("warcurn").toString
+    graft.io.Warc.cdxjLines(index).coalesce(1).write.text(s"$dir/cdx")
+    val parsed = graft.io.Warc.cdxjIndex(spark, s"$dir/cdx")
+    assert(parsed.count() == 2L)
+    assert(parsed.filter($"url" === "urn:graft:doc:42")
+      .select($"offset", $"length").as[(Long, Long)].head() == ((0L, 10L)))
+  }
+
   test("recordsIndexed: hostile index entries frame-skip with a null payload") {
     val dir = java.nio.file.Files.createTempDirectory("warchostile").toString
     val docs = Seq(("http://graft.test/h/0", "2024-01-01T00:00:00Z", "ok body"))
