@@ -61,10 +61,12 @@ object Bm25 {
     * ticks without re-saving deepens the plan (the VersionedFactStore
     * rolling-tick discipline).
     *
-    * One blind spot, documented: a doc whose text tokenizes to NOTHING
-    * leaves no tf/dl row — build counts it in `nDocs` (it is a real doc for
-    * avgdl), but a later [[remove]] of its id cannot see it. Remove ticks
-    * assume removed ids carried ≥ 1 token; track empty docs upstream. */
+    * A doc whose text tokenizes to NOTHING leaves no tf row but DOES carry
+    * a `(id, dl = 0)` row in `dl` (r16): it is a real doc for nDocs/avgdl,
+    * and the dl row is what lets a later [[remove]] of its id decrement
+    * `nDocs` correctly — without it an add-then-remove of an empty doc
+    * left avgdl drifted forever. Zero-dl rows never join postings, so the
+    * serve path is unchanged. */
   final case class Bm25Index(tf: DataFrame, dl: DataFrame, df: DataFrame,
                              idCol: String, nDocs: Long, totTokens: Long,
                              pinned: Seq[DataFrame] = Nil) {
@@ -115,7 +117,13 @@ object Bm25 {
       .groupBy(col(idCol), col("token"))
       .agg(count(lit(1)).as("tf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    // dl covers EVERY doc, zero-token ones included (dl = 0), so remove
+    // ticks see the full corpus; the id-keyed left join co-partitions with
+    // the aggregate's own shuffle
+    val dl = docs.select(col(idCol))
+      .join(tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl")),
+        Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("dl"), lit(0L)).as("dl"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = docs.count()
     val totTokens = dl.agg(coalesce(sum(col("dl")), lit(0L)))
@@ -135,7 +143,12 @@ object Bm25 {
       .groupBy(col(idc), col("token"))
       .agg(count(lit(1)).as("tf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val bdl = btf.groupBy(col(idc)).agg(sum(col("tf")).as("dl"))
+    // same dl-covers-every-doc contract as buildIndex (zero-token batch
+    // docs get dl = 0), keeping add == rebuild bit-for-bit
+    val bdl = batch.select(col(idc))
+      .join(btf.groupBy(col(idc)).agg(sum(col("tf")).as("dl")),
+        Seq(idc), "left")
+      .select(col(idc), coalesce(col("dl"), lit(0L)).as("dl"))
     val bdf = btf.groupBy(col("token")).agg(count(lit(1)).as("bdf"))
     val addedDocs = batch.count()
     val addedTokens = bdl.agg(coalesce(sum(col("dl")), lit(0L)))

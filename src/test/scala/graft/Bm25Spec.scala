@@ -124,6 +124,26 @@ class Bm25Spec extends SparkSpec {
       indexValue(Bm25.buildIndex(head, "doc_id", "text")))
   }
 
+  test("zero-token docs carry dl = 0: add-then-remove leaves the index untouched") {
+    val base = Bm25.buildIndex(big, "doc_id", "text")
+    // a doc whose text tokenizes to nothing: counted in nDocs (it dilutes
+    // avgdl) AND visible to remove via its (id, 0) dl row — the r15 blind
+    // spot left nDocs off by one forever after this round trip
+    val empty = Seq((7777L, "   ")).toDF("doc_id", "text")
+    val added = Bm25.add(base, empty, "text")
+    assert(added.nDocs == base.nDocs + 1 &&
+      added.totTokens == base.totTokens)
+    assert(added.dl.filter($"doc_id" === 7777L)
+      .select($"dl").as[Long].collect().toSeq == Seq(0L))
+    val back = Bm25.remove(added, Seq(7777L).toDF("doc_id"))
+    assert(indexValue(back) == indexValue(base))
+    // and a from-scratch build over a corpus WITH empty docs matches the
+    // tick route bit-for-bit (the rebuild-equality contract, empty case)
+    assert(indexValue(added) ==
+      indexValue(Bm25.buildIndex(big.select($"doc_id", $"text")
+        .unionByName(empty), "doc_id", "text")))
+  }
+
   test("search: metadata-filtered serving — candidates restrict, corpus stats keep") {
     val idx = Bm25.buildIndex(big, "doc_id", "text")
     val evens = big.filter($"doc_id" % 2 === 0).select($"doc_id")
