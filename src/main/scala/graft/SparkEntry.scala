@@ -219,7 +219,8 @@ object SparkEntry {
     "q143_sitemap_parse" -> qSitemapParse,
     "q144_hard_negatives" -> qHardNegatives,
     "q145_split_by_component" -> qSplitByComponent,
-    "q146_quality_survivors_by" -> qSurvivorsBy)
+    "q146_quality_survivors_by" -> qSurvivorsBy,
+    "q147_ivfpq_forget_serve" -> qIvfPqForgetServe)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -392,6 +393,32 @@ object SparkEntry {
       iters = 0)
     val tmp = s"/tmp/graft_q77_index_${new java.io.File(dir).getName}"
     idx.save(tmp)
+    val loaded = Similarity.IvfPqIndex.load(s, tmp)
+    Similarity.ivfPqSearch(loaded, emb.filter(col("vec_id") < 10), k = 5,
+        nProbe = 1)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine_6dp"), col("rank"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** q147: the dense FORGET tick under the oracle — `ivfPqRemove` drops a
+    * doomed id set (vec_id ≡ 3 mod 11, the q86 right-to-be-forgotten
+    * shape) from q77's persisted IVF+PQ index, the maintained artifact
+    * round-trips storage, and serving it must equal the partial-probe
+    * search with the doomed candidates gone: q77's SQL with one predicate
+    * added to the candidate side (books/centroids/assignment all stay
+    * derived from the FULL corpus — the frozen-quantizer contract). */
+  private def qIvfPqForgetServe(s: SparkSession, dir: String): DataFrame = {
+    val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val cents = Similarity.kmeansCentroids(emb, nCentroids = 16, iters = 0)
+    val idx = Similarity.buildIvfPqIndexFrom(emb, cents, m = 4, ksub = 16,
+      iters = 0)
+    val kept = Similarity.ivfPqRemove(idx,
+      emb.filter(pmod(col("vec_id"), lit(11L)) === 3L).select(col("vec_id")))
+    val tmp = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      .getPath.stripSuffix("/") +
+      s"/graft_q147_index_${new java.io.File(dir).getName.replace('.', '_')}"
+    kept.save(tmp)
     val loaded = Similarity.IvfPqIndex.load(s, tmp)
     Similarity.ivfPqSearch(loaded, emb.filter(col("vec_id") < 10), k = 5,
         nProbe = 1)
@@ -4284,6 +4311,82 @@ object SparkEntry {
         |  JOIN books b ON b.s = c.s AND b.centroid_id = c.code
         |  JOIN queries qu ON a.cell = qu.probe_cell
         |  WHERE qu.query_id != c.vec_id
+        |  GROUP BY 1, 2, 3),
+        |pairs AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(num AS DOUBLE) / (qn * sqrt(CAST(cn2 AS DOUBLE))) AS cosine
+        |  FROM hits),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cosine,
+        |    ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY round(cosine, 6) DESC, neighbor_id) AS rank
+        |  FROM pairs)
+        |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_6dp, rank
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q147: q77's partial-probe derivation with ONE predicate added on the
+    // candidate side — the forgotten ids (vec_id ≡ 3 mod 11) leave the
+    // index, while books/centroids/assignment still derive from the FULL
+    // corpus (the frozen-quantizer forget contract)
+    "q147_ivfpq_forget_serve" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding, x ->
+        |    CAST(ROUND(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS cv
+        |  FROM embeddings),
+        |n AS (
+        |  SELECT vec_id, cv,
+        |    sqrt(CAST(list_sum(list_transform(cv, x -> x * x)) AS DOUBLE)) AS nrm
+        |  FROM q),
+        |coarse AS (
+        |  SELECT vec_id AS coarse_id, cv AS coarse_v, nrm AS coarse_n FROM n
+        |  ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |assign AS (
+        |  SELECT vec_id, coarse_id AS cell FROM (
+        |    SELECT v.vec_id, c.coarse_id,
+        |      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        |        ROUND(CAST(list_sum(list_transform(range(1, len(v.cv) + 1),
+        |            i -> v.cv[i] * c.coarse_v[i])) AS DOUBLE) /
+        |          (v.nrm * c.coarse_n), 6) DESC, c.coarse_id) AS rk
+        |    FROM n v CROSS JOIN coarse c) WHERE rk = 1),
+        |seeds AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY (vec_id * 2654435761) % 4294967296,
+        |      vec_id) - 1 AS centroid_id, cv
+        |  FROM q ORDER BY (vec_id * 2654435761) % 4294967296, vec_id LIMIT 16),
+        |sub AS (SELECT * FROM (VALUES (0, 1, 16), (1, 17, 16), (2, 33, 16),
+        |  (3, 49, 16)) AS t(s, off, len)),
+        |books AS (
+        |  SELECT r.s, sd.centroid_id,
+        |    list_slice(sd.cv, r.off, r.off + r.len - 1) AS centv,
+        |    list_sum(list_transform(list_slice(sd.cv, r.off, r.off + r.len - 1),
+        |      x -> x * x)) AS centn2
+        |  FROM seeds sd CROSS JOIN sub r),
+        |cand AS (
+        |  SELECT v.vec_id, b.s, b.centroid_id,
+        |    b.centn2 - 2 * list_sum(list_transform(range(1, r.len + 1), i ->
+        |      list_slice(v.cv, r.off, r.off + r.len - 1)[i] * b.centv[i])) AS d2
+        |  FROM q v CROSS JOIN sub r JOIN books b ON b.s = r.s),
+        |codes AS (
+        |  SELECT vec_id, s, centroid_id AS code FROM (
+        |    SELECT vec_id, s, centroid_id,
+        |      ROW_NUMBER() OVER (PARTITION BY vec_id, s
+        |        ORDER BY d2, centroid_id) AS rn
+        |    FROM cand) WHERE rn = 1),
+        |queries AS (
+        |  SELECT n.vec_id AS query_id, n.cv,
+        |    sqrt(CAST(list_sum(list_transform(n.cv, x -> x * x)) AS DOUBLE)) AS qn,
+        |    a.cell AS probe_cell
+        |  FROM n JOIN assign a USING (vec_id) WHERE n.vec_id < 10),
+        |hits AS (
+        |  SELECT qu.query_id, qu.qn, c.vec_id AS neighbor_id,
+        |    SUM(list_sum(list_transform(range(1, r.len + 1), i ->
+        |      list_slice(qu.cv, r.off, r.off + r.len - 1)[i] * b.centv[i])))
+        |      AS num,
+        |    SUM(b.centn2) AS cn2
+        |  FROM codes c
+        |  JOIN assign a ON a.vec_id = c.vec_id
+        |  JOIN sub r ON r.s = c.s
+        |  JOIN books b ON b.s = c.s AND b.centroid_id = c.code
+        |  JOIN queries qu ON a.cell = qu.probe_cell
+        |  WHERE qu.query_id != c.vec_id AND (c.vec_id % 11) != 3
         |  GROUP BY 1, 2, 3),
         |pairs AS (
         |  SELECT query_id, neighbor_id,

@@ -669,6 +669,26 @@ object Similarity {
       encodeQuantized(source, index.books, mm, keep = Seq("cell"))))
   }
 
+  /** Deletion tick for the dense serving index — [[ivfPqAdd]]'s inverse and
+    * the `Bm25.remove` parity the right-to-be-forgotten pipeline (q86) was
+    * missing: before this, a forget batch could maintain the sparse store
+    * but forced a dense-index REBUILD. Drops `ids` (a one-column frame of
+    * vector ids) from the PQ-encoded cells; centroids and codebooks are
+    * FROZEN by contract (exactly as for add), so the result is bit-for-bit
+    * the index a from-scratch encode of the surviving corpus under the
+    * same quantizers yields, and serving it is score-identical to
+    * metadata-excluding the doomed ids (spec-pinned both ways). Cost: one
+    * broadcast anti-join over the cells frame — O(index) scan, zero
+    * shuffle, no re-train. Unknown ids no-op. As with add, enough
+    * distribution drift (here: mass deletion of a cell's population)
+    * eventually wants a re-train. */
+  def ivfPqRemove(index: IvfPqIndex, ids: DataFrame): IvfPqIndex = {
+    val doomed = ids.select(col(ids.columns.head).as("neighbor_id"))
+      .distinct()
+    index.copy(cells =
+      index.cells.join(broadcast(doomed), Seq("neighbor_id"), "left_anti"))
+  }
+
   /** The index's true subspace count (its codebooks are authoritative). A
     * caller-passed `m` that disagrees would mis-slice queries and zip_with
     * unequal codes/tabs arrays into null lookups — silently-wrong cosines —

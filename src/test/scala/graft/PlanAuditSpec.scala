@@ -60,7 +60,10 @@ class PlanAuditSpec extends SparkSpec {
     "q139_hybrid_rrf",
     // q141: q77's packed 1-row centroid/codebook broadcasts (seed pick,
     // cell argmax, ADC tables) on the served dense side
-    "q141_hybrid_served")
+    "q141_hybrid_served",
+    // q147: q77's shape again — the forget tick anti-joins the cells frame,
+    // serving keeps the same packed 1-row centroid/codebook broadcasts
+    "q147_ivfpq_forget_serve")
 
   test("no CartesianProduct anywhere; BroadcastNestedLoopJoin only where designed") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {

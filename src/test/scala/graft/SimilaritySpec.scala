@@ -438,6 +438,48 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqRemove: forget tick == rebuild under frozen quantizers, serve == exclusion") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    for (res <- Seq(false, true)) {
+      val cents = Similarity.kmeansCentroids(emb, nCentroids = 8, iters = 1)
+      val full = Similarity.buildIvfPqIndexFrom(emb, cents, m = 4, ksub = 8,
+        iters = 1, residual = res)
+      val doomed = emb.filter($"vec_id" % 5 === 3).select($"vec_id")
+      val kept = Similarity.ivfPqRemove(full, doomed)
+      // bit-for-bit: removing == re-encoding the surviving corpus under the
+      // SAME frozen quantizers (the Bm25Spec rebuild-equality pattern; books
+      // must not retrain — a raw rebuild would learn different codebooks)
+      val surviving = emb.filter($"vec_id" % 5 =!= 3)
+      val reEnc = Similarity.ivfPqAdd(
+        full.copy(cells = full.cells.limit(0)), surviving, m = 4)
+      def cellRows(i: Similarity.IvfPqIndex) =
+        i.cells.select($"neighbor_id", $"codes", $"cell")
+          .as[(Long, Seq[Int], Long)].collect().sortBy(_._1).toSeq
+      assert(cellRows(kept) == cellRows(reEnc))
+      assert(kept.books.collect().toSet == full.books.collect().toSet)
+      // unknown ids no-op
+      assert(cellRows(Similarity.ivfPqRemove(kept,
+        Seq(424242L).toDF("vec_id"))) == cellRows(kept))
+      // serving the forgotten index == metadata-EXCLUDING the doomed ids on
+      // the full index: same codes, same ADC arithmetic, same ranks
+      val qs = emb.filter($"vec_id" < 5L)
+      def hits(df: org.apache.spark.sql.DataFrame) =
+        df.select($"query_id", $"neighbor_id", $"rank")
+          .as[(Long, Long, Int)].collect().sortBy(r => (r._1, r._3)).toSeq
+      assert(hits(Similarity.ivfPqSearch(kept, qs, k = 5, nProbe = 8)) ==
+        hits(Similarity.ivfPqSearch(full, qs, k = 5, nProbe = 8,
+          allowedIds = surviving.select($"vec_id"))),
+        s"forgotten-index serving diverged from exclusion (residual=$res)")
+      // the maintained artifact round-trips storage like any build
+      val dir = java.nio.file.Files.createTempDirectory("ivfpqrm").toString
+      kept.save(dir)
+      val loaded = Similarity.IvfPqIndex.load(spark, dir)
+      assert(hits(Similarity.ivfPqSearch(loaded, qs, k = 5, nProbe = 8)) ==
+        hits(Similarity.ivfPqSearch(kept, qs, k = 5, nProbe = 8)))
+    }
+  }
+
   test("centroidCosine: integer-mean centroids, outlier tail, partition-invariant") {
     // group 10: two orthogonal unit vectors -> centroid (.5, .5, 0), each
     // member at cos 1/sqrt(2); group 20: three aligned members and one
