@@ -220,7 +220,9 @@ object SparkEntry {
     "q144_hard_negatives" -> qHardNegatives,
     "q145_split_by_component" -> qSplitByComponent,
     "q146_quality_survivors_by" -> qSurvivorsBy,
-    "q147_ivfpq_forget_serve" -> qIvfPqForgetServe)
+    "q147_ivfpq_forget_serve" -> qIvfPqForgetServe,
+    "q148_bpe_chunking" -> qBpeChunking,
+    "q149_bpe_packing" -> qBpePacking)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1065,12 +1067,31 @@ object SparkEntry {
     * the greedy merge fold (string accumulator; LEFT JOIN ON TRUE keeps
     * words intact if no pair remains). */
   private def bpeOracleSql(nMerges: Int): String = {
+    val footer =
+      s"""enc AS (
+         |  SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS nt
+         |  FROM s$nMerges)
+         |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(e.nt) AS BIGINT) AS n_tokens_bpe
+         |FROM toks t JOIN enc e USING (word)
+         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+    bpeCtes(nMerges) + "\n" + footer
+  }
+
+  /** The shared BPE-training CTE chain (q88/q148/q149): `toks` (word
+    * occurrences WITH in-doc position — zipped unnests), `s0` (vocab with
+    * symbol strings), and `nMerges` unrolled training rounds ending in
+    * `s<nMerges>` (each word's final symbol string). Callers append their
+    * own footer CTEs/SELECT. */
+  private def bpeCtes(nMerges: Int): String = {
     val header =
       """WITH toks AS (
-        |  SELECT doc_id, unnest(list_filter(
-        |    string_split_regex(lower(trim(text)), '\s+'),
-        |    w -> len(w) > 0)) AS word
-        |  FROM documents),
+        |  SELECT doc_id, unnest(ws) AS word,
+        |    unnest(range(1, len(ws) + 1)) AS pos
+        |  FROM (SELECT doc_id, list_filter(
+        |          string_split_regex(lower(trim(text)), '\s+'),
+        |          w -> len(w) > 0) AS ws
+        |        FROM documents)),
         |s0 AS (
         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
         |    array_to_string(list_transform(range(1, len(word) + 1),
@@ -1098,15 +1119,38 @@ object SparkEntry {
          |    END AS s
          |  FROM s${r - 1} LEFT JOIN b$r ON TRUE),""".stripMargin
     }.mkString("\n")
-    val footer =
-      s"""enc AS (
-         |  SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS nt
-         |  FROM s$nMerges)
-         |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-         |  CAST(SUM(e.nt) AS BIGINT) AS n_tokens_bpe
-         |FROM toks t JOIN enc e USING (word)
-         |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
-    header + "\n" + rounds + "\n" + footer
+    header + "\n" + rounds
+  }
+
+  /** q148: BPE-budget chunking — q109's strided windows with boundaries in
+    * REAL tokenizer units: the corpus trains 6 merge rules (q88's loop),
+    * every document's ordered BPE stream reassembles through the
+    * vocab-sized pricing join, and 16-token/stride-8 windows cut over the
+    * SYMBOL stream. The oracle replays the whole route: the q88 training
+    * CTEs, the position-ordered stream rebuild, and byte-equal chunk shas
+    * over the identical slices. */
+  private def qBpeChunking(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val merges = Bpe.learn(d, "text", 6)
+    graft.operators.Packing.chunkBpe(d, "doc_id", "text", merges,
+        chunkSize = 16, stride = 8)
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** q149: BPE-budget sequence packing — q52's sharded bin walk with the
+    * budget measured in BPE tokens (what a training batch actually pays;
+    * a whitespace-word budget under-counts sub-word-heavy text). Same
+    * per-shard exclusive-prefix window, same determinism; the oracle
+    * re-derives token prices via q88's CTEs and the bin ids via the
+    * identical windowed integer division. */
+  private def qBpePacking(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val merges = Bpe.learn(d, "text", 6)
+    graft.operators.Packing.packBinsBpe(d, "doc_id", "text", Seq("source"),
+        tokenBudget = 256L, merges = merges)
+      .select(col("doc_id"), col("source"), col("n_tokens_bpe"),
+        col("bin_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** CCNet perplexity bucketing: score every document under the self-trained
@@ -4399,6 +4443,42 @@ object SparkEntry {
         |  FROM pairs)
         |SELECT query_id, neighbor_id, round(cosine, 6) AS cosine_6dp, rank
         |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    // q148: q88's training CTEs + the position-ordered per-doc BPE stream
+    // rebuild + q109's strided window arithmetic over SYMBOLS — chunk shas
+    // must be byte-equal to the engine's
+    "q148_bpe_chunking" -> (bpeCtes(6) + "\n" +
+      """enc AS (
+        |  SELECT word, string_split(s, ' ') AS bpe FROM s6),
+        |stream AS (
+        |  SELECT t.doc_id, flatten(list(e.bpe ORDER BY t.pos)) AS tk
+        |  FROM toks t JOIN enc e USING (word)
+        |  GROUP BY t.doc_id)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(tk[chunk_idx*8+1 : chunk_idx*8+16]) AS BIGINT)
+        |    AS n_chunk_tokens,
+        |  sha256(array_to_string(tk[chunk_idx*8+1 : chunk_idx*8+16], ' '))
+        |    AS chunk_sha
+        |FROM (SELECT doc_id, tk,
+        |        unnest(range(0, CAST(floor((len(tk) - 1) / 8.0) AS INT) + 1))
+        |          AS chunk_idx
+        |      FROM stream WHERE len(tk) > 0)
+        |ORDER BY doc_id, chunk_idx""".stripMargin),
+    // q149: q88's token prices + q52's per-shard exclusive-prefix bin walk
+    // in BPE units
+    "q149_bpe_packing" -> (bpeCtes(6) + "\n" +
+      """enc AS (
+        |  SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS nt
+        |  FROM s6),
+        |counts AS (
+        |  SELECT t.doc_id, CAST(SUM(e.nt) AS BIGINT) AS n
+        |  FROM toks t JOIN enc e USING (word) GROUP BY t.doc_id)
+        |SELECT d.doc_id, d.source,
+        |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_tokens_bpe,
+        |  COALESCE(SUM(c.n) OVER (PARTITION BY d.source ORDER BY d.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256
+        |    AS bin_id
+        |FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
     // q78's three admission ticks partition the slice's pair set, so the
     // incremental labels must equal q49's one-shot closure — the oracle IS
     // q49's recursive CTE, verbatim

@@ -19,6 +19,21 @@ import org.apache.spark.sql.functions._
   * scale-killer this operator exists to avoid. */
 object Packing {
 
+  /** The shared in-row chunk kernel: a frame carrying (`idCol`, `__ws`
+    * token array, `__n` chunk count) explodes into (id, chunk_idx,
+    * n_chunk_tokens, chunk_sha) rows — a narrow projection, no shuffle. */
+  private def chunkKernel(prepped: DataFrame, idCol: String, chunkSize: Int,
+                          stride: Int): DataFrame =
+    prepped
+      .filter(col("__n") > 0)
+      .select(col(idCol),
+        posexplode(transform(sequence(lit(0), col("__n") - 1),
+          i => slice(col("__ws"), i * stride + 1, lit(chunkSize))))
+          .as(Seq("chunk_idx", "__chunk")))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
+        sha2(array_join(col("__chunk"), " "), 256).as("chunk_sha"))
+
   /** Split each doc's token stream into `chunkSize`-token chunks, in-row.
     * Returns (id, chunk_idx, n_chunk_tokens, chunk_sha) — the sha stands in for
     * the chunk payload so downstream joins stay narrow; swap the projection for
@@ -30,16 +45,9 @@ object Packing {
     // few-file corpora would tokenize + sha every chunk at file-count
     // parallelism (the r10 receipt's lesson; q109 measured 38.2s at sf10 on
     // a 2-file corpus before the guard)
-    Dedup.ensureParallel(docs)
-      .select(col(idCol), ws.as("__ws"), nChunks.as("__n"))
-      .filter(col("__n") > 0)
-      .select(col(idCol),
-        posexplode(transform(sequence(lit(0), col("__n") - 1),
-          i => slice(col("__ws"), i * chunkSize + 1, lit(chunkSize))))
-          .as(Seq("chunk_idx", "__chunk")))
-      .select(col(idCol), col("chunk_idx"),
-        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
-        sha2(array_join(col("__chunk"), " "), 256).as("chunk_sha"))
+    chunkKernel(Dedup.ensureParallel(docs)
+      .select(col(idCol), ws.as("__ws"), nChunks.as("__n")),
+      idCol, chunkSize, stride = chunkSize)
   }
 
   /** [[chunkTokens]] with OVERLAP — the sliding-context form LLM training
@@ -59,16 +67,85 @@ object Packing {
     // starts 0, stride, 2·stride, … strictly inside the doc
     val nChunks = (floor((size(ws) - 1).cast("double") / stride) + 1)
       .cast("int")
-    Dedup.ensureParallel(docs) // same few-file guard as chunkTokens
-      .select(col(idCol), ws.as("__ws"), nChunks.as("__n"))
-      .filter(size(col("__ws")) > 0)
+    chunkKernel(Dedup.ensureParallel(docs) // same few-file guard as chunkTokens
+      .select(col(idCol), ws.as("__ws"), nChunks.as("__n")),
+      idCol, chunkSize, stride)
+  }
+
+  /** Per-document BPE token STREAM under a learned rule list (the
+    * [[graft.operators.Bpe.tokenCount]] pricing join upgraded to carry the
+    * tokens themselves): the corpus's DISTINCT words encode once
+    * (vocab-sized — the scale-invariant move; per-document re-encoding
+    * would pay the merge replay corpus-many times), a broadcast join maps
+    * every occurrence to its sub-word array, and one doc-keyed aggregate
+    * reassembles the ordered stream (position-sorted collect + flatten).
+    * That aggregate is the ONLY corpus shuffle. Returns (idCol, `tokens`
+    * array<string> — BPE symbols, `</w>` word marks included). Docs that
+    * tokenize to nothing drop (no stream to chunk). */
+  def encodeDocsBpe(docs: DataFrame, idCol: String, textCol: String,
+                    merges: Seq[(String, String)]): DataFrame = {
+    val toks = Dedup.ensureParallel(docs)
       .select(col(idCol),
-        posexplode(transform(sequence(lit(0), col("__n") - 1),
-          i => slice(col("__ws"), i * stride + 1, lit(chunkSize))))
-          .as(Seq("chunk_idx", "__chunk")))
-      .select(col(idCol), col("chunk_idx"),
-        size(col("__chunk")).cast("long").as("n_chunk_tokens"),
-        sha2(array_join(col("__chunk"), " "), 256).as("chunk_sha"))
+        posexplode(TextFns.words(col(textCol))).as(Seq("__pos", "__word")))
+    val enc = Bpe.encodeWords(
+        toks.select(col("__word").as("word")).distinct(), "word", merges)
+      .select(col("word").as("__word"), col("bpe").as("__bpe"))
+    toks.join(broadcast(enc), Seq("__word"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__bpe")))),
+        s => s.getField("__bpe"))).as("tokens"))
+  }
+
+  /** [[chunkTokens]]/[[chunkTokensStrided]] over an ALREADY-ENCODED token
+    * column (array<string> — e.g. [[encodeDocsBpe]]'s output, or any
+    * upstream tokenizer's): the chunk budget counts REAL tokenizer units,
+    * not whitespace words — what an LLM context window actually pays.
+    * `stride = 0` (default) means disjoint chunks (stride = chunkSize).
+    * Same in-row scale shape as the text forms. */
+  def chunkEncoded(docs: DataFrame, idCol: String, tokensCol: String,
+                   chunkSize: Int, stride: Int = 0): DataFrame = {
+    val st = if (stride <= 0) chunkSize else stride
+    require(chunkSize >= 1, s"chunkSize must be >= 1, got $chunkSize")
+    val nChunks =
+      if (st == chunkSize)
+        ceil(size(col(tokensCol)).cast("double") / chunkSize).cast("int")
+      else (floor((size(col(tokensCol)) - 1).cast("double") / st) + 1)
+        .cast("int")
+    chunkKernel(docs.select(col(idCol), col(tokensCol).as("__ws"),
+      nChunks.as("__n")), idCol, chunkSize, st)
+  }
+
+  /** BPE-budget chunking end to end: encode ([[encodeDocsBpe]]) then chunk
+    * ([[chunkEncoded]]) — the q53/q109 shapes with boundaries measured in
+    * BPE tokens instead of whitespace words (a word-budget chunk of CJK or
+    * URL-dense text can be several times the token budget it claims). */
+  def chunkBpe(docs: DataFrame, idCol: String, textCol: String,
+               merges: Seq[(String, String)], chunkSize: Int,
+               stride: Int = 0): DataFrame =
+    chunkEncoded(encodeDocsBpe(docs, idCol, textCol, merges), idCol,
+      "tokens", chunkSize, stride)
+
+  /** [[packBins]] with the budget measured in BPE tokens (the
+    * [[graft.operators.Bpe.tokenCount]] pricing join): sequence budgets
+    * become REAL tokenizer budgets. Docs that tokenize to nothing pack at
+    * cost 0 (they stay in their shard's bin walk). Output: (idCol,
+    * shardCols..., n_tokens_bpe, bin_id). */
+  def packBinsBpe(docs: DataFrame, idCol: String, textCol: String,
+                  shardCols: Seq[String], tokenBudget: Long,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val counts = Bpe.tokenCount(docs, idCol, textCol, merges)
+      .select(col(idCol), col("n_tokens_bpe"))
+    val w = Window.partitionBy(shardCols.map(col): _*).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select((col(idCol) +: shardCols.map(col)): _*)
+      .join(counts, Seq(idCol), "left")
+      .withColumn("n_tokens_bpe", coalesce(col("n_tokens_bpe"), lit(0L)))
+      .withColumn("__prior",
+        coalesce(sum(col("n_tokens_bpe")).over(w), lit(0L)))
+      .withColumn("bin_id", floor(col("__prior") / tokenBudget).cast("long"))
+      .drop("__prior")
   }
 
   /** Deterministic sharded packing: within each shard (ordered by id), a doc's

@@ -556,6 +556,53 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 4L, 0L), (2L, 3L, 0L), (3L, 2L, 1L), (4L, 5L, 0L)))
   }
 
+  test("encodeDocsBpe/chunkBpe: position-ordered symbol stream, BPE-unit chunk boundaries") {
+    import graft.operators.Packing
+    val docs = Seq((1L, "cd ab ab"), (2L, "ab"), (3L, " ")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"))
+    // "cd" -> [c, d, </w>], "ab" -> [ab, </w>]: doc 1's stream must follow
+    // WORD ORDER (c d </w> ab </w> ab </w>), not the join's arrival order
+    val enc = Packing.encodeDocsBpe(docs, "doc_id", "text", merges)
+      .orderBy($"doc_id").as[(Long, Seq[String])].collect().toSeq
+    assert(enc == Seq(
+      (1L, Seq("c", "d", "</w>", "ab", "</w>", "ab", "</w>")),
+      (2L, Seq("ab", "</w>"))))
+    // chunk boundaries count SYMBOLS: 7 symbols at size 3 -> 3,3,1
+    val ch = Packing.chunkBpe(docs, "doc_id", "text", merges, chunkSize = 3)
+      .select($"doc_id", $"chunk_idx", $"n_chunk_tokens")
+      .orderBy($"doc_id", $"chunk_idx").as[(Long, Int, Long)].collect().toSeq
+    assert(ch == Seq((1L, 0, 3L), (1L, 1, 3L), (1L, 2, 1L), (2L, 0, 2L)))
+    // the strided form and the generic encoded-column entry agree
+    val strided = Packing.chunkBpe(docs, "doc_id", "text", merges,
+        chunkSize = 3, stride = 2)
+      .select($"doc_id", $"chunk_idx", $"n_chunk_tokens")
+      .orderBy($"doc_id", $"chunk_idx").as[(Long, Int, Long)].collect().toSeq
+    // doc 1: starts 0,2,4,6 -> 3,3,3,1; doc 2: starts 0 -> 2
+    assert(strided == Seq((1L, 0, 3L), (1L, 1, 3L), (1L, 2, 3L), (1L, 3, 1L),
+      (2L, 0, 2L)))
+    val direct = Packing.chunkEncoded(
+        Seq((9L, Seq("x", "y", "z", "w"))).toDF("id", "tokens"),
+        "id", "tokens", chunkSize = 3)
+      .select($"id", $"chunk_idx", $"n_chunk_tokens")
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(direct == Seq((9L, 0, 3L), (9L, 1, 1L)))
+  }
+
+  test("packBinsBpe: bins walk in BPE units, tokenless docs pack at cost 0") {
+    import graft.operators.Packing
+    val docs = Seq(
+      (1L, "ab ab", "s0"), // 2 words x 3 symbols = 6, prior 0 -> bin 0
+      (2L, "a", "s0"),     // 2 symbols, prior 6  -> bin 0 (budget 7)
+      (3L, "  ", "s0"),    // tokenless: cost 0, prior 8 -> bin 1 (kept!)
+      (4L, "ab", "s1"))    // other shard: prior 0 -> bin 0
+      .toDF("doc_id", "text", "source")
+    val out = Packing.packBinsBpe(docs, "doc_id", "text", Seq("source"),
+        tokenBudget = 7L, merges = Nil)
+      .select($"doc_id", $"n_tokens_bpe", $"bin_id")
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 6L, 0L), (2L, 2L, 0L), (3L, 0L, 1L), (4L, 3L, 0L)))
+  }
+
   test("sourceTokenKl: uniform mix scores ~0, skewed source scores positive") {
     import graft.operators.DataMix
     // src0 == the corpus-average distribution (KL ~ 0 up to rounding);
