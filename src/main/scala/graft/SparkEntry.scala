@@ -2721,10 +2721,16 @@ object SparkEntry {
         .select(pageUrl.as("src"), dst2.as("dst"), lit("").as("anchor")))
     val crawled = docs.select(pageUrl.as("url"))
     val sites = docs.select(site.as("k")).distinct()
+    // sites k % 5 != 0 advertise a FRACTIONAL Crawl-delay of (k%5).5
+    // seconds (the politeness calendar's ms conversion under the oracle);
+    // k % 5 == 0 sites advertise none -> fetch_after_ms NULL
     val robots = sites.select(
       concat(lit("s"), str(col("k")), lit(".test")).as("host"),
       concat(lit("User-agent: *\nDisallow: /p/"), str(col("k")),
         lit("\nAllow: /p/"), str(col("k")), str(pmod(col("k"), lit(10L))),
+        when(pmod(col("k"), lit(5L)) =!= 0L,
+          concat(lit("\nCrawl-delay: "), str(pmod(col("k"), lit(5L))),
+            lit(".5"))).otherwise(lit("")),
         lit("\nSitemap: https://s"), str(col("k")),
         lit(".test/sitemap.xml\n")).as("robots_txt"))
     val hostRank = sites.select(
@@ -5831,7 +5837,10 @@ object SparkEntry {
         |      ORDER BY f.fnv ASC) AS INT) AS rn
         |  FROM pool p JOIN fnv f USING (url))
         |SELECT url, host, CAST((23 - k) * 1000000 AS BIGINT)
-        |  AS host_rank_e12, rn
+        |  AS host_rank_e12, rn,
+        |  CASE WHEN k % 5 = 0 THEN NULL
+        |       ELSE CAST((rn - 1) * (k % 5 * 1000 + 500) AS BIGINT)
+        |  END AS fetch_after_ms
         |FROM ranked WHERE rn <= 5 ORDER BY host, rn""".stripMargin,
     "q131_lang_id_margins" ->
       """WITH docs AS (

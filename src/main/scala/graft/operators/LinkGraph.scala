@@ -158,8 +158,17 @@ object LinkGraph {
     *    url's FNV-1a 64 asc (q67's hash-verified total order: the pick is
     *    deterministic under any partitioning).
     *
-    * Returns (url, host, host_rank_e12, rn); fetch order = host_rank_e12
-    * desc, then the same FNV tie — sort the RESULT, which is
+    *  - Politeness CALENDAR (r16): each host's `Crawl-delay` parses once
+    *    on the same host-sized robots frame
+    *    ([[graft.functions.RobotsExprs.crawlDelayMs]] — max across merged
+    *    groups, fractional seconds honored) and every url gets a
+    *    `fetch_after_ms` slot = (rn − 1) × delay_ms: the fetch list is
+    *    directly schedulable (slot 0 fires now, slot k waits k delays).
+    *    Hosts advertising no delay (or with no robots row) get NULL —
+    *    the caller's own pacing policy applies, nothing is invented.
+    *
+    * Returns (url, host, host_rank_e12, rn, fetch_after_ms); fetch order =
+    * host_rank_e12 desc, then the same FNV tie — sort the RESULT, which is
     * hostCap-bounded per host, never the candidate set. */
   def frontier(links: DataFrame, crawled: DataFrame,
                hostRank: DataFrame = null, robots: DataFrame = null,
@@ -241,10 +250,22 @@ object LinkGraph {
           .withColumn("host_rank_e12",
             coalesce(col("host_rank_e12"), lit(0L)))
       }
-    graft.ops.TopK.topKPerGroup(ranked, Seq("host"), lit(0L),
+    val top = graft.ops.TopK.topKPerGroup(ranked, Seq("host"), lit(0L),
       graft.functions.RollingHash64(col("url")),
       Seq(col("url"), col("host_rank_e12")), hostCap)
       .select(col("url"), col("host"), col("host_rank_e12"), col("rn"))
+    // the calendar join lands on the hostCap-bounded RESULT (tiny), and
+    // the delay kernel runs once per host on the broadcast side
+    if (robots == null)
+      top.withColumn("fetch_after_ms", lit(null).cast("long"))
+    else
+      top.join(broadcast(robots.select(col("host"),
+          graft.functions.RobotsExprs.robotsCrawlDelayMs(col("robots_txt"),
+            lit(agent)).as("__delay_ms"))), Seq("host"), "left")
+        .withColumn("fetch_after_ms",
+          (col("rn") - 1).cast("long") * col("__delay_ms"))
+        .select(col("url"), col("host"), col("host_rank_e12"), col("rn"),
+          col("fetch_after_ms"))
   }
 
   /** Top-`k` anchor texts per TARGET url by occurrence count (ties: the

@@ -556,7 +556,7 @@ class CurationJobSpec extends SparkSpec {
     assert(fr.select($"url").as[String].collect().toSet ==
       Set("http://hostb.test/x", "http://hosta.test/sm.xml"))
     assert(fr.columns.toSet ==
-      Set("url", "host", "host_rank_e12", "rn"))
+      Set("url", "host", "host_rank_e12", "rn", "fetch_after_ms"))
     // hostb is linked (by p1) — its frontier row carries real rank mass
     assert(fr.filter($"host" === "hostb.test")
       .select($"host_rank_e12").as[Long].head() > 0L)

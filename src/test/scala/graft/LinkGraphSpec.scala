@@ -157,13 +157,14 @@ class LinkGraphSpec extends SparkSpec {
       .toDF("src", "dst", "anchor")
     val crawled = Seq("http://a.test/p3", "http://seed.test/").toDF("url")
     val robots = Seq(("a.test",
-      "User-agent: *\nDisallow: /bad\nSitemap: http://a.test/sm.xml\n"))
+      "User-agent: *\nDisallow: /bad\nCrawl-delay: 2.5\n" +
+        "Sitemap: http://a.test/sm.xml\n"))
       .toDF("host", "robots_txt")
     val hostRank = Seq(("b.test", 500L)).toDF("node", "pr_e12")
     val out = LinkGraph.frontier(ls, crawled, hostRank, robots, hostCap = 2)
       .orderBy($"host_rank_e12".desc,
         graft.functions.RollingHash64($"url"))
-      .as[(String, String, Long, Int)].collect().toSeq
+      .as[(String, String, Long, Int, Option[Long])].collect().toSeq
     // a.test candidates after governance: p1, p2, sm.xml (p3 crawled, /bad
     // disallowed) — the cap keeps the TWO smallest-FNV urls; b.test keeps
     // both, at rank 500, so they lead the fetch order
@@ -173,11 +174,19 @@ class LinkGraphSpec extends SparkSpec {
     assert(out.map(_._1) == bKept ++ aKept)
     assert(out.map(_._3) == Seq(500L, 500L, 0L, 0L))
     assert(out.forall(_._4 <= 2))
+    // politeness calendar: a.test's fractional Crawl-delay (2.5 s) slots
+    // its picks at (rn-1)*2500 ms, monotone per host; b.test has no robots
+    // row -> NULL slots (the caller's own pacing, nothing invented)
+    assert(out.map(r => (r._2, r._4, r._5)).sortBy(t => (t._1, t._2)) ==
+      Seq(("a.test", 1, Some(0L)), ("a.test", 2, Some(2500L)),
+        ("b.test", 1, None), ("b.test", 2, None)))
     // no robots/rank inputs: everything undiscovered is eligible
     val open = LinkGraph.frontier(ls, crawled)
-      .as[(String, String, Long, Int)].collect().map(_._1).toSet
-    assert(open == Set("http://a.test/p1", "http://a.test/p2",
-      "http://a.test/bad/x", "http://b.test/q1", "http://b.test/q2"))
+      .as[(String, String, Long, Int, Option[Long])].collect()
+    assert(open.map(_._1).toSet == Set("http://a.test/p1",
+      "http://a.test/p2", "http://a.test/bad/x", "http://b.test/q1",
+      "http://b.test/q2"))
+    assert(open.forall(_._5.isEmpty), "no robots frame -> NULL calendar")
   }
 
   test("pageRank release contract: two calls leave no blocks beyond their results") {
