@@ -198,6 +198,71 @@ object GraphProbe {
         }
         graft.operators.Dedup.release(hosts)
 
+      case "recall" =>
+        // Partial-probe QUALITY census (r16 — the number the nProbe dial
+        // trades away, measured instead of asserted): recall@k of
+        // ivfPqSearch vs bruteForceTopK across nProbe ∈ {1,2,4,8,16}.
+        // Args: recall <sfDir> [k=10] [nQueries=100] [amplify=1] [m=8]
+        // [ksub=64] [residual=1] — `amplify` unions id-shifted VERBATIM
+        // copies (the ScaleGen discipline) so the census runs at sf1/sf10
+        // without amplifying the whole table set. Note exact twins make
+        // top-k tie-dense; the recall read at amplify>1 is conservative
+        // (tie-order between the exact and ADC rankings costs recall no
+        // user would). The m/ksub/residual dials reprice the PQ budget —
+        // the spec-pinned quality tradeoff (SimilaritySpec recall floors).
+        import graft.operators.Similarity
+        val dir = args(1)
+        val k = args.drop(2).headOption.map(_.toInt).getOrElse(10)
+        val nQ = args.drop(3).headOption.map(_.toInt).getOrElse(100)
+        val amplify = args.drop(4).headOption.map(_.toInt).getOrElse(1)
+        val base = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        val maxId = base.agg(max(col("vec_id"))).first().getLong(0) + 1L
+        val emb = (0 until amplify).map(c => base.select(
+            (col("vec_id") + lit(c * maxId)).as("vec_id"), col("embedding")))
+          .reduce(_.unionByName(_))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = emb.count()
+        val step = math.max(1L, n / nQ)
+        val queries = emb.filter(pmod(col("vec_id"), lit(step)) === 0L)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nq = queries.count()
+        println(s"[graph-probe] corpus=$n queries=$nq k=$k")
+        val truth = timed("brute") {
+          val t = Similarity.bruteForceTopK(queries, emb, k)
+            .select(col("query_id"), col("neighbor_id"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          println(s"[graph-probe] truth rows=${t.count()}")
+          t
+        }
+        val denom = truth.count().toDouble
+        val m = args.drop(5).headOption.map(_.toInt).getOrElse(8)
+        val ksub = args.drop(6).headOption.map(_.toInt).getOrElse(64)
+        val residual = args.drop(7).headOption.forall(_ != "0")
+        println(s"[graph-probe] dials m=$m ksub=$ksub residual=$residual")
+        val idx = timed("build") {
+          val i = Similarity.buildIvfPqIndex(emb, nCentroids = 16, m = m,
+            ksub = ksub, iters = 2, refineIters = 2, residual = residual)
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft_recall_idx").toString
+          i.save(tmp)
+          Similarity.IvfPqIndex.load(spark, tmp)
+        }
+        for (nProbe <- Seq(1, 2, 4, 8, 16)) {
+          timed(s"probe$nProbe") {
+            val got = Similarity.ivfPqSearch(idx, queries, k,
+                nProbe = nProbe, m = m)
+              .select(col("query_id"), col("neighbor_id"))
+            val inter = got.join(truth, Seq("query_id", "neighbor_id"),
+              "left_semi").count()
+            println(f"[graph-probe] recall@$k nProbe=$nProbe " +
+              f"${inter / denom}%.4f")
+          }
+        }
+        graft.operators.Dedup.release(emb)
+        graft.operators.Dedup.release(queries)
+        graft.operators.Dedup.release(truth)
+
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

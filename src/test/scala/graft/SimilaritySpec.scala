@@ -480,6 +480,51 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("partial-probe recall floors: routing >= 0.95, IVFADC end-to-end >= 0.9") {
+    // 32 planted clusters x 40 jittered members (deterministic trig noise,
+    // no RNG): a member's true top-10 are its siblings. Two floors, for
+    // the two dials that trade recall, measured instead of asserted
+    // (full-probe bit-equality — q58/q72 — cannot see either):
+    //  1. ROUTING (the nProbe dial): exact in-cell scoring at nProbe=4
+    //     must retrieve >= 0.95 of the true top-10 — what a partial probe
+    //     loses is candidates in unprobed cells, nothing else.
+    //  2. END-TO-END (the PQ budget): the quality dial (m=16, ksub=64,
+    //     residual — the IVFADC form, which spends code resolution on the
+    //     within-cluster jitter that raw encoding ties away) must hold
+    //     >= 0.9 against the EXACT ranking. Measured here: raw m=4/ksub=16
+    //     scores every sibling identically and recall collapses to the
+    //     tie-break (~0.15) — the recall a user buys back with the
+    //     residual/m/ksub dials is real and large.
+    // GraphProbe's `recall` mode measures the same numbers at sf1/sf10
+    // for BASELINE.md.
+    val corpus = (0 until 32).flatMap { c =>
+      (0 until 40).map { j =>
+        (c * 40L + j, Array.tabulate(64) { d =>
+          (math.sin(c * 1.7 + d * 0.3) +
+            0.3 * math.sin(j * 1.3 + d * 0.7)).toFloat
+        })
+      }
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" % 40 === 0)
+    val truth = Similarity.bruteForceTopK(queries, corpus, 10)
+      .select($"query_id", $"neighbor_id")
+    val denom = truth.count().toDouble
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+      df.select($"query_id", $"neighbor_id")
+        .join(truth, Seq("query_id", "neighbor_id"), "left_semi")
+        .count() / denom
+    val ivf = Similarity.buildIvfIndex(corpus, nCentroids = 16,
+      refineIters = 2)
+    val routing = recallOf(Similarity.ivfSearch(ivf, queries, k = 10,
+      nProbe = 4))
+    assert(routing >= 0.95, f"routing recall@10 at nProbe=4: $routing%.3f")
+    val idx = Similarity.buildIvfPqIndex(corpus, nCentroids = 16, m = 16,
+      ksub = 64, iters = 2, refineIters = 2, residual = true)
+    val e2e = recallOf(Similarity.ivfPqSearch(idx, queries, k = 10,
+      nProbe = 4, m = 16))
+    assert(e2e >= 0.9, f"IVFADC recall@10 at nProbe=4: $e2e%.3f")
+  }
+
   test("centroidCosine: integer-mean centroids, outlier tail, partition-invariant") {
     // group 10: two orthogonal unit vectors -> centroid (.5, .5, 0), each
     // member at cos 1/sqrt(2); group 20: three aligned members and one
