@@ -90,6 +90,33 @@ import org.apache.spark.sql.functions._
   *                                     //   (q140 machinery; Bm25.add/
   *                                     //   remove ticks maintain it)
   *   "bm25_index_buckets": 32,         //   its BucketedStore layout dial
+  *   "training_pairs_output_path": "", // r16: publish the retrieval-
+  *                                     //   TRAINING data product beside
+  *                                     //   the corpus — per sampled query
+  *                                     //   (q_text = the doc's first
+  *                                     //   `training_query_words` words,
+  *                                     //   gold = the doc), the top-k
+  *                                     //   hard negatives from the job's
+  *                                     //   own retrievers with the gold
+  *                                     //   EXCLUDED (q144 machinery,
+  *                                     //   excludePairs on both sides),
+  *                                     //   plus leakage-controlled
+  *                                     //   train/val/test splits keyed on
+  *                                     //   the job's OWN dedup cluster
+  *                                     //   roots (q145 machinery) — a
+  *                                     //   near-dup family never
+  *                                     //   straddles splits. Labels land
+  *                                     //   at `<path>_labels` (the frame
+  *                                     //   admission ticks maintain).
+  *   "training_query_every": 37,       //   sample every Nth curated doc
+  *   "training_query_words": 5,        //   words per synthetic query
+  *   "training_negatives_k": 10,       //   negatives per query/retriever
+  *   "training_splits": {"train": 0.9, "val": 0.05, "test": 0.05},
+  *   "training_embeddings_path": "",   //   optional (id, embedding)
+  *                                     //   parquet: also mine DENSE
+  *                                     //   negatives via IVF+PQ with the
+  *                                     //   same gold exclusion ("" =
+  *                                     //   sparse-only)
   *   "host_cap": 0,                    //   per-site quota on the dedup
   *                                     //   survivors (0 = off): at most N
   *                                     //   docs per host, k-bounded TopK
@@ -664,12 +691,27 @@ object CurationJob {
     // the sampled prefix-bucket price gate — a clique-quadratic flood (the
     // r13 doc-unique-title landmine: ~5e9 candidates, 68 GB spill, ENOSPC)
     // refuses HERE with a remedies message instead of dying mid-shuffle
-    val deduped = Dedup.dedupedCorpus(gated, idCol, textCol,
-      n = str("ngram_n", "3").toInt,
-      threshold = str("jaccard_threshold", "0.8").toDouble,
-      blockCols = strSeq("block_cols"),
-      maxCandidates =
-        str("max_candidates", Dedup.DefaultMaxCandidates.toString).toLong)
+    // when the training-pairs product is on, the SAME pair/CC pass also
+    // yields the (id, component) labels its splits key on — no second
+    // dedup work
+    val trainingPairsPath = str("training_pairs_output_path", "")
+    val (deduped0, dedupLabels) =
+      if (trainingPairsPath.nonEmpty)
+        Dedup.dedupedCorpusWithLabels(gated, idCol, textCol,
+          n = str("ngram_n", "3").toInt,
+          threshold = str("jaccard_threshold", "0.8").toDouble,
+          blockCols = strSeq("block_cols"),
+          maxCandidates =
+            str("max_candidates", Dedup.DefaultMaxCandidates.toString).toLong)
+      else
+        (Dedup.dedupedCorpus(gated, idCol, textCol,
+          n = str("ngram_n", "3").toInt,
+          threshold = str("jaccard_threshold", "0.8").toDouble,
+          blockCols = strSeq("block_cols"),
+          maxCandidates =
+            str("max_candidates", Dedup.DefaultMaxCandidates.toString).toLong),
+          null)
+    val deduped = deduped0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val afterDedup = deduped.count()
     lap("dedup")
@@ -877,6 +919,89 @@ object CurationJob {
         .buildIndex(spark.read.parquet(outPath), idCol, textCol)
         .save(bm25Table, str("bm25_index_buckets", "32").toInt)
       lap("bm25_index_publish")
+    }
+    // 5b5. optional TRAINING-PAIRS publication (r16 — the retrieval-
+    // training data product the r15 primitives left to hand-wiring):
+    // per sampled query (q_text = the doc's first N words, gold = the
+    // doc), the top-k hard negatives from the job's own retrievers with
+    // the gold EXCLUDED (q144's excludePairs on both the BM25 and the
+    // IVF+PQ side — what survives is confusable-but-wrong, exactly the
+    // contrastive-training negative), plus leakage-controlled splits
+    // keyed on the job's OWN dedup cluster roots (q145: a near-dup
+    // family lands in one split; a future admission tick's new member
+    // inherits its cluster's split because roots are standing minima).
+    // The labels frame itself lands at `<path>_labels` — the persisted
+    // (id, component) frame `admitIntoComponents` maintains day-two.
+    if (trainingPairsPath.nonEmpty) {
+      val curated = spark.read.parquet(outPath)
+      val every = str("training_query_every", "37").toLong
+      val qWords = str("training_query_words", "5").toInt
+      val negK = str("training_negatives_k", "10").toInt
+      val queries = curated
+        .filter(pmod(col(idCol), lit(every)) === 0L)
+        .select(col(idCol).as("q_id"),
+          array_join(slice(TextFns.words(col(textCol)), 1, qWords), " ")
+            .as("q_text"))
+      val gold = queries.select(col("q_id"), col("q_id").as("gold_id"))
+      // sparse negatives off the PUBLISHED serving index when one exists
+      // (the standing artifact — no second corpus pass), else a one-shot
+      // build over exactly what was written
+      val bmIdx =
+        if (bm25Table.nonEmpty)
+          graft.operators.Bm25.Bm25Index.load(spark, bm25Table)
+        else graft.operators.Bm25.buildIndex(curated, idCol, textCol)
+      val sparseNeg = graft.operators.Bm25.search(bmIdx, queries, "q_id",
+          "q_text", k = negK, excludePairs = gold)
+        .select(col("q_id"), lit("bm25").as("retriever"),
+          col(idCol).as("neighbor_id"), col("rn").cast("int").as("rank"))
+      // dense negatives when an embedding sidecar is configured: IVF+PQ
+      // over the CURATED subset (semi-join on the id), same gold exclusion
+      val embPath = str("training_embeddings_path", "")
+      val negatives =
+        if (embPath.isEmpty) sparseNeg
+        else {
+          val emb = spark.read.parquet(embPath)
+            .select(col(idCol).as("vec_id"), col("embedding"))
+            .join(curated.select(col(idCol).as("vec_id")), Seq("vec_id"),
+              "left_semi")
+          val cents = graft.operators.Similarity.kmeansCentroids(emb,
+            nCentroids = 16, iters = 2)
+          val didx = graft.operators.Similarity.buildIvfPqIndexFrom(emb,
+            cents, m = 4, ksub = 16, iters = 2)
+          val qEmb = emb.join(queries.select(col("q_id").as("vec_id")),
+            Seq("vec_id"), "left_semi")
+          sparseNeg.unionByName(
+            graft.operators.Similarity.ivfPqSearch(didx, qEmb, k = negK,
+                nProbe = 4, excludePairs = gold)
+              .select(col("query_id").as("q_id"),
+                lit("dense").as("retriever"), col("neighbor_id"),
+                col("rank").cast("int").as("rank")))
+        }
+      // leakage-controlled split per QUERY, keyed on its gold doc's
+      // cluster root from the job's own labels
+      // bucket boundaries follow SORTED split names — a JSON object is
+      // unordered, and the hash-range cut must be reproducible outside
+      // this job (the q145 oracle discipline)
+      val splits: Seq[(String, Double)] =
+        if (cfg.schema.fieldNames.contains("training_splits") &&
+          !cfg.isNullAt(cfg.fieldIndex("training_splits"))) {
+          val row = cfg.getStruct(cfg.fieldIndex("training_splits"))
+          row.schema.fieldNames.toSeq.sorted.map(k =>
+            k -> row.get(row.fieldIndex(k)).toString.toDouble)
+        } else Seq("test" -> 0.05, "train" -> 0.9, "val" -> 0.05)
+      val qSplit = DataMix.assignSplitByComponent(
+          queries.select(col("q_id").as(idCol)), idCol, dedupLabels, splits)
+        .select(col(idCol).as("q_id"), col("split_key"), col("split"))
+      negatives
+        .join(gold, Seq("q_id"))
+        .join(qSplit, Seq("q_id"))
+        .select(col("q_id"), col("gold_id"), col("retriever"),
+          col("neighbor_id"), col("rank"), col("split_key"), col("split"))
+        .write.mode("overwrite").parquet(trainingPairsPath)
+      dedupLabels.write.mode("overwrite")
+        .parquet(trainingPairsPath + "_labels")
+      graft.operators.Dedup.release(dedupLabels)
+      lap("training_pairs")
     }
     // 5b2. optional JSONL interchange export: re-publish the curated corpus
     // in the layout open-data releases ship (one JSON object per line, gzip

@@ -1738,6 +1738,29 @@ object Dedup {
     survivors(docs, idCol, pairs, free)
   }
 
+  /** [[dedupedCorpus]] that ALSO returns the (id, component) cluster labels
+    * the survivors were derived from — the frame leakage-controlled splits
+    * key on (`DataMix.assignSplitByComponent`, q145) and admission ticks
+    * maintain (`admitIntoComponents`). Same pair/CC work as
+    * [[dedupedCorpus]], paid once; both returned frames pin the same label
+    * checkpoints — `Dedup.release` either when done with BOTH. */
+  def dedupedCorpusWithLabels(docs: DataFrame, idCol: String,
+                              textCol: String, n: Int, threshold: Double,
+                              blockCols: Seq[String],
+                              collapseExact: Boolean = true,
+                              maxCandidates: Long = DefaultMaxCandidates):
+      (DataFrame, DataFrame) = {
+    val (pairs, free) =
+      ngramJaccardPairsManaged(docs, idCol, textCol, n, threshold, blockCols,
+        collapseExact, maxCandidates)
+    val labels = components(pairs)
+    free()
+    val doomed = labels
+      .filter(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    (docs.join(doomed, Seq(idCol), "left_anti"), labels)
+  }
+
   /** End-to-end EMBEDDING dedup: cosine near-dup pairs → transitive cluster
     * resolution → keep the min-id survivor of every cluster. The default route
     * is the banded hyperplane-LSH candidate generator with exact integer-dot

@@ -503,6 +503,74 @@ class CurationJobSpec extends SparkSpec {
     assert(fetched.length == picked.count().toInt && fetched.nonEmpty)
   }
 
+  test("curation job: training-pairs publication — gold-excluded negatives, cluster-keyed splits") {
+    val dir = Files.createTempDirectory("curationtp")
+    val base = "common alpha beta"
+    val docs = (0L until 20L).map { i =>
+      val uniq = (0 until 6).map(j => s"u${i}x$j").mkString(" ")
+      (i, s"$base $uniq", "en", "src0")
+    }.map {
+      // plant a near-dup cluster {5, 9}: 9 is 5's text plus one token
+      case (9L, _, l, s) =>
+        (9L, (0 until 6).map(j => s"u5x$j").mkString(s"$base ", " ",
+          " extra"), l, s)
+      case r => r
+    }
+    docs.toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/docs")
+    (0L until 20L).map(i => (i, Array.tabulate(8)(d =>
+        math.sin(i * 0.9 + d * 0.61).toFloat)))
+      .toDF("doc_id", "embedding").write.parquet(s"$dir/emb")
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/docs", "output_path": "$dir/out",
+         | "min_words": 3, "gopher_rules": false, "redact_pii": false,
+         | "ngram_n": 3, "jaccard_threshold": 0.5, "block_cols": ["lang"],
+         | "bm25_index_table": "cj_tp_bm25",
+         | "training_pairs_output_path": "$dir/tp",
+         | "training_query_every": 1, "training_query_words": 3,
+         | "training_negatives_k": 3,
+         | "training_splits": {"train": 0.5, "test": 0.5},
+         | "training_embeddings_path": "$dir/emb"}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    assert(stats.output == 19, stats) // 9 collapsed into 5's cluster
+    val tp = spark.read.parquet(s"$dir/tp")
+    assert(tp.columns.toSet == Set("q_id", "gold_id", "retriever",
+      "neighbor_id", "rank", "split_key", "split"))
+    val rows = tp.as[(Long, Long, String, Long, Int, Long, String)]
+      .collect().toSeq
+    assert(rows.nonEmpty)
+    // gold exclusion: the query's own doc never appears as a negative
+    assert(rows.forall(r => r._2 == r._1 && r._4 != r._2),
+      "a gold doc leaked into its own negatives")
+    // both retrievers contribute; ranks are 1-based and contiguous
+    assert(rows.map(_._3).toSet == Set("bm25", "dense"))
+    rows.groupBy(r => (r._1, r._3)).foreach { case (_, g) =>
+      assert(g.map(_._5).sorted == (1 to g.size).toSeq)
+    }
+    // the labels frame published beside the pairs carries the planted
+    // cluster: 9's root is 5 (the standing minimum)
+    val labels = spark.read.parquet(s"$dir/tp_labels")
+    assert(labels.filter($"id" === 9L).select($"component")
+      .as[Long].head() == 5L)
+    // split keys on the cluster ROOT: query 5 keys on itself, and a
+    // day-two admission into cluster 5 (via the published labels)
+    // INHERITS its split — the leakage contract, end to end
+    val q5 = rows.find(r => r._1 == 5L).get
+    assert(q5._6 == 5L)
+    // bucket order in the job = SORTED split names (JSON objects are
+    // unordered); reproduce it here
+    val admitted = graft.operators.DataMix.assignSplitByComponent(
+        Seq(999L).toDF("doc_id"), "doc_id",
+        Seq((999L, 5L)).toDF("id", "component"),
+        Seq("test" -> 0.5, "train" -> 0.5))
+      .select($"split").as[String].head()
+    assert(admitted == q5._7, "admission into the cluster changed the split")
+    // every row of one query shares one split (queries key atomically)
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.map(_._7).toSet.size == 1)
+    }
+  }
+
   test("curation job: frontier export + BM25 index publication close the crawl loop") {
     val dir = Files.createTempDirectory("curationfrontier")
     Files.createDirectory(dir.resolve("captures"))
