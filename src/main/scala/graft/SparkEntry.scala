@@ -222,7 +222,8 @@ object SparkEntry {
     "q146_quality_survivors_by" -> qSurvivorsBy,
     "q147_ivfpq_forget_serve" -> qIvfPqForgetServe,
     "q148_bpe_chunking" -> qBpeChunking,
-    "q149_bpe_packing" -> qBpePacking)
+    "q149_bpe_packing" -> qBpePacking,
+    "q150_training_pairs" -> qTrainingPairs)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -393,7 +394,11 @@ object SparkEntry {
     val cents = Similarity.kmeansCentroids(emb, nCentroids = 16, iters = 0)
     val idx = Similarity.buildIvfPqIndexFrom(emb, cents, m = 4, ksub = 16,
       iters = 0)
-    val tmp = s"/tmp/graft_q77_index_${new java.io.File(dir).getName}"
+    // under the session warehouse, like every persisted serving artifact —
+    // a fixed /tmp path races concurrent sessions on one host
+    val tmp = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      .getPath.stripSuffix("/") +
+      s"/graft_q77_index_${new java.io.File(dir).getName.replace('.', '_')}"
     idx.save(tmp)
     val loaded = Similarity.IvfPqIndex.load(s, tmp)
     Similarity.ivfPqSearch(loaded, emb.filter(col("vec_id") < 10), k = 5,
@@ -2823,6 +2828,40 @@ object SparkEntry {
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
       .select(col("doc_id"), col("split_key"), col("split"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q150: the TRAINING-PAIRS product under the oracle — the exact row
+    * shape `CurationJob training_pairs_output_path` publishes (sparse
+    * side), composed from q144 + q145's machinery in ONE derivation:
+    * gold-excluded BM25 hard negatives per sampled query JOINED to the
+    * query's leakage-controlled split (keyed on its dedup cluster root).
+    * The oracle re-derives the BM25 ranking (q134's CTEs + the exclusion
+    * predicate), the recursive-CTE closure, the Knuth split CASE, and the
+    * final join — the whole data product hashed, not just its parts. */
+  private def qTrainingPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").filter(col("doc_id") < 2000)
+    val queries = docs.filter(pmod(col("doc_id"), lit(37L)) === 0L)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(graft.functions.TextFns.words(col("text")), 1, 5),
+          " ").as("q_text"))
+    val gold = queries.select(col("q_id"), col("q_id").as("doc_id"))
+    val neg = graft.operators.Bm25.search(
+        graft.operators.Bm25.buildIndex(docs, "doc_id", "text"),
+        queries, "q_id", "q_text", k = 10, excludePairs = gold)
+      .select(col("q_id"), col("rn"), col("doc_id").as("neighbor_id"),
+        col("score_e6"))
+    val labels = Dedup.components(
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", n = 3,
+        threshold = 0.5, blockCols = Seq("lang")))
+    val qSplit = graft.operators.DataMix.assignSplitByComponent(
+        queries.select(col("q_id").as("doc_id")), "doc_id",
+        labels.select(col("id"), col("component")),
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select(col("doc_id").as("q_id"), col("split_key"), col("split"))
+    neg.join(qSplit, Seq("q_id"))
+      .select(col("q_id"), col("rn"), col("neighbor_id"), col("score_e6"),
+        col("split_key"), col("split"))
+      .orderBy(col("q_id"), col("rn"))
   }
 
   /** q146: QUALITY-AWARE dedup survivor selection — the composites default
@@ -5707,6 +5746,86 @@ object SparkEntry {
         |         THEN 'val'
         |       ELSE 'test' END AS split
         |FROM keyed ORDER BY doc_id""".stripMargin,
+    // q150: the composed training-pairs product — q134's BM25 CTEs (slice
+    // + gold exclusion) joined to q49's closure + q61's Knuth split CASE
+    // on the QUERY's cluster root: the whole data product hashed
+    "q150_training_pairs" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id < 2000),
+        |toks AS (
+        |  SELECT doc_id, lang, list_filter(
+        |    string_split_regex(lower(trim(text)), '\s+'), w -> len(w) > 0) AS ws
+        |  FROM d),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS token FROM toks)
+        |  GROUP BY doc_id, token),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY doc_id),
+        |st AS (SELECT (SELECT COUNT(*) FROM d) AS n,
+        |              (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS tot),
+        |av AS (SELECT (1000 * tot) // n AS avgdl_e3 FROM st),
+        |q AS (SELECT doc_id AS q_id, unnest(list_distinct(ws[1:5])) AS token
+        |      FROM toks WHERE doc_id % 37 = 0),
+        |dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+        |        WHERE token IN (SELECT token FROM q) GROUP BY token),
+        |idf AS (SELECT token,
+        |    CAST(round(ln(((SELECT CAST(n AS DOUBLE) FROM st) - df + 0.5)
+        |      / (df + 0.5) + 1.0) * 1000000.0) AS BIGINT) AS idf_e6
+        |  FROM dfq),
+        |nrm AS (SELECT doc_id,
+        |    250000 + (750000000 * dl) // (SELECT avgdl_e3 FROM av) AS norm_e6
+        |  FROM dl),
+        |hits AS (
+        |  SELECT q.q_id, tf.doc_id,
+        |    (idf.idf_e6 * tf.tf * 2200)
+        |      // (1000 * tf.tf + (1200 * nrm.norm_e6) // 1000000) AS term_e6
+        |  FROM tf JOIN q USING (token) JOIN idf USING (token)
+        |  JOIN nrm ON nrm.doc_id = tf.doc_id),
+        |sc AS (
+        |  SELECT q_id, doc_id, CAST(SUM(term_e6) AS BIGINT) AS score_e6
+        |  FROM hits GROUP BY q_id, doc_id),
+        |ranked AS (
+        |  SELECT q_id, doc_id, score_e6,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY score_e6 DESC, doc_id) AS INT) AS rn
+        |  FROM sc WHERE doc_id <> q_id),
+        |neg AS (SELECT q_id, rn, doc_id AS neighbor_id, score_e6
+        |        FROM ranked WHERE rn <= 10),
+        |sh AS (
+        |  SELECT doc_id, lang,
+        |    list_distinct(list_transform(range(1, len(ws) - 1),
+        |      i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+        |  FROM toks),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        >= 0.5),
+        |edges AS (
+        |  SELECT id_a AS a, id_b AS b FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach(id, comp) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.comp FROM reach r JOIN edges e ON e.a = r.id),
+        |comp AS (SELECT id AS doc_id, MIN(comp) AS component
+        |         FROM reach GROUP BY id),
+        |keyed AS (
+        |  SELECT t.q_id,
+        |    CAST(COALESCE(c.component, t.q_id) AS BIGINT) AS split_key
+        |  FROM (SELECT DISTINCT q_id FROM q) t
+        |  LEFT JOIN comp c ON c.doc_id = t.q_id)
+        |SELECT n.q_id, n.rn, n.neighbor_id, n.score_e6, k.split_key,
+        |  CASE WHEN (k.split_key * 2654435761) % 4294967296 / 4294967296.0 < 0.9
+        |         THEN 'train'
+        |       WHEN (k.split_key * 2654435761) % 4294967296 / 4294967296.0 < 0.95
+        |         THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM neg n JOIN keyed k USING (q_id)
+        |ORDER BY q_id, rn""".stripMargin,
     // q146: q49's closure + the quality-winner rule — per component key,
     // the max-n_chars member (tie: min id) survives
     "q146_quality_survivors_by" ->

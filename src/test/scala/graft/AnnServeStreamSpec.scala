@@ -49,4 +49,63 @@ class AnnServeStreamSpec extends SparkSpec {
       assert(got.groupBy(_._1).keySet.size == 6) // every query answered
     } finally q.stop()
   }
+
+  test("streaming dense-index maintenance: add + forget ticks == frozen-quantizer rebuild") {
+    // the BM25 generation-swap discipline (WarcStreamSpec) on the IVF+PQ
+    // store: micro-batches of (op, vec_id, embedding) fold in with
+    // ivfPqAdd / drop with ivfPqRemove, each tick publishing the NEXT
+    // generation to the alternate directory. The final live generation
+    // must be bit-for-bit the one-shot encode of the surviving vector set
+    // under the SAME frozen quantizers, and serve identically.
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val cents = Similarity.kmeansCentroids(corpus, nCentroids = 8, iters = 0)
+    val initial = Similarity.buildIvfPqIndexFrom(corpus, cents, m = 4,
+      ksub = 16, iters = 0)
+    val base = java.nio.file.Files.createTempDirectory("ann-maint").toString
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long, Seq[Float])]
+    var cur = ""
+    val q = AnnServeStream.maintain(
+      input.toDF().toDF("op", "vec_id", "embedding"), initial,
+      s"$base/a", s"$base/b", s"$base/ckpt")(d => cur = d)
+    val fresh = corpus.filter($"vec_id" < 5)
+      .select(($"vec_id" + 9000L).as("vec_id"), $"embedding")
+      .as[(Long, Seq[Float])].collect().toSeq
+    try {
+      assert(cur == s"$base/a") // the initial generation published eagerly
+      // t1: admit 5 new vectors
+      input.addData(fresh.map { case (i, v) => ("add", i, v) }: _*)
+      q.processAllAvailable()
+      assert(cur == s"$base/b")
+      // t2: forget 3 originals AND one of t1's admissions; admit 1 more;
+      // within the same tick, add+del of one id must net to DELETED
+      input.addData(Seq(("del", 7L, Seq.empty[Float]),
+        ("del", 11L, Seq.empty[Float]), ("del", 13L, Seq.empty[Float]),
+        ("del", 9000L, Seq.empty[Float]),
+        ("add", 9100L, fresh.head._2),
+        ("del", 9100L, Seq.empty[Float])): _*)
+      q.processAllAvailable()
+      assert(cur == s"$base/a") // A/B alternation
+    } finally q.stop()
+    val live = Similarity.IvfPqIndex.load(spark, cur)
+    // the surviving set, re-encoded one-shot under the SAME quantizers
+    val survivors = corpus
+      .unionByName(fresh.toDF("vec_id", "embedding"))
+      .filter(!$"vec_id".isin(7L, 11L, 13L, 9000L, 9100L))
+    val oneShot = Similarity.ivfPqAdd(
+      initial.copy(cells = initial.cells.limit(0)), survivors, m = 4)
+    def cellRows(i: Similarity.IvfPqIndex) =
+      i.cells.select($"neighbor_id", $"codes", $"cell")
+        .as[(Long, Seq[Int], Long)].collect().sortBy(_._1).toSeq
+    assert(cellRows(live) == cellRows(oneShot))
+    assert(live.books.collect().toSet == initial.books.collect().toSet)
+    // and it serves: the forgotten ids never come back
+    val hits = Similarity.ivfPqSearch(live,
+        corpus.filter($"vec_id" < 6), k = 5, nProbe = 8)
+      .select($"neighbor_id").as[Long].collect().toSet
+    assert(!hits.exists(Set(7L, 11L, 13L, 9000L, 9100L)),
+      "a forgotten id served")
+  }
 }
