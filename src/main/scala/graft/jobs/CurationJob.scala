@@ -117,6 +117,22 @@ import org.apache.spark.sql.functions._
   *                                     //   negatives via IVF+PQ with the
   *                                     //   same gold exclusion ("" =
   *                                     //   sparse-only)
+  *   "ivfpq_index_path": "",           // r16: publish the DENSE serving
+  *                                     //   index over the curated corpus
+  *                                     //   (IVF+PQ from the embedding
+  *                                     //   sidecar, semi-joined to what
+  *                                     //   was written; q77 machinery —
+  *                                     //   ivfPqAdd/ivfPqRemove ticks
+  *                                     //   maintain it; training pairs
+  *                                     //   SERVE from it when both dials
+  *                                     //   are on). Needs
+  *                                     //   training_embeddings_path.
+  *   "ivfpq_centroids": 16,            //   coarse cells
+  *   "ivfpq_m": 4, "ivfpq_ksub": 16,   //   PQ budget (see the measured
+  *                                     //   recall census in BASELINE.md —
+  *                                     //   residual+bigger m/ksub buy
+  *                                     //   rank fidelity)
+  *   "ivfpq_residual": false,          //   IVFADC residual encoding
   *   "host_cap": 0,                    //   per-site quota on the dedup
   *                                     //   survivors (0 = off): at most N
   *                                     //   docs per host, k-bounded TopK
@@ -920,6 +936,33 @@ object CurationJob {
         .save(bm25Table, str("bm25_index_buckets", "32").toInt)
       lap("bm25_index_publish")
     }
+    // 5b3b. optional DENSE serving-index publication (r16 — the IVF+PQ
+    // twin of 5b3's BM25 table, closing the serving stack at the job
+    // level): built over the embedding sidecar SEMI-JOINED to exactly what
+    // was written, saved cell-partitioned (probes prune at the file
+    // index); day-two ivfPqAdd/ivfPqRemove ticks maintain it under the
+    // frozen-quantizer contract (AnnServeStream.maintain is the streaming
+    // driver). Trained quantizers (iters=2/refineIters=2 — the serving
+    // dial, not the oracle's seed pick); recall/budget dials per the
+    // measured census in BASELINE.md.
+    val ivfPqPath = str("ivfpq_index_path", "")
+    val tpEmbPath = str("training_embeddings_path", "")
+    if (ivfPqPath.nonEmpty) {
+      require(tpEmbPath.nonEmpty,
+        "ivfpq_index_path needs training_embeddings_path (the embedding sidecar)")
+      val emb = spark.read.parquet(tpEmbPath)
+        .select(col(idCol).as("vec_id"), col("embedding"))
+        .join(spark.read.parquet(outPath).select(col(idCol).as("vec_id")),
+          Seq("vec_id"), "left_semi")
+      graft.operators.Similarity.buildIvfPqIndex(emb,
+          nCentroids = str("ivfpq_centroids", "16").toInt,
+          m = str("ivfpq_m", "4").toInt,
+          ksub = str("ivfpq_ksub", "16").toInt,
+          iters = 2, refineIters = 2,
+          residual = str("ivfpq_residual", "false").toBoolean)
+        .save(ivfPqPath)
+      lap("ivfpq_index_publish")
+    }
     // 5b5. optional TRAINING-PAIRS publication (r16 — the retrieval-
     // training data product the r15 primitives left to hand-wiring):
     // per sampled query (q_text = the doc's first N words, gold = the
@@ -954,20 +997,26 @@ object CurationJob {
           "q_text", k = negK, excludePairs = gold)
         .select(col("q_id"), lit("bm25").as("retriever"),
           col(idCol).as("neighbor_id"), col("rn").cast("int").as("rank"))
-      // dense negatives when an embedding sidecar is configured: IVF+PQ
-      // over the CURATED subset (semi-join on the id), same gold exclusion
-      val embPath = str("training_embeddings_path", "")
+      // dense negatives when an embedding sidecar is configured: served
+      // from the PUBLISHED IVF+PQ index when 5b3b ran (the standing
+      // artifact — same discipline as the BM25 side), else a one-shot
+      // build over the CURATED subset; same gold exclusion either way
       val negatives =
-        if (embPath.isEmpty) sparseNeg
+        if (tpEmbPath.isEmpty) sparseNeg
         else {
-          val emb = spark.read.parquet(embPath)
+          val emb = spark.read.parquet(tpEmbPath)
             .select(col(idCol).as("vec_id"), col("embedding"))
             .join(curated.select(col(idCol).as("vec_id")), Seq("vec_id"),
               "left_semi")
-          val cents = graft.operators.Similarity.kmeansCentroids(emb,
-            nCentroids = 16, iters = 2)
-          val didx = graft.operators.Similarity.buildIvfPqIndexFrom(emb,
-            cents, m = 4, ksub = 16, iters = 2)
+          val didx =
+            if (ivfPqPath.nonEmpty)
+              graft.operators.Similarity.IvfPqIndex.load(spark, ivfPqPath)
+            else {
+              val cents = graft.operators.Similarity.kmeansCentroids(emb,
+                nCentroids = 16, iters = 2)
+              graft.operators.Similarity.buildIvfPqIndexFrom(emb, cents,
+                m = 4, ksub = 16, iters = 2)
+            }
           val qEmb = emb.join(queries.select(col("q_id").as("vec_id")),
             Seq("vec_id"), "left_semi")
           sparseNeg.unionByName(

@@ -526,6 +526,7 @@ class CurationJobSpec extends SparkSpec {
          | "min_words": 3, "gopher_rules": false, "redact_pii": false,
          | "ngram_n": 3, "jaccard_threshold": 0.5, "block_cols": ["lang"],
          | "bm25_index_table": "cj_tp_bm25",
+         | "ivfpq_index_path": "$dir/ivfpq", "ivfpq_centroids": 8,
          | "training_pairs_output_path": "$dir/tp",
          | "training_query_every": 1, "training_query_words": 3,
          | "training_negatives_k": 3,
@@ -569,6 +570,20 @@ class CurationJobSpec extends SparkSpec {
     rows.groupBy(_._1).foreach { case (_, g) =>
       assert(g.map(_._7).toSet.size == 1)
     }
+    // the DENSE serving index published beside the corpus covers exactly
+    // the curated ids, and the job's dense negatives came off it: a
+    // direct gold-excluded search over the loaded index reproduces them
+    val didx = graft.operators.Similarity.IvfPqIndex.load(spark,
+      s"$dir/ivfpq")
+    assert(didx.cells.count() == 19L)
+    val q5emb = spark.read.parquet(s"$dir/emb").filter($"doc_id" === 5L)
+      .select($"doc_id".as("vec_id"), $"embedding")
+    val served = graft.operators.Similarity.ivfPqSearch(didx, q5emb,
+        k = 3, nProbe = 4,
+        excludePairs = Seq((5L, 5L)).toDF("q", "g"))
+      .select($"neighbor_id", $"rank").as[(Long, Int)].collect().toSet
+    assert(served == rows.filter(r => r._1 == 5L && r._3 == "dense")
+      .map(r => (r._4, r._5)).toSet)
   }
 
   test("curation job: frontier export + BM25 index publication close the crawl loop") {
