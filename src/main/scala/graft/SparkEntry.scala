@@ -223,7 +223,9 @@ object SparkEntry {
     "q147_ivfpq_forget_serve" -> qIvfPqForgetServe,
     "q148_bpe_chunking" -> qBpeChunking,
     "q149_bpe_packing" -> qBpePacking,
-    "q150_training_pairs" -> qTrainingPairs)
+    "q150_training_pairs" -> qTrainingPairs,
+    "q151_token_ids" -> qTokenIds,
+    "q152_packed_layout" -> qPackedLayout)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1155,6 +1157,37 @@ object SparkEntry {
         tokenBudget = 256L, merges = merges)
       .select(col("doc_id"), col("source"), col("n_tokens_bpe"),
         col("bin_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q151: INTEGER token-id encoding — the stream an LLM batch reader (and
+    * an embedding matrix) actually indexes: the corpus trains 6 merge
+    * rules (q88), the slice's realized vocabulary gets dense 1-based ids
+    * in token sort order (`Bpe.vocab` — `ROW_NUMBER() OVER (ORDER BY
+    * token)` exactly), and every document's position-ordered id stream
+    * rebuilds through the same broadcast pricing join as q148. The oracle
+    * replays training, vocabulary, ids, and the per-position walk. */
+  private def qTokenIds(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val merges = Bpe.learn(d, "text", 6)
+    graft.operators.Packing.encodeIdsBpe(d.filter(col("doc_id") < 300),
+        "doc_id", "text", merges)
+      .select(col("doc_id"),
+        posexplode(col("token_ids")).as(Seq("pos", "token_id")))
+      .orderBy(col("doc_id"), col("pos"))
+  }
+
+  /** q152: the PACKED-EXAMPLE layout — q149's bins plus each doc's token
+    * OFFSET within its bin: the (shard, bin, doc, offset) table a training
+    * reader materializes batches from. The offset window is (shard, bin)-
+    * scoped — budget-bounded partitions, never a corpus sort. */
+  private def qPackedLayout(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val merges = Bpe.learn(d, "text", 6)
+    graft.operators.Packing.packedLayout(d, "doc_id", "text", Seq("source"),
+        tokenBudget = 256L, merges = merges)
+      .select(col("doc_id"), col("source"), col("n_tokens_bpe"),
+        col("bin_id"), col("offset_tokens"))
       .orderBy(col("doc_id"))
   }
 
@@ -4524,6 +4557,49 @@ object SparkEntry {
         |    AS bin_id
         |FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
         |ORDER BY d.doc_id""".stripMargin),
+    // q151: q88's training CTEs + the slice-realized vocabulary (dense
+    // ids in token sort order) + the position-ordered id walk
+    "q151_token_ids" -> (bpeCtes(6) + "\n" +
+      """sw AS (SELECT DISTINCT word FROM toks WHERE doc_id < 300),
+        |enc AS (
+        |  SELECT word, string_split(s, ' ') AS bpe
+        |  FROM s6 JOIN sw USING (word)),
+        |vocab AS (
+        |  SELECT token,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY token) AS INT) AS token_id
+        |  FROM (SELECT DISTINCT unnest(bpe) AS token FROM enc)),
+        |stream AS (
+        |  SELECT t.doc_id, flatten(list(e.bpe ORDER BY t.pos)) AS tk
+        |  FROM toks t JOIN enc e USING (word)
+        |  WHERE t.doc_id < 300 GROUP BY t.doc_id),
+        |walk AS (
+        |  SELECT doc_id, unnest(range(0, len(tk))) AS pos,
+        |    unnest(tk) AS token
+        |  FROM stream)
+        |SELECT w.doc_id, w.pos, v.token_id
+        |FROM walk w JOIN vocab v USING (token)
+        |ORDER BY w.doc_id, w.pos""".stripMargin),
+    // q152: q149's bins + the per-(shard, bin) exclusive-prefix offset
+    "q152_packed_layout" -> (bpeCtes(6) + "\n" +
+      """enc AS (
+        |  SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS nt
+        |  FROM s6),
+        |counts AS (
+        |  SELECT t.doc_id, CAST(SUM(e.nt) AS BIGINT) AS n
+        |  FROM toks t JOIN enc e USING (word) GROUP BY t.doc_id),
+        |binned AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(COALESCE(c.n, 0) AS BIGINT) AS n_tokens_bpe,
+        |    COALESCE(SUM(c.n) OVER (PARTITION BY d.source ORDER BY d.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256
+        |      AS bin_id
+        |  FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id)
+        |SELECT doc_id, source, n_tokens_bpe, bin_id,
+        |  CAST(COALESCE(SUM(n_tokens_bpe) OVER (
+        |    PARTITION BY source, bin_id ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS offset_tokens
+        |FROM binned ORDER BY doc_id""".stripMargin),
     // q78's three admission ticks partition the slice's pair set, so the
     // incremental labels must equal q49's one-shot closure — the oracle IS
     // q49's recursive CTE, verbatim

@@ -112,6 +112,31 @@ object Bpe {
     }
   }
 
+  /** The corpus's realized VOCABULARY under a rule list: every distinct
+    * BPE symbol the corpus's words produce, with a dense integer
+    * `token_id` (1-based, assigned in token sort order — deterministic
+    * under any partitioning, re-derivable by `ROW_NUMBER() OVER (ORDER BY
+    * token)` in plain SQL). The id table is what an LLM batch reader and
+    * an embedding matrix actually index by; export it beside the corpus.
+    * Scale: the ranking window runs on the VOCAB-sized symbol frame (the
+    * same bounded-frame convention as the codebook/centroid tables and
+    * `learn`'s own driver-side counts), never on the corpus. */
+  def vocab(docs: DataFrame, textCol: String,
+            merges: Seq[(String, String)]): DataFrame =
+    vocabOf(encodeWords(
+      docs.select(explode(TextFns.words(col(textCol))).as("word"))
+        .distinct(), "word", merges))
+
+  /** [[vocab]] over an ALREADY-ENCODED (word, bpe) frame — lets callers
+    * that hold `encodeWords` output (one pass) derive ids without
+    * re-encoding. */
+  private[operators] def vocabOf(encodedWords: DataFrame): DataFrame =
+    encodedWords
+      .select(explode(col("bpe")).as("token")).distinct()
+      .withColumn("token_id",
+        org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("token"))))
+
   /** Per-document BPE token count under a learned rule list: the corpus's
     * distinct words are encoded ONCE (vocab-sized), then a broadcast join
     * prices every token occurrence — the corpus itself is touched by one

@@ -126,11 +126,62 @@ object Packing {
     chunkEncoded(encodeDocsBpe(docs, idCol, textCol, merges), idCol,
       "tokens", chunkSize, stride)
 
+  /** [[encodeDocsBpe]] in INTEGER token ids (the corpus-realized
+    * [[graft.operators.Bpe.vocab]] mapping) — the stream an LLM batch
+    * reader actually consumes: (idCol, `token_ids` array<int>). One
+    * `encodeWords` pass serves both the id table and the per-word arrays;
+    * the corpus-side shape is identical to [[encodeDocsBpe]] (broadcast
+    * pricing join + ONE position-sorted doc-keyed aggregate). */
+  def encodeIdsBpe(docs: DataFrame, idCol: String, textCol: String,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val toks = Dedup.ensureParallel(docs)
+      .select(col(idCol),
+        posexplode(TextFns.words(col(textCol))).as(Seq("__pos", "__word")))
+    val encW = Bpe.encodeWords(
+      toks.select(col("__word").as("word")).distinct(), "word", merges)
+    val vocab = Bpe.vocabOf(encW)
+    val wordIds = encW
+      .select(col("word"), posexplode(col("bpe")).as(Seq("__p", "token")))
+      .join(broadcast(vocab), Seq("token"))
+      .groupBy(col("word"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__p"), col("token_id")))),
+        s => s.getField("token_id")).as("__ids"))
+      .withColumnRenamed("word", "__word")
+    toks.join(broadcast(wordIds), Seq("__word"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__ids")))),
+        s => s.getField("__ids"))).as("token_ids"))
+  }
+
   /** [[packBins]] with the budget measured in BPE tokens (the
     * [[graft.operators.Bpe.tokenCount]] pricing join): sequence budgets
     * become REAL tokenizer budgets. Docs that tokenize to nothing pack at
     * cost 0 (they stay in their shard's bin walk). Output: (idCol,
     * shardCols..., n_tokens_bpe, bin_id). */
+  /** The PACKED-EXAMPLE layout — [[packBinsBpe]] plus each doc's token
+    * OFFSET within its bin: (idCol, shardCols..., n_tokens_bpe, bin_id,
+    * offset_tokens). A training reader materializes example `(shard, bin)`
+    * by concatenating its docs at their offsets — the last mile between
+    * "bins exist" and "a batch is addressable". The offset window runs
+    * per (shard, bin) — bins hold at most `tokenBudget` tokens of
+    * non-empty docs, so the partition is budget-bounded (only zero-token
+    * docs could pile into one bin unbounded; they carry no tokens and a
+    * real pipeline drops them upstream). */
+  def packedLayout(docs: DataFrame, idCol: String, textCol: String,
+                   shardCols: Seq[String], tokenBudget: Long,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val binned = packBinsBpe(docs, idCol, textCol, shardCols, tokenBudget,
+      merges)
+    val w = Window
+      .partitionBy((shardCols :+ "bin_id").map(col): _*)
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    binned.withColumn("offset_tokens",
+      coalesce(sum(col("n_tokens_bpe")).over(w), lit(0L)))
+  }
+
   def packBinsBpe(docs: DataFrame, idCol: String, textCol: String,
                   shardCols: Seq[String], tokenBudget: Long,
                   merges: Seq[(String, String)]): DataFrame = {

@@ -603,6 +603,36 @@ class CurationOpsSpec extends SparkSpec {
     assert(out == Seq((1L, 6L, 0L), (2L, 2L, 0L), (3L, 0L, 1L), (4L, 3L, 0L)))
   }
 
+  test("encodeIdsBpe: dense sorted-order vocab ids, position-ordered streams") {
+    import graft.operators.{Bpe, Packing}
+    val docs = Seq((1L, "cd ab ab"), (2L, "ab")).toDF("doc_id", "text")
+    val merges = Seq(("a", "b"))
+    // realized vocab sorted: </w> < ab < c < d  ->  ids 1..4
+    val vocab = Bpe.vocab(docs, "text", merges)
+      .as[(String, Int)].collect().toMap
+    assert(vocab == Map("</w>" -> 1, "ab" -> 2, "c" -> 3, "d" -> 4))
+    val enc = Packing.encodeIdsBpe(docs, "doc_id", "text", merges)
+      .orderBy($"doc_id").as[(Long, Seq[Int])].collect().toSeq
+    // doc 1: [c d </w> ab </w> ab </w>] -> [3,4,1,2,1,2,1]; doc 2: [2,1]
+    assert(enc == Seq((1L, Seq(3, 4, 1, 2, 1, 2, 1)), (2L, Seq(2, 1))))
+  }
+
+  test("packedLayout: per-(shard, bin) token offsets — the addressable batch table") {
+    import graft.operators.Packing
+    val docs = Seq(
+      (1L, "ab ab", "s0"), // 6 tokens, bin 0, offset 0
+      (2L, "a", "s0"),     // 2 tokens, bin 0, offset 6
+      (3L, "  ", "s0"),    // tokenless: bin 1, offset 0
+      (4L, "ab", "s1"))    // other shard: bin 0, offset 0
+      .toDF("doc_id", "text", "source")
+    val out = Packing.packedLayout(docs, "doc_id", "text", Seq("source"),
+        tokenBudget = 7L, merges = Nil)
+      .select($"doc_id", $"n_tokens_bpe", $"bin_id", $"offset_tokens")
+      .orderBy($"doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 6L, 0L, 0L), (2L, 2L, 0L, 6L),
+      (3L, 0L, 1L, 0L), (4L, 3L, 0L, 0L)))
+  }
+
   test("sourceTokenKl: uniform mix scores ~0, skewed source scores positive") {
     import graft.operators.DataMix
     // src0 == the corpus-average distribution (KL ~ 0 up to rounding);
