@@ -133,6 +133,22 @@ import org.apache.spark.sql.functions._
   *                                     //   residual+bigger m/ksub buy
   *                                     //   rank fidelity)
   *   "ivfpq_residual": false,          //   IVFADC residual encoding
+  *   "tokenized_output_path": "",      // r16: publish the TRAINING-READY
+  *                                     //   tokenized corpus — one row per
+  *                                     //   curated doc: (id, shard,
+  *                                     //   n_tokens_bpe, bin_id,
+  *                                     //   offset_tokens, token_ids
+  *                                     //   array<int>); a reader
+  *                                     //   materializes example
+  *                                     //   (shard, bin) by concatenating
+  *                                     //   docs at their offsets. The
+  *                                     //   vocab (token, token_id) lands
+  *                                     //   at `<path>_vocab`. Merges
+  *                                     //   train on the curated corpus
+  *                                     //   itself (q88's loop).
+  *   "bpe_merges": 6,                  //   merge rules to learn
+  *   "pack_budget_tokens": 2048,       //   tokens per packed example
+  *   "pack_shard_col": "source",       //   the packing shard column
   *   "host_cap": 0,                    //   per-site quota on the dedup
   *                                     //   survivors (0 = off): at most N
   *                                     //   docs per host, k-bounded TopK
@@ -1051,6 +1067,32 @@ object CurationJob {
         .parquet(trainingPairsPath + "_labels")
       graft.operators.Dedup.release(dedupLabels)
       lap("training_pairs")
+    }
+    // 5b6. optional TOKENIZED export (r16 — the pipeline's true last mile:
+    // from curated text to the table a training reader batches from):
+    // merges train on the curated corpus (q88's vocab-sized loop), every
+    // doc gets its position-ordered integer token-id stream (q151) and its
+    // packed-example slot (q152's (shard, bin, offset) layout); the vocab
+    // id table publishes beside it. Tokenless docs keep their layout row
+    // with a null id array (they cost 0 tokens in every bin walk).
+    val tokPath = str("tokenized_output_path", "")
+    if (tokPath.nonEmpty) {
+      val curated = spark.read.parquet(outPath)
+      val merges = graft.operators.Bpe.learn(curated, textCol,
+        str("bpe_merges", "6").toInt)
+      val shardCol = str("pack_shard_col", "source")
+      require(curated.columns.contains(shardCol),
+        s"tokenized_output_path needs the '$shardCol' column (pack_shard_col)")
+      val layout = graft.operators.Packing.packedLayout(curated, idCol,
+        textCol, Seq(shardCol), str("pack_budget_tokens", "2048").toLong,
+        merges)
+      val ids = graft.operators.Packing.encodeIdsBpe(curated, idCol,
+        textCol, merges)
+      layout.join(ids, Seq(idCol), "left")
+        .write.mode("overwrite").parquet(tokPath)
+      graft.operators.Bpe.vocab(curated, textCol, merges)
+        .write.mode("overwrite").parquet(tokPath + "_vocab")
+      lap("tokenized_export")
     }
     // 5b2. optional JSONL interchange export: re-publish the curated corpus
     // in the layout open-data releases ship (one JSON object per line, gzip

@@ -586,6 +586,49 @@ class CurationJobSpec extends SparkSpec {
       .map(r => (r._4, r._5)).toSet)
   }
 
+  test("curation job: tokenized export — ids, vocab, and addressable packed slots") {
+    val dir = Files.createTempDirectory("curationtok")
+    Seq(
+      (1L, "ab ab ab cd", "en", "s0"),
+      (2L, "cd cd ab", "en", "s0"),
+      (3L, "ab cd ab cd", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/docs")
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/docs", "output_path": "$dir/out",
+         | "min_words": 3, "gopher_rules": false, "redact_pii": false,
+         | "ngram_n": 3, "jaccard_threshold": 0.9, "block_cols": ["lang"],
+         | "tokenized_output_path": "$dir/tok",
+         | "bpe_merges": 2, "pack_budget_tokens": 10,
+         | "pack_shard_col": "source"}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    assert(stats.output == 3, stats)
+    val tok = spark.read.parquet(s"$dir/tok")
+    assert(tok.columns.toSet == Set("doc_id", "source", "n_tokens_bpe",
+      "bin_id", "offset_tokens", "token_ids"))
+    val rows = tok.select($"doc_id", $"source", $"n_tokens_bpe", $"bin_id",
+        $"offset_tokens", $"token_ids")
+      .as[(Long, String, Long, Long, Long, Seq[Int])]
+      .collect().sortBy(_._1).toSeq
+    // the id stream's length IS the priced token count, per doc
+    assert(rows.forall(r => r._6.size.toLong == r._3))
+    // offsets are the exclusive running sum within (shard, bin): a reader
+    // concatenating at offsets reconstructs each example gap-free
+    rows.groupBy(r => (r._2, r._4)).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._1)
+      val expect = sorted.scanLeft(0L)(_ + _._3).init
+      assert(sorted.map(_._5) == expect)
+    }
+    // vocab: dense 1-based ids in token sort order, and every id used in
+    // a stream resolves
+    val vocab = spark.read.parquet(s"$dir/tok_vocab")
+      .as[(String, Int)].collect().toSeq.sortBy(_._2)
+    assert(vocab.map(_._2) == (1 to vocab.size))
+    assert(vocab.map(_._1) == vocab.map(_._1).sorted)
+    val used = rows.flatMap(_._6).toSet
+    assert(used.subsetOf(vocab.map(_._2).toSet))
+  }
+
   test("curation job: frontier export + BM25 index publication close the crawl loop") {
     val dir = Files.createTempDirectory("curationfrontier")
     Files.createDirectory(dir.resolve("captures"))
