@@ -2718,15 +2718,7 @@ object SparkEntry {
         emb.filter(pmod(col("vec_id"), lit(37L)) === 0L), k = 10, nProbe = 1)
       .select(col("query_id").as("q_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("long").as("r_d"))
-    val fused = sparse.join(dense, Seq("q_id", "doc_id"), "full_outer")
-      .select(col("q_id"), col("doc_id"),
-        (coalesce(graft.ops.Quantiles.div(lit(1000000L),
-            lit(60L) + col("r_s")), lit(0L)) +
-          coalesce(graft.ops.Quantiles.div(lit(1000000L),
-            lit(60L) + col("r_d")), lit(0L))).as("rrf_e6"))
-    graft.ops.TopK.topKPerGroup(fused, Seq("q_id"), col("rrf_e6"),
-      col("doc_id"), Seq(col("doc_id"), col("rrf_e6")), 5)
-      .select(col("q_id"), col("rn"), col("doc_id"), col("rrf_e6"))
+    graft.operators.Retrieval.rrfFuse(sparse, dense, k = 5)
       .orderBy(col("q_id"), col("rn"))
   }
 
@@ -2999,15 +2991,7 @@ object SparkEntry {
         emb.filter(pmod(col("vec_id"), lit(37L)) === 0L), emb, k = 10)
       .select(col("query_id").as("q_id"), col("neighbor_id").as("doc_id"),
         col("rank").cast("long").as("r_d"))
-    val fused = sparse.join(dense, Seq("q_id", "doc_id"), "full_outer")
-      .select(col("q_id"), col("doc_id"),
-        (coalesce(graft.ops.Quantiles.div(lit(1000000L),
-            lit(60L) + col("r_s")), lit(0L)) +
-          coalesce(graft.ops.Quantiles.div(lit(1000000L),
-            lit(60L) + col("r_d")), lit(0L))).as("rrf_e6"))
-    graft.ops.TopK.topKPerGroup(fused, Seq("q_id"), col("rrf_e6"),
-      col("doc_id"), Seq(col("doc_id"), col("rrf_e6")), 5)
-      .select(col("q_id"), col("rn"), col("doc_id"), col("rrf_e6"))
+    graft.operators.Retrieval.rrfFuse(sparse, dense, k = 5)
       .orderBy(col("q_id"), col("rn"))
   }
 

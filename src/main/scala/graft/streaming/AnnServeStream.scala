@@ -50,7 +50,13 @@ object AnnServeStream {
     * batch-sized (assign + encode the adds, one broadcast anti-join for
     * the dels) plus the generation rewrite; at real scale the rewrite is
     * the cells frame's parquet copy, which a partitioned store amortizes —
-    * the compute never re-scans, re-trains, or re-encodes the corpus. */
+    * the compute never re-scans, re-trains, or re-encodes the corpus.
+    *
+    * RESTART contract: this driver is session-scoped. On restart against
+    * an existing checkpoint, pass the LIVE generation (load the dir your
+    * `onPublish` last reported) as `initial` — the checkpoint skips
+    * already-processed batches, so re-seeding from an older index would
+    * silently publish a generation missing those ticks. */
   def maintain(updates: DataFrame, initial: Similarity.IvfPqIndex,
                dirA: String, dirB: String, checkpoint: String)
               (onPublish: String => Unit): StreamingQuery = {
