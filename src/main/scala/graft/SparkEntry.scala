@@ -2669,9 +2669,10 @@ object SparkEntry {
         array_join(slice(graft.functions.TextFns.words(col("text")), 1, 5),
           " ").as("q_text"))
     // SERVING semantics: the indexes are the standing artifacts — build
-    // only when absent or stale. Freshness = a CONTENT fingerprint
-    // (bit_xor(xxhash64(id, payload)) over the corpus — order-independent
-    // and overflow-free under ANSI, stored beside each
+    // only when absent or stale. Freshness = the row count PLUS a CONTENT
+    // fingerprint (bit_xor(xxhash64(id, payload)) — order-independent and
+    // overflow-free under ANSI; the count covers the xor's even-
+    // multiplicity blind spot), stored beside each
     // index at build), not a row count: a regenerated sf dir with the
     // same cardinality but different content under a surviving warehouse
     // must rebuild, never serve old rankings. The first call in a session
@@ -2679,17 +2680,22 @@ object SparkEntry {
     // retrieval off the persisted stores. One corpus pass prices the
     // check (the same pass the old count-only check paid).
     val bmName = s"graft_q141_bm25_$dname"
-    val docFp = docs.agg(
-      bit_xor(xxhash64(col("doc_id"), col("text"))).as("fp"))
-      .first().getLong(0)
+    // count AND xor-fold together: the xor alone is blind to content
+    // changes of even multiplicity (identical row hashes cancel pairwise)
+    val dMeta = docs.agg(count(lit(1)).as("n"),
+      bit_xor(xxhash64(col("doc_id"), col("text"))).as("fp")).first()
+    val (docN, docFp) = (dMeta.getLong(0), dMeta.getLong(1))
     val bmFresh = s.catalog.tableExists(s"${bmName}_fp") &&
-      s.table(s"${bmName}_fp").first().getLong(0) == docFp
+      (try {
+        val r = s.table(s"${bmName}_fp").first()
+        r.getLong(0) == docN && r.getLong(1) == docFp
+      } catch { case _: Exception => false }) // old-schema fp table -> rebuild
     if (!bmFresh) {
       graft.operators.Bm25.buildIndex(docs, "doc_id", "text")
         .save(bmName, nBuckets = 32)
       import s.implicits._
-      graft.io.BucketedStore.save(Seq(docFp).toDF("fp"), s"${bmName}_fp",
-        "fp", 1)
+      graft.io.BucketedStore.save(Seq((docN, docFp)).toDF("n", "fp"),
+        s"${bmName}_fp", "fp", 1)
     }
     val sparse = graft.operators.Bm25.search(
         graft.operators.Bm25.Bm25Index.load(s, bmName),
@@ -2699,19 +2705,22 @@ object SparkEntry {
     // tables (a fixed /tmp path races concurrent sessions on one host)
     val tmp = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
       .getPath.stripSuffix("/") + s"/graft_q141_ivfpq_$dname"
-    val embFp = emb.agg(
-      bit_xor(xxhash64(col("vec_id"), col("embedding"))).as("fp"))
-      .first().getLong(0)
+    val eMeta = emb.agg(count(lit(1)).as("n"),
+      bit_xor(xxhash64(col("vec_id"), col("embedding"))).as("fp")).first()
+    val (embN, embFp) = (eMeta.getLong(0), eMeta.getLong(1))
     val denseFresh =
-      (try s.read.parquet(s"$tmp/fp").first().getLong(0) == embFp
-       catch { case _: Exception => false })
+      (try {
+        val r = s.read.parquet(s"$tmp/fp").first()
+        r.getLong(0) == embN && r.getLong(1) == embFp
+      } catch { case _: Exception => false })
     if (!denseFresh) {
       val cents = Similarity.kmeansCentroids(emb, nCentroids = 16,
         iters = 0)
       Similarity.buildIvfPqIndexFrom(emb, cents, m = 4, ksub = 16,
         iters = 0).save(tmp)
       import s.implicits._
-      Seq(embFp).toDF("fp").write.mode("overwrite").parquet(s"$tmp/fp")
+      Seq((embN, embFp)).toDF("n", "fp").write.mode("overwrite")
+        .parquet(s"$tmp/fp")
     }
     val dloaded = Similarity.IvfPqIndex.load(s, tmp)
     val dense = Similarity.ivfPqSearch(dloaded,

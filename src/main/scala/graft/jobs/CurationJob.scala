@@ -996,8 +996,12 @@ object CurationJob {
       val every = str("training_query_every", "37").toLong
       val qWords = str("training_query_words", "5").toInt
       val negK = str("training_negatives_k", "10").toInt
+      // sample on the singleton key (the id when integral, xxhash64
+      // otherwise) — pmod over a string/url id would NULL out and silently
+      // select ZERO queries (or throw under ANSI)
       val queries = curated
-        .filter(pmod(col(idCol), lit(every)) === 0L)
+        .filter(pmod(graft.operators.Dedup.singletonKey(curated, idCol),
+          lit(every)) === 0L)
         .select(col(idCol).as("q_id"),
           array_join(slice(TextFns.words(col(textCol)), 1, qWords), " ")
             .as("q_text"))
@@ -1028,10 +1032,17 @@ object CurationJob {
             if (ivfPqPath.nonEmpty)
               graft.operators.Similarity.IvfPqIndex.load(spark, ivfPqPath)
             else {
+              // the one-shot fallback honors the SAME quality dials as the
+              // published index — a hardcoded m=4/ksub=16 here would mine
+              // near-noise negatives on tie-dense corpora (the measured
+              // recall-census collapse) while the published-index route
+              // mined real ones
               val cents = graft.operators.Similarity.kmeansCentroids(emb,
-                nCentroids = 16, iters = 2)
+                nCentroids = str("ivfpq_centroids", "16").toInt, iters = 2)
               graft.operators.Similarity.buildIvfPqIndexFrom(emb, cents,
-                m = 4, ksub = 16, iters = 2)
+                m = str("ivfpq_m", "4").toInt,
+                ksub = str("ivfpq_ksub", "16").toInt, iters = 2,
+                residual = str("ivfpq_residual", "false").toBoolean)
             }
           val qEmb = emb.join(queries.select(col("q_id").as("vec_id")),
             Seq("vec_id"), "left_semi")
@@ -1066,6 +1077,10 @@ object CurationJob {
       dedupLabels.write.mode("overwrite")
         .parquet(trainingPairsPath + "_labels")
       graft.operators.Dedup.release(dedupLabels)
+      // the one-shot index (bm25_index_table empty) pinned its corpus-
+      // sized tf frame; the pairs are written — free it (a LOADED index
+      // pins nothing, release is a no-op there)
+      bmIdx.release()
       lap("training_pairs")
     }
     // 5b6. optional TOKENIZED export (r16 — the pipeline's true last mile:
@@ -1083,15 +1098,14 @@ object CurationJob {
       val shardCol = str("pack_shard_col", "source")
       require(curated.columns.contains(shardCol),
         s"tokenized_output_path needs the '$shardCol' column (pack_shard_col)")
-      val layout = graft.operators.Packing.packedLayout(curated, idCol,
-        textCol, Seq(shardCol), str("pack_budget_tokens", "2048").toLong,
-        merges)
-      val ids = graft.operators.Packing.encodeIdsBpe(curated, idCol,
-        textCol, merges)
-      layout.join(ids, Seq(idCol), "left")
-        .write.mode("overwrite").parquet(tokPath)
-      graft.operators.Bpe.vocab(curated, textCol, merges)
-        .write.mode("overwrite").parquet(tokPath + "_vocab")
+      // ONE encodeWords pass serves ids, counts, bins/offsets AND the
+      // vocab table (tokenizedCorpus — three separate derivations here
+      // would re-encode the corpus words three times)
+      val (tokenized, vocab) = graft.operators.Packing.tokenizedCorpus(
+        curated, idCol, textCol, Seq(shardCol),
+        str("pack_budget_tokens", "2048").toLong, merges)
+      tokenized.write.mode("overwrite").parquet(tokPath)
+      vocab.write.mode("overwrite").parquet(tokPath + "_vocab")
       lap("tokenized_export")
     }
     // 5b2. optional JSONL interchange export: re-publish the curated corpus

@@ -1694,21 +1694,6 @@ object Dedup {
     * `xxhash64(id)` otherwise — a string/url id under `cast("long")`
     * would go NULL (or throw under ANSI) and collapse EVERY unlabeled doc
     * into one null-keyed cluster: silent corpus loss. */
-  /** The singleton-cluster key for docs with no label row: the id itself
-    * when integral (exact), `xxhash64(id)` for string/url/etc ids (the
-    * engine's url→id convention). Shared by [[survivorsBy]] and
-    * `DataMix.assignSplitByComponent`. */
-  private[graft] def singletonKey(df: DataFrame, idCol: String):
-      org.apache.spark.sql.Column =
-    df.schema(idCol).dataType match {
-      case org.apache.spark.sql.types.ByteType |
-           org.apache.spark.sql.types.ShortType |
-           org.apache.spark.sql.types.IntegerType |
-           org.apache.spark.sql.types.LongType =>
-        col(idCol).cast("long")
-      case _ => xxhash64(col(idCol))
-    }
-
   def survivorsBy(docs: DataFrame, idCol: String, labels: DataFrame,
                   scoreCol: org.apache.spark.sql.Column): DataFrame = {
     val lab = labels.select(col(labels.columns.head).as(idCol),
@@ -1726,6 +1711,21 @@ object Dedup {
       .select(col(idCol))
     docs.join(winners, Seq(idCol), "left_semi")
   }
+
+  /** The singleton-cluster key for docs with no label row: the id itself
+    * when integral (exact), `xxhash64(id)` for string/url/etc ids (the
+    * engine's url→id convention). Shared by [[survivorsBy]] and
+    * `DataMix.assignSplitByComponent`. */
+  private[graft] def singletonKey(df: DataFrame, idCol: String):
+      org.apache.spark.sql.Column =
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType =>
+        col(idCol).cast("long")
+      case _ => xxhash64(col(idCol))
+    }
 
   def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String,
                     n: Int, threshold: Double,

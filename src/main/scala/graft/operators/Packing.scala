@@ -112,8 +112,12 @@ object Packing {
         ceil(size(col(tokensCol)).cast("double") / chunkSize).cast("int")
       else (floor((size(col(tokensCol)) - 1).cast("double") / st) + 1)
         .cast("int")
-    chunkKernel(docs.select(col(idCol), col(tokensCol).as("__ws"),
-      nChunks.as("__n")), idCol, chunkSize, st)
+    // the same few-file guard the text forms carry: a pre-tokenized corpus
+    // read from a 1-2 file parquet would otherwise slice+sha at file-count
+    // parallelism (the measured r10/q109 pathology)
+    chunkKernel(Dedup.ensureParallel(docs)
+      .select(col(idCol), col(tokensCol).as("__ws"), nChunks.as("__n")),
+      idCol, chunkSize, st)
   }
 
   /** BPE-budget chunking end to end: encode ([[encodeDocsBpe]]) then chunk
@@ -133,7 +137,16 @@ object Packing {
     * the corpus-side shape is identical to [[encodeDocsBpe]] (broadcast
     * pricing join + ONE position-sorted doc-keyed aggregate). */
   def encodeIdsBpe(docs: DataFrame, idCol: String, textCol: String,
-                   merges: Seq[(String, String)]): DataFrame = {
+                   merges: Seq[(String, String)]): DataFrame =
+    encodeIdsWithVocab(docs, idCol, textCol, merges)._1
+
+  /** [[encodeIdsBpe]] exposing the vocab it derived — ONE `encodeWords`
+    * pass serves the id streams AND the (token, token_id) table, so a
+    * caller publishing both (the tokenized-export job) never re-encodes
+    * the corpus words. */
+  def encodeIdsWithVocab(docs: DataFrame, idCol: String, textCol: String,
+                         merges: Seq[(String, String)]):
+      (DataFrame, DataFrame) = {
     val toks = Dedup.ensureParallel(docs)
       .select(col(idCol),
         posexplode(TextFns.words(col(textCol))).as(Seq("__pos", "__word")))
@@ -148,18 +161,47 @@ object Packing {
         array_sort(collect_list(struct(col("__p"), col("token_id")))),
         s => s.getField("token_id")).as("__ids"))
       .withColumnRenamed("word", "__word")
-    toks.join(broadcast(wordIds), Seq("__word"))
+    val ids = toks.join(broadcast(wordIds), Seq("__word"))
       .groupBy(col(idCol))
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("__pos"), col("__ids")))),
         s => s.getField("__ids"))).as("token_ids"))
+    (ids, vocab)
   }
 
-  /** [[packBins]] with the budget measured in BPE tokens (the
-    * [[graft.operators.Bpe.tokenCount]] pricing join): sequence budgets
-    * become REAL tokenizer budgets. Docs that tokenize to nothing pack at
-    * cost 0 (they stay in their shard's bin walk). Output: (idCol,
-    * shardCols..., n_tokens_bpe, bin_id). */
+  /** The tokenized-corpus product in ONE derivation — what the
+    * tokenized-export job publishes: per curated doc its integer token-id
+    * stream AND its packed-example slot, plus the vocab table, all off a
+    * single `encodeWords` pass (token counts = the id stream's length, so
+    * no second pricing join; bins/offsets are the [[packedLayout]]
+    * windows). Tokenless docs keep their layout row with a null id array.
+    * Returns (layout ⋈ ids, vocab). */
+  def tokenizedCorpus(docs: DataFrame, idCol: String, textCol: String,
+                      shardCols: Seq[String], tokenBudget: Long,
+                      merges: Seq[(String, String)]):
+      (DataFrame, DataFrame) = {
+    val (ids, vocab) = encodeIdsWithVocab(docs, idCol, textCol, merges)
+    val counts = docs.select((col(idCol) +: shardCols.map(col)): _*)
+      .join(ids.select(col(idCol),
+        size(col("token_ids")).cast("long").as("n_tokens_bpe")),
+        Seq(idCol), "left")
+      .withColumn("n_tokens_bpe", coalesce(col("n_tokens_bpe"), lit(0L)))
+    val wBin = Window.partitionBy(shardCols.map(col): _*).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val binned = counts
+      .withColumn("__prior",
+        coalesce(sum(col("n_tokens_bpe")).over(wBin), lit(0L)))
+      .withColumn("bin_id", floor(col("__prior") / tokenBudget).cast("long"))
+      .drop("__prior")
+    val wOff = Window
+      .partitionBy((shardCols :+ "bin_id").map(col): _*)
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val layout = binned.withColumn("offset_tokens",
+      coalesce(sum(col("n_tokens_bpe")).over(wOff), lit(0L)))
+    (layout.join(ids, Seq(idCol), "left"), vocab)
+  }
+
   /** The PACKED-EXAMPLE layout — [[packBinsBpe]] plus each doc's token
     * OFFSET within its bin: (idCol, shardCols..., n_tokens_bpe, bin_id,
     * offset_tokens). A training reader materializes example `(shard, bin)`
@@ -182,6 +224,11 @@ object Packing {
       coalesce(sum(col("n_tokens_bpe")).over(w), lit(0L)))
   }
 
+  /** [[packBins]] with the budget measured in BPE tokens (the
+    * [[graft.operators.Bpe.tokenCount]] pricing join): sequence budgets
+    * become REAL tokenizer budgets. Docs that tokenize to nothing pack at
+    * cost 0 (they stay in their shard's bin walk). Output: (idCol,
+    * shardCols..., n_tokens_bpe, bin_id). */
   def packBinsBpe(docs: DataFrame, idCol: String, textCol: String,
                   shardCols: Seq[String], tokenBudget: Long,
                   merges: Seq[(String, String)]): DataFrame = {

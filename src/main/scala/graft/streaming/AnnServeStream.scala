@@ -52,23 +52,60 @@ object AnnServeStream {
     * the cells frame's parquet copy, which a partitioned store amortizes —
     * the compute never re-scans, re-trains, or re-encodes the corpus.
     *
+    * EXACTLY-ONCE: each generation dir carries the id of the batch that
+    * produced it (`applied/`, the standard foreachBatch idempotence
+    * recipe). A replayed batch — the at-least-once window between a
+    * generation publishing and the checkpoint committing — compares its
+    * batchId against the live generation's and no-ops, so a crash can
+    * never double-apply adds (ivfPqAdd is a plain union; without the
+    * guard a replay would duplicate the batch's vectors in the served
+    * index). A crash mid-save of the NEXT generation leaves the live one
+    * untouched and the replay re-ticks over the partial dir.
+    *
     * RESTART contract: this driver is session-scoped. On restart against
-    * an existing checkpoint, pass the LIVE generation (load the dir your
-    * `onPublish` last reported) as `initial` — the checkpoint skips
-    * already-processed batches, so re-seeding from an older index would
-    * silently publish a generation missing those ticks. */
+    * an existing checkpoint, pass the LIVE generation's DIR (the one your
+    * `onPublish` last reported) as `seedDir` — the stream resumes
+    * publishing from it, committed batches skip via the checkpoint, and
+    * the in-flight one via the applied-batch guard. Passing `initial`
+    * again instead would overwrite the live dir while reading it (the
+    * generation being dirA half the time). `seedDir` must be `dirA` or
+    * `dirB`; `initial` is ignored (pass null) when it is set. */
   def maintain(updates: DataFrame, initial: Similarity.IvfPqIndex,
-               dirA: String, dirB: String, checkpoint: String)
+               dirA: String, dirB: String, checkpoint: String,
+               seedDir: String = "")
               (onPublish: String => Unit): StreamingQuery = {
     import org.apache.spark.sql.functions.col
-    initial.save(dirA)
-    var cur = dirA
+    require(seedDir.isEmpty || seedDir == dirA || seedDir == dirB,
+      s"seedDir must be dirA or dirB, got $seedDir")
+    require(seedDir.nonEmpty || initial != null,
+      "pass initial for a fresh start, or seedDir for a restart")
+    val spark0 = updates.sparkSession
+    import spark0.implicits._
+    // the applied marker is scoped to THIS checkpoint: batch ids restart
+    // from 0 under a fresh checkpoint, so a marker from a previous stream
+    // incarnation must not veto the new stream's first batches
+    def writeApplied(dir: String, batchId: Long): Unit =
+      Seq((checkpoint, batchId)).toDF("ckpt", "batch_id")
+        .write.mode("overwrite").parquet(s"$dir/applied")
+    def readApplied(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): Long =
+      try {
+        val r = spark.read.parquet(s"$dir/applied").first()
+        if (r.getString(0) == checkpoint) r.getLong(1) else -1L
+      } catch { case _: Exception => -1L }
+    var cur =
+      if (seedDir.nonEmpty) seedDir
+      else {
+        initial.save(dirA)
+        writeApplied(dirA, -1L)
+        dirA
+      }
     onPublish(cur)
     updates.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        if (!batch.isEmpty && batchId > readApplied(spark, cur)) {
           val live = Similarity.IvfPqIndex.load(spark, cur)
           val adds = batch.filter(col("op") === "add")
             .select(col("vec_id"), col("embedding"))
@@ -79,6 +116,7 @@ object AnnServeStream {
             if (dels.isEmpty) added else Similarity.ivfPqRemove(added, dels)
           val nextDir = if (cur == dirA) dirB else dirA
           next.save(nextDir)
+          writeApplied(nextDir, batchId)
           cur = nextDir
           onPublish(cur)
         }

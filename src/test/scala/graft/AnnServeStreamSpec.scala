@@ -107,5 +107,23 @@ class AnnServeStreamSpec extends SparkSpec {
       .select($"neighbor_id").as[Long].collect().toSet
     assert(!hits.exists(Set(7L, 11L, 13L, 9000L, 9100L)),
       "a forgotten id served")
+
+    // RESTART: re-seed from the live generation's DIR (seedDir — passing
+    // the loaded index as `initial` again would overwrite the dir while
+    // reading it); a further tick keeps composing on top of the history
+    val input2 = MemoryStream[(String, Long, Seq[Float])]
+    var cur2 = ""
+    val q2 = AnnServeStream.maintain(
+      input2.toDF().toDF("op", "vec_id", "embedding"), null,
+      s"$base/a", s"$base/b", s"$base/ckpt2", seedDir = cur)(d => cur2 = d)
+    try {
+      assert(cur2 == cur, "restart must publish the seed generation as-is")
+      input2.addData(("del", 17L, Seq.empty[Float]))
+      q2.processAllAvailable()
+      assert(cur2 != cur)
+    } finally q2.stop()
+    val after = Similarity.IvfPqIndex.load(spark, cur2)
+    assert(cellRows(after) ==
+      cellRows(Similarity.ivfPqRemove(live, Seq(17L).toDF("vec_id"))))
   }
 }
