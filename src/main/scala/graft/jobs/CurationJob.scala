@@ -1106,6 +1106,9 @@ object CurationJob {
         str("pack_budget_tokens", "2048").toLong, merges)
       tokenized.write.mode("overwrite").parquet(tokPath)
       vocab.write.mode("overwrite").parquet(tokPath + "_vocab")
+      // both writes landed — free the encW/ids pins the operator holds
+      graft.operators.Dedup.release(tokenized)
+      graft.operators.Dedup.release(vocab)
       lap("tokenized_export")
     }
     // 5b2. optional JSONL interchange export: re-publish the curated corpus

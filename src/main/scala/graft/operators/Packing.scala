@@ -141,9 +141,12 @@ object Packing {
     encodeIdsWithVocab(docs, idCol, textCol, merges)._1
 
   /** [[encodeIdsBpe]] exposing the vocab it derived — ONE `encodeWords`
-    * pass serves the id streams AND the (token, token_id) table, so a
-    * caller publishing both (the tokenized-export job) never re-encodes
-    * the corpus words. */
+    * pass serves the id streams AND the (token, token_id) table: the
+    * encoded-word frame is localCheckpoint-pinned (vocab-sized, eager), so
+    * a caller acting on BOTH returned frames (the tokenized-export job
+    * writes each) pays the corpus word-distinct + merge replay once, not
+    * per action. The pin is a block in both frames' lineage —
+    * `Dedup.release` either frame after the final action. */
   def encodeIdsWithVocab(docs: DataFrame, idCol: String, textCol: String,
                          merges: Seq[(String, String)]):
       (DataFrame, DataFrame) = {
@@ -152,6 +155,7 @@ object Packing {
         posexplode(TextFns.words(col(textCol))).as(Seq("__pos", "__word")))
     val encW = Bpe.encodeWords(
       toks.select(col("__word").as("word")).distinct(), "word", merges)
+      .localCheckpoint(true)
     val vocab = Bpe.vocabOf(encW)
     val wordIds = encW
       .select(col("word"), posexplode(col("bpe")).as(Seq("__p", "token")))
@@ -169,36 +173,55 @@ object Packing {
     (ids, vocab)
   }
 
+  /** The shared packing kernels — ONE home for the bin rule
+    * (floor(exclusive-prefix-sum / budget), per shard) and the in-bin
+    * offset rule (exclusive prefix sum per (shard, bin)): [[packBins]],
+    * [[packBinsBpe]], [[packedLayout]] and [[tokenizedCorpus]] all walk
+    * through here, so a packing-rule change lands everywhere at once. */
+  private def binsFromCounts(counts: DataFrame, shardCols: Seq[String],
+                             idCol: String, nCol: String,
+                             tokenBudget: Long): DataFrame = {
+    val w = Window.partitionBy(shardCols.map(col): _*).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .withColumn("__prior", coalesce(sum(col(nCol)).over(w), lit(0L)))
+      .withColumn("bin_id", floor(col("__prior") / tokenBudget).cast("long"))
+      .drop("__prior")
+  }
+
+  private def offsetsFromBins(binned: DataFrame, shardCols: Seq[String],
+                              idCol: String, nCol: String): DataFrame = {
+    val w = Window
+      .partitionBy((shardCols :+ "bin_id").map(col): _*)
+      .orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    binned.withColumn("offset_tokens",
+      coalesce(sum(col(nCol)).over(w), lit(0L)))
+  }
+
   /** The tokenized-corpus product in ONE derivation — what the
     * tokenized-export job publishes: per curated doc its integer token-id
     * stream AND its packed-example slot, plus the vocab table, all off a
     * single `encodeWords` pass (token counts = the id stream's length, so
     * no second pricing join; bins/offsets are the [[packedLayout]]
     * windows). Tokenless docs keep their layout row with a null id array.
-    * Returns (layout ⋈ ids, vocab). */
+    * Returns (layout ⋈ ids, vocab); the id streams are persisted for the
+    * layout's two references — `Dedup.release` the first frame (and the
+    * vocab) after the final action. */
   def tokenizedCorpus(docs: DataFrame, idCol: String, textCol: String,
                       shardCols: Seq[String], tokenBudget: Long,
                       merges: Seq[(String, String)]):
       (DataFrame, DataFrame) = {
-    val (ids, vocab) = encodeIdsWithVocab(docs, idCol, textCol, merges)
+    val (ids0, vocab) = encodeIdsWithVocab(docs, idCol, textCol, merges)
+    val ids = ids0.localCheckpoint(true)
     val counts = docs.select((col(idCol) +: shardCols.map(col)): _*)
       .join(ids.select(col(idCol),
         size(col("token_ids")).cast("long").as("n_tokens_bpe")),
         Seq(idCol), "left")
       .withColumn("n_tokens_bpe", coalesce(col("n_tokens_bpe"), lit(0L)))
-    val wBin = Window.partitionBy(shardCols.map(col): _*).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val binned = counts
-      .withColumn("__prior",
-        coalesce(sum(col("n_tokens_bpe")).over(wBin), lit(0L)))
-      .withColumn("bin_id", floor(col("__prior") / tokenBudget).cast("long"))
-      .drop("__prior")
-    val wOff = Window
-      .partitionBy((shardCols :+ "bin_id").map(col): _*)
-      .orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val layout = binned.withColumn("offset_tokens",
-      coalesce(sum(col("n_tokens_bpe")).over(wOff), lit(0L)))
+    val layout = offsetsFromBins(
+      binsFromCounts(counts, shardCols, idCol, "n_tokens_bpe", tokenBudget),
+      shardCols, idCol, "n_tokens_bpe")
     (layout.join(ids, Seq(idCol), "left"), vocab)
   }
 
@@ -213,16 +236,10 @@ object Packing {
     * real pipeline drops them upstream). */
   def packedLayout(docs: DataFrame, idCol: String, textCol: String,
                    shardCols: Seq[String], tokenBudget: Long,
-                   merges: Seq[(String, String)]): DataFrame = {
-    val binned = packBinsBpe(docs, idCol, textCol, shardCols, tokenBudget,
-      merges)
-    val w = Window
-      .partitionBy((shardCols :+ "bin_id").map(col): _*)
-      .orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    binned.withColumn("offset_tokens",
-      coalesce(sum(col("n_tokens_bpe")).over(w), lit(0L)))
-  }
+                   merges: Seq[(String, String)]): DataFrame =
+    offsetsFromBins(
+      packBinsBpe(docs, idCol, textCol, shardCols, tokenBudget, merges),
+      shardCols, idCol, "n_tokens_bpe")
 
   /** [[packBins]] with the budget measured in BPE tokens (the
     * [[graft.operators.Bpe.tokenCount]] pricing join): sequence budgets
@@ -232,18 +249,12 @@ object Packing {
   def packBinsBpe(docs: DataFrame, idCol: String, textCol: String,
                   shardCols: Seq[String], tokenBudget: Long,
                   merges: Seq[(String, String)]): DataFrame = {
-    val counts = Bpe.tokenCount(docs, idCol, textCol, merges)
-      .select(col(idCol), col("n_tokens_bpe"))
-    val w = Window.partitionBy(shardCols.map(col): _*).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+    val counts = docs
       .select((col(idCol) +: shardCols.map(col)): _*)
-      .join(counts, Seq(idCol), "left")
+      .join(Bpe.tokenCount(docs, idCol, textCol, merges)
+        .select(col(idCol), col("n_tokens_bpe")), Seq(idCol), "left")
       .withColumn("n_tokens_bpe", coalesce(col("n_tokens_bpe"), lit(0L)))
-      .withColumn("__prior",
-        coalesce(sum(col("n_tokens_bpe")).over(w), lit(0L)))
-      .withColumn("bin_id", floor(col("__prior") / tokenBudget).cast("long"))
-      .drop("__prior")
+    binsFromCounts(counts, shardCols, idCol, "n_tokens_bpe", tokenBudget)
   }
 
   /** Deterministic sharded packing: within each shard (ordered by id), a doc's
@@ -252,14 +263,9 @@ object Packing {
     * under re-runs, and never require cross-shard coordination. Docs longer than
     * the budget simply span bins (chunk them first with `chunkTokens`). */
   def packBins(docs: DataFrame, idCol: String, textCol: String,
-               shardCols: Seq[String], tokenBudget: Long): DataFrame = {
-    val w = Window.partitionBy(shardCols.map(col): _*).orderBy(col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+               shardCols: Seq[String], tokenBudget: Long): DataFrame =
+    binsFromCounts(docs
       .select((col(idCol) +: shardCols.map(col) :+
-        size(TextFns.words(col(textCol))).cast("long").as("n_tokens")): _*)
-      .withColumn("__prior", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
-      .withColumn("bin_id", floor(col("__prior") / tokenBudget).cast("long"))
-      .drop("__prior")
-  }
+        size(TextFns.words(col(textCol))).cast("long").as("n_tokens")): _*),
+      shardCols, idCol, "n_tokens", tokenBudget)
 }

@@ -80,48 +80,108 @@ object AnnServeStream {
     require(seedDir.nonEmpty || initial != null,
       "pass initial for a fresh start, or seedDir for a restart")
     val spark0 = updates.sparkSession
-    import spark0.implicits._
-    // the applied marker is scoped to THIS checkpoint: batch ids restart
-    // from 0 under a fresh checkpoint, so a marker from a previous stream
-    // incarnation must not veto the new stream's first batches
-    def writeApplied(dir: String, batchId: Long): Unit =
-      Seq((checkpoint, batchId)).toDF("ckpt", "batch_id")
-        .write.mode("overwrite").parquet(s"$dir/applied")
-    def readApplied(spark: org.apache.spark.sql.SparkSession,
-                    dir: String): Long =
-      try {
-        val r = spark.read.parquet(s"$dir/applied").first()
-        if (r.getString(0) == checkpoint) r.getLong(1) else -1L
-      } catch { case _: Exception => -1L }
+    // the applied marker is scoped to the checkpoint INCARNATION, not the
+    // checkpoint path: batch ids restart from 0 whenever the checkpoint
+    // dir is recreated, and a marker from the previous life of the SAME
+    // path must not veto the new stream's first batches (nor may a
+    // replayed batch of the SAME life re-apply). The incarnation id lives
+    // inside the checkpoint dir itself, so it survives JVM restarts with
+    // the checkpoint and dies with it.
+    val incarnation = incarnationId(spark0, checkpoint)
     var cur =
       if (seedDir.nonEmpty) seedDir
       else {
         initial.save(dirA)
-        writeApplied(dirA, -1L)
+        writeApplied(spark0, dirA, incarnation, -1L)
         dirA
       }
     onPublish(cur)
     updates.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        if (!batch.isEmpty && batchId > readApplied(spark, cur)) {
-          val live = Similarity.IvfPqIndex.load(spark, cur)
-          val adds = batch.filter(col("op") === "add")
-            .select(col("vec_id"), col("embedding"))
-          val dels = batch.filter(col("op") === "del").select(col("vec_id"))
-          val added =
-            if (adds.isEmpty) live else Similarity.ivfPqAdd(live, adds)
-          val next =
-            if (dels.isEmpty) added else Similarity.ivfPqRemove(added, dels)
-          val nextDir = if (cur == dirA) dirB else dirA
-          next.save(nextDir)
-          writeApplied(nextDir, batchId)
-          cur = nextDir
-          onPublish(cur)
-        }
+        cur = applyTick(batch, batchId, cur, dirA, dirB, incarnation,
+          onPublish)
         ()
       }
       .start()
   }
+
+  /** One maintenance tick — the foreachBatch body, exposed for the spec to
+    * drive the replay veto directly. Applies `batch` iff its id is newer
+    * than the live generation's applied marker (same incarnation) and
+    * returns the new current dir (unchanged on a veto or an empty
+    * batch). */
+  private[graft] def applyTick(batch: DataFrame, batchId: Long,
+                                   cur: String, dirA: String, dirB: String,
+                                   incarnation: String,
+                                   onPublish: String => Unit): String = {
+    import org.apache.spark.sql.functions.col
+    val spark = batch.sparkSession
+    if (batch.isEmpty || batchId <= readApplied(spark, cur, incarnation))
+      cur
+    else {
+      val live = Similarity.IvfPqIndex.load(spark, cur)
+      val adds = batch.filter(col("op") === "add")
+        .select(col("vec_id"), col("embedding"))
+      val dels = batch.filter(col("op") === "del").select(col("vec_id"))
+      val added =
+        if (adds.isEmpty) live else Similarity.ivfPqAdd(live, adds)
+      val next =
+        if (dels.isEmpty) added else Similarity.ivfPqRemove(added, dels)
+      val nextDir = if (cur == dirA) dirB else dirA
+      next.save(nextDir)
+      writeApplied(spark, nextDir, incarnation, batchId)
+      onPublish(nextDir)
+      nextDir
+    }
+  }
+
+  /** The incarnation id stored INSIDE the checkpoint dir (Hadoop FS — any
+    * scheme): created on first use, reused while the checkpoint lives,
+    * regenerated when the checkpoint is wiped. */
+  private def incarnationId(spark: org.apache.spark.sql.SparkSession,
+                            checkpoint: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, "graft_incarnation")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](256)
+        var n = in.read(tmp)
+        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    } else {
+      val id = java.util.UUID.randomUUID().toString
+      val out = fs.create(p, true)
+      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      id
+    }
+  }
+
+  private def writeApplied(spark: org.apache.spark.sql.SparkSession,
+                           dir: String, incarnation: String,
+                           batchId: Long): Unit = {
+    import spark.implicits._
+    Seq((incarnation, batchId)).toDF("incarnation", "batch_id")
+      .write.mode("overwrite").parquet(s"$dir/applied")
+  }
+
+  /** The live generation's applied batch id under `incarnation`; −1 when
+    * no marker exists or it belongs to another incarnation. A MISSING
+    * marker maps to −1 (AnalysisException — no such path); genuine IO
+    * failures propagate and fail the batch so the stream retries —
+    * mapping them to −1 would turn a transient read error into a silent
+    * double-apply. */
+  private def readApplied(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, incarnation: String): Long =
+    try {
+      val r = spark.read.parquet(s"$dir/applied").first()
+      if (r.getString(0) == incarnation) r.getLong(1) else -1L
+    } catch {
+      case _: org.apache.spark.sql.AnalysisException => -1L
+    }
 }

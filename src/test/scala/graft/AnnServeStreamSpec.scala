@@ -125,5 +125,26 @@ class AnnServeStreamSpec extends SparkSpec {
     val after = Similarity.IvfPqIndex.load(spark, cur2)
     assert(cellRows(after) ==
       cellRows(Similarity.ivfPqRemove(live, Seq(17L).toDF("vec_id"))))
+
+    // REPLAY VETO (the exactly-once guard, driven directly): re-applying
+    // the live generation's own batch id is a no-op — without the marker
+    // an at-least-once replay would union the adds in twice
+    val inc = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Path.of(s"$base/ckpt2/graft_incarnation")), "UTF-8")
+    val replay = Seq(("del", 23L, Seq.empty[Float]))
+      .toDF("op", "vec_id", "embedding")
+    var pub = ""
+    // the restarted stream's del tick committed as batch 0 of ckpt2
+    assert(AnnServeStream.applyTick(replay, 0L, cur2, s"$base/a",
+      s"$base/b", inc, p => pub = p) == cur2)
+    assert(pub == "", "a vetoed batch must not publish")
+    // a NEWER id applies once; replaying it against the new live no-ops
+    val moved = AnnServeStream.applyTick(replay, 1L, cur2, s"$base/a",
+      s"$base/b", inc, p => pub = p)
+    assert(moved != cur2 && pub == moved)
+    assert(AnnServeStream.applyTick(replay, 1L, moved, s"$base/a",
+      s"$base/b", inc, _ => fail("replay published")) == moved)
+    assert(cellRows(Similarity.IvfPqIndex.load(spark, moved)) ==
+      cellRows(Similarity.ivfPqRemove(after, Seq(23L).toDF("vec_id"))))
   }
 }
