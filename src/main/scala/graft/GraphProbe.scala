@@ -216,8 +216,11 @@ object GraphProbe {
         val nQ = args.drop(3).headOption.map(_.toInt).getOrElse(100)
         val amplify = args.drop(4).headOption.map(_.toInt).getOrElse(1)
         val base = spark.read.parquet(s"$dir/embeddings.parquet")
-          .select(col("vec_id"), col("embedding"))
-        val maxId = base.agg(max(col("vec_id"))).first().getLong(0) + 1L
+          .select(col("vec_id").cast("long").as("vec_id"), col("embedding"))
+        val maxId = base.agg(max(col("vec_id"))).first() match {
+          case r if r.isNullAt(0) => sys.error("empty embeddings frame")
+          case r => r.getLong(0) + 1L
+        }
         val emb = (0 until amplify).map(c => base.select(
             (col("vec_id") + lit(c * maxId)).as("vec_id"), col("embedding")))
           .reduce(_.unionByName(_))
@@ -240,13 +243,13 @@ object GraphProbe {
         val ksub = args.drop(6).headOption.map(_.toInt).getOrElse(64)
         val residual = args.drop(7).headOption.forall(_ != "0")
         println(s"[graph-probe] dials m=$m ksub=$ksub residual=$residual")
+        val tmpIdxDir = java.nio.file.Files
+          .createTempDirectory("graft_recall_idx")
         val idx = timed("build") {
           val i = Similarity.buildIvfPqIndex(emb, nCentroids = 16, m = m,
             ksub = ksub, iters = 2, refineIters = 2, residual = residual)
-          val tmp = java.nio.file.Files
-            .createTempDirectory("graft_recall_idx").toString
-          i.save(tmp)
-          Similarity.IvfPqIndex.load(spark, tmp)
+          i.save(tmpIdxDir.toString)
+          Similarity.IvfPqIndex.load(spark, tmpIdxDir.toString)
         }
         for (nProbe <- Seq(1, 2, 4, 8, 16)) {
           timed(s"probe$nProbe") {
@@ -262,6 +265,11 @@ object GraphProbe {
         graft.operators.Dedup.release(emb)
         graft.operators.Dedup.release(queries)
         graft.operators.Dedup.release(truth)
+        // the census index is throwaway — don't leak the temp dir
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(tmpIdxDir).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
 
       case other => sys.error(s"unknown mode $other")
     }

@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
   *    the loader normalizes either to a canonical nanos-epoch long via
   *    [[graft.io.EventsTs]], matching DuckDB's `CAST(ts AS TIMESTAMP)`.
   *  - Every query ends in a deterministic total ORDER BY.
+  *  - Every arithmetic oracle output column carries an explicit BIGINT cast:
+  *    DuckDB promotes windowed/grouped SUM(BIGINT) and `//` to HUGEINT, and the
+  *    driver's hasher canonicalizes types, not just values — an uncast column
+  *    hash-fails even when every value matches (r16: q149/q152). New oracles are
+  *    swept by `DESCRIBE` in tools/oracle_types.py — zero HUGEINT columns allowed.
   */
 object SparkEntry {
 
@@ -4545,8 +4550,8 @@ object SparkEntry {
         |  FROM toks t JOIN enc e USING (word) GROUP BY t.doc_id)
         |SELECT d.doc_id, d.source,
         |  CAST(COALESCE(c.n, 0) AS BIGINT) AS n_tokens_bpe,
-        |  COALESCE(SUM(c.n) OVER (PARTITION BY d.source ORDER BY d.doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256
+        |  CAST(COALESCE(SUM(c.n) OVER (PARTITION BY d.source ORDER BY d.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 256
         |    AS bin_id
         |FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id
         |ORDER BY d.doc_id""".stripMargin),
@@ -4583,8 +4588,8 @@ object SparkEntry {
         |binned AS (
         |  SELECT d.doc_id, d.source,
         |    CAST(COALESCE(c.n, 0) AS BIGINT) AS n_tokens_bpe,
-        |    COALESCE(SUM(c.n) OVER (PARTITION BY d.source ORDER BY d.doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256
+        |    CAST(COALESCE(SUM(c.n) OVER (PARTITION BY d.source ORDER BY d.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // 256
         |      AS bin_id
         |  FROM documents d LEFT JOIN counts c ON d.doc_id = c.doc_id)
         |SELECT doc_id, source, n_tokens_bpe, bin_id,

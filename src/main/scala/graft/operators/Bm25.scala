@@ -119,16 +119,19 @@ object Bm25 {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // dl covers EVERY doc, zero-token ones included (dl = 0), so remove
     // ticks see the full corpus; the id-keyed left join co-partitions with
-    // the aggregate's own shuffle
+    // the aggregate's own shuffle. dl is persisted too — its left side is
+    // the raw corpus, so without the pin every serve-path action touching
+    // dl (totTokens, each search's norm join) would re-scan the source.
     val dl = docs.select(col(idCol))
       .join(tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl")),
         Seq(idCol), "left")
       .select(col(idCol), coalesce(col("dl"), lit(0L)).as("dl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = docs.count()
     val totTokens = dl.agg(coalesce(sum(col("dl")), lit(0L)))
       .first().getLong(0)
-    Bm25Index(tf, dl, df, idCol, nDocs, totTokens, pinned = Seq(tf))
+    Bm25Index(tf, dl, df, idCol, nDocs, totTokens, pinned = Seq(tf, dl))
   }
 
   /** Admission tick: fold a batch of NEW docs into the index — work is
@@ -149,6 +152,7 @@ object Bm25 {
       .join(btf.groupBy(col(idc)).agg(sum(col("tf")).as("dl")),
         Seq(idc), "left")
       .select(col(idc), coalesce(col("dl"), lit(0L)).as("dl"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val bdf = btf.groupBy(col("token")).agg(count(lit(1)).as("bdf"))
     val addedDocs = batch.count()
     val addedTokens = bdl.agg(coalesce(sum(col("dl")), lit(0L)))
@@ -159,7 +163,7 @@ object Bm25 {
           .as("df"))
     Bm25Index(index.tf.unionByName(btf), index.dl.unionByName(bdl),
       mergedDf, idc, index.nDocs + addedDocs,
-      index.totTokens + addedTokens, pinned = index.pinned :+ btf)
+      index.totTokens + addedTokens, pinned = index.pinned ++ Seq(btf, bdl))
   }
 
   /** Deletion tick (the q86 inverse): drop `ids` (a one-column frame of

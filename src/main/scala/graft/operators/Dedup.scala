@@ -1689,27 +1689,32 @@ object Dedup {
     * template family, a crawl keeps the 200-status twin over the 206).
     * One TopK heap per component — never a corpus window; the labels join
     * is exchange-free off the BucketedStore layout. Returns the surviving
-    * rows of `docs` (all columns). Unlabeled singletons key on the id
-    * itself when it is integral (exact, collision-free) and on
-    * `xxhash64(id)` otherwise — a string/url id under `cast("long")`
-    * would go NULL (or throw under ANSI) and collapse EVERY unlabeled doc
-    * into one null-keyed cluster: silent corpus loss. */
+    * rows of `docs` (all columns). Unlabeled docs never enter the heap —
+    * they survive unconditionally via an anti-join branch, so no hash of
+    * a string/url id can collide with (or between) component keys and
+    * silently drop a live doc. */
   def survivorsBy(docs: DataFrame, idCol: String, labels: DataFrame,
                   scoreCol: org.apache.spark.sql.Column): DataFrame = {
     val lab = labels.select(col(labels.columns.head).as(idCol),
       col(labels.columns(1)).as("__comp"))
     val idKey = singletonKey(docs, idCol)
-    val keyed = docs.join(lab, Seq(idCol), "left")
-      .withColumn("__comp", coalesce(col("__comp"), idKey))
+    // Unlabeled docs are singleton clusters — they ALWAYS survive, so
+    // they never enter the heap and never share a key space with real
+    // component ids (hashing them in risked a silent collision-cluster
+    // that drops a live doc). Only labeled docs compete.
+    val labeled = docs.join(lab, Seq(idCol), "inner")
       .withColumn("__score", scoreCol.cast("long"))
     // the heap's tie key must be a long: the id itself when integral (the
     // documented min-id tie), its xxhash64 otherwise (still a
-    // deterministic total order, just not lexicographic)
+    // deterministic total order, just not lexicographic; an equal-hash
+    // tie inside one component merely picks the other doc — no loss)
     val winners = graft.ops.TopK.topKPerGroup(
-        keyed.select(col("__comp"), col("__score"), col(idCol)),
+        labeled.select(col("__comp"), col("__score"), col(idCol)),
         Seq("__comp"), col("__score"), idKey, Seq(col(idCol)), 1)
       .select(col(idCol))
-    docs.join(winners, Seq(idCol), "left_semi")
+    val unlabeled = docs.select(col(idCol))
+      .join(lab.select(col(idCol)), Seq(idCol), "left_anti")
+    docs.join(winners.unionByName(unlabeled), Seq(idCol), "left_semi")
   }
 
   /** The singleton-cluster key for docs with no label row: the id itself
