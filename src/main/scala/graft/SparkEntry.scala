@@ -230,7 +230,9 @@ object SparkEntry {
     "q149_bpe_packing" -> qBpePacking,
     "q150_training_pairs" -> qTrainingPairs,
     "q151_token_ids" -> qTokenIds,
-    "q152_packed_layout" -> qPackedLayout)
+    "q152_packed_layout" -> qPackedLayout,
+    "q153_packed_chunks" -> qPackedChunks,
+    "q154_retrieval_eval" -> qRetrievalEval)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1194,6 +1196,56 @@ object SparkEntry {
       .select(col("doc_id"), col("source"), col("n_tokens_bpe"),
         col("bin_id"), col("offset_tokens"))
       .orderBy(col("doc_id"))
+  }
+
+  /** q153: the TOKENIZED-EXPORT piece contract (r17 concat-and-cut) — each
+    * shard's docs concatenate in id order into one virtual BPE-token
+    * stream and the stream cuts at every 256-token bin boundary, so a doc
+    * longer than the budget becomes budget-aligned PIECES (chunk_idx
+    * 0, 1, …) instead of silently overflowing its bin (the r16 defect the
+    * verdict flagged). Every (source, bin) holds exactly 256 tokens except
+    * the shard's last; piece_sha pins each piece's exact token-id slice.
+    * The oracle replays training (q88's CTEs), the id-stream rebuild
+    * (q151's vocab walk at full corpus), and the span-split arithmetic. */
+  private def qPackedChunks(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val merges = Bpe.learn(d, "text", 6)
+    val (pieces, _) = graft.operators.Packing.tokenizedCorpus(
+      d, "doc_id", "text", Seq("source"), tokenBudget = 256L, merges)
+    pieces.select(col("doc_id"), col("source"), col("chunk_idx"),
+        col("n_tokens_bpe"), col("bin_id"), col("offset_tokens"),
+        when(col("n_tokens_bpe") > 0,
+          sha2(array_join(transform(col("token_ids"),
+            x => x.cast("string")), " "), 256)).as("piece_sha"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** q154: retrieval-quality evaluation — recall@10 / MRR@10 / nDCG@10 of
+    * q134's BM25 hits against a deterministic gold set (each query doc,
+    * plus its id-adjacent neighbors that exist in the corpus — exercises
+    * multi-gold recall, misses, and rank spread). All metrics are exact
+    * e6 integers (pre-quantized DCG discount table, floor division), so
+    * the oracle re-derives every value: q134's BM25 CTEs + the same
+    * constants. The QA gate a training-data user runs on a retrieval
+    * product before trusting it. */
+  private def qRetrievalEval(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val queries = docs.filter(pmod(col("doc_id"), lit(37L)) === 0L)
+      .select(col("doc_id").as("q_id"),
+        array_join(slice(graft.functions.TextFns.words(col("text")), 1, 5),
+          " ").as("q_text"))
+    val hits = graft.operators.Bm25.topK(docs, "doc_id", "text",
+      queries, "q_id", "q_text", k = 10)
+    val gold = queries.select(col("q_id"),
+        explode(array(lit(-1L), lit(0L), lit(1L))).as("__d"))
+      .select(col("q_id"), (col("q_id") + col("__d")).as("doc_id"))
+      .join(docs.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      // the semi-join leads with its key — restore evaluate's positional
+      // (query id, doc id) contract
+      .select(col("q_id"), col("doc_id"))
+    graft.operators.Retrieval.evaluate(
+        hits.select(col("q_id"), col("doc_id"), col("rn")), gold, k = 10)
+      .orderBy(col("q_id"))
   }
 
   /** CCNet perplexity bucketing: score every document under the self-trained
@@ -3249,6 +3301,60 @@ object SparkEntry {
 
   private lazy val bm25TopkSql: String = bm25RankedSql("")
 
+  /** q154 oracle: q134's BM25 ranking CTEs with the final top-k SELECT
+    * swapped for the retrieval-quality fold — gold = each query doc plus
+    * its id-adjacent corpus neighbors, metrics in exact e6 integers. The
+    * DCG discount table and its prefix sums come from
+    * [[graft.operators.Retrieval.discountsE6]] — the SAME constants the
+    * Spark plan carries, interpolated as VALUES rows (the contract is the
+    * table, not a per-engine log). */
+  private lazy val retrievalEvalSql: String = {
+    val disc = graft.operators.Retrieval.discountsE6(10)
+    val prefix = disc.scanLeft(0L)(_ + _).tail
+    val discRows = disc.zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+    val pfxRows = prefix.zipWithIndex
+      .map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+    // the footer re-opens the WITH list the ranked CTE closed, hence the
+    // leading comma
+    val footer =
+      s""", hitsk AS (
+         |  SELECT q_id, doc_id, CAST(rn AS BIGINT) AS rnk
+         |  FROM ranked WHERE rn <= 10),
+         |gold AS (
+         |  SELECT qd.q_id, qd.q_id + dd.d AS doc_id
+         |  FROM (SELECT doc_id AS q_id FROM documents WHERE doc_id % 37 = 0)
+         |    qd, (VALUES (-1), (0), (1)) AS dd(d)
+         |  WHERE EXISTS (SELECT 1 FROM documents x
+         |                WHERE x.doc_id = qd.q_id + dd.d)),
+         |disc AS (SELECT r, CAST(disc_e6 AS BIGINT) AS disc_e6
+         |         FROM (VALUES $discRows) AS t(r, disc_e6)),
+         |pfx AS (SELECT m, CAST(idcg_e6 AS BIGINT) AS idcg_e6
+         |        FROM (VALUES $pfxRows) AS t(m, idcg_e6)),
+         |rel AS (
+         |  SELECT h.q_id, h.rnk FROM hitsk h
+         |  JOIN gold g ON g.q_id = h.q_id AND g.doc_id = h.doc_id),
+         |ragg AS (
+         |  SELECT q_id, CAST(COUNT(*) AS BIGINT) AS hits_at_k,
+         |    MIN(rnk) AS minr, CAST(SUM(d.disc_e6) AS BIGINT) AS dcg
+         |  FROM rel JOIN disc d ON d.r = rel.rnk GROUP BY q_id),
+         |gagg AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_gold
+         |         FROM gold GROUP BY q_id)
+         |SELECT g.q_id, g.n_gold,
+         |  CAST(COALESCE(r.hits_at_k, 0) AS BIGINT) AS hits_at_k,
+         |  (1000000 * COALESCE(r.hits_at_k, 0)) // g.n_gold AS recall_e6,
+         |  CAST(COALESCE(1000000 // r.minr, 0) AS BIGINT) AS mrr_e6,
+         |  (1000000 * COALESCE(r.dcg, 0))
+         |    // p.idcg_e6 AS ndcg_e6
+         |FROM gagg g LEFT JOIN ragg r USING (q_id)
+         |JOIN pfx p ON p.m = least(g.n_gold, 10)
+         |ORDER BY g.q_id""".stripMargin
+    bm25RankedSql("").replace(
+      "SELECT q_id, rn, doc_id, score_e6, n_terms FROM ranked\n" +
+        "WHERE rn <= 10 ORDER BY q_id, rn",
+      footer)
+  }
+
   private val bm25TopkSqlBody: String =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(
@@ -4598,6 +4704,64 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
         |    AS offset_tokens
         |FROM binned ORDER BY doc_id""".stripMargin),
+    // q153: the concat-and-cut piece contract — q151's full-corpus id
+    // streams + the span-split arithmetic (greatest/least against bin
+    // boundaries), piece shas over the exact id slices
+    "q153_packed_chunks" -> (bpeCtes(6) + "\n" +
+      """enc AS (
+        |  SELECT word, string_split(s, ' ') AS bpe FROM s6),
+        |vocab AS (
+        |  SELECT token,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) AS token_id
+        |  FROM (SELECT DISTINCT unnest(bpe) AS token FROM enc)),
+        |wtok AS (
+        |  SELECT word, unnest(range(1, len(bpe) + 1)) AS p,
+        |    unnest(bpe) AS token
+        |  FROM enc),
+        |wid AS (
+        |  SELECT w.word, list(v.token_id ORDER BY w.p) AS ids
+        |  FROM wtok w JOIN vocab v USING (token) GROUP BY w.word),
+        |stream AS (
+        |  SELECT t.doc_id, flatten(list(i.ids ORDER BY t.pos)) AS tk
+        |  FROM toks t JOIN wid i ON t.word = i.word
+        |  GROUP BY t.doc_id),
+        |walkbase AS (
+        |  SELECT d.doc_id, d.source,
+        |    CAST(COALESCE(len(c.tk), 0) AS BIGINT) AS n, c.tk,
+        |    CAST(COALESCE(SUM(len(c.tk)) OVER (PARTITION BY d.source
+        |      ORDER BY d.doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS prior
+        |  FROM documents d LEFT JOIN stream c ON d.doc_id = c.doc_id),
+        |spans AS (
+        |  SELECT doc_id, source, n, tk, prior,
+        |    CAST(prior // 256 AS BIGINT) AS first_bin,
+        |    CAST(CASE WHEN n > 0 THEN (prior + n - 1) // 256
+        |         ELSE prior // 256 END AS BIGINT) AS last_bin
+        |  FROM walkbase),
+        |pieces AS (
+        |  SELECT doc_id, source, n, tk, prior, first_bin,
+        |    unnest(range(0, last_bin - first_bin + 1)) AS chunk_idx
+        |  FROM spans),
+        |cut AS (
+        |  SELECT doc_id, source, chunk_idx, tk, prior,
+        |    first_bin + chunk_idx AS bin_id,
+        |    greatest(prior, (first_bin + chunk_idx) * 256) AS st,
+        |    least(prior + n, (first_bin + chunk_idx + 1) * 256) AS en
+        |  FROM pieces)
+        |SELECT doc_id, source, chunk_idx,
+        |  CAST(en - st AS BIGINT) AS n_tokens_bpe,
+        |  CAST(bin_id AS BIGINT) AS bin_id,
+        |  CAST(st - bin_id * 256 AS BIGINT) AS offset_tokens,
+        |  CASE WHEN en > st THEN sha256(array_to_string(
+        |    tk[CAST(st - prior + 1 AS BIGINT):CAST(en - prior AS BIGINT)],
+        |    ' ')) END AS piece_sha
+        |FROM cut ORDER BY doc_id, chunk_idx""".stripMargin),
+    // q154: retrieval-quality eval — q134's ranked hits + the adjacent-id
+    // gold set + the e6-integer recall/MRR/nDCG fold (the DCG discount
+    // constants are computed ONCE driver-side and shared verbatim between
+    // the Spark plan and this SQL — no engine re-derives a log)
+    "q154_retrieval_eval" -> retrievalEvalSql,
     // q78's three admission ticks partition the slice's pair set, so the
     // incremental labels must equal q49's one-shot closure — the oracle IS
     // q49's recursive CTE, verbatim

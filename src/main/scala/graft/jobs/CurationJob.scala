@@ -133,15 +133,20 @@ import org.apache.spark.sql.functions._
   *                                     //   residual+bigger m/ksub buy
   *                                     //   rank fidelity)
   *   "ivfpq_residual": false,          //   IVFADC residual encoding
-  *   "tokenized_output_path": "",      // r16: publish the TRAINING-READY
-  *                                     //   tokenized corpus — one row per
-  *                                     //   curated doc: (id, shard,
-  *                                     //   n_tokens_bpe, bin_id,
-  *                                     //   offset_tokens, token_ids
-  *                                     //   array<int>); a reader
+  *   "tokenized_output_path": "",      // r16/r17: publish the TRAINING-
+  *                                     //   READY tokenized corpus — one
+  *                                     //   row per packed PIECE: (id,
+  *                                     //   shard, chunk_idx, n_tokens_bpe,
+  *                                     //   bin_id, offset_tokens,
+  *                                     //   token_ids array<int>); docs
+  *                                     //   split at bin boundaries
+  *                                     //   (concat-and-cut), so every
+  *                                     //   (shard, bin) holds exactly
+  *                                     //   pack_budget_tokens except the
+  *                                     //   shard's last; a reader
   *                                     //   materializes example
   *                                     //   (shard, bin) by concatenating
-  *                                     //   docs at their offsets. The
+  *                                     //   pieces at their offsets. The
   *                                     //   vocab (token, token_id) lands
   *                                     //   at `<path>_vocab`. Merges
   *                                     //   train on the curated corpus
@@ -1083,12 +1088,14 @@ object CurationJob {
       bmIdx.release()
       lap("training_pairs")
     }
-    // 5b6. optional TOKENIZED export (r16 — the pipeline's true last mile:
-    // from curated text to the table a training reader batches from):
-    // merges train on the curated corpus (q88's vocab-sized loop), every
-    // doc gets its position-ordered integer token-id stream (q151) and its
-    // packed-example slot (q152's (shard, bin, offset) layout); the vocab
-    // id table publishes beside it. Tokenless docs keep their layout row
+    // 5b6. optional TOKENIZED export (r16, repacked r17 — the pipeline's
+    // true last mile: from curated text to the table a training reader
+    // batches from): merges train on the curated corpus (q88's vocab-sized
+    // loop), every doc's position-ordered integer token-id stream (q151)
+    // cuts into packed-example PIECES at bin boundaries (concat-and-cut —
+    // every (shard, bin) holds exactly pack_budget_tokens except the
+    // shard's last, even when a doc outgrows the budget); the vocab id
+    // table publishes beside it. Tokenless docs keep their layout row
     // with a null id array (they cost 0 tokens in every bin walk).
     val tokPath = str("tokenized_output_path", "")
     if (tokPath.nonEmpty) {

@@ -201,28 +201,73 @@ object Packing {
 
   /** The tokenized-corpus product in ONE derivation — what the
     * tokenized-export job publishes: per curated doc its integer token-id
-    * stream AND its packed-example slot, plus the vocab table, all off a
-    * single `encodeWords` pass (token counts = the id stream's length, so
-    * no second pricing join; bins/offsets are the [[packedLayout]]
-    * windows). Tokenless docs keep their layout row with a null id array.
-    * Returns (layout ⋈ ids, vocab); the id streams are persisted for the
-    * layout's two references — `Dedup.release` the first frame (and the
-    * vocab) after the final action. */
+    * stream cut into PACKED-EXAMPLE pieces, plus the vocab table, all off
+    * a single `encodeWords` pass (token counts = the id stream's length,
+    * so no second pricing join).
+    *
+    * Packing rule (r17 — concat-and-cut, the GPT-pretraining layout): each
+    * shard's docs concatenate in id order into one virtual token stream,
+    * and the stream cuts at every `tokenBudget` boundary. A doc whose span
+    * crosses a boundary splits into pieces (`chunk_idx` 0, 1, …), each
+    * fully inside one bin — so every (shard, bin) holds EXACTLY
+    * `tokenBudget` tokens except the shard's final bin, and a training
+    * reader materializes example (shard, bin) by concatenating pieces at
+    * their offsets, gap-free and overflow-free. The r16 whole-doc layout
+    * silently broke that contract on any doc longer than the budget (its
+    * own scaladoc said "chunk them first"; nothing did). The derivation
+    * stays fully windowed + in-row: ONE per-shard prefix-sum window over
+    * doc-count rows, then a narrow posexplode into pieces — no sequential
+    * scan, no extra shuffle.
+    *
+    * Output: (idCol, shardCols…, chunk_idx, n_tokens_bpe — the PIECE's
+    * token count, bin_id, offset_tokens — the piece's offset within its
+    * bin, token_ids — the piece's slice of the doc's id stream). Tokenless
+    * docs keep one layout row (chunk_idx 0, 0 tokens, null ids) at their
+    * stream position. Returns (pieces, vocab); the id streams are
+    * persisted for the layout's references — `Dedup.release` the first
+    * frame (and the vocab) after the final action. */
   def tokenizedCorpus(docs: DataFrame, idCol: String, textCol: String,
                       shardCols: Seq[String], tokenBudget: Long,
                       merges: Seq[(String, String)]):
       (DataFrame, DataFrame) = {
+    require(tokenBudget >= 1, s"tokenBudget must be >= 1, got $tokenBudget")
     val (ids0, vocab) = encodeIdsWithVocab(docs, idCol, textCol, merges)
     val ids = ids0.localCheckpoint(true)
     val counts = docs.select((col(idCol) +: shardCols.map(col)): _*)
       .join(ids.select(col(idCol),
-        size(col("token_ids")).cast("long").as("n_tokens_bpe")),
+        size(col("token_ids")).cast("long").as("__n")),
         Seq(idCol), "left")
-      .withColumn("n_tokens_bpe", coalesce(col("n_tokens_bpe"), lit(0L)))
-    val layout = offsetsFromBins(
-      binsFromCounts(counts, shardCols, idCol, "n_tokens_bpe", tokenBudget),
-      shardCols, idCol, "n_tokens_bpe")
-    (layout.join(ids, Seq(idCol), "left"), vocab)
+      .withColumn("__n", coalesce(col("__n"), lit(0L)))
+    val w = Window.partitionBy(shardCols.map(col): _*).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val b = lit(tokenBudget)
+    val pieces = counts
+      .withColumn("__prior", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("__first", floor(col("__prior") / b).cast("long"))
+      .withColumn("__last", when(col("__n") > 0,
+          floor((col("__prior") + col("__n") - 1) / b).cast("long"))
+        .otherwise(col("__first")))
+      // one row per bin the doc's stream span touches — in-row, no shuffle
+      .select((col(idCol) +: shardCols.map(col)) ++ Seq(
+        col("__n"), col("__prior"),
+        explode(sequence(lit(0L), col("__last") - col("__first")))
+          .as("chunk_idx"),
+        col("__first")): _*)
+      .withColumn("bin_id", col("__first") + col("chunk_idx"))
+      .withColumn("__start", greatest(col("__prior"), col("bin_id") * b))
+      .withColumn("__end",
+        least(col("__prior") + col("__n"), (col("bin_id") + 1) * b))
+      .withColumn("n_tokens_bpe", col("__end") - col("__start"))
+      .withColumn("offset_tokens", col("__start") - col("bin_id") * b)
+      .withColumn("__local", col("__start") - col("__prior"))
+    val out = pieces.join(ids, Seq(idCol), "left")
+      .withColumn("token_ids", when(col("n_tokens_bpe") > 0,
+        slice(col("token_ids"), (col("__local") + 1).cast("int"),
+          col("n_tokens_bpe").cast("int"))))
+      .select((col(idCol) +: shardCols.map(col)) ++ Seq(col("chunk_idx"),
+        col("n_tokens_bpe"), col("bin_id"), col("offset_tokens"),
+        col("token_ids")): _*)
+    (out, vocab)
   }
 
   /** The PACKED-EXAMPLE layout — [[packBinsBpe]] plus each doc's token

@@ -588,10 +588,14 @@ class CurationJobSpec extends SparkSpec {
 
   test("curation job: tokenized export — ids, vocab, and addressable packed slots") {
     val dir = Files.createTempDirectory("curationtok")
+    // doc 2 is LONGER than the pack budget (24 tokens vs 10) — the r17
+    // concat-and-cut contract must split it at bin boundaries instead of
+    // silently overflowing its bin (the r16 defect)
     Seq(
       (1L, "ab ab ab cd", "en", "s0"),
-      (2L, "cd cd ab", "en", "s0"),
-      (3L, "ab cd ab cd", "en", "s1"))
+      (2L, Seq.fill(12)("cd cd").mkString(" "), "en", "s0"),
+      (3L, "cd cd ab", "en", "s0"),
+      (4L, "ab cd ab cd", "en", "s1"))
       .toDF("doc_id", "text", "lang", "source")
       .write.parquet(s"$dir/docs")
     Files.writeString(dir.resolve("cfg.json"),
@@ -602,30 +606,45 @@ class CurationJobSpec extends SparkSpec {
          | "bpe_merges": 2, "pack_budget_tokens": 10,
          | "pack_shard_col": "source"}""".stripMargin)
     val stats = CurationJob.run(spark, s"$dir/cfg.json").get
-    assert(stats.output == 3, stats)
+    assert(stats.output == 4, stats)
     val tok = spark.read.parquet(s"$dir/tok")
-    assert(tok.columns.toSet == Set("doc_id", "source", "n_tokens_bpe",
-      "bin_id", "offset_tokens", "token_ids"))
-    val rows = tok.select($"doc_id", $"source", $"n_tokens_bpe", $"bin_id",
-        $"offset_tokens", $"token_ids")
-      .as[(Long, String, Long, Long, Long, Seq[Int])]
-      .collect().sortBy(_._1).toSeq
-    // the id stream's length IS the priced token count, per doc
-    assert(rows.forall(r => r._6.size.toLong == r._3))
+    assert(tok.columns.toSet == Set("doc_id", "source", "chunk_idx",
+      "n_tokens_bpe", "bin_id", "offset_tokens", "token_ids"))
+    val rows = tok.select($"doc_id", $"source", $"chunk_idx",
+        $"n_tokens_bpe", $"bin_id", $"offset_tokens", $"token_ids")
+      .as[(Long, String, Long, Long, Long, Long, Seq[Int])]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+    // pieces are budget-bounded and each piece's slice IS its priced count
+    assert(rows.forall(r => r._7.size.toLong == r._4 && r._4 <= 10))
+    // the long doc split into multiple pieces on consecutive bins
+    val longPieces = rows.filter(_._1 == 2L)
+    assert(longPieces.size >= 2)
+    assert(longPieces.map(_._5) == longPieces.map(_._5).sorted)
+    // THE published contract: every (shard, bin) sums to exactly the
+    // budget, except each shard's final bin
+    rows.groupBy(r => (r._2, r._5)).foreach { case ((src, bin), g) =>
+      val lastBin = rows.filter(_._2 == src).map(_._5).max
+      val tot = g.map(_._4).sum
+      if (bin < lastBin) assert(tot == 10L, s"($src,$bin) sum=$tot")
+      else assert(tot <= 10L, s"($src,$bin) sum=$tot")
+    }
     // offsets are the exclusive running sum within (shard, bin): a reader
     // concatenating at offsets reconstructs each example gap-free
-    rows.groupBy(r => (r._2, r._4)).foreach { case (_, g) =>
-      val sorted = g.sortBy(_._1)
-      val expect = sorted.scanLeft(0L)(_ + _._3).init
-      assert(sorted.map(_._5) == expect)
+    rows.groupBy(r => (r._2, r._5)).foreach { case (_, g) =>
+      val sorted = g.sortBy(r => (r._1, r._3))
+      val expect = sorted.scanLeft(0L)(_ + _._4).init
+      assert(sorted.map(_._6) == expect)
     }
+    // concatenating a doc's pieces in chunk_idx order rebuilds its stream:
+    // doc 2's pieces must chain bin-contiguously
+    assert(longPieces.map(_._4).sum == 24L)
     // vocab: dense 1-based ids in token sort order, and every id used in
     // a stream resolves
     val vocab = spark.read.parquet(s"$dir/tok_vocab")
       .as[(String, Int)].collect().toSeq.sortBy(_._2)
     assert(vocab.map(_._2) == (1 to vocab.size))
     assert(vocab.map(_._1) == vocab.map(_._1).sorted)
-    val used = rows.flatMap(_._6).toSet
+    val used = rows.flatMap(_._7).toSet
     assert(used.subsetOf(vocab.map(_._2).toSet))
   }
 

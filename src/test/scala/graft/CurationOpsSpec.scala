@@ -633,6 +633,40 @@ class CurationOpsSpec extends SparkSpec {
       (3L, 0L, 1L, 0L), (4L, 3L, 0L, 0L)))
   }
 
+  test("tokenizedCorpus: concat-and-cut pieces — budget-exact bins, exact id slices") {
+    import graft.operators.Packing
+    val docs = Seq(
+      (1L, "ab ab", "s0"), // 6 tokens: bin 0 whole
+      (2L, "a", "s0"),     // 2 tokens at prior 6: SPLITS at the 7-boundary
+      (3L, "  ", "s0"),    // tokenless: layout row at its stream position
+      (4L, "ab", "s1"))    // other shard
+      .toDF("doc_id", "text", "source")
+    val (pieces, vocab) = Packing.tokenizedCorpus(docs, "doc_id", "text",
+      Seq("source"), tokenBudget = 7L, merges = Nil)
+    // vocab sorted: </w> < a < b -> ids 1..3
+    assert(vocab.as[(String, Int)].collect().toMap ==
+      Map("</w>" -> 1, "a" -> 2, "b" -> 3))
+    val out = pieces
+      .select($"doc_id", $"chunk_idx", $"n_tokens_bpe", $"bin_id",
+        $"offset_tokens", $"token_ids")
+      .orderBy($"doc_id", $"chunk_idx")
+      .as[(Long, Long, Long, Long, Long, Option[Seq[Int]])]
+      .collect().toSeq
+    assert(out == Seq(
+      (1L, 0L, 6L, 0L, 0L, Some(Seq(2, 3, 1, 2, 3, 1))),
+      (2L, 0L, 1L, 0L, 6L, Some(Seq(2))), // first token fills bin 0...
+      (2L, 1L, 1L, 1L, 0L, Some(Seq(1))), // ...the rest opens bin 1
+      (3L, 0L, 0L, 1L, 1L, None),
+      (4L, 0L, 3L, 0L, 0L, Some(Seq(2, 3, 1)))))
+    // the contract the export publishes: every (shard, bin) sums to
+    // exactly the budget except the shard's final bin
+    val sums = out.groupBy(r => (r._1 >= 4L, r._4))
+      .view.mapValues(_.map(_._3).sum).toMap
+    assert(sums == Map((false, 0L) -> 7L, (false, 1L) -> 1L,
+      (true, 0L) -> 3L))
+    graft.operators.Dedup.release(pieces)
+  }
+
   test("sourceTokenKl: uniform mix scores ~0, skewed source scores positive") {
     import graft.operators.DataMix
     // src0 == the corpus-average distribution (KL ~ 0 up to rounding);
