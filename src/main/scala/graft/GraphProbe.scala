@@ -271,6 +271,53 @@ object GraphProbe {
           .sortBy(-_.getNameCount)
           .foreach(p => java.nio.file.Files.deleteIfExists(p))
 
+      case "bpelearn" =>
+        // Real-vocab BPE training census (r17 — the verdict's #3 receipt):
+        // time `Bpe.learn` at production merge counts. Args:
+        // bpelearn <sfDir|synth:N> [nMerges=32768]. The sf documents
+        // tables carry ~31 distinct words (synthetic corpus), far under a
+        // real tokenizer's vocabulary, so `synth:N` generates an N-word
+        // Zipf-ish corpus (8–14-char mixed words, count = 1 + id % 97) —
+        // honest for this census because the WORD TABLE is the quantity
+        // the training loop's cost follows (its own scale law: corpus
+        // growth does not grow the word table).
+        val src = args(1)
+        val nMerges = args.drop(2).headOption.map(_.toInt).getOrElse(32768)
+        val docs = (if (src.startsWith("synth:")) {
+          val n = src.stripPrefix("synth:").toLong
+          val letters = (0 until 14).map { i =>
+            // per-letter hash: fully mixed, ANSI-safe (no multiply)
+            val v = pmod(xxhash64(col("id"), lit(i)), lit(26L))
+            when(lit(i) < pmod(col("id"), lit(7L)) + 8L,
+              chr(lit(97L) + v)).otherwise(lit(""))
+          }
+          spark.range(n).select(concat(letters: _*).as("w0"),
+            (pmod(col("id"), lit(97L)) + 1L).as("reps"))
+            .select(array_join(array_repeat(col("w0"), col("reps").cast("int")),
+              " ").as("text"))
+        } else spark.read.parquet(s"$src/documents.parquet")
+          .select(col("text")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nWords = timed("wordtable") {
+          val n = graft.operators.Bpe.wordCounts(docs, "text").count()
+          println(s"[graph-probe] distinct words=$n"); n
+        }
+        // optional 4th arg: auto (default) | local | dist — the A/B dial
+        // for pricing the per-round distributed loop against the
+        // collected-table loop on the same corpus
+        val threshold = args.drop(3).headOption match {
+          case Some("local") => 0
+          case Some("dist") => Int.MaxValue
+          case _ => 64
+        }
+        val rules = timed(s"learn$nMerges") {
+          graft.operators.Bpe.learn(docs, "text", nMerges,
+            localThreshold = threshold)
+        }
+        println(s"[graph-probe] nWords=$nWords learned=${rules.length} " +
+          s"(asked $nMerges)")
+        graft.operators.Dedup.release(docs)
+
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()

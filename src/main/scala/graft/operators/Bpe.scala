@@ -59,9 +59,44 @@ object Bpe {
         .otherwise(concat(acc, array(x))))
 
   /** Learn `nMerges` merge rules from the corpus, in rank order. Stops early
-    * if no adjacent pair remains (every word fully merged). */
-  def learn(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String)] = {
+    * if no adjacent pair remains (every word fully merged).
+    *
+    * Two rule-identical paths behind one entry (r17 — the verdict's #3):
+    *  - `nMerges <= localThreshold`: the distributed per-round loop (two
+    *    vocab-sized jobs + a 1-row argmax per round) — right when rounds
+    *    are few.
+    *  - larger `nMerges`: the word table — vocab-sized and corpus-growth-
+    *    independent by the operator's own scale law, the EXACT frame the
+    *    distributed loop iterates on — collects ONCE and the classic
+    *    Sennrich heap-with-invalidation loop runs driver-side
+    *    ([[learnLocal]]). A real 32k–100k-merge tokenizer is minutes of
+    *    in-process work instead of ~64k–200k sequential Spark jobs of
+    *    driver round-trips. `maxLocalWords` bounds the collect with a loud
+    *    refusal (a filthy corpus with an unbounded "word" set should be
+    *    line/url-normalized upstream, not silently OOM the driver).
+    * Both paths are spec-pinned rule-for-rule equal (BpeSpec). */
+  def learn(docs: DataFrame, textCol: String, nMerges: Int,
+            localThreshold: Int = 64,
+            maxLocalWords: Long = 20000000L): Seq[(String, String)] = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    if (nMerges > localThreshold) {
+      val wc = wordCounts(docs, textCol)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = wc.count()
+        require(n <= maxLocalWords,
+          s"Bpe.learn: the corpus has $n distinct words, over the " +
+            s"$maxLocalWords driver-collect budget for the local training " +
+            s"path — normalize the corpus (line dedup, url scrub) or " +
+            s"raise maxLocalWords.")
+        learnLocal(
+          wc.collect().map(r => (r.getString(0), r.getLong(1))), nMerges)
+      } finally Dedup.release(wc)
+    } else learnDistributed(docs, textCol, nMerges)
+  }
+
+  private def learnDistributed(docs: DataFrame, textCol: String,
+                               nMerges: Int): Seq[(String, String)] = {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var words = wordCounts(docs, textCol)
       .withColumn("syms", initSymbols(col("word")))
@@ -85,6 +120,144 @@ object Bpe {
     }
     Dedup.release(words)
     merges.toSeq
+  }
+
+  /** Spark's binary string order (UTF8String compares UTF-8 bytes
+    * unsigned) — java.lang.String.compareTo is UTF-16 code-unit order and
+    * DIVERGES above the BMP, so the local path compares explicit UTF-8
+    * bytes to keep the argmax tie-break bit-equal to the distributed
+    * `orderBy(pr.asc)`. */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** The in-process Sennrich loop over a COLLECTED (word, cnt) table:
+    * identical counts (every adjacent occurrence, overlap included),
+    * identical greedy left-to-right non-overlapping merge application,
+    * identical (count DESC, "a b" UTF-8-binary ASC) argmax tie-break —
+    * rule-for-rule equal to the distributed loop by construction and by
+    * spec. Incremental: each merge re-prices only the words CONTAINING
+    * the merged pair (an inverted pair→words index), and the max pops
+    * from a lazy-invalidation heap — every count change pushes a fresh
+    * (count, pair) snapshot and stale snapshots are discarded on pop, so
+    * a merge costs O(affected words · word length · log pairs), not a
+    * full table rescan. */
+  def learnLocal(wordTable: Array[(String, Long)],
+                 nMerges: Int): Seq[(String, String)] = {
+    require(nMerges > 0, s"nMerges must be positive, got $nMerges")
+    import scala.collection.mutable
+    // initial symbol sequences: code points + </w> (split(word, "") never
+    // splits a surrogate pair — mirror with codePoints)
+    val cnts = wordTable.map(_._2)
+    val words: Array[Array[String]] = wordTable.map { case (w, _) =>
+      val cps = w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+      cps :+ "</w>"
+    }
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val pairWords =
+      mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def pairsOf(syms: Array[String]): Iterator[(String, String)] =
+      (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1)))
+    // heap of (count, pair) snapshots; orders count DESC then pair ASC in
+    // UTF-8 byte order ("a b" string order == (a, b) tuple order because a
+    // symbol can never contain the separator — the distributed loop's own
+    // invariant)
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(p: (Long, String, String),
+                  q: (Long, String, String)): Int = {
+        if (p._1 != q._1) return java.lang.Long.compare(p._1, q._1)
+        val sp = p._2 + " " + p._3
+        val sq = q._2 + " " + q._3
+        if (sp == sq) 0 else if (utf8Lt(sp, sq)) 1 else -1
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    def bump(p: (String, String), delta: Long): Unit = {
+      val v = pairCounts.getOrElse(p, 0L) + delta
+      if (v <= 0L) pairCounts.remove(p)
+      else {
+        pairCounts(p) = v
+        if (delta > 0L) heap.enqueue((v, p._1, p._2))
+      }
+    }
+    // initial build accumulates raw, then snapshots each distinct pair
+    // ONCE (a per-occurrence push would put O(corpus symbol count)
+    // entries on the heap before the first merge)
+    words.indices.foreach { i =>
+      pairsOf(words(i)).foreach { p =>
+        pairCounts(p) = pairCounts.getOrElse(p, 0L) + cnts(i)
+        pairWords.getOrElseUpdate(p, mutable.HashSet.empty) += i
+      }
+    }
+    pairCounts.foreach { case ((a, b), v) => heap.enqueue((v, a, b)) }
+    // count drops also need a fresh snapshot IF the pair survives — push
+    // lazily at pop time instead: a popped snapshot whose count is stale
+    // re-enqueues the CURRENT count once (classic lazy decrease-key)
+    def popMax(): Option[(String, String)] = {
+      while (heap.nonEmpty) {
+        val (c, a, b) = heap.dequeue()
+        pairCounts.get((a, b)) match {
+          case Some(cur) if cur == c => return Some((a, b))
+          case Some(cur) => heap.enqueue((cur, a, b)) // refresh once
+          case None => // pair died; discard
+        }
+      }
+      None
+    }
+    val merged = (syms: Array[String], a: String, b: String) => {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+    val rules = mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    while (rules.length < nMerges && !exhausted) {
+      popMax() match {
+        case None => exhausted = true
+        case Some((a, b)) =>
+          rules += ((a, b))
+          val affected = pairWords.getOrElse((a, b), mutable.HashSet.empty)
+          affected.toArray.foreach { wi =>
+            val before = words(wi)
+            val after = merged(before, a, b)
+            words(wi) = after
+            val delta = mutable.HashMap.empty[(String, String), Long]
+            pairsOf(before).foreach(p =>
+              delta(p) = delta.getOrElse(p, 0L) - 1L)
+            pairsOf(after).foreach(p =>
+              delta(p) = delta.getOrElse(p, 0L) + 1L)
+            delta.foreach { case (p, d) =>
+              if (d != 0L) {
+                bump(p, d * cnts(wi))
+                val set = pairWords.getOrElseUpdate(p, mutable.HashSet.empty)
+                if (d > 0L) set += wi
+              }
+              // membership re-check for pairs that lost copies but may
+              // keep others in this word
+              if (d < 0L && !pairsOf(words(wi)).contains(p))
+                pairWords.get(p).foreach(_.remove(wi))
+            }
+          }
+          pairCounts.remove((a, b))
+          pairWords.remove((a, b))
+      }
+    }
+    rules.toSeq
   }
 
   /** Tokenize the DISTINCT words of `wordsDf(wordCol)` by replaying `merges`

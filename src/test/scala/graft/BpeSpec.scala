@@ -65,6 +65,38 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("learnLocal == distributed loop, rule-for-rule (the r17 fast path)") {
+    val corpora = Seq(
+      Seq("low low low lower lowest newest newest widest"),
+      Seq("ab ab", "ba ba", "aa aa", "bb bb"), // tie-dense
+      Seq("aaaa aaaa aab aab ab"),             // overlap runs
+      // above-BMP symbols: the argmax tie-break must be UTF-8 byte order
+      // (Spark's binary collation), not Java's UTF-16 order — U+FFFD
+      // sorts BEFORE U+1D54F in UTF-8 (EF.. < F0..) but AFTER it in
+      // UTF-16 (FFFD > D835), so a UTF-16 tie-break flips the rule order
+      Seq("�z �z", "𝕏z 𝕏z"))
+    for (texts <- corpora) {
+      val docs = corpusOf(texts: _*)
+      val wordCnt = texts.flatMap(_.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, l) => w -> l.size.toLong }
+        .toArray
+      val viaSpark = Bpe.learn(docs, "text", 12) // <= threshold: distributed
+      val viaLocal = Bpe.learnLocal(wordCnt, 12)
+      assert(viaLocal == viaSpark, s"corpus=$texts")
+      // and the learn() dispatch itself takes the local path
+      assert(Bpe.learn(docs, "text", 12, localThreshold = 1) == viaSpark,
+        s"dispatch corpus=$texts")
+    }
+  }
+
+  test("learn local path refuses an over-budget word table loudly") {
+    val docs = corpusOf("a b c d e f g h")
+    val e = intercept[IllegalArgumentException] {
+      Bpe.learn(docs, "text", 5, localThreshold = 1, maxLocalWords = 3L)
+    }
+    assert(e.getMessage.contains("driver-collect budget"))
+  }
+
   test("applyMerge: greedy left-to-right non-overlapping scan") {
     // 4 a's: greedy pairs (1,2)(3,4) — never the [a, aa, a] grouping
     val out = Seq(Tuple1(Seq("a", "a", "a", "a", "</w>"))).toDF("syms")
