@@ -232,7 +232,8 @@ object SparkEntry {
     "q151_token_ids" -> qTokenIds,
     "q152_packed_layout" -> qPackedLayout,
     "q153_packed_chunks" -> qPackedChunks,
-    "q154_retrieval_eval" -> qRetrievalEval)
+    "q154_retrieval_eval" -> qRetrievalEval,
+    "q155_byte_bpe" -> qByteBpe)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1111,7 +1112,48 @@ object SparkEntry {
         |    array_to_string(list_transform(range(1, len(word) + 1),
         |      i -> word[i]), ' ') || ' </w>' AS s
         |  FROM toks GROUP BY word),""".stripMargin
-    val rounds = (1 to nMerges).map { r =>
+    header + "\n" + bpeRounds(nMerges)
+  }
+
+  /** [[bpeCtes]] with the BYTE-LEVEL s0: each distinct word renders as its
+    * UTF-8 bytes through the GPT byte↔unicode alphabet (`bmap` — the SAME
+    * 256 constants [[graft.operators.Bpe.byteAlphabet]] carries,
+    * interpolated as VALUES rows), then the identical training rounds run
+    * over the byte symbols. */
+  private def byteBpeCtes(nMerges: Int): String = {
+    val bmapRows = graft.operators.Bpe.byteAlphabet.zipWithIndex
+      .map { case (ch, b) =>
+        s"('${f"$b%02X"}', '${ch.replace("'", "''")}')"
+      }.mkString(", ")
+    val header =
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(ws) AS word,
+         |    unnest(range(1, len(ws) + 1)) AS pos
+         |  FROM (SELECT doc_id, list_filter(
+         |          string_split_regex(lower(trim(text)), '\\s+'),
+         |          w -> len(w) > 0) AS ws
+         |        FROM documents)),
+         |bmap AS (SELECT * FROM (VALUES $bmapRows) AS t(hx, ch)),
+         |wb AS (
+         |  SELECT word, unnest(range(1, len(hp) + 1)) AS p, unnest(hp) AS h
+         |  FROM (SELECT word, regexp_extract_all(hex(encode(word)), '..') AS hp
+         |        FROM (SELECT DISTINCT word FROM toks))),
+         |ws0 AS (
+         |  SELECT w.word,
+         |    array_to_string(list(m.ch ORDER BY w.p), ' ') || ' </w>' AS s
+         |  FROM wb w JOIN bmap m ON m.hx = w.h GROUP BY w.word),
+         |s0 AS (
+         |  SELECT c.word, c.cnt, ws0.s
+         |  FROM (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+         |        FROM toks GROUP BY word) c
+         |  JOIN ws0 USING (word)),""".stripMargin
+    header + "\n" + bpeRounds(nMerges)
+  }
+
+  /** The training rounds shared by the char- and byte-level CTE chains:
+    * p_r pair counts, b_r pinned argmax, s_r greedy merge fold. */
+  private def bpeRounds(nMerges: Int): String =
+    (1 to nMerges).map { r =>
       s"""p$r AS (
          |  SELECT pr, CAST(SUM(cnt) AS BIGINT) AS c FROM (
          |    SELECT cnt, unnest(list_transform(range(1, len(sy)),
@@ -1133,8 +1175,6 @@ object SparkEntry {
          |    END AS s
          |  FROM s${r - 1} LEFT JOIN b$r ON TRUE),""".stripMargin
     }.mkString("\n")
-    header + "\n" + rounds
-  }
 
   /** q148: BPE-budget chunking — q109's strided windows with boundaries in
     * REAL tokenizer units: the corpus trains 6 merge rules (q88's loop),
@@ -1246,6 +1286,21 @@ object SparkEntry {
     graft.operators.Retrieval.evaluate(
         hits.select(col("q_id"), col("doc_id"), col("rn")), gold, k = 10)
       .orderBy(col("q_id"))
+  }
+
+  /** q155: BYTE-LEVEL BPE (the GPT-style alphabet option) — q88's full
+    * training-loop replay with the initial alphabet swapped from corpus
+    * characters to the CLOSED 256-symbol byte↔unicode table: every
+    * word's UTF-8 bytes render through the same constants both engines
+    * carry, 6 merge rounds re-derive in SQL (identical pair counts,
+    * argmaxes, greedy folds — just over byte symbols), and the per-doc
+    * token prices must match. No out-of-alphabet token can exist on any
+    * UTF-8 input (spec-pinned on emoji/CJK/control bytes). */
+  private def qByteBpe(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val merges = Bpe.learn(d, "text", 6, byteLevel = true)
+    Bpe.tokenCount(d, "doc_id", "text", merges, byteLevel = true)
+      .orderBy(col("doc_id"))
   }
 
   /** CCNet perplexity bucketing: score every document under the self-trained
@@ -4762,6 +4817,16 @@ object SparkEntry {
     // constants are computed ONCE driver-side and shared verbatim between
     // the Spark plan and this SQL — no engine re-derives a log)
     "q154_retrieval_eval" -> retrievalEvalSql,
+    // q155: q88's training replay over the byte alphabet — the same
+    // footer (per-doc word + token prices), byte-level s0
+    "q155_byte_bpe" -> (byteBpeCtes(6) + "\n" +
+      """enc AS (
+        |  SELECT word, CAST(len(string_split(s, ' ')) AS BIGINT) AS nt
+        |  FROM s6)
+        |SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(e.nt) AS BIGINT) AS n_tokens_bpe
+        |FROM toks t JOIN enc e USING (word)
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin),
     // q78's three admission ticks partition the slice's pair set, so the
     // incremental labels must equal q49's one-shot closure — the oracle IS
     // q49's recursive CTE, verbatim

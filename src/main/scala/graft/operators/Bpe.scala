@@ -42,6 +42,44 @@ object Bpe {
   def initSymbols(word: Column): Column =
     concat(filter(split(word, ""), c => length(c) > 0), array(lit("</w>")))
 
+  /** The GPT-2 byte↔unicode alphabet (public `bytes_to_unicode`): the 188
+    * visually-printable bytes map to themselves, the rest shift to
+    * U+0100.. in byte order — 256 single-char symbols, every one
+    * printable, so byte-level training reuses the string-symbol machinery
+    * unchanged. Index = byte value. */
+  lazy val byteAlphabet: IndexedSeq[String] = {
+    val direct = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    var shifted = 0
+    (0 until 256).map { b =>
+      if (direct(b)) new String(Character.toChars(b))
+      else {
+        val s = new String(Character.toChars(256 + shifted))
+        shifted += 1
+        s
+      }
+    }
+  }
+
+  private lazy val hexToByteChar: Column = map_from_arrays(
+    typedLit((0 until 256).map(b => f"$b%02X")),
+    typedLit(byteAlphabet))
+
+  /** BYTE-LEVEL initial symbols (r17 — the GPT-style alphabet option): the
+    * word's UTF-8 bytes, each rendered through [[byteAlphabet]], plus
+    * `</w>`. The base alphabet is CLOSED — 256 symbols cover every
+    * possible input, so no out-of-alphabet token exists on arbitrary
+    * UTF-8 (spec-pinned), where char-level induction grows its alphabet
+    * with the corpus's character set. Same learn/encode machinery; the
+    * hex→symbol hop keeps it pure column expressions. */
+  def initSymbolsBytes(word: Column): Column =
+    concat(transform(
+      regexp_extract_all(hex(encode(word, "UTF-8")), lit(".."), lit(0)),
+      h => element_at(hexToByteChar, h)), array(lit("</w>")))
+
+  /** The init rule for a level: char code points or UTF-8 bytes. */
+  private def initSymbolsOf(word: Column, byteLevel: Boolean): Column =
+    if (byteLevel) initSymbolsBytes(word) else initSymbols(word)
+
   /** Adjacent symbol pairs as "a b" strings (every occurrence counted,
     * overlapping included — the reference algorithm's get_stats). */
   private def adjacentPairs(syms: Column): Column =
@@ -77,7 +115,8 @@ object Bpe {
     * Both paths are spec-pinned rule-for-rule equal (BpeSpec). */
   def learn(docs: DataFrame, textCol: String, nMerges: Int,
             localThreshold: Int = 64,
-            maxLocalWords: Long = 20000000L): Seq[(String, String)] = {
+            maxLocalWords: Long = 20000000L,
+            byteLevel: Boolean = false): Seq[(String, String)] = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     if (nMerges > localThreshold) {
       val wc = wordCounts(docs, textCol)
@@ -90,16 +129,19 @@ object Bpe {
             s"path — normalize the corpus (line dedup, url scrub) or " +
             s"raise maxLocalWords.")
         learnLocal(
-          wc.collect().map(r => (r.getString(0), r.getLong(1))), nMerges)
+          wc.collect().map(r => (r.getString(0), r.getLong(1))), nMerges,
+          byteLevel)
       } finally Dedup.release(wc)
-    } else learnDistributed(docs, textCol, nMerges)
+    } else learnDistributed(docs, textCol, nMerges, byteLevel)
   }
 
   private def learnDistributed(docs: DataFrame, textCol: String,
-                               nMerges: Int): Seq[(String, String)] = {
+                               nMerges: Int,
+                               byteLevel: Boolean = false):
+      Seq[(String, String)] = {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var words = wordCounts(docs, textCol)
-      .withColumn("syms", initSymbols(col("word")))
+      .withColumn("syms", initSymbolsOf(col("word"), byteLevel))
       .localCheckpoint(eager = true)
     var done = false
     while (merges.length < nMerges && !done) {
@@ -151,17 +193,21 @@ object Bpe {
     * (count, pair) snapshot and stale snapshots are discarded on pop, so
     * a merge costs O(affected words · word length · log pairs), not a
     * full table rescan. */
-  def learnLocal(wordTable: Array[(String, Long)],
-                 nMerges: Int): Seq[(String, String)] = {
+  def learnLocal(wordTable: Array[(String, Long)], nMerges: Int,
+                 byteLevel: Boolean = false): Seq[(String, String)] = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")
     import scala.collection.mutable
     // initial symbol sequences: code points + </w> (split(word, "") never
     // splits a surrogate pair — mirror with codePoints)
     val cnts = wordTable.map(_._2)
     val words: Array[Array[String]] = wordTable.map { case (w, _) =>
-      val cps = w.codePoints().toArray
-        .map(cp => new String(Character.toChars(cp)))
-      cps :+ "</w>"
+      val base: Array[String] =
+        if (byteLevel)
+          w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            .map(b => byteAlphabet(b & 0xff))
+        else w.codePoints().toArray
+          .map(cp => new String(Character.toChars(cp)))
+      base :+ "</w>"
     }
     val pairCounts = mutable.HashMap.empty[(String, String), Long]
     val pairWords =
@@ -266,8 +312,10 @@ object Bpe {
     * long rule lists neither blow the expression depth nor accumulate
     * lineage. */
   def encodeWords(wordsDf: DataFrame, wordCol: String,
-                  merges: Seq[(String, String)]): DataFrame = {
-    val init = wordsDf.withColumn("bpe", initSymbols(col(wordCol)))
+                  merges: Seq[(String, String)],
+                  byteLevel: Boolean = false): DataFrame = {
+    val init =
+      wordsDf.withColumn("bpe", initSymbolsOf(col(wordCol), byteLevel))
     if (merges.isEmpty) init
     else {
       val chunks = merges.grouped(32).toSeq
@@ -295,10 +343,11 @@ object Bpe {
     * same bounded-frame convention as the codebook/centroid tables and
     * `learn`'s own driver-side counts), never on the corpus. */
   def vocab(docs: DataFrame, textCol: String,
-            merges: Seq[(String, String)]): DataFrame =
+            merges: Seq[(String, String)],
+            byteLevel: Boolean = false): DataFrame =
     vocabOf(encodeWords(
       docs.select(explode(TextFns.words(col(textCol))).as("word"))
-        .distinct(), "word", merges))
+        .distinct(), "word", merges, byteLevel))
 
   /** [[vocab]] over an ALREADY-ENCODED (word, bpe) frame — lets callers
     * that hold `encodeWords` output (one pass) derive ids without
@@ -317,9 +366,11 @@ object Bpe {
     * (idCol, n_words, n_tokens_bpe); documents with no tokens drop (no
     * evidence — the established tokenless-doc convention). */
   def tokenCount(docs: DataFrame, idCol: String, textCol: String,
-                 merges: Seq[(String, String)]): DataFrame = {
+                 merges: Seq[(String, String)],
+                 byteLevel: Boolean = false): DataFrame = {
     val toks = docs.select(col(idCol), explode(TextFns.words(col(textCol))).as("word"))
-    val enc = encodeWords(toks.select(col("word")).distinct(), "word", merges)
+    val enc = encodeWords(toks.select(col("word")).distinct(), "word", merges,
+      byteLevel)
       .select(col("word"), size(col("bpe")).as("__nt"))
     toks.join(broadcast(enc), Seq("word"))
       .groupBy(col(idCol))

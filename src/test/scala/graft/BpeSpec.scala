@@ -89,6 +89,32 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("byte-level alphabet: closed — no OOV on arbitrary UTF-8, paths agree") {
+    // GPT bytes_to_unicode shape: 256 symbols, all single code points,
+    // printable bytes map to themselves
+    val alpha = Bpe.byteAlphabet
+    assert(alpha.size == 256 && alpha.distinct.size == 256)
+    assert(alpha('a'.toInt) == "a" && alpha('!'.toInt) == "!")
+    assert(alpha(0) == "Ā" && alpha(32) == "Ġ") // space -> Ġ
+    // arbitrary UTF-8 (emoji, CJK, control, high bytes): every initial
+    // symbol is in the closed alphabet ∪ {</w>}
+    val nasty = Seq("héllo", "日本語", "🦑🦑", "ab", "�", "mix🦑日a")
+    val syms = nasty.toDF("word")
+      .select(Bpe.initSymbolsBytes($"word").as("s"))
+      .as[Seq[String]].collect().flatten
+    val closed = alpha.toSet + "</w>"
+    assert(syms.forall(closed.contains), syms.filterNot(closed.contains))
+    // byte-level learn: distributed == local, and encodeWords round-trips
+    // the byte count (0 merges: n symbols = n UTF-8 bytes + 1)
+    val docs = corpusOf("héllo héllo 日本 aa aa aa", "héllo 日本 🦑")
+    val viaSpark = Bpe.learn(docs, "text", 8, byteLevel = true)
+    val wordCnt = Seq("héllo" -> 3L, "日本" -> 2L, "aa" -> 3L, "🦑" -> 1L)
+    assert(Bpe.learnLocal(wordCnt.toArray, 8, byteLevel = true) == viaSpark)
+    val enc0 = Bpe.encodeWords(Seq("🦑a").toDF("word"), "word", Nil,
+      byteLevel = true).select(size($"bpe")).as[Int].head()
+    assert(enc0 == 6) // 4 bytes of U+1F991 + 1 of 'a' + </w>
+  }
+
   test("learn local path refuses an over-budget word table loudly") {
     val docs = corpusOf("a b c d e f g h")
     val e = intercept[IllegalArgumentException] {
