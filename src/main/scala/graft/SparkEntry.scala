@@ -233,7 +233,8 @@ object SparkEntry {
     "q152_packed_layout" -> qPackedLayout,
     "q153_packed_chunks" -> qPackedChunks,
     "q154_retrieval_eval" -> qRetrievalEval,
-    "q155_byte_bpe" -> qByteBpe)
+    "q155_byte_bpe" -> qByteBpe,
+    "q156_container_census" -> qContainerCensus)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1301,6 +1302,26 @@ object SparkEntry {
     val merges = Bpe.learn(d, "text", 6, byteLevel = true)
     Bpe.tokenCount(d, "doc_id", "text", merges, byteLevel = true)
       .orderBy(col("doc_id"))
+  }
+
+  /** q156: the COMPRESSED-CONTAINER census — the perceptual-codec seam's
+    * governable half made real (the r16 verdict's #5): a synthetic
+    * MP4/Matroska lake (spec-true box / EBML layouts, every field a
+    * closed-form function of doc_id — SyntheticMedia.mp4/mkv) walks
+    * through the REAL [[graft.operators.Mp4Codec]]/[[graft.operators.MkvCodec]]
+    * parsers, and the census (duration, codec ids, geometry, channel
+    * layout, rate) must invert the builder exactly — the q115 discipline
+    * at the container layer. The oracle re-derives every field from
+    * doc_id in plain SQL; frame decode stays behind the documented stub
+    * boundary. */
+  private def qContainerCensus(s: SparkSession, dir: String): DataFrame = {
+    val lake = graft.operators.SyntheticMedia.containerFrame(
+      t(s, dir, "documents"), "doc_id")
+    graft.operators.Multimodal.containerCensus(lake)
+      .select(col("media_id"), col("container"), col("brand"),
+        col("duration_ms"), col("video_codec"), col("width"), col("height"),
+        col("audio_codec"), col("channels"), col("sample_rate"))
+      .orderBy(col("media_id"))
   }
 
   /** CCNet perplexity bucketing: score every document under the self-trained
@@ -4817,6 +4838,34 @@ object SparkEntry {
     // constants are computed ONCE driver-side and shared verbatim between
     // the Spark plan and this SQL — no engine re-derives a log)
     "q154_retrieval_eval" -> retrievalEvalSql,
+    // q156: the container census re-derived CLOSED-FORM from doc_id —
+    // any slip in the box walk (version offsets, largesize, sample-entry
+    // layout) or the EBML walk (varint ids/sizes, float duration,
+    // track tree) turns the row red
+    "q156_container_census" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'mkv' END AS container,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom'
+        |       WHEN doc_id % 3 = 0 THEN 'webm'
+        |       ELSE 'matroska' END AS brand,
+        |  CAST(1000 + (doc_id % 60) * 500 AS BIGINT) AS duration_ms,
+        |  CASE WHEN doc_id % 2 = 0 THEN
+        |    CASE (doc_id // 2) % 4 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1'
+        |         WHEN 2 THEN 'vp09' ELSE 'av01' END
+        |  ELSE
+        |    CASE (doc_id // 2) % 4 WHEN 0 THEN 'V_MPEG4/ISO/AVC'
+        |         WHEN 1 THEN 'V_MPEGH/ISO/HEVC'
+        |         WHEN 2 THEN 'V_VP9' ELSE 'V_AV1' END
+        |  END AS video_codec,
+        |  CAST(320 + 16 * (doc_id % 8) AS INT) AS width,
+        |  CAST(240 + 16 * (doc_id % 5) AS INT) AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'mp4a'
+        |       WHEN (doc_id // 2) % 2 = 0 THEN 'A_AAC'
+        |       ELSE 'A_OPUS' END AS audio_codec,
+        |  CAST(1 + (doc_id // 2) % 2 AS INT) AS channels,
+        |  CAST(CASE WHEN (doc_id // 2) % 2 = 0 THEN 48000
+        |       ELSE 44100 END AS INT) AS sample_rate
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // q155: q88's training replay over the byte alphabet — the same
     // footer (per-doc word + token prices), byte-level s0
     "q155_byte_bpe" -> (byteBpeCtes(6) + "\n" +

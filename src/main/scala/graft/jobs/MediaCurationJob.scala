@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   *   "max_bucket": 4096,              // flood star-collapse for the pair join
   *   "min_shared_frames": 2,          // video: clip near-dup threshold
   *   "frame_every_nth": 1,            // video: frame sampling stride
+  *   "container_census_path": "",     // r17: optional — publish the
+  *                                    //   compressed-container governance
+  *                                    //   census (Multimodal
+  *                                    //   .containerCensus: duration,
+  *                                    //   codec ids, geometry, channels,
+  *                                    //   rate, bytes per MP4/Matroska
+  *                                    //   payload; no frame decode)
   *   "signature_store": "",           // optional existing store parquet:
   *                                    //   image/audio (media_id, phash),
   *                                    //   video (media_id, fsig); matched
@@ -138,6 +145,19 @@ object MediaCurationJob {
     val media = spark.read.parquet(cfg.getAs[String]("media_path"))
     val total = media.count()
     lap("read+count")
+
+    // optional COMPRESSED-CONTAINER census (r17): one governance row per
+    // MP4/Matroska payload — duration, codec ids, geometry, channels,
+    // rate, bytes — from the box/EBML STRUCTURE (no frame decode; the
+    // perceptual dedup below still needs a decodable modality). The
+    // census is how a compressed-video lake gets quota'd and governed
+    // while frame decode stays behind the documented stub boundary.
+    val censusPath = str("container_census_path", "")
+    if (censusPath.nonEmpty) {
+      Multimodal.containerCensus(media)
+        .write.mode("overwrite").parquet(censusPath)
+      lap("container_census")
+    }
 
     val isVideo = modality == "video"
     val hasher = modality match {

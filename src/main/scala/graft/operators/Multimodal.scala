@@ -451,6 +451,48 @@ object Multimodal {
         "left_anti")
   }
 
+  /** COMPRESSED-CONTAINER census (r17 — the perceptual-codec seam's
+    * governable half): walk each payload's container STRUCTURE (ISO BMFF
+    * boxes via [[Mp4Codec]], Matroska/WebM EBML via [[MkvCodec]]) and emit
+    * the fields a lake is censused, quota'd and governed on — container,
+    * brand/doctype, duration, per-track codec ids, pixel geometry, channel
+    * layout, sample rate, payload bytes — with NO frame decode (the
+    * inter-predicted bitstream stays behind the documented stub boundary
+    * above). One metadata row (~100 bytes) per payload shuffles; the blob
+    * never survives past the partition that read it — the signature-frame
+    * discipline at the governance layer. Unparseable payloads drop
+    * (curation semantic, same as the hashers). Output: (media_id,
+    * container, brand, duration_ms, video_codec, width, height,
+    * audio_codec, channels, sample_rate, payload_bytes). */
+  def containerCensus(df: DataFrame,
+                      payloadCol: String = "payload"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Dedup.ensureParallel(df, costWeight = 2)
+      .select(col("media_id").cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows => rows.flatMap { case (id, payload) =>
+        Mp4Codec.probe(payload).map { i =>
+          val v = i.tracks.find(_.handler == "vide")
+          val a = i.tracks.find(_.handler == "soun")
+          (id, "mp4", i.brand, i.durationMs,
+            v.map(_.codec), v.map(_.width), v.map(_.height),
+            a.map(_.codec), a.map(_.channels), a.map(_.sampleRate),
+            i.payloadBytes)
+        }.orElse(MkvCodec.probe(payload).map { i =>
+          val v = i.tracks.find(_.trackType == 1)
+          val a = i.tracks.find(_.trackType == 2)
+          (id, "mkv", i.docType, i.durationMs,
+            v.map(_.codecId), v.map(_.width), v.map(_.height),
+            a.map(_.codecId), a.map(_.channels), a.map(_.sampleRate),
+            i.payloadBytes)
+        })
+      })
+      .toDF("media_id", "container", "brand", "duration_ms", "video_codec",
+        "width", "height", "audio_codec", "channels", "sample_rate",
+        "payload_bytes")
+  }
+
   /** Size-aware repartitioning: choose the partition count from the TOTAL payload
     * size so each partition holds ~`targetBytes`, then spread rows by id hash —
     * prevents the skew where one partition holds all the videos and the rest hold

@@ -129,4 +129,152 @@ object SyntheticMedia {
       .map(d => (d, kind, make(d)))
       .toDF("media_id", "kind", "payload")
   }
+
+  // ---- compressed-container fixtures (r17 — the q156 census lake) ----
+  // Every governable field is a closed-form integer function of doc_id,
+  // re-derivable in plain SQL, so the REAL box/EBML walk gains a
+  // red-capable independent oracle (the q115 discipline at the container
+  // layer). Shared formulas across both containers:
+  //   duration_ms = 1000 + (d % 60)·500      (exact at timescale 600)
+  //   width  = 320 + 16·(d % 8)   height = 240 + 16·(d % 5)
+  //   channels / rate / codec dials key on d/2: parity picks the
+  //   CONTAINER (even mp4, odd mkv), so a d-keyed dial would freeze each
+  //   container to half its value space
+  //   channels = 1 + (d/2 % 2)    sample_rate = 48000 or 44100 by d/2 % 2
+  //   video codec index = d/2 % 4   audio codec index = d/2 % 2
+
+  def containerDurMs(d: Long): Long = 1000L + (d % 60) * 500L
+  def containerW(d: Long): Int = 320 + 16 * (d % 8).toInt
+  def containerH(d: Long): Int = 240 + 16 * (d % 5).toInt
+  def containerChans(d: Long): Int = 1 + ((d / 2) % 2).toInt
+  def containerRate(d: Long): Int = if ((d / 2) % 2 == 0) 48000 else 44100
+
+  private def be16(v: Int): Array[Byte] =
+    Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be32(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def be64(v: Long): Array[Byte] = be32(v >>> 32) ++ be32(v)
+  private def ascii(s: String): Array[Byte] = s.getBytes("US-ASCII")
+
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+    be32(payload.length + 8L) ++ ascii(typ) ++ payload
+
+  /** Closed-form MP4 for doc `d`: spec-true box layout (ftyp + moov(mvhd,
+    * video trak, audio trak) + mdat), full-size mvhd/tkhd/mdhd payloads,
+    * version 0/1 alternating on (d/2) % 2 so both box layouts are
+    * exercised. No codec-config child boxes (avcC…) — the census walk
+    * reads structure, not bitstream. */
+  def mp4(d: Long): Array[Byte] = {
+    val v1 = (d / 2) % 2 == 1
+    val durMs = containerDurMs(d)
+    val ts = 600L
+    val dur = durMs * ts / 1000L
+    val vcodec = Seq("avc1", "hev1", "vp09", "av01")(((d / 2) % 4).toInt)
+    val ftyp = box("ftyp", ascii("isom") ++ be32(0x200L))
+    val mvhd = box("mvhd",
+      if (v1)
+        Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++ be32(ts) ++
+          be64(dur) ++ be32(0x00010000L) ++ be16(0x0100) ++ be16(0) ++
+          Array.fill[Byte](8)(0) ++ identityMatrix ++
+          Array.fill[Byte](24)(0) ++ be32(3)
+      else
+        Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(ts) ++
+          be32(dur) ++ be32(0x00010000L) ++ be16(0x0100) ++ be16(0) ++
+          Array.fill[Byte](8)(0) ++ identityMatrix ++
+          Array.fill[Byte](24)(0) ++ be32(3))
+    def tkhd(trackId: Long, w: Int, h: Int) = box("tkhd",
+      Array[Byte](0, 0, 0, 7) ++ be32(0) ++ be32(0) ++ be32(trackId) ++
+        be32(0) ++ be32(dur) ++ Array.fill[Byte](8)(0) ++ be16(0) ++
+        be16(0) ++ be16(0) ++ be16(0) ++ identityMatrix ++
+        be32(w.toLong << 16) ++ be32(h.toLong << 16))
+    def mdhd = box("mdhd",
+      Array[Byte](0, 0, 0, 0) ++ be32(0) ++ be32(0) ++ be32(1000L) ++
+        be32(durMs) ++ be16(0x55c4) ++ be16(0))
+    def hdlr(handler: String) = box("hdlr",
+      Array.fill[Byte](4)(0) ++ be32(0) ++ ascii(handler) ++
+        Array.fill[Byte](12)(0) ++ Array[Byte](0))
+    val videoEntry = be32(86L) ++ ascii(vcodec) ++
+      Array.fill[Byte](6)(0) ++ be16(1) ++ Array.fill[Byte](16)(0) ++
+      be16(containerW(d)) ++ be16(containerH(d)) ++ be32(0x00480000L) ++
+      be32(0x00480000L) ++ be32(0) ++ be16(1) ++ Array.fill[Byte](32)(0) ++
+      be16(24) ++ be16(0xffff)
+    val audioEntry = be32(36L) ++ ascii("mp4a") ++
+      Array.fill[Byte](6)(0) ++ be16(1) ++ be16(0) ++ be16(0) ++ be32(0) ++
+      be16(containerChans(d)) ++ be16(16) ++ be16(0) ++ be16(0) ++
+      be32(containerRate(d).toLong << 16)
+    def stbl(entry: Array[Byte]) = box("stbl",
+      box("stsd", Array.fill[Byte](4)(0) ++ be32(1) ++ entry))
+    def trak(trackId: Long, handler: String, entry: Array[Byte],
+             w: Int, h: Int) =
+      box("trak", tkhd(trackId, w, h) ++
+        box("mdia", mdhd ++ hdlr(handler) ++ box("minf", stbl(entry))))
+    val moov = box("moov", mvhd ++
+      trak(1, "vide", videoEntry, containerW(d), containerH(d)) ++
+      trak(2, "soun", audioEntry, 0, 0))
+    val fill = Array.tabulate[Byte]((200 + d % 977).toInt)(i =>
+      pixel(d, i, 0).toByte)
+    ftyp ++ moov ++ box("mdat", fill)
+  }
+
+  private val identityMatrix: Array[Byte] =
+    be32(0x00010000L) ++ be32(0) ++ be32(0) ++
+      be32(0) ++ be32(0x00010000L) ++ be32(0) ++
+      be32(0) ++ be32(0) ++ be32(0x40000000L)
+
+  // EBML builders: ids write with their wire bytes, sizes as 1- or 2-byte
+  // varints (payloads here are tiny)
+  private def ebmlId(id: Long): Array[Byte] = {
+    val n = (64 - java.lang.Long.numberOfLeadingZeros(id) + 7) / 8
+    (0 until n).reverse.map(i => ((id >> (8 * i)) & 0xff).toByte).toArray
+  }
+  private def ebmlSize(n: Int): Array[Byte] =
+    if (n < 127) Array((0x80 | n).toByte)
+    else Array((0x40 | (n >> 8)).toByte, (n & 0xff).toByte)
+  private def el(id: Long, payload: Array[Byte]): Array[Byte] =
+    ebmlId(id) ++ ebmlSize(payload.length) ++ payload
+  private def elUint(id: Long, v: Long): Array[Byte] = {
+    val n = math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(v) + 7) / 8)
+    el(id, (0 until n).reverse.map(i => ((v >> (8 * i)) & 0xff).toByte).toArray)
+  }
+  private def elFloat(id: Long, v: Double): Array[Byte] =
+    el(id, be64(java.lang.Double.doubleToLongBits(v)))
+  private def elStr(id: Long, s: String): Array[Byte] = el(id, ascii(s))
+
+  /** Closed-form Matroska/WebM for doc `d`: EBML header (DocType webm when
+    * d % 3 == 0, matroska otherwise) + Segment(Info(TimestampScale,
+    * Duration float64) + Tracks(video TrackEntry + audio TrackEntry)) +
+    * a filler Void element standing in for clusters. */
+  def mkv(d: Long): Array[Byte] = {
+    val docType = if (d % 3 == 0) "webm" else "matroska"
+    val vcodec = Seq("V_MPEG4/ISO/AVC", "V_MPEGH/ISO/HEVC", "V_VP9",
+      "V_AV1")(((d / 2) % 4).toInt)
+    val acodec = Seq("A_AAC", "A_OPUS")(((d / 2) % 2).toInt)
+    val header = el(0x1A45DFA3L, elStr(0x4282L, docType))
+    val info = el(0x1549A966L,
+      elUint(0x2AD7B1L, 1000000L) ++
+        elFloat(0x4489L, containerDurMs(d).toDouble))
+    val vtrack = el(0xAEL,
+      elUint(0x83L, 1L) ++ elStr(0x86L, vcodec) ++
+        el(0xE0L, elUint(0xB0L, containerW(d).toLong) ++
+          elUint(0xBAL, containerH(d).toLong)))
+    val atrack = el(0xAEL,
+      elUint(0x83L, 2L) ++ elStr(0x86L, acodec) ++
+        el(0xE1L, elFloat(0xB5L, containerRate(d).toDouble) ++
+          elUint(0x9FL, containerChans(d).toLong)))
+    val fill = Array.tabulate[Byte]((200 + d % 977).toInt)(i =>
+      pixel(d + 7L, i, 0).toByte)
+    header ++ el(0x18538067L,
+      info ++ el(0x1654AE6BL, vtrack ++ atrack) ++ el(0xECL, fill))
+  }
+
+  /** The synthetic COMPRESSED-CONTAINER lake (q156): even docs MP4, odd
+    * docs Matroska — one frame covering both walks. */
+  def containerFrame(docs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long]
+      .map(d => (d, "video", if (d % 2 == 0) mp4(d) else mkv(d)))
+      .toDF("media_id", "kind", "payload")
+  }
 }

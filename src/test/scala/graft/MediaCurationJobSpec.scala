@@ -83,6 +83,30 @@ class MediaCurationJobSpec extends SparkSpec {
       .select($"media_id").as[Long].collect().toSet == Set(1L, 4L))
   }
 
+  test("container_census_path: governance census publishes beside the tick") {
+    val dir = Files.createTempDirectory("mediacensus").toString
+    // mixed lake: two real containers + one PNM image (census drops it —
+    // censusable means MP4/Matroska; the image still dedups below)
+    lake(Seq(
+      Row(2L, "video", graft.operators.SyntheticMedia.mp4(2L)),
+      Row(5L, "video", graft.operators.SyntheticMedia.mkv(5L)),
+      Row(7L, "image", ppm(ramp((x, _) => x * 5)))))
+      .write.parquet(s"$dir/tick")
+    val cfg = writeCfg(Map(
+      "media_path" -> ("\"" + dir + "/tick\""),
+      "output_path" -> ("\"" + dir + "/out\""),
+      "modality" -> "\"image\"",
+      "container_census_path" -> ("\"" + dir + "/census\"")))
+    MediaCurationJob.run(spark, cfg)
+    val census = spark.read.parquet(s"$dir/census")
+      .orderBy($"media_id").collect()
+    assert(census.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((2L, "mp4"), (5L, "mkv")))
+    assert(census.forall(r =>
+      r.getLong(3) == graft.operators.SyntheticMedia.containerDurMs(
+        r.getLong(0))))
+  }
+
   test("maintained store: multi-tick fold, crash-heal replay, compaction") {
     val a = ramp((x, _) => x * 7)
     val aEdit = a.clone()
