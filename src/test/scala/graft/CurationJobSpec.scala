@@ -570,6 +570,23 @@ class CurationJobSpec extends SparkSpec {
     rows.groupBy(_._1).foreach { case (_, g) =>
       assert(g.map(_._7).toSet.size == 1)
     }
+    // the day-one QA gate on the published product (q154's operator):
+    // negatives are gold-excluded, so evaluating them AS IF they were
+    // retrieval hits against the gold frame must score exactly zero on
+    // every metric — any non-zero recall/MRR/nDCG is a leak
+    val gold = tp.select($"q_id", $"gold_id").distinct()
+    val leakEval = graft.operators.Retrieval.evaluate(
+        tp.select($"q_id", $"neighbor_id", $"rank"), gold, k = 10)
+      .select($"recall_e6", $"mrr_e6", $"ndcg_e6")
+      .as[(Long, Long, Long)].collect()
+    assert(leakEval.nonEmpty &&
+      leakEval.forall(_ == ((0L, 0L, 0L))), "gold leaked into negatives")
+    // positive control: the gold frame served at rank 1 scores perfect
+    val perfect = graft.operators.Retrieval.evaluateSummary(
+        gold.select($"q_id", $"gold_id", lit(1).as("rank")), gold, k = 10)
+      .select($"recall_e6", $"mrr_e6", $"ndcg_e6")
+      .as[(Long, Long, Long)].head()
+    assert(perfect == ((1000000L, 1000000L, 1000000L)))
     // the DENSE serving index published beside the corpus covers exactly
     // the curated ids, and the job's dense negatives came off it: a
     // direct gold-excluded search over the loaded index reproduces them
