@@ -78,7 +78,7 @@ object Retrieval {
     val g = {
       val c = gold.columns
       gold.select(col(c(0)).as("q_id"), col(c(1)).as("doc_id"))
-    }
+    }.distinct() // a duplicated gold row must not inflate n_gold
     val discArr = typedLit(disc.toSeq)
     val relAgg = h.join(g, Seq("q_id", "doc_id"), "left_semi")
       .groupBy(col("q_id"))
