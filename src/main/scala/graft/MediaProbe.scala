@@ -238,6 +238,31 @@ object MediaProbe {
           Seq(sigs, dropIds, survivorIds).foreach(Dedup.release)
           spark.catalog.clearCache()
         }
+      case "containers" =>
+        // r17: the compressed-container census at scale — n MP4/Matroska
+        // payloads (SyntheticMedia.mp4/mkv, ~1.2 KB each) walked by the
+        // REAL box/EBML parsers; the receipt that governance rows are
+        // metadata-sized and the walk is payload-scan-bound. Usage:
+        // containers <dir-ignored> [n]
+        val ids = spark.range(n).toDF("doc_id")
+          .repartition(spark.sparkContext.defaultParallelism)
+        val lakeDf = graft.operators.SyntheticMedia.containerFrame(
+            ids, "doc_id")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        println(s"[media-probe] lake rows=${lakeDf.count()}")
+        for (r <- 1 to 2) {
+          val t0 = System.nanoTime()
+          val census = Multimodal.containerCensus(lakeDf)
+          val cnt = census.count()
+          val agg = census.groupBy(col("container"), col("video_codec"))
+            .agg(count(lit(1)).as("n"), sum(col("duration_ms")).as("ms"),
+              sum(col("payload_bytes")).as("bytes"))
+            .collect()
+          println(f"[media-probe] census-$r rows=$cnt " +
+            f"groups=${agg.length} ${(System.nanoTime() - t0) / 1e9}%.1f s")
+        }
+        Dedup.release(lakeDf)
+
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
