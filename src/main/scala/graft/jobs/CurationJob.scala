@@ -117,6 +117,13 @@ import org.apache.spark.sql.functions._
   *                                     //   negatives via IVF+PQ with the
   *                                     //   same gold exclusion ("" =
   *                                     //   sparse-only)
+  *   "training_eval_path": "",         // r17: optional QA card — one row
+  *                                     //   per retriever (recall/MRR/
+  *                                     //   nDCG@k e6 ints, q154's
+  *                                     //   operator) of the NON-excluded
+  *                                     //   self-retrieval task; the
+  *                                     //   sanity number read before
+  *                                     //   trusting the mined negatives
   *   "ivfpq_index_path": "",           // r16: publish the DENSE serving
   *                                     //   index over the curated corpus
   *                                     //   (IVF+PQ from the embedding
@@ -1025,9 +1032,12 @@ object CurationJob {
       // dense negatives when an embedding sidecar is configured: served
       // from the PUBLISHED IVF+PQ index when 5b3b ran (the standing
       // artifact — same discipline as the BM25 side), else a one-shot
-      // build over the CURATED subset; same gold exclusion either way
-      val negatives =
-        if (tpEmbPath.isEmpty) sparseNeg
+      // build over the CURATED subset; same gold exclusion either way.
+      // The (index, query embeddings) context binds once — the QA eval
+      // below reuses it for the non-excluded search.
+      val denseCtx: Option[(graft.operators.Similarity.IvfPqIndex,
+          DataFrame)] =
+        if (tpEmbPath.isEmpty) None
         else {
           val emb = spark.read.parquet(tpEmbPath)
             .select(col(idCol).as("vec_id"), col("embedding"))
@@ -1051,13 +1061,18 @@ object CurationJob {
             }
           val qEmb = emb.join(queries.select(col("q_id").as("vec_id")),
             Seq("vec_id"), "left_semi")
+          Some((didx, qEmb))
+        }
+      val negatives = denseCtx match {
+        case None => sparseNeg
+        case Some((didx, qEmb)) =>
           sparseNeg.unionByName(
             graft.operators.Similarity.ivfPqSearch(didx, qEmb, k = negK,
                 nProbe = 4, excludePairs = gold)
               .select(col("query_id").as("q_id"),
                 lit("dense").as("retriever"), col("neighbor_id"),
                 col("rank").cast("int").as("rank")))
-        }
+      }
       // leakage-controlled split per QUERY, keyed on its gold doc's
       // cluster root from the job's own labels
       // bucket boundaries follow SORTED split names — a JSON object is
@@ -1082,11 +1097,42 @@ object CurationJob {
       dedupLabels.write.mode("overwrite")
         .parquet(trainingPairsPath + "_labels")
       graft.operators.Dedup.release(dedupLabels)
-      // the one-shot index (bm25_index_table empty) pinned its corpus-
-      // sized tf frame; the pairs are written — free it (a LOADED index
-      // pins nothing, release is a no-op there)
-      bmIdx.release()
       lap("training_pairs")
+      // 5b5b. optional retrieval-quality QA card (r17 — q154's operator
+      // on the job's own product): the SELF-RETRIEVAL sanity metric —
+      // recall@k / MRR@k / nDCG@k of each retriever's NON-excluded top-k
+      // against gold = the query's own doc, macro-averaged to one row per
+      // retriever. The number a training-data user reads before trusting
+      // the negatives: a retriever that cannot find the gold doc for the
+      // doc's own leading words mines noise, not hard negatives. Query-
+      // sized searches off the standing indexes; exact e6 integers.
+      val evalPath = str("training_eval_path", "")
+      if (evalPath.nonEmpty) {
+        val sparseHits = graft.operators.Bm25.search(bmIdx, queries,
+            "q_id", "q_text", k = negK)
+          .select(col("q_id"), col(idCol).as("neighbor_id"), col("rn"))
+        val sEval = graft.operators.Retrieval
+          .evaluateSummary(sparseHits, gold, negK)
+          .select(lit("bm25").as("retriever"), col("n_queries"),
+            col("recall_e6"), col("mrr_e6"), col("ndcg_e6"))
+        val card = denseCtx match {
+          case None => sEval
+          case Some((didx, qEmb)) =>
+            sEval.unionByName(graft.operators.Retrieval.evaluateSummary(
+                graft.operators.Similarity.ivfPqSearch(didx, qEmb,
+                    k = negK, nProbe = 4)
+                  .select(col("query_id"), col("neighbor_id"), col("rank")),
+                gold, negK)
+              .select(lit("dense").as("retriever"), col("n_queries"),
+                col("recall_e6"), col("mrr_e6"), col("ndcg_e6")))
+        }
+        card.write.mode("overwrite").parquet(evalPath)
+        lap("training_eval")
+      }
+      // the one-shot index (bm25_index_table empty) pinned its corpus-
+      // sized tf frame; the pairs AND the eval are written — free it (a
+      // LOADED index pins nothing, release is a no-op there)
+      bmIdx.release()
     }
     // 5b6. optional TOKENIZED export (r16, repacked r17 — the pipeline's
     // true last mile: from curated text to the table a training reader

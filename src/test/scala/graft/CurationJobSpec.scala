@@ -528,6 +528,7 @@ class CurationJobSpec extends SparkSpec {
          | "bm25_index_table": "cj_tp_bm25",
          | "ivfpq_index_path": "$dir/ivfpq", "ivfpq_centroids": 8,
          | "training_pairs_output_path": "$dir/tp",
+         | "training_eval_path": "$dir/tpeval",
          | "training_query_every": 1, "training_query_words": 3,
          | "training_negatives_k": 3,
          | "training_splits": {"train": 0.5, "test": 0.5},
@@ -587,6 +588,13 @@ class CurationJobSpec extends SparkSpec {
       .select($"recall_e6", $"mrr_e6", $"ndcg_e6")
       .as[(Long, Long, Long)].head()
     assert(perfect == ((1000000L, 1000000L, 1000000L)))
+    // the published QA card: one self-retrieval summary row per
+    // retriever, every metric a valid e6 fraction, all 19 queries judged
+    val card = spark.read.parquet(s"$dir/tpeval")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(card.map(_._1) == Seq("bm25", "dense"))
+    assert(card.forall(r => r._2 == 19L &&
+      Seq(r._3, r._4, r._5).forall(m => m >= 0L && m <= 1000000L)))
     // the DENSE serving index published beside the corpus covers exactly
     // the curated ids, and the job's dense negatives came off it: a
     // direct gold-excluded search over the loaded index reproduces them
