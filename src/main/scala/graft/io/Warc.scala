@@ -135,7 +135,7 @@ object Warc {
   /** Hadoop Configuration made Serializable (write/readFields round-trip) so
     * an exact-path read can ship the session's FS settings to executors —
     * the same pattern Spark's own datasources use internally. */
-  private final class SerHadoopConf(
+  private[graft] final class SerHadoopConf(
       @transient private var conf: org.apache.hadoop.conf.Configuration)
       extends Serializable {
     def value: org.apache.hadoop.conf.Configuration = conf

@@ -472,26 +472,35 @@ object Multimodal {
       .select(col("media_id").cast("long"), col(payloadCol))
       .as[(Long, Array[Byte])]
       .mapPartitions(rows => rows.flatMap { case (id, payload) =>
-        Mp4Codec.probe(payload).map { i =>
-          val v = i.tracks.find(_.handler == "vide")
-          val a = i.tracks.find(_.handler == "soun")
-          (id, "mp4", i.brand, i.durationMs,
-            v.map(_.codec), v.map(_.width), v.map(_.height),
-            a.map(_.codec), a.map(_.channels), a.map(_.sampleRate),
-            i.payloadBytes)
-        }.orElse(MkvCodec.probe(payload).map { i =>
-          val v = i.tracks.find(_.trackType == 1)
-          val a = i.tracks.find(_.trackType == 2)
-          (id, "mkv", i.docType, i.durationMs,
-            v.map(_.codecId), v.map(_.width), v.map(_.height),
-            a.map(_.codecId), a.map(_.channels), a.map(_.sampleRate),
-            i.payloadBytes)
-        })
+        probeContainer(payload).map(m => (id, m._1, m._2, m._3, m._4,
+          m._5, m._6, m._7, m._8, m._9, m._10))
       })
       .toDF("media_id", "container", "brand", "duration_ms", "video_codec",
         "width", "height", "audio_codec", "channels", "sample_rate",
         "payload_bytes")
   }
+
+  /** The census kernel shared by [[containerCensus]] and the streaming
+    * driver: (container, brand, duration_ms, video_codec, width, height,
+    * audio_codec, channels, sample_rate, payload_bytes) or None. */
+  private[graft] def probeContainer(payload: Array[Byte]):
+      Option[(String, String, Long, Option[String], Option[Int],
+        Option[Int], Option[String], Option[Int], Option[Int], Long)] =
+    Mp4Codec.probe(payload).map { i =>
+      val v = i.tracks.find(_.handler == "vide")
+      val a = i.tracks.find(_.handler == "soun")
+      ("mp4", i.brand, i.durationMs,
+        v.map(_.codec), v.map(_.width), v.map(_.height),
+        a.map(_.codec), a.map(_.channels), a.map(_.sampleRate),
+        i.payloadBytes)
+    }.orElse(MkvCodec.probe(payload).map { i =>
+      val v = i.tracks.find(_.trackType == 1)
+      val a = i.tracks.find(_.trackType == 2)
+      ("mkv", i.docType, i.durationMs,
+        v.map(_.codecId), v.map(_.width), v.map(_.height),
+        a.map(_.codecId), a.map(_.channels), a.map(_.sampleRate),
+        i.payloadBytes)
+    })
 
   /** Size-aware repartitioning: choose the partition count from the TOTAL payload
     * size so each partition holds ~`targetBytes`, then spread rows by id hash —
