@@ -28,7 +28,14 @@ import org.apache.spark.sql.functions._
   *                                    //   .containerCensus: duration,
   *                                    //   codec ids, geometry, channels,
   *                                    //   rate, bytes per MP4/Matroska
-  *                                    //   payload; no frame decode)
+  *                                    //   payload; no frame decode. A
+  *                                    //   byte/duration QUOTA over the
+  *                                    //   census is one deterministic
+  *                                    //   DataMix.sampleToBudget over
+  *                                    //   this table (spec-pinned in
+  *                                    //   ContainerCensusSpec) — applied
+  *                                    //   where the lake is STORED, not
+  *                                    //   in this decode-gated tick
   *   "signature_store": "",           // optional existing store parquet:
   *                                    //   image/audio (media_id, phash),
   *                                    //   video (media_id, fsig); matched
@@ -142,8 +149,8 @@ object MediaCurationJob {
       stageTimes += stage -> (now - tLast) / 1e9
       tLast = now
     }
-    val media = spark.read.parquet(cfg.getAs[String]("media_path"))
-    val total = media.count()
+    val mediaRaw = spark.read.parquet(cfg.getAs[String]("media_path"))
+    val total = mediaRaw.count()
     lap("read+count")
 
     // optional COMPRESSED-CONTAINER census (r17): one governance row per
@@ -153,8 +160,9 @@ object MediaCurationJob {
     // census is how a compressed-video lake gets quota'd and governed
     // while frame decode stays behind the documented stub boundary.
     val censusPath = str("container_census_path", "")
+    val media: DataFrame = mediaRaw
     if (censusPath.nonEmpty) {
-      Multimodal.containerCensus(media)
+      Multimodal.containerCensus(mediaRaw)
         .write.mode("overwrite").parquet(censusPath)
       lap("container_census")
     }

@@ -109,6 +109,40 @@ class ContainerCensusSpec extends SparkSpec {
     }
   }
 
+  test("census quota: one deterministic sampleToBudget over the census table") {
+    // the governance loop the census exists for: per-(container, codec)
+    // byte budgets select a stable survivor set — reproducible under any
+    // partitioning, and incremental lake growth never evicts an earlier
+    // survivor (sampleToBudget's hash-walk contract)
+    val docs = spark.range(0, 40).toDF("doc_id")
+    val census = Multimodal.containerCensus(
+        SyntheticMedia.containerFrame(docs, "doc_id"))
+      .localCheckpoint(true)
+    val budget = 2000L
+    val kept = graft.operators.DataMix.sampleToBudget(
+        census, Seq("container", "video_codec"), budget, "media_id",
+        $"payload_bytes")
+      .select($"container", $"video_codec", $"media_id", $"payload_bytes")
+      .collect()
+    assert(kept.nonEmpty && kept.length < 40)
+    // every (container, codec) group's surviving bytes respect the budget
+    kept.groupBy(r => (r.getString(0), r.getString(1))).foreach {
+      case (g, rows) =>
+        assert(rows.map(_.getLong(3)).sum <= budget, s"group $g over budget")
+    }
+    // monotonic determinism: lake growth can only DEMOTE late-hash rows,
+    // never promote new ones — the full walk's survivors among the first
+    // half's ids are a subset of what the half-lake walk kept
+    val keptIds = kept.map(_.getLong(2)).toSet
+    val half = graft.operators.DataMix.sampleToBudget(
+        census.filter($"media_id" < 20), Seq("container", "video_codec"),
+        budget, "media_id", $"payload_bytes")
+      .select($"media_id").as[Long].collect().toSet
+    assert(keptIds.filter(_ < 20L).subsetOf(half),
+      s"growth promoted a row: full=${keptIds.filter(_ < 20L)} half=$half")
+    graft.operators.Dedup.release(census)
+  }
+
   test("containerCensus operator: mixed lake, one governance row per payload") {
     val docs = spark.range(0, 12).toDF("doc_id")
     val lake = SyntheticMedia.containerFrame(docs, "doc_id")
