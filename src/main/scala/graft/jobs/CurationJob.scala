@@ -1036,7 +1036,7 @@ object CurationJob {
       // The (index, query embeddings) context binds once — the QA eval
       // below reuses it for the non-excluded search.
       val denseCtx: Option[(graft.operators.Similarity.IvfPqIndex,
-          DataFrame)] =
+          DataFrame, DataFrame)] =
         if (tpEmbPath.isEmpty) None
         else {
           val emb = spark.read.parquet(tpEmbPath)
@@ -1061,11 +1061,11 @@ object CurationJob {
             }
           val qEmb = emb.join(queries.select(col("q_id").as("vec_id")),
             Seq("vec_id"), "left_semi")
-          Some((didx, qEmb))
+          Some((didx, qEmb, emb))
         }
       val negatives = denseCtx match {
         case None => sparseNeg
-        case Some((didx, qEmb)) =>
+        case Some((didx, qEmb, _)) =>
           sparseNeg.unionByName(
             graft.operators.Similarity.ivfPqSearch(didx, qEmb, k = negK,
                 nProbe = 4, excludePairs = gold)
@@ -1099,13 +1099,20 @@ object CurationJob {
       graft.operators.Dedup.release(dedupLabels)
       lap("training_pairs")
       // 5b5b. optional retrieval-quality QA card (r17 — q154's operator
-      // on the job's own product): the SELF-RETRIEVAL sanity metric —
-      // recall@k / MRR@k / nDCG@k of each retriever's NON-excluded top-k
-      // against gold = the query's own doc, macro-averaged to one row per
-      // retriever. The number a training-data user reads before trusting
-      // the negatives: a retriever that cannot find the gold doc for the
-      // doc's own leading words mines noise, not hard negatives. Query-
-      // sized searches off the standing indexes; exact e6 integers.
+      // on the job's own product), one row per retriever, exact e6
+      // integers, macro-averaged:
+      //  - bm25: the SELF-RETRIEVAL sanity metric — non-excluded top-k vs
+      //    gold = the query's own doc. A lexical retriever that cannot
+      //    find the doc for its own leading words mines noise, not hard
+      //    negatives.
+      //  - dense: EXACT-SEARCH AGREEMENT — the served partial-probe
+      //    quantized search vs brute-force cosine ground truth at the
+      //    same k (both self-excluded by the search contract, so a
+      //    self-retrieval gold is structurally unreachable there). This
+      //    is the nProbe/PQ fidelity number (recall@k == 1e6 means the
+      //    ANN serves exactly what exact search would); the brute pass
+      //    costs queries × corpus quantized dots — bounded by the query
+      //    sample, the price of ground truth.
       val evalPath = str("training_eval_path", "")
       if (evalPath.nonEmpty) {
         val sparseHits = graft.operators.Bm25.search(bmIdx, queries,
@@ -1117,12 +1124,15 @@ object CurationJob {
             col("recall_e6"), col("mrr_e6"), col("ndcg_e6"))
         val card = denseCtx match {
           case None => sEval
-          case Some((didx, qEmb)) =>
+          case Some((didx, qEmb, emb)) =>
+            val truth = graft.operators.Similarity
+              .bruteForceTopK(qEmb, emb, negK)
+              .select(col("query_id"), col("neighbor_id"))
             sEval.unionByName(graft.operators.Retrieval.evaluateSummary(
                 graft.operators.Similarity.ivfPqSearch(didx, qEmb,
                     k = negK, nProbe = 4)
                   .select(col("query_id"), col("neighbor_id"), col("rank")),
-                gold, negK)
+                truth, negK)
               .select(lit("dense").as("retriever"), col("n_queries"),
                 col("recall_e6"), col("mrr_e6"), col("ndcg_e6")))
         }
