@@ -117,12 +117,23 @@ import org.apache.spark.sql.functions._
   *                                     //   negatives via IVF+PQ with the
   *                                     //   same gold exclusion ("" =
   *                                     //   sparse-only)
+  *   "training_dense_nprobe": 4,       //   IVF cells probed per dense
+  *                                     //   search — mining AND the QA
+  *                                     //   card ride the same dial, so
+  *                                     //   the card scores exactly the
+  *                                     //   configuration that mined
   *   "training_eval_path": "",         // r17: optional QA card — one row
   *                                     //   per retriever (recall/MRR/
   *                                     //   nDCG@k e6 ints, q154's
-  *                                     //   operator) of the NON-excluded
-  *                                     //   self-retrieval task; the
-  *                                     //   sanity number read before
+  *                                     //   operator): bm25 = NON-excluded
+  *                                     //   self-retrieval vs gold; dense
+  *                                     //   = agreement of the served
+  *                                     //   partial-probe search with
+  *                                     //   brute-force exact cosine at
+  *                                     //   the same k (the search self-
+  *                                     //   excludes by contract, so gold
+  *                                     //   is unreachable there); the
+  *                                     //   sanity numbers read before
   *                                     //   trusting the mined negatives
   *   "ivfpq_index_path": "",           // r16: publish the DENSE serving
   *                                     //   index over the curated corpus
@@ -1063,12 +1074,16 @@ object CurationJob {
             Seq("vec_id"), "left_semi")
           Some((didx, qEmb, emb))
         }
+      // the serve-quality dial: probing more cells trades latency for
+      // recall — mined negatives and the QA card's dense row both ride it,
+      // so the card measures EXACTLY the configuration that mined
+      val denseNProbe = str("training_dense_nprobe", "4").toInt
       val negatives = denseCtx match {
         case None => sparseNeg
         case Some((didx, qEmb, _)) =>
           sparseNeg.unionByName(
             graft.operators.Similarity.ivfPqSearch(didx, qEmb, k = negK,
-                nProbe = 4, excludePairs = gold)
+                nProbe = denseNProbe, excludePairs = gold)
               .select(col("query_id").as("q_id"),
                 lit("dense").as("retriever"), col("neighbor_id"),
                 col("rank").cast("int").as("rank")))
@@ -1130,7 +1145,7 @@ object CurationJob {
               .select(col("query_id"), col("neighbor_id"))
             sEval.unionByName(graft.operators.Retrieval.evaluateSummary(
                 graft.operators.Similarity.ivfPqSearch(didx, qEmb,
-                    k = negK, nProbe = 4)
+                    k = negK, nProbe = denseNProbe)
                   .select(col("query_id"), col("neighbor_id"), col("rank")),
                 truth, negK)
               .select(lit("dense").as("retriever"), col("n_queries"),

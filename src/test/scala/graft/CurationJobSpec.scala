@@ -609,6 +609,29 @@ class CurationJobSpec extends SparkSpec {
       .select($"neighbor_id", $"rank").as[(Long, Int)].collect().toSet
     assert(served == rows.filter(r => r._1 == 5L && r._3 == "dense")
       .map(r => (r._4, r._5)).toSet)
+    // the card's dense row = EXACT-SEARCH AGREEMENT, reproducible off the
+    // published artifacts alone: re-serving the same nProbe search off the
+    // loaded index and re-deriving brute-force cosine truth rebuilds the
+    // row to the exact e6 integer (no tolerance — the card is a contract,
+    // not an estimate)
+    val embAll = spark.read.parquet(s"$dir/emb")
+      .join(spark.read.parquet(s"$dir/out").select($"doc_id"),
+        Seq("doc_id"), "left_semi")
+      .select($"doc_id".as("vec_id"), $"embedding")
+    val expectedDense = graft.operators.Retrieval.evaluateSummary(
+        graft.operators.Similarity.ivfPqSearch(didx, embAll, k = 3,
+            nProbe = 4)
+          .select($"query_id", $"neighbor_id", $"rank"),
+        graft.operators.Similarity.bruteForceTopK(embAll, embAll, 3)
+          .select($"query_id", $"neighbor_id"), 3)
+      .select($"n_queries", $"recall_e6", $"mrr_e6", $"ndcg_e6")
+      .as[(Long, Long, Long, Long)].head()
+    val denseRow = card.find(_._1 == "dense").get
+    assert((denseRow._2, denseRow._3, denseRow._4, denseRow._5)
+      == expectedDense)
+    // and the agreement is non-trivial here: 4-of-8 probed cells on a
+    // 19-doc corpus must find SOMETHING exact search finds
+    assert(denseRow._3 > 0L, s"dense agreement collapsed: $denseRow")
   }
 
   test("curation job: tokenized export — ids, vocab, and addressable packed slots") {
