@@ -234,7 +234,8 @@ object SparkEntry {
     "q153_packed_chunks" -> qPackedChunks,
     "q154_retrieval_eval" -> qRetrievalEval,
     "q155_byte_bpe" -> qByteBpe,
-    "q156_container_census" -> qContainerCensus)
+    "q156_container_census" -> qContainerCensus,
+    "q157_epoch_plan" -> qEpochPlan)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1322,6 +1323,24 @@ object SparkEntry {
         col("duration_ms"), col("video_codec"), col("width"), col("height"),
         col("audio_codec"), col("channels"), col("sample_rate"))
       .orderBy(col("media_id"))
+  }
+
+  /** q157: the TOKEN-BUDGET EPOCH PLAN — the "how many epochs of each
+    * source" table a pretraining run is configured from: a 15k-token
+    * budget splits across the 20 sources weight-proportionally
+    * (src0 × 50, src1 × 10, rest × 1), each source capped at 1.5 epochs
+    * of its available tokens, capped sources' unused share water-filling
+    * to the rest ([[graft.operators.DataMix.epochPlan]] — one greedy fold
+    * over the strata sorted by saturation point, exact integer arithmetic
+    * throughout). At sf0.01 the two up-weighted sources saturate at
+    * 1500 milli-epochs and the other 18 share the remainder; the oracle
+    * replays the fold as a recursive CTE over the same sort order. */
+  private def qEpochPlan(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .withColumn("n_tok", size(TextFns.words(col("text"))).cast("long"))
+    graft.operators.DataMix.epochPlan(docs, "source", col("n_tok"), 15000L,
+        Map("src0" -> 50L, "src1" -> 10L), maxEpochsE3 = 1500L)
+      .orderBy(col("source"))
   }
 
   /** CCNet perplexity bucketing: score every document under the self-trained
@@ -4866,6 +4885,52 @@ object SparkEntry {
         |  CAST(CASE WHEN (doc_id // 2) % 2 = 0 THEN 48000
         |       ELSE 44100 END AS INT) AS sample_rate
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // q157: the epoch plan's water-filling fold replayed as a recursive
+    // CTE — same saturation-point sort order (ONE double divide, ties on
+    // source), same split-form integer arithmetic; every output column
+    // cast to BIGINT (the HUGEINT gotcha)
+    "q157_epoch_plan" ->
+      """WITH RECURSIVE counts AS (
+        |  SELECT CAST(source AS VARCHAR) AS src,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COALESCE(SUM(CAST(len(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> len(w) > 0)) AS BIGINT)), 0) AS BIGINT) AS avail
+        |  FROM documents GROUP BY 1),
+        |wtd AS (
+        |  SELECT src, n_docs, avail,
+        |    CAST(CASE src WHEN 'src0' THEN 50 WHEN 'src1' THEN 10
+        |      ELSE 1 END AS BIGINT) AS w,
+        |    CAST(avail // 1000 * 1500
+        |      + (avail % 1000) * 1500 // 1000 AS BIGINT) AS cap
+        |  FROM counts),
+        |ord AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE), src)
+        |    AS BIGINT) AS rn
+        |  FROM wtd),
+        |fold(rn, r, wr, src, alloc) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(15000 AS BIGINT),
+        |    CAST(SUM(w) AS BIGINT), CAST(NULL AS VARCHAR),
+        |    CAST(0 AS BIGINT)
+        |  FROM wtd
+        |  UNION ALL
+        |  SELECT o.rn,
+        |    CAST(f.r - LEAST(o.cap, f.r // f.wr * o.w
+        |      + (f.r % f.wr) * o.w // f.wr) AS BIGINT),
+        |    CAST(f.wr - o.w AS BIGINT), o.src,
+        |    CAST(LEAST(o.cap, f.r // f.wr * o.w
+        |      + (f.r % f.wr) * o.w // f.wr) AS BIGINT)
+        |  FROM fold f JOIN ord o ON o.rn = f.rn + 1)
+        |SELECT t.src AS source, t.n_docs, t.avail AS avail_tokens,
+        |  t.w AS mix_w, t.cap AS cap_tokens, f.alloc AS alloc_tokens,
+        |  CAST(CASE WHEN t.avail > 0 THEN f.alloc // t.avail * 1000
+        |    + (f.alloc % t.avail) * 1000 // t.avail
+        |    ELSE 0 END AS BIGINT) AS epochs_e3,
+        |  (SELECT CAST(r AS BIGINT) FROM fold
+        |   ORDER BY rn DESC LIMIT 1) AS unallocated_tokens
+        |FROM wtd t JOIN fold f USING (src)
+        |ORDER BY source""".stripMargin,
     // q155: q88's training replay over the byte alphabet — the same
     // footer (per-doc word + token prices), byte-level s0
     "q155_byte_bpe" -> (byteBpeCtes(6) + "\n" +

@@ -386,4 +386,96 @@ object DataMix {
       .select(col(strataCol), col("n_tokens"),
         graft.ops.Quantiles.div(col("__sum"), col("n_tokens")).as("kl_e6"))
   }
+
+  /** TOKEN-BUDGET EPOCH PLAN — the "how many epochs of each source" table a
+    * pretraining run is configured from (the LLaMA-style mixture: a token
+    * budget splits across sources by weight, small high-quality sources
+    * REPEAT up to a cap, a dominant crawl contributes once): allocate
+    * `budgetTokens` across strata proportionally to `mixWeights`, each
+    * stratum capped at `avail · maxEpochsE3/1000` tokens, with capped
+    * strata's unused share flowing to the others — exact WATER-FILLING,
+    * computed as one greedy fold over the strata sorted by saturation
+    * point (cap/weight ascending: a stratum saturates only if it would
+    * also saturate under every later, larger fair share, so one pass
+    * suffices — the classic max-min fairness argument).
+    *
+    * Everything is exact integer arithmetic (the oracle discipline):
+    * - `cap = a·m/1000` and `epochs_e3 = alloc·1000/a` evaluate in split
+    *   form `(a div 1000)·m + ((a mod 1000)·m) div 1000` — bit-equal to
+    *   the unsplit floor for ANY a (the decomposition is exact because
+    *   the split-off quotient term is divisible), with every intermediate
+    *   under 2⁶³ up to ~9·10¹⁵ tokens per stratum (≈36 PB of text).
+    * - the fold's fair share `floor(r·w / wr)` splits the same way on
+    *   `wr`; weights are bounded to [1, 10⁶] so `(r mod wr)·w` fits.
+    * - only the sort key is a double (cap/w, ONE correctly-rounded IEEE
+    *   divide — same bits in any engine, the [[temperatureRates]]
+    *   rationale), ties broken by stratum name.
+    *
+    * Output (strata-sized): stratum (as string), n_docs, avail_tokens,
+    * mix_w, cap_tokens, alloc_tokens, epochs_e3 (milli-epochs of the
+    * stratum a reader consumes), unallocated_tokens (same value on every
+    * row: > 0 iff every stratum saturated — the budget exceeds what the
+    * caps admit; by construction the fold's floors never strand budget
+    * while an unsaturated stratum remains).
+    *
+    * Scale shape: one map-combinable count/sum aggregate over the corpus,
+    * then the fold runs in-row on ONE strata-bounded array — no driver
+    * loop, no second corpus pass, no shuffle beyond the aggregate's. */
+  def epochPlan(docs: DataFrame, strataCol: String, tokens: Column,
+                budgetTokens: Long, mixWeights: Map[String, Long],
+                defaultWeight: Long = 1L,
+                maxEpochsE3: Long = 1000L): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be >= 0, got $budgetTokens")
+    require(maxEpochsE3 >= 0 && maxEpochsE3 <= 1000000L,
+      s"maxEpochsE3 must be in [0, 1e6] (0..1000 epochs), got $maxEpochsE3")
+    (mixWeights.values.toSeq :+ defaultWeight).foreach(w =>
+      require(w >= 1L && w <= 1000000L,
+        s"mix weights must be in [1, 1e6], got $w"))
+    val d = (a: Column, b: Column) => graft.ops.Quantiles.div(a, b)
+    val wtd = docs.groupBy(col(strataCol).cast("string").as("__s"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(tokens.cast("long")), lit(0L)).as("avail_tokens"))
+      .withColumn("mix_w", mixWeights.foldLeft(lit(defaultWeight)) {
+        case (acc, (k, v)) => when(col("__s") === k, lit(v)).otherwise(acc)
+      })
+      .withColumn("cap_tokens",
+        d(col("avail_tokens"), lit(1000L)) * lit(maxEpochsE3) +
+          d(pmod(col("avail_tokens"), lit(1000L)) * lit(maxEpochsE3),
+            lit(1000L)))
+    val outType = "array<struct<s:string,nd:bigint,a:bigint,w:bigint," +
+      "cap:bigint,alloc:bigint>>"
+    val folded = wtd
+      .agg(sort_array(collect_list(struct(
+          (col("cap_tokens").cast("double") / col("mix_w").cast("double"))
+            .as("k"),
+          col("__s").as("s"), col("n_docs").as("nd"),
+          col("avail_tokens").as("a"), col("mix_w").as("w"),
+          col("cap_tokens").as("cap")))).as("__rows"),
+        sum(col("mix_w")).as("__tw"))
+      .select(aggregate(col("__rows"),
+        struct(lit(budgetTokens).as("r"), col("__tw").as("wr"),
+          lit(null).cast(outType).as("out")),
+        (acc, x) => {
+          val share = d(acc("r"), acc("wr")) * x("w") +
+            d(pmod(acc("r"), acc("wr")) * x("w"), acc("wr"))
+          val alloc = least(x("cap"), share)
+          val row = array(struct(x("s").as("s"), x("nd").as("nd"),
+            x("a").as("a"), x("w").as("w"), x("cap").as("cap"),
+            alloc.as("alloc")))
+          struct((acc("r") - alloc).as("r"), (acc("wr") - x("w")).as("wr"),
+            when(acc("out").isNull, row)
+              .otherwise(concat(acc("out"), row)).as("out"))
+        }).as("__fold"))
+    folded
+      .select(col("__fold.r").as("unallocated_tokens"),
+        explode(col("__fold.out")).as("x"))
+      .select(col("x.s").as(strataCol), col("x.nd").as("n_docs"),
+        col("x.a").as("avail_tokens"), col("x.w").as("mix_w"),
+        col("x.cap").as("cap_tokens"), col("x.alloc").as("alloc_tokens"),
+        when(col("x.a") > 0,
+            d(col("x.alloc"), col("x.a")) * lit(1000L) +
+              d(pmod(col("x.alloc"), col("x.a")) * lit(1000L), col("x.a")))
+          .otherwise(lit(0L)).as("epochs_e3"),
+        col("unallocated_tokens"))
+  }
 }

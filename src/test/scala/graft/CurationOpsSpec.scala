@@ -298,6 +298,49 @@ class CurationOpsSpec extends SparkSpec {
     assert(run(4, 1000000L).size == 600)
   }
 
+  test("epochPlan: water-filling caps, epoch arithmetic, overflow domain, invariance") {
+    // one doc per (source, token-count) unit keeps avail hand-computable:
+    // web 1000 tokens, code 100, wiki 50
+    val df = Seq(("web", 1000L), ("code", 100L), ("wiki", 50L))
+      .toDF("src", "n_tok")
+    def plan(budget: Long, w: Map[String, Long], maxE3: Long, part: Int = 1) =
+      graft.operators.DataMix.epochPlan(df.repartition(part), "src",
+          $"n_tok", budget, w, maxEpochsE3 = maxE3)
+        .select($"src", $"n_docs", $"avail_tokens", $"mix_w", $"cap_tokens",
+          $"alloc_tokens", $"epochs_e3", $"unallocated_tokens")
+        .as[(String, Long, Long, Long, Long, Long, Long, Long)]
+        .collect().toSet
+    // hand-walked fold at 2-epoch caps: wiki (weight 2) saturates at 100,
+    // code at 200, web soaks the remaining 300 of the 600 budget
+    val got = plan(600L, Map("code" -> 1L, "wiki" -> 2L), 2000L)
+    assert(got == Set(
+      ("wiki", 1L, 50L, 2L, 100L, 100L, 2000L, 0L),
+      ("code", 1L, 100L, 1L, 200L, 200L, 2000L, 0L),
+      ("web", 1L, 1000L, 1L, 2000L, 300L, 300L, 0L)))
+    assert(got == plan(600L, Map("code" -> 1L, "wiki" -> 2L), 2000L,
+      part = 7)) // the fold is one in-row pass — partition-independent
+    // every stratum saturates: allocs == caps, the excess reports honestly
+    val sat = plan(5000L, Map("code" -> 1L, "wiki" -> 2L), 2000L)
+    assert(sat.forall(r => r._6 == r._5 && r._7 == 2000L && r._8 == 2700L))
+    // caps never bind (1000-epoch ceiling): allocation is exactly
+    // weight-proportional and the budget is fully spent
+    val prop = plan(400L, Map("web" -> 2L), 1000000L)
+    assert(prop.map(r => r._1 -> r._6).toMap ==
+      Map("web" -> 200L, "code" -> 100L, "wiki" -> 100L))
+    assert(prop.forall(_._8 == 0L))
+    // the documented exactness domain: ~9e15 tokens in one stratum still
+    // computes the split-form epochs without overflow
+    val big = graft.operators.DataMix.epochPlan(
+        Seq(("s", 9000000000000000L)).toDF("src", "n_tok"), "src",
+        $"n_tok", 100000000000000L, Map.empty)
+      .select($"epochs_e3", $"cap_tokens").as[(Long, Long)].head()
+    assert(big == ((11L, 9000000000000000L)))
+    // empty corpus -> empty plan (no null-fold residue row)
+    assert(graft.operators.DataMix.epochPlan(
+      df.filter($"n_tok" < 0), "src", $"n_tok", 100L, Map.empty)
+      .isEmpty)
+  }
+
   test("shardPositions/writeShards: dense per-shard ranks, files in permutation order") {
     import graft.operators.DataMix
     // positions must be the per-shard dense 1..n rank over (hash, id) — the
