@@ -235,7 +235,8 @@ object SparkEntry {
     "q154_retrieval_eval" -> qRetrievalEval,
     "q155_byte_bpe" -> qByteBpe,
     "q156_container_census" -> qContainerCensus,
-    "q157_epoch_plan" -> qEpochPlan)
+    "q157_epoch_plan" -> qEpochPlan,
+    "q158_shard_manifest" -> qShardManifest)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1117,6 +1118,55 @@ object SparkEntry {
     header + "\n" + bpeRounds(nMerges)
   }
 
+  /** The concat-and-cut CTE chain SHARED by the q153 and q158 oracles:
+    * from [[bpeCtes]]'s trained `s6` to `cut` — dense sorted-order vocab
+    * ids, per-doc position-ordered id streams, the per-shard prior-sum
+    * walk, and the span-split arithmetic against 256-token bin
+    * boundaries. Ends at the `cut` relation (doc_id, source, chunk_idx,
+    * tk, prior, bin_id, st, en); callers append their own final SELECT. */
+  private def packedPiecesCtes: String =
+    """enc AS (
+      |  SELECT word, string_split(s, ' ') AS bpe FROM s6),
+      |vocab AS (
+      |  SELECT token,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) AS token_id
+      |  FROM (SELECT DISTINCT unnest(bpe) AS token FROM enc)),
+      |wtok AS (
+      |  SELECT word, unnest(range(1, len(bpe) + 1)) AS p,
+      |    unnest(bpe) AS token
+      |  FROM enc),
+      |wid AS (
+      |  SELECT w.word, list(v.token_id ORDER BY w.p) AS ids
+      |  FROM wtok w JOIN vocab v USING (token) GROUP BY w.word),
+      |stream AS (
+      |  SELECT t.doc_id, flatten(list(i.ids ORDER BY t.pos)) AS tk
+      |  FROM toks t JOIN wid i ON t.word = i.word
+      |  GROUP BY t.doc_id),
+      |walkbase AS (
+      |  SELECT d.doc_id, d.source,
+      |    CAST(COALESCE(len(c.tk), 0) AS BIGINT) AS n, c.tk,
+      |    CAST(COALESCE(SUM(len(c.tk)) OVER (PARTITION BY d.source
+      |      ORDER BY d.doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS prior
+      |  FROM documents d LEFT JOIN stream c ON d.doc_id = c.doc_id),
+      |spans AS (
+      |  SELECT doc_id, source, n, tk, prior,
+      |    CAST(prior // 256 AS BIGINT) AS first_bin,
+      |    CAST(CASE WHEN n > 0 THEN (prior + n - 1) // 256
+      |         ELSE prior // 256 END AS BIGINT) AS last_bin
+      |  FROM walkbase),
+      |pieces AS (
+      |  SELECT doc_id, source, n, tk, prior, first_bin,
+      |    unnest(range(0, last_bin - first_bin + 1)) AS chunk_idx
+      |  FROM spans),
+      |cut AS (
+      |  SELECT doc_id, source, chunk_idx, tk, prior,
+      |    first_bin + chunk_idx AS bin_id,
+      |    greatest(prior, (first_bin + chunk_idx) * 256) AS st,
+      |    least(prior + n, (first_bin + chunk_idx + 1) * 256) AS en
+      |  FROM pieces)""".stripMargin
+
   /** [[bpeCtes]] with the BYTE-LEVEL s0: each distinct word renders as its
     * UTF-8 bytes through the GPT byte↔unicode alphabet (`bmap` — the SAME
     * 256 constants [[graft.operators.Bpe.byteAlphabet]] carries,
@@ -1260,6 +1310,22 @@ object SparkEntry {
           sha2(array_join(transform(col("token_ids"),
             x => x.cast("string")), " "), 256)).as("piece_sha"))
       .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** q158: the SHARD MANIFEST over q153's packed pieces — per (shard, bin)
+    * counts plus a content sha of the bin's whole token stream in offset
+    * order ([[graft.operators.Packing.shardManifest]]): the checksum table
+    * a training reader validates a shard against before spending GPU-hours
+    * on it. The oracle replays q153's training + stream + span-split CTEs
+    * and rolls the same groups up with an ordered string_agg — any slip in
+    * the packing arithmetic OR the manifest fold turns the row red. */
+  private def qShardManifest(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val merges = Bpe.learn(d, "text", 6)
+    val (pieces, _) = graft.operators.Packing.tokenizedCorpus(
+      d, "doc_id", "text", Seq("source"), tokenBudget = 256L, merges)
+    graft.operators.Packing.shardManifest(pieces, "doc_id", Seq("source"))
+      .orderBy(col("source"), col("bin_id"))
   }
 
   /** q154: retrieval-quality evaluation — recall@10 / MRR@10 / nDCG@10 of
@@ -4802,49 +4868,8 @@ object SparkEntry {
     // q153: the concat-and-cut piece contract — q151's full-corpus id
     // streams + the span-split arithmetic (greatest/least against bin
     // boundaries), piece shas over the exact id slices
-    "q153_packed_chunks" -> (bpeCtes(6) + "\n" +
-      """enc AS (
-        |  SELECT word, string_split(s, ' ') AS bpe FROM s6),
-        |vocab AS (
-        |  SELECT token,
-        |    CAST(ROW_NUMBER() OVER (ORDER BY token) AS BIGINT) AS token_id
-        |  FROM (SELECT DISTINCT unnest(bpe) AS token FROM enc)),
-        |wtok AS (
-        |  SELECT word, unnest(range(1, len(bpe) + 1)) AS p,
-        |    unnest(bpe) AS token
-        |  FROM enc),
-        |wid AS (
-        |  SELECT w.word, list(v.token_id ORDER BY w.p) AS ids
-        |  FROM wtok w JOIN vocab v USING (token) GROUP BY w.word),
-        |stream AS (
-        |  SELECT t.doc_id, flatten(list(i.ids ORDER BY t.pos)) AS tk
-        |  FROM toks t JOIN wid i ON t.word = i.word
-        |  GROUP BY t.doc_id),
-        |walkbase AS (
-        |  SELECT d.doc_id, d.source,
-        |    CAST(COALESCE(len(c.tk), 0) AS BIGINT) AS n, c.tk,
-        |    CAST(COALESCE(SUM(len(c.tk)) OVER (PARTITION BY d.source
-        |      ORDER BY d.doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |      AS BIGINT) AS prior
-        |  FROM documents d LEFT JOIN stream c ON d.doc_id = c.doc_id),
-        |spans AS (
-        |  SELECT doc_id, source, n, tk, prior,
-        |    CAST(prior // 256 AS BIGINT) AS first_bin,
-        |    CAST(CASE WHEN n > 0 THEN (prior + n - 1) // 256
-        |         ELSE prior // 256 END AS BIGINT) AS last_bin
-        |  FROM walkbase),
-        |pieces AS (
-        |  SELECT doc_id, source, n, tk, prior, first_bin,
-        |    unnest(range(0, last_bin - first_bin + 1)) AS chunk_idx
-        |  FROM spans),
-        |cut AS (
-        |  SELECT doc_id, source, chunk_idx, tk, prior,
-        |    first_bin + chunk_idx AS bin_id,
-        |    greatest(prior, (first_bin + chunk_idx) * 256) AS st,
-        |    least(prior + n, (first_bin + chunk_idx + 1) * 256) AS en
-        |  FROM pieces)
-        |SELECT doc_id, source, chunk_idx,
+    "q153_packed_chunks" -> (bpeCtes(6) + "\n" + packedPiecesCtes + "\n" +
+      """SELECT doc_id, source, chunk_idx,
         |  CAST(en - st AS BIGINT) AS n_tokens_bpe,
         |  CAST(bin_id AS BIGINT) AS bin_id,
         |  CAST(st - bin_id * 256 AS BIGINT) AS offset_tokens,
@@ -4852,6 +4877,20 @@ object SparkEntry {
         |    tk[CAST(st - prior + 1 AS BIGINT):CAST(en - prior AS BIGINT)],
         |    ' ')) END AS piece_sha
         |FROM cut ORDER BY doc_id, chunk_idx""".stripMargin),
+    // q158: the shard manifest rolls q153's cut pieces up per (shard,
+    // bin) — ordered string_agg over the exact id slices reproduces the
+    // whole-stream sha the engine computes from its per-piece arrays
+    "q158_shard_manifest" -> (bpeCtes(6) + "\n" + packedPiecesCtes + "\n" +
+      """SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pieces,
+        |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(SUM(en - st) AS BIGINT) AS n_tokens,
+        |  sha256(COALESCE(string_agg(CASE WHEN en > st THEN
+        |      array_to_string(tk[CAST(st - prior + 1 AS BIGINT):
+        |        CAST(en - prior AS BIGINT)], ' ')
+        |    END, ' ' ORDER BY st - bin_id * 256), '')) AS content_sha
+        |FROM cut GROUP BY source, bin_id
+        |ORDER BY source, bin_id""".stripMargin),
     // q154: retrieval-quality eval — q134's ranked hits + the adjacent-id
     // gold set + the e6-integer recall/MRR/nDCG fold (the DCG discount
     // constants are computed ONCE driver-side and shared verbatim between

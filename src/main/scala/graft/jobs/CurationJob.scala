@@ -166,7 +166,10 @@ import org.apache.spark.sql.functions._
   *                                     //   (shard, bin) by concatenating
   *                                     //   pieces at their offsets. The
   *                                     //   vocab (token, token_id) lands
-  *                                     //   at `<path>_vocab`. Merges
+  *                                     //   at `<path>_vocab`; the
+  *                                     //   validation manifest (per-bin
+  *                                     //   counts + stream sha, q158)
+  *                                     //   at `<path>_manifest`. Merges
   *                                     //   train on the curated corpus
   *                                     //   itself (q88's loop).
   *   "bpe_merges": 6,                  //   merge rules to learn
@@ -1184,7 +1187,15 @@ object CurationJob {
         str("pack_budget_tokens", "2048").toLong, merges)
       tokenized.write.mode("overwrite").parquet(tokPath)
       vocab.write.mode("overwrite").parquet(tokPath + "_vocab")
-      // both writes landed — free the encW/ids pins the operator holds
+      // the validation manifest publishes beside the corpus (r17 q158):
+      // per-(shard, bin) counts + the stream sha a training reader
+      // recomputes and diffs before spending GPU-hours — derived from the
+      // WRITTEN table, so the manifest certifies the artifact on disk,
+      // not the plan that produced it
+      graft.operators.Packing.shardManifest(
+          spark.read.parquet(tokPath), idCol, Seq(shardCol))
+        .write.mode("overwrite").parquet(tokPath + "_manifest")
+      // all writes landed — free the encW/ids pins the operator holds
       graft.operators.Dedup.release(tokenized)
       graft.operators.Dedup.release(vocab)
       lap("tokenized_export")

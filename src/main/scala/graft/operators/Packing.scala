@@ -302,6 +302,38 @@ object Packing {
     binsFromCounts(counts, shardCols, idCol, "n_tokens_bpe", tokenBudget)
   }
 
+  /** The SHARD MANIFEST — the validation artifact published BESIDE a packed
+    * corpus (the checksum table a training reader verifies a shard against
+    * before spending GPU-hours on it): one row per (shard, bin) of a
+    * [[tokenizedCorpus]]/[[packedLayout]] pieces frame, carrying the piece
+    * and distinct-doc counts, the bin's token total, and `content_sha` —
+    * sha256 over the bin's ENTIRE token stream in offset order (ids joined
+    * by single spaces; empty pieces contribute nothing, an all-empty bin
+    * hashes the empty string). Because pieces tile the stream contiguously,
+    * joining the per-piece id strings with the same separator reproduces
+    * the whole-stream rendering — the sha is a property of the CONTENT, not
+    * of where the piece boundaries fell.
+    *
+    * Scale shape: one hash aggregate keyed (shard, bin); the collected
+    * piece list per group is budget-bounded by the packing contract, so no
+    * group can flood a task. Truncated/reordered/corrupted bins change
+    * `content_sha`; dropped or duplicated pieces change `n_pieces`/
+    * `n_tokens` — a reader diffs the manifest it recomputes against the
+    * published one. */
+  def shardManifest(pieces: DataFrame, idCol: String,
+                    shardCols: Seq[String]): DataFrame =
+    pieces.groupBy((shardCols.map(col) :+ col("bin_id")): _*)
+      .agg(
+        count(lit(1)).as("n_pieces"),
+        countDistinct(col(idCol)).as("n_docs"),
+        sum(col("n_tokens_bpe")).as("n_tokens"),
+        sha2(array_join(transform(
+            sort_array(collect_list(when(col("n_tokens_bpe") > 0,
+              struct(col("offset_tokens").as("o"),
+                array_join(transform(col("token_ids"),
+                  x => x.cast("string")), " ").as("t"))))),
+            x => x("t")), " "), 256).as("content_sha"))
+
   /** Deterministic sharded packing: within each shard (ordered by id), a doc's
     * bin is floor(exclusive-prefix-token-sum / tokenBudget) — consecutive docs
     * share a bin until the budget boundary is crossed. Bins are exact, stable

@@ -694,6 +694,25 @@ class CurationJobSpec extends SparkSpec {
     assert(vocab.map(_._1) == vocab.map(_._1).sorted)
     val used = rows.flatMap(_._7).toSet
     assert(used.subsetOf(vocab.map(_._2).toSet))
+    // the validation manifest beside the corpus (r17): counts and stream
+    // sha per (shard, bin) — recomputing it from the published pieces
+    // must reproduce it row for row (the reader's day-one check)
+    val manifest = spark.read.parquet(s"$dir/tok_manifest")
+      .select($"source", $"bin_id", $"n_pieces", $"n_docs", $"n_tokens",
+        $"content_sha")
+      .as[(String, Long, Long, Long, Long, String)].collect().toSet
+    val recomputed = graft.operators.Packing.shardManifest(
+        spark.read.parquet(s"$dir/tok"), "doc_id", Seq("source"))
+      .select($"source", $"bin_id", $"n_pieces", $"n_docs", $"n_tokens",
+        $"content_sha")
+      .as[(String, Long, Long, Long, Long, String)].collect().toSet
+    assert(manifest == recomputed && manifest.nonEmpty)
+    // manifest covers every published (shard, bin) and its token sums
+    // match the pieces table
+    assert(manifest.map(m => (m._1, m._2)) ==
+      rows.map(r => (r._2, r._5)).toSet)
+    assert(manifest.forall(m => m._5 ==
+      rows.filter(r => r._2 == m._1 && r._5 == m._2).map(_._4).sum))
   }
 
   test("curation job: frontier export + BM25 index publication close the crawl loop") {

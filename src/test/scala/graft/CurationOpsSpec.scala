@@ -710,6 +710,49 @@ class CurationOpsSpec extends SparkSpec {
     graft.operators.Dedup.release(pieces)
   }
 
+  test("shardManifest: per-bin counts, stream sha is boundary-invariant") {
+    import graft.operators.Packing
+    def sha(s: String): String = java.security.MessageDigest
+      .getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "ab ab", "s0"), (2L, "a", "s0"), (3L, "  ", "s0"),
+      (4L, "ab", "s1")).toDF("doc_id", "text", "source")
+    val (pieces, _) = Packing.tokenizedCorpus(docs, "doc_id", "text",
+      Seq("source"), tokenBudget = 7L, merges = Nil)
+    val got = Packing.shardManifest(pieces, "doc_id", Seq("source"))
+      .select($"source", $"bin_id", $"n_pieces", $"n_docs", $"n_tokens",
+        $"content_sha")
+      .as[(String, Long, Long, Long, Long, String)].collect().toSet
+    // hand-derived streams (vocab </w>=1, a=2, b=3): s0/bin0 holds doc 1
+    // whole + doc 2's first token; s0/bin1 holds doc 2's tail + the
+    // tokenless doc 3 (counted, hashes nothing); s1/bin0 holds doc 4
+    assert(got == Set(
+      ("s0", 0L, 2L, 2L, 7L, sha("2 3 1 2 3 1 2")),
+      ("s0", 1L, 2L, 2L, 1L, sha("1")),
+      ("s1", 0L, 1L, 1L, 3L, sha("2 3 1"))))
+    graft.operators.Dedup.release(pieces)
+    // boundary invariance: re-cutting a bin's stream into different
+    // contiguous pieces changes the counts but NOT the content sha —
+    // the sha certifies content, not where the cuts fell
+    val recut = Seq(
+      (1L, "s0", 0L, 3L, 0L, 0L, Some(Seq(2, 3, 1))),
+      (1L, "s0", 1L, 3L, 0L, 3L, Some(Seq(2, 3, 1))),
+      (2L, "s0", 0L, 1L, 0L, 6L, Some(Seq(2))))
+      .toDF("doc_id", "source", "chunk_idx", "n_tokens_bpe", "bin_id",
+        "offset_tokens", "token_ids")
+    val m2 = Packing.shardManifest(recut, "doc_id", Seq("source"))
+      .select($"n_pieces", $"content_sha").as[(Long, String)].head()
+    assert(m2 == ((3L, sha("2 3 1 2 3 1 2"))))
+    // an all-empty bin hashes the empty string
+    val empty = Seq((9L, "s9", 0L, 0L, 5L, 0L, Option.empty[Seq[Int]]))
+      .toDF("doc_id", "source", "chunk_idx", "n_tokens_bpe", "bin_id",
+        "offset_tokens", "token_ids")
+    assert(Packing.shardManifest(empty, "doc_id", Seq("source"))
+      .select($"n_tokens", $"content_sha").as[(Long, String)].head()
+      == ((0L, sha(""))))
+  }
+
   test("sourceTokenKl: uniform mix scores ~0, skewed source scores positive") {
     import graft.operators.DataMix
     // src0 == the corpus-average distribution (KL ~ 0 up to rounding);
