@@ -233,16 +233,36 @@ object Packing {
     require(tokenBudget >= 1, s"tokenBudget must be >= 1, got $tokenBudget")
     val (ids0, vocab) = encodeIdsWithVocab(docs, idCol, textCol, merges)
     val ids = ids0.localCheckpoint(true)
-    val counts = docs.select((col(idCol) +: shardCols.map(col)): _*)
+    (cutPieces(docs, ids, idCol, shardCols, tokenBudget, priorBase = null),
+      vocab)
+  }
+
+  /** The shared concat-and-cut walk ([[tokenizedCorpus]]/[[tokenizedBatch]]):
+    * given per-doc id streams, compute each doc's stream prior (the
+    * per-shard prefix sum, PLUS the shard's carried `base_tokens` when
+    * `priorBase` is given — the streaming continuation seam), split spans
+    * at bin boundaries, and slice the id arrays per piece. */
+  private def cutPieces(docs: DataFrame, ids: DataFrame, idCol: String,
+                        shardCols: Seq[String], tokenBudget: Long,
+                        priorBase: DataFrame): DataFrame = {
+    val counts0 = docs.select((col(idCol) +: shardCols.map(col)): _*)
       .join(ids.select(col(idCol),
         size(col("token_ids")).cast("long").as("__n")),
         Seq(idCol), "left")
       .withColumn("__n", coalesce(col("__n"), lit(0L)))
+    val counts =
+      if (priorBase == null) counts0.withColumn("__base", lit(0L))
+      else counts0.join(
+          broadcast(priorBase.select((shardCols.map(col) :+
+            col("base_tokens").cast("long").as("__base")): _*)),
+          shardCols, "left")
+        .withColumn("__base", coalesce(col("__base"), lit(0L)))
     val w = Window.partitionBy(shardCols.map(col): _*).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val b = lit(tokenBudget)
     val pieces = counts
-      .withColumn("__prior", coalesce(sum(col("__n")).over(w), lit(0L)))
+      .withColumn("__prior",
+        col("__base") + coalesce(sum(col("__n")).over(w), lit(0L)))
       .withColumn("__first", floor(col("__prior") / b).cast("long"))
       .withColumn("__last", when(col("__n") > 0,
           floor((col("__prior") + col("__n") - 1) / b).cast("long"))
@@ -260,14 +280,84 @@ object Packing {
       .withColumn("n_tokens_bpe", col("__end") - col("__start"))
       .withColumn("offset_tokens", col("__start") - col("bin_id") * b)
       .withColumn("__local", col("__start") - col("__prior"))
-    val out = pieces.join(ids, Seq(idCol), "left")
+    pieces.join(ids, Seq(idCol), "left")
       .withColumn("token_ids", when(col("n_tokens_bpe") > 0,
         slice(col("token_ids"), (col("__local") + 1).cast("int"),
           col("n_tokens_bpe").cast("int"))))
       .select((col(idCol) +: shardCols.map(col)) ++ Seq(col("chunk_idx"),
         col("n_tokens_bpe"), col("bin_id"), col("offset_tokens"),
         col("token_ids")): _*)
-    (out, vocab)
+  }
+
+  /** [[encodeIdsBpe]] under a FROZEN tokenizer — the day-two encode: merge
+    * rules AND the (token, token_id) vocab come from the day-one training
+    * run (the artifacts [[tokenizedCorpus]]'s job publishes), so a new
+    * batch's ids are consistent with every id already on disk. Symbols
+    * the frozen vocab never saw map to id 0 — the reserved UNK (the
+    * realized-vocab ids are 1-based by construction), surfaced per doc as
+    * `n_oov`; a byte-level tokenizer trained over the full byte alphabet
+    * never produces one. Output: (idCol, token_ids, n_oov). */
+  def encodeIdsFrozen(docs: DataFrame, idCol: String, textCol: String,
+                      merges: Seq[(String, String)],
+                      vocab: DataFrame): DataFrame = {
+    val toks = Dedup.ensureParallel(docs)
+      .select(col(idCol),
+        posexplode(TextFns.words(col(textCol))).as(Seq("__pos", "__word")))
+    val encW = Bpe.encodeWords(
+      toks.select(col("__word").as("word")).distinct(), "word", merges)
+    val v = vocab.select(col(vocab.columns.head).as("token"),
+      col(vocab.columns(1)).cast("int").as("token_id"))
+    val wordIds = encW
+      .select(col("word"), posexplode(col("bpe")).as(Seq("__p", "token")))
+      .join(broadcast(v), Seq("token"), "left")
+      .groupBy(col("word"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("__p"),
+          coalesce(col("token_id"), lit(0)).as("token_id")))),
+        s => s.getField("token_id")).as("__ids"))
+      .withColumnRenamed("word", "__word")
+    toks.join(broadcast(wordIds), Seq("__word"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__ids")))),
+        s => s.getField("__ids"))).as("token_ids"))
+      .withColumn("n_oov",
+        size(filter(col("token_ids"), x => x === 0)).cast("long"))
+  }
+
+  /** ONE TICK of the streaming tokenized export ([[tokenizedCorpus]]'s
+    * continuous-ingest twin, the `PackingStream` kernel): encode `docs`
+    * under the FROZEN day-one tokenizer ([[encodeIdsFrozen]]) and cut them
+    * into packed pieces CONTINUING each shard's standing token stream —
+    * `priorBase` (shardCols…, base_tokens) carries where every shard's
+    * stream left off, so bin ids keep counting across ticks and a reader
+    * sees ONE continuous packed corpus, not per-batch islands (a batch's
+    * first doc tops up the previous tick's partial final bin).
+    *
+    * Returns (pieces — [[tokenizedCorpus]]'s schema, state' — the batch
+    * shards' advanced (shardCols…, base_tokens); the caller merges it over
+    * its standing state, untouched shards keep their rows). Deterministic
+    * given (state, batch): a replayed tick recuts identical pieces —
+    * the idempotence the stream driver's overwrite-by-batch sink needs. */
+  def tokenizedBatch(docs: DataFrame, idCol: String, textCol: String,
+                     shardCols: Seq[String], tokenBudget: Long,
+                     merges: Seq[(String, String)], vocab: DataFrame,
+                     priorBase: DataFrame): (DataFrame, DataFrame) = {
+    require(tokenBudget >= 1, s"tokenBudget must be >= 1, got $tokenBudget")
+    val ids = encodeIdsFrozen(docs, idCol, textCol, merges, vocab)
+      .localCheckpoint(true)
+    val pieces = cutPieces(docs, ids, idCol, shardCols, tokenBudget,
+      priorBase)
+    val newState = docs.select((col(idCol) +: shardCols.map(col)): _*)
+      .join(ids.select(col(idCol),
+        size(col("token_ids")).cast("long").as("__n")), Seq(idCol), "left")
+      .join(broadcast(priorBase.select((shardCols.map(col) :+
+          col("base_tokens").cast("long").as("__base")): _*)),
+        shardCols, "left")
+      .groupBy(shardCols.map(col): _*)
+      .agg((coalesce(first(col("__base")), lit(0L)) +
+        sum(coalesce(col("__n"), lit(0L)))).as("base_tokens"))
+    (pieces, newState)
   }
 
   /** The PACKED-EXAMPLE layout — [[packBinsBpe]] plus each doc's token

@@ -136,52 +136,17 @@ object AnnServeStream {
     }
   }
 
-  /** The incarnation id stored INSIDE the checkpoint dir (Hadoop FS — any
-    * scheme): created on first use, reused while the checkpoint lives,
-    * regenerated when the checkpoint is wiped. */
+  // exactly-once bookkeeping shared with PackingStream — see [[Applied]]
   private def incarnationId(spark: org.apache.spark.sql.SparkSession,
-                            checkpoint: String): String = {
-    val p = new org.apache.hadoop.fs.Path(checkpoint, "graft_incarnation")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      try {
-        val buf = new java.io.ByteArrayOutputStream()
-        val tmp = new Array[Byte](256)
-        var n = in.read(tmp)
-        while (n > 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
-        new String(buf.toByteArray,
-          java.nio.charset.StandardCharsets.UTF_8)
-      } finally in.close()
-    } else {
-      val id = java.util.UUID.randomUUID().toString
-      val out = fs.create(p, true)
-      try out.write(id.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      id
-    }
-  }
+                            checkpoint: String): String =
+    Applied.incarnationId(spark, checkpoint)
 
   private def writeApplied(spark: org.apache.spark.sql.SparkSession,
                            dir: String, incarnation: String,
-                           batchId: Long): Unit = {
-    import spark.implicits._
-    Seq((incarnation, batchId)).toDF("incarnation", "batch_id")
-      .write.mode("overwrite").parquet(s"$dir/applied")
-  }
+                           batchId: Long): Unit =
+    Applied.write(spark, dir, incarnation, batchId)
 
-  /** The live generation's applied batch id under `incarnation`; −1 when
-    * no marker exists or it belongs to another incarnation. A MISSING
-    * marker maps to −1 (AnalysisException — no such path); genuine IO
-    * failures propagate and fail the batch so the stream retries —
-    * mapping them to −1 would turn a transient read error into a silent
-    * double-apply. */
   private def readApplied(spark: org.apache.spark.sql.SparkSession,
                           dir: String, incarnation: String): Long =
-    try {
-      val r = spark.read.parquet(s"$dir/applied").first()
-      if (r.getString(0) == incarnation) r.getLong(1) else -1L
-    } catch {
-      case _: org.apache.spark.sql.AnalysisException => -1L
-    }
+    Applied.read(spark, dir, incarnation)
 }

@@ -1,0 +1,119 @@
+package graft
+
+import graft.operators.{Bpe, Packing}
+import graft.streaming.PackingStream
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming tokenized export == the one-shot batch export: pieces cut
+  * across micro-batches under the frozen day-one tokenizer must be
+  * bit-identical to `tokenizedCorpus` over the whole corpus when docs
+  * arrive in id order — including the bin that straddles the batch
+  * boundary (the carry-state seam). Plus the frozen-vocab OOV contract
+  * and the replay veto. */
+class PackingStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "ab ab", "s0"), (2L, "a", "s0"), (3L, "  ", "s0"),
+    (4L, "ab a ab", "s0"), (5L, "ab", "s1"), (6L, "a a a ab", "s1"),
+    (7L, "b ab ab", "s0"), (8L, "ab ab ab", "s1"))
+
+  test("streamed pieces across ticks == one-shot tokenizedCorpus") {
+    val docs = corpus.toDF("doc_id", "text", "source")
+    val merges = Bpe.learn(docs, "text", 2)
+    val (oneShot, vocab) = Packing.tokenizedCorpus(docs, "doc_id", "text",
+      Seq("source"), tokenBudget = 7L, merges)
+    val want = oneShot
+      .select($"doc_id", $"source", $"chunk_idx", $"n_tokens_bpe",
+        $"bin_id", $"offset_tokens", $"token_ids")
+      .as[(Long, String, Long, Long, Long, Long, Option[Seq[Int]])]
+      .collect().toSet
+    // the straddle matters: at budget 7 at least one shard's stream must
+    // cross a bin boundary BETWEEN the two batches (ids 1-4 vs 5-8)
+    assert(want.exists(r => r._1 >= 5L && r._6 != 0L),
+      s"fixture lost its cross-batch straddle: $want")
+
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val outDir = java.nio.file.Files.createTempDirectory("packstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("packstream-ck").toString
+    val ticks = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = PackingStream.run(
+        input.toDF().toDF("doc_id", "text", "source"),
+        "doc_id", "text", Seq("source"), tokenBudget = 7L, merges, vocab,
+        outDir, ckpt) { (id, dir) => ticks += ((id, dir)); () }
+    try {
+      input.addData(corpus.filter(_._1 <= 4L): _*)
+      q.processAllAvailable()
+      input.addData(corpus.filter(_._1 > 4L): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(ticks.map(_._1).toSeq == Seq(0L, 1L))
+    val got = PackingStream.pieces(spark, outDir)
+      .select($"doc_id", $"source", $"chunk_idx", $"n_tokens_bpe",
+        $"bin_id", $"offset_tokens", $"token_ids")
+      .as[(Long, String, Long, Long, Long, Long, Option[Seq[Int]])]
+      .collect().toSet
+    assert(got == want,
+      "continuous export must equal the one-shot batch export")
+    // the batch id surfaces as a partition column, split where the ticks
+    // fell
+    val byBatch = PackingStream.pieces(spark, outDir)
+      .groupBy($"batch").agg(max($"doc_id").as("m"), min($"doc_id").as("n"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(byBatch.map(_._1).toSet == Set(0L, 1L))
+    graft.operators.Dedup.release(oneShot)
+  }
+
+  test("frozen vocab: unseen symbols encode as UNK id 0, counted per doc") {
+    val train = corpus.toDF("doc_id", "text", "source")
+    val merges = Bpe.learn(train, "text", 2)
+    val vocab = Packing.encodeIdsWithVocab(train, "doc_id", "text",
+      merges)._2
+    // 'z' and 'q' never appear in training; 'ab' does
+    val enc = Packing.encodeIdsFrozen(
+        Seq((100L, "zq ab")).toDF("doc_id", "text"),
+        "doc_id", "text", merges, vocab)
+      .select($"token_ids", $"n_oov").as[(Seq[Int], Long)].head()
+    assert(enc._2 == 2L, s"z and q must both count as OOV: $enc")
+    assert(enc._1.count(_ == 0) == 2)
+    // the known word still resolves to its day-one ids (non-zero)
+    assert(enc._1.count(_ > 0) >= 2)
+    // realized-vocab ids are 1-based, so 0 is genuinely reserved
+    assert(vocab.agg(min($"token_id")).as[Int].head() == 1)
+  }
+
+  test("replay veto: a re-delivered batch id no-ops; state generations alternate") {
+    val docs = corpus.toDF("doc_id", "text", "source")
+    val merges = Bpe.learn(docs, "text", 2)
+    val vocab = Packing.encodeIdsWithVocab(docs, "doc_id", "text",
+      merges)._2
+    val outDir = java.nio.file.Files.createTempDirectory("packtick").toString
+    var fired = 0
+    def tick(b: Seq[(Long, String, String)], id: Long): Unit =
+      PackingStream.applyTick(b.toDF("doc_id", "text", "source"), id,
+        "doc_id", "text", Seq("source"), 7L, merges, vocab, outDir,
+        "inc-1", (_, _) => { fired += 1; () })
+    tick(corpus.filter(_._1 <= 4L), 0L)
+    val after0 = PackingStream.pieces(spark, outDir).count()
+    tick(corpus.filter(_._1 <= 4L), 0L) // replay: vetoed
+    assert(fired == 1 &&
+      PackingStream.pieces(spark, outDir).count() == after0)
+    tick(corpus.filter(_._1 > 4L), 1L)
+    assert(fired == 2)
+    // stale id after progress: also vetoed
+    tick(corpus.filter(_._1 > 4L), 1L)
+    assert(fired == 2)
+    // both generations exist and the pieces equal the one-shot export
+    // (the same equality the streaming test pins — here via raw ticks)
+    val (oneShot, _) = Packing.tokenizedCorpus(docs, "doc_id", "text",
+      Seq("source"), 7L, merges)
+    assert(PackingStream.pieces(spark, outDir)
+      .select($"doc_id", $"chunk_idx", $"bin_id", $"offset_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet ==
+      oneShot.select($"doc_id", $"chunk_idx", $"bin_id", $"offset_tokens")
+        .as[(Long, Long, Long, Long)].collect().toSet)
+    graft.operators.Dedup.release(oneShot)
+  }
+}
