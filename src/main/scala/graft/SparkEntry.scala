@@ -236,7 +236,8 @@ object SparkEntry {
     "q155_byte_bpe" -> qByteBpe,
     "q156_container_census" -> qContainerCensus,
     "q157_epoch_plan" -> qEpochPlan,
-    "q158_shard_manifest" -> qShardManifest)
+    "q158_shard_manifest" -> qShardManifest,
+    "q159_epoch_materialize" -> qExecuteEpochPlan)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1407,6 +1408,28 @@ object SparkEntry {
     graft.operators.DataMix.epochPlan(docs, "source", col("n_tok"), 15000L,
         Map("src0" -> 50L, "src1" -> 10L), maxEpochsE3 = 1500L)
       .orderBy(col("source"))
+  }
+
+  /** q159: MATERIALIZE q157's epoch plan — the (doc, epoch_idx) table a
+    * training reader consumes ([[graft.operators.DataMix.executeEpochPlan]]):
+    * saturated sources replicate whole (one row per full epoch), the
+    * remainder tops up with the deterministic knuth-hash-order prefix
+    * (q74's membership) as the fractional final epoch. At sf0.01 the two
+    * up-weighted sources run 1 full epoch + a fractional prefix and the
+    * other 18 are purely fractional; the oracle replays q157's fold CTE,
+    * unnests the full epochs, and re-derives the prefix with the q74
+    * running-sum window. */
+  private def qExecuteEpochPlan(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        size(TextFns.words(col("text"))).cast("long").as("n_tok"))
+    val plan = graft.operators.DataMix.epochPlan(docs, "source",
+      col("n_tok"), 15000L, Map("src0" -> 50L, "src1" -> 10L),
+      maxEpochsE3 = 1500L)
+    graft.operators.DataMix.executeEpochPlan(docs, "source", "doc_id",
+        col("n_tok"), plan)
+      .select(col("source"), col("doc_id"), col("n_tok"), col("epoch_idx"))
+      .orderBy(col("source"), col("doc_id"), col("epoch_idx"))
   }
 
   /** CCNet perplexity bucketing: score every document under the self-trained
@@ -4970,6 +4993,69 @@ object SparkEntry {
         |   ORDER BY rn DESC LIMIT 1) AS unallocated_tokens
         |FROM wtd t JOIN fold f USING (src)
         |ORDER BY source""".stripMargin,
+    // q159: q157's fold CTE + unnested full epochs + the q74 running-sum
+    // prefix as the fractional epoch — the materialized mixture
+    "q159_epoch_materialize" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, CAST(source AS VARCHAR) AS src,
+        |    CAST(len(list_filter(
+        |      string_split_regex(lower(trim(text)), '\s+'),
+        |      w -> len(w) > 0)) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |counts AS (
+        |  SELECT src, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS avail
+        |  FROM docs GROUP BY 1),
+        |wtd AS (
+        |  SELECT src, n_docs, avail,
+        |    CAST(CASE src WHEN 'src0' THEN 50 WHEN 'src1' THEN 10
+        |      ELSE 1 END AS BIGINT) AS w,
+        |    CAST(avail // 1000 * 1500
+        |      + (avail % 1000) * 1500 // 1000 AS BIGINT) AS cap
+        |  FROM counts),
+        |ord AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE), src)
+        |    AS BIGINT) AS rn
+        |  FROM wtd),
+        |fold(rn, r, wr, src, alloc) AS (
+        |  SELECT CAST(0 AS BIGINT), CAST(15000 AS BIGINT),
+        |    CAST(SUM(w) AS BIGINT), CAST(NULL AS VARCHAR),
+        |    CAST(0 AS BIGINT)
+        |  FROM wtd
+        |  UNION ALL
+        |  SELECT o.rn,
+        |    CAST(f.r - LEAST(o.cap, f.r // f.wr * o.w
+        |      + (f.r % f.wr) * o.w // f.wr) AS BIGINT),
+        |    CAST(f.wr - o.w AS BIGINT), o.src,
+        |    CAST(LEAST(o.cap, f.r // f.wr * o.w
+        |      + (f.r % f.wr) * o.w // f.wr) AS BIGINT)
+        |  FROM fold f JOIN ord o ON o.rn = f.rn + 1),
+        |plan AS (
+        |  SELECT t.src,
+        |    CAST(CASE WHEN t.avail > 0 THEN f.alloc // t.avail
+        |      ELSE 0 END AS BIGINT) AS full_e,
+        |    CAST(f.alloc - CASE WHEN t.avail > 0 THEN f.alloc // t.avail
+        |      ELSE 0 END * t.avail AS BIGINT) AS rem
+        |  FROM wtd t JOIN fold f USING (src)),
+        |fulls AS (
+        |  SELECT d.src, d.doc_id, d.n_tok,
+        |    unnest(range(0, p.full_e)) AS epoch_idx
+        |  FROM docs d JOIN plan p USING (src) WHERE p.full_e > 0),
+        |cums AS (
+        |  SELECT src, doc_id, n_tok,
+        |    SUM(n_tok) OVER (PARTITION BY src
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM docs),
+        |frac AS (
+        |  SELECT c.src, c.doc_id, c.n_tok, p.full_e AS epoch_idx
+        |  FROM cums c JOIN plan p USING (src)
+        |  WHERE p.rem > 0 AND c.cum <= p.rem)
+        |SELECT src AS source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(epoch_idx AS BIGINT) AS epoch_idx
+        |FROM (SELECT * FROM fulls UNION ALL SELECT * FROM frac)
+        |ORDER BY source, doc_id, epoch_idx""".stripMargin,
     // q155: q88's training replay over the byte alphabet — the same
     // footer (per-doc word + token prices), byte-level s0
     "q155_byte_bpe" -> (byteBpeCtes(6) + "\n" +

@@ -201,6 +201,24 @@ object DataMix {
   def sampleToBudget(df: DataFrame, strata: Seq[String], budget: Long,
                      idCol: String, weight: Column,
                      buckets: Int = 4096): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    budgetSample(df, strata, None, budget, idCol, weight, buckets)
+  }
+
+  /** [[sampleToBudget]] with PER-STRATUM budgets — `budgets` = (strata…,
+    * budget) with the budget in its LAST column; strata absent from the
+    * frame keep nothing. The identical histogram-cutoff machinery, with
+    * each stratum's fold reading its own broadcast budget — the form
+    * [[executeEpochPlan]]'s fractional epoch rides. */
+  def sampleToBudgetEach(df: DataFrame, strata: Seq[String],
+                         budgets: DataFrame, idCol: String, weight: Column,
+                         buckets: Int = 4096): DataFrame =
+    budgetSample(df, strata, Some(budgets), 0L, idCol, weight, buckets)
+
+  private def budgetSample(df: DataFrame, strata: Seq[String],
+                           budgets: Option[DataFrame], budgetLit: Long,
+                           idCol: String, weight: Column,
+                           buckets: Int): DataFrame = {
     require(buckets > 0 && (buckets & (buckets - 1)) == 0,
       s"buckets must be a power of two, got $buckets")
     val step = 4294967296L / buckets
@@ -213,20 +231,29 @@ object DataMix {
     // per stratum: the first bucket where cumulative weight exceeds the
     // budget (cb) and the cumulative total BEFORE it — one sorted in-row fold
     // over the (strata x buckets)-bounded histogram
-    val cuts = hist.groupBy(strata.map(col): _*)
+    val cuts0 = hist.groupBy(strata.map(col): _*)
       .agg(sort_array(collect_list(struct(col("__b"), col("__bw"))))
         .as("__bins"))
+    val withBudget = budgets match {
+      case None => cuts0.withColumn("__budget", lit(budgetLit))
+      case Some(b) =>
+        cuts0.join(broadcast(b.select((strata.map(col) :+
+            col(b.columns.last).cast("long").as("__budget")): _*)),
+            strata, "left")
+          .withColumn("__budget", coalesce(col("__budget"), lit(0L)))
+    }
+    val cuts = withBudget
       .withColumn("__cut", aggregate(col("__bins"),
         struct(lit(0L).as("cum"), lit(null).cast("long").as("cb"),
           lit(0L).as("before")),
         (acc, x) => struct(
           (acc("cum") + x("__bw")).as("cum"),
-          when(acc("cb").isNull && acc("cum") + x("__bw") > budget, x("__b"))
-            .otherwise(acc("cb")).as("cb"),
-          when(acc("cb").isNull && acc("cum") + x("__bw") > budget, acc("cum"))
-            .otherwise(acc("before")).as("before"))))
+          when(acc("cb").isNull && acc("cum") + x("__bw") > col("__budget"),
+            x("__b")).otherwise(acc("cb")).as("cb"),
+          when(acc("cb").isNull && acc("cum") + x("__bw") > col("__budget"),
+            acc("cum")).otherwise(acc("before")).as("before"))))
       .select((strata.map(col) :+ col("__cut.cb").as("__cb") :+
-        col("__cut.before").as("__before")): _*)
+        col("__cut.before").as("__before") :+ col("__budget")): _*)
     val joined = base.join(broadcast(cuts), strata)
     val earlier = joined.filter(col("__cb").isNull || col("__b") < col("__cb"))
     // the boundary window's partition holds ONE hash bucket of one stratum —
@@ -236,9 +263,10 @@ object DataMix {
     val boundary = joined
       .filter(col("__cb").isNotNull && col("__b") === col("__cb"))
       .withColumn("__cum", sum(col("__w")).over(w))
-      .filter(col("__before") + col("__cum") <= budget)
+      .filter(col("__before") + col("__cum") <= col("__budget"))
       .drop("__cum")
-    earlier.unionByName(boundary).drop("__cb", "__before", "__b", "__h", "__w")
+    earlier.unionByName(boundary)
+      .drop("__cb", "__before", "__budget", "__b", "__h", "__w")
   }
 
   /** DSIR-style importance RESAMPLING (Xie et al. 2023 arXiv:2302.03169 —
@@ -477,5 +505,51 @@ object DataMix {
               d(pmod(col("x.alloc"), col("x.a")) * lit(1000L), col("x.a")))
           .otherwise(lit(0L)).as("epochs_e3"),
         col("unallocated_tokens"))
+  }
+
+  /** MATERIALIZE an [[epochPlan]] — the (doc, epoch_idx) expansion a
+    * training reader actually consumes: each stratum repeats
+    * `⌊alloc/avail⌋` FULL epochs of itself (every doc appears once per
+    * full epoch, `epoch_idx` 0, 1, …) and tops the allocation up with a
+    * FRACTIONAL final epoch — the deterministic hash-order prefix worth
+    * the remaining `alloc − full·avail` tokens (the [[sampleToBudget]]
+    * membership, so re-runs, engines, and partitionings agree on every
+    * row, and the fractional epoch of a 0.37-epoch source is the same
+    * stable prefix every sampler in this file would pick).
+    *
+    * `plan` is [[epochPlan]]'s output (strataCol, …, avail_tokens, …,
+    * alloc_tokens, …) — only those three columns are read, so a hand-built
+    * plan frame works too. `tokens` must price docs EXACTLY as the plan's
+    * avail was computed, or full epochs would mis-divide. Strata absent
+    * from the plan (or with zero remaining tokens) contribute no rows of
+    * the respective kind.
+    *
+    * Scale shape: output-sized by construction (the product IS the
+    * repeated corpus): full epochs are one broadcast join + an in-row
+    * sequence explode; the fractional prefix is the histogram-cutoff
+    * machinery ([[sampleToBudgetEach]] — only one hash bucket per stratum
+    * ever enters a window). */
+  def executeEpochPlan(docs: DataFrame, strataCol: String, idCol: String,
+                       tokens: Column, plan: DataFrame): DataFrame = {
+    val p = plan
+      .select(col(strataCol), col("avail_tokens").cast("long").as("__a"),
+        col("alloc_tokens").cast("long").as("__alloc"))
+      .withColumn("__full", when(col("__a") > 0,
+        graft.ops.Quantiles.div(col("__alloc"), col("__a")))
+        .otherwise(lit(0L)))
+      .withColumn("__rem", col("__alloc") - col("__full") * col("__a"))
+      .select(col(strataCol), col("__full"), col("__rem"))
+    val outCols = docs.columns.map(col).toSeq :+ col("epoch_idx")
+    val full = docs
+      .join(broadcast(p.filter(col("__full") > 0)), Seq(strataCol))
+      .select(docs.columns.map(col).toSeq :+
+        explode(sequence(lit(0L), col("__full") - 1)).as("epoch_idx"): _*)
+    val frac = sampleToBudgetEach(docs, Seq(strataCol),
+        p.filter(col("__rem") > 0).select(col(strataCol), col("__rem")),
+        idCol, tokens)
+      .join(broadcast(p), Seq(strataCol))
+      .withColumn("epoch_idx", col("__full"))
+      .select(outCols: _*)
+    full.unionByName(frac)
   }
 }

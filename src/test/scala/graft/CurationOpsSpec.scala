@@ -341,6 +341,60 @@ class CurationOpsSpec extends SparkSpec {
       .isEmpty)
   }
 
+  test("executeEpochPlan: full epochs replicate, fractional epoch is the stable hash prefix") {
+    import graft.operators.DataMix
+    // web: 10 docs x 100 tokens (avail 1000); code: 4 x 25 (avail 100);
+    // wiki: 2 x 25 (avail 50) — the epochPlan fixture's avails, spread
+    // over docs so prefixes are non-trivial
+    val docs = ((1L to 10L).map(i => ("web", i, 100L)) ++
+      (11L to 14L).map(i => ("code", i, 25L)) ++
+      (21L to 22L).map(i => ("wiki", i, 25L)))
+      .toDF("src", "id", "n_tok")
+    val plan = DataMix.epochPlan(docs, "src", $"n_tok", 600L,
+      Map("code" -> 1L, "wiki" -> 2L), maxEpochsE3 = 2000L)
+    val got = DataMix.executeEpochPlan(docs, "src", "id", $"n_tok", plan)
+      .select($"src", $"id", $"epoch_idx")
+      .as[(String, Long, Long)].collect().toSet
+    // wiki and code saturate at exactly 2 epochs (rem 0): every doc
+    // appears at epoch 0 and 1, nothing fractional
+    assert(got.filter(_._1 == "wiki") ==
+      (21L to 22L).flatMap(i => Seq(("wiki", i, 0L), ("wiki", i, 1L))).toSet)
+    assert(got.filter(_._1 == "code") ==
+      (11L to 14L).flatMap(i => Seq(("code", i, 0L), ("code", i, 1L))).toSet)
+    // web got 300 of its 1000 tokens: zero full epochs, the fractional
+    // epoch is the greedy knuth-hash-order prefix with cum <= 300
+    val webOrder = (1L to 10L).sortBy(i => ((i * 2654435761L) % 4294967296L, i))
+    val webWant = webOrder.zip(webOrder.scanLeft(0L)(_ + _ * 0 + 100L).tail)
+      .takeWhile(_._2 <= 300L).map { case (i, _) => ("web", i, 0L) }.toSet
+    assert(got.filter(_._1 == "web") == webWant)
+    // token conservation: materialized tokens == full·avail + prefix sums
+    val totTok = got.toSeq.map { case (s, i, _) =>
+      if (s == "web") 100L else 25L }.sum
+    assert(totTok == 2L * 50L + 2L * 100L + 300L)
+    // full + fractional together: a hand plan at 1.25 epochs of web —
+    // every doc at epoch 0, the 250-token prefix again at epoch 1
+    val hand = Seq(("web", 1000L, 1250L))
+      .toDF("src", "avail_tokens", "alloc_tokens")
+    val g2 = DataMix.executeEpochPlan(docs.filter($"src" === "web"),
+        "src", "id", $"n_tok", hand)
+      .select($"id", $"epoch_idx").as[(Long, Long)].collect().toSet
+    val prefix250 = webOrder.zip(webOrder.scanLeft(0L)(_ + _ * 0 + 100L).tail)
+      .takeWhile(_._2 <= 250L).map(_._1)
+    assert(g2 == (1L to 10L).map((_, 0L)).toSet ++
+      prefix250.map((_, 1L)).toSet)
+    // sampleToBudgetEach with a uniform budget frame == sampleToBudget
+    val budgets = Seq(("web", 300L), ("code", 300L), ("wiki", 300L))
+      .toDF("src", "b")
+    assert(DataMix.sampleToBudgetEach(docs, Seq("src"), budgets, "id",
+        $"n_tok").select($"src", $"id").as[(String, Long)].collect().toSet
+      == DataMix.sampleToBudget(docs, Seq("src"), 300L, "id", $"n_tok")
+        .select($"src", $"id").as[(String, Long)].collect().toSet)
+    // strata absent from the budget frame keep nothing
+    assert(DataMix.sampleToBudgetEach(docs, Seq("src"),
+        Seq(("web", 300L)).toDF("src", "b"), "id", $"n_tok")
+      .select($"src").as[String].collect().toSet == Set("web"))
+  }
+
   test("shardPositions/writeShards: dense per-shard ranks, files in permutation order") {
     import graft.operators.DataMix
     // positions must be the per-shard dense 1..n rank over (hash, id) — the
