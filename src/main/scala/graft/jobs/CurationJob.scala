@@ -175,6 +175,22 @@ import org.apache.spark.sql.functions._
   *   "bpe_merges": 6,                  //   merge rules to learn
   *   "pack_budget_tokens": 2048,       //   tokens per packed example
   *   "pack_shard_col": "source",       //   the packing shard column
+  *   "mixture_plan_path": "",          // r17: publish the token-budget
+  *                                     //   EPOCH PLAN over the curated
+  *                                     //   corpus (q157's water-filling
+  *                                     //   operator): per stratum its
+  *                                     //   avail/cap/alloc tokens and
+  *                                     //   milli-epochs under the budget
+  *                                     //   and weights below
+  *   "mixture_budget_tokens": 0,       //   required with the plan path
+  *   "mixture_weights": {"web": 3},    //   optional; absent strata get 1
+  *   "mixture_max_epochs_e3": 1000,    //   per-stratum repetition cap
+  *   "mixture_strata_col": "source",
+  *   "mixture_materialize_path": "",   //   optionally also the executed
+  *                                     //   plan (q159): (id, stratum,
+  *                                     //   n_tok, epoch_idx) — full
+  *                                     //   epochs + the stable hash-
+  *                                     //   prefix fractional epoch
   *   "host_cap": 0,                    //   per-site quota on the dedup
   *                                     //   survivors (0 = off): at most N
   *                                     //   docs per host, k-bounded TopK
@@ -1199,6 +1215,44 @@ object CurationJob {
       graft.operators.Dedup.release(tokenized)
       graft.operators.Dedup.release(vocab)
       lap("tokenized_export")
+    }
+    // 5b7. optional MIXTURE PLAN (r17 — q157/q159's operators on the
+    // job's own product): the epochs-per-source table a pretraining run
+    // is configured from — a token budget water-fills across strata by
+    // mix weight under an epoch cap — published beside the corpus, with
+    // optionally the MATERIALIZED (id, epoch_idx) expansion a reader
+    // consumes. Token pricing = whitespace word count of the text column
+    // (the same currency every mixture operator here uses).
+    val mixPlanPath = str("mixture_plan_path", "")
+    if (mixPlanPath.nonEmpty) {
+      val strataCol = str("mixture_strata_col", "source")
+      val curated = spark.read.parquet(outPath)
+      require(curated.columns.contains(strataCol),
+        s"mixture_plan_path needs the '$strataCol' column (mixture_strata_col)")
+      val budgetStr = str("mixture_budget_tokens", "")
+      require(budgetStr.nonEmpty,
+        "mixture_plan_path needs mixture_budget_tokens")
+      val budget = budgetStr.toLong
+      val weights: Map[String, Long] =
+        if (cfg.schema.fieldNames.contains("mixture_weights") &&
+          !cfg.isNullAt(cfg.fieldIndex("mixture_weights"))) {
+          val row = cfg.getStruct(cfg.fieldIndex("mixture_weights"))
+          row.schema.fieldNames.map(k =>
+            k -> row.get(row.fieldIndex(k)).toString.toLong).toMap
+        } else Map.empty
+      val priced = curated.select(col(idCol), col(strataCol),
+        size(graft.functions.TextFns.words(col(textCol)))
+          .cast("long").as("n_tok"))
+      val plan = graft.operators.DataMix.epochPlan(priced, strataCol,
+        col("n_tok"), budget, weights,
+        maxEpochsE3 = str("mixture_max_epochs_e3", "1000").toLong)
+      plan.write.mode("overwrite").parquet(mixPlanPath)
+      val mixMatPath = str("mixture_materialize_path", "")
+      if (mixMatPath.nonEmpty)
+        graft.operators.DataMix.executeEpochPlan(priced, strataCol, idCol,
+            col("n_tok"), spark.read.parquet(mixPlanPath))
+          .write.mode("overwrite").parquet(mixMatPath)
+      lap("mixture_plan")
     }
     // 5b2. optional JSONL interchange export: re-publish the curated corpus
     // in the layout open-data releases ship (one JSON object per line, gzip

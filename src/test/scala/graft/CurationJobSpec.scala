@@ -634,6 +634,55 @@ class CurationJobSpec extends SparkSpec {
     assert(denseRow._3 > 0L, s"dense agreement collapsed: $denseRow")
   }
 
+  test("curation job: mixture plan + materialized epochs published beside the corpus") {
+    val dir = Files.createTempDirectory("curationmix")
+    // three sources with distinct token masses: a=20, b=10, c=5 words
+    val docs = ((0 until 4).map(i => (i.toLong, s"alpha bravo c$i d$i e$i", "en", "srcA")) ++
+      (4 until 6).map(i => (i.toLong, s"fox golf h$i i$i j$i", "en", "srcB")) ++
+      Seq((6L, "kilo lima m6 n6 o6", "en", "srcC")))
+      .toSeq.toDF("doc_id", "text", "lang", "source")
+    docs.write.parquet(s"$dir/docs")
+    Files.writeString(dir.resolve("cfg.json"),
+      s"""{"documents_path": "$dir/docs", "output_path": "$dir/out",
+         | "min_words": 3, "gopher_rules": false, "redact_pii": false,
+         | "ngram_n": 3, "jaccard_threshold": 0.9, "block_cols": ["lang"],
+         | "mixture_plan_path": "$dir/plan",
+         | "mixture_budget_tokens": 30,
+         | "mixture_weights": {"srcB": 2},
+         | "mixture_max_epochs_e3": 2000,
+         | "mixture_materialize_path": "$dir/epochs"}""".stripMargin)
+    val stats = CurationJob.run(spark, s"$dir/cfg.json").get
+    assert(stats.output == 7, stats)
+    val plan = spark.read.parquet(s"$dir/plan")
+      .select($"source", $"avail_tokens", $"mix_w", $"cap_tokens",
+        $"alloc_tokens", $"unallocated_tokens")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    // the fold's conservation law: allocations + residue == the budget
+    assert(plan.map(_._5).sum + plan.head._6 == 30L)
+    // caps honor the 2-epoch ceiling exactly
+    assert(plan.forall(r => r._4 == r._2 * 2))
+    assert(plan.find(_._1 == "srcB").get._3 == 2L)
+    // the materialization equals re-executing the published plan over the
+    // published corpus — the artifact chain is self-consistent
+    val priced = spark.read.parquet(s"$dir/out")
+      .select($"doc_id", $"source",
+        size(graft.functions.TextFns.words($"text")).cast("long")
+          .as("n_tok"))
+    val want = graft.operators.DataMix.executeEpochPlan(priced, "source",
+        "doc_id", $"n_tok", spark.read.parquet(s"$dir/plan"))
+      .select($"doc_id", $"source", $"epoch_idx")
+      .as[(Long, String, Long)].collect().toSet
+    val got = spark.read.parquet(s"$dir/epochs")
+      .select($"doc_id", $"source", $"epoch_idx")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // no (doc, epoch) row repeats; epoch indexes are dense from 0 per doc
+    assert(got.size == got.toSeq.size)
+    got.groupBy(r => (r._1, r._2)).foreach { case (_, g) =>
+      assert(g.map(_._3).toSeq.sorted == (0L until g.size).toSeq)
+    }
+  }
+
   test("curation job: tokenized export — ids, vocab, and addressable packed slots") {
     val dir = Files.createTempDirectory("curationtok")
     // doc 2 is LONGER than the pack budget (24 tokens vs 10) — the r17
