@@ -100,6 +100,18 @@ object PackingStream {
   def pieces(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/pieces")
 
+  /** The validation manifest over EVERYTHING published so far
+    * ([[graft.operators.Packing.shardManifest]] on the full pieces table)
+    * — computed whole rather than per tick because bins STRADDLE ticks (a
+    * batch's first doc tops up the previous tick's final bin): a per-batch
+    * manifest would hash partial bins and certify nothing a reader can
+    * check. Equal to the one-shot export's manifest when arrival order
+    * matches id order (the PackingStreamSpec equality). */
+  def manifest(spark: SparkSession, outDir: String, idCol: String,
+               shardCols: Seq[String]): DataFrame =
+    graft.operators.Packing.shardManifest(
+      pieces(spark, outDir).drop("batch"), idCol, shardCols)
+
   private def emptyState(spark: SparkSession, like: DataFrame,
                          shardCols: Seq[String]): DataFrame =
     like.select((shardCols.map(col) :+

@@ -63,6 +63,17 @@ class PackingStreamSpec extends SparkSpec {
       .groupBy($"batch").agg(max($"doc_id").as("m"), min($"doc_id").as("n"))
       .as[(Long, Long, Long)].collect().toSeq
     assert(byBatch.map(_._1).toSet == Set(0L, 1L))
+    // the streamed corpus certifies under the SAME manifest as the
+    // one-shot export — including the bin whose content arrived in two
+    // different ticks
+    assert(PackingStream.manifest(spark, outDir, "doc_id", Seq("source"))
+        .select($"source", $"bin_id", $"n_pieces", $"n_tokens",
+          $"content_sha")
+        .as[(String, Long, Long, Long, String)].collect().toSet ==
+      Packing.shardManifest(oneShot, "doc_id", Seq("source"))
+        .select($"source", $"bin_id", $"n_pieces", $"n_tokens",
+          $"content_sha")
+        .as[(String, Long, Long, Long, String)].collect().toSet)
     graft.operators.Dedup.release(oneShot)
   }
 
