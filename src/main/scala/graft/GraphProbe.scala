@@ -318,6 +318,54 @@ object GraphProbe {
           s"(asked $nMerges)")
         graft.operators.Dedup.release(docs)
 
+      case "packstream" =>
+        // Streaming tokenized-export census (r17): drive PackingStream's
+        // tick kernel directly over a growing published corpus — the
+        // receipt that PER-TICK cost is BATCH-sized (encode + one window
+        // over batch rows + a shard-bounded state swap), flat in how much
+        // has already been published. Args:
+        // packstream <docsPerTick> [ticks=8] [budget=2048]
+        val perTick = args(1).toLong
+        val ticks = args.drop(2).headOption.map(_.toInt).getOrElse(8)
+        val budget = args.drop(3).headOption.map(_.toLong).getOrElse(2048L)
+        def tickDocs(t: Int) = {
+          val i = col("id")
+          // ~500-word vocabulary, 20 words/doc: the per-batch distinct-word
+          // frame stays bounded (the encode path's own scale law)
+          val words = (0 until 20).map(j => concat(lit("w"),
+            pmod(xxhash64(i, lit(j)), lit(500L)).cast("string")))
+          spark.range(t * perTick, (t + 1) * perTick).select(
+            i.as("doc_id"),
+            concat_ws(" ", words: _*).as("text"),
+            concat(lit("s"), pmod(i, lit(4L)).cast("string")).as("source"))
+        }
+        val seed = tickDocs(0).persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val merges = timed("train") {
+          graft.operators.Bpe.learn(seed, "text", 64)
+        }
+        val vocab = graft.operators.Packing
+          .encodeIdsWithVocab(seed, "doc_id", "text", merges)._2
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        println(s"[graph-probe] vocab=${vocab.count()}")
+        val outDir = java.nio.file.Files
+          .createTempDirectory("graft_packstream").toString
+        (0 until ticks).foreach { t =>
+          timed(f"tick$t%02d") {
+            graft.streaming.PackingStream.applyTick(tickDocs(t), t.toLong,
+              "doc_id", "text", Seq("source"), budget, merges, vocab,
+              outDir, "probe", (_, _) => ())
+          }
+        }
+        val published = graft.streaming.PackingStream.pieces(spark, outDir)
+        println(s"[graph-probe] pieces=${published.count()} " +
+          s"bins=${graft.streaming.PackingStream
+            .manifest(spark, outDir, "doc_id", Seq("source")).count()}")
+        seed.unpersist(blocking = false)
+        vocab.unpersist(blocking = false)
+        org.apache.commons.io.FileUtils
+          .deleteDirectory(new java.io.File(outDir))
+
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
