@@ -298,13 +298,14 @@ object Packing {
     * `n_oov`; a byte-level tokenizer trained over the full byte alphabet
     * never produces one. Output: (idCol, token_ids, n_oov). */
   def encodeIdsFrozen(docs: DataFrame, idCol: String, textCol: String,
-                      merges: Seq[(String, String)],
-                      vocab: DataFrame): DataFrame = {
+                      merges: Seq[(String, String)], vocab: DataFrame,
+                      byteLevel: Boolean = false): DataFrame = {
     val toks = Dedup.ensureParallel(docs)
       .select(col(idCol),
         posexplode(TextFns.words(col(textCol))).as(Seq("__pos", "__word")))
     val encW = Bpe.encodeWords(
-      toks.select(col("__word").as("word")).distinct(), "word", merges)
+      toks.select(col("__word").as("word")).distinct(), "word", merges,
+      byteLevel)
     val v = vocab.select(col(vocab.columns.head).as("token"),
       col(vocab.columns(1)).cast("int").as("token_id"))
     val wordIds = encW
@@ -342,9 +343,10 @@ object Packing {
   def tokenizedBatch(docs: DataFrame, idCol: String, textCol: String,
                      shardCols: Seq[String], tokenBudget: Long,
                      merges: Seq[(String, String)], vocab: DataFrame,
-                     priorBase: DataFrame): (DataFrame, DataFrame) = {
+                     priorBase: DataFrame,
+                     byteLevel: Boolean = false): (DataFrame, DataFrame) = {
     require(tokenBudget >= 1, s"tokenBudget must be >= 1, got $tokenBudget")
-    val ids = encodeIdsFrozen(docs, idCol, textCol, merges, vocab)
+    val ids = encodeIdsFrozen(docs, idCol, textCol, merges, vocab, byteLevel)
       .localCheckpoint(true)
     val pieces = cutPieces(docs, ids, idCol, shardCols, tokenBudget,
       priorBase)

@@ -43,7 +43,7 @@ object PackingStream {
   def run(docs: DataFrame, idCol: String, textCol: String,
           shardCols: Seq[String], tokenBudget: Long,
           merges: Seq[(String, String)], vocab: DataFrame,
-          outDir: String, checkpoint: String)
+          outDir: String, checkpoint: String, byteLevel: Boolean = false)
          (onTick: (Long, String) => Unit = (_, _) => ()): StreamingQuery = {
     val spark = docs.sparkSession
     val frozenVocab = vocab.cache()
@@ -52,7 +52,7 @@ object PackingStream {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyTick(batch, batchId, idCol, textCol, shardCols, tokenBudget,
-          merges, frozenVocab, outDir, incarnation, onTick)
+          merges, frozenVocab, outDir, incarnation, onTick, byteLevel)
         ()
       }
       .start()
@@ -68,7 +68,8 @@ object PackingStream {
                                merges: Seq[(String, String)],
                                vocab: DataFrame, outDir: String,
                                incarnation: String,
-                               onTick: (Long, String) => Unit): Unit = {
+                               onTick: (Long, String) => Unit,
+                               byteLevel: Boolean = false): Unit = {
     val spark = batch.sparkSession
     val (dirA, dirB) = (s"$outDir/_stateA", s"$outDir/_stateB")
     val (apA, apB) = (Applied.read(spark, dirA, incarnation),
@@ -79,7 +80,8 @@ object PackingStream {
       if (cur.isEmpty) emptyState(spark, batch, shardCols)
       else spark.read.parquet(s"$cur/state")
     val (pieces, advanced) = graft.operators.Packing.tokenizedBatch(
-      batch, idCol, textCol, shardCols, tokenBudget, merges, vocab, base)
+      batch, idCol, textCol, shardCols, tokenBudget, merges, vocab, base,
+      byteLevel)
     val piecesDir = s"$outDir/pieces/batch=$batchId"
     pieces.write.mode("overwrite").parquet(piecesDir)
     // untouched shards keep their carry rows; batch shards take theirs

@@ -95,6 +95,53 @@ class PackingStreamSpec extends SparkSpec {
     assert(vocab.agg(min($"token_id")).as[Int].head() == 1)
   }
 
+  test("byte-level closed vocab: no input can OOV, stream ticks stay UNK-free") {
+    val train = corpus.toDF("doc_id", "text", "source")
+    val merges = Bpe.learn(train, "text", 2, byteLevel = true)
+    val vocab = Bpe.closedVocab(spark, merges)
+    // the closed table: 256 base symbols + </w> + each merge output,
+    // dense 1-based ids in token sort order
+    val v = vocab.as[(String, Int)].collect().toSeq
+    assert(v.size == 257 + merges.map { case (a, b) => a + b }.distinct.size)
+    assert(v.map(_._2).sorted == (1 to v.size))
+    assert(v.sortBy(_._2).map(_._1) == v.map(_._1).sorted)
+    // a realized vocab would UNK on all of these; the closed one cannot:
+    // emoji (4-byte UTF-8), CJK, control bytes, unseen latin
+    val wild = Seq((100L, "été 😀 中文 zq", "s0"))
+    val enc = Packing.encodeIdsFrozen(wild.toDF("doc_id", "text", "source"),
+        "doc_id", "text", merges, vocab, byteLevel = true)
+      .select($"token_ids", $"n_oov").as[(Seq[Int], Long)].head()
+    assert(enc._2 == 0L, s"closed vocab must never OOV: $enc")
+    assert(enc._1.nonEmpty && enc._1.forall(_ > 0))
+    // the streaming tick under the closed vocab: day-two wild bytes pack
+    // cleanly and continue the day-one stream
+    val outDir = java.nio.file.Files.createTempDirectory("packbyte").toString
+    def tick(b: Seq[(Long, String, String)], id: Long): Unit =
+      PackingStream.applyTick(b.toDF("doc_id", "text", "source"), id,
+        "doc_id", "text", Seq("source"), 7L, merges, vocab, outDir,
+        "inc-b", (_, _) => (), byteLevel = true)
+    tick(corpus.filter(_._1 <= 4L), 0L)
+    tick(wild, 1L)
+    val pieces = PackingStream.pieces(spark, outDir)
+      .select($"doc_id", $"token_ids").as[(Long, Option[Seq[Int]])]
+      .collect()
+    assert(pieces.exists(_._1 == 100L))
+    assert(pieces.flatMap(_._2).flatten.forall(_ > 0),
+      "no UNK id may appear anywhere in the byte-level stream")
+    // one-shot twin under the SAME closed vocab reproduces the stream
+    val (oneShot, _) = Packing.tokenizedBatch(
+      (corpus.filter(_._1 <= 4L) ++ wild).toDF("doc_id", "text", "source"),
+      "doc_id", "text", Seq("source"), 7L, merges, vocab,
+      Seq.empty[(String, Long)].toDF("source", "base_tokens"),
+      byteLevel = true)
+    assert(PackingStream.pieces(spark, outDir)
+      .select($"doc_id", $"chunk_idx", $"bin_id", $"offset_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSet ==
+      oneShot.select($"doc_id", $"chunk_idx", $"bin_id", $"offset_tokens")
+        .as[(Long, Long, Long, Long)].collect().toSet)
+    graft.operators.Dedup.release(oneShot)
+  }
+
   test("replay veto: a re-delivered batch id no-ops; state generations alternate") {
     val docs = corpus.toDF("doc_id", "text", "source")
     val merges = Bpe.learn(docs, "text", 2)
