@@ -358,9 +358,15 @@ object GraphProbe {
           }
         }
         val published = graft.streaming.PackingStream.pieces(spark, outDir)
+        // unk=0 certifies the frozen tick-0 vocab covered every later
+        // tick's words — at small perTick coupon-collector gaps would
+        // show here as non-zero UNK ids in the published stream
+        val unk = published.select(explode(col("token_ids")).as("t"))
+          .filter(col("t") === 0).count()
         println(s"[graph-probe] pieces=${published.count()} " +
           s"bins=${graft.streaming.PackingStream
-            .manifest(spark, outDir, "doc_id", Seq("source")).count()}")
+            .manifest(spark, outDir, "doc_id", Seq("source")).count()} " +
+          s"unk=$unk")
         seed.unpersist(blocking = false)
         vocab.unpersist(blocking = false)
         org.apache.commons.io.FileUtils

@@ -1168,6 +1168,40 @@ object SparkEntry {
       |    least(prior + n, (first_bin + chunk_idx + 1) * 256) AS en
       |  FROM pieces)""".stripMargin
 
+  /** The water-filling fold CTEs SHARED by the q157 and q159 oracles
+    * (weights/caps/sort/recursive fold over a preceding
+    * `counts(src, n_docs, avail)` CTE; constants: budget 15000, weights
+    * src0×50/src1×10, 1.5-epoch cap) — extracted so the two oracles can
+    * never drift apart on the fold arithmetic. Callers open with
+    * `WITH RECURSIVE … counts AS (…),` and append their final SELECT
+    * (q157) or further CTEs (q159). */
+  private def epochFoldCtes: String =
+    """wtd AS (
+      |  SELECT src, n_docs, avail,
+      |    CAST(CASE src WHEN 'src0' THEN 50 WHEN 'src1' THEN 10
+      |      ELSE 1 END AS BIGINT) AS w,
+      |    CAST(avail // 1000 * 1500
+      |      + (avail % 1000) * 1500 // 1000 AS BIGINT) AS cap
+      |  FROM counts),
+      |ord AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (
+      |    ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE), src)
+      |    AS BIGINT) AS rn
+      |  FROM wtd),
+      |fold(rn, r, wr, src, alloc) AS (
+      |  SELECT CAST(0 AS BIGINT), CAST(15000 AS BIGINT),
+      |    CAST(SUM(w) AS BIGINT), CAST(NULL AS VARCHAR),
+      |    CAST(0 AS BIGINT)
+      |  FROM wtd
+      |  UNION ALL
+      |  SELECT o.rn,
+      |    CAST(f.r - LEAST(o.cap, f.r // f.wr * o.w
+      |      + (f.r % f.wr) * o.w // f.wr) AS BIGINT),
+      |    CAST(f.wr - o.w AS BIGINT), o.src,
+      |    CAST(LEAST(o.cap, f.r // f.wr * o.w
+      |      + (f.r % f.wr) * o.w // f.wr) AS BIGINT)
+      |  FROM fold f JOIN ord o ON o.rn = f.rn + 1)""".stripMargin
+
   /** [[bpeCtes]] with the BYTE-LEVEL s0: each distinct word renders as its
     * UTF-8 bytes through the GPT byte↔unicode alphabet (`bmap` — the SAME
     * 256 constants [[graft.operators.Bpe.byteAlphabet]] carries,
@@ -4952,39 +4986,15 @@ object SparkEntry {
     // source), same split-form integer arithmetic; every output column
     // cast to BIGINT (the HUGEINT gotcha)
     "q157_epoch_plan" ->
-      """WITH RECURSIVE counts AS (
+      ("""WITH RECURSIVE counts AS (
         |  SELECT CAST(source AS VARCHAR) AS src,
         |    CAST(COUNT(*) AS BIGINT) AS n_docs,
         |    CAST(COALESCE(SUM(CAST(len(list_filter(
         |      string_split_regex(lower(trim(text)), '\s+'),
         |      w -> len(w) > 0)) AS BIGINT)), 0) AS BIGINT) AS avail
-        |  FROM documents GROUP BY 1),
-        |wtd AS (
-        |  SELECT src, n_docs, avail,
-        |    CAST(CASE src WHEN 'src0' THEN 50 WHEN 'src1' THEN 10
-        |      ELSE 1 END AS BIGINT) AS w,
-        |    CAST(avail // 1000 * 1500
-        |      + (avail % 1000) * 1500 // 1000 AS BIGINT) AS cap
-        |  FROM counts),
-        |ord AS (
-        |  SELECT *, CAST(ROW_NUMBER() OVER (
-        |    ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE), src)
-        |    AS BIGINT) AS rn
-        |  FROM wtd),
-        |fold(rn, r, wr, src, alloc) AS (
-        |  SELECT CAST(0 AS BIGINT), CAST(15000 AS BIGINT),
-        |    CAST(SUM(w) AS BIGINT), CAST(NULL AS VARCHAR),
-        |    CAST(0 AS BIGINT)
-        |  FROM wtd
-        |  UNION ALL
-        |  SELECT o.rn,
-        |    CAST(f.r - LEAST(o.cap, f.r // f.wr * o.w
-        |      + (f.r % f.wr) * o.w // f.wr) AS BIGINT),
-        |    CAST(f.wr - o.w AS BIGINT), o.src,
-        |    CAST(LEAST(o.cap, f.r // f.wr * o.w
-        |      + (f.r % f.wr) * o.w // f.wr) AS BIGINT)
-        |  FROM fold f JOIN ord o ON o.rn = f.rn + 1)
-        |SELECT t.src AS source, t.n_docs, t.avail AS avail_tokens,
+        |  FROM documents GROUP BY 1),""".stripMargin + "\n" +
+        epochFoldCtes + "\n" +
+      """SELECT t.src AS source, t.n_docs, t.avail AS avail_tokens,
         |  t.w AS mix_w, t.cap AS cap_tokens, f.alloc AS alloc_tokens,
         |  CAST(CASE WHEN t.avail > 0 THEN f.alloc // t.avail * 1000
         |    + (f.alloc % t.avail) * 1000 // t.avail
@@ -4992,11 +5002,11 @@ object SparkEntry {
         |  (SELECT CAST(r AS BIGINT) FROM fold
         |   ORDER BY rn DESC LIMIT 1) AS unallocated_tokens
         |FROM wtd t JOIN fold f USING (src)
-        |ORDER BY source""".stripMargin,
+        |ORDER BY source""".stripMargin),
     // q159: q157's fold CTE + unnested full epochs + the q74 running-sum
     // prefix as the fractional epoch — the materialized mixture
     "q159_epoch_materialize" ->
-      """WITH RECURSIVE docs AS (
+      ("""WITH RECURSIVE docs AS (
         |  SELECT doc_id, CAST(source AS VARCHAR) AS src,
         |    CAST(len(list_filter(
         |      string_split_regex(lower(trim(text)), '\s+'),
@@ -5005,33 +5015,9 @@ object SparkEntry {
         |counts AS (
         |  SELECT src, CAST(COUNT(*) AS BIGINT) AS n_docs,
         |    CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS avail
-        |  FROM docs GROUP BY 1),
-        |wtd AS (
-        |  SELECT src, n_docs, avail,
-        |    CAST(CASE src WHEN 'src0' THEN 50 WHEN 'src1' THEN 10
-        |      ELSE 1 END AS BIGINT) AS w,
-        |    CAST(avail // 1000 * 1500
-        |      + (avail % 1000) * 1500 // 1000 AS BIGINT) AS cap
-        |  FROM counts),
-        |ord AS (
-        |  SELECT *, CAST(ROW_NUMBER() OVER (
-        |    ORDER BY CAST(cap AS DOUBLE) / CAST(w AS DOUBLE), src)
-        |    AS BIGINT) AS rn
-        |  FROM wtd),
-        |fold(rn, r, wr, src, alloc) AS (
-        |  SELECT CAST(0 AS BIGINT), CAST(15000 AS BIGINT),
-        |    CAST(SUM(w) AS BIGINT), CAST(NULL AS VARCHAR),
-        |    CAST(0 AS BIGINT)
-        |  FROM wtd
-        |  UNION ALL
-        |  SELECT o.rn,
-        |    CAST(f.r - LEAST(o.cap, f.r // f.wr * o.w
-        |      + (f.r % f.wr) * o.w // f.wr) AS BIGINT),
-        |    CAST(f.wr - o.w AS BIGINT), o.src,
-        |    CAST(LEAST(o.cap, f.r // f.wr * o.w
-        |      + (f.r % f.wr) * o.w // f.wr) AS BIGINT)
-        |  FROM fold f JOIN ord o ON o.rn = f.rn + 1),
-        |plan AS (
+        |  FROM docs GROUP BY 1),""".stripMargin + "\n" +
+        epochFoldCtes + ",\n" +
+      """plan AS (
         |  SELECT t.src,
         |    CAST(CASE WHEN t.avail > 0 THEN f.alloc // t.avail
         |      ELSE 0 END AS BIGINT) AS full_e,
@@ -5055,7 +5041,7 @@ object SparkEntry {
         |SELECT src AS source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
         |  CAST(epoch_idx AS BIGINT) AS epoch_idx
         |FROM (SELECT * FROM fulls UNION ALL SELECT * FROM frac)
-        |ORDER BY source, doc_id, epoch_idx""".stripMargin,
+        |ORDER BY source, doc_id, epoch_idx""".stripMargin),
     // q155: q88's training replay over the byte alphabet — the same
     // footer (per-doc word + token prices), byte-level s0
     "q155_byte_bpe" -> (byteBpeCtes(6) + "\n" +

@@ -150,19 +150,37 @@ object Packing {
   def encodeIdsWithVocab(docs: DataFrame, idCol: String, textCol: String,
                          merges: Seq[(String, String)]):
       (DataFrame, DataFrame) = {
-    val toks = Dedup.ensureParallel(docs)
-      .select(col(idCol),
-        posexplode(TextFns.words(col(textCol))).as(Seq("__pos", "__word")))
+    val toks = tokPositions(docs, idCol, textCol)
     val encW = Bpe.encodeWords(
       toks.select(col("__word").as("word")).distinct(), "word", merges)
       .localCheckpoint(true)
     val vocab = Bpe.vocabOf(encW)
+    (idStreamsFrom(toks, idCol, encW, vocab, frozen = false), vocab)
+  }
+
+  /** The per-doc (id, position, word) explode every id-encode path starts
+    * from — with the standard few-file guard. */
+  private def tokPositions(docs: DataFrame, idCol: String,
+                           textCol: String): DataFrame =
+    Dedup.ensureParallel(docs)
+      .select(col(idCol),
+        posexplode(TextFns.words(col(textCol))).as(Seq("__pos", "__word")))
+
+  /** The shared id-stream assembly ([[encodeIdsWithVocab]]/
+    * [[encodeIdsFrozen]]): word → ordered token ids via the vocab join,
+    * then doc → flattened position-ordered stream. `frozen` switches the
+    * vocab join to left + UNK-0 coalesce and appends the `n_oov` count —
+    * the ONLY differences between the realized and frozen paths. */
+  private def idStreamsFrom(toks: DataFrame, idCol: String, encW: DataFrame,
+                            vocab: DataFrame, frozen: Boolean): DataFrame = {
+    val tokId =
+      if (frozen) coalesce(col("token_id"), lit(0)) else col("token_id")
     val wordIds = encW
       .select(col("word"), posexplode(col("bpe")).as(Seq("__p", "token")))
-      .join(broadcast(vocab), Seq("token"))
+      .join(broadcast(vocab), Seq("token"), if (frozen) "left" else "inner")
       .groupBy(col("word"))
       .agg(transform(
-        array_sort(collect_list(struct(col("__p"), col("token_id")))),
+        array_sort(collect_list(struct(col("__p"), tokId.as("token_id")))),
         s => s.getField("token_id")).as("__ids"))
       .withColumnRenamed("word", "__word")
     val ids = toks.join(broadcast(wordIds), Seq("__word"))
@@ -170,7 +188,10 @@ object Packing {
       .agg(flatten(transform(
         array_sort(collect_list(struct(col("__pos"), col("__ids")))),
         s => s.getField("__ids"))).as("token_ids"))
-    (ids, vocab)
+    if (frozen)
+      ids.withColumn("n_oov",
+        size(filter(col("token_ids"), x => x === 0)).cast("long"))
+    else ids
   }
 
   /** The shared packing kernels — ONE home for the bin rule
@@ -300,30 +321,13 @@ object Packing {
   def encodeIdsFrozen(docs: DataFrame, idCol: String, textCol: String,
                       merges: Seq[(String, String)], vocab: DataFrame,
                       byteLevel: Boolean = false): DataFrame = {
-    val toks = Dedup.ensureParallel(docs)
-      .select(col(idCol),
-        posexplode(TextFns.words(col(textCol))).as(Seq("__pos", "__word")))
+    val toks = tokPositions(docs, idCol, textCol)
     val encW = Bpe.encodeWords(
       toks.select(col("__word").as("word")).distinct(), "word", merges,
       byteLevel)
     val v = vocab.select(col(vocab.columns.head).as("token"),
       col(vocab.columns(1)).cast("int").as("token_id"))
-    val wordIds = encW
-      .select(col("word"), posexplode(col("bpe")).as(Seq("__p", "token")))
-      .join(broadcast(v), Seq("token"), "left")
-      .groupBy(col("word"))
-      .agg(transform(
-        array_sort(collect_list(struct(col("__p"),
-          coalesce(col("token_id"), lit(0)).as("token_id")))),
-        s => s.getField("token_id")).as("__ids"))
-      .withColumnRenamed("word", "__word")
-    toks.join(broadcast(wordIds), Seq("__word"))
-      .groupBy(col(idCol))
-      .agg(flatten(transform(
-        array_sort(collect_list(struct(col("__pos"), col("__ids")))),
-        s => s.getField("__ids"))).as("token_ids"))
-      .withColumn("n_oov",
-        size(filter(col("token_ids"), x => x === 0)).cast("long"))
+    idStreamsFrom(toks, idCol, encW, v, frozen = true)
   }
 
   /** ONE TICK of the streaming tokenized export ([[tokenizedCorpus]]'s
@@ -337,7 +341,9 @@ object Packing {
     *
     * Returns (pieces — [[tokenizedCorpus]]'s schema, state' — the batch
     * shards' advanced (shardCols…, base_tokens); the caller merges it over
-    * its standing state, untouched shards keep their rows). Deterministic
+    * its standing state, untouched shards keep their rows). A null
+    * `priorBase` means no carry (every shard starts at token 0 — the
+    * day-one/one-shot call). Deterministic
     * given (state, batch): a replayed tick recuts identical pieces —
     * the idempotence the stream driver's overwrite-by-batch sink needs. */
   def tokenizedBatch(docs: DataFrame, idCol: String, textCol: String,
@@ -350,12 +356,15 @@ object Packing {
       .localCheckpoint(true)
     val pieces = cutPieces(docs, ids, idCol, shardCols, tokenBudget,
       priorBase)
-    val newState = docs.select((col(idCol) +: shardCols.map(col)): _*)
+    val counted = docs.select((col(idCol) +: shardCols.map(col)): _*)
       .join(ids.select(col(idCol),
         size(col("token_ids")).cast("long").as("__n")), Seq(idCol), "left")
-      .join(broadcast(priorBase.select((shardCols.map(col) :+
+    val based = // null priorBase = no carry, matching cutPieces' contract
+      if (priorBase == null) counted.withColumn("__base", lit(0L))
+      else counted.join(broadcast(priorBase.select((shardCols.map(col) :+
           col("base_tokens").cast("long").as("__base")): _*)),
         shardCols, "left")
+    val newState = based
       .groupBy(shardCols.map(col): _*)
       .agg((coalesce(first(col("__base")), lit(0L)) +
         sum(coalesce(col("__n"), lit(0L)))).as("base_tokens"))

@@ -57,4 +57,13 @@ private[streaming] object Applied {
     } catch {
       case _: org.apache.spark.sql.AnalysisException => -1L
     }
+
+  /** True iff ANY applied marker exists under `dir`, regardless of
+    * incarnation — the probe a cumulative sink uses to distinguish
+    * "fresh start" from "checkpoint wiped but the published store kept"
+    * (where [[read]]'s −1 is ambiguous). */
+  def exists(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/applied")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 }

@@ -61,7 +61,10 @@ object PackingStream {
   /** One export tick — the foreachBatch body, exposed for the spec to
     * drive the replay veto directly. Applies `batch` iff its id is newer
     * than the live state generation's applied marker (same incarnation);
-    * an empty or replayed batch no-ops. */
+    * an empty batch no-ops; a replayed batch no-ops except that the batch
+    * that IS the live generation (the crash-between-marker-and-commit
+    * window) re-fires `onTick` — its pieces ARE on disk, and a downstream
+    * that only hears via onTick must not lose them (at-least-once). */
   private[graft] def applyTick(batch: DataFrame, batchId: Long,
                                idCol: String, textCol: String,
                                shardCols: Seq[String], tokenBudget: Long,
@@ -75,7 +78,23 @@ object PackingStream {
     val (apA, apB) = (Applied.read(spark, dirA, incarnation),
       Applied.read(spark, dirB, incarnation))
     val cur = if (apA < 0 && apB < 0) "" else if (apA >= apB) dirA else dirB
-    if (batch.isEmpty || batchId <= math.max(apA, apB)) return
+    // a marker under a FOREIGN incarnation with none under ours means the
+    // checkpoint was wiped but outDir kept: the carry state would restart
+    // from zero while the old incarnation's pieces/batch=* dirs persist —
+    // the cumulative corpus would silently mix two bin numberings
+    // (AnnServeStream can shrug here because its generations are full
+    // snapshots; this sink is cumulative). Refuse loudly.
+    require(!(cur.isEmpty &&
+        (Applied.exists(spark, dirA) || Applied.exists(spark, dirB))),
+      s"$outDir carries state from another checkpoint incarnation — " +
+        "reuse the original checkpoint dir, or clear outDir for a fresh " +
+        "stream (its pieces belong to the old incarnation's numbering)")
+    if (batchId <= math.max(apA, apB)) {
+      if (batchId == math.max(apA, apB))
+        onTick(batchId, s"$outDir/pieces/batch=$batchId")
+      return
+    }
+    if (batch.isEmpty) return
     val base =
       if (cur.isEmpty) emptyState(spark, batch, shardCols)
       else spark.read.parquet(s"$cur/state")

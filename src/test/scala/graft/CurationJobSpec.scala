@@ -672,12 +672,14 @@ class CurationJobSpec extends SparkSpec {
         "doc_id", $"n_tok", spark.read.parquet(s"$dir/plan"))
       .select($"doc_id", $"source", $"epoch_idx")
       .as[(Long, String, Long)].collect().toSet
-    val got = spark.read.parquet(s"$dir/epochs")
+    val gotRows = spark.read.parquet(s"$dir/epochs")
       .select($"doc_id", $"source", $"epoch_idx")
-      .as[(Long, String, Long)].collect().toSet
+      .as[(Long, String, Long)].collect().toSeq
+    val got = gotRows.toSet
     assert(got == want && got.nonEmpty)
-    // no (doc, epoch) row repeats; epoch indexes are dense from 0 per doc
-    assert(got.size == got.toSeq.size)
+    // no (doc, epoch) row repeats (collect as a SEQ — a set would swallow
+    // duplicates before the check); epochs are dense from 0 per doc
+    assert(gotRows.size == got.size)
     got.groupBy(r => (r._1, r._2)).foreach { case (_, g) =>
       assert(g.map(_._3).toSeq.sorted == (0L until g.size).toSeq)
     }

@@ -155,14 +155,32 @@ class PackingStreamSpec extends SparkSpec {
         "inc-1", (_, _) => { fired += 1; () })
     tick(corpus.filter(_._1 <= 4L), 0L)
     val after0 = PackingStream.pieces(spark, outDir).count()
-    tick(corpus.filter(_._1 <= 4L), 0L) // replay: vetoed
-    assert(fired == 1 &&
+    // replay of the APPLIED batch: the data no-ops, but onTick re-fires —
+    // the crash-between-marker-and-commit window must not lose the
+    // announcement (at-least-once)
+    tick(corpus.filter(_._1 <= 4L), 0L)
+    assert(fired == 2 &&
       PackingStream.pieces(spark, outDir).count() == after0)
     tick(corpus.filter(_._1 > 4L), 1L)
-    assert(fired == 2)
-    // stale id after progress: also vetoed
+    assert(fired == 3)
+    val after1 = PackingStream.pieces(spark, outDir).count()
+    // replay of batch 1 (now the live generation): announce-only again
     tick(corpus.filter(_._1 > 4L), 1L)
-    assert(fired == 2)
+    assert(fired == 4 &&
+      PackingStream.pieces(spark, outDir).count() == after1)
+    // a STALE id behind the live generation stays fully silent
+    tick(corpus.filter(_._1 <= 4L), 0L)
+    assert(fired == 4)
+    // checkpoint wiped but outDir kept (a FOREIGN incarnation over
+    // standing markers): the cumulative sink must refuse rather than
+    // silently restart bin numbering over the old incarnation's pieces
+    val ex = intercept[IllegalArgumentException] {
+      PackingStream.applyTick(
+        corpus.filter(_._1 <= 4L).toDF("doc_id", "text", "source"), 0L,
+        "doc_id", "text", Seq("source"), 7L, merges, vocab, outDir,
+        "inc-wiped", (_, _) => ())
+    }
+    assert(ex.getMessage.contains("incarnation"))
     // both generations exist and the pieces equal the one-shot export
     // (the same equality the streaming test pins — here via raw ticks)
     val (oneShot, _) = Packing.tokenizedCorpus(docs, "doc_id", "text",
