@@ -237,7 +237,8 @@ object SparkEntry {
     "q156_container_census" -> qContainerCensus,
     "q157_epoch_plan" -> qEpochPlan,
     "q158_shard_manifest" -> qShardManifest,
-    "q159_epoch_materialize" -> qExecuteEpochPlan)
+    "q159_epoch_materialize" -> qExecuteEpochPlan,
+    "q160_packed_examples" -> qExamples)
 
   /** A1-family hash aggregate (TPC-H Q1 shape): partial+final agg, no skew. */
   private def qPricingAgg(s: SparkSession, dir: String): DataFrame = {
@@ -1360,6 +1361,25 @@ object SparkEntry {
     val (pieces, _) = graft.operators.Packing.tokenizedCorpus(
       d, "doc_id", "text", Seq("source"), tokenBudget = 256L, merges)
     graft.operators.Packing.shardManifest(pieces, "doc_id", Seq("source"))
+      .orderBy(col("source"), col("bin_id"))
+  }
+
+  /** q160: MATERIALIZED training examples over q153's packed pieces —
+    * [[graft.operators.Packing.examples]]: one row per (shard, bin) with
+    * the gap-free token stream (hashed — the oracle re-derives the sha
+    * from its exact id slices) and the doc-boundary metadata a loss mask
+    * needs (piece offsets + source doc ids, in offset order). The
+    * reader-side fold of the whole packing family, under the gate. */
+  private def qExamples(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    val merges = Bpe.learn(d, "text", 6)
+    val (pieces, _) = graft.operators.Packing.tokenizedCorpus(
+      d, "doc_id", "text", Seq("source"), tokenBudget = 256L, merges)
+    graft.operators.Packing.examples(pieces, "doc_id", Seq("source"))
+      .select(col("source"), col("bin_id"), col("n_tokens"),
+        sha2(array_join(transform(col("token_ids"),
+          x => x.cast("string")), " "), 256).as("stream_sha"),
+        col("doc_offsets"), col("doc_ids"))
       .orderBy(col("source"), col("bin_id"))
   }
 
@@ -4946,6 +4966,24 @@ object SparkEntry {
         |      array_to_string(tk[CAST(st - prior + 1 AS BIGINT):
         |        CAST(en - prior AS BIGINT)], ' ')
         |    END, ' ' ORDER BY st - bin_id * 256), '')) AS content_sha
+        |FROM cut GROUP BY source, bin_id
+        |ORDER BY source, bin_id""".stripMargin),
+    // q160: the reader fold over the same cut pieces — stream sha plus
+    // offset-ordered boundary lists (FILTER drops empty pieces; the
+    // empty-list coalesce matches the engine's typed empty arrays)
+    "q160_packed_examples" -> (bpeCtes(6) + "\n" + packedPiecesCtes + "\n" +
+      """SELECT source, CAST(bin_id AS BIGINT) AS bin_id,
+        |  CAST(SUM(en - st) AS BIGINT) AS n_tokens,
+        |  sha256(COALESCE(string_agg(CASE WHEN en > st THEN
+        |      array_to_string(tk[CAST(st - prior + 1 AS BIGINT):
+        |        CAST(en - prior AS BIGINT)], ' ')
+        |    END, ' ' ORDER BY st - bin_id * 256), '')) AS stream_sha,
+        |  COALESCE(list(CAST(st - bin_id * 256 AS BIGINT)
+        |      ORDER BY st - bin_id * 256) FILTER (WHERE en > st),
+        |    CAST([] AS BIGINT[])) AS doc_offsets,
+        |  COALESCE(list(CAST(doc_id AS BIGINT)
+        |      ORDER BY st - bin_id * 256) FILTER (WHERE en > st),
+        |    CAST([] AS BIGINT[])) AS doc_ids
         |FROM cut GROUP BY source, bin_id
         |ORDER BY source, bin_id""".stripMargin),
     // q154: retrieval-quality eval — q134's ranked hits + the adjacent-id

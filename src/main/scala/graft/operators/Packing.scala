@@ -435,8 +435,45 @@ object Packing {
                   x => x.cast("string")), " ").as("t"))))),
             x => x("t")), " "), 256).as("content_sha"))
 
+  /** MATERIALIZE training examples from a packed pieces frame — the
+    * reader-side fold the piece layout exists for: one row per
+    * (shard, bin) with the bin's full token stream (`token_ids` — pieces
+    * concatenated at their offsets, gap-free by the packing contract) and
+    * the DOC-BOUNDARY metadata a loss mask / attention-reset needs:
+    * `doc_offsets` (each piece's start offset, ascending) and `doc_ids`
+    * (the source doc of each piece, parallel to the offsets — a piece
+    * boundary mid-doc, from a doc that spans bins, shows the same id
+    * continuing). Empty pieces (tokenless docs) carry no tokens and no
+    * boundary. `n_tokens` prices the example; every bin but each shard's
+    * last equals the packing budget.
+    *
+    * Scale shape: ONE hash aggregate keyed (shard, bin) with
+    * budget-bounded groups — the same discipline as [[shardManifest]];
+    * the examples table is what a training job feeds to its batch
+    * sampler, typically written bucketed by shard. */
+  def examples(pieces: DataFrame, idCol: String,
+               shardCols: Seq[String]): DataFrame =
+    pieces.groupBy((shardCols.map(col) :+ col("bin_id")): _*)
+      .agg(
+        sum(col("n_tokens_bpe")).as("n_tokens"),
+        aggregate(
+          array_sort(collect_list(when(col("n_tokens_bpe") > 0,
+            struct(col("offset_tokens").as("o"),
+              col(idCol).cast("long").as("d"), col("token_ids").as("t"))))),
+          struct(lit(Array.empty[Int]).as("ids"),
+            lit(Array.empty[Long]).as("offs"),
+            lit(Array.empty[Long]).as("docs")),
+          (acc, x) => struct(
+            concat(acc("ids"), x("t")).as("ids"),
+            concat(acc("offs"), array(x("o"))).as("offs"),
+            concat(acc("docs"), array(x("d"))).as("docs"))).as("__ex"))
+      .select((shardCols.map(col) :+ col("bin_id") :+ col("n_tokens") :+
+        col("__ex.ids").as("token_ids") :+
+        col("__ex.offs").as("doc_offsets") :+
+        col("__ex.docs").as("doc_ids")): _*)
+
   /** Deterministic sharded packing: within each shard (ordered by id), a doc's
-    * bin is floor(exclusive-prefix-token-sum / tokenBudget) — consecutive docs
+    * bin is floor(exclusive-prefix-sum / tokenBudget) — consecutive docs
     * share a bin until the budget boundary is crossed. Bins are exact, stable
     * under re-runs, and never require cross-shard coordination. Docs longer than
     * the budget simply span bins (chunk them first with `chunkTokens`). */

@@ -807,6 +807,35 @@ class CurationOpsSpec extends SparkSpec {
       == ((0L, sha(""))))
   }
 
+  test("examples: bins materialize gap-free with doc-boundary metadata") {
+    import graft.operators.Packing
+    val docs = Seq(
+      (1L, "ab ab", "s0"), (2L, "a", "s0"), (3L, "  ", "s0"),
+      (4L, "ab", "s1")).toDF("doc_id", "text", "source")
+    val (pieces, _) = Packing.tokenizedCorpus(docs, "doc_id", "text",
+      Seq("source"), tokenBudget = 7L, merges = Nil)
+    val got = Packing.examples(pieces, "doc_id", Seq("source"))
+      .select($"source", $"bin_id", $"n_tokens", $"token_ids",
+        $"doc_offsets", $"doc_ids")
+      .as[(String, Long, Long, Seq[Int], Seq[Long], Seq[Long])]
+      .collect().toSet
+    // s0/bin0: doc 1 whole + doc 2's first token (split mid-doc at the
+    // budget); s0/bin1: doc 2's tail — same doc id continuing — plus the
+    // tokenless doc 3 contributing no boundary; s1/bin0: doc 4
+    assert(got == Set(
+      ("s0", 0L, 7L, Seq(2, 3, 1, 2, 3, 1, 2), Seq(0L, 6L), Seq(1L, 2L)),
+      ("s0", 1L, 1L, Seq(1), Seq(0L), Seq(2L)),
+      ("s1", 0L, 3L, Seq(2, 3, 1), Seq(0L), Seq(4L))))
+    // the reader contract: every example's stream length == its price,
+    // and offsets are strictly ascending from 0
+    got.foreach { e =>
+      assert(e._4.size.toLong == e._3)
+      assert(e._5.headOption.forall(_ == 0L) &&
+        e._5 == e._5.sorted && e._5.distinct == e._5)
+    }
+    graft.operators.Dedup.release(pieces)
+  }
+
   test("sourceTokenKl: uniform mix scores ~0, skewed source scores positive") {
     import graft.operators.DataMix
     // src0 == the corpus-average distribution (KL ~ 0 up to rounding);
