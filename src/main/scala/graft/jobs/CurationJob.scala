@@ -175,6 +175,11 @@ import org.apache.spark.sql.functions._
   *   "bpe_merges": 6,                  //   merge rules to learn
   *   "pack_budget_tokens": 2048,       //   tokens per packed example
   *   "pack_shard_col": "source",       //   the packing shard column
+  *   "examples_output_path": "",       //   optionally also the
+  *                                     //   MATERIALIZED examples (q160):
+  *                                     //   per (shard, bin) the gap-free
+  *                                     //   token stream + doc_offsets/
+  *                                     //   doc_ids loss-mask boundaries
   *   "mixture_plan_path": "",          // r17: publish the token-budget
   *                                     //   EPOCH PLAN over the curated
   *                                     //   corpus (q157's water-filling
@@ -1211,6 +1216,14 @@ object CurationJob {
       graft.operators.Packing.shardManifest(
           spark.read.parquet(tokPath), idCol, Seq(shardCol))
         .write.mode("overwrite").parquet(tokPath + "_manifest")
+      // optionally ALSO the materialized examples table (q160's reader
+      // fold — gap-free streams + loss-mask boundaries): some readers
+      // want the fold done once at publish time rather than per epoch
+      if (str("examples_output_path", "").nonEmpty)
+        graft.operators.Packing.examples(
+            spark.read.parquet(tokPath), idCol, Seq(shardCol))
+          .write.mode("overwrite")
+          .parquet(str("examples_output_path", ""))
       // all writes landed — free the encW/ids pins the operator holds
       graft.operators.Dedup.release(tokenized)
       graft.operators.Dedup.release(vocab)

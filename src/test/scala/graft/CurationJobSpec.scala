@@ -702,6 +702,7 @@ class CurationJobSpec extends SparkSpec {
          | "min_words": 3, "gopher_rules": false, "redact_pii": false,
          | "ngram_n": 3, "jaccard_threshold": 0.9, "block_cols": ["lang"],
          | "tokenized_output_path": "$dir/tok",
+         | "examples_output_path": "$dir/examples",
          | "bpe_merges": 2, "pack_budget_tokens": 10,
          | "pack_shard_col": "source"}""".stripMargin)
     val stats = CurationJob.run(spark, s"$dir/cfg.json").get
@@ -764,6 +765,21 @@ class CurationJobSpec extends SparkSpec {
       rows.map(r => (r._2, r._5)).toSet)
     assert(manifest.forall(m => m._5 ==
       rows.filter(r => r._2 == m._1 && r._5 == m._2).map(_._4).sum))
+    // the optional materialized-examples table: each bin's stream is its
+    // pieces concatenated at offsets, boundaries parallel and ascending
+    val ex = spark.read.parquet(s"$dir/examples")
+      .select($"source", $"bin_id", $"n_tokens", $"token_ids",
+        $"doc_offsets", $"doc_ids")
+      .as[(String, Long, Long, Seq[Int], Seq[Long], Seq[Long])]
+      .collect().toSet
+    assert(ex.map(e => (e._1, e._2)) == rows.map(r => (r._2, r._5)).toSet)
+    ex.foreach { e =>
+      val ps = rows.filter(r => r._2 == e._1 && r._5 == e._2 && r._4 > 0)
+        .sortBy(_._6)
+      assert(e._4 == ps.flatMap(_._7))
+      assert(e._5 == ps.map(_._6) && e._6 == ps.map(_._1))
+      assert(e._3 == ps.map(_._4).sum)
+    }
   }
 
   test("curation job: frontier export + BM25 index publication close the crawl loop") {
