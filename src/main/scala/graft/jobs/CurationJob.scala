@@ -1213,17 +1213,16 @@ object CurationJob {
       // recomputes and diffs before spending GPU-hours — derived from the
       // WRITTEN table, so the manifest certifies the artifact on disk,
       // not the plan that produced it
-      graft.operators.Packing.shardManifest(
-          spark.read.parquet(tokPath), idCol, Seq(shardCol))
+      val written = spark.read.parquet(tokPath)
+      graft.operators.Packing.shardManifest(written, idCol, Seq(shardCol))
         .write.mode("overwrite").parquet(tokPath + "_manifest")
       // optionally ALSO the materialized examples table (q160's reader
       // fold — gap-free streams + loss-mask boundaries): some readers
       // want the fold done once at publish time rather than per epoch
-      if (str("examples_output_path", "").nonEmpty)
-        graft.operators.Packing.examples(
-            spark.read.parquet(tokPath), idCol, Seq(shardCol))
-          .write.mode("overwrite")
-          .parquet(str("examples_output_path", ""))
+      val exPath = str("examples_output_path", "")
+      if (exPath.nonEmpty)
+        graft.operators.Packing.examples(written, idCol, Seq(shardCol))
+          .write.mode("overwrite").parquet(exPath)
       // all writes landed — free the encW/ids pins the operator holds
       graft.operators.Dedup.release(tokenized)
       graft.operators.Dedup.release(vocab)

@@ -254,18 +254,20 @@ object Packing {
     require(tokenBudget >= 1, s"tokenBudget must be >= 1, got $tokenBudget")
     val (ids0, vocab) = encodeIdsWithVocab(docs, idCol, textCol, merges)
     val ids = ids0.localCheckpoint(true)
-    (cutPieces(docs, ids, idCol, shardCols, tokenBudget, priorBase = null),
-      vocab)
+    (cutPieces(docs, ids, idCol, shardCols, tokenBudget,
+      priorBase = null)._1, vocab)
   }
 
   /** The shared concat-and-cut walk ([[tokenizedCorpus]]/[[tokenizedBatch]]):
     * given per-doc id streams, compute each doc's stream prior (the
     * per-shard prefix sum, PLUS the shard's carried `base_tokens` when
     * `priorBase` is given — the streaming continuation seam), split spans
-    * at bin boundaries, and slice the id arrays per piece. */
+    * at bin boundaries, and slice the id arrays per piece. Returns
+    * (pieces, the based per-doc count frame — idCol, shardCols…, __n,
+    * __base) so a caller deriving carry state doesn't redo the joins. */
   private def cutPieces(docs: DataFrame, ids: DataFrame, idCol: String,
                         shardCols: Seq[String], tokenBudget: Long,
-                        priorBase: DataFrame): DataFrame = {
+                        priorBase: DataFrame): (DataFrame, DataFrame) = {
     val counts0 = docs.select((col(idCol) +: shardCols.map(col)): _*)
       .join(ids.select(col(idCol),
         size(col("token_ids")).cast("long").as("__n")),
@@ -301,13 +303,14 @@ object Packing {
       .withColumn("n_tokens_bpe", col("__end") - col("__start"))
       .withColumn("offset_tokens", col("__start") - col("bin_id") * b)
       .withColumn("__local", col("__start") - col("__prior"))
-    pieces.join(ids, Seq(idCol), "left")
+    (pieces.join(ids, Seq(idCol), "left")
       .withColumn("token_ids", when(col("n_tokens_bpe") > 0,
         slice(col("token_ids"), (col("__local") + 1).cast("int"),
           col("n_tokens_bpe").cast("int"))))
       .select((col(idCol) +: shardCols.map(col)) ++ Seq(col("chunk_idx"),
         col("n_tokens_bpe"), col("bin_id"), col("offset_tokens"),
-        col("token_ids")): _*)
+        col("token_ids")): _*),
+      counts)
   }
 
   /** [[encodeIdsBpe]] under a FROZEN tokenizer — the day-two encode: merge
@@ -354,20 +357,13 @@ object Packing {
     require(tokenBudget >= 1, s"tokenBudget must be >= 1, got $tokenBudget")
     val ids = encodeIdsFrozen(docs, idCol, textCol, merges, vocab, byteLevel)
       .localCheckpoint(true)
-    val pieces = cutPieces(docs, ids, idCol, shardCols, tokenBudget,
-      priorBase)
-    val counted = docs.select((col(idCol) +: shardCols.map(col)): _*)
-      .join(ids.select(col(idCol),
-        size(col("token_ids")).cast("long").as("__n")), Seq(idCol), "left")
-    val based = // null priorBase = no carry, matching cutPieces' contract
-      if (priorBase == null) counted.withColumn("__base", lit(0L))
-      else counted.join(broadcast(priorBase.select((shardCols.map(col) :+
-          col("base_tokens").cast("long").as("__base")): _*)),
-        shardCols, "left")
+    val (pieces, based) = cutPieces(docs, ids, idCol, shardCols,
+      tokenBudget, priorBase)
+    // carry state off the SAME based count frame the cut walk used —
+    // no second docs ⋈ ids join, no drift between the two derivations
     val newState = based
       .groupBy(shardCols.map(col): _*)
-      .agg((coalesce(first(col("__base")), lit(0L)) +
-        sum(coalesce(col("__n"), lit(0L)))).as("base_tokens"))
+      .agg((first(col("__base")) + sum(col("__n"))).as("base_tokens"))
     (pieces, newState)
   }
 
@@ -453,24 +449,19 @@ object Packing {
     * sampler, typically written bucketed by shard. */
   def examples(pieces: DataFrame, idCol: String,
                shardCols: Seq[String]): DataFrame =
+    // one sorted piece list per bin, then three parallel in-row projections
+    // — linear (the flatten/transform pattern idStreamsFrom/shardManifest
+    // use), and doc ids keep their NATIVE type (string ids survive)
     pieces.groupBy((shardCols.map(col) :+ col("bin_id")): _*)
       .agg(
         sum(col("n_tokens_bpe")).as("n_tokens"),
-        aggregate(
-          array_sort(collect_list(when(col("n_tokens_bpe") > 0,
-            struct(col("offset_tokens").as("o"),
-              col(idCol).cast("long").as("d"), col("token_ids").as("t"))))),
-          struct(lit(Array.empty[Int]).as("ids"),
-            lit(Array.empty[Long]).as("offs"),
-            lit(Array.empty[Long]).as("docs")),
-          (acc, x) => struct(
-            concat(acc("ids"), x("t")).as("ids"),
-            concat(acc("offs"), array(x("o"))).as("offs"),
-            concat(acc("docs"), array(x("d"))).as("docs"))).as("__ex"))
+        array_sort(collect_list(when(col("n_tokens_bpe") > 0,
+          struct(col("offset_tokens").as("o"), col(idCol).as("d"),
+            col("token_ids").as("t"))))).as("__ps"))
       .select((shardCols.map(col) :+ col("bin_id") :+ col("n_tokens") :+
-        col("__ex.ids").as("token_ids") :+
-        col("__ex.offs").as("doc_offsets") :+
-        col("__ex.docs").as("doc_ids")): _*)
+        flatten(transform(col("__ps"), x => x("t"))).as("token_ids") :+
+        transform(col("__ps"), x => x("o")).as("doc_offsets") :+
+        transform(col("__ps"), x => x("d")).as("doc_ids")): _*)
 
   /** Deterministic sharded packing: within each shard (ordered by id), a doc's
     * bin is floor(exclusive-prefix-sum / tokenBudget) — consecutive docs

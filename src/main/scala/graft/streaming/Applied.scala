@@ -58,12 +58,18 @@ private[streaming] object Applied {
       case _: org.apache.spark.sql.AnalysisException => -1L
     }
 
-  /** True iff ANY applied marker exists under `dir`, regardless of
-    * incarnation — the probe a cumulative sink uses to distinguish
-    * "fresh start" from "checkpoint wiped but the published store kept"
-    * (where [[read]]'s −1 is ambiguous). */
-  def exists(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/applied")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  /** True iff a READABLE marker exists under `dir`, under ANY incarnation
+    * — the probe a cumulative sink uses to distinguish "fresh start" from
+    * "checkpoint wiped but the published store kept" (where [[read]]'s −1
+    * is ambiguous). Path existence alone is NOT enough: a crash mid
+    * [[write]] leaves `<dir>/applied` as a committer skeleton
+    * (`_temporary`, no footer) that [[read]] maps to −1 — that is our OWN
+    * interrupted first write, recoverable by the replay's idempotent
+    * overwrite, and must not read as a foreign marker. */
+  def exists(spark: org.apache.spark.sql.SparkSession, dir: String): Boolean =
+    try { spark.read.parquet(s"$dir/applied").first(); true }
+    catch {
+      case _: org.apache.spark.sql.AnalysisException => false
+      case _: java.util.NoSuchElementException => false
+    }
 }

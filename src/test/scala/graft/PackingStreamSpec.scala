@@ -181,6 +181,16 @@ class PackingStreamSpec extends SparkSpec {
         "inc-wiped", (_, _) => ())
     }
     assert(ex.getMessage.contains("incarnation"))
+    // ...but our OWN interrupted FIRST marker write (a committer skeleton:
+    // the applied dir exists with no committed parquet) must read as "no
+    // marker yet" and recover via the replay, not trip the foreign guard
+    val fresh = java.nio.file.Files.createTempDirectory("packpart").toString
+    assert(new java.io.File(s"$fresh/_stateA/applied/_temporary").mkdirs())
+    PackingStream.applyTick(
+      corpus.filter(_._1 <= 4L).toDF("doc_id", "text", "source"), 0L,
+      "doc_id", "text", Seq("source"), 7L, merges, vocab, fresh,
+      "inc-rec", (_, _) => ())
+    assert(PackingStream.pieces(spark, fresh).count() > 0)
     // both generations exist and the pieces equal the one-shot export
     // (the same equality the streaming test pins — here via raw ticks)
     val (oneShot, _) = Packing.tokenizedCorpus(docs, "doc_id", "text",
