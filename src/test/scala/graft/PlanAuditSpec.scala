@@ -125,6 +125,28 @@ class PlanAuditSpec extends SparkSpec {
       s"q80 plan regressed to a Window-based winner selection:\n$plan")
   }
 
+  test("q157/q159 mixture plans: no corpus Window in the plan fold, one bucket-bounded Window in the materialization") {
+    // q157's water-filling is one corpus aggregate + a strata-bounded
+    // in-row fold — a Window here would mean the fold regressed to a
+    // per-stratum running rank
+    val plan157 = SparkEntry.queries("q157_epoch_plan")(spark, dir)
+    plan157.write.format("noop").mode("overwrite").save()
+    assert(!plan157.queryExecution.executedPlan.toString.contains("Window"),
+      "q157 must not window the corpus")
+    // q159's ONLY window is the fractional-epoch boundary resolution,
+    // whose partition holds one hash bucket of one stratum (the
+    // histogram-cutoff discipline) — more windows would mean the prefix
+    // went back to ranking whole strata
+    val df159 = SparkEntry.queries("q159_epoch_materialize")(spark, dir)
+    df159.write.format("noop").mode("overwrite").save()
+    val wins = df159.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.size <= 1,
+      s"q159 grew ${wins.size} windows; only the bucket-bounded boundary " +
+        "resolution is allowed")
+  }
+
   test("q66 exact quantiles plan carries NO corpus-scale Window") {
     // The survey-stats plan must be the histogram form: any Window operator
     // here would mean per-source rank selection went back to shuffling every
