@@ -100,21 +100,27 @@ object Bpe {
     * if no adjacent pair remains (every word fully merged).
     *
     * Two rule-identical paths behind one entry (r17 — the verdict's #3):
-    *  - `nMerges <= localThreshold`: the distributed per-round loop (two
-    *    vocab-sized jobs + a 1-row argmax per round) — right when rounds
-    *    are few.
-    *  - larger `nMerges`: the word table — vocab-sized and corpus-growth-
-    *    independent by the operator's own scale law, the EXACT frame the
-    *    distributed loop iterates on — collects ONCE and the classic
-    *    Sennrich heap-with-invalidation loop runs driver-side
+    *  - default (`localThreshold = 0`): the word table — vocab-sized and
+    *    corpus-growth-independent by the operator's own scale law, the
+    *    EXACT frame the distributed loop iterates on — collects ONCE and
+    *    the classic Sennrich heap-with-invalidation loop runs driver-side
     *    ([[learnLocal]]). A real 32k–100k-merge tokenizer is minutes of
     *    in-process work instead of ~64k–200k sequential Spark jobs of
-    *    driver round-trips. `maxLocalWords` bounds the collect with a loud
-    *    refusal (a filthy corpus with an unbounded "word" set should be
-    *    line/url-normalized upstream, not silently OOM the driver).
+    *    driver round-trips — and even a 6-merge training run is 2 actions
+    *    (budget count + vocab-sized collect) instead of 13 sequential
+    *    jobs (r17 optimization: the per-round argmax collect + merge
+    *    checkpoint pair is pure driver-round-trip latency at EVERY corpus
+    *    scale, because the iterated frame never grows with the corpus).
+    *    `maxLocalWords` bounds the collect with a loud refusal (a filthy
+    *    corpus with an unbounded "word" set should be line/url-normalized
+    *    upstream, not silently OOM the driver).
+    *  - `nMerges <= localThreshold` (opt-in): the distributed per-round
+    *    loop (two vocab-sized jobs + a 1-row argmax per round) — kept as
+    *    the cross-check twin the specs pin the local path against, and
+    *    the escape hatch for a corpus whose word table is over budget.
     * Both paths are spec-pinned rule-for-rule equal (BpeSpec). */
   def learn(docs: DataFrame, textCol: String, nMerges: Int,
-            localThreshold: Int = 64,
+            localThreshold: Int = 0,
             maxLocalWords: Long = 20000000L,
             byteLevel: Boolean = false): Seq[(String, String)] = {
     require(nMerges > 0, s"nMerges must be positive, got $nMerges")

@@ -142,6 +142,39 @@ object Dedup {
     if (uncompressedBytes(df, files) <= minBytes) df else df.repartition(target)
   }
 
+  private[graft] val MinPinBytesKey = "graft.pin.minInputBytes"
+  private[graft] val MinPinBytesDefault: Long = 32L << 20
+
+  /** Size-gated persist (r17 optimization round): pin `frame` only when
+    * `src`'s scan is heavy enough that re-evaluating the multiply-referenced
+    * subtree costs more than the pin's own materialization pass. The
+    * multiply-referenced VOCAB-sized frames (bigram tables, scored frames
+    * feeding rank windows) are corpus-scale subtrees — at cluster scale an
+    * unpinned reference re-tokenizes the corpus once PER REFERENCE (q132's
+    * single plan held 24 corpus scans), but at bench scale (sf0.1: ~1 MB
+    * decompressed) a re-scan is cheaper than the persist's extra job +
+    * codegen break (measured this round: unconditional pins cost the
+    * NgramLm family +2 s across 6 rows at sf0.1 while changing nothing at
+    * scale). Same honest currency as [[ensureParallel]]: parquet footers'
+    * uncompressed column-chunk sizes; an unknown (non-parquet /
+    * checkpoint-fed) or many-file source pins — conservative in the
+    * at-scale direction. `graft.pin.minInputBytes` is the dial (default
+    * 32 MB: above every local-SF bench corpus, far below any production
+    * slab; the ×100-amplified sf10 census corpus at 49 MB decompressed
+    * pins, which is exactly the regime the pins were measured to win in). */
+  private[graft] def persistIfHeavy(frame: DataFrame,
+                                    src: DataFrame): DataFrame = {
+    val files =
+      try src.inputFiles catch { case _: Throwable => Array.empty[String] }
+    val minBytes = src.sparkSession.conf
+      .get(MinPinBytesKey, MinPinBytesDefault.toString).toLong
+    val heavy =
+      if (files.isEmpty) true // unknown source: pin — safe at scale
+      else if (files.length > 32) true // many-file corpus: production-shaped
+      else uncompressedBytes(src, files) > minBytes
+    if (heavy) frame.persist(StorageLevel.MEMORY_AND_DISK) else frame
+  }
+
   /** One tokenize pass per operator: (__id, __sh sorted hashed shingles, __sz,
     * blockCols...), PERSISTED, empty-shingle docs filtered. The shingle frame is
     * referenced by both the candidate-generation self-join and the verify joins;

@@ -55,10 +55,18 @@ object NgramLm {
     // dominated by serial token passes)
     val toks = Dedup.ensureParallel(docs)
       .select(TextFns.words(col(textCol)).as("__ts"))
-    val bigrams = toks
+    // size-gated pin (r17 opt): the bigram table is VOCAB-sized (Zipf,
+    // never corpus-sized) but its subtree is a full corpus tokenize pass,
+    // and it is referenced from BOTH the scoring join and `contexts` —
+    // without the pin a single scoring plan at cluster scale re-tokenizes
+    // the corpus once per reference (q84's one plan held 12 parquet scans
+    // of the corpus; see plans/r17/q84_domain_llr_{before,after}.txt).
+    // Gated on the source size because at bench scale the re-scan is
+    // cheaper than the pin (Dedup.persistIfHeavy scaladoc).
+    val bigrams = Dedup.persistIfHeavy(toks
       .select(explode(bigramPairs(col("__ts"))).as("__b"))
       .groupBy(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
-      .agg(count(lit(1)).as("c12"))
+      .agg(count(lit(1)).as("c12")), docs)
     val contexts = bigrams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val v = toks.select(explode(col("__ts")).as("__t"))
       .agg(countDistinct(col("__t"))).head().getLong(0)
@@ -109,12 +117,14 @@ object NgramLm {
     require(strata.nonEmpty, "strata must be non-empty (use trainBigram)")
     val toks = Dedup.ensureParallel(docs)
       .select((strata.map(col) :+ TextFns.words(col(textCol)).as("__ts")): _*)
-    val bigrams = toks
+    // size-gated pin for the same reason as trainBigram's bigrams (r17
+    // opt): vocab-sized frame, corpus-scale subtree, multiply referenced
+    val bigrams = Dedup.persistIfHeavy(toks
       .select((strata.map(col) :+ explode(bigramPairs(col("__ts")))
         .as("__b")): _*)
       .groupBy((strata.map(col) :+ col("__b.w1").as("w1") :+
         col("__b.w2").as("w2")): _*)
-      .agg(count(lit(1)).as("c12"))
+      .agg(count(lit(1)).as("c12")), docs)
     val contexts = bigrams
       .groupBy((strata.map(col) :+ col("w1")): _*)
       .agg(sum(col("c12")).as("c1"))
@@ -163,12 +173,38 @@ object NgramLm {
     * operator. */
   def domainLlr(docs: DataFrame, idCol: String, textCol: String,
                 domainLm: BigramLm, baseLm: BigramLm): DataFrame = {
-    val d = scoreBigram(docs, idCol, textCol, domainLm)
+    // ONE exploded doc-bigram pass scores under BOTH models (r17 opt): the
+    // two models' per-bigram log-probs are independent column expressions,
+    // so joining both (vocab-sized) model frames onto one docBi frame and
+    // folding two sums in one doc-keyed aggregate is value-identical to the
+    // old two-scoring-plans-joined-on-id form — while halving the corpus
+    // tokenize passes and dropping one corpus-scale shuffle (the second
+    // groupBy(id)) plus the final doc-keyed join outright
+    // (plans/r17/q84_domain_llr_{before,after}.txt: 12 → 3 corpus scans).
+    val docBi = Dedup.ensureParallel(docs)
+      .select(col(idCol), explode(bigramPairs(TextFns.words(col(textCol))))
+        .as("__b"))
+      .select(col(idCol), col("__b.w1").as("w1"), col("__b.w2").as("w2"))
+    def lp(c12: Column, c1: Column, v: Long): Column = round(
+      log((coalesce(c12, lit(0L)) + 1L).cast("double") /
+        (coalesce(c1, lit(0L)) + lit(v)).cast("double")) * 1e6).cast("long")
+    docBi
+      .join(domainLm.bigrams.select(col("w1"), col("w2"),
+        col("c12").as("__dc12")), Seq("w1", "w2"), "left")
+      .join(broadcast(domainLm.contexts.select(col("w1"),
+        col("c1").as("__dc1"))), Seq("w1"), "left")
+      .join(baseLm.bigrams.select(col("w1"), col("w2"),
+        col("c12").as("__bc12")), Seq("w1", "w2"), "left")
+      .join(broadcast(baseLm.contexts.select(col("w1"),
+        col("c1").as("__bc1"))), Seq("w1"), "left")
+      .withColumn("__dlp", lp(col("__dc12"), col("__dc1"), domainLm.vocabSize))
+      .withColumn("__blp", lp(col("__bc12"), col("__bc1"), baseLm.vocabSize))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), (-sum(col("__dlp"))).as("__dnll"),
+        (-sum(col("__blp"))).as("__bnll"))
       .select(col(idCol), col("n_bigrams"),
-        col("avg_nll_e6").as("domain_nll_e6"))
-    val b = scoreBigram(docs, idCol, textCol, baseLm)
-      .select(col(idCol), col("avg_nll_e6").as("base_nll_e6"))
-    d.join(b, Seq(idCol))
+        Quantiles.div(col("__dnll"), col("n_bigrams")).as("domain_nll_e6"),
+        Quantiles.div(col("__bnll"), col("n_bigrams")).as("base_nll_e6"))
       .withColumn("llr_e6", col("base_nll_e6") - col("domain_nll_e6"))
   }
 
@@ -183,11 +219,14 @@ object NgramLm {
     * frames after the corpus token pass are vocab-sized. */
   def collocations(docs: DataFrame, textCol: String, minCount: Long = 5L,
                    k: Int = 50): DataFrame = {
-    val bigrams = Dedup.ensureParallel(docs)
+    // size-gated pin (r17 opt): referenced by the marginals, the total, and
+    // the selection itself — four corpus tokenize passes in one plan at
+    // cluster scale otherwise
+    val bigrams = Dedup.persistIfHeavy(Dedup.ensureParallel(docs)
       .select(TextFns.words(col(textCol)).as("__ts"))
       .select(explode(bigramPairs(col("__ts"))).as("__b"))
       .groupBy(col("__b.w1").as("w1"), col("__b.w2").as("w2"))
-      .agg(count(lit(1)).as("c12"))
+      .agg(count(lit(1)).as("c12")), docs)
     val left = bigrams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val right = bigrams.groupBy(col("w2")).agg(sum(col("c12")).as("c2"))
     val n = bigrams.agg(sum(col("c12")).as("n"))

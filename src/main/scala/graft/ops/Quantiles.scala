@@ -148,8 +148,17 @@ object Quantiles {
                   binStep: Long, strata: Seq[String] = Nil): DataFrame = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
     require(binStep > 0, s"binStep must be positive, got $binStep")
-    val base = df.withColumn("__v", value.cast("long"))
-      .withColumn("__b", div(col("__v"), lit(binStep)))
+    // size-gated pin (r17 opt): `base` is referenced by the bin histogram,
+    // the stratum totals, AND the final row join — when `df` is an
+    // expensive scoring plan (q89/q132: a corpus tokenize + model join) the
+    // whole subtree would otherwise evaluate once per reference at cluster
+    // scale (q132's single plan held 24 corpus parquet scans before the
+    // pin; see plans/r17/q132_per_lang_perplexity_{before,after}.txt).
+    // Gated on source size: at bench scale the re-scan is cheaper than the
+    // pin (graft.operators.Dedup.persistIfHeavy scaladoc).
+    val base = graft.operators.Dedup.persistIfHeavy(
+      df.withColumn("__v", value.cast("long"))
+        .withColumn("__b", div(col("__v"), lit(binStep))), df)
     val binW = org.apache.spark.sql.expressions.Window
       .partitionBy(strata.map(col): _*).orderBy(col("__b"))
     val offsets = base.groupBy((strata.map(col) :+ col("__b")): _*)
