@@ -894,7 +894,7 @@ object SparkEntry {
   /** Text quality scoring: word stats + stopword ratio (exact integer ratios). */
   private def qTextQuality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .transform(d => graft.operators.Dedup.ensureParallel(d, costWeight = 16))
       .withColumn("q", TextFns.qualityStruct(col("text"),
         Seq("the", "a", "of", "and", "is")))
       .select(col("doc_id"), col("q.n_words").as("n_words"),
@@ -909,7 +909,7 @@ object SparkEntry {
     val scores = TextFns.langScores(col("text"))
     val scoreCols = scores.map { case (code, sc) => sc.cast("long").as(s"s_$code") }
     t(s, dir, "documents")
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .transform(d => graft.operators.Dedup.ensureParallel(d, costWeight = 16))
       .select((col("doc_id") +: scoreCols :+
         TextFns.langIdFromScores(scores).as("pred_lang")): _*)
       .orderBy(col("doc_id"))
@@ -926,7 +926,7 @@ object SparkEntry {
   /** Bag-of-words sha fingerprint (order/repetition-insensitive content id). */
   private def qFingerprint(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .transform(d => graft.operators.Dedup.ensureParallel(d, costWeight = 16))
       .select(col("doc_id"), TextFns.fingerprintSha(col("text")).as("fingerprint"))
       .orderBy(col("doc_id"))
 
@@ -982,7 +982,7 @@ object SparkEntry {
     * groupBy — the fold runs inside the scan stage at any corpus size). */
   private def qRepetition(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .transform(d => graft.operators.Dedup.ensureParallel(d, costWeight = 16))
       .withColumn("r", TextFns.repetitionStruct(col("text")))
       .select(col("doc_id"), col("r.n_words").as("n_words"),
         col("r.n_distinct_words").as("n_distinct_words"),
@@ -1567,7 +1567,7 @@ object SparkEntry {
     * at most sources × 256 rows per mapper. */
   private def qHllRegisters(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .transform(d => graft.operators.Dedup.ensureParallel(d, costWeight = 16))
       .select(col("source"), explode(TextFns.words(col("text"))).as("token"))
     graft.operators.Cardinality.hllRegisters(toks, Seq("source"),
         col("token"), p = 8)
@@ -1587,7 +1587,7 @@ object SparkEntry {
   private def qCmsHitters(s: SparkSession, dir: String): DataFrame = {
     import graft.operators.CountMin
     val docs = t(s, dir, "documents")
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .transform(d => graft.operators.Dedup.ensureParallel(d, costWeight = 16))
     def toks(df: DataFrame): DataFrame = df.select(col("source"),
       explode(TextFns.words(col("text"))).as("token"))
     val corpus = toks(docs)
@@ -1618,7 +1618,7 @@ object SparkEntry {
     * position is integer arithmetic on the mixed FNV hash. */
   private def qBloomPrefilter(s: SparkSession, dir: String): DataFrame = {
     val all = t(s, dir, "documents")
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .transform(d => graft.operators.Dedup.ensureParallel(d, costWeight = 16))
     def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
       explode(TextFns.stringShingles(col("text"), 5)).as("gram"))
     val bench = grams(all.filter(col("doc_id") % 97 === 0))
@@ -1837,7 +1837,7 @@ object SparkEntry {
     * approximate sketch whose every output bit is still exact. */
   private def qHllEstimate(s: SparkSession, dir: String): DataFrame = {
     val toks = t(s, dir, "documents")
-      .repartition(s.sessionState.conf.numShufflePartitions)
+      .transform(d => graft.operators.Dedup.ensureParallel(d, costWeight = 16))
       .select(col("source"), explode(TextFns.words(col("text"))).as("token"))
     graft.operators.Cardinality.hllEstimate(
         graft.operators.Cardinality.hllRegisters(toks, Seq("source"),
