@@ -218,8 +218,16 @@ object Bm25 {
              excludePairs: DataFrame = null): DataFrame = {
     require(k >= 1 && k1E3 >= 0 && bE3 >= 0 && bE3 <= 1000,
       s"need k >= 1, k1E3 >= 0, bE3 in [0,1000], got $k/$k1E3/$bE3")
-    val qTerms = queries.select(col(qIdCol),
-      explode(array_distinct(TextFns.words(col(qTextCol)))).as("token"))
+    // size-gated pin (r17 opt): qTerms is referenced by BOTH the df
+    // restriction (via qTok) and the scoring join's broadcast — when the
+    // query set derives from a corpus-scale frame (the bench fixture's
+    // corpus-filter queries; any mined query set) each reference re-runs
+    // that scan+tokenize. The pinned frame is query-term-sized (≤ terms
+    // per query rows), far below its source subtree's cost at scale; at
+    // bench scale the gate stays closed and the plan is unchanged.
+    val qTerms = Dedup.persistIfHeavy(queries.select(col(qIdCol),
+      explode(array_distinct(TextFns.words(col(qTextCol)))).as("token")),
+      queries)
     val qTok = qTerms.select(col("token")).distinct()
     val dfq = index.df.join(broadcast(qTok), "token")
     val tf =
@@ -252,8 +260,10 @@ object Bm25 {
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val nDocs = docs.count()
     val totTokens = dl.agg(coalesce(sum(col("dl")), lit(0L))).first().getLong(0)
-    val qTerms = queries.select(col(qIdCol),
-      explode(array_distinct(TextFns.words(col(qTextCol)))).as("token"))
+    // same double-reference pin as [[search]]'s qTerms (r17 opt)
+    val qTerms = Dedup.persistIfHeavy(queries.select(col(qIdCol),
+      explode(array_distinct(TextFns.words(col(qTextCol)))).as("token")),
+      queries)
     val qTok = qTerms.select(col("token")).distinct()
     // df over the full corpus, but only for the query's terms: the broadcast
     // semi-restriction keeps the aggregate's OUTPUT query-sized (the shuffle
